@@ -324,4 +324,9 @@ object Lowering {
   /** Order-insensitive average: exact decimal sum / count, rounded. */
   def davg(c: Column): Column =
     round(sum(dec(c)).cast("double") / count(c), 6)
+
+  /** Long µs epoch → Long ms epoch without fp division: the subtraction
+    * makes the value exactly divisible, so the double quotient is exact. */
+  def usToMs(c: Column): Column =
+    ((c - pmod(c, lit(1000L))) / lit(1000L)).cast(org.apache.spark.sql.types.LongType)
 }

@@ -1,11 +1,415 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
-/** Time-series layer (SURVEY.md §2.5, §2.3): interval/session/state/event/
-  * count windows, fill, interp, asof/window joins. Populated module by
-  * module; see graft.ops.* for the reusable lowerings. */
+import graft.ops.{FillOps, JoinOps, TimeOps}
+import graft.ops.TimeOps.Dur
+
+/** Time-series operator surface (SURVEY.md §2.5, §2.3) over the `events`
+  * table: INTERVAL/SLIDING windows, SESSION/STATE/EVENT/COUNT windows,
+  * FILL, INTERP, ASOF + WINDOW joins. `user_id` plays the role of
+  * `tbname` (the per-device child-table key); `ts` is Long µs since epoch
+  * (see Tables.events).
+  */
 object TimeSeries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+  import Lowering.usToMs
+
+  // query-range literals for the events table (2024-01-01 .. 2024-01-31 UTC)
+  private val T0: Long = 1704067200000000L
+  private val T1: Long = 1706659200000000L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- INTERVAL(1h): tumbling window w/ _wstart/_wend/_wduration ----
+    "interval_tumbling" -> { (s, dir) =>
+      TimeOps.assignIntervals(ev(s, dir), col("ts"), Dur.h)
+        .groupBy(col("_wstart"), col("_wend"))
+        .agg(count(lit(1)).as("n"), Lowering.dsum(col("value")).as("sum_value"))
+        .select(usToMs(col("_wstart")).as("_wstart_ms"),
+          usToMs(col("_wend")).as("_wend_ms"),
+          lit(Dur.h / 1000L).as("_wduration_ms"),
+          col("n"), col("sum_value"))
+        .orderBy(col("_wstart_ms"))
+    },
+    // ---- INTERVAL(10m) SLIDING(5m): hopping window ----
+    "interval_sliding" -> { (s, dir) =>
+      TimeOps.assignIntervals(ev(s, dir), col("ts"), 10 * Dur.m, 5 * Dur.m)
+        .groupBy(col("_wstart"))
+        .agg(count(lit(1)).as("n"))
+        .select(usToMs(col("_wstart")).as("_wstart_ms"), col("n"))
+        .orderBy(col("_wstart_ms"))
+    },
+    // ---- PARTITION BY key + INTERVAL(6h) ----
+    "interval_partitioned" -> { (s, dir) =>
+      TimeOps.assignIntervals(ev(s, dir), col("ts"), 6 * Dur.h)
+        .groupBy(col("user_id"), col("_wstart"))
+        .agg(count(lit(1)).as("n"), Lowering.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), usToMs(col("_wstart")).as("_wstart_ms"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- SESSION(ts, 30m) per user ----
+    "session_window" -> { (s, dir) =>
+      TimeOps.sessionize(ev(s, dir), col("ts"), 30 * Dur.m, Seq(col("user_id")))
+        .groupBy(col("user_id"), col("_session"))
+        .agg(usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("_wstart_ms"), col("_wend_ms"), col("n"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- STATE_WINDOW(event_type) per user ----
+    "state_window" -> { (s, dir) =>
+      TimeOps.stateWindows(ev(s, dir), col("event_type"), col("ts"),
+          Seq(col("user_id")))
+        .groupBy(col("user_id"), col("_wid"))
+        .agg(first(col("event_type")).as("state"),
+          usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("state"), col("_wstart_ms"),
+          col("_wend_ms"), col("n"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- COUNT_WINDOW(50) per user ----
+    "count_window" -> { (s, dir) =>
+      TimeOps.countWindows(ev(s, dir), 50, col("ts"), Seq(col("user_id")))
+        .groupBy(col("user_id"), col("_wid"))
+        .agg(count(lit(1)).as("n"),
+          usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"))
+        .select(col("user_id"), col("_wid"), col("n"), col("_wstart_ms"),
+          col("_wend_ms"))
+        .orderBy(col("user_id"), col("_wid"))
+    },
+    // ---- EVENT_WINDOW START WITH value>90 END WITH value<10, per user ----
+    "event_window" -> { (s, dir) =>
+      TimeOps.eventWindows(ev(s, dir), col("value") > 90, col("value") < 10,
+          col("ts"), Seq("user_id"))
+        .groupBy(col("user_id"), col("_wstart"))
+        .agg(count(lit(1)).as("n"), usToMs(max(col("ts"))).as("_wend_ms"),
+          Lowering.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), usToMs(col("_wstart")).as("_wstart_ms"),
+          col("_wend_ms"), col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- INTERVAL(1d) + FILL(PREV) per user over RANGE(T0,T1) ----
+    "fill_prev" -> { (s, dir) =>
+      val agg = TimeOps.assignIntervals(ev(s, dir), col("ts"), Dur.d)
+        .groupBy(col("user_id"), col("_wstart"))
+        .agg(Lowering.dsum(col("value")).as("v"))
+      FillOps.fillInterval(agg, "_wstart", "v", Seq("user_id"), Dur.d,
+          T0, T1 - 1, FillOps.FillPrev)
+        .select(col("user_id"), usToMs(col("_wstart")).as("_wstart_ms"),
+          col("v"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- INTERVAL(1d) + FILL(VALUE, 0) ----
+    "fill_value" -> { (s, dir) =>
+      val agg = TimeOps.assignIntervals(ev(s, dir), col("ts"), Dur.d)
+        .groupBy(col("user_id"), col("_wstart"))
+        .agg(count(lit(1)).cast(LongType).as("n"))
+      FillOps.fillInterval(agg, "_wstart", "n", Seq("user_id"), Dur.d,
+          T0, T1 - 1, FillOps.FillValue(0))
+        .withColumn("n", col("n").cast(LongType))
+        .select(col("user_id"), usToMs(col("_wstart")).as("_wstart_ms"),
+          col("n"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- INTERVAL(1d) + FILL(LINEAR) ----
+    "fill_linear" -> { (s, dir) =>
+      val agg = TimeOps.assignIntervals(ev(s, dir), col("ts"), Dur.d)
+        .groupBy(col("user_id"), col("_wstart"))
+        .agg(Lowering.dsum(col("value")).as("v"))
+      FillOps.fillInterval(agg, "_wstart", "v", Seq("user_id"), Dur.d,
+          T0, T1 - 1, FillOps.FillLinear)
+        .select(col("user_id"), usToMs(col("_wstart")).as("_wstart_ms"),
+          round(col("v"), 6).as("v"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- INTERP EVERY(12h) RANGE(T0,T1) FILL(LINEAR) per user ----
+    "interp_linear" -> { (s, dir) =>
+      FillOps.interp(ev(s, dir), col("ts"), "value", Seq("user_id"),
+          12 * Dur.h, T0, T1, FillOps.FillLinear)
+        .select(col("user_id"), usToMs(col("_irowts")).as("_irowts_ms"),
+          round(col("value"), 6).as("value"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_irowts_ms"))
+    },
+    // ---- ASOF JOIN (>=): purchase matched to latest prior-or-equal click --
+    "asof_join_ge" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      JoinOps.asofJoin(l, r, Seq("user_id"), "ts", "ts", ">=",
+          Seq("ts", "event_id", "value"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          usToMs(col("r_ts")).as("click_ts_ms"),
+          col("r_event_id").as("click_event_id"),
+          col("r_value").as("click_value"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    },
+    // ---- ASOF JOIN (>): strictly-before match ----
+    "asof_join_gt" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      JoinOps.asofJoin(l, r, Seq("user_id"), "ts", "ts", ">",
+          Seq("ts", "event_id"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          usToMs(col("r_ts")).as("click_ts_ms"),
+          col("r_event_id").as("click_event_id"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    },
+    // ---- ASOF JOIN (<=): earliest at-or-after match ----
+    "asof_join_le" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      JoinOps.asofJoin(l, r, Seq("user_id"), "ts", "ts", "<=",
+          Seq("ts", "event_id"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          usToMs(col("r_ts")).as("click_ts_ms"),
+          col("r_event_id").as("click_event_id"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    },
+    // ---- WINDOW JOIN: clicks within [-30m,+30m] of each purchase ----
+    "window_join" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      JoinOps.windowJoin(l, r, Seq("user_id"), "ts", "ts",
+          -30 * Dur.m, 30 * Dur.m, Seq("value"))
+        .groupBy(col("user_id"), col("ts"), col("event_id"))
+        .agg(count(col("r_value")).as("n_clicks"),
+          Lowering.dsum(coalesce(col("r_value"), lit(0))).as("sum_click_value"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          col("n_clicks"), col("sum_click_value"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    })
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. DuckDB truncates the parquet ns timestamps to µs on
+  // read — the same truncation Tables.events applies — so epoch_us(ts)
+  // on the oracle side equals our Long-µs ts exactly.
+  // ---------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "interval_tumbling" ->
+      s"""WITH b AS (SELECT epoch_us(ts) - epoch_us(ts) % ${Dur.h} AS ws, value
+            FROM events)
+          SELECT ws // 1000 AS _wstart_ms, (ws + ${Dur.h}) // 1000 AS _wend_ms,
+            ${Dur.h / 1000} AS _wduration_ms, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM b GROUP BY ws ORDER BY _wstart_ms""",
+    "interval_sliding" ->
+      s"""WITH x AS (
+            SELECT epoch_us(ts) - epoch_us(ts) % ${5 * Dur.m}
+                     - k.k * ${5 * Dur.m} AS ws, ts
+            FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k),
+          w AS (SELECT ws FROM x
+                WHERE ws > epoch_us(ts) - ${10 * Dur.m} AND ws <= epoch_us(ts))
+          SELECT ws // 1000 AS _wstart_ms, count(*) AS n
+          FROM w GROUP BY ws ORDER BY _wstart_ms""",
+    "interval_partitioned" ->
+      s"""WITH b AS (SELECT user_id,
+            epoch_us(ts) - epoch_us(ts) % ${6 * Dur.h} AS ws, value
+            FROM events)
+          SELECT user_id, ws // 1000 AS _wstart_ms, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM b GROUP BY user_id, ws ORDER BY user_id, _wstart_ms""",
+    "session_window" ->
+      s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts) > ${30 * Dur.m}
+                 OR lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts) IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+            FROM events),
+          s AS (SELECT user_id, t,
+            sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS sess
+            FROM t)
+          SELECT user_id, min(t) // 1000 AS _wstart_ms,
+            max(t) // 1000 AS _wend_ms, count(*) AS n
+          FROM s GROUP BY user_id, sess ORDER BY user_id, _wstart_ms""",
+    "state_window" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+                 THEN 1 ELSE 0 END AS chg
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, t, event_type,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS wid
+            FROM t)
+          SELECT user_id, min(event_type) AS state,
+            min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
+            count(*) AS n
+          FROM s GROUP BY user_id, wid ORDER BY user_id, _wstart_ms""",
+    "count_window" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            (row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1) // 50
+              AS wid
+            FROM events)
+          SELECT user_id, wid AS _wid, count(*) AS n,
+            min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms
+          FROM t GROUP BY user_id, wid ORDER BY user_id, wid""",
+    "event_window" ->
+      """WITH RECURSIVE numbered AS (
+            SELECT user_id, epoch_us(ts) AS t, value,
+              value > 90 AS s, value < 10 AS e,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+            FROM events),
+          walk AS (
+            SELECT user_id, t, rn, value,
+              CASE WHEN s THEN t END AS wstart,
+              (s AND NOT e) AS open_after
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            SELECT n.user_id, n.t, n.rn, n.value,
+              CASE WHEN w.open_after THEN w.wstart
+                   WHEN n.s THEN n.t END AS wstart,
+              CASE WHEN w.open_after THEN NOT n.e
+                   WHEN n.s THEN NOT n.e ELSE false END AS open_after
+            FROM numbered n JOIN walk w
+              ON n.user_id = w.user_id AND n.rn = w.rn + 1)
+          SELECT user_id, wstart // 1000 AS _wstart_ms,
+            max(t) // 1000 AS _wend_ms, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM walk WHERE wstart IS NOT NULL
+          GROUP BY user_id, wstart ORDER BY user_id, _wstart_ms""",
+    "fill_prev" -> fillOracle(
+      valueExpr = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+      fillExpr = "last_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ws ROWS UNBOUNDED PRECEDING)",
+      outCol = "v", castOut = ""),
+    "fill_value" -> fillOracle(
+      valueExpr = "count(*)",
+      fillExpr = "coalesce(v, 0)", outCol = "n", castOut = "::BIGINT"),
+    "fill_linear" -> fillOracle(
+      valueExpr = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+      fillExpr =
+        """CASE WHEN v IS NOT NULL THEN v ELSE
+             pv.v + (nv.v - pv.v) * CAST(ws - pv.t AS DOUBLE)
+               / CAST(nv.t - pv.t AS DOUBLE) END""",
+      outCol = "v", castOut = "", needPrevNext = true, roundOut = true),
+    "interp_linear" ->
+      s"""WITH data AS (SELECT user_id, epoch_us(ts) AS t,
+            CAST(value AS DOUBLE) AS v, false AS g FROM events),
+          grid AS (SELECT u.user_id, gs.t, NULL::DOUBLE AS v, true AS g
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(range($T0, ${T1 + 1}, ${12 * Dur.h}))
+              AS t) gs),
+          unioned AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
+          marked AS (SELECT user_id, t, g,
+            last_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+              IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY t, g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+            first_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+              IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY t, g
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next
+            FROM unioned)
+          SELECT user_id, t // 1000 AS _irowts_ms,
+            round(CASE WHEN prev IS NOT NULL AND prev.t = t THEN prev.v
+              ELSE prev.v + (next.v - prev.v) * CAST(t - prev.t AS DOUBLE)
+                / CAST(next.t - prev.t AS DOUBLE) END, 6) AS value,
+            NOT (prev IS NOT NULL AND prev.t = t) AS _isfilled
+          FROM marked WHERE g ORDER BY user_id, _irowts_ms""",
+    "asof_join_ge" -> asofOracle("<=", extra = ", b.value AS click_value"),
+    "asof_join_gt" -> asofOracle("<", extra = ""),
+    "asof_join_le" -> asofOracleForward(),
+    "window_join" ->
+      s"""SELECT a.user_id, epoch_us(a.ts) // 1000 AS ts_ms, a.event_id,
+            count(b.value) AS n_clicks,
+            CAST(sum(CAST(coalesce(b.value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_click_value
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+          LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+            ON a.user_id = b.user_id
+            AND epoch_us(b.ts) >= epoch_us(a.ts) - ${30 * Dur.m}
+            AND epoch_us(b.ts) <= epoch_us(a.ts) + ${30 * Dur.m}
+          GROUP BY a.user_id, epoch_us(a.ts), a.event_id
+          ORDER BY a.user_id, ts_ms, a.event_id""")
+
+  /** Shared FILL oracle skeleton: daily buckets per user over [T0,T1),
+    * left-joined to the dense spine, filled per `fillExpr`. */
+  private def fillOracle(valueExpr: String, fillExpr: String, outCol: String,
+      castOut: String, needPrevNext: Boolean = false,
+      roundOut: Boolean = false): String = {
+    val prevNext = if (needPrevNext)
+      """,
+         last_value(CASE WHEN v IS NOT NULL
+             THEN struct_pack(t := s.ws, v := v) END IGNORE NULLS) OVER
+           (PARTITION BY s.user_id ORDER BY s.ws
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         first_value(CASE WHEN v IS NOT NULL
+             THEN struct_pack(t := s.ws, v := v) END IGNORE NULLS) OVER
+           (PARTITION BY s.user_id ORDER BY s.ws
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv"""
+    else ""
+    val out = if (roundOut) s"round(($fillExpr)$castOut, 6)"
+              else s"($fillExpr)$castOut"
+    s"""WITH agg AS (
+          SELECT user_id, epoch_us(ts) - epoch_us(ts) % ${Dur.d} AS ws,
+            $valueExpr AS v
+          FROM events GROUP BY user_id, 2),
+        spine AS (
+          SELECT u.user_id, gs.ws
+          FROM (SELECT DISTINCT user_id FROM events) u
+          CROSS JOIN (SELECT unnest(range($T0, $T1, ${Dur.d})) AS ws) gs),
+        joined AS (
+          SELECT s.user_id, s.ws, a.v, a.v IS NULL AS _isfilled $prevNext
+          FROM spine s LEFT JOIN agg a
+            ON s.user_id = a.user_id AND s.ws = a.ws)
+        SELECT user_id, ws // 1000 AS _wstart_ms, $out AS $outCol, _isfilled
+        FROM joined ORDER BY user_id, _wstart_ms"""
+  }
+
+  /** Backward asof oracle via correlated subqueries (exact, any op). */
+  private def asofOracle(cmp: String, extra: String): String = {
+    s"""WITH l AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'click'),
+         m AS (SELECT a.user_id, a.ts, a.event_id,
+             (SELECT max(b.ts) FROM r b
+              WHERE b.user_id = a.user_id AND b.ts $cmp a.ts) AS mts
+           FROM l a)
+         SELECT m.user_id, epoch_us(m.ts) // 1000 AS ts_ms, m.event_id,
+           epoch_us(b.ts) // 1000 AS click_ts_ms,
+           b.event_id AS click_event_id $extra
+         FROM m LEFT JOIN r b
+           ON b.user_id = m.user_id AND b.ts = m.mts
+         ORDER BY m.user_id, ts_ms, m.event_id"""
+  }
+
+  /** Forward (<=) asof oracle: earliest right row at-or-after. */
+  private def asofOracleForward(): String =
+    """WITH l AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+         m AS (SELECT a.user_id, a.ts, a.event_id,
+             (SELECT min(b.ts) FROM r b
+              WHERE b.user_id = a.user_id AND b.ts >= a.ts) AS mts
+           FROM l a)
+         SELECT m.user_id, epoch_us(m.ts) // 1000 AS ts_ms, m.event_id,
+           epoch_us(b.ts) // 1000 AS click_ts_ms,
+           b.event_id AS click_event_id
+         FROM m LEFT JOIN r b
+           ON b.user_id = m.user_id AND b.ts = m.mts
+         ORDER BY m.user_id, ts_ms, m.event_id"""
 }

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-window lowerings (SURVEY.md §2.5) — the reference's signature
+  * INTERVAL/SLIDING, SESSION, STATE_WINDOW, EVENT_WINDOW, COUNT_WINDOW
+  * clauses, re-expressed as DataFrame transformers.
+  *
+  * Timestamps are Long microseconds since epoch throughout ("µs domain"),
+  * mirroring the reference's per-DB precision model (sql.y:923) and keeping
+  * all window arithmetic in exact integer math (`pmod`, never fp division)
+  * so plans stay inside whole-stage codegen and results are bit-stable at
+  * any partition count.
+  *
+  * Scale notes: window *assignment* is per-row and shuffle-free; the only
+  * shuffles are the groupBy the caller runs afterwards (hash on
+  * (keys, _wstart) — partial agg map-side) and, for the rank-based windows
+  * (session/state/count/event), one sort-shuffle on the partition keys.
+  * Nothing here collects to the driver or buffers unbounded state.
+  */
+object TimeOps {
+
+  /** Micro-DSL for durations in the µs domain. */
+  object Dur {
+    val us: Long = 1L
+    val ms: Long = 1000L
+    val s: Long = 1000L * ms
+    val m: Long = 60L * s
+    val h: Long = 60L * m
+    val d: Long = 24L * h
+  }
+
+  // ---------------------------------------------------------------------
+  // INTERVAL(interval [, offset]) SLIDING(sliding)  (timewindowoperator.c)
+  // ---------------------------------------------------------------------
+
+  /** Tumbling-window start: largest `offset`-aligned multiple of
+    * `intervalUs` that is <= ts. Pure integer math. */
+  def tumblingStart(tsUs: Column, intervalUs: Long, offsetUs: Long = 0L): Column =
+    (tsUs - pmod(tsUs - lit(offsetUs), lit(intervalUs))).cast(LongType)
+
+  /** Adds `_wstart`/`_wend` (µs) for a tumbling or hopping window.
+    * Hopping (slidingUs < intervalUs) explodes each row into the
+    * ceil(interval/sliding) windows that contain it — constant fan-out,
+    * no shuffle; the caller's groupBy supplies the single exchange.
+    */
+  def assignIntervals(df: DataFrame, tsUs: Column, intervalUs: Long,
+      slidingUs: Long = 0L, offsetUs: Long = 0L): DataFrame = {
+    val slide = if (slidingUs <= 0L) intervalUs else slidingUs
+    require(slide <= intervalUs, "SLIDING must be <= INTERVAL")
+    val out =
+      if (slide == intervalUs)
+        df.withColumn("_wstart", tumblingStart(tsUs, intervalUs, offsetUs))
+      else {
+        val last = tumblingStart(tsUs, slide, offsetUs)
+        val fanout = ((intervalUs + slide - 1) / slide).toInt
+        df.withColumn("_wstart",
+            explode(sequence(last - lit((fanout - 1).toLong * slide), last,
+              lit(slide))))
+          .filter(col("_wstart") > tsUs - lit(intervalUs))
+          .filter(col("_wstart") <= tsUs)
+      }
+    out.withColumn("_wend", col("_wstart") + lit(intervalUs))
+  }
+
+  // ---------------------------------------------------------------------
+  // SESSION(ts, gap)  (timewindowoperator.c:3018)
+  // ---------------------------------------------------------------------
+
+  /** Adds `_session`: rows closer than `gapUs` to their predecessor (per
+    * key) share a session id. One sort-shuffle on `keys`. */
+  def sessionize(df: DataFrame, tsUs: Column, gapUs: Long,
+      keys: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tsUs)
+    val isNew = when(tsUs - lag(tsUs, 1).over(w) > lit(gapUs) ||
+      lag(tsUs, 1).over(w).isNull, 1L).otherwise(0L)
+    df.withColumn("_session",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  // ---------------------------------------------------------------------
+  // STATE_WINDOW(expr)  (timewindowoperator.c:2838)
+  // ---------------------------------------------------------------------
+
+  /** Adds `_wid`: consecutive runs (per key, ts order) of equal `state`
+    * share a window id. */
+  def stateWindows(df: DataFrame, state: Column, tsUs: Column,
+      keys: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tsUs)
+    val changed = when(lag(state, 1).over(w).isNull ||
+      lag(state, 1).over(w) =!= state, 1L).otherwise(0L)
+    df.withColumn("_wid",
+      sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  // ---------------------------------------------------------------------
+  // COUNT_WINDOW(n [, sliding])  (countwindowoperator.c)
+  // ---------------------------------------------------------------------
+
+  /** Adds `_wid`: every `n` consecutive rows (per key, ts order) form a
+    * window. */
+  def countWindows(df: DataFrame, n: Int, tsUs: Column,
+      keys: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tsUs)
+    val rn = row_number().over(w) - lit(1)
+    df.withColumn("_wid", ((rn - pmod(rn, lit(n))) / lit(n)).cast(LongType))
+  }
+
+  // ---------------------------------------------------------------------
+  // EVENT_WINDOW START WITH cond END WITH cond  (eventwindowoperator.c:631)
+  // ---------------------------------------------------------------------
+
+  /** Adds `_wstart` (µs of the opening row) to every row that belongs to an
+    * event window; rows outside any window are dropped.
+    *
+    * Semantics (eventwindowoperator.c:631-700): scanning per key in ts
+    * order, a row satisfying `startCond` opens a window when none is open
+    * (the row is included); the first subsequent row satisfying `endCond`
+    * closes it (included); a row satisfying both while closed is a
+    * single-row window. This is inherently a sequential fold, so it runs as
+    * one `mapPartitions` pass over key-sorted partitions — streaming, O(1)
+    * state per partition, no per-group buffering.
+    */
+  def eventWindows(df: DataFrame, startCond: Column, endCond: Column,
+      tsUs: Column, keys: Seq[String]): DataFrame = {
+    val tagged = df
+      .withColumn("_ts", tsUs.cast(LongType))
+      .withColumn("_s", startCond.cast(BooleanType))
+      .withColumn("_e", endCond.cast(BooleanType))
+    val keyCols = keys.map(col)
+    val sorted = tagged
+      .repartition(keyCols: _*)
+      .sortWithinPartitions(keyCols :+ col("_ts"): _*)
+    val schema = sorted.schema
+    val outSchema = StructType(schema.fields :+ StructField("_wstart", LongType))
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex("_ts")
+    val sIdx = schema.fieldIndex("_s")
+    val eIdx = schema.fieldIndex("_e")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    import org.apache.spark.sql.Row
+    val result = sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var open = false
+      var wstart = 0L
+      it.flatMap { r =>
+        val k = keyIdx.map(r.get)
+        if (k != curKey) { curKey = k; open = false }
+        val s = !r.isNullAt(sIdx) && r.getBoolean(sIdx)
+        val e = !r.isNullAt(eIdx) && r.getBoolean(eIdx)
+        if (!open && s) { open = true; wstart = r.getLong(tsIdx) }
+        if (open) {
+          val out = Row.fromSeq(r.toSeq :+ wstart)
+          if (e) open = false
+          Some(out)
+        } else None
+      }
+    }(enc)
+    result.drop("_ts", "_s", "_e")
+  }
+
+  // ---------------------------------------------------------------------
+  // Ordered final output helper: TDengine results over ts-ordered storage
+  // are implicitly ordered; our API adds the explicit sort (SURVEY §7.4.8).
+  // ---------------------------------------------------------------------
+  def ordered(df: DataFrame, cols: String*): DataFrame =
+    df.orderBy(cols.map(col): _*)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{FillOps, JoinOps, TimeOps}
+import graft.ops.TimeOps.Dur
+
+class TimeSeriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val events = Tables(spark, sf, "events")
+
+  test("hopping windows cover each row exactly ceil(interval/sliding) times") {
+    val n = events.count()
+    val assigned = TimeOps.assignIntervals(events, col("ts"),
+      10 * Dur.m, 5 * Dur.m)
+    // every row falls in exactly 2 hopping windows (10m / 5m)
+    assert(assigned.count() == 2 * n)
+    // and each assignment actually contains the row
+    val bad = assigned.filter(col("ts") < col("_wstart") ||
+      col("ts") >= col("_wend")).count()
+    assert(bad == 0)
+  }
+
+  test("tumbling window starts are aligned and contain their rows") {
+    val a = TimeOps.assignIntervals(events, col("ts"), Dur.h)
+    assert(a.filter(pmod(col("_wstart"), lit(Dur.h)) =!= 0).count() == 0)
+    assert(a.filter(col("ts") < col("_wstart") ||
+      col("ts") >= col("_wstart") + Dur.h).count() == 0)
+  }
+
+  test("sessions split exactly at gaps > threshold") {
+    val gap = 30 * Dur.m
+    val sess = TimeOps.sessionize(events, col("ts"), gap, Seq(col("user_id")))
+      .groupBy(col("user_id"), col("_session"))
+      .agg(min("ts").as("start"), max("ts").as("end"), count(lit(1)).as("n"))
+    // consecutive sessions of one user must be > gap apart
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start")
+    val viol = sess.withColumn("prev_end", lag("end", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("start") - col("prev_end") <= gap)
+    assert(viol.count() == 0)
+    // total rows preserved
+    assert(sess.agg(sum("n")).head.getLong(0) == events.count())
+  }
+
+  test("event windows: every window starts >90 and only last row <10") {
+    val wins = TimeOps.eventWindows(events, col("value") > 90,
+      col("value") < 10, col("ts"), Seq("user_id"))
+    val perWin = wins.groupBy("user_id", "_wstart")
+      .agg(min("ts").as("minTs"),
+        sum(when(col("value") < 10, 1).otherwise(0)).as("nEnd"),
+        max(when(col("value") < 10, col("ts"))).as("endTs"),
+        max("ts").as("maxTs"),
+        first(col("value"), ignoreNulls = false).as("anyVal"))
+    // window start ts equals the min ts of its rows
+    assert(perWin.filter(col("minTs") =!= col("_wstart")).count() == 0)
+    // at most one end row, and if present it is the last row
+    assert(perWin.filter(col("nEnd") > 1).count() == 0)
+    assert(perWin.filter(col("nEnd") === 1 &&
+      col("endTs") =!= col("maxTs")).count() == 0)
+    // the opening row satisfies the start condition
+    val opener = wins.filter(col("ts") === col("_wstart"))
+    assert(opener.filter(col("value") <= 90).count() == 0)
+  }
+
+  test("fill(PREV) produces a dense spine with no null after first value") {
+    val agg = TimeOps.assignIntervals(events, col("ts"), Dur.d)
+      .groupBy(col("user_id"), col("_wstart"))
+      .agg(Lowering.dsum(col("value")).as("v"))
+    val t0 = 1704067200000000L
+    val t1 = 1706659200000000L - 1
+    val filled = FillOps.fillInterval(agg, "_wstart", "v", Seq("user_id"),
+      Dur.d, t0, t1, FillOps.FillPrev)
+    val users = events.select("user_id").distinct().count()
+    val slots = ((t1 - t0) / Dur.d + 1)
+    assert(filled.count() == users * slots)
+  }
+
+  test("asof(>=) match is the newest right row at-or-before each left ts") {
+    val l = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val r = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val j = JoinOps.asofJoin(l, r, Seq("user_id"), "ts", "ts", ">=",
+      Seq("ts", "event_id"))
+    // matched ts never exceeds left ts
+    assert(j.filter(col("r_ts") > col("ts")).count() == 0)
+    // row count preserved (left asof keeps unmatched lefts)
+    assert(j.count() == l.count())
+    // no click at-or-before => null match
+    val firstClick = r.groupBy("user_id").agg(min("ts").as("fc"))
+    val shouldBeNull = l.join(firstClick, Seq("user_id"), "left")
+      .filter(col("fc").isNull || col("ts") < col("fc")).count()
+    assert(j.filter(col("r_ts").isNull).count() == shouldBeNull)
+  }
+
+  test("interp grid is exact and exact-hits are not filled") {
+    val out = FillOps.interp(events, col("ts"), "value", Seq("user_id"),
+      12 * Dur.h, 1704067200000000L, 1706659200000000L, FillOps.FillLinear)
+    assert(out.filter(pmod(col("_irowts"), lit(12 * Dur.h)) =!= 0)
+      .count() == 0)
+    // values bounded by raw data range per construction of linear interp
+    val mm = events.agg(min("value"), max("value")).head
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    assert(out.filter(col("value") < lo - 1e-9 ||
+      col("value") > hi + 1e-9).count() == 0)
+  }
+}
