@@ -1,9 +1,482 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
-/** Scalar + aggregate function surface (SURVEY.md §2.9, §2.10). */
+import graft.ops.SeriesOps
+import graft.ops.TimeOps.Dur
+
+/** Scalar + aggregate/selection function surface (SURVEY.md §2.9, §2.10):
+  * the indef-rows functions (diff/derivative/csum/mavg/statecount/
+  * stateduration/top/bottom/tail/unique), selection aggregates
+  * (first/last/spread/elapsed/mode/percentile/histogram/twa/irate/
+  * leastsquares/corr/stddev/group_concat), and the math/string/datetime
+  * scalar families — all over Spark built-ins or the SeriesOps window
+  * lowerings; no UDFs in any hot path.
+  */
 object Functions {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+  import Lowering._
+
+  private val T0: Long = 1704067200000000L // 2024-01-01 UTC, µs
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  private val uKey = Seq(col("user_id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- diff (builtins.c:4221) ----
+    "sf_diff" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("diff_v", SeriesOps.diff(col("value"), col("ts"), uKey))
+        .filter(col("diff_v").isNotNull)
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("diff_v"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    },
+    // ---- derivative per second (builtins.c:3603) ----
+    "sf_derivative" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("deriv",
+          SeriesOps.derivative(col("value"), col("ts"), uKey, Dur.s))
+        .filter(col("deriv").isNotNull)
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("deriv"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    },
+    // ---- csum (builtins.c:4343): decimal accumulation, exact ----
+    "sf_csum" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("csum",
+          SeriesOps.csum(dec(col("value")), col("ts"), uKey).cast("double"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("csum"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    },
+    // ---- mavg(7) (builtins.c:4368) ----
+    "sf_mavg" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("mavg", SeriesOps.mavg(col("value"), col("ts"), uKey, 7))
+        .filter(col("mavg").isNotNull)
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("mavg"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    },
+    // ---- statecount / stateduration (builtins.c:4256-4296) ----
+    "sf_statecount" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("sc",
+          SeriesOps.statecount(col("value") > 50, col("ts"), uKey))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("sc"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    },
+    "sf_stateduration" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("sd",
+          SeriesOps.stateduration(col("value") > 50, col("ts"), uKey, Dur.s))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("sd"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    },
+    // ---- top / bottom (builtins.c:3371) ----
+    "sf_top" -> { (s, dir) =>
+      SeriesOps.topK(ev(s, dir), col("value"), col("ts"), uKey, 3)
+        .select(col("user_id"), col("_rank"), usToMs(col("ts")).as("ts_ms"),
+          col("value"))
+        .orderBy(col("user_id"), col("_rank"))
+    },
+    "sf_bottom" -> { (s, dir) =>
+      SeriesOps.topK(ev(s, dir), col("value"), col("ts"), uKey, 3,
+          bottom = true)
+        .select(col("user_id"), col("_rank"), usToMs(col("ts")).as("ts_ms"),
+          col("value"))
+        .orderBy(col("user_id"), col("_rank"))
+    },
+    // ---- tail(5, 2) (builtins.c:4431) ----
+    "sf_tail" -> { (s, dir) =>
+      SeriesOps.tail(ev(s, dir), col("ts"), uKey, 5, 2)
+        .select(col("user_id"), col("_rank"), usToMs(col("ts")).as("ts_ms"),
+          col("event_id"))
+        .orderBy(col("user_id"), col("_rank"))
+    },
+    // ---- unique (builtins.c:4471) ----
+    "sf_unique" -> { (s, dir) =>
+      SeriesOps.unique(ev(s, dir), col("event_type"), col("ts"), uKey)
+        .select(col("user_id"), col("event_type"),
+          usToMs(col("ts")).as("first_ts_ms"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    // ---- first/last/last_row by ts (builtins.c:3736-4007) ----
+    "sf_first_last" -> { (s, dir) =>
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(min_by(col("value"), col("ts")).as("first_v"),
+          max_by(col("value"), col("ts")).as("last_v"),
+          usToMs(min(col("ts"))).as("first_ts_ms"),
+          usToMs(max(col("ts"))).as("last_ts_ms"))
+        .orderBy(col("user_id"))
+    },
+    // ---- spread / elapsed (builtins.c:3441, 3516) ----
+    "sf_spread_elapsed" -> { (s, dir) =>
+      ev(s, dir).groupBy(col("user_id"))
+        .agg((max(col("value")) - min(col("value"))).as("spread_v"),
+          usToMs(max(col("ts")) - min(col("ts"))).as("elapsed_ms"))
+        .orderBy(col("user_id"))
+    },
+    // ---- mode with deterministic tie-break (builtins.c:4493) ----
+    "sf_mode" -> { (s, dir) =>
+      val counts = ev(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type").desc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_v"), col("n"))
+        .orderBy(col("user_id"))
+    },
+    // ---- exact percentile (builtins.c:3216) ----
+    "sf_percentile" -> { (s, dir) =>
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+        .orderBy(col("user_id"))
+    },
+    // ---- histogram, linear bins of width 20 (builtins.c:4032) ----
+    "sf_histogram" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("bucket",
+          least(greatest(floor(col("value") / 20), lit(0)), lit(9))
+            .cast(LongType))
+        .groupBy(col("user_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+    // ---- twa: trapezoid time-weighted average (builtins.c:4008) ----
+    "sf_twa" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val pv = lag(col("value"), 1).over(w)
+      val pt = lag(col("ts"), 1).over(w)
+      // exact decimal: (v+prev) is rounded to cents once; dt fits
+      // DECIMAL(18,0); the scale-2 products sum exactly.
+      val contrib = (col("value") + pv).cast(DecimalType(18, 2)) *
+        (col("ts") - pt).cast(DecimalType(18, 0))
+      ev(s, dir)
+        .withColumn("_contrib", contrib)
+        .groupBy(col("user_id"))
+        .agg(sum(col("_contrib")).cast("double").as("area2"),
+          (max(col("ts")) - min(col("ts"))).cast("double").as("span"))
+        .select(col("user_id"), round(col("area2") / 2 / col("span"), 6)
+          .as("twa"))
+        .orderBy(col("user_id"))
+    },
+    // ---- irate: rate from the last two samples (builtins.c:3645) ----
+    "sf_irate" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+      val last2 = ev(s, dir).withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 2)
+      last2.groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("ts")).as("v1"),
+          min_by(col("value"), col("ts")).as("v0"),
+          max(col("ts")).as("t1"), min(col("ts")).as("t0"),
+          count(lit(1)).as("n"))
+        .filter(col("n") === 2)
+        // counter-reset aware: on decrease use the raw last value
+        .select(col("user_id"),
+          round(when(col("v1") >= col("v0"), col("v1") - col("v0"))
+            .otherwise(col("v1")) * lit(Dur.s.toDouble) /
+            (col("t1") - col("t0")).cast("double"), 6).as("irate"))
+        .orderBy(col("user_id"))
+    },
+    // ---- leastsquares: exact-decimal normal equations (builtins.c:3110) --
+    "sf_leastsquares" -> { (s, dir) =>
+      // x = whole seconds since T0 (exact small decimal so x*x stays in
+      // 128-bit on both engines), y = value (cents-exact)
+      val xUs = (col("ts") - lit(T0)) - pmod(col("ts") - lit(T0), lit(Dur.s))
+      val x = ((xUs - pmod(xUs, lit(Dur.s))) / lit(Dur.s)).cast(DecimalType(9, 0))
+      val y = dec(col("value"))
+      ev(s, dir)
+        .withColumn("_x", x)
+        .withColumn("_y", y)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("_x")).cast("double").as("sx"),
+          sum(col("_y")).cast("double").as("sy"),
+          sum(col("_x") * col("_x")).cast("double").as("sxx"),
+          sum(col("_x") * col("_y")).cast("double").as("sxy"))
+        .select(col("user_id"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n"), 6).as("intercept"))
+        .orderBy(col("user_id"))
+    },
+    // ---- stddev/variance pop+samp, corr (builtins.c:3038, 7314) ----
+    "sf_stats" -> { (s, dir) =>
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(round(stddev_pop(col("value")), 6).as("sd_pop"),
+          round(stddev_samp(col("value")), 6).as("sd_samp"),
+          round(var_pop(col("value")), 6).as("v_pop"),
+          round(corr(col("value"),
+            (col("ts") - lit(T0)).cast("double")), 6).as("corr_tv"))
+        .orderBy(col("user_id"))
+    },
+    // ---- group_concat in ts order (builtins.c:7559) ----
+    "sf_group_concat" -> { (s, dir) =>
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_type")))),
+          x => x.getField("event_type")), ",").as("types"))
+        .orderBy(col("user_id"))
+    },
+    // ---- hyperloglog ≈ approx_count_distinct (no exact oracle) ----
+    "sf_hyperloglog" -> { (s, dir) =>
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    // ---- math scalar family (builtins.c:4516-4809) ----
+    "scalar_math" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(-col("l_quantity")).as("abs_q"),
+          ceil(col("l_extendedprice") / 1000).as("ceil_p"),
+          floor(col("l_extendedprice") / 1000).as("floor_p"),
+          round(col("l_extendedprice") / 1000, 2).as("round_p"),
+          sqrt(col("l_quantity")).as("sqrt_q"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          round(exp(col("l_discount")), 6).as("exp_d"),
+          pow(col("l_quantity"), 2).as("pow_q"),
+          signum(col("l_discount") - 0.05).as("sign_d"),
+          pmod(col("l_quantity").cast(LongType), lit(7L)).as("mod_q"),
+          greatest(col("l_quantity"), col("l_tax") * 100).as("great_qt"),
+          least(col("l_quantity"), col("l_tax") * 100).as("least_qt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    // ---- string scalar family (builtins.c:4810-5012) ----
+    "scalar_string" -> { (s, dir) =>
+      Tables(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          length(col("c_name")).as("len_name"),
+          lower(col("c_name")).as("lower_name"),
+          upper(col("c_mktsegment")).as("upper_seg"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("cat"),
+          substring(col("c_name"), 1, 8).as("sub_name"),
+          trim(lit("  x  ")).as("trimmed"),
+          replace(col("c_name"), lit("Customer"), lit("C")).as("repl"),
+          repeat(col("c_mktsegment"), 2).as("rep2"),
+          ascii(col("c_name")).as("ascii_c"),
+          instr(col("c_name"), "#").as("pos_hash"),
+          md5(col("c_name").cast("binary")).as("md5_name"),
+          base64(col("c_mktsegment").cast("binary")).as("b64_seg"),
+          substring_index(col("c_name"), "#", 1).as("sub_idx"))
+        .orderBy(col("c_custkey"))
+    },
+    // ---- datetime scalar family incl. arbitrary-duration timetruncate ----
+    "scalar_datetime" -> { (s, dir) =>
+      val e = ev(s, dir).filter(col("event_id") < 2000)
+      e.select(col("event_id"),
+          usToMs(col("ts")).as("ts_ms"),
+          // timetruncate to 90s buckets (no built-in: pmod lowering)
+          usToMs(col("ts") - pmod(col("ts"), lit(90 * Dur.s))).as("trunc90s_ms"),
+          usToMs(col("ts") - pmod(col("ts"), lit(Dur.d))).as("trunc_day_ms"),
+          year(timestamp_micros(col("ts"))).as("y"),
+          month(timestamp_micros(col("ts"))).as("mo"),
+          dayofmonth(timestamp_micros(col("ts"))).as("dom"),
+          (dayofweek(timestamp_micros(col("ts"))) - 1).as("dow"),
+          weekofyear(timestamp_micros(col("ts"))).as("woy"),
+          hour(timestamp_micros(col("ts"))).as("hr"),
+          date_format(timestamp_micros(col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("to_char_s"))
+        .orderBy(col("event_id"))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "sf_diff" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)
+             AS diff_v FROM events)
+         SELECT user_id, t // 1000 AS ts_ms, diff_v FROM t
+         WHERE diff_v IS NOT NULL ORDER BY user_id, ts_ms""",
+    "sf_derivative" ->
+      s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+           CAST(value - lag(value) OVER w AS DOUBLE) * ${Dur.s} /
+             CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) AS deriv
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+         SELECT user_id, t // 1000 AS ts_ms, deriv FROM t
+         WHERE deriv IS NOT NULL ORDER BY user_id, ts_ms""",
+    "sf_csum" ->
+      """SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS csum
+         FROM events ORDER BY user_id, ts_ms""",
+    "sf_mavg" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+           CASE WHEN count(value) OVER w7 = 7 THEN
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+               / 7, 6) END AS mavg
+           FROM events
+           WINDOW w7 AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT user_id, t // 1000 AS ts_ms, mavg FROM t
+         WHERE mavg IS NOT NULL ORDER BY user_id, ts_ms""",
+    "sf_statecount" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t, value > 50 AS p,
+           sum(CASE WHEN value > 50 THEN 0 ELSE 1 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS run
+           FROM events),
+         r AS (SELECT user_id, t, p, run,
+           row_number() OVER (PARTITION BY user_id, run ORDER BY t) AS rn
+           FROM t)
+         SELECT user_id, t // 1000 AS ts_ms,
+           CASE WHEN NOT p THEN -1
+                WHEN run = 0 THEN rn ELSE rn - 1 END AS sc
+         FROM r ORDER BY user_id, ts_ms""",
+    "sf_stateduration" ->
+      s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t, value > 50 AS p,
+           sum(CASE WHEN value > 50 THEN 0 ELSE 1 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS run
+           FROM events),
+         r AS (SELECT user_id, t, p, run,
+           min(CASE WHEN p THEN t END)
+             OVER (PARTITION BY user_id, run ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS first_t
+           FROM t)
+         SELECT user_id, t // 1000 AS ts_ms,
+           CASE WHEN NOT p THEN -1 ELSE (t - first_t) // ${Dur.s} END AS sd
+         FROM r ORDER BY user_id, ts_ms""",
+    "sf_top" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS t, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, ts ASC) AS _rank FROM events)
+         SELECT user_id, _rank, t // 1000 AS ts_ms, value FROM r
+         WHERE _rank <= 3 ORDER BY user_id, _rank""",
+    "sf_bottom" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS t, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value ASC, ts ASC) AS _rank FROM events)
+         SELECT user_id, _rank, t // 1000 AS ts_ms, value FROM r
+         WHERE _rank <= 3 ORDER BY user_id, _rank""",
+    "sf_tail" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC)
+             AS _rank FROM events)
+         SELECT user_id, _rank, t // 1000 AS ts_ms, event_id FROM r
+         WHERE _rank > 2 AND _rank <= 7 ORDER BY user_id, _rank""",
+    "sf_unique" ->
+      """WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts)
+             AS rn FROM events)
+         SELECT user_id, event_type, t // 1000 AS first_ts_ms FROM r
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "sf_first_last" ->
+      """SELECT user_id, arg_min(value, ts) AS first_v,
+           arg_max(value, ts) AS last_v,
+           epoch_us(min(ts)) // 1000 AS first_ts_ms,
+           epoch_us(max(ts)) // 1000 AS last_ts_ms
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "sf_spread_elapsed" ->
+      """SELECT user_id, max(value) - min(value) AS spread_v,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS elapsed_ms
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "sf_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events
+           GROUP BY user_id, event_type),
+         r AS (SELECT user_id, event_type, n, row_number() OVER
+           (PARTITION BY user_id ORDER BY n DESC, event_type DESC) AS rn
+           FROM c)
+         SELECT user_id, event_type AS mode_v, n FROM r WHERE rn = 1
+         ORDER BY user_id""",
+    "sf_percentile" ->
+      """SELECT user_id, round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "sf_histogram" ->
+      """SELECT user_id,
+           CAST(least(greatest(floor(value / 20), 0), 9) AS BIGINT)
+             AS bucket, count(*) AS n
+         FROM events GROUP BY user_id, bucket ORDER BY user_id, bucket""",
+    "sf_twa" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t, value,
+           lag(value) OVER w AS pv, lag(epoch_us(ts)) OVER w AS pt
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+         SELECT user_id,
+           round(CAST(sum(CAST(value + pv AS DECIMAL(18,2)) *
+             CAST(t - pt AS DECIMAL(18,0))) AS DOUBLE) / 2 /
+             CAST(max(t) - min(t) AS DOUBLE), 6) AS twa
+         FROM t GROUP BY user_id ORDER BY user_id""",
+    "sf_irate" ->
+      s"""WITH r AS (SELECT user_id, epoch_us(ts) AS t, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+           FROM events),
+         l2 AS (SELECT user_id,
+           arg_max(value, t) AS v1, arg_min(value, t) AS v0,
+           max(t) AS t1, min(t) AS t0, count(*) AS n
+           FROM r WHERE rn <= 2 GROUP BY user_id)
+         SELECT user_id,
+           round((CASE WHEN v1 >= v0 THEN v1 - v0 ELSE v1 END)
+             * ${Dur.s}.0 / CAST(t1 - t0 AS DOUBLE), 6) AS irate
+         FROM l2 WHERE n = 2 ORDER BY user_id""",
+    "sf_leastsquares" ->
+      s"""WITH t AS (SELECT user_id,
+           CAST((epoch_us(ts) - $T0) // ${Dur.s} AS DECIMAL(9,0)) AS x,
+           CAST(value AS DECIMAL(18,2)) AS y
+           FROM events),
+         a AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+           FROM t GROUP BY user_id)
+         SELECT user_id,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+           round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+             AS intercept
+         FROM a ORDER BY user_id""",
+    "sf_stats" ->
+      s"""SELECT user_id, round(stddev_pop(value), 6) AS sd_pop,
+           round(stddev_samp(value), 6) AS sd_samp,
+           round(var_pop(value), 6) AS v_pop,
+           round(corr(value, CAST(epoch_us(ts) - $T0 AS DOUBLE)), 6)
+             AS corr_tv
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "sf_group_concat" ->
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY ts) AS types
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "scalar_math" ->
+      """SELECT l_orderkey, l_linenumber, abs(-l_quantity) AS abs_q,
+           ceil(l_extendedprice / 1000) AS ceil_p,
+           floor(l_extendedprice / 1000) AS floor_p,
+           round(l_extendedprice / 1000, 2) AS round_p,
+           sqrt(l_quantity) AS sqrt_q,
+           round(ln(l_extendedprice), 6) AS ln_p,
+           round(exp(l_discount), 6) AS exp_d,
+           pow(l_quantity, 2) AS pow_q,
+           CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+                WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sign_d,
+           CAST(l_quantity AS BIGINT) % 7 AS mod_q,
+           greatest(l_quantity, l_tax * 100) AS great_qt,
+           least(l_quantity, l_tax * 100) AS least_qt
+         FROM lineitem WHERE l_orderkey <= 2000
+         ORDER BY l_orderkey, l_linenumber""",
+    "scalar_string" ->
+      """SELECT c_custkey, length(c_name) AS len_name,
+           lower(c_name) AS lower_name, upper(c_mktsegment) AS upper_seg,
+           concat_ws('-', c_mktsegment, c_name) AS cat,
+           substring(c_name, 1, 8) AS sub_name,
+           trim('  x  ') AS trimmed,
+           replace(c_name, 'Customer', 'C') AS repl,
+           repeat(c_mktsegment, 2) AS rep2,
+           ascii(c_name) AS ascii_c,
+           position('#' IN c_name) AS pos_hash,
+           md5(c_name) AS md5_name,
+           to_base64(encode(c_mktsegment)) AS b64_seg,
+           split_part(c_name, '#', 1) AS sub_idx
+         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "scalar_datetime" ->
+      s"""SELECT event_id, epoch_us(ts) // 1000 AS ts_ms,
+           (epoch_us(ts) - epoch_us(ts) % ${90 * Dur.s}) // 1000
+             AS trunc90s_ms,
+           (epoch_us(ts) - epoch_us(ts) % ${Dur.d}) // 1000 AS trunc_day_ms,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS dom,
+           dayofweek(ts) AS dow, weekofyear(ts) AS woy, hour(ts) AS hr,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS to_char_s
+         FROM events WHERE event_id < 2000 ORDER BY event_id""")
 }

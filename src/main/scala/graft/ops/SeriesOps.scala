@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Indefinite-rows and selection functions (SURVEY.md §2.2 IndefRowsFunc,
+  * §2.10): diff, derivative, csum, mavg, statecount, stateduration,
+  * top/bottom, tail, unique — the reference applies these 1→N-row
+  * functions outside GROUP BY (projectoperator.c:676); here they lower to
+  * SQL window functions over `Window.partitionBy(keys).orderBy(ts)`.
+  *
+  * Each costs exactly one sort-shuffle on the partition keys (Catalyst
+  * collapses adjacent window operators sharing a spec), stays inside
+  * codegen, and buffers nothing beyond the running frame.
+  */
+object SeriesOps {
+
+  private def w(keys: Seq[Column], ts: Column) =
+    Window.partitionBy(keys: _*).orderBy(ts)
+
+  /** diff(col): per-row difference vs the previous row; first row per key
+    * yields null (builtins.c:4221). */
+  def diff(value: Column, ts: Column, keys: Seq[Column]): Column =
+    value - lag(value, 1).over(w(keys, ts))
+
+  /** derivative(col, unitUs): d(value)/d(ts) scaled to `unitUs`
+    * (builtins.c:3603). `ignoreNegative` drops negative slopes. */
+  def derivative(value: Column, ts: Column, keys: Seq[Column],
+      unitUs: Long): Column = {
+    val ww = w(keys, ts)
+    (value - lag(value, 1).over(ww)).cast("double") * lit(unitUs) /
+      (ts - lag(ts, 1).over(ww)).cast("double")
+  }
+
+  /** csum: running cumulative sum in ts order (builtins.c:4343). The
+    * accumulation order is the frame order on both engines, so doubles
+    * match bit-for-bit. */
+  def csum(value: Column, ts: Column, keys: Seq[Column]): Column =
+    sum(value).over(w(keys, ts).rowsBetween(Window.unboundedPreceding, 0))
+
+  /** mavg(col, k): moving average of the last k rows; null until k rows
+    * are available (builtins.c:4368). Decimal accumulation keeps the
+    * sliding-frame sum order-independent. */
+  def mavg(value: Column, ts: Column, keys: Seq[Column], k: Int): Column = {
+    val frame = w(keys, ts).rowsBetween(-(k - 1), 0)
+    when(count(value).over(frame) === k,
+      round(sum(value.cast(DecimalType(18, 2))).over(frame).cast("double") /
+        k, 6))
+  }
+
+  /** statecount(pred): consecutive count of rows satisfying `pred`; rows
+    * failing it yield -1 (builtins.c:4256). */
+  def statecount(pred: Column, ts: Column, keys: Seq[Column]): Column = {
+    val ww = w(keys, ts)
+    val runId = sum(when(pred, 0L).otherwise(1L))
+      .over(ww.rowsBetween(Window.unboundedPreceding, 0))
+    val rnInRun = row_number().over(
+      Window.partitionBy(keys :+ runId: _*).orderBy(ts))
+    when(!pred, lit(-1L))
+      .otherwise(when(runId === 0, rnInRun.cast(LongType))
+        .otherwise((rnInRun - 1).cast(LongType)))
+  }
+
+  /** stateduration(pred, unitUs): elapsed µs (scaled) since the current
+    * true-run began; first row of a run yields 0, non-matching rows -1
+    * (builtins.c:4296). */
+  def stateduration(pred: Column, ts: Column, keys: Seq[Column],
+      unitUs: Long): Column = {
+    val ww = w(keys, ts)
+    val runId = sum(when(pred, 0L).otherwise(1L))
+      .over(ww.rowsBetween(Window.unboundedPreceding, 0))
+    val runW = Window.partitionBy(keys :+ runId: _*).orderBy(ts)
+    val firstTrueTs = min(when(pred, ts)).over(
+      runW.rowsBetween(Window.unboundedPreceding, 0))
+    when(!pred, lit(-1L))
+      .otherwise(((ts - firstTrueTs) / lit(unitUs)).cast(LongType))
+  }
+
+  /** top/bottom(col, k): the k extreme rows per key (builtins.c:3371).
+    * Ties broken by ts then value for determinism. */
+  def topK(df: DataFrame, value: Column, ts: Column, keys: Seq[Column],
+      k: Int, bottom: Boolean = false): DataFrame = {
+    val ord = if (bottom) Seq(value.asc, ts.asc) else Seq(value.desc, ts.asc)
+    val ww = Window.partitionBy(keys: _*).orderBy(ord: _*)
+    df.withColumn("_rank", row_number().over(ww)).filter(col("_rank") <= k)
+  }
+
+  /** tail(k, offset): the last k rows by ts per key, skipping `offset`
+    * newest (builtins.c:4431). */
+  def tail(df: DataFrame, ts: Column, keys: Seq[Column], k: Int,
+      offset: Int = 0): DataFrame = {
+    val ww = Window.partitionBy(keys: _*).orderBy(ts.desc)
+    df.withColumn("_rank", row_number().over(ww))
+      .filter(col("_rank") > offset && col("_rank") <= offset + k)
+  }
+
+  /** unique(col): the first-occurrence row of each distinct value
+    * (builtins.c:4471). */
+  def unique(df: DataFrame, value: Column, ts: Column,
+      keys: Seq[Column]): DataFrame = {
+    val ww = Window.partitionBy(keys :+ value: _*).orderBy(ts)
+    df.withColumn("_rn", row_number().over(ww))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+}
