@@ -231,6 +231,47 @@ object Functions {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     },
+    // ---- sample(value, 5): mergeable reservoir Aggregator ----
+    "sf_sample" -> { (s, dir) =>
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(graft.functions.Aggregators.sample(col("value"), 5).as("sample"))
+        .select(col("user_id"), array_sort(col("sample")).as("sample"))
+        .orderBy(col("user_id"))
+    },
+    // ---- dtw: each user's hourly series vs the fleet-min user ----
+    "sf_dtw" -> { (s, dir) =>
+      val hourly = ev(s, dir)
+        .withColumn("bucket", (col("ts") - pmod(col("ts"), lit(Dur.h))))
+        .groupBy(col("user_id"), col("bucket"))
+        .agg((sum(dec(col("value"))).cast("double") / count(lit(1))).as("v"))
+        .groupBy(col("user_id"))
+        .agg(transform(array_sort(collect_list(struct(col("bucket"), col("v")))),
+          x => x.getField("v")).as("series"))
+      val ref = hourly.orderBy(col("user_id")).limit(1)
+        .select(col("series").as("ref_series"))
+      hourly.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          round(graft.functions.Aggregators.dtwUdf(
+            slice(col("series"), 1, 48), slice(col("ref_series"), 1, 48)), 6)
+            .as("dtw"))
+        .orderBy(col("user_id"))
+    },
+    // ---- tlcc: lag-1h cross-correlation of view vs purchase intensity ----
+    "sf_tlcc" -> { (s, dir) =>
+      val hourly = ev(s, dir)
+        .withColumn("bucket", col("ts") - pmod(col("ts"), lit(Dur.h)))
+        .groupBy(col("bucket"))
+        .agg((sum(when(col("event_type") === "view", dec(col("value"))))
+          .cast("double") /
+          sum(when(col("event_type") === "view", 1L))).as("x"),
+          (sum(when(col("event_type") === "purchase", dec(col("value"))))
+            .cast("double") /
+            sum(when(col("event_type") === "purchase", 1L))).as("y"))
+      val shifted = hourly.select((col("bucket") - lit(Dur.h)).as("bucket"),
+        col("y").as("y_next"))
+      hourly.join(shifted, Seq("bucket"))
+        .agg(round(corr(col("x"), col("y_next")), 6).as("tlcc_lag1"))
+    },
     // ---- math scalar family (builtins.c:4516-4809) ----
     "scalar_math" -> { (s, dir) =>
       Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
@@ -440,6 +481,18 @@ object Functions {
     "sf_group_concat" ->
       """SELECT user_id, string_agg(event_type, ',' ORDER BY ts) AS types
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "sf_tlcc" ->
+      s"""WITH hourly AS (
+           SELECT epoch_us(ts) - epoch_us(ts) % ${Dur.h} AS bucket,
+             CAST(sum(CASE WHEN event_type = 'view'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) /
+               sum(CASE WHEN event_type = 'view' THEN 1 END) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) /
+               sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+           FROM events GROUP BY 1)
+         SELECT round(corr(a.x, b.y), 6) AS tlcc_lag1
+         FROM hourly a JOIN hourly b ON b.bucket = a.bucket + ${Dur.h}""",
     "scalar_math" ->
       """SELECT l_orderkey, l_linenumber, abs(-l_quantity) AS abs_q,
            ceil(l_extendedprice / 1000) AS ceil_p,

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Aggregators
+
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("dtw: identity distance is 0, symmetry, known small case") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0)
+    val b = Seq(1.0, 2.0, 2.0, 3.0, 4.0)
+    assert(Aggregators.dtwDistance(a, a) == 0.0)
+    assert(Aggregators.dtwDistance(a, b) == Aggregators.dtwDistance(b, a))
+    // warping absorbs the duplicated 2.0 at zero cost
+    assert(Aggregators.dtwDistance(a, b) == 0.0)
+    assert(Aggregators.dtwDistance(Seq(0.0, 0.0), Seq(1.0, 1.0)) == 2.0)
+  }
+
+  test("tlcc: perfectly lagged series correlate at the right lag") {
+    val x = Seq.tabulate(50)(i => math.sin(i / 5.0))
+    val y = Seq.tabulate(50)(i => math.sin((i - 3) / 5.0)) // y lags x by 3
+    val atLag = Aggregators.tlccAt(x, y, -3)
+    assert(math.abs(atLag - 1.0) < 1e-9, s"corr at matching lag was $atLag")
+    assert(Aggregators.tlccAt(x, y, 0) < atLag)
+  }
+
+  test("reservoir sample: exact when n<=k, bounded and a subset otherwise") {
+    val events = Tables(spark, sf, "events")
+    val out = SparkEntry.queries("sf_sample")(spark, sf).collect()
+    assert(out.length == events.select("user_id").distinct().count())
+    val byUser = events.groupBy("user_id").agg(
+      collect_list("value").as("all"), count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[collection.Seq[Double]]("all").toSet, r.getAs[Long]("n"))).toMap
+    out.foreach { r =>
+      val s = r.getAs[collection.Seq[Double]]("sample")
+      val (all, n) = byUser(r.getAs[Long]("user_id"))
+      assert(s.length == math.min(5, n))
+      assert(s.forall(all.contains), "sample element not drawn from input")
+    }
+  }
+
+  test("statecount resets on failures and counts consecutively") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 60.0), (1L, 2L, 70.0), (1L, 3L, 10.0),
+      (1L, 4L, 80.0), (1L, 5L, 90.0), (1L, 6L, 95.0)
+    ).toDF("user_id", "ts", "value")
+    val got = df.withColumn("sc",
+      graft.ops.SeriesOps.statecount(col("value") > 50, col("ts"),
+        Seq(col("user_id"))))
+      .orderBy("ts").select("sc").collect().map(_.getLong(0))
+    assert(got.sameElements(Array(1L, 2L, -1L, 1L, 2L, 3L)))
+  }
+
+  test("twa of a constant series equals the constant") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (7L, i.toLong * 1000000L, 42.0))
+      .toDF("user_id", "ts", "value")
+    // reuse the query lowering shape directly on a constant series
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val contrib = ($"value" + lag($"value", 1).over(w))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+      ($"ts" - lag($"ts", 1).over(w))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val twa = df.withColumn("_c", contrib).groupBy($"user_id")
+      .agg((sum($"_c").cast("double") / 2 /
+        (max($"ts") - min($"ts")).cast("double")).as("twa"))
+      .head.getAs[Double]("twa")
+    assert(math.abs(twa - 42.0) < 1e-9)
+  }
+}
