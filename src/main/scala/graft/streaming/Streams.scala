@@ -1,0 +1,184 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** CREATE STREAM semantics (SURVEY.md §2.11, §3.3) on Structured
+  * Streaming.
+  *
+  * The reference separates the *trigger* (window detection on the trigger
+  * table, watermark-gated) from the *calc query* (an arbitrary SELECT run
+  * per fired window with `_twstart`/`_twend` placeholders bound). Mapping:
+  *
+  *  - INTERVAL/SLIDING + WATERMARK  → `withWatermark().groupBy(window())`
+  *    in Append mode (emit-on-close ≙ window-close trigger)
+  *  - SESSION(ts, gap)              → `session_window`
+  *  - COUNT_WINDOW(n)               → `flatMapGroupsWithState` (below)
+  *  - STATE_WINDOW(col)             → `flatMapGroupsWithState` (below)
+  *  - calc-per-window + placeholders→ `foreachBatch` + [[bindCalc]]
+  *  - last_row cache (CACHEMODEL)   → [[LatestRows]]
+  *
+  * Streaming state is bounded: count/state windows keep O(1) per key,
+  * the watermark evicts interval/session state, and the fired-windows
+  * stream that reaches the driver carries window *bounds*, never rows.
+  */
+object Streams {
+
+  /** INTERVAL(interval) SLIDING(slide) WATERMARK(w) trigger: windowed
+    * aggregation that only emits closed windows (append mode). `agg`
+    * receives the windowed grouping so callers add their measures. */
+  def intervalTrigger(src: DataFrame, tsCol: String, interval: String,
+      slide: String, watermark: String, keys: Seq[String]): DataFrame = {
+    val grouped = src
+      .withWatermark(tsCol, watermark)
+      .groupBy(Seq(window(col(tsCol), interval, slide)) ++
+        keys.map(col): _*)
+    grouped.agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(Seq(col("window.start").as("_twstart"),
+        col("window.end").as("_twend")) ++ keys.map(col) ++
+        Seq(col("n"), col("sum_value")): _*)
+  }
+
+  /** SESSION(ts, gap) trigger via session_window. */
+  def sessionTrigger(src: DataFrame, tsCol: String, gap: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    src.withWatermark(tsCol, watermark)
+      .groupBy(Seq(session_window(col(tsCol), gap)) ++ keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(Seq(col("session_window.start").as("_twstart"),
+        col("session_window.end").as("_twend")) ++ keys.map(col) ++
+        Seq(col("n")): _*)
+
+  // ---------------------------------------------------------------------
+  // COUNT_WINDOW(n) trigger: stateful, exactly n rows per fired window.
+  // ---------------------------------------------------------------------
+  case class CountState(buf: Long, minTs: Long, maxTs: Long, sum: Double)
+  case class FiredCountWindow(key: Long, n: Long, startUs: Long,
+      endUs: Long, sum: Double)
+
+  /** Rows: (key, tsUs, value). Emits one record per completed group of
+    * `n` rows per key. O(1) state per key (no row buffering). */
+  def countWindowTrigger(rows: Dataset[(Long, Long, Double)], n: Int)
+      : Dataset[FiredCountWindow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Double)],
+         state: GroupState[CountState]) =>
+          var s = state.getOption.getOrElse(CountState(0, Long.MaxValue,
+            Long.MinValue, 0d))
+          val fired = scala.collection.mutable.ArrayBuffer[FiredCountWindow]()
+          it.foreach { case (_, ts, v) =>
+            val buf = s.buf + 1
+            val minTs = math.min(s.minTs, ts)
+            val maxTs = math.max(s.maxTs, ts)
+            val sum = s.sum + v
+            s = if (buf == n) {
+              fired += FiredCountWindow(key, buf, minTs, maxTs, sum)
+              CountState(0, Long.MaxValue, Long.MinValue, 0d)
+            } else CountState(buf, minTs, maxTs, sum)
+          }
+          state.update(s)
+          fired.iterator
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // STATE_WINDOW(col) trigger: fires when the state value changes.
+  // ---------------------------------------------------------------------
+  case class StateWinState(cur: String, startUs: Long, lastUs: Long,
+      n: Long)
+  case class FiredStateWindow(key: Long, state: String, startUs: Long,
+      endUs: Long, n: Long)
+
+  /** Rows: (key, tsUs, stateValue), assumed ts-ordered per key within a
+    * batch (the reference requires disorder handling via watermark;
+    * IGNORE_DISORDER is the modeled mode here). */
+  def stateWindowTrigger(rows: Dataset[(Long, Long, String)])
+      : Dataset[FiredStateWindow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long, String)],
+         state: GroupState[StateWinState]) =>
+          val fired = scala.collection.mutable.ArrayBuffer[FiredStateWindow]()
+          var s = state.getOption.orNull
+          it.toSeq.sortBy(_._2).foreach { case (_, ts, v) =>
+            s match {
+              case null => s = StateWinState(v, ts, ts, 1)
+              case st if st.cur == v =>
+                s = st.copy(lastUs = ts, n = st.n + 1)
+              case st =>
+                fired += FiredStateWindow(key, st.cur, st.startUs,
+                  st.lastUs, st.n)
+                s = StateWinState(v, ts, ts, 1)
+            }
+          }
+          if (s != null) state.update(s)
+          fired.iterator
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // Calc-query binding: the reference runs an arbitrary SELECT per fired
+  // window with stream placeholders bound (builtins.c:6877-7142).
+  // ---------------------------------------------------------------------
+  case class WindowBounds(startUs: Long, endUs: Long, groupId: Long)
+
+  /** Substitutes `_twstart`/`_twend`/`_tgrpid` placeholders: the calc
+    * builder receives the bounds and returns the per-window frame; the
+    * union of all fired windows in the batch is the output. Bounds (not
+    * data) reach the driver — the per-window calc itself stays
+    * distributed. */
+  def bindCalc(windows: Seq[WindowBounds],
+      calc: WindowBounds => DataFrame): Option[DataFrame] =
+    windows.map(calc).reduceOption(_ unionByName _)
+
+  /** foreachBatch runner: collects fired window bounds from the trigger
+    * stream batch and appends the bound calc output to `sink`. */
+  def calcPerWindow(fired: DataFrame, calc: WindowBounds => DataFrame,
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      val bounds = batch
+        .select(col("_twstart").cast("long"), col("_twend").cast("long"),
+          coalesce(col("_tgrpid"), lit(0L)).cast("long"))
+        .collect()
+        .map(r => WindowBounds(r.getLong(0), r.getLong(1), r.getLong(2)))
+      bindCalc(bounds.toSeq, calc).foreach(sink)
+  }
+}
+
+/** The last-row cache (CACHEMODEL / cachescanoperator.c): a compact
+  * "latest row per key" table maintained incrementally — the Spark
+  * answer to TDengine's last()/last_row() latency contract. */
+object LatestRows {
+
+  /** Merge a batch into the cache: keep the newest row per key. */
+  def merge(cache: DataFrame, batch: DataFrame, keys: Seq[String],
+      tsCol: String): DataFrame = {
+    val all = cache.unionByName(batch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** foreachBatch maintainer for a parquet-backed cache directory. */
+  def maintainer(spark: SparkSession, path: String, keys: Seq[String],
+      tsCol: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      val existing =
+        try spark.read.parquet(path)
+        catch { case _: Exception => batch.limit(0) }
+      merge(existing, batch, keys, tsCol)
+        .coalesce(1) // cache is tiny: one row per key
+        .write.mode("overwrite").parquet(path + "_next")
+      // atomic-ish swap: overwrite the serving location last
+      spark.read.parquet(path + "_next").write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{LatestRows, Schemaless, Streams}
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("interval trigger emits only watermark-closed windows, append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val src = mem.toDF().toDF("ts", "user_id", "value")
+    val out = Streams.intervalTrigger(src, "ts", "10 seconds", "10 seconds",
+      "5 seconds", Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("iv")
+      .outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    mem.addData((t(1), 1L, 1.0), (t(5), 1L, 2.0), (t(12), 1L, 3.0))
+    q.processAllAvailable()
+    // watermark = 12-5 = 7s: window [0,10) not yet closed
+    assert(spark.sql("select * from iv").count() == 0)
+    mem.addData((t(30), 1L, 9.0)) // watermark 25s closes [0,10) and [10,20)
+    q.processAllAvailable()
+    val rows = spark.sql("select * from iv order by _twstart").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n") == 2) // ts 1,5
+    assert(rows(0).getAs[Double]("sum_value") == 3.0)
+    assert(rows(1).getAs[Long]("n") == 1) // ts 12
+  }
+
+  test("count window trigger fires exactly every n rows with O(1) state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val out = Streams.countWindowTrigger(mem.toDS(), n = 3)
+    val q = out.writeStream.format("memory").queryName("cw")
+      .outputMode("append").start()
+    mem.addData((1L, 100L, 1.0), (1L, 200L, 2.0))
+    q.processAllAvailable()
+    assert(spark.sql("select * from cw").count() == 0) // only 2 buffered
+    mem.addData((1L, 300L, 3.0), (1L, 400L, 4.0), (2L, 10L, 5.0))
+    q.processAllAvailable()
+    val fired = spark.sql("select * from cw").collect()
+    q.stop()
+    assert(fired.length == 1)
+    assert(fired(0).getAs[Long]("key") == 1L)
+    assert(fired(0).getAs[Double]("sum") == 6.0)
+    assert(fired(0).getAs[Long]("startUs") == 100L)
+    assert(fired(0).getAs[Long]("endUs") == 300L)
+  }
+
+  test("state window trigger fires on state change") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = Streams.stateWindowTrigger(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("sw")
+      .outputMode("append").start()
+    mem.addData((1L, 1L, "on"), (1L, 2L, "on"), (1L, 3L, "off"),
+      (1L, 4L, "off"), (1L, 5L, "on"))
+    q.processAllAvailable()
+    val fired = spark.sql("select * from sw order by startUs").collect()
+    q.stop()
+    assert(fired.length == 2)
+    assert(fired(0).getAs[String]("state") == "on" &&
+      fired(0).getAs[Long]("n") == 2)
+    assert(fired(1).getAs[String]("state") == "off" &&
+      fired(1).getAs[Long]("endUs") == 4L)
+  }
+
+  test("calc binding: per-window calc query over another table") {
+    val fired = Seq(Streams.WindowBounds(1704067200000000L,
+      1704070800000000L, 0L))
+    val events = Tables(spark, sf, "events")
+    val out = Streams.bindCalc(fired, wb =>
+      events.filter(col("ts") >= wb.startUs && col("ts") < wb.endUs)
+        .agg(count(lit(1)).as("n"))
+        .withColumn("_twstart", lit(wb.startUs))).get
+    val expect = events.filter(col("ts") >= fired.head.startUs &&
+      col("ts") < fired.head.endUs).count()
+    assert(out.head.getAs[Long]("n") == expect)
+  }
+
+  test("latest-rows cache: newest row per key survives merges") {
+    import spark.implicits._
+    val c0 = Seq((1L, 10L, 1.0), (2L, 20L, 2.0)).toDF("k", "ts", "v")
+    val b1 = Seq((1L, 15L, 9.0), (3L, 5L, 3.0)).toDF("k", "ts", "v")
+    val merged = LatestRows.merge(c0, b1, Seq("k"), "ts")
+      .orderBy("k").collect()
+    assert(merged.length == 3)
+    assert(merged(0).getAs[Double]("v") == 9.0) // k=1 updated
+    assert(merged(1).getAs[Double]("v") == 2.0) // k=2 untouched
+    assert(merged(2).getAs[Double]("v") == 3.0) // k=3 inserted
+  }
+
+  test("schemaless: influx line, telnet, tsdb-json parse to typed rows") {
+    import spark.implicits._
+    val line = Seq(
+      "meters,location=SF,groupid=2 current=10.3,voltage=219i 1626006833639000000")
+      .toDF("value")
+    val p = Schemaless.parseLineProtocol(line).head
+    assert(p.getAs[String]("measurement") == "meters")
+    assert(p.getAs[Map[String, String]]("tags")("location") == "SF")
+    assert(p.getAs[Map[String, Double]]("fields")("voltage") == 219.0)
+    assert(p.getAs[Long]("ts_us") == 1626006833639000L)
+
+    val tel = Seq("put sys.cpu 1626006833 42.5 host=web01 dc=lga")
+      .toDF("value")
+    val t = Schemaless.parseTelnet(tel).head
+    assert(t.getAs[String]("metric") == "sys.cpu")
+    assert(t.getAs[Double]("value") == 42.5)
+    assert(t.getAs[Map[String, String]]("tags")("host") == "web01")
+    assert(t.getAs[Long]("ts_us") == 1626006833000000L)
+
+    val js = Seq(
+      """{"metric":"m1","timestamp":1626006833,"value":7.5,"tags":{"h":"a"}}""")
+      .toDF("value")
+    val j = Schemaless.parseTsdbJson(js).head
+    assert(j.getAs[String]("metric") == "m1")
+    assert(j.getAs[Double]("value") == 7.5)
+    assert(j.getAs[Long]("ts_us") == 1626006833000000L)
+  }
+}
