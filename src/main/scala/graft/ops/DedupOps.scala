@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -9,10 +9,12 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * (banded candidate generation + exact verification), and
   * embedding-cosine near-duplicates.
   *
-  * Scale notes: every stage is a hash shuffle on bounded keys. The
-  * inverted-index join's worst case is a hot shingle shared by many docs;
-  * at 100 TB you cap shingle document-frequency first (the standard
-  * trick) — `maxShingleDf` does that here. MinHash+LSH replaces the
+  * Scale design: everything that can be computed per-document is a
+  * map-side array expression (shingle sets, minhash signatures, LSH band
+  * hashes, quantized vectors) — zero shuffle, fully codegen'd. The only
+  * shuffles are the bucket groupBys, whose keys are bounded (shingles,
+  * band hashes). Hot buckets are the standard risk at 100 TB; the
+  * `maxShingleDf` cap drops stop-shingles, and MinHash+LSH replaces the
   * quadratic verify set with banded buckets, which is the scale path.
   */
 object DedupOps {
@@ -23,12 +25,21 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("_canon")
 
-  /** Distinct (id, shingle) pairs, optionally dropping shingles that
-    * occur in more than `maxShingleDf` documents (hot-key cap). */
+  /** Map-side (id, distinct k-shingle set). Documents with fewer than k
+    * words get an empty set — downstream explodes drop them, and a
+    * `filter(size > 0)` here would be pushed below the projection and
+    * make every scan evaluate the shingle expression twice. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("_id"), TextOps.shingles(col(textCol), k).as("_set"))
+
+  /** Exploded inverted index of (id, shingle) rows — already distinct
+    * because the per-doc shingle array is. Optionally drops shingles
+    * occurring in more than `maxShingleDf` documents (hot-key cap). */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = docs.select(col(idCol).as("_id"),
-      explode(TextOps.shingles(col(textCol), k)).as("_g")).distinct()
+    val sh = shingleSets(docs, idCol, textCol, k)
+      .select(col("_id"), explode(col("_set")).as("_g"))
     maxShingleDf match {
       case Some(cap) =>
         val hot = sh.groupBy("_g").agg(count(lit(1)).as("_df"))
@@ -38,65 +49,70 @@ object DedupOps {
     }
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs meeting `threshold`,
-    * via inverted-index self-join (common-count / union-count). */
+  /** All ordered pairs (ids(i), ids(j)), i < j, from a sorted id array —
+    * the bucket-local pair expansion used instead of a self-join. */
+  private[ops] def pairCombos(ids: Column): Column =
+    flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+      transform(slice(ids, i + 1, size(ids) - i),
+        b => struct(element_at(ids, i).as("id_a"), b.as("id_b")))))
+
+  /** Exact n-gram Jaccard similarity for all pairs meeting `threshold`.
+    * Single scan: each inverted-index row carries its document's set
+    * size, so pairs emerge from the bucket expansion with both sizes
+    * attached — two shuffles, zero joins. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, k)
-    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a._g") === col("b._g") &&
-        col("a._id") < col("b._id"))
-      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+    val sets = shingleSets(docs, idCol, textCol, k)
+    val sh = sets.select(col("_id"), size(col("_set")).as("_n"),
+      explode(col("_set")).as("_g"))
+    val ids = sort_array(collect_list(struct(col("_id"), col("_n"))))
+    sh.groupBy("_g").agg(ids.as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(explode(pairCombos(col("_ids"))).as("_p"))
+      .groupBy(col("_p.id_a._id").as("id_a"), col("_p.id_a._n").as("_na"),
+        col("_p.id_b._id").as("id_b"), col("_p.id_b._n").as("_nb"))
       .agg(count(lit(1)).as("_c"))
-    common
-      .join(sizes.withColumnRenamed("_id", "id_a")
-        .withColumnRenamed("_n", "_na"), "id_a")
-      .join(sizes.withColumnRenamed("_id", "id_b")
-        .withColumnRenamed("_n", "_nb"), "id_b")
       .withColumn("jaccard",
         col("_c").cast("double") / (col("_na") + col("_nb") - col("_c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signatures: `numHashes` seeded xxhash64 minima over the
-    * shingle set. One shuffle (the groupBy); signature width is constant. */
+  /** MinHash signatures as (_id, _sig) rows from the exploded shingle
+    * index: `numHashes` seeded xxhash64 minima, folded map-side in the
+    * partial hash aggregate so the shuffle carries one row per document.
+    * All codegen'd — no higher-order functions in the hot path. */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame =
-    sh.select(col("_id"), col("_g"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("_seed"))
-      .withColumn("_h", xxhash64(col("_seed"), col("_g")))
-      .groupBy("_id", "_seed").agg(min("_h").as("_mh"))
-      .groupBy("_id")
-      .agg(transform(array_sort(collect_list(struct(col("_seed"), col("_mh")))),
-        x => x.getField("_mh")).as("_sig"))
+    sh.groupBy("_id").agg(
+      array((0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("_g")))): _*).as("_sig"))
 
-  /** LSH candidate pairs: split the signature into `bands`, bucket on the
-    * hash of each band slice, and pair ids sharing any bucket. */
+  /** LSH candidate pairs from (_id, _sig) rows: hash each band slice
+    * map-side, then one groupBy on (band, bandHash) expands each bucket's
+    * sorted id list into pairs. */
   def lshCandidates(sigs: DataFrame, numHashes: Int = 32,
       bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     val banded = sigs.select(col("_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("_band"))
-      .join(sigs, "_id")
-      .withColumn("_bh", hash(col("_band"),
-        slice(col("_sig"), col("_band") * rows + 1, lit(rows))))
-      .select("_id", "_band", "_bh")
-    banded.as("x").join(banded.as("y"),
-        col("x._band") === col("y._band") && col("x._bh") === col("y._bh") &&
-          col("x._id") < col("y._id"))
-      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("_band"),
+            hash(b, slice(col("_sig"), b * rows + 1, lit(rows))).as("_bh"))))
+          .as("_bb"))
+      .select(col("_id"), col("_bb._band").as("_band"), col("_bb._bh").as("_bh"))
+    banded.groupBy("_band", "_bh")
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(explode(pairCombos(col("_ids"))).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
       .distinct()
   }
 
-  /** Full MinHash+LSH near-dup pipeline: banded candidates, then exact
-    * Jaccard verification at `threshold`. With 32 hashes / 16 bands the
-    * probability of missing a pair at j>=0.9 is ~(1-j^2)^16 ≈ 1e-11. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, k)
-    val cands = lshCandidates(minhashSignatures(sh))
-    val sets = sh.groupBy("_id").agg(collect_set("_g").as("_set"))
+  /** Exact-Jaccard verification of candidate pairs against the map-side
+    * shingle sets (callers should pass sets pruned to the candidate ids
+    * — see [[minhashLshPairs]] — so shingles are only rebuilt for the
+    * tiny near-dup subset, not the whole corpus). */
+  def verifyJaccard(cands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
     cands
       .join(sets.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")
@@ -105,37 +121,59 @@ object DedupOps {
         (size(col("_sa")) + size(col("_sb")) - col("_c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Full MinHash+LSH near-dup pipeline: banded candidates, then exact
+    * Jaccard verification at `threshold`. With 32 hashes / 16 bands the
+    * probability of missing a pair at j>=0.9 is ~(1-j^2)^16 ≈ 1e-11. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.9, numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k)
+    val sh = sets.select(col("_id"), explode(col("_set")).as("_g"))
+    // persist the (tiny) candidate set: it feeds both the id-prune branch
+    // and the verify join, and without materialization each branch would
+    // recompute the whole signature pipeline
+    val cands = lshCandidates(minhashSignatures(sh, numHashes), numHashes,
+      bands).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-shingle only the docs named by some candidate pair: filter the
+    // raw docs by id first (broadcast the tiny id set), then shingle
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val candSets = shingleSets(docs.join(candIds, idCol), idCol, textCol, k)
+    verifyJaccard(cands, candSets, threshold)
   }
 
-  /** Embedding rows exploded to (id, pos, exact-decimal component).
-    * DECIMAL(12,6) quantization makes every downstream dot product
-    * order-independent and engine-independent. */
-  def explodedDecimal(emb: DataFrame, idCol: String,
-      vecCol: String): DataFrame =
-    emb.select(col(idCol).as("_id"), posexplode(col(vecCol)))
-      .select(col("_id"), col("pos"),
-        col("col").cast("double").cast(DecimalType(12, 6)).as("_x"))
+  // -------------------------------------------------------------------
+  // Embedding near-dup: exact integer dot products, fully map-side.
+  // -------------------------------------------------------------------
 
-  /** Squared norms from the exploded representation. */
-  def norms(exploded: DataFrame): DataFrame =
-    exploded.groupBy("_id")
-      .agg(sum(col("_x") * col("_x")).cast("double").as("_n2"))
+  /** Long-quantized vector: component → DECIMAL(12,6) → 1e6-scaled Long.
+    * Dot products become exact integer arithmetic: for unit-ish 64-dim
+    * vectors the accumulated sum stays below 2^45 — far inside both Long
+    * range and double-exactness (2^53) — so `microDot` reproduces the
+    * oracle's exact-decimal sum bit-for-bit on any engine. */
+  def microVec(vec: Column): Column =
+    transform(vec, x =>
+      (x.cast("double").cast(DecimalType(12, 6)) * lit(1000000)).cast(LongType))
 
-  /** Cosine-similarity pairs >= `threshold` among ids < `maxId` (the
-    * pairwise-exact form; the LSH path in SimilarityOps is the scale
-    * route — exact pairs over everything is inherently quadratic). */
+  /** Exact dot product of two micro-vectors, rescaled to double. */
+  def microDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      .cast("double") / lit(1e12)
+
+  /** Cosine-similarity pairs >= `threshold` among ids < `maxId`: the
+    * pairwise-exact form (broadcast nested-loop over quantized vectors;
+    * inherently quadratic — the LSH path in SimilarityOps is the scale
+    * route, this one is the oracle-exact baseline). */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxId: Long): DataFrame = {
-    val ex = explodedDecimal(emb.filter(col(idCol) < maxId), idCol, vecCol)
-    val nn = norms(ex)
-    val dots = ex.as("a").join(ex.as("b"),
-        col("a.pos") === col("b.pos") && col("a._id") < col("b._id"))
-      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .agg(sum(col("a._x") * col("b._x")).cast("double").as("_dot"))
-    dots
-      .join(nn.select(col("_id").as("id_a"), col("_n2").as("_na")), "id_a")
-      .join(nn.select(col("_id").as("id_b"), col("_n2").as("_nb")), "id_b")
-      .withColumn("cosine", col("_dot") / sqrt(col("_na") * col("_nb")))
+    val v = emb.filter(col(idCol) < maxId)
+      .select(col(idCol).as("_id"), microVec(col(vecCol)).as("_m"))
+      .withColumn("_n2", microDot(col("_m"), col("_m")))
+    v.as("a").join(v.as("b"), col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        (microDot(col("a._m"), col("b._m")) /
+          sqrt(col("a._n2") * col("b._n2"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

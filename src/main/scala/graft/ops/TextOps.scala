@@ -17,17 +17,19 @@ object TextOps {
 
   def words(text: Column): Column = split(normalize(text), " ")
 
-  /** Word k-shingles (distinct), the dedup unit. Empty when the document
-    * has fewer than k words (guard: Spark's sequence() would otherwise
-    * generate a *descending* range). */
+  /** Word k-shingles (distinct), the dedup unit. Built by zipping k
+    * shifted slices of the word array rather than `element_at` inside a
+    * `transform` lambda: higher-order-function lambdas are interpreted
+    * with no common-subexpression elimination, so an `element_at(w, i)`
+    * body would re-run the split+regex normalization once per *element*
+    * (quadratic in document length). Slices evaluate `w` a constant
+    * number of times per row. Empty when the document has < k words. */
   def shingles(text: Column, k: Int = 3): Column = {
     val w = words(text)
-    array_distinct(
-      when(size(w) >= k,
-        transform(sequence(lit(1), size(w) - lit(k - 1)),
-          i => concat_ws(" ",
-            (0 until k).map(j => element_at(w, i + lit(j))): _*)))
-        .otherwise(array()))
+    val len = greatest(size(w) - lit(k - 1), lit(0))
+    def part(j: Int) = slice(w, lit(j + 1), len)
+    array_distinct((1 until k).foldLeft(part(0))((acc, j) =>
+      zip_with(acc, part(j), (a, b) => concat(a, lit(" "), b))))
   }
 
   // ---------------------------------------------------------------------
