@@ -131,6 +131,40 @@ object TimeSeries {
           round(col("v"), 6).as("v"), col("_isfilled"))
         .orderBy(col("user_id"), col("_wstart_ms"))
     },
+    // ---- INTERVAL(1d) + FILL(NULL): gaps stay null, marked filled ----
+    "fill_null" -> { (s, dir) =>
+      val agg = TimeOps.assignIntervals(ev(s, dir), col("ts"), Dur.d)
+        .groupBy(col("user_id"), col("_wstart"))
+        .agg(count(lit(1)).cast(LongType).as("n"))
+      FillOps.fillInterval(agg, "_wstart", "n", Seq("user_id"), Dur.d,
+          T0, T1 - 1, FillOps.FillNull)
+        .withColumn("n", col("n").cast(LongType))
+        .select(col("user_id"), usToMs(col("_wstart")).as("_wstart_ms"),
+          col("n"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- INTERVAL(1d) + FILL(NEXT) ----
+    "fill_next" -> { (s, dir) =>
+      val agg = TimeOps.assignIntervals(ev(s, dir), col("ts"), Dur.d)
+        .groupBy(col("user_id"), col("_wstart"))
+        .agg(Lowering.dsum(col("value")).as("v"))
+      FillOps.fillInterval(agg, "_wstart", "v", Seq("user_id"), Dur.d,
+          T0, T1 - 1, FillOps.FillNext)
+        .select(col("user_id"), usToMs(col("_wstart")).as("_wstart_ms"),
+          col("v"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- INTERVAL(1d) + FILL(NEAR): nearer of prev/next, tie → prev ----
+    "fill_near" -> { (s, dir) =>
+      val agg = TimeOps.assignIntervals(ev(s, dir), col("ts"), Dur.d)
+        .groupBy(col("user_id"), col("_wstart"))
+        .agg(Lowering.dsum(col("value")).as("v"))
+      FillOps.fillInterval(agg, "_wstart", "v", Seq("user_id"), Dur.d,
+          T0, T1 - 1, FillOps.FillNear)
+        .select(col("user_id"), usToMs(col("_wstart")).as("_wstart_ms"),
+          col("v"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
     // ---- INTERP EVERY(12h) RANGE(T0,T1) FILL(LINEAR) per user ----
     "interp_linear" -> { (s, dir) =>
       FillOps.interp(ev(s, dir), col("ts"), "value", Seq("user_id"),
@@ -181,6 +215,90 @@ object TimeSeries {
           usToMs(col("r_ts")).as("click_ts_ms"),
           col("r_event_id").as("click_event_id"))
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    },
+    // ---- ASOF JOIN (<): earliest strictly-after match ----
+    "asof_join_lt" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      JoinOps.asofJoin(l, r, Seq("user_id"), "ts", "ts", "<",
+          Seq("ts", "event_id"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          usToMs(col("r_ts")).as("click_ts_ms"),
+          col("r_event_id").as("click_event_id"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    },
+    // ---- ASOF JOIN (=): exact-ts match ----
+    "asof_join_eq" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      JoinOps.asofJoin(l, r, Seq("user_id"), "ts", "ts", "=",
+          Seq("event_id"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          col("r_event_id").as("click_event_id"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    },
+    // ---- ASOF JOIN (>=) JLIMIT 3: three newest at-or-before matches ----
+    "asof_join_jlimit" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      JoinOps.asofJoinN(l, r, Seq("user_id"), "ts", "ts", ">=", 3,
+          Seq("ts", "event_id"), rightTieBreak = Seq("event_id"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          col("jrank"), usToMs(col("r_ts")).as("click_ts_ms"),
+          col("r_event_id").as("click_event_id"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"), col("jrank"))
+    },
+    // ---- WINDOW JOIN JLIMIT 3: first three clicks in [-30m,+30m] ----
+    "window_join_jlimit" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      JoinOps.windowJoinLimited(l, r, Seq("user_id"), "ts", "ts",
+          -30 * Dur.m, 30 * Dur.m, Seq("event_id", "value"), 3,
+          leftRowKey = Seq("user_id", "ts", "event_id"),
+          rightTieBreak = Seq("event_id"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          col("jrank"), usToMs(col("_rts")).as("click_ts_ms"),
+          col("r_event_id").as("click_event_id"),
+          col("r_value").as("click_value"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"), col("jrank"))
+    },
+    // ---- EXTERNAL_WINDOW: aggregate over a supplied window rowset ----
+    "external_window" -> { (s, dir) =>
+      val wins = s.range(8).select(col("id").as("wid"),
+        (lit(T0) + col("id") * lit(3 * Dur.d)).as("_wstart"),
+        (lit(T0) + col("id") * lit(3 * Dur.d) + lit(2 * Dur.d)).as("_wend"))
+      TimeOps.externalWindows(ev(s, dir), wins, col("ts"))
+        .groupBy(col("wid"))
+        .agg(usToMs(min(col("_wstart"))).as("_wstart_ms"),
+          count(lit(1)).as("n"), Lowering.dsum(col("value")).as("sum_value"))
+        .select(col("wid"), col("_wstart_ms"), col("n"), col("sum_value"))
+        .orderBy(col("wid"))
+    },
+    // ---- STATE_WINDOW + TRUE_FOR(2h): only windows lasting >= 2h ----
+    "state_window_truefor" -> { (s, dir) =>
+      TimeOps.stateWindows(ev(s, dir), col("event_type"), col("ts"),
+          Seq(col("user_id")))
+        .groupBy(col("user_id"), col("_wid"))
+        .agg(first(col("event_type")).as("state"),
+          usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"),
+          count(lit(1)).as("n"))
+        .filter(col("_wend_ms") - col("_wstart_ms") >= 2 * Dur.h / 1000L)
+        .select(col("user_id"), col("state"), col("_wstart_ms"),
+          col("_wend_ms"), col("n"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
     },
     // ---- WINDOW JOIN: clicks within [-30m,+30m] of each purchase ----
     "window_join" -> { (s, dir) =>
@@ -328,9 +446,97 @@ object TimeSeries {
                 / CAST(next.t - prev.t AS DOUBLE) END, 6) AS value,
             NOT (prev IS NOT NULL AND prev.t = t) AS _isfilled
           FROM marked WHERE g ORDER BY user_id, _irowts_ms""",
+    "fill_null" -> fillOracle(
+      valueExpr = "count(*)",
+      fillExpr = "v", outCol = "n", castOut = "::BIGINT"),
+    "fill_next" -> fillOracle(
+      valueExpr = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+      fillExpr = "first_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ws " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)",
+      outCol = "v", castOut = ""),
+    "fill_near" -> fillOracle(
+      valueExpr = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+      fillExpr =
+        """CASE WHEN v IS NOT NULL THEN v
+             WHEN nv IS NULL THEN pv.v
+             WHEN pv IS NULL THEN nv.v
+             WHEN ws - pv.t <= nv.t - ws THEN pv.v
+             ELSE nv.v END""",
+      outCol = "v", castOut = "", needPrevNext = true),
     "asof_join_ge" -> asofOracle("<=", extra = ", b.value AS click_value"),
     "asof_join_gt" -> asofOracle("<", extra = ""),
-    "asof_join_le" -> asofOracleForward(),
+    "asof_join_le" -> asofOracleForward(">="),
+    "asof_join_lt" -> asofOracleForward(">"),
+    "asof_join_eq" ->
+      """SELECT l.user_id, epoch_us(l.ts) // 1000 AS ts_ms, l.event_id,
+           b.event_id AS click_event_id
+         FROM (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase') l
+         LEFT JOIN (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click') b
+           ON b.user_id = l.user_id AND b.ts = l.ts
+         ORDER BY l.user_id, ts_ms, l.event_id""",
+    "asof_join_jlimit" ->
+      """WITH l AS (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'purchase'),
+           r AS (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'click'),
+           j AS (SELECT a.user_id, a.ts, a.event_id,
+               b.ts AS bts, b.event_id AS bid,
+               row_number() OVER (PARTITION BY a.user_id, a.ts, a.event_id
+                 ORDER BY b.ts DESC, b.event_id DESC) AS rk
+             FROM l a LEFT JOIN r b
+               ON b.user_id = a.user_id AND b.ts <= a.ts)
+         SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
+           CASE WHEN bts IS NULL THEN NULL ELSE rk END AS jrank,
+           epoch_us(bts) // 1000 AS click_ts_ms, bid AS click_event_id
+         FROM j WHERE rk <= 3 OR bts IS NULL
+         ORDER BY user_id, ts_ms, event_id, jrank""",
+    "window_join_jlimit" ->
+      s"""WITH l AS (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'purchase'),
+           r AS (SELECT user_id, ts, event_id, value FROM events
+             WHERE event_type = 'click'),
+           j AS (SELECT a.user_id, a.ts, a.event_id,
+               b.ts AS bts, b.event_id AS bid, b.value AS bval,
+               row_number() OVER (PARTITION BY a.user_id, a.ts, a.event_id
+                 ORDER BY b.ts, b.event_id) AS rk
+             FROM l a LEFT JOIN r b
+               ON b.user_id = a.user_id
+               AND epoch_us(b.ts) >= epoch_us(a.ts) - ${30 * Dur.m}
+               AND epoch_us(b.ts) <= epoch_us(a.ts) + ${30 * Dur.m})
+         SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
+           CASE WHEN bts IS NULL THEN NULL ELSE rk END AS jrank,
+           epoch_us(bts) // 1000 AS click_ts_ms, bid AS click_event_id,
+           bval AS click_value
+         FROM j WHERE rk <= 3 OR bts IS NULL
+         ORDER BY user_id, ts_ms, event_id, jrank""",
+    "external_window" ->
+      s"""WITH w AS (SELECT k AS wid, $T0 + k * ${3 * Dur.d} AS ws,
+             $T0 + k * ${3 * Dur.d} + ${2 * Dur.d} AS we
+           FROM (SELECT unnest(range(0, 8)) AS k))
+         SELECT w.wid, w.ws // 1000 AS _wstart_ms, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM w JOIN events e
+           ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
+         GROUP BY w.wid, w.ws ORDER BY w.wid""",
+    "state_window_truefor" ->
+      s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+                 THEN 1 ELSE 0 END AS chg
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, t, event_type,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS wid
+            FROM t)
+          SELECT user_id, min(event_type) AS state,
+            min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
+            count(*) AS n
+          FROM s GROUP BY user_id, wid
+          HAVING max(t) // 1000 - min(t) // 1000 >= ${2 * Dur.h / 1000}
+          ORDER BY user_id, _wstart_ms""",
     "window_join" ->
       s"""SELECT a.user_id, epoch_us(a.ts) // 1000 AS ts_ms, a.event_id,
             count(b.value) AS n_clicks,
@@ -396,15 +602,16 @@ object TimeSeries {
          ORDER BY m.user_id, ts_ms, m.event_id"""
   }
 
-  /** Forward (<=) asof oracle: earliest right row at-or-after. */
-  private def asofOracleForward(): String =
-    """WITH l AS (SELECT user_id, ts, event_id FROM events
+  /** Forward asof oracle: earliest right row with b.ts `cmp` a.ts
+    * (">=" for op "<=", ">" for op "<"). */
+  private def asofOracleForward(cmp: String): String =
+    s"""WITH l AS (SELECT user_id, ts, event_id FROM events
            WHERE event_type = 'purchase'),
          r AS (SELECT user_id, ts, event_id FROM events
            WHERE event_type = 'click'),
          m AS (SELECT a.user_id, a.ts, a.event_id,
              (SELECT min(b.ts) FROM r b
-              WHERE b.user_id = a.user_id AND b.ts >= a.ts) AS mts
+              WHERE b.user_id = a.user_id AND b.ts $cmp a.ts) AS mts
            FROM l a)
          SELECT m.user_id, epoch_us(m.ts) // 1000 AS ts_ms, m.event_id,
            epoch_us(b.ts) // 1000 AS click_ts_ms,

@@ -34,13 +34,15 @@ object JoinOps {
       rightCols: Seq[String]): DataFrame = {
     require(Seq(">=", ">", "<=", "<", "=").contains(op), s"bad asof op $op")
     if (op == "=") {
-      val payload = rightCols.map(c => col(c).as(s"r_$c"))
-      val r = right.select(keys.map(col) ++ Seq(col(rightTsUs).as("_rts")) ++
-        payload: _*)
-      return keys.foldLeft(left.join(r,
-          keys.map(k => left(k) === r(k)).reduce(_ && _) &&
-            left(leftTsUs) === r("_rts"), "left")) { (d, k) => d.drop(r(k)) }
-        .drop("_rts")
+      // rename right keys up front: dropping by dataframe-column reference
+      // after a join is ambiguous when both sides derive from one source
+      val r = right.select(keys.map(c => col(c).as(s"_rk_$c")) ++
+        Seq(col(rightTsUs).as("_rts")) ++
+        rightCols.map(c => col(c).as(s"r_$c")): _*)
+      val cond = (keys.map(k => left(k) === r(s"_rk_$k")) :+
+        (left(leftTsUs) === r("_rts"))).reduce(_ && _)
+      return left.join(r, cond, "left")
+        .drop(keys.map(k => s"_rk_$k"): _*).drop("_rts")
     }
     val keyCols = keys.map(col)
     val lSlim = left
@@ -90,6 +92,43 @@ object JoinOps {
     withPayload.drop("_t", "_isleft", "_rp", "_match")
   }
 
+  /** Backward ASOF JOIN with JLIMIT n (sql.y:2797-2799): for each left
+    * row, the n newest right rows satisfying `right.ts <op> left.ts`
+    * (op in >=, >), ranked `jrank` = 1 for the newest match.
+    *
+    * Bounded lowering (SURVEY §7.4 risk 4): right rows are numbered per
+    * key; the plain asof join carries only the *index* of the newest
+    * eligible row; the last n indices are expanded with a constant-size
+    * `sequence` and equi-joined back — no per-row collect_list buffers,
+    * so memory stays O(n) regardless of history length.
+    *
+    * `rightTieBreak` orders right rows at equal ts (must make the order
+    * total for deterministic results). */
+  def asofJoinN(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsUs: String, rightTsUs: String, op: String, jlimit: Int,
+      rightCols: Seq[String], rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(op == ">=" || op == ">", s"JLIMIT lowering is backward-only ($op)")
+    val keyCols = keys.map(col)
+    val ord = col("_t") +: rightTieBreak.map(col)
+    val wR =
+      if (keys.isEmpty) Window.orderBy(ord: _*)
+      else Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+    val r2 = right.withColumn("_t", col(rightTsUs).cast(LongType))
+      .withColumn("_rn", row_number().over(wR).cast(LongType))
+    val withL = asofJoin(left,
+      r2.select(keyCols :+ col(rightTsUs) :+ col("_rn"): _*),
+      keys, leftTsUs, rightTsUs, op, Seq("_rn"))
+    val expanded = withL
+      .withColumn("_rn", explode_outer(when(col("r__rn").isNotNull,
+        sequence(greatest(col("r__rn") - (jlimit - 1), lit(1L)),
+          col("r__rn")))))
+      .withColumn("jrank", col("r__rn") - col("_rn") + 1)
+      .drop("r__rn")
+    val rPay = r2.select(keyCols ++ Seq(col("_rn")) ++
+      rightCols.map(c => col(c).as(s"r_$c")): _*)
+    expanded.join(rPay, keys :+ "_rn", "left").drop("_rn", "_t")
+  }
+
   /** WINDOW join (sql.y:2775): for each left row, all right rows with
     * `right.ts` in `[left.ts + loUs, left.ts + hiUs]` (plus key equality).
     * Returns the exploded pairs; aggregate per left row for the
@@ -109,5 +148,23 @@ object JoinOps {
         r("_rts") <= left(leftTsUs) + lit(hiUs))
     left.join(r, cond, "left")
       .drop(keys.map(k => s"_rk_$k"): _*)
+  }
+
+  /** WINDOW join with JLIMIT n: keeps the first n right rows per left
+    * row, ordered by (right ts, tie-break columns). `leftRowKey` must
+    * uniquely identify a left row. Unmatched left rows survive with a
+    * null `jrank`. */
+  def windowJoinLimited(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTsUs: String, rightTsUs: String,
+      loUs: Long, hiUs: Long, rightCols: Seq[String], jlimit: Int,
+      leftRowKey: Seq[String], rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val joined = windowJoin(left, right, keys, leftTsUs, rightTsUs,
+      loUs, hiUs, rightCols)
+    val w = Window.partitionBy(leftRowKey.map(col): _*)
+      .orderBy(col("_rts") +: rightTieBreak.map(c => col(s"r_$c")): _*)
+    joined
+      .withColumn("jrank",
+        when(col("_rts").isNotNull, row_number().over(w).cast(LongType)))
+      .filter(col("jrank") <= jlimit || col("_rts").isNull)
   }
 }

@@ -163,6 +163,17 @@ object TimeOps {
     result.drop("_ts", "_s", "_e")
   }
 
+  /** EXTERNAL_WINDOW (sql.y:2895-2900, externalwindowoperator.c:4367):
+    * windows supplied by an external rowset. `windows` must carry
+    * `_wid`, `_wstart`, `_wend` (Long µs, half-open [start, end)); it is
+    * broadcast — window lists are small by construction (they come from
+    * a trigger or user rowset), while `df` streams at any scale.
+    * Overlapping windows duplicate rows, matching the reference. */
+  def externalWindows(df: DataFrame, windows: DataFrame,
+      tsUs: Column): DataFrame =
+    df.join(broadcast(windows),
+      tsUs >= col("_wstart") && tsUs < col("_wend"))
+
   // ---------------------------------------------------------------------
   // Ordered final output helper: TDengine results over ts-ordered storage
   // are implicitly ordered; our API adds the explicit sort (SURVEY §7.4.8).
