@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.ops.{AnalyticsOps, TimeOps}
+import graft.ops.TimeOps.Dur
+
+/** TDgpt-equivalent analytics queries (SURVEY §2.10 forecast /
+  * imputation / anomaly; §2.5 ANOMALY_WINDOW) plus dtw_path, over the
+  * `events` table. */
+object Analytics {
+  import Lowering.usToMs
+
+  private val T0: Long = 1704067200000000L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- FORECAST(value): per-user linear trend, 6 daily steps ----
+    "forecast_linear" -> { (s, dir) =>
+      AnalyticsOps.forecast(ev(s, dir), col("ts"), "value", Seq("user_id"),
+          horizon = 6, stepUs = Dur.d, t0Us = T0)
+        .select(col("user_id"), usToMs(col("_frowts")).as("_frowts_ms"),
+          round(col("forecast"), 6).as("forecast"),
+          round(col("_flow"), 6).as("_flow"),
+          round(col("_fhigh"), 6).as("_fhigh"))
+        .orderBy(col("user_id"), col("_frowts_ms"))
+    },
+    // ---- IMPUTATION(value): nulls planted at event_id % 7 = 0 ----
+    "imputation_linear" -> { (s, dir) =>
+      val gapped = ev(s, dir).withColumn("value",
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value").cast("double")))
+      AnalyticsOps.imputeLinear(gapped, col("ts"), "value", Seq("user_id"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          round(col("value"), 6).as("value"), col("_impmark"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    },
+    // ---- ANOMALY_WINDOW(value): z=2 score, runs merge into windows ----
+    "anomaly_window" -> { (s, dir) =>
+      AnalyticsOps.anomalyRows(ev(s, dir), col("ts"), "value",
+          Seq("user_id"), z = 2.0)
+        .groupBy(col("user_id"), col("_wgrp"))
+        .agg(usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("_wstart_ms"), col("_wend_ms"), col("n"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- dtw_path: warping path of each user's series vs user 0 ----
+    "sf_dtw_path" -> { (s, dir) =>
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val hourly = ev(s, dir)
+        .withColumn("bucket", col("ts") - pmod(col("ts"), lit(Dur.h)))
+        .groupBy(col("user_id"), col("bucket"))
+        .agg((sum(dec(col("value"))).cast("double") / count(lit(1))).as("v"))
+        .groupBy(col("user_id"))
+        .agg(transform(array_sort(collect_list(struct(col("bucket"), col("v")))),
+          x => x.getField("v")).as("series"))
+      val ref = hourly.orderBy(col("user_id")).limit(1)
+        .select(col("series").as("ref_series"))
+      hourly.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          graft.functions.Aggregators.dtwPathUdf(
+            slice(col("series"), 1, 48), slice(col("ref_series"), 1, 48))
+            .as("path"))
+        .select(col("user_id"), size(col("path")).as("path_len"),
+          to_json(col("path")).as("path_json"))
+        .orderBy(col("user_id"))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "forecast_linear" -> {
+      val x = s"(epoch_us(ts) - $T0) // 1000000"
+      s"""WITH st AS (
+            SELECT user_id, count(*) AS n, max($x) AS xmax,
+              CAST(sum(CAST($x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+              CAST(sum(CAST($x AS DECIMAL(18,0)) * CAST($x AS DECIMAL(18,0)))
+                AS DOUBLE) AS sxx,
+              CAST(sum(CAST($x AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2)))
+                AS DOUBLE) AS sxy,
+              CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                AS DOUBLE) AS syy
+            FROM events GROUP BY user_id),
+          p AS (SELECT *, (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b FROM st),
+          q AS (SELECT *, (sy - b*sx) / n AS a FROM p),
+          r AS (SELECT *, syy - 2*a*sy - 2*b*sxy + n*a*a + 2*a*b*sx + b*b*sxx
+            AS sse FROM q),
+          s AS (SELECT *, sqrt(greatest(sse, 0) / (n - 2)) AS sigma FROM r),
+          f AS (SELECT user_id, a, b, sigma, xmax,
+            unnest(range(1, 7)) AS j FROM s)
+          SELECT user_id,
+            ($T0 + (xmax + j*86400) * 1000000) // 1000 AS _frowts_ms,
+            round(a + b*(xmax + j*86400), 6) AS forecast,
+            round(a + b*(xmax + j*86400) - 1.96*sigma, 6) AS _flow,
+            round(a + b*(xmax + j*86400) + 1.96*sigma, 6) AS _fhigh
+          FROM f ORDER BY user_id, _frowts_ms"""
+    },
+    "imputation_linear" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+            CASE WHEN event_id % 7 = 0 THEN NULL
+                 ELSE CAST(value AS DOUBLE) END AS y
+          FROM events),
+        m AS (SELECT user_id, t, event_id, y,
+            last_value(CASE WHEN y IS NOT NULL
+                THEN struct_pack(t := t, v := y) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+            first_value(CASE WHEN y IS NOT NULL
+                THEN struct_pack(t := t, v := y) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+          FROM d)
+        SELECT user_id, t // 1000 AS ts_ms, event_id,
+          round(CASE WHEN y IS NOT NULL THEN y
+            WHEN pv IS NULL AND nv IS NULL THEN NULL
+            WHEN pv IS NULL THEN nv.v
+            WHEN nv IS NULL THEN pv.v
+            ELSE pv.v + (nv.v - pv.v) * CAST(t - pv.t AS DOUBLE)
+              / CAST(nv.t - pv.t AS DOUBLE) END, 6) AS value,
+          y IS NULL AS _impmark
+        FROM m ORDER BY user_id, ts_ms, event_id""",
+    "anomaly_window" ->
+      """WITH s AS (SELECT user_id,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+              AS DOUBLE) AS syy,
+            count(*) AS n
+          FROM events GROUP BY user_id),
+        f AS (SELECT e.user_id, epoch_us(e.ts) AS t,
+            abs(CAST(e.value AS DOUBLE) - s.sy/s.n) >
+              2.0 * sqrt((s.syy - s.sy*s.sy/s.n)/s.n) AS an,
+            row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts) AS rn
+          FROM events e JOIN s ON s.user_id = e.user_id),
+        a AS (SELECT user_id, t, rn,
+            row_number() OVER (PARTITION BY user_id ORDER BY t) AS rna
+          FROM f WHERE an)
+        SELECT user_id, min(t) // 1000 AS _wstart_ms,
+          max(t) // 1000 AS _wend_ms, count(*) AS n
+        FROM a GROUP BY user_id, rn - rna
+        ORDER BY user_id, _wstart_ms""")
+}

@@ -99,6 +99,31 @@ object Aggregators {
     prev(s.length)
   }
 
+  /** Warping path for [[dtwDistance]] (dtw_path, builtins.c:7602-7657):
+    * the 0-based (i, j) alignment, start (0,0) to (n-1, m-1), computed
+    * from the full DP matrix by backtracking (ties prefer the diagonal,
+    * then the vertical step). O(n·m) memory — bounded by the per-group
+    * series length the caller controls, same envelope as the reference. */
+  def dtwPath(a: Seq[Double], b: Seq[Double]): Seq[(Int, Int)] = {
+    if (a.isEmpty || b.isEmpty) return Seq.empty
+    val n = a.length; val m = b.length
+    val dp = Array.fill(n + 1, m + 1)(Double.PositiveInfinity)
+    dp(0)(0) = 0.0
+    for (i <- 1 to n; j <- 1 to m)
+      dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+        math.min(math.min(dp(i - 1)(j - 1), dp(i - 1)(j)), dp(i)(j - 1))
+    var path = List.empty[(Int, Int)]
+    var i = n; var j = m
+    while (i > 0 && j > 0) {
+      path = (i - 1, j - 1) :: path
+      val diag = dp(i - 1)(j - 1); val up = dp(i - 1)(j); val lf = dp(i)(j - 1)
+      if (diag <= up && diag <= lf) { i -= 1; j -= 1 }
+      else if (up <= lf) i -= 1
+      else j -= 1
+    }
+    path
+  }
+
   /** Pearson correlation of two equal-length series at a given lag of
     * `b` relative to `a` (time-lagged cross-correlation core). */
   def tlccAt(a: Seq[Double], b: Seq[Double], lag: Int): Double = {
@@ -118,5 +143,6 @@ object Aggregators {
   }
 
   val dtwUdf = udf(dtwDistance _)
+  val dtwPathUdf = udf(dtwPath _)
   val tlccUdf = udf(tlccAt _)
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** TDgpt-equivalent analytics (SURVEY §2.10: forecast / imputation /
+  * anomalycheck — forecastoperator.c:1115, imputationoperator.c:105,
+  * anomalywindowoperator.c:138). The reference delegates these to an
+  * external ML "anode" service over HTTP; here each is a deterministic
+  * in-engine model on the same operator surface (pseudo-columns
+  * `_frowts/_flow/_fhigh`, `_impmark`, anomaly windows included), so
+  * results are reproducible and oracle-checkable. A learned model would
+  * slot in behind the same DataFrame contracts (mapPartitions → model
+  * service), exactly as the reference's anode does.
+  *
+  * Numeric discipline: every aggregate folds in exact DECIMAL/Long
+  * arithmetic; doubles appear only in the final closed-form expressions,
+  * written in one canonical operation order so any engine reproduces
+  * them bit-for-bit.
+  */
+object AnalyticsOps {
+
+  /** Exact floor division for non-negative Longs (a DIV d) that avoids
+    * double rounding. */
+  private def floorDiv(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))) / lit(d)).cast(LongType)
+
+  /** FORECAST(col): per-key OLS linear trend extrapolated `horizon`
+    * steps of `stepUs` beyond the newest sample. Emits `_frowts` (µs),
+    * `forecast`, `_flow`, `_fhigh` (±1.96·residual σ). One hash
+    * aggregate over exact sufficient statistics — a single shuffle of
+    * one row per key, any data size. */
+  def forecast(df: DataFrame, tsUs: Column, valueCol: String,
+      keys: Seq[String], horizon: Int, stepUs: Long, t0Us: Long): DataFrame = {
+    val xL = floorDiv(tsUs.cast(LongType) - lit(t0Us), 1000000L) // seconds
+    val xd = xL.cast(DecimalType(18, 0))
+    val yd = col(valueCol).cast(DecimalType(18, 2))
+    val stepSec = stepUs / 1000000L
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("_n"),
+      max(xL).as("_xmax"),
+      sum(xd).cast("double").as("_sx"),
+      sum(yd).cast("double").as("_sy"),
+      sum(xd * xd).cast("double").as("_sxx"),
+      sum(xd * yd).cast("double").as("_sxy"),
+      sum(yd * yd).cast("double").as("_syy"))
+    stats
+      .withColumn("_b", (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+        (col("_n") * col("_sxx") - col("_sx") * col("_sx")))
+      .withColumn("_a", (col("_sy") - col("_b") * col("_sx")) / col("_n"))
+      .withColumn("_sse", col("_syy") - lit(2) * col("_a") * col("_sy") -
+        lit(2) * col("_b") * col("_sxy") +
+        col("_n") * col("_a") * col("_a") +
+        lit(2) * col("_a") * col("_b") * col("_sx") +
+        col("_b") * col("_b") * col("_sxx"))
+      .withColumn("_sigma",
+        sqrt(greatest(col("_sse"), lit(0)) / (col("_n") - lit(2))))
+      .withColumn("_j", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("_xf", col("_xmax") + col("_j") * lit(stepSec))
+      .withColumn("_frowts", lit(t0Us) + col("_xf") * lit(1000000L))
+      .withColumn("forecast", col("_a") + col("_b") * col("_xf"))
+      .withColumn("_flow", col("forecast") - lit(1.96) * col("_sigma"))
+      .withColumn("_fhigh", col("forecast") + lit(1.96) * col("_sigma"))
+      .select(keys.map(col) ++ Seq(col("_frowts"), col("forecast"),
+        col("_flow"), col("_fhigh")): _*)
+  }
+
+  /** IMPUTATION(col): linear interpolation of null samples between their
+    * surrounding non-null neighbours per key (nearest value at the
+    * edges). Emits the original rows with `valueCol` imputed and
+    * `_impmark` = true where a value was filled. One sort-shuffle. */
+  def imputeLinear(df: DataFrame, tsUs: Column, valueCol: String,
+      keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val d = df.withColumn("_t", tsUs.cast(LongType))
+      .withColumn("_y", col(valueCol).cast("double"))
+    val w =
+      if (keys.isEmpty) Window.orderBy(col("_t"))
+      else Window.partitionBy(keyCols: _*).orderBy(col("_t"))
+    val pair = when(col("_y").isNotNull, struct(col("_t"), col("_y")))
+    val pv = last(pair, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nv = first(pair, ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    d.withColumn("_pv", pv).withColumn("_nv", nv)
+      .withColumn(valueCol,
+        when(col("_y").isNotNull, col("_y"))
+          .when(col("_pv").isNull && col("_nv").isNull,
+            lit(null).cast("double"))
+          .when(col("_pv").isNull, col("_nv").getField("_y"))
+          .when(col("_nv").isNull, col("_pv").getField("_y"))
+          .otherwise(col("_pv").getField("_y") +
+            (col("_nv").getField("_y") - col("_pv").getField("_y")) *
+              (col("_t") - col("_pv").getField("_t")).cast("double") /
+              (col("_nv").getField("_t") - col("_pv").getField("_t"))
+                .cast("double")))
+      .withColumn("_impmark", col("_y").isNull)
+      .drop("_t", "_y", "_pv", "_nv")
+  }
+
+  /** ANOMALY_WINDOW(col): z-score detector — a row is anomalous when
+    * |value − mean| > z·σ (population σ per key, from exact sums);
+    * consecutive anomalous rows merge into windows. Returns the
+    * anomalous rows tagged with `_wgrp` (group id per key); aggregate
+    * min/max ts per (key, _wgrp) for window bounds. */
+  def anomalyRows(df: DataFrame, tsUs: Column, valueCol: String,
+      keys: Seq[String], z: Double = 2.0): DataFrame = {
+    val keyCols = keys.map(col)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("_t"))
+    val yd = col(valueCol).cast(DecimalType(18, 2))
+    val d = df.withColumn("_t", tsUs.cast(LongType))
+      .withColumn("_y", col(valueCol).cast("double"))
+      .withColumn("_sy", sum(yd).over(wAll).cast("double"))
+      .withColumn("_syy", sum(yd * yd).over(wAll).cast("double"))
+      .withColumn("_cnt", count(lit(1)).over(wAll))
+      .withColumn("_rn", row_number().over(wOrd).cast(LongType))
+    val anomalous = d.filter(
+      abs(col("_y") - col("_sy") / col("_cnt")) >
+        lit(z) * sqrt((col("_syy") - col("_sy") * col("_sy") / col("_cnt")) /
+          col("_cnt")))
+    val wAnom = Window.partitionBy(keyCols: _*).orderBy(col("_t"))
+    anomalous
+      .withColumn("_wgrp", col("_rn") - row_number().over(wAnom))
+      .drop("_sy", "_syy", "_cnt", "_rn", "_y")
+  }
+}
