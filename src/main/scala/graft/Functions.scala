@@ -324,8 +324,77 @@ object Functions {
           weekofyear(timestamp_micros(col("ts"))).as("woy"),
           hour(timestamp_micros(col("ts"))).as("hr"),
           date_format(timestamp_micros(col("ts")), "yyyy-MM-dd HH:mm:ss")
-            .as("to_char_s"))
+            .as("to_char_s"),
+          date_format(timestamp_micros(col("ts")), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("iso8601_s"),
+          ((col("ts") - lit(T0) - pmod(col("ts") - lit(T0), lit(Dur.h)))
+            / lit(Dur.h)).cast(LongType).as("timediff_h"))
         .orderBy(col("event_id"))
+    },
+    // ---- JSON tag operator `->` (builtins.c to_json / JSON filter) ----
+    "scalar_json" -> { (s, dir) =>
+      Tables(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .withColumn("j", concat(lit("{\"name\":\""), col("c_name"),
+          lit("\",\"seg\":\""), col("c_mktsegment"),
+          lit("\",\"key\":"), col("c_custkey").cast("string"), lit("}")))
+        .select(col("c_custkey"), col("j"),
+          get_json_object(col("j"), "$.name").as("j_name"),
+          get_json_object(col("j"), "$.seg").as("j_seg"),
+          get_json_object(col("j"), "$.key").cast(LongType).as("j_key"))
+        .orderBy(col("c_custkey"))
+    },
+    // ---- data masking (builtins.c:7658-7995 mask_full/mask_partial) ----
+    "scalar_mask" -> { (s, dir) =>
+      Tables(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[A-Za-z0-9]", "*").as("mask_full"),
+          when(length(col("c_name")) <= 4, regexp_replace(col("c_name"),
+              "[A-Za-z0-9]", "*"))
+            .otherwise(concat(substring(col("c_name"), 1, 2),
+              repeat(lit("*"), (length(col("c_name")) - 4)
+                .cast("int")), expr("right(c_name, 2)")))
+            .as("mask_partial"),
+          col("c_name").as("mask_none"))
+        .orderBy(col("c_custkey"))
+    },
+    // ---- apercentile (builtins.c:3250): approx quantile, rows-only
+    //      check (algorithms differ by engine by design); the spec
+    //      bounds the error against the exact percentile ----
+    "sf_apercentile" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000))
+            .as("ap50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("ap95"))
+        .orderBy(col("user_id"))
+    },
+    // ---- ROLLUP (free Catalyst superset; GROUP BY list per reference) --
+    "agg_rollup" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+    // ---- CUBE ----
+    "agg_cube" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("prio"),
+          col("n"), col("sum_price"))
+        .orderBy(col("status"), col("prio"))
+    },
+    // ---- histogram with log2 bins (builtins.c:4032 log_bin mode) ----
+    "sf_histogram_log" -> { (s, dir) =>
+      ev(s, dir).filter(col("value") > 0)
+        .withColumn("bin", floor(log(2.0, col("value"))).cast(LongType))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -530,6 +599,49 @@ object Functions {
            (epoch_us(ts) - epoch_us(ts) % ${Dur.d}) // 1000 AS trunc_day_ms,
            year(ts) AS y, month(ts) AS mo, day(ts) AS dom,
            dayofweek(ts) AS dow, weekofyear(ts) AS woy, hour(ts) AS hr,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS to_char_s
-         FROM events WHERE event_id < 2000 ORDER BY event_id""")
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS to_char_s,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso8601_s,
+           (epoch_us(ts) - $T0) // ${Dur.h} AS timediff_h
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "scalar_json" ->
+      """SELECT c_custkey,
+           '{"name":"' || c_name || '","seg":"' || c_mktsegment ||
+             '","key":' || CAST(c_custkey AS VARCHAR) || '}' AS j,
+           json_extract_string('{"name":"' || c_name || '","seg":"' ||
+             c_mktsegment || '","key":' || CAST(c_custkey AS VARCHAR) || '}',
+             '$.name') AS j_name,
+           json_extract_string('{"name":"' || c_name || '","seg":"' ||
+             c_mktsegment || '","key":' || CAST(c_custkey AS VARCHAR) || '}',
+             '$.seg') AS j_seg,
+           CAST(json_extract_string('{"name":"' || c_name || '","seg":"' ||
+             c_mktsegment || '","key":' || CAST(c_custkey AS VARCHAR) || '}',
+             '$.key') AS BIGINT) AS j_key
+         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "scalar_mask" ->
+      """SELECT c_custkey,
+           regexp_replace(c_name, '[A-Za-z0-9]', '*', 'g') AS mask_full,
+           CASE WHEN length(c_name) <= 4
+                THEN regexp_replace(c_name, '[A-Za-z0-9]', '*', 'g')
+                ELSE substring(c_name, 1, 2) ||
+                  repeat('*', length(c_name) - 4) || right(c_name, 2)
+           END AS mask_partial,
+           c_name AS mask_none
+         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+           coalesce(l_linestatus, '(all)') AS lstatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY rflag, lstatus""",
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS prio, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY status, prio""",
+    "sf_histogram_log" ->
+      """SELECT CAST(floor(ln(value) / ln(2)) AS BIGINT) AS bin,
+           count(*) AS n
+         FROM events WHERE value > 0 GROUP BY 1 ORDER BY bin""")
 }

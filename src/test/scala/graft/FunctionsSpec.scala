@@ -72,4 +72,15 @@ class FunctionsSpec extends AnyFunSuite {
       .head.getAs[Double]("twa")
     assert(math.abs(twa - 42.0) < 1e-9)
   }
+
+  test("apercentile stays within tolerance of the exact percentile") {
+    val e = Tables(spark, sf, "events")
+    val joined = e.groupBy(col("user_id"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
+        expr("percentile(value, 0.5)").as("p50"),
+        (max(col("value")) - min(col("value"))).as("range"))
+    val bad = joined
+      .filter(abs(col("ap50") - col("p50")) > col("range") * 0.05).count()
+    assert(bad == 0, "apercentile(0.5) drifted > 5% of range from exact")
+  }
 }
