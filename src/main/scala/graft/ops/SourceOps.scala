@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks beyond the plain parquet scan (SURVEY §2.1):
+  * FILE tables (CSV with declared schema), virtual tables (per-source
+  * columns aligned on the timestamp key), upsert dedup-on-read,
+  * DELETE as partition rewrite, and information_schema-style catalog
+  * tables. */
+object SourceOps {
+
+  /** FILE table (sql.y:2670, `FROM FILE('path','schema')`): CSV read
+    * with an explicit schema — schema-on-read never infers (inference
+    * would scan the file twice and can drift between runs). */
+  def csvTable(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = false, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** Virtual table (virtualtablescanoperator.c:702): one value column
+    * per source, aligned on `alignKeys` (the ts primary key + tags).
+    * Lowered as union+pivot — a single hash aggregate, not a chain of
+    * N-1 full outer joins, so it stays one shuffle for any number of
+    * source tables. Each source must carry alignKeys + `valueCol`. */
+  def virtualTable(sources: Seq[(String, DataFrame)], alignKeys: Seq[String],
+      valueCol: String): DataFrame = {
+    val tagged = sources.map { case (name, df) =>
+      df.select(alignKeys.map(col) :+ lit(name).as("_src") :+
+        col(valueCol).as("_v"): _*)
+    }.reduce(_ unionByName _)
+    val aggs = sources.map { case (name, _) =>
+      max(when(col("_src") === name, col("_v"))).as(s"${name}_v")
+    }
+    tagged.groupBy(alignKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Upsert semantics (parInsertSql.c dedup, sql.y:3250 composite PK):
+    * last-writer-wins per `keys`, ordered by `seqCol` (ingest order).
+    * Dedup-on-read form; at scale the same expression runs in the
+    * compaction job instead of every query (SURVEY §7.4 risk 5). */
+  def upsertLatest(df: DataFrame, keys: Seq[String],
+      seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    df.withColumn("_upsert_rn", row_number().over(w))
+      .filter(col("_upsert_rn") === 1).drop("_upsert_rn")
+  }
+
+  /** DELETE FROM tbl WHERE cond (dataDeleter.c): read-filter-overwrite
+    * of a parquet directory via a staging path + atomic-ish rename. At
+    * 100 TB the same rewrite is partition-pruned to the partitions the
+    * predicate touches; this single-directory form is the local
+    * building block. */
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".__delete_staging")
+    val before = spark.read.parquet(dir)
+    val kept = before.filter(!coalesce(cond, lit(false)))
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    val deleted =
+      before.count() - spark.read.parquet(tmp.toString).count()
+    fs.delete(src, true)
+    fs.rename(tmp, src)
+    deleted
+  }
+
+  /** information_schema.ins_columns (systable.h:26-112): column catalog
+    * of every known table, from parquet footers only (no data scan). */
+  def insColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = graft.Tables.all.flatMap { t =>
+      val schema = graft.Tables(spark, sfDir, t).schema
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        (t, f.name, i + 1, f.dataType.simpleString, f.nullable)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "col_name", "ordinal", "col_type", "nullable")
+  }
+
+  /** information_schema.ins_tables: table names + row counts (parquet
+    * footer metadata — Spark serves count(*) without reading data). */
+  def insTables(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = graft.Tables.all.map { t =>
+      (t, graft.Tables(spark, sfDir, t).count())
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "n_rows")
+  }
+}
