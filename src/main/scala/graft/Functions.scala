@@ -388,6 +388,21 @@ object Functions {
           col("n"), col("sum_price"))
         .orderBy(col("status"), col("prio"))
     },
+    // ---- ST_* geometry predicates (builtins.c:5483-5672, GEOS-free) --
+    "scalar_geometry" -> { (s, dir) =>
+      import graft.functions.Geometry._
+      val poly = lit("POLYGON ((2 3, 12 3, 12 13, 2 13, 2 3))")
+      Tables(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .withColumn("x", (col("c_custkey") % 25).cast("double"))
+        .withColumn("y", ((col("c_custkey") * 7) % 25).cast("double"))
+        .withColumn("pt", st_makepoint(col("x"), col("y")))
+        .select(col("c_custkey"), col("pt"),
+          st_contains(poly, col("pt")).as("in_poly"),
+          st_covers(poly, col("pt")).as("cov_poly"),
+          st_touches(col("pt"), poly).as("on_edge"),
+          st_equals(col("pt"), lit("POINT (5 7)")).as("is_57"))
+        .orderBy(col("c_custkey"))
+    },
     // ---- histogram with log2 bins (builtins.c:4032 log_bin mode) ----
     "sf_histogram_log" -> { (s, dir) =>
       ev(s, dir).filter(col("value") > 0)
@@ -640,6 +655,19 @@ object Functions {
              AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY status, prio""",
+    "scalar_geometry" ->
+      """WITH t AS (SELECT c_custkey, c_custkey % 25 AS x,
+             (c_custkey * 7) % 25 AS y
+           FROM customer WHERE c_custkey <= 500)
+         SELECT c_custkey,
+           'POINT (' || CAST(x AS BIGINT) || ' ' || CAST(y AS BIGINT) || ')'
+             AS pt,
+           x > 2 AND x < 12 AND y > 3 AND y < 13 AS in_poly,
+           x >= 2 AND x <= 12 AND y >= 3 AND y <= 13 AS cov_poly,
+           (((x = 2 OR x = 12) AND y >= 3 AND y <= 13) OR
+            ((y = 3 OR y = 13) AND x >= 2 AND x <= 12)) AS on_edge,
+           x = 5 AND y = 7 AS is_57
+         FROM t ORDER BY c_custkey""",
     "sf_histogram_log" ->
       """SELECT CAST(floor(ln(value) / ln(2)) AS BIGINT) AS bin,
            count(*) AS n
