@@ -1,0 +1,311 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{FillOps, TimeOps}
+
+/** TDengine-dialect SQL front end (SURVEY §7.1 module 9): parses the
+  * dialect's signature clauses — PARTITION BY, INTERVAL(d[,o])
+  * SLIDING(s), SESSION(ts,gap), STATE_WINDOW(col), COUNT_WINDOW(n),
+  * EVENT_WINDOW START WITH … END WITH …, FILL(mode[,v]), SLIMIT — and
+  * lowers them onto the DataFrame operator layer (TimeOps / FillOps),
+  * delegating every scalar/aggregate expression leaf to Spark SQL's
+  * own parser via `expr()`. TDengine-only functions are rewritten to
+  * their Spark lowerings first (first/last → min_by/max_by on the ts
+  * key; sum/avg → exact-decimal forms so results are deterministic).
+  *
+  * Scope notes: one table per query (joins go through the DataFrame
+  * API); FILL needs a literal `ts >= a AND ts < b` range in WHERE (the
+  * reference likewise only fills inside the query range) and exactly
+  * one filled value column; HAVING/ORDER BY reference output aliases.
+  */
+object GraftSql {
+
+  // ---------------------------------------------------------------- durations
+  private val unitUs = Map("u" -> 1L, "a" -> 1000L, "s" -> 1000000L,
+    "m" -> 60000000L, "h" -> 3600000000L, "d" -> 86400000000L,
+    "w" -> 604800000000L)
+
+  /** "10m" → microseconds. Bare integers are already µs. */
+  def durUs(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val m = "^(\\d+)([uasmhdw]?)$".r
+    t match {
+      case m(n, "") => n.toLong
+      case m(n, u) => n.toLong * unitUs(u)
+      case _ => throw new IllegalArgumentException(s"bad duration: $s")
+    }
+  }
+
+  // ------------------------------------------------------------ clause split
+
+  /** Positions of top-level (depth-0, unquoted) occurrences of `kw`. */
+  private def topLevelIndex(upper: String, kw: String): Option[Int] = {
+    var depth = 0; var i = 0; var inStr = false
+    while (i < upper.length) {
+      val c = upper(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(kw, i) &&
+              (i == 0 || !upper(i - 1).isLetterOrDigit && upper(i - 1) != '_') &&
+              (i + kw.length == upper.length ||
+                !upper(i + kw.length).isLetterOrDigit &&
+                upper(i + kw.length) != '_'))
+            return Some(i)
+      }
+      i += 1
+    }
+    None
+  }
+
+  private val clauseKws = Seq("SELECT", "FROM", "WHERE", "PARTITION BY",
+    "INTERVAL", "SLIDING", "SESSION", "STATE_WINDOW", "COUNT_WINDOW",
+    "EVENT_WINDOW", "FILL", "GROUP BY", "HAVING", "ORDER BY", "SLIMIT",
+    "LIMIT", "OFFSET")
+
+  /** sql → map(keyword → clause text after the keyword). */
+  private def clauses(sql: String): Map[String, String] = {
+    val norm = sql.replaceAll("\\s+", " ").trim
+    val upper = norm.toUpperCase
+    val found = clauseKws.flatMap(k =>
+      topLevelIndex(upper, k).map(i => (k, i))).sortBy(_._2)
+    found.zipWithIndex.map { case ((k, i), idx) =>
+      val end = if (idx + 1 < found.length) found(idx + 1)._2 else norm.length
+      k -> norm.substring(i + k.length, end).trim
+    }.toMap
+  }
+
+  /** Split on top-level commas. */
+  private def splitArgs(s: String): Seq[String] = {
+    var depth = 0; var inStr = false; val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    s.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  private def stripOuterParens(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1)
+    else t
+  }
+
+  // -------------------------------------------------- function rewrites
+
+  /** Rewrite one TDengine call `name(args)` everywhere in `e` via
+    * `build(args)` — with real paren matching, not regex. */
+  private def rewriteCall(e: String, name: String,
+      build: String => String): String = {
+    val lower = e.toLowerCase
+    val at = lower.indexOf(name.toLowerCase + "(")
+    if (at < 0 ||
+        (at > 0 && (lower(at - 1).isLetterOrDigit || lower(at - 1) == '_')))
+      return if (at < 0) e
+        else e.substring(0, at + 1) +
+          rewriteCall(e.substring(at + 1), name, build)
+    var depth = 0; var i = at + name.length
+    var end = -1
+    while (end < 0 && i < e.length) {
+      e(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    val args = e.substring(at + name.length + 1, end)
+    e.substring(0, at) + build(args) +
+      rewriteCall(e.substring(end + 1), name, build)
+  }
+
+  /** TDengine function surface → Spark SQL, deterministic forms. */
+  def rewriteFuncs(e: String, tsCol: String): String = {
+    var r = e
+    r = rewriteCall(r, "first", a => s"min_by($a, $tsCol)")
+    r = rewriteCall(r, "last_row", a => s"max_by($a, $tsCol)")
+    r = rewriteCall(r, "last", a => s"max_by($a, $tsCol)")
+    r = rewriteCall(r, "spread", a => s"(max($a) - min($a))")
+    r = rewriteCall(r, "sum", a =>
+      s"CAST(sum(CAST(($a) AS DECIMAL(18,2))) AS DOUBLE)")
+    r = rewriteCall(r, "avg", a =>
+      s"(CAST(sum(CAST(($a) AS DECIMAL(18,2))) AS DOUBLE) / count($a))")
+    r
+  }
+
+  // ------------------------------------------------------------------ main
+
+  /** Parse and lower a TDengine-dialect query. `resolve` maps a table
+    * name to its DataFrame; `tsCol` is the timestamp primary key. */
+  def query(spark: SparkSession, resolve: String => DataFrame,
+      sql: String, tsCol: String = "ts"): DataFrame = {
+    val c = clauses(sql)
+    require(c.contains("SELECT") && c.contains("FROM"), "need SELECT/FROM")
+    val table = c("FROM").split(" ")(0)
+    var df = resolve(table)
+    c.get("WHERE").foreach(w => df = df.filter(expr(w)))
+
+    val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
+    val selectItems = splitArgs(c("SELECT")).map { item =>
+      val m = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+      item match {
+        case m(e, a) => (e.trim, a)
+        case e => (e.trim, e.trim)
+      }
+    }
+
+    // ---- windowing ----
+    var groupKeys: Seq[String] = partCols
+    var postAgg: DataFrame => DataFrame = identity
+    var pseudo: Map[String, String] = Map.empty // textual rewrites
+    var intervalSpec: Option[(Long, Long)] = None // (intervalUs, offsetUs)
+
+    if (c.contains("INTERVAL")) {
+      val args = splitArgs(stripOuterParens(c("INTERVAL"))).map(durUs)
+      val iv = args.head
+      val off = if (args.length > 1) args(1) else 0L
+      val slide = c.get("SLIDING")
+        .map(s => durUs(stripOuterParens(s))).getOrElse(iv)
+      df = TimeOps.assignIntervals(df, col(tsCol), iv, slide, off)
+      groupKeys = partCols :+ "_wstart"
+      intervalSpec = Some((iv, off))
+      pseudo = Map("_wduration" -> iv.toString,
+        "_wend" -> s"(_wstart + $iv)")
+    } else if (c.contains("SESSION")) {
+      val args = splitArgs(stripOuterParens(c("SESSION")))
+      df = TimeOps.sessionize(df, col(args(0)), durUs(args(1)),
+        partCols.map(col))
+      groupKeys = partCols :+ "_session"
+      pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
+    } else if (c.contains("STATE_WINDOW")) {
+      df = TimeOps.stateWindows(df,
+        expr(stripOuterParens(c("STATE_WINDOW"))), col(tsCol),
+        partCols.map(col))
+      groupKeys = partCols :+ "_wid"
+      pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
+    } else if (c.contains("COUNT_WINDOW")) {
+      val n = stripOuterParens(c("COUNT_WINDOW")).trim.toInt
+      df = TimeOps.countWindows(df, n, col(tsCol), partCols.map(col))
+      groupKeys = partCols :+ "_wid"
+      pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
+    } else if (c.contains("EVENT_WINDOW")) {
+      val body = c("EVENT_WINDOW")
+      val m = "(?i)^START WITH (.*) END WITH (.*)$".r
+      body match {
+        case m(s0, e0) =>
+          df = TimeOps.eventWindows(df, expr(s0), expr(e0), col(tsCol),
+            partCols)
+          groupKeys = partCols :+ "_wstart"
+          pseudo = Map("_wend" -> s"max($tsCol)")
+        case _ => throw new IllegalArgumentException(
+          "EVENT_WINDOW needs START WITH … END WITH …")
+      }
+    } else if (c.contains("GROUP BY")) {
+      groupKeys = partCols ++ splitArgs(c("GROUP BY"))
+    }
+
+    // ---- aggregation ----
+    val isAgg = groupKeys.nonEmpty
+    val out: DataFrame =
+      if (!isAgg) {
+        val cols = selectItems.map { case (e, a) =>
+          expr(rewriteFuncs(e, tsCol)).as(a) }
+        df.select(cols: _*)
+      } else {
+        def rewritten(e: String): String = {
+          var r = e
+          pseudo.foreach { case (k, v) =>
+            r = r.replaceAll(s"(?i)(?<![A-Za-z0-9_])${k}(?![A-Za-z0-9_])",
+              v.replace("$", "\\$"))
+          }
+          rewriteFuncs(r, tsCol)
+        }
+        val keyItems = selectItems.filter { case (e, _) =>
+          groupKeys.contains(e) }
+        val aggItems = selectItems.filterNot { case (e, _) =>
+          groupKeys.contains(e) }
+        require(aggItems.nonEmpty,
+          "grouped query needs at least one aggregate select item")
+        val aggCols = aggItems.map { case (e, a) =>
+          expr(rewritten(e)).as(a) }
+        var g = df.groupBy(groupKeys.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+        // expose key aliases, then project to the select list (drops
+        // internal group ids like _session/_wid)
+        keyItems.foreach { case (e, a) =>
+          if (e != a) g = g.withColumnRenamed(e, a) }
+        g.select(selectItems.map { case (_, a) => col(a) }: _*)
+      }
+
+    var res = out
+    c.get("HAVING").foreach(h => res = res.filter(expr(h)))
+
+    // ---- FILL over an interval grid ----
+    (c.get("FILL"), intervalSpec) match {
+      case (Some(f), Some((iv, _))) =>
+        val args = splitArgs(stripOuterParens(f))
+        val mode = args.head.toUpperCase match {
+          case "NONE" => FillOps.FillNone
+          case "NULL" | "NULL_F" => FillOps.FillNull
+          case "VALUE" | "VALUE_F" => FillOps.FillValue(args(1).toDouble)
+          case "PREV" => FillOps.FillPrev
+          case "NEXT" => FillOps.FillNext
+          case "NEAR" => FillOps.FillNear
+          case "LINEAR" => FillOps.FillLinear
+          case other => throw new IllegalArgumentException(s"FILL $other")
+        }
+        val range = "(?i).*\\bts\\s*>=\\s*(\\d+)\\s*AND\\s*ts\\s*<\\s*(\\d+).*".r
+        val (t0, t1) = c.get("WHERE") match {
+          case Some(range(a, b)) => (a.toLong, b.toLong)
+          case _ => throw new IllegalArgumentException(
+            "FILL needs a literal `ts >= a AND ts < b` WHERE range")
+        }
+        val valueCols = res.columns
+          .filterNot(groupKeys.contains).filterNot(_ == "_isfilled")
+        require(valueCols.length == 1,
+          s"FILL supports exactly one value column, got ${valueCols.toSeq}")
+        res = FillOps.fillInterval(res, "_wstart", valueCols.head,
+          groupKeys.filterNot(_ == "_wstart"), iv, t0, t1 - 1, mode)
+      case (Some(_), None) =>
+        throw new IllegalArgumentException("FILL requires INTERVAL")
+      case _ =>
+    }
+
+    c.get("ORDER BY").foreach { o =>
+      val parts = splitArgs(o).map { s =>
+        val d = "(?i)^(.*?)\\s+DESC$".r
+        s match { case d(e) => expr(e).desc; case e => expr(e).asc }
+      }
+      res = res.orderBy(parts: _*)
+    }
+    c.get("SLIMIT").foreach { n =>
+      require(partCols.nonEmpty, "SLIMIT needs PARTITION BY")
+      val ord: Seq[Column] = {
+        val o = groupKeys.filterNot(partCols.contains).map(col)
+        if (o.nonEmpty) o else Seq(lit(1))
+      }
+      val w = Window.partitionBy(partCols.map(col): _*).orderBy(ord: _*)
+      res = res.withColumn("_srn", row_number().over(w))
+        .filter(col("_srn") <= n.trim.toInt).drop("_srn")
+    }
+    c.get("LIMIT").foreach { n =>
+      c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
+      res = res.limit(n.trim.toInt)
+    }
+    res
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.GraftSql
+
+class GraftSqlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def resolve(name: String): DataFrame = Tables(spark, sf, name)
+  private def q(sql: String): DataFrame =
+    GraftSql.query(spark, resolve, sql)
+
+  private def sameResult(a: DataFrame, b: DataFrame): Unit = {
+    val ca = a.collect().map(_.toSeq).toSeq
+    val cb = b.collect().map(_.toSeq).toSeq
+    assert(ca == cb, s"dialect result differs: ${ca.take(3)} vs ${cb.take(3)}")
+  }
+
+  test("durations parse with TDengine units") {
+    assert(GraftSql.durUs("90s") == 90000000L)
+    assert(GraftSql.durUs("10m") == 600000000L)
+    assert(GraftSql.durUs("1h") == 3600000000L)
+    assert(GraftSql.durUs("250a") == 250000L)
+    assert(GraftSql.durUs("42") == 42L)
+  }
+
+  test("INTERVAL(1h) tumbling matches the direct lowering") {
+    val dialect = q("""SELECT _wstart, count(*) AS n, sum(value) AS s
+      FROM events INTERVAL(1h) ORDER BY _wstart""")
+    val direct = graft.ops.TimeOps
+      .assignIntervals(resolve("events"), col("ts"), 3600000000L)
+      .groupBy(col("_wstart"))
+      .agg(count(lit(1)).as("n"), Lowering.dsum(col("value")).as("s"))
+      .orderBy(col("_wstart"))
+    sameResult(dialect, direct)
+  }
+
+  test("PARTITION BY + INTERVAL + SLIDING matches, incl. _wend pseudo") {
+    val dialect = q("""SELECT user_id, _wstart, _wend, avg(value) AS a
+      FROM events PARTITION BY user_id INTERVAL(10m) SLIDING(5m)
+      ORDER BY user_id, _wstart""")
+    val direct = graft.ops.TimeOps
+      .assignIntervals(resolve("events"), col("ts"), 600000000L, 300000000L)
+      .groupBy(col("user_id"), col("_wstart"))
+      .agg((Lowering.dsum(col("value")) / count(col("value"))).as("a"))
+      .withColumn("_wend", col("_wstart") + 600000000L)
+      .select("user_id", "_wstart", "_wend", "a")
+      .orderBy("user_id", "_wstart")
+    sameResult(dialect, direct)
+  }
+
+  test("WHERE + SESSION window with first/last rewrites") {
+    val dialect = q("""SELECT user_id, _wstart AS ws, _wend AS we,
+        first(value) AS fv, last(value) AS lv
+      FROM events WHERE event_type = 'click'
+      PARTITION BY user_id SESSION(ts, 30m) ORDER BY user_id, ws""")
+    val base = resolve("events").filter(col("event_type") === "click")
+    val direct = graft.ops.TimeOps
+      .sessionize(base, col("ts"), 1800000000L, Seq(col("user_id")))
+      .groupBy(col("user_id"), col("_session"))
+      .agg(min(col("ts")).as("ws"), max(col("ts")).as("we"),
+        min_by(col("value"), col("ts")).as("fv"),
+        max_by(col("value"), col("ts")).as("lv"))
+      .drop("_session")
+      .orderBy("user_id", "ws")
+    sameResult(dialect, direct.select("user_id", "ws", "we", "fv", "lv"))
+  }
+
+  test("STATE_WINDOW and COUNT_WINDOW lower to the window ops") {
+    val st = q("""SELECT user_id, count(*) AS n FROM events
+      PARTITION BY user_id STATE_WINDOW(event_type)
+      ORDER BY user_id, n DESC LIMIT 5""")
+    assert(st.collect().length == 5)
+    val cw = q("""SELECT user_id, _wstart AS ws, count(*) AS n FROM events
+      PARTITION BY user_id COUNT_WINDOW(50) ORDER BY user_id, ws""")
+    // every full window has exactly 50 rows
+    val sizes = cw.groupBy("n").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keys.max == 50)
+  }
+
+  test("FILL(PREV) inside a literal ts range matches FillOps") {
+    val t0 = 1704067200000000L
+    val t1 = t0 + 5L * 86400000000L
+    val dialect = q(s"""SELECT user_id, _wstart, sum(value) AS v
+      FROM events WHERE ts >= $t0 AND ts < $t1
+      PARTITION BY user_id INTERVAL(1d) FILL(PREV)
+      ORDER BY user_id, _wstart""")
+    val agg = graft.ops.TimeOps
+      .assignIntervals(
+        resolve("events").filter(col("ts") >= t0 && col("ts") < t1),
+        col("ts"), 86400000000L)
+      .groupBy(col("user_id"), col("_wstart"))
+      .agg(Lowering.dsum(col("value")).as("v"))
+    val direct = graft.ops.FillOps.fillInterval(agg, "_wstart", "v",
+        Seq("user_id"), 86400000000L, t0, t1 - 1, graft.ops.FillOps.FillPrev)
+      .select("user_id", "_wstart", "v", "_isfilled")
+      .orderBy("user_id", "_wstart")
+    sameResult(dialect, direct)
+  }
+
+  test("plain GROUP BY + HAVING + SLIMIT path") {
+    val dialect = q("""SELECT user_id, event_type, count(*) AS n
+      FROM events PARTITION BY user_id GROUP BY event_type
+      HAVING n > 1 ORDER BY user_id, event_type SLIMIT 2""")
+    val rows = dialect.collect()
+    // at most 2 event types survive per user
+    val perUser = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perUser.values.forall(_ <= 2))
+    assert(rows.forall(_.getLong(2) > 1))
+  }
+}
