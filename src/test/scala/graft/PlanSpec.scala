@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the 100 TB design goals (SURVEY §4 /
+  * build-brief "optimize for scale"): filters and projections must
+  * reach the parquet scan, small dimensions must broadcast, aggregates
+  * must have a map-side partial phase, and the custom time-series
+  * lowerings must not introduce extra shuffles. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(SimpleMode)
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("filters and column pruning reach the parquet scan") {
+    val p = plan("scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      "filter not pushed to parquet")
+    assert(!p.contains("l_comment"), "unused column not pruned from scan")
+  }
+
+  test("dimension joins broadcast instead of shuffling") {
+    val p = plan("join_inner")
+    assert(countOf(p, "BroadcastHashJoin") >= 2,
+      s"expected broadcast joins for customer/nation dims:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("aggregations run partial (map-side) before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    assert(countOf(p, "Exchange") == 2, // agg hash + final orderBy range
+      s"unexpected shuffle count in q1_agg:\n$p")
+  }
+
+  test("interval window aggregation is a single data shuffle") {
+    val p = plan("interval_partitioned")
+    assert(countOf(p, "Exchange") == 2, // groupBy hash + final sort range
+      s"interval window should shuffle once plus the output sort:\n$p")
+    assert(p.contains("partial_count"), "window agg lost its partial phase")
+  }
+
+  test("asof join lowers to one union + one hash shuffle (no range join)") {
+    val p = plan("asof_join_ge")
+    assert(p.contains("Union"), "asof join should use the union lowering")
+    assert(countOf(p, "Exchange") == 2, // window hash + final sort range
+      s"asof join should cost exactly one data shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "asof join must not explode into a product join")
+  }
+
+  test("events scan prunes to the referenced columns only") {
+    val p = plan("interval_partitioned")
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>"),
+      s"events scan reads more than (ts,user_id,value):\n$p")
+  }
+}
