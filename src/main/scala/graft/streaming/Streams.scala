@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -149,6 +149,55 @@ object Streams {
         .collect()
         .map(r => WindowBounds(r.getLong(0), r.getLong(1), r.getLong(2)))
       bindCalc(bounds.toSeq, calc).foreach(sink)
+  }
+
+  // ---------------------------------------------------------------------
+  // FILL_HISTORY / recalculation / NOTIFY (sql.y:1715-1776,
+  // RECALCULATE STREAM sql.y:1628)
+  // ---------------------------------------------------------------------
+
+  /** FILL_HISTORY: one-off batch backfill of the calc over everything
+    * already ingested, written to the output table; returns the max
+    * event ts (µs) processed — the offset the live stream starts from
+    * (rows with ts beyond it belong to the stream). */
+  def fillHistory(src: DataFrame, tsUs: Column,
+      calc: DataFrame => DataFrame, sink: DataFrame => Unit): Option[Long] = {
+    val maxTs = src.agg(max(tsUs.cast("long"))).head.get(0)
+    if (maxTs == null) None
+    else {
+      sink(calc(src))
+      Some(maxTs.asInstanceOf[Long])
+    }
+  }
+
+  /** DELETE_RECALC / RECALCULATE STREAM [t0, t1): re-runs the batch
+    * calc over the affected range and swaps those output rows —
+    * existing output outside the range is preserved. `outTsUs` names
+    * the output's window-start column. */
+  def recalcRange(spark: SparkSession, outPath: String, outTsUs: String,
+      t0Us: Long, t1Us: Long, calc: (Long, Long) => DataFrame): Unit = {
+    val existing =
+      try spark.read.parquet(outPath)
+      catch { case _: Exception => null }
+    val fresh = calc(t0Us, t1Us)
+    val merged =
+      if (existing == null) fresh
+      else existing
+        .filter(col(outTsUs) < t0Us || col(outTsUs) >= t1Us)
+        .unionByName(fresh)
+    merged.write.mode("overwrite").parquet(outPath + "_next")
+    spark.read.parquet(outPath + "_next")
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** NOTIFY(url …): webhook dispatch per fired window. The transport is
+    * injectable (this container has no egress); production wires an
+    * HTTP POST. Returns the foreachBatch hook. */
+  def notifyHook(send: WindowBounds => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      batch.select(col("_twstart").cast("long"), col("_twend").cast("long"))
+        .collect()
+        .foreach(r => send(WindowBounds(r.getLong(0), r.getLong(1), 0L)))
   }
 }
 

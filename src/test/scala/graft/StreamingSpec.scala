@@ -125,4 +125,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(j.getAs[Double]("value") == 7.5)
     assert(j.getAs[Long]("ts_us") == 1626006833000000L)
   }
+
+  test("fill_history backfills and returns the stream start offset") {
+    import spark.implicits._
+    val src = Seq((10L, 1.0), (20L, 2.0), (35L, 3.0)).toDF("ts", "value")
+    var sunk: Long = -1
+    val offset = Streams.fillHistory(src, col("ts"),
+      df => df.groupBy((col("ts") / 10).cast("long").as("b"))
+        .agg(count(lit(1)).as("n")),
+      out => sunk = out.count())
+    assert(offset.contains(35L)) // live stream resumes after the max ts
+    assert(sunk == 3)            // three buckets backfilled
+    assert(Streams.fillHistory(src.limit(0), col("ts"), identity,
+      _ => fail("sink must not run on empty history")).isEmpty)
+  }
+
+  test("recalc swaps only the affected output range") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_recalc")
+      .toFile.getAbsolutePath + "/out"
+    // initial output: one row per ws 0,10,20,30 with v=1
+    Seq(0L, 10L, 20L, 30L).map((_, 1L)).toDF("ws", "v")
+      .write.mode("overwrite").parquet(dir)
+    // recalc [10, 30): those windows become v=9
+    Streams.recalcRange(spark, dir, "ws", 10L, 30L,
+      (t0, t1) => Seq(t0, 20L).map((_, 9L)).toDF("ws", "v"))
+    val out = spark.read.parquet(dir).orderBy("ws").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq == Seq(0L -> 1L, 10L -> 9L, 20L -> 9L, 30L -> 1L))
+  }
 }
