@@ -156,10 +156,12 @@ object DedupOps {
     transform(vec, x =>
       (x.cast("double").cast(DecimalType(12, 6)) * lit(1000000)).cast(LongType))
 
-  /** Exact dot product of two micro-vectors, rescaled to double. */
+  /** Exact dot product of two micro-vectors, rescaled to double. The
+    * kernel is a native codegen'd Catalyst expression — the interpreted
+    * `aggregate(zip_with(...))` higher-order form costs ~10× more in
+    * the brute-force scoring loop. */
   def microDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      .cast("double") / lit(1e12)
+    graft.functions.NativeExpressions.longDot(a, b).cast("double") / lit(1e12)
 
   /** Cosine-similarity pairs >= `threshold` among ids < `maxId`: the
     * pairwise-exact form (broadcast nested-loop over quantized vectors;

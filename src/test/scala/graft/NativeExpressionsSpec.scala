@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{LongDotProduct, NativeExpressions}
+
+class NativeExpressionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("longDot computes the exact integer dot product under codegen") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),          // 4+10+18 = 32
+      (Seq(1000000L, -2L), Seq(1000000L, 7L)),     // 1e12 - 14
+      (Seq.empty[Long], Seq.empty[Long]))          // 0
+      .toDF("a", "b")
+    val out = df.select(NativeExpressions.longDot(col("a"), col("b"))
+      .as("d")).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(32L, 1000000000000L - 14L, 0L))
+  }
+
+  test("longDot is null-safe and truncates to the shorter array") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1L, 2L)), None: Option[Seq[Long]]),
+      (Some(Seq(1L, 2L, 99L)), Some(Seq(3L, 4L)))) // 3+8, 99 ignored
+      .toDF("a", "b")
+    val out = df.select(NativeExpressions.longDot(col("a"), col("b"))
+      .as("d")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getLong(0) == 11L)
+  }
+
+  test("interpreted eval matches codegen eval") {
+    val e = LongDotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 3L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(10L, 20L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) == 80L)
+  }
+
+  test("microDot rescaling matches the documented 1e-12 fixed point") {
+    import spark.implicits._
+    val df = Seq((Seq(1500000L), Seq(2000000L))).toDF("a", "b") // 1.5 * 2.0
+    val d = df.select(graft.ops.DedupOps.microDot(col("a"), col("b"))
+      .as("d")).head.getDouble(0)
+    assert(d == 3.0)
+  }
+}
