@@ -309,6 +309,39 @@ object Functions {
           substring_index(col("c_name"), "#", 1).as("sub_idx"))
         .orderBy(col("c_custkey"))
     },
+    // ---- string family 2: chr/find_in_set/regexp/sha2/pads ----
+    "scalar_string2" -> { (s, dir) =>
+      Tables(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          chr(lit(65) + col("c_custkey") % 26).as("chr_c"),
+          find_in_set(col("c_mktsegment"),
+            lit("BUILDING,AUTOMOBILE,MACHINERY")).as("seg_pos"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          sha2(col("c_mktsegment").cast("binary"), 256).as("sha_seg"),
+          lpad(col("c_mktsegment"), 12, ".").as("lpad_seg"),
+          rpad(col("c_mktsegment"), 12, ".").as("rpad_seg"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          translate(col("c_name"), "#0", "_O").as("trans_name"),
+          expr("left(c_name, 6)").as("left6"),
+          expr("right(c_name, 4)").as("right4"))
+        .orderBy(col("c_custkey"))
+    },
+    // ---- math family 2: trig/degrees/cbrt (round(6) absorbs libm ulps) --
+    "scalar_math2" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sin(col("l_discount")), 6).as("sin_d"),
+          round(cos(col("l_discount")), 6).as("cos_d"),
+          round(tan(col("l_discount")), 6).as("tan_d"),
+          round(atan(col("l_tax")), 6).as("atan_t"),
+          round(asin(col("l_discount")), 6).as("asin_d"),
+          round(acos(col("l_discount")), 6).as("acos_d"),
+          round(degrees(col("l_discount")), 6).as("deg_d"),
+          round(radians(col("l_quantity")), 6).as("rad_q"),
+          round(cbrt(col("l_quantity")), 6).as("cbrt_q"),
+          round(lit(Math.PI), 6).as("pi_c"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
     // ---- datetime scalar family incl. arbitrary-duration timetruncate ----
     "scalar_datetime" -> { (s, dir) =>
       val e = ev(s, dir).filter(col("event_id") < 2000)
@@ -618,6 +651,35 @@ object Functions {
            strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso8601_s,
            (epoch_us(ts) - $T0) // ${Dur.h} AS timediff_h
          FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "scalar_string2" ->
+      """SELECT c_custkey,
+           chr(CAST(65 + c_custkey % 26 AS INT)) AS chr_c,
+           CAST(coalesce(list_position(
+             string_split('BUILDING,AUTOMOBILE,MACHINERY', ','),
+             c_mktsegment), 0) AS INT) AS seg_pos,
+           coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
+           sha256(c_mktsegment) AS sha_seg,
+           lpad(c_mktsegment, 12, '.') AS lpad_seg,
+           rpad(c_mktsegment, 12, '.') AS rpad_seg,
+           reverse(c_mktsegment) AS rev_seg,
+           translate(c_name, '#0', '_O') AS trans_name,
+           left(c_name, 6) AS left6,
+           right(c_name, 4) AS right4
+         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "scalar_math2" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(sin(l_discount), 6) AS sin_d,
+           round(cos(l_discount), 6) AS cos_d,
+           round(tan(l_discount), 6) AS tan_d,
+           round(atan(l_tax), 6) AS atan_t,
+           round(asin(l_discount), 6) AS asin_d,
+           round(acos(l_discount), 6) AS acos_d,
+           round(degrees(l_discount), 6) AS deg_d,
+           round(radians(l_quantity), 6) AS rad_q,
+           round(cbrt(l_quantity), 6) AS cbrt_q,
+           round(pi(), 6) AS pi_c
+         FROM lineitem WHERE l_orderkey <= 2000
+         ORDER BY l_orderkey, l_linenumber""",
     "scalar_json" ->
       """SELECT c_custkey,
            '{"name":"' || c_name || '","seg":"' || c_mktsegment ||
