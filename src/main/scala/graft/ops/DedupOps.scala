@@ -78,26 +78,29 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signatures as (_id, _sig) rows from the exploded shingle
-    * index: `numHashes` seeded xxhash64 minima, folded map-side in the
-    * partial hash aggregate so the shuffle carries one row per document.
-    * All codegen'd — no higher-order functions in the hot path. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame =
-    sh.groupBy("_id").agg(
-      array((0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("_g")))): _*).as("_sig"))
+  /** MinHash signatures as a map-side native expression (see
+    * [[graft.functions.MinHashSignature]]): one pass over the word
+    * array per document, zero shuffles, null when the document has
+    * fewer than k words. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32): DataFrame =
+    docs.select(col(idCol).as("_id"),
+      graft.functions.NativeExpressions
+        .minhashSig(TextOps.words(col(textCol)), k, numHashes).as("_sig"))
 
   /** LSH candidate pairs from (_id, _sig) rows: hash each band slice
     * map-side, then one groupBy on (band, bandHash) expands each bucket's
-    * sorted id list into pairs. */
+    * sorted id list into pairs. Null signatures drop out before the
+    * explode. */
   def lshCandidates(sigs: DataFrame, numHashes: Int = 32,
       bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     val banded = sigs.select(col("_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("_band"),
-            hash(b, slice(col("_sig"), b * rows + 1, lit(rows))).as("_bh"))))
-          .as("_bb"))
+        explode(when(col("_sig").isNotNull,
+          transform(sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.as("_band"),
+              hash(b, slice(col("_sig"), b * rows + 1, lit(rows)))
+                .as("_bh"))))).as("_bb"))
       .select(col("_id"), col("_bb._band").as("_band"), col("_bb._bh").as("_bh"))
     banded.groupBy("_band", "_bh")
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
@@ -128,12 +131,11 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.9, numHashes: Int = 32,
       bands: Int = 16): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, k)
-    val sh = sets.select(col("_id"), explode(col("_set")).as("_g"))
     // persist the (tiny) candidate set: it feeds both the id-prune branch
     // and the verify join, and without materialization each branch would
     // recompute the whole signature pipeline
-    val cands = lshCandidates(minhashSignatures(sh, numHashes), numHashes,
+    val cands = lshCandidates(
+      minhashSignatures(docs, idCol, textCol, k, numHashes), numHashes,
       bands).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // re-shingle only the docs named by some candidate pair: filter the
     // raw docs by id first (broadcast the tiny id set), then shingle
