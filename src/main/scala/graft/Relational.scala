@@ -190,6 +190,69 @@ object Relational {
             .as("running_qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
+    // ---- full OVER frame surface (§2.6): dense/percent rank, cume,
+    //      nth_value, fill_forward, duration RANGE frame ----
+    "window_frames" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").filter(col("user_id") < 5)
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val wVal = Window.partitionBy(col("user_id")).orderBy(col("value"))
+      val wRange = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-3600000000L, 0L)
+      val gapped = e.withColumn("v_n",
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      gapped.select(col("user_id"), Lowering.usToMs(col("ts")).as("ts_ms"),
+          dense_rank().over(wVal).as("dr"),
+          round(percent_rank().over(wVal), 6).as("pr"),
+          round(cume_dist().over(wVal), 6).as("cd"),
+          nth_value(col("value"), 2).over(wOrd).as("nth2"),
+          last(col("v_n"), ignoreNulls = true).over(wOrd).as("ff"),
+          sum(Lowering.dec(col("value"))).over(wRange).cast("double")
+            .as("range_sum_1h"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    },
+    // ---- classic shipped-revenue 3-way join (TPC-H Q3 shape) ----
+    "tpch_q3" -> { (s, dir) =>
+      val cutoff = "1995-03-15"
+      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+      Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        .join(Tables(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    // ---- local-supplier volume 6-way join (TPC-H Q5 shape) ----
+    "tpch_q5" -> { (s, dir) =>
+      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
     // ---- SLIMIT: per-partition-group limit (sql.y:3111) ----
     "slimit_per_group" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -305,7 +368,47 @@ object Relational {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders)
-         WHERE rn <= 3 ORDER BY o_custkey, rn""")
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window_frames" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS t, value,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_n
+           FROM events WHERE user_id < 5)
+         SELECT user_id, t // 1000 AS ts_ms,
+           dense_rank() OVER wv AS dr,
+           round(percent_rank() OVER wv, 6) AS pr,
+           round(cume_dist() OVER wv, 6) AS cd,
+           nth_value(value, 2) OVER wo AS nth2,
+           last_value(v_n IGNORE NULLS) OVER wo AS ff,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wr AS DOUBLE)
+             AS range_sum_1h
+         FROM g
+         WINDOW wv AS (PARTITION BY user_id ORDER BY value),
+           wo AS (PARTITION BY user_id ORDER BY t),
+           wr AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_ms""",
+    "tpch_q3" ->
+      """SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND o_orderkey = l_orderkey
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "tpch_q5" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem, orders, customer, supplier, nation, region
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""")
 }
 
 /** Shared lowering helpers: exact-decimal accumulation for hash-stable
