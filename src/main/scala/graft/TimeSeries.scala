@@ -43,6 +43,26 @@ object TimeSeries {
         .select(usToMs(col("_wstart")).as("_wstart_ms"), col("n"))
         .orderBy(col("_wstart_ms"))
     },
+    // ---- INTERVAL(1d, 6h): tumbling with grid offset ----
+    "interval_offset" -> { (s, dir) =>
+      TimeOps.assignIntervals(ev(s, dir), col("ts"), Dur.d, 0L, 6 * Dur.h)
+        .groupBy(col("_wstart"))
+        .agg(count(lit(1)).as("n"))
+        .select(usToMs(col("_wstart")).as("_wstart_ms"), col("n"))
+        .orderBy(col("_wstart_ms"))
+    },
+    // ---- COUNT_WINDOW(50, 25): sliding count windows ----
+    "count_window_sliding" -> { (s, dir) =>
+      TimeOps.slidingCountWindows(ev(s, dir), 50, 25, col("ts"),
+          Seq(col("user_id")))
+        .groupBy(col("user_id"), col("_wid"))
+        .agg(count(lit(1)).as("n"),
+          usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"))
+        .select(col("user_id"), col("_wid"), col("n"), col("_wstart_ms"),
+          col("_wend_ms"))
+        .orderBy(col("user_id"), col("_wid"))
+    },
     // ---- PARTITION BY key + INTERVAL(6h) ----
     "interval_partitioned" -> { (s, dir) =>
       TimeOps.assignIntervals(ev(s, dir), col("ts"), 6 * Dur.h)
@@ -169,6 +189,14 @@ object TimeSeries {
     "interp_linear" -> { (s, dir) =>
       FillOps.interp(ev(s, dir), col("ts"), "value", Seq("user_id"),
           12 * Dur.h, T0, T1, FillOps.FillLinear)
+        .select(col("user_id"), usToMs(col("_irowts")).as("_irowts_ms"),
+          round(col("value"), 6).as("value"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_irowts_ms"))
+    },
+    // ---- INTERP EVERY(12h) RANGE(T0,T1) FILL(PREV) ----
+    "interp_prev" -> { (s, dir) =>
+      FillOps.interp(ev(s, dir), col("ts"), "value", Seq("user_id"),
+          12 * Dur.h, T0, T1, FillOps.FillPrev)
         .select(col("user_id"), usToMs(col("_irowts")).as("_irowts_ms"),
           round(col("value"), 6).as("value"), col("_isfilled"))
         .orderBy(col("user_id"), col("_irowts_ms"))
@@ -339,6 +367,20 @@ object TimeSeries {
                 WHERE ws > epoch_us(ts) - ${10 * Dur.m} AND ws <= epoch_us(ts))
           SELECT ws // 1000 AS _wstart_ms, count(*) AS n
           FROM w GROUP BY ws ORDER BY _wstart_ms""",
+    "interval_offset" ->
+      s"""SELECT (epoch_us(ts) - (epoch_us(ts) - ${6 * Dur.h})
+             % ${Dur.d}) // 1000 AS _wstart_ms, count(*) AS n
+          FROM events GROUP BY 1 ORDER BY _wstart_ms""",
+    "count_window_sliding" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM events),
+        e AS (SELECT user_id, t, unnest(range(
+            CASE WHEN rn <= 50 THEN 0 ELSE (rn - 50 + 24) // 25 END,
+            (rn - 1) // 25 + 1)) AS wid FROM t)
+        SELECT user_id, wid AS _wid, count(*) AS n,
+          min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms
+        FROM e GROUP BY user_id, wid ORDER BY user_id, _wid""",
     "interval_partitioned" ->
       s"""WITH b AS (SELECT user_id,
             epoch_us(ts) - epoch_us(ts) % ${6 * Dur.h} AS ws, value
@@ -464,6 +506,24 @@ object TimeSeries {
              WHEN ws - pv.t <= nv.t - ws THEN pv.v
              ELSE nv.v END""",
       outCol = "v", castOut = "", needPrevNext = true),
+    "interp_prev" ->
+      s"""WITH data AS (SELECT user_id, epoch_us(ts) AS t,
+            CAST(value AS DOUBLE) AS v, false AS g FROM events),
+          grid AS (SELECT u.user_id, gs.t, NULL::DOUBLE AS v, true AS g
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(range($T0, ${T1 + 1}, ${12 * Dur.h}))
+              AS t) gs),
+          unioned AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
+          marked AS (SELECT user_id, t, g,
+            last_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+              IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY t, g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+            FROM unioned)
+          SELECT user_id, t // 1000 AS _irowts_ms,
+            round(prev.v, 6) AS value,
+            NOT (prev IS NOT NULL AND prev.t = t) AS _isfilled
+          FROM marked WHERE g ORDER BY user_id, _irowts_ms""",
     "asof_join_ge" -> asofOracle("<=", extra = ", b.value AS click_value"),
     "asof_join_gt" -> asofOracle("<", extra = ""),
     "asof_join_le" -> asofOracleForward(">="),

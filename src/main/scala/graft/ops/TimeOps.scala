@@ -109,6 +109,23 @@ object TimeOps {
     df.withColumn("_wid", ((rn - pmod(rn, lit(n))) / lit(n)).cast(LongType))
   }
 
+  /** COUNT_WINDOW(n, sliding): window w starts at row w·sliding+1 (per
+    * key, ts order) and spans n rows; each row fans out to the
+    * ceil(n/sliding) windows containing it — constant fan-out, one
+    * sort-shuffle, same shape as the hopping interval lowering. */
+  def slidingCountWindows(df: DataFrame, n: Int, sliding: Int,
+      tsUs: Column, keys: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tsUs)
+    def fdiv(c: Column, d: Int) = ((c - pmod(c, lit(d))) / lit(d)).cast(LongType)
+    val rn = col("_rn")
+    val lo = when(rn <= n, lit(0L))
+      .otherwise(fdiv(rn - n + (sliding - 1), sliding))
+    val hi = fdiv(rn - 1, sliding)
+    df.withColumn("_rn", row_number().over(w).cast(LongType))
+      .withColumn("_wid", explode(sequence(lo, hi)))
+      .drop("_rn")
+  }
+
   // ---------------------------------------------------------------------
   // EVENT_WINDOW START WITH cond END WITH cond  (eventwindowoperator.c:631)
   // ---------------------------------------------------------------------
