@@ -117,6 +117,17 @@ object TimeSeries {
           col("_wend_ms"), col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("_wstart_ms"))
     },
+    // ---- EVENT_WINDOW + TRUE_FOR(1h): only windows lasting >= 1h ----
+    "event_window_truefor" -> { (s, dir) =>
+      TimeOps.eventWindows(ev(s, dir), col("value") > 90, col("value") < 10,
+          col("ts"), Seq("user_id"))
+        .groupBy(col("user_id"), col("_wstart"))
+        .agg(count(lit(1)).as("n"), usToMs(max(col("ts"))).as("_wend_ms"))
+        .filter(col("_wend_ms") - usToMs(col("_wstart")) >= Dur.h / 1000L)
+        .select(col("user_id"), usToMs(col("_wstart")).as("_wstart_ms"),
+          col("_wend_ms"), col("n"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
     // ---- INTERVAL(1d) + FILL(PREV) per user over RANGE(T0,T1) ----
     "fill_prev" -> { (s, dir) =>
       val agg = TimeOps.assignIntervals(ev(s, dir), col("ts"), Dur.d)
@@ -449,6 +460,31 @@ object TimeSeries {
             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           FROM walk WHERE wstart IS NOT NULL
           GROUP BY user_id, wstart ORDER BY user_id, _wstart_ms""",
+    "event_window_truefor" ->
+      s"""WITH RECURSIVE numbered AS (
+            SELECT user_id, epoch_us(ts) AS t,
+              value > 90 AS s, value < 10 AS e,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+            FROM events),
+          walk AS (
+            SELECT user_id, t, rn,
+              CASE WHEN s THEN t END AS wstart,
+              (s AND NOT e) AS open_after
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            SELECT n.user_id, n.t, n.rn,
+              CASE WHEN w.open_after THEN w.wstart
+                   WHEN n.s THEN n.t END AS wstart,
+              CASE WHEN w.open_after THEN NOT n.e
+                   WHEN n.s THEN NOT n.e ELSE false END AS open_after
+            FROM numbered n JOIN walk w
+              ON n.user_id = w.user_id AND n.rn = w.rn + 1)
+          SELECT user_id, wstart // 1000 AS _wstart_ms,
+            max(t) // 1000 AS _wend_ms, count(*) AS n
+          FROM walk WHERE wstart IS NOT NULL
+          GROUP BY user_id, wstart
+          HAVING max(t) // 1000 - wstart // 1000 >= ${Dur.h / 1000}
+          ORDER BY user_id, _wstart_ms""",
     "fill_prev" -> fillOracle(
       valueExpr = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
       fillExpr = "last_value(v IGNORE NULLS) OVER " +
