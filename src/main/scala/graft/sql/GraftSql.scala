@@ -147,6 +147,81 @@ object GraftSql {
     r
   }
 
+  // ---------------------------------------------------------- FROM clause
+
+  /** FROM: a bare table, `a ASOF JOIN b ON a.ts <op> b.ts [AND equi…]
+    * [JLIMIT n]`, or `a WINDOW JOIN b WINDOW_OFFSET(lo, hi) [ON equi…]`.
+    * Right-side payload columns surface as `r_<col>` (JoinOps
+    * convention); plain table names only (subqueries go through the
+    * DataFrame API). */
+  private def fromClause(resolve: String => DataFrame, from: String,
+      tsCol: String): DataFrame = {
+    val up = from.toUpperCase
+    val asofAt = up.indexOf(" ASOF JOIN ")
+    val winAt = up.indexOf(" WINDOW JOIN ")
+    if (asofAt < 0 && winAt < 0) return resolve(from.split(" ")(0))
+
+    def equiKeys(conds: Seq[String]): Seq[String] = conds.map { c =>
+      val m = "(?i)^\\s*\\w+\\.(\\w+)\\s*=\\s*\\w+\\.(\\w+)\\s*$".r
+      c match {
+        case m(k1, k2) if k1 == k2 => k1
+        case other => throw new IllegalArgumentException(
+          s"only same-name equi keys supported in join ON: $other")
+      }
+    }
+
+    if (asofAt >= 0) {
+      val left = resolve(from.substring(0, asofAt).trim.split(" ")(0))
+      val rest = from.substring(asofAt + " ASOF JOIN ".length).trim
+      val onAt = rest.toUpperCase.indexOf(" ON ")
+      require(onAt >= 0, "ASOF JOIN needs ON")
+      val right = resolve(rest.substring(0, onAt).trim.split(" ")(0))
+      var tail = rest.substring(onAt + 4).trim
+      val jlimit = {
+        val m = "(?i)^(.*?)\\s+JLIMIT\\s+(\\d+)$".r
+        tail match {
+          case m(t, n) => tail = t; n.toInt
+          case _ => 1
+        }
+      }
+      val conds = tail.split("(?i)\\s+AND\\s+").toSeq
+      val tsPat = s"(?i)^\\s*\\w+\\.($tsCol)\\s*(>=|>|<=|<|=)\\s*\\w+\\.($tsCol)\\s*$$".r
+      val (tsConds, eqConds) = conds.partition(tsPat.findFirstIn(_).isDefined)
+      require(tsConds.length == 1, s"ASOF JOIN needs one ts condition")
+      val op = tsPat.findFirstMatchIn(tsConds.head).get.group(2)
+      val keys = equiKeys(eqConds)
+      val rightCols = right.columns.toSeq
+        .filterNot(keys.contains)
+      if (jlimit == 1)
+        graft.ops.JoinOps.asofJoin(left, right, keys, tsCol, tsCol, op,
+          rightCols)
+      else
+        graft.ops.JoinOps.asofJoinN(left, right, keys, tsCol, tsCol, op,
+          jlimit, rightCols)
+    } else {
+      val left = resolve(from.substring(0, winAt).trim.split(" ")(0))
+      val rest = from.substring(winAt + " WINDOW JOIN ".length).trim
+      val m = "(?i)^(\\w+)\\s+WINDOW_OFFSET\\s*\\(([^)]*)\\)(?:\\s+ON\\s+(.*))?$".r
+      rest match {
+        case m(rightName, offs, onOrNull) =>
+          val right = resolve(rightName)
+          val bounds = splitArgs(offs).map(s => signedDurUs(s))
+          val keys = Option(onOrNull).toSeq
+            .flatMap(o => equiKeys(o.split("(?i)\\s+AND\\s+").toSeq))
+          val rightCols = right.columns.toSeq.filterNot(keys.contains)
+          graft.ops.JoinOps.windowJoin(left, right, keys, tsCol, tsCol,
+            bounds(0), bounds(1), rightCols)
+        case _ => throw new IllegalArgumentException(
+          s"WINDOW JOIN needs `tbl WINDOW_OFFSET(lo, hi) [ON …]`: $rest")
+      }
+    }
+  }
+
+  private def signedDurUs(s: String): Long = {
+    val t = s.trim
+    if (t.startsWith("-")) -durUs(t.substring(1)) else durUs(t)
+  }
+
   // ------------------------------------------------------------------ main
 
   /** Parse and lower a TDengine-dialect query. `resolve` maps a table
@@ -155,8 +230,7 @@ object GraftSql {
       sql: String, tsCol: String = "ts"): DataFrame = {
     val c = clauses(sql)
     require(c.contains("SELECT") && c.contains("FROM"), "need SELECT/FROM")
-    val table = c("FROM").split(" ")(0)
-    var df = resolve(table)
+    var df = fromClause(resolve, c("FROM"), tsCol)
     c.get("WHERE").foreach(w => df = df.filter(expr(w)))
 
     val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)

@@ -102,6 +102,36 @@ class GraftSqlSpec extends AnyFunSuite {
     sameResult(dialect, direct)
   }
 
+  test("ASOF JOIN clause lowers to the union-trick asof join") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1"), (1L, 200L, "p2")).toDF("k", "ts", "pid")
+    val r = Seq((1L, 90L, "c1"), (1L, 150L, "c2"), (1L, 210L, "c3"))
+      .toDF("k", "ts", "cid")
+    def res(n: String) = n match { case "L" => l; case "R" => r }
+    val dialect = GraftSql.query(spark, res,
+      "SELECT k, ts, pid, r_cid AS cid FROM L ASOF JOIN R " +
+        "ON L.ts >= R.ts AND L.k = R.k ORDER BY ts")
+    val got = dialect.collect().map(x => (x.getLong(1), x.getString(3)))
+    assert(got.toSeq == Seq((100L, "c1"), (200L, "c2")))
+    val withLimit = GraftSql.query(spark, res,
+      "SELECT k, ts, pid, jrank, r_cid AS cid FROM L ASOF JOIN R " +
+        "ON L.ts >= R.ts AND L.k = R.k JLIMIT 2 ORDER BY ts, jrank")
+    assert(withLimit.collect().map(_.getString(4)).toSeq ==
+      Seq("c1", "c2", "c1"))
+  }
+
+  test("WINDOW JOIN clause with WINDOW_OFFSET bounds") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1")).toDF("k", "ts", "pid")
+    val r = Seq((1L, 40L, "early"), (1L, 90L, "in1"), (1L, 120L, "in2"),
+      (1L, 200L, "late")).toDF("k", "ts", "cid")
+    def res(n: String) = n match { case "L" => l; case "R" => r }
+    val out = GraftSql.query(spark, res,
+      "SELECT k, ts, pid, r_cid AS cid FROM L WINDOW JOIN R " +
+        "WINDOW_OFFSET(-50u, 50u) ON L.k = R.k ORDER BY cid")
+    assert(out.collect().map(_.getString(3)).toSeq == Seq("in1", "in2"))
+  }
+
   test("plain GROUP BY + HAVING + SLIMIT path") {
     val dialect = q("""SELECT user_id, event_type, count(*) AS n
       FROM events PARTITION BY user_id GROUP BY event_type
