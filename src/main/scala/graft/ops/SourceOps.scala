@@ -71,6 +71,18 @@ object SourceOps {
     deleted
   }
 
+  /** Bucketed co-located layout (SURVEY §4.3: hash(table)→vgroup,
+    * ts-ordered within): writing a table bucketed and sorted by its key
+    * lets every later join/aggregation on that key skip the exchange —
+    * the batch analog of the reference's vnode partitioning. At 100 TB
+    * this is the storage layout for the hot join keys (tbname/device). */
+  def writeBucketed(df: DataFrame, tableName: String, buckets: Int,
+      bucketCol: String, sortCols: Seq[String]): Unit =
+    df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(tableName)
+
   /** information_schema.ins_columns (systable.h:26-112): column catalog
     * of every known table, from parquet footers only (no data scan). */
   def insColumns(spark: SparkSession, sfDir: String): DataFrame = {
