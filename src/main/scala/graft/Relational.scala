@@ -169,8 +169,11 @@ object Relational {
     // ---- uncorrelated scalar subquery ----
     "subquery_scalar" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
-      val avgPrice = o.agg(avg(col("o_totalprice")).as("a"))
-      o.join(broadcast(avgPrice), o("o_totalprice") > col("a") * 2)
+      // exact-decimal avg: a parallel double avg is order-sensitive and
+      // could flip rows sitting on the threshold
+      val avgPrice = o.agg(
+        (dsum(col("o_totalprice")) / count(lit(1))).as("a"))
+      o.join(broadcast(avgPrice), o("o_totalprice") > col("a") * 1.5)
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     },
@@ -347,7 +350,9 @@ object Relational {
          ORDER BY o_custkey""",
     "subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 2
+         WHERE o_totalprice >
+           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              / count(*) FROM orders) * 1.5
          ORDER BY o_orderkey""",
     "window_over" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
