@@ -66,8 +66,8 @@ object GraftSql {
 
   private val clauseKws = Seq("SELECT", "FROM", "WHERE", "PARTITION BY",
     "INTERVAL", "SLIDING", "SESSION", "STATE_WINDOW", "COUNT_WINDOW",
-    "EVENT_WINDOW", "FILL", "GROUP BY", "HAVING", "ORDER BY", "SLIMIT",
-    "LIMIT", "OFFSET")
+    "EVENT_WINDOW", "RANGE", "EVERY", "FILL", "GROUP BY", "HAVING",
+    "ORDER BY", "SLIMIT", "LIMIT", "OFFSET")
 
   /** sql → map(keyword → clause text after the keyword). */
   private def clauses(sql: String): Map[String, String] = {
@@ -240,6 +240,39 @@ object GraftSql {
         case m(e, a) => (e.trim, a)
         case e => (e.trim, e.trim)
       }
+    }
+
+    // ---- INTERP: SELECT interp(col) … RANGE(t0,t1) EVERY(step) FILL(m)
+    if (c.contains("RANGE") && c.contains("EVERY")) {
+      val interpPat = "(?i)^interp\\((\\w+)\\)$".r
+      val valueCol = selectItems.collectFirst {
+        case (interpPat(v), _) => v
+      }.getOrElse(throw new IllegalArgumentException(
+        "RANGE/EVERY needs an interp(col) select item"))
+      val Seq(t0, t1) = splitArgs(stripOuterParens(c("RANGE"))).map(_.toLong)
+      val step = durUs(stripOuterParens(c("EVERY")))
+      val mode = c.get("FILL").map(f =>
+        splitArgs(stripOuterParens(f)) match {
+          case Seq(m0) => m0.toUpperCase match {
+            case "PREV" => FillOps.FillPrev
+            case "NEXT" => FillOps.FillNext
+            case "NEAR" => FillOps.FillNear
+            case "LINEAR" => FillOps.FillLinear
+            case other => throw new IllegalArgumentException(s"FILL $other")
+          }
+          case Seq(_, v) => FillOps.FillValue(v.toDouble)
+        }).getOrElse(FillOps.FillLinear)
+      var res = FillOps.interp(df, col(tsCol), valueCol, partCols,
+        step, t0, t1, mode)
+      // project to the select list: interp(col) → the filled value
+      val cols = selectItems.map {
+        case (interpPat(_), a) => col(valueCol).as(a)
+        case (e, a) => expr(e).as(a)
+      }
+      res = res.select(cols: _*)
+      c.get("ORDER BY").foreach { o =>
+        res = res.orderBy(splitArgs(o).map(expr): _*) }
+      return res
     }
 
     // ---- windowing ----

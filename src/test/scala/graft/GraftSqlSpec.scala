@@ -132,6 +132,22 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(out.collect().map(_.getString(3)).toSeq == Seq("in1", "in2"))
   }
 
+  test("INTERP with RANGE/EVERY/FILL matches the direct lowering") {
+    val t0 = 1704067200000000L
+    val t1 = t0 + 2L * 86400000000L
+    val dialect = q(s"""SELECT user_id, _irowts, interp(value) AS v,
+        _isfilled
+      FROM events PARTITION BY user_id RANGE($t0, $t1) EVERY(12h)
+      FILL(LINEAR) ORDER BY user_id, _irowts""")
+    val direct = graft.ops.FillOps.interp(resolve("events"), col("ts"),
+        "value", Seq("user_id"), 43200000000L, t0, t1,
+        graft.ops.FillOps.FillLinear)
+      .select(col("user_id"), col("_irowts"), col("value").as("v"),
+        col("_isfilled"))
+      .orderBy("user_id", "_irowts")
+    sameResult(dialect, direct)
+  }
+
   test("plain GROUP BY + HAVING + SLIMIT path") {
     val dialect = q("""SELECT user_id, event_type, count(*) AS n
       FROM events PARTITION BY user_id GROUP BY event_type
