@@ -136,6 +136,18 @@ object Functions {
           round(percentile(col("value"), lit(0.9)), 6).as("p90"))
         .orderBy(col("user_id"))
     },
+    // ---- percentile multi-arg: one sort, several outputs ----
+    "sf_percentile_multi" -> { (s, dir) =>
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(percentile(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("_p"))
+        .select(col("user_id"),
+          round(element_at(col("_p"), 1), 6).as("p25"),
+          round(element_at(col("_p"), 2), 6).as("p50"),
+          round(element_at(col("_p"), 3), 6).as("p75"),
+          round(element_at(col("_p"), 4), 6).as("p95"))
+        .orderBy(col("user_id"))
+    },
     // ---- histogram, linear bins of width 20 (builtins.c:4032) ----
     "sf_histogram" -> { (s, dir) =>
       ev(s, dir)
@@ -544,6 +556,13 @@ object Functions {
            FROM c)
          SELECT user_id, event_type AS mode_v, n FROM r WHERE rn = 1
          ORDER BY user_id""",
+    "sf_percentile_multi" ->
+      """SELECT user_id,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "sf_percentile" ->
       """SELECT user_id, round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90
