@@ -338,6 +338,16 @@ object Functions {
           expr("right(c_name, 4)").as("right4"))
         .orderBy(col("c_custkey"))
     },
+    // ---- like_in_set / regexp_in_set composites (builtins.c:7192) ----
+    "scalar_insets" -> { (s, dir) =>
+      Tables(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr("exists(split('BUILD%,AUTO%', ','), " +
+            "p -> c_mktsegment LIKE p)").as("like_in_set"),
+          expr("exists(split('^MACH,URE$', ','), " +
+            "p -> c_mktsegment RLIKE p)").as("regexp_in_set"))
+        .orderBy(col("c_custkey"))
+    },
     // ---- math family 2: trig/degrees/cbrt (round(6) absorbs libm ulps) --
     "scalar_math2" -> { (s, dir) =>
       Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
@@ -684,6 +694,13 @@ object Functions {
            translate(c_name, '#0', '_O') AS trans_name,
            left(c_name, 6) AS left6,
            right(c_name, 4) AS right4
+         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "scalar_insets" ->
+      """SELECT c_custkey, c_mktsegment,
+           len(list_filter(string_split('BUILD%,AUTO%', ','),
+             p -> c_mktsegment LIKE p)) > 0 AS like_in_set,
+           len(list_filter(string_split('^MACH,URE$', ','),
+             p -> regexp_matches(c_mktsegment, p))) > 0 AS regexp_in_set
          FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
     "scalar_math2" ->
       """SELECT l_orderkey, l_linenumber,
