@@ -95,6 +95,21 @@ object TimeSeries {
           col("_wend_ms"), col("n"))
         .orderBy(col("user_id"), col("_wstart_ms"))
     },
+    // ---- STATE_WINDOW + EXTEND(1): null states join the prev window ----
+    "state_window_extend" -> { (s, dir) =>
+      val st = when(col("value") < 15, lit(null).cast("string"))
+        .otherwise(col("event_type"))
+      TimeOps.stateWindowsExtend(ev(s, dir), st, col("ts"),
+          Seq(col("user_id")), extend = 1)
+        .groupBy(col("user_id"), col("_wid"))
+        .agg(min(col("_st")).as("state"),
+          usToMs(min(col("_t"))).as("_wstart_ms"),
+          usToMs(max(col("_t"))).as("_wend_ms"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("state"), col("_wstart_ms"),
+          col("_wend_ms"), col("n"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
     // ---- COUNT_WINDOW(50) per user ----
     "count_window" -> { (s, dir) =>
       TimeOps.countWindows(ev(s, dir), 50, col("ts"), Seq(col("user_id")))
@@ -428,6 +443,25 @@ object TimeSeries {
             min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
             count(*) AS n
           FROM s GROUP BY user_id, wid ORDER BY user_id, _wstart_ms""",
+    "state_window_extend" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            CASE WHEN value < 15 THEN NULL ELSE event_type END AS st
+          FROM events),
+        m AS (SELECT user_id, t, st,
+            CASE WHEN st IS NOT NULL AND (last_value(st IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS DISTINCT FROM st)
+              THEN 1 ELSE 0 END AS chg
+          FROM t),
+        w AS (SELECT user_id, t, st,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS wid
+          FROM m)
+        SELECT user_id, min(st) AS state, min(t) // 1000 AS _wstart_ms,
+          max(t) // 1000 AS _wend_ms, count(*) AS n
+        FROM w WHERE wid > 0 GROUP BY user_id, wid
+        ORDER BY user_id, _wstart_ms""",
     "count_window" ->
       """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
             (row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1) // 50

@@ -109,6 +109,39 @@ object TimeOps {
     df.withColumn("_wid", ((rn - pmod(rn, lit(n))) / lit(n)).cast(LongType))
   }
 
+  /** STATE_WINDOW with EXTEND (sql.y:2938, timewindowoperator.c:1190):
+    * controls which window a null-state row joins — EXTEND(0) drops
+    * them, EXTEND(1) merges them into the previous window (backward),
+    * EXTEND(2) into the next (forward). Non-null rows window by
+    * effective-state change exactly as [[stateWindows]]; rows before
+    * the first (resp. after the last) window drop. Adds `_wid`. */
+  def stateWindowsExtend(df: DataFrame, state: Column, tsUs: Column,
+      keys: Seq[Column], extend: Int): DataFrame = {
+    require(extend >= 0 && extend <= 2, s"EXTEND($extend)")
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("_t"))
+    val prevEff = last(col("_st"), ignoreNulls = true)
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val chg = col("_st").isNotNull &&
+      (prevEff.isNull || prevEff =!= col("_st"))
+    val d = df.withColumn("_t", tsUs.cast(LongType))
+      .withColumn("_st", state)
+      .withColumn("_chg", when(chg, 1).otherwise(0))
+    val withWid = d.withColumn("_wid",
+      sum(col("_chg")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0))
+        .cast(LongType))
+    val out = extend match {
+      case 0 => withWid.filter(col("_st").isNotNull)
+      case 1 => withWid.filter(col("_wid") > 0)
+      case 2 => withWid
+        .withColumn("_wid", when(col("_st").isNotNull, col("_wid"))
+          .otherwise(first(when(col("_st").isNotNull, col("_wid")),
+            ignoreNulls = true)
+            .over(wOrd.rowsBetween(1, Window.unboundedFollowing))))
+        .filter(col("_wid").isNotNull)
+    }
+    out.drop("_chg")
+  }
+
   /** COUNT_WINDOW(n, sliding): window w starts at row w·sliding+1 (per
     * key, ts order) and spans n rows; each row fans out to the
     * ceil(n/sliding) windows containing it — constant fan-out, one

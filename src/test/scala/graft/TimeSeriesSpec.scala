@@ -108,4 +108,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.filter(col("value") < lo - 1e-9 ||
       col("value") > hi + 1e-9).count() == 0)
   }
+
+  test("state window EXTEND modes route null-state rows") {
+    import SparkTestSession.spark.implicits._
+    // states: A A _ B B | leading/trailing nulls
+    val df = Seq((1L, 0L, "_"), (1L, 1L, "A"), (1L, 2L, "A"),
+      (1L, 3L, "_"), (1L, 4L, "B"), (1L, 5L, "B"), (1L, 6L, "_"))
+      .toDF("k", "ts", "s")
+    val st = when(col("s") === "_", lit(null).cast("string"))
+      .otherwise(col("s"))
+    def windows(extend: Int): Seq[(String, Long, Long, Long)] =
+      graft.ops.TimeOps.stateWindowsExtend(df, st, col("ts"),
+          Seq(col("k")), extend)
+        .groupBy("_wid").agg(min("_st").as("s"), min("_t").as("ws"),
+          max("_t").as("we"), count(lit(1)).as("n"))
+        .orderBy("ws").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    // EXTEND(0): nulls dropped entirely
+    assert(windows(0) == Seq(("A", 1, 2, 2), ("B", 4, 5, 2)))
+    // EXTEND(1): interior + trailing nulls join the PREVIOUS window
+    assert(windows(1) == Seq(("A", 1, 3, 3), ("B", 4, 6, 3)))
+    // EXTEND(2): leading + interior nulls join the NEXT window
+    assert(windows(2) == Seq(("A", 0, 2, 3), ("B", 3, 5, 3)))
+  }
 }
