@@ -84,6 +84,25 @@ object Pipeline {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     },
+    // ---- end-to-end corpus cleaning: langid -> quality -> exact
+    //      dedup -> near-dup removal; emits the surviving doc ids ----
+    "pipeline_clean_corpus" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val lang = d.select(Seq(col("doc_id"), col("text")) ++
+          TextOps.langId(col("text")): _*)
+        .filter(col("lang_pred") === "en")
+      val qual = lang.select(Seq(col("doc_id"), col("text")) ++
+          TextOps.qualityColumns(col("text")): _*)
+        .filter(col("n_words") >= 20 && col("stopword_ratio") >= 0.05)
+        .select(col("doc_id"), col("text"))
+      val keepIds = DedupOps.exact(qual, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val kept = qual.join(keepIds, "doc_id")
+      val dupIds = DedupOps.ngramJaccardPairs(kept, "doc_id", "text", 3, 0.9)
+        .select(col("id_b").as("doc_id")).distinct()
+      kept.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
     // ---- multimodal: binary payload -> stub-decoded metadata ----
     "multimodal_meta" -> { (s, dir) =>
       Multimodal.extractFeatures(
@@ -152,6 +171,44 @@ object Pipeline {
             JOIN nrm nc ON nc.id = cand_id)
           SELECT q_id, rank, cand_id, round(cosine, 6) AS cosine
           FROM scored WHERE rank <= 10 ORDER BY q_id, rank""",
+    "pipeline_clean_corpus" -> {
+      val scoreExprs = TextOps.lexicons.map { case (lang, lex) =>
+        val inList = lex.map(t => s"'$t'").mkString(", ")
+        s"""len(list_filter(w, t -> t IN ($inList))) /
+            greatest(len(w), 1) AS score_$lang"""
+      }.mkString(",\n            ")
+      s"""WITH t0 AS (SELECT doc_id, text, string_split($norm, ' ') AS w
+            FROM documents),
+          sc AS (SELECT doc_id, text, w,
+            $scoreExprs,
+            len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+            FROM t0),
+          en AS (SELECT doc_id, text, w FROM sc
+            WHERE (CASE WHEN cjk > 0 THEN 'zh'
+                 WHEN greatest(score_de, score_en, score_es, score_fr) = 0
+                   THEN 'und'
+                 WHEN score_de >= score_en AND score_de >= score_es
+                   AND score_de >= score_fr THEN 'de'
+                 WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                 WHEN score_es >= score_fr THEN 'es'
+                 ELSE 'fr' END) = 'en'),
+          q AS (SELECT doc_id, text FROM en
+            WHERE len(w) >= 20
+              AND round(len(list_filter(w, t -> t IN
+                ('the','and','of','to','a','in'))) / greatest(len(w), 1), 6)
+                >= 0.05),
+          e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY $norm),
+          kept AS (SELECT q.doc_id, q.text FROM q JOIN e USING (doc_id)),
+          ${shingleCte("kept")},
+          common AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.g = b.g AND a._id < b._id GROUP BY 1, 2),
+          dup AS (SELECT DISTINCT id_b AS doc_id FROM common
+            JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9)
+          SELECT doc_id FROM kept
+          WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+          ORDER BY doc_id"""
+    },
     "text_langid" -> {
       val scoreExprs = TextOps.lexicons.map { case (lang, lex) =>
         val inList = lex.map(t => s"'$t'").mkString(", ")
