@@ -347,19 +347,32 @@ object GraftSql {
           groupKeys.contains(e) }
         require(aggItems.nonEmpty,
           "grouped query needs at least one aggregate select item")
+        // HAVING over aggregates not in the select list computes as a
+        // hidden boolean aggregate column, filtered then dropped;
+        // HAVING over output aliases filters post-projection.
+        val havingAgg = c.get("HAVING").filter(h =>
+          "(?i)\\b(sum|count|avg|min|max|first|last|spread)\\s*\\(".r
+            .findFirstIn(h).isDefined)
         val aggCols = aggItems.map { case (e, a) =>
-          expr(rewritten(e)).as(a) }
+          expr(rewritten(e)).as(a) } ++
+          havingAgg.map(h => expr(rewritten(h)).as("__having")).toSeq
         var g = df.groupBy(groupKeys.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
+        havingAgg.foreach(_ => g = g.filter(col("__having")))
         // expose key aliases, then project to the select list (drops
-        // internal group ids like _session/_wid)
+        // internal group ids like _session/_wid and __having)
         keyItems.foreach { case (e, a) =>
           if (e != a) g = g.withColumnRenamed(e, a) }
         g.select(selectItems.map { case (_, a) => col(a) }: _*)
       }
 
     var res = out
-    c.get("HAVING").foreach(h => res = res.filter(expr(h)))
+    val havingAggConsumed = c.get("HAVING").exists(h =>
+      groupKeys.nonEmpty &&
+        "(?i)\\b(sum|count|avg|min|max|first|last|spread)\\s*\\(".r
+          .findFirstIn(h).isDefined)
+    if (!havingAggConsumed)
+      c.get("HAVING").foreach(h => res = res.filter(expr(h)))
 
     // ---- FILL over an interval grid ----
     (c.get("FILL"), intervalSpec) match {

@@ -148,6 +148,18 @@ class GraftSqlSpec extends AnyFunSuite {
     sameResult(dialect, direct)
   }
 
+  test("HAVING over an aggregate not in the select list") {
+    val out = q("""SELECT user_id, count(*) AS n FROM events
+      PARTITION BY user_id GROUP BY event_type
+      HAVING sum(value) > 300 ORDER BY user_id, n""")
+    val check = Tables(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Lowering.dsum(col("value")).as("s"))
+      .filter(col("s") > 300)
+    assert(out.count() == check.count() && out.count() > 0)
+    assert(!out.columns.contains("__having"))
+  }
+
   test("plain GROUP BY + HAVING + SLIMIT path") {
     val dialect = q("""SELECT user_id, event_type, count(*) AS n
       FROM events PARTITION BY user_id GROUP BY event_type
