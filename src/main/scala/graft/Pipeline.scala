@@ -103,6 +103,15 @@ object Pipeline {
       kept.join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
+    // ---- multimodal: frame sampling (every 10th frame per video) ----
+    "multimodal_frames" -> { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(docs(s, dir)), everyN = 10)
+        .groupBy(col("media_id"))
+        .agg(max(col("n_frames")).cast("long").as("n_frames"),
+          count(lit(1)).as("n_sampled"))
+        .orderBy(col("media_id"))
+    },
     // ---- multimodal: binary payload -> stub-decoded metadata ----
     "multimodal_meta" -> { (s, dir) =>
       Multimodal.extractFeatures(
@@ -254,6 +263,15 @@ object Pipeline {
           FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CAST(CASE WHEN doc_id % 3 = 2
+             THEN 1 + octet_length(encode(text)) % 240 ELSE 1 END AS BIGINT)
+             AS n_frames
+         FROM documents)
+         SELECT media_id, n_frames,
+           (n_frames + 9) // 10 AS n_sampled
+         FROM m ORDER BY media_id""",
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

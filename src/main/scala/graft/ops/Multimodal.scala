@@ -75,6 +75,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-row schema produced by [[sampleFrames]]. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frame_payload", BinaryType)))
+
+  /** Frame sampling: every `everyN`-th frame of each video becomes its
+    * own row (images/audio emit one frame). 1→N iterator-to-iterator
+    * stage — constant memory per row, no collect; the frame payload is
+    * a STUB byte window standing in for the real frame decode. */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame = {
+    val schema = media.schema
+    val idI = schema.fieldIndex("media_id")
+    val kindI = schema.fieldIndex("kind")
+    val payI = schema.fieldIndex("payload")
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val kind = r.getString(kindI)
+        val payload = r.getAs[Array[Byte]](payI)
+        val (_, _, frames) = decodeStub(kind, payload)
+        (0 until frames by everyN).map { idx =>
+          // STUB frame bytes: a deterministic window of the payload
+          val from = if (frames == 0) 0 else (idx * payload.length) / frames
+          val until = math.min(payload.length, from + 16)
+          Row(r.getLong(idI), idx, frames,
+            java.util.Arrays.copyOfRange(payload, from, until))
+        }
+      }
+    }(enc)
+  }
+
+  /** Aspect-preserving resize of decoded dimensions (the metadata half
+    * of a resize stage; the pixel transform is the stubbed codec's
+    * job). scale = min(tw/w, th/h), never upscales. */
+  def resizeDims(features: DataFrame, targetW: Int,
+      targetH: Int): DataFrame = {
+    val scale = least(lit(targetW) / col("width").cast("double"),
+      lit(targetH) / col("height").cast("double"), lit(1.0))
+    features
+      .withColumn("out_width",
+        greatest(floor(col("width") * scale), lit(1)).cast("int"))
+      .withColumn("out_height",
+        greatest(floor(col("height") * scale), lit(1)).cast("int"))
+  }
+
   /** Builds a media table from any (id, text) source — the testdata has
     * no real binaries, so documents stand in as deterministic payloads. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =

@@ -89,6 +89,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums == 0)
   }
 
+  test("frame sampling and resize keep the multimodal batch shape") {
+    val media = graft.ops.Multimodal.mediaFromDocuments(docs)
+    val frames = graft.ops.Multimodal.sampleFrames(media, everyN = 10)
+    // every media row contributes ceil(n_frames/10) frame rows
+    val bad = frames.groupBy("media_id")
+      .agg(max("n_frames").as("nf"), count(lit(1)).as("c"))
+      .filter(col("c") =!= floor((col("nf") + 9) / 10).cast("long"))
+    assert(bad.count() == 0)
+    val feats = graft.ops.Multimodal.extractFeatures(media)
+    val resized = graft.ops.Multimodal.resizeDims(feats, 256, 256)
+    val wrong = resized.filter(col("out_width") > 256 ||
+      col("out_height") > 256 ||
+      (col("width") <= 256 && col("height") <= 256 &&
+        (col("out_width") =!= col("width") ||
+         col("out_height") =!= col("height")))).count()
+    assert(wrong == 0)
+  }
+
   test("exact dedup keeps one id per canonical text") {
     val d2 = docs.select(col("doc_id"), col("text"))
       .union(docs.select(col("doc_id") + 100000, upper(col("text"))))
