@@ -31,7 +31,7 @@ object JoinOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsUs: String, rightTsUs: String, op: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], rightTieBreak: Seq[String] = Nil): DataFrame = {
     require(Seq(">=", ">", "<=", "<", "=").contains(op), s"bad asof op $op")
     if (op == "=") {
       // rename right keys up front: dropping by dataframe-column reference
@@ -67,14 +67,18 @@ object JoinOps {
     val all = lAligned.unionByName(rAligned)
     // Tie-break at equal ts: for >= / <= the right row is eligible, so it
     // must sort on the "visible" side of the left row; for > / < it is
-    // not, so it sorts on the far side.
+    // not, so it sorts on the far side. Among right rows at the SAME ts,
+    // `rightTieBreak` makes the pick deterministic (backward scans take
+    // the last in ascending tie order, forward scans the first).
     val rightFirst = op == ">=" || op == "<"
     val ord = if (rightFirst) col("_isleft").cast("int")
               else -col("_isleft").cast("int")
     val backward = op == ">=" || op == ">" // best match is at-or-before
+    val tieOrd = rightTieBreak.map(c => col("_rp").getField(c))
     val w0 =
-      if (keys.isEmpty) Window.orderBy(col("_t"), ord)
-      else Window.partitionBy(keyCols: _*).orderBy(col("_t"), ord)
+      if (keys.isEmpty) Window.orderBy(col("_t") +: ord +: tieOrd: _*)
+      else Window.partitionBy(keyCols: _*)
+        .orderBy(col("_t") +: ord +: tieOrd: _*)
     val rp = when(!col("_isleft"), col("_rp"))
     val matched =
       if (backward)
@@ -117,7 +121,8 @@ object JoinOps {
       .withColumn("_rn", row_number().over(wR).cast(LongType))
     val withL = asofJoin(left,
       r2.select(keyCols :+ col(rightTsUs) :+ col("_rn"): _*),
-      keys, leftTsUs, rightTsUs, op, Seq("_rn"))
+      keys, leftTsUs, rightTsUs, op, Seq("_rn"),
+      rightTieBreak = Seq("_rn")) // newest index wins at equal ts
     val expanded = withL
       .withColumn("_rn", explode_outer(when(col("r__rn").isNotNull,
         sequence(greatest(col("r__rn") - (jlimit - 1), lit(1L)),
