@@ -71,6 +71,35 @@ object SourceOps {
     deleted
   }
 
+  /** _block_dist() (BlockDistScan, sysscanoperator.c:7525): storage
+    * block statistics straight from parquet footers — row groups, row
+    * counts, compressed/uncompressed bytes — no data pages read. The
+    * parquet row group is the exact analog of the reference's storage
+    * block, and its footer stats are the reference's SMA. */
+  def blockDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val files = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val rows = files.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.zipWithIndex.map {
+          case (b, i) =>
+            (f.getPath.getName, i, b.getRowCount, b.getCompressedSize,
+              b.getTotalByteSize)
+        }
+      } finally reader.close()
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("file", "row_group", "n_rows", "compressed_bytes",
+      "uncompressed_bytes")
+  }
+
   /** Bucketed co-located layout (SURVEY §4.3: hash(table)→vgroup,
     * ts-ordered within): writing a table bucketed and sorted by its key
     * lets every later join/aggregation on that key skip the exchange —

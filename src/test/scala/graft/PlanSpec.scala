@@ -56,6 +56,24 @@ class PlanSpec extends AnyFunSuite {
       "asof join must not explode into a product join")
   }
 
+  test("the 6-way TPC-H-shape join broadcasts every dimension") {
+    val p = plan("tpch_q5")
+    assert(countOf(p, "BroadcastHashJoin") >= 4,
+      s"expected broadcast for customer/supplier/nation/region:\n$p")
+    assert(p.contains("partial_sum"), "revenue agg lost its partial phase")
+  }
+
+  test("ts-ordered merge read sorts within partitions, no exchange") {
+    val df = Tables(spark, sf, "events")
+      .repartition(org.apache.spark.sql.functions.col("user_id"))
+      .sortWithinPartitions("user_id", "ts")
+    val p = df.queryExecution.explainString(SimpleMode)
+    // one exchange for the repartition, none for the in-partition sort
+    assert(countOf(p, "Exchange") == 1, s"merge-scan layout shuffled:\n$p")
+    assert(p.contains("Sort") && p.contains("false, 0"),
+      s"expected a non-global sort:\n$p")
+  }
+
   test("events scan prunes to the referenced columns only") {
     val p = plan("interval_partitioned")
     assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>"),

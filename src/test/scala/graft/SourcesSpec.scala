@@ -63,6 +63,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toSeq == Seq("new", "only"))
   }
 
+  test("block_dist reads row-group stats from footers only") {
+    val bd = SourceOps.blockDist(spark, s"$sf/lineitem.parquet")
+    assert(bd.count() >= 1)
+    val totalRows = bd.agg(sum("n_rows")).head.getLong(0)
+    assert(totalRows == Tables(spark, sf, "lineitem").count())
+    assert(bd.filter(col("compressed_bytes") <= 0).count() == 0)
+  }
+
   test("catalog tables list every testdata table and column") {
     val cols = SourceOps.insColumns(spark, sf)
     assert(cols.select("table_name").distinct().count() ==
