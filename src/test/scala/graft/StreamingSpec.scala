@@ -126,6 +126,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(j.getAs[Long]("ts_us") == 1626006833000000L)
   }
 
+  test("schemaless ingest evolves the table schema across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sml")
+      .toFile.getAbsolutePath + "/meters"
+    // batch 1: current only; batch 2 adds a voltage field (the
+    // schemaless auto-add-column path -> mergeSchema on read)
+    Seq((1626006833639000L, "SF", 10.3))
+      .toDF("ts_us", "location", "current")
+      .write.mode("append").parquet(dir)
+    Seq((1626006834639000L, "LA", 11.8, 221.0))
+      .toDF("ts_us", "location", "current", "voltage")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("ts_us", "location", "current", "voltage"))
+    assert(merged.count() == 2)
+    // the old row surfaces the new column as null
+    assert(merged.filter(col("location") === "SF")
+      .head.getAs[Any]("voltage") == null)
+  }
+
   test("fill_history backfills and returns the stream start offset") {
     import spark.implicits._
     val src = Seq((10L, 1.0), (20L, 2.0), (35L, 3.0)).toDF("ts", "value")
