@@ -91,13 +91,18 @@ object Pipeline {
       val lang = d.select(Seq(col("doc_id"), col("text")) ++
           TextOps.langId(col("text")): _*)
         .filter(col("lang_pred") === "en")
+      // the filtered corpus feeds four consumers (exact-dedup agg, the
+      // keep join, the jaccard index, the final anti-join) — persist it
+      // or the langid+quality scans recompute once per consumer
       val qual = lang.select(Seq(col("doc_id"), col("text")) ++
           TextOps.qualityColumns(col("text")): _*)
         .filter(col("n_words") >= 20 && col("stopword_ratio") >= 0.05)
         .select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keepIds = DedupOps.exact(qual, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       val kept = qual.join(keepIds, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dupIds = DedupOps.ngramJaccardPairs(kept, "doc_id", "text", 3, 0.9)
         .select(col("id_b").as("doc_id")).distinct()
       kept.join(dupIds, Seq("doc_id"), "left_anti")
