@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * "promote hot ones to Expression"). `LongDotProduct` is the kernel
   * under every similarity/dedup cosine: a tight codegen'd loop over two
   * Long arrays — no higher-order-function interpretation, no lambda
-  * allocation per element, stays inside whole-stage codegen. */
+  * allocation per element, stays inside whole-stage codegen.
+  * Null ELEMENTS inside an input array read as 0 (fixed-point vectors
+  * from `microVec` never contain them; don't feed sparse arrays). */
 case class LongDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -83,10 +85,16 @@ case class MinHashSignature(child: Expression, k: Int, numHashes: Int)
   override def nullSafeEval(input: Any): Any =
     MinHashSignature.compute(input.asInstanceOf[ArrayData], k, numHashes)
 
+  // compute() returns null for sub-k-word documents, so the generated
+  // code must propagate isNull itself — defineCodeGen would leave
+  // isNull=false around a null value and NPE downstream.
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashSignature.compute($c, $k, $numHashes)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} =
+       |  graft.functions.MinHashSignature.compute($c, $k, $numHashes);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
 
   override def nullable: Boolean = true
   override protected def withNewChildInternal(

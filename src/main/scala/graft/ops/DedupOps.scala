@@ -94,6 +94,9 @@ object DedupOps {
     * explode. */
   def lshCandidates(sigs: DataFrame, numHashes: Int = 32,
       bands: Int = 16): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a zero or " +
+        "truncated band width would collide everything into one bucket")
     val rows = numHashes / bands
     val banded = sigs.select(col("_id"),
         explode(when(col("_sig").isNotNull,
@@ -133,7 +136,9 @@ object DedupOps {
       bands: Int = 16): DataFrame = {
     // persist the (tiny) candidate set: it feeds both the id-prune branch
     // and the verify join, and without materialization each branch would
-    // recompute the whole signature pipeline
+    // recompute the whole signature pipeline. The cache lives until
+    // session end / LRU eviction — callers running many corpora per
+    // session should unpersist via their own handle on the result.
     val cands = lshCandidates(
       minhashSignatures(docs, idCol, textCol, k, numHashes), numHashes,
       bands).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

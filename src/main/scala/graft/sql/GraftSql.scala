@@ -171,7 +171,8 @@ object GraftSql {
     }
 
     if (asofAt >= 0) {
-      val left = resolve(from.substring(0, asofAt).trim.split(" ")(0))
+      val leftName = from.substring(0, asofAt).trim.split(" ")(0)
+      val left = resolve(leftName)
       val rest = from.substring(asofAt + " ASOF JOIN ".length).trim
       val onAt = rest.toUpperCase.indexOf(" ON ")
       require(onAt >= 0, "ASOF JOIN needs ON")
@@ -185,10 +186,19 @@ object GraftSql {
         }
       }
       val conds = tail.split("(?i)\\s+AND\\s+").toSeq
-      val tsPat = s"(?i)^\\s*\\w+\\.($tsCol)\\s*(>=|>|<=|<|=)\\s*\\w+\\.($tsCol)\\s*$$".r
+      val tsPat = s"(?i)^\\s*(\\w+)\\.($tsCol)\\s*(>=|>|<=|<|=)\\s*(\\w+)\\.($tsCol)\\s*$$".r
       val (tsConds, eqConds) = conds.partition(tsPat.findFirstIn(_).isDefined)
       require(tsConds.length == 1, s"ASOF JOIN needs one ts condition")
-      val op = tsPat.findFirstMatchIn(tsConds.head).get.group(2)
+      val tm = tsPat.findFirstMatchIn(tsConds.head).get
+      // normalize to left.ts <op> right.ts — a condition written
+      // right-side-first flips the operator, not the join direction
+      val op0 = tm.group(3)
+      val op =
+        if (tm.group(1).equalsIgnoreCase(leftName)) op0
+        else op0 match {
+          case ">=" => "<="; case "<=" => ">="
+          case ">" => "<"; case "<" => ">"; case "=" => "="
+        }
       val keys = equiKeys(eqConds)
       val rightCols = right.columns.toSeq
         .filterNot(keys.contains)
@@ -221,6 +231,13 @@ object GraftSql {
     val t = s.trim
     if (t.startsWith("-")) -durUs(t.substring(1)) else durUs(t)
   }
+
+  /** ORDER BY items with DESC support. */
+  private def orderCols(o: String): Seq[Column] =
+    splitArgs(o).map { s =>
+      val d = "(?i)^(.*?)\\s+DESC$".r
+      s match { case d(e) => expr(e).desc; case e => expr(e).asc }
+    }
 
   // ------------------------------------------------------------------ main
 
@@ -270,8 +287,7 @@ object GraftSql {
         case (e, a) => expr(e).as(a)
       }
       res = res.select(cols: _*)
-      c.get("ORDER BY").foreach { o =>
-        res = res.orderBy(splitArgs(o).map(expr): _*) }
+      c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
       return res
     }
 
@@ -327,6 +343,12 @@ object GraftSql {
 
     // ---- aggregation ----
     val isAgg = groupKeys.nonEmpty
+    // HAVING over aggregates not in the select list computes as a hidden
+    // boolean aggregate column, filtered then dropped; HAVING over
+    // output aliases filters post-projection. Decide once, here.
+    val havingAgg = if (isAgg) c.get("HAVING").filter(h =>
+      "(?i)\\b(sum|count|avg|min|max|first|last|spread)\\s*\\(".r
+        .findFirstIn(h).isDefined) else None
     val out: DataFrame =
       if (!isAgg) {
         val cols = selectItems.map { case (e, a) =>
@@ -347,12 +369,6 @@ object GraftSql {
           groupKeys.contains(e) }
         require(aggItems.nonEmpty,
           "grouped query needs at least one aggregate select item")
-        // HAVING over aggregates not in the select list computes as a
-        // hidden boolean aggregate column, filtered then dropped;
-        // HAVING over output aliases filters post-projection.
-        val havingAgg = c.get("HAVING").filter(h =>
-          "(?i)\\b(sum|count|avg|min|max|first|last|spread)\\s*\\(".r
-            .findFirstIn(h).isDefined)
         val aggCols = aggItems.map { case (e, a) =>
           expr(rewritten(e)).as(a) } ++
           havingAgg.map(h => expr(rewritten(h)).as("__having")).toSeq
@@ -367,11 +383,7 @@ object GraftSql {
       }
 
     var res = out
-    val havingAggConsumed = c.get("HAVING").exists(h =>
-      groupKeys.nonEmpty &&
-        "(?i)\\b(sum|count|avg|min|max|first|last|spread)\\s*\\(".r
-          .findFirstIn(h).isDefined)
-    if (!havingAggConsumed)
+    if (havingAgg.isEmpty)
       c.get("HAVING").foreach(h => res = res.filter(expr(h)))
 
     // ---- FILL over an interval grid ----
@@ -388,11 +400,12 @@ object GraftSql {
           case "LINEAR" => FillOps.FillLinear
           case other => throw new IllegalArgumentException(s"FILL $other")
         }
-        val range = "(?i).*\\bts\\s*>=\\s*(\\d+)\\s*AND\\s*ts\\s*<\\s*(\\d+).*".r
+        val range =
+          s"(?i).*\\b$tsCol\\s*>=\\s*(\\d+)\\s*AND\\s*$tsCol\\s*<\\s*(\\d+).*".r
         val (t0, t1) = c.get("WHERE") match {
           case Some(range(a, b)) => (a.toLong, b.toLong)
           case _ => throw new IllegalArgumentException(
-            "FILL needs a literal `ts >= a AND ts < b` WHERE range")
+            s"FILL needs a literal `$tsCol >= a AND $tsCol < b` WHERE range")
         }
         val valueCols = res.columns
           .filterNot(groupKeys.contains).filterNot(_ == "_isfilled")
@@ -405,13 +418,7 @@ object GraftSql {
       case _ =>
     }
 
-    c.get("ORDER BY").foreach { o =>
-      val parts = splitArgs(o).map { s =>
-        val d = "(?i)^(.*?)\\s+DESC$".r
-        s match { case d(e) => expr(e).desc; case e => expr(e).asc }
-      }
-      res = res.orderBy(parts: _*)
-    }
+    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
     c.get("SLIMIT").foreach { n =>
       require(partCols.nonEmpty, "SLIMIT needs PARTITION BY")
       val ord: Seq[Column] = {

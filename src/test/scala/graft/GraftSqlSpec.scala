@@ -120,6 +120,18 @@ class GraftSqlSpec extends AnyFunSuite {
       Seq("c1", "c2", "c1"))
   }
 
+  test("ASOF JOIN normalizes a right-side-first ts condition") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1")).toDF("k", "ts", "pid")
+    val r = Seq((1L, 90L, "c1"), (1L, 150L, "c2")).toDF("k", "ts", "cid")
+    def res(n: String) = n match { case "L" => l; case "R" => r }
+    // R.ts <= L.ts is the same join as L.ts >= R.ts
+    val flipped = GraftSql.query(spark, res,
+      "SELECT k, ts, r_cid AS cid FROM L ASOF JOIN R " +
+        "ON R.ts <= L.ts AND L.k = R.k")
+    assert(flipped.head.getString(2) == "c1")
+  }
+
   test("WINDOW JOIN clause with WINDOW_OFFSET bounds") {
     import spark.implicits._
     val l = Seq((1L, 100L, "p1")).toDF("k", "ts", "pid")

@@ -43,6 +43,15 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(e.eval(null) == 80L)
   }
 
+  test("minhash signature is null for sub-k docs under codegen") {
+    import spark.implicits._
+    val df = Seq(Seq("a", "b"), Seq("a", "b", "c", "d")).toDF("w")
+    val out = df.select(NativeExpressions.minhashSig(col("w"), 3, 8)
+      .as("sig")).collect()
+    assert(out(0).isNullAt(0))          // 2 words < k=3 -> null, no NPE
+    assert(out(1).getSeq[Long](0).length == 8)
+  }
+
   test("microDot rescaling matches the documented 1e-12 fixed point") {
     import spark.implicits._
     val df = Seq((Seq(1500000L), Seq(2000000L))).toDF("a", "b") // 1.5 * 2.0
