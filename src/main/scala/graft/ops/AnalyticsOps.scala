@@ -22,19 +22,18 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object AnalyticsOps {
 
-  /** Exact floor division for non-negative Longs (a DIV d) that avoids
-    * double rounding. */
-  private def floorDiv(c: Column, d: Long): Column =
-    ((c - pmod(c, lit(d))) / lit(d)).cast(LongType)
-
   /** FORECAST(col): per-key OLS linear trend extrapolated `horizon`
     * steps of `stepUs` beyond the newest sample. Emits `_frowts` (µs),
     * `forecast`, `_flow`, `_fhigh` (±1.96·residual σ). One hash
     * aggregate over exact sufficient statistics — a single shuffle of
-    * one row per key, any data size. */
+    * one row per key, any data size. The regression runs in the whole-
+    * second domain (exact decimal sums need bounded x), so `stepUs`
+    * must be a whole number of seconds. */
   def forecast(df: DataFrame, tsUs: Column, valueCol: String,
       keys: Seq[String], horizon: Int, stepUs: Long, t0Us: Long): DataFrame = {
-    val xL = floorDiv(tsUs.cast(LongType) - lit(t0Us), 1000000L) // seconds
+    require(stepUs > 0 && stepUs % 1000000L == 0,
+      s"forecast step must be a positive whole-second duration: $stepUs µs")
+    val xL = TimeOps.floorDiv(tsUs.cast(LongType) - lit(t0Us), 1000000L)
     val xd = xL.cast(DecimalType(18, 0))
     val yd = col(valueCol).cast(DecimalType(18, 2))
     val stepSec = stepUs / 1000000L

@@ -37,6 +37,13 @@ object TimeOps {
   // INTERVAL(interval [, offset]) SLIDING(sliding)  (timewindowoperator.c)
   // ---------------------------------------------------------------------
 
+  /** Exact floor division for non-negative Longs via pmod — a double
+    * `/` + cast would truncate incorrectly at bucket boundaries. The
+    * one shared implementation (used by window ids, timediff, forecast
+    * bucketing). */
+  def floorDiv(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))) / lit(d)).cast(LongType)
+
   /** Tumbling-window start: largest `offset`-aligned multiple of
     * `intervalUs` that is <= ts. Pure integer math. */
   def tumblingStart(tsUs: Column, intervalUs: Long, offsetUs: Long = 0L): Column =
@@ -106,7 +113,7 @@ object TimeOps {
       keys: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(tsUs)
     val rn = row_number().over(w) - lit(1)
-    df.withColumn("_wid", ((rn - pmod(rn, lit(n))) / lit(n)).cast(LongType))
+    df.withColumn("_wid", floorDiv(rn, n))
   }
 
   /** STATE_WINDOW with EXTEND (sql.y:2938, timewindowoperator.c:1190):
@@ -114,7 +121,9 @@ object TimeOps {
     * them, EXTEND(1) merges them into the previous window (backward),
     * EXTEND(2) into the next (forward). Non-null rows window by
     * effective-state change exactly as [[stateWindows]]; rows before
-    * the first (resp. after the last) window drop. Adds `_wid`. */
+    * the first (resp. after the last) window drop. Adds `_wid` plus
+    * the working columns `_t` (Long µs ts) and `_st` (the evaluated
+    * state), which callers aggregate over. */
   def stateWindowsExtend(df: DataFrame, state: Column, tsUs: Column,
       keys: Seq[Column], extend: Int): DataFrame = {
     require(extend >= 0 && extend <= 2, s"EXTEND($extend)")
@@ -149,11 +158,10 @@ object TimeOps {
   def slidingCountWindows(df: DataFrame, n: Int, sliding: Int,
       tsUs: Column, keys: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(tsUs)
-    def fdiv(c: Column, d: Int) = ((c - pmod(c, lit(d))) / lit(d)).cast(LongType)
     val rn = col("_rn")
     val lo = when(rn <= n, lit(0L))
-      .otherwise(fdiv(rn - n + (sliding - 1), sliding))
-    val hi = fdiv(rn - 1, sliding)
+      .otherwise(floorDiv(rn - n + (sliding - 1), sliding))
+    val hi = floorDiv(rn - 1, sliding)
     df.withColumn("_rn", row_number().over(w).cast(LongType))
       .withColumn("_wid", explode(sequence(lo, hi)))
       .drop("_rn")
@@ -181,9 +189,13 @@ object TimeOps {
       .withColumn("_s", startCond.cast(BooleanType))
       .withColumn("_e", endCond.cast(BooleanType))
     val keyCols = keys.map(col)
-    val sorted = tagged
-      .repartition(keyCols: _*)
-      .sortWithinPartitions(keyCols :+ col("_ts"): _*)
+    // no keys -> the scan is one global sequential fold: everything must
+    // land in a single sorted partition (repartition() with zero columns
+    // would round-robin and split windows across partitions)
+    val sorted =
+      if (keys.isEmpty) tagged.repartition(1).sortWithinPartitions(col("_ts"))
+      else tagged.repartition(keyCols: _*)
+        .sortWithinPartitions(keyCols :+ col("_ts"): _*)
     val schema = sorted.schema
     val outSchema = StructType(schema.fields :+ StructField("_wstart", LongType))
     val keyIdx = keys.map(schema.fieldIndex)

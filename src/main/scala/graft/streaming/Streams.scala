@@ -27,15 +27,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
 
   /** INTERVAL(interval) SLIDING(slide) WATERMARK(w) trigger: windowed
-    * aggregation that only emits closed windows (append mode). `agg`
-    * receives the windowed grouping so callers add their measures. */
+    * aggregation over `valueCol` that only emits closed windows
+    * (append mode). */
   def intervalTrigger(src: DataFrame, tsCol: String, interval: String,
-      slide: String, watermark: String, keys: Seq[String]): DataFrame = {
+      slide: String, watermark: String, keys: Seq[String],
+      valueCol: String = "value"): DataFrame = {
     val grouped = src
       .withWatermark(tsCol, watermark)
       .groupBy(Seq(window(col(tsCol), interval, slide)) ++
         keys.map(col): _*)
-    grouped.agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    grouped.agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(Seq(col("window.start").as("_twstart"),
         col("window.end").as("_twend")) ++ keys.map(col) ++
         Seq(col("n"), col("sum_value")): _*)
@@ -71,7 +72,10 @@ object Streams {
           var s = state.getOption.getOrElse(CountState(0, Long.MaxValue,
             Long.MinValue, 0d))
           val fired = scala.collection.mutable.ArrayBuffer[FiredCountWindow]()
-          it.foreach { case (_, ts, v) =>
+          // the group iterator carries no ordering guarantee — sort by
+          // ts so window membership is deterministic (same as the
+          // state-window trigger)
+          it.toSeq.sortBy(_._2).foreach { case (_, ts, v) =>
             val buf = s.buf + 1
             val minTs = math.min(s.minTs, ts)
             val maxTs = math.max(s.maxTs, ts)
@@ -143,9 +147,11 @@ object Streams {
   def calcPerWindow(fired: DataFrame, calc: WindowBounds => DataFrame,
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
+      val grp = if (batch.columns.contains("_tgrpid"))
+        coalesce(col("_tgrpid"), lit(0L)) else lit(0L)
       val bounds = batch
         .select(col("_twstart").cast("long"), col("_twend").cast("long"),
-          coalesce(col("_tgrpid"), lit(0L)).cast("long"))
+          grp.cast("long"))
         .collect()
         .map(r => WindowBounds(r.getLong(0), r.getLong(1), r.getLong(2)))
       bindCalc(bounds.toSeq, calc).foreach(sink)
@@ -185,9 +191,23 @@ object Streams {
       else existing
         .filter(col(outTsUs) < t0Us || col(outTsUs) >= t1Us)
         .unionByName(fresh)
-    merged.write.mode("overwrite").parquet(outPath + "_next")
-    spark.read.parquet(outPath + "_next")
-      .write.mode("overwrite").parquet(outPath)
+    swapWrite(spark, merged, outPath)
+  }
+
+  /** Staging + rename overwrite: one parquet encode, and the serving
+    * path is swapped atomically-ish instead of being deleted while a
+    * rewrite is in flight. The staged write materializes fully before
+    * the old directory is removed, so a mid-write failure leaves the
+    * previous data intact. */
+  private[streaming] def swapWrite(spark: SparkSession, df: DataFrame,
+      path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__staging")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
   }
 
   /** NOTIFY(url …): webhook dispatch per fired window. The transport is
@@ -224,10 +244,7 @@ object LatestRows {
       val existing =
         try spark.read.parquet(path)
         catch { case _: Exception => batch.limit(0) }
-      merge(existing, batch, keys, tsCol)
-        .coalesce(1) // cache is tiny: one row per key
-        .write.mode("overwrite").parquet(path + "_next")
-      // atomic-ish swap: overwrite the serving location last
-      spark.read.parquet(path + "_next").write.mode("overwrite").parquet(path)
+      Streams.swapWrite(spark,
+        merge(existing, batch, keys, tsCol).coalesce(1), path)
   }
 }
