@@ -235,7 +235,7 @@ object TimeSeries {
       val r = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       JoinOps.asofJoin(l, r, Seq("user_id"), "ts", "ts", ">=",
-          Seq("ts", "event_id", "value"))
+          Seq("ts", "event_id", "value"), rightTieBreak = Seq("event_id"))
         .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
           usToMs(col("r_ts")).as("click_ts_ms"),
           col("r_event_id").as("click_event_id"),
@@ -250,7 +250,7 @@ object TimeSeries {
       val r = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
       JoinOps.asofJoin(l, r, Seq("user_id"), "ts", "ts", ">",
-          Seq("ts", "event_id"))
+          Seq("ts", "event_id"), rightTieBreak = Seq("event_id"))
         .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
           usToMs(col("r_ts")).as("click_ts_ms"),
           col("r_event_id").as("click_event_id"))
@@ -264,7 +264,7 @@ object TimeSeries {
       val r = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
       JoinOps.asofJoin(l, r, Seq("user_id"), "ts", "ts", "<=",
-          Seq("ts", "event_id"))
+          Seq("ts", "event_id"), rightTieBreak = Seq("event_id"))
         .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
           usToMs(col("r_ts")).as("click_ts_ms"),
           col("r_event_id").as("click_event_id"))
@@ -278,7 +278,7 @@ object TimeSeries {
       val r = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
       JoinOps.asofJoin(l, r, Seq("user_id"), "ts", "ts", "<",
-          Seq("ts", "event_id"))
+          Seq("ts", "event_id"), rightTieBreak = Seq("event_id"))
         .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
           usToMs(col("r_ts")).as("click_ts_ms"),
           col("r_event_id").as("click_event_id"))

@@ -179,6 +179,9 @@ object DedupOps {
     val v = emb.filter(col(idCol) < maxId)
       .select(col(idCol).as("_id"), microVec(col(vecCol)).as("_m"))
       .withColumn("_n2", microDot(col("_m"), col("_m")))
+      // zero-norm vectors would make 0/0 = NaN, which Spark compares
+      // as greater than any threshold
+      .filter(col("_n2") > 0)
     v.as("a").join(v.as("b"), col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         (microDot(col("a._m"), col("b._m")) /

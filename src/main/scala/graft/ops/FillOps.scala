@@ -139,7 +139,10 @@ object FillOps {
     val w =
       (if (keys.isEmpty) Window.orderBy(col("_t"), col("_isgrid"))
        else Window.partitionBy(keyCols: _*).orderBy(col("_t"), col("_isgrid")))
-    val dataPair = when(!col("_isgrid"), struct(col("_t"), col("_v")))
+    // null-valued data points must not block the carrier (same guard as
+    // fillInterval's lastNonNull): only non-null samples ride forward
+    val dataPair = when(!col("_isgrid") && col("_v").isNotNull,
+      struct(col("_t"), col("_v")))
     val prev = last(dataPair, ignoreNulls = true)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     val next = first(dataPair, ignoreNulls = true)
@@ -170,10 +173,13 @@ object FillOps {
       case FillValue(x) => when(col("_exacthit"), pv).otherwise(lit(x))
       case _ => when(col("_exacthit"), pv)
     }
-    marked
+    val filled = marked
       .withColumn(valueCol, interpolated)
       .withColumn("_isfilled", !col("_exacthit"))
-      .select(keyCols :+ col("_t").as("_irowts") :+ col(valueCol) :+
-        col("_isfilled"): _*)
+    // FILL(NONE): only exact hits survive (fillInterval does the same)
+    val bounded =
+      if (mode == FillNone) filled.filter(col("_exacthit")) else filled
+    bounded.select(keyCols :+ col("_t").as("_irowts") :+ col(valueCol) :+
+      col("_isfilled"): _*)
   }
 }

@@ -43,8 +43,12 @@ object SimilarityOps {
 
   /** Sign-bit LSH bucket id from `planes` hyperplanes — a single
     * map-side expression (projections summed in array order, so the
-    * bucket is fully deterministic). */
+    * bucket is fully deterministic). The weight index stride fixes the
+    * plane count at <= 16; more tables (not more planes per table) is
+    * the scale-out axis beyond that. */
   def lshBucketCol(vec: Column, planes: Int): Column = {
+    require(planes >= 1 && planes <= 16,
+      s"planes must be in [1,16] (weight-index stride): $planes")
     val projs = transform(sequence(lit(0), lit(planes - 1)), p =>
       aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
@@ -78,11 +82,14 @@ object SimilarityOps {
     rankTopK(c.join(broadcast(q), Seq("bucket")), k)
   }
 
-  /** Shared scoring tail: exact dot, cosine, per-query rank <= k. */
+  /** Shared scoring tail: exact dot, cosine, per-query rank <= k.
+    * Zero-norm vectors are dropped — 0/0 would give NaN, which Spark
+    * orders above every real cosine and would hijack rank 1. */
   private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("_id"))
     joined.filter(col("q_id") =!= col("_id"))
+      .filter(col("_n2") > 0 && col("_qn2") > 0)
       .withColumn("cosine", DedupOps.microDot(col("_m"), col("_qm")) /
         sqrt(col("_qn2") * col("_n2")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
