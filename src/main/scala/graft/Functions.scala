@@ -199,7 +199,7 @@ object Functions {
       // x = whole seconds since T0 (exact small decimal so x*x stays in
       // 128-bit on both engines), y = value (cents-exact)
       val xUs = (col("ts") - lit(T0)) - pmod(col("ts") - lit(T0), lit(Dur.s))
-      val x = ((xUs - pmod(xUs, lit(Dur.s))) / lit(Dur.s)).cast(DecimalType(9, 0))
+      val x = (xUs / lit(Dur.s)).cast(DecimalType(9, 0))
       val y = dec(col("value"))
       ev(s, dir)
         .withColumn("_x", x)
@@ -244,10 +244,15 @@ object Functions {
         .orderBy(col("event_type"))
     },
     // ---- sample(value, 5): mergeable reservoir Aggregator ----
+    // Scalar-shaped output (csv string): the gate's comparator can't sort
+    // or hash array<double> cells, and this check is rows-only anyway.
     "sf_sample" -> { (s, dir) =>
       ev(s, dir).groupBy(col("user_id"))
         .agg(graft.functions.Aggregators.sample(col("value"), 5).as("sample"))
-        .select(col("user_id"), array_sort(col("sample")).as("sample"))
+        .select(col("user_id"),
+          array_join(transform(array_sort(col("sample")),
+            x => format_number(x, 2)), ",").as("sample_csv"),
+          size(col("sample")).as("sample_n"))
         .orderBy(col("user_id"))
     },
     // ---- dtw: each user's hourly series vs the fleet-min user ----
@@ -613,8 +618,8 @@ object Functions {
            CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
            FROM t GROUP BY user_id)
          SELECT user_id,
-           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
-           round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0 AS slope,
+           round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) + 0.0
              AS intercept
          FROM a ORDER BY user_id""",
     "sf_stats" ->
@@ -641,8 +646,8 @@ object Functions {
          FROM hourly a JOIN hourly b ON b.bucket = a.bucket + ${Dur.h}""",
     "scalar_math" ->
       """SELECT l_orderkey, l_linenumber, abs(-l_quantity) AS abs_q,
-           ceil(l_extendedprice / 1000) AS ceil_p,
-           floor(l_extendedprice / 1000) AS floor_p,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS ceil_p,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_p,
            round(l_extendedprice / 1000, 2) AS round_p,
            sqrt(l_quantity) AS sqrt_q,
            round(ln(l_extendedprice), 6) AS ln_p,

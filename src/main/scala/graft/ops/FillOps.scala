@@ -27,21 +27,38 @@ object FillOps {
   case object FillNext extends FillMode
   case object FillNear extends FillMode
   case object FillLinear extends FillMode
+  /** Forced variants (sql.y:2961-2968, querynodes.h:717-727). Same fill
+    * values as NULL/VALUE; the batch-query difference (filloperator.c:220)
+    * is that with ZERO input rows the non-forced modes emit nothing while
+    * the forced modes still fill the whole requested range. */
+  case object FillNullF extends FillMode
+  case class FillValueF(v: Double) extends FillMode
+
+  private def isForced(mode: FillMode): Boolean = mode match {
+    case FillNullF | FillValueF(_) => true
+    case _ => false
+  }
 
   /** Densifies an interval-aggregated frame to one row per `intervalUs`
     * step in [rangeStartUs, rangeEndUs] per key combination, then fills
     * `valueCol` according to `mode`. Adds `_isfilled`.
     *
     * `agg` must have one row per (keys, wstartCol). Window starts are
-    * aligned to the same grid as the spine.
+    * aligned to the same grid as the spine; `offsetUs` shifts that grid
+    * exactly like INTERVAL(iv, offset) shifts `_wstart`
+    * (TimeOps.tumblingStart), so offset windows join the spine 1:1.
     */
   def fillInterval(agg: DataFrame, wstartCol: String, valueCol: String,
       keys: Seq[String], intervalUs: Long, rangeStartUs: Long,
-      rangeEndUs: Long, mode: FillMode): DataFrame = {
-    val gridStart = rangeStartUs - Math.floorMod(rangeStartUs, intervalUs)
+      rangeEndUs: Long, mode: FillMode, offsetUs: Long = 0L): DataFrame = {
+    val gridStart =
+      rangeStartUs - Math.floorMod(rangeStartUs - offsetUs, intervalUs)
     val keyDf =
-      if (keys.isEmpty) agg.sparkSession.range(1).select(lit(1).as("_one"))
-      else agg.select(keys.map(col): _*).distinct()
+      if (keys.nonEmpty) agg.select(keys.map(col): _*).distinct()
+      else if (isForced(mode))
+        // forced fill emits the spine even over empty input
+        agg.sparkSession.range(1).select(lit(1).as("_one"))
+      else agg.limit(1).select(lit(1).as("_one"))
     val spine = keyDf
       .withColumn(wstartCol,
         explode(sequence(lit(gridStart), lit(rangeEndUs), lit(intervalUs))))
@@ -56,8 +73,10 @@ object FillOps {
     val v = col(valueCol)
     val filled = mode match {
       case FillNone => joined.filter(!col("_isfilled"))
-      case FillNull => joined
+      case FillNull | FillNullF => joined
       case FillValue(x) =>
+        joined.withColumn(valueCol, coalesce(v, lit(x)))
+      case FillValueF(x) =>
         joined.withColumn(valueCol, coalesce(v, lit(x)))
       case FillPrev =>
         joined.withColumn(valueCol,
@@ -119,7 +138,8 @@ object FillOps {
     */
   def interp(df: DataFrame, tsUs: Column, valueCol: String,
       keys: Seq[String], stepUs: Long, t0Us: Long, t1Us: Long,
-      mode: FillMode): DataFrame = {
+      mode: FillMode, surroundUs: Long = 0L,
+      surroundVal: Option[Double] = None): DataFrame = {
     val keyCols = keys.map(col)
     val data = df.select(keyCols :+ tsUs.cast(LongType).as("_t") :+
       col(valueCol).cast("double").as("_v"): _*)
@@ -157,29 +177,56 @@ object FillOps {
     val pt = col("_prev").getField("_t")
     val nv = col("_next").getField("_v")
     val nt = col("_next").getField("_t")
-    val interpolated = mode match {
-      case FillPrev => pv
-      case FillNext => when(col("_exacthit"), pv).otherwise(nv)
+    // Positional modes carry a fill-reference ROW; its ts surfaces as
+    // `_irowts_origin` (builtins.c:6788, timesliceoperator.c:457) and
+    // SURROUND(d[,v]) rejects a reference farther than d from the grid
+    // point, substituting v/NULL (timesliceoperator.c:315-327).
+    val refRow: Option[Column] = mode match {
+      case FillPrev => Some(col("_prev"))
+      case FillNext =>
+        Some(when(col("_exacthit"), col("_prev")).otherwise(col("_next")))
       case FillNear =>
-        when(col("_exacthit"), pv)
-          .when(col("_next").isNull, pv)
-          .when(col("_prev").isNull, nv)
-          .when(col("_t") - pt <= nt - col("_t"), pv)
-          .otherwise(nv)
-      case FillLinear =>
-        when(col("_exacthit"), pv)
-          .otherwise(pv + (nv - pv) * (col("_t") - pt).cast("double") /
-            (nt - pt).cast("double"))
-      case FillValue(x) => when(col("_exacthit"), pv).otherwise(lit(x))
-      case _ => when(col("_exacthit"), pv)
+        Some(when(col("_exacthit"), col("_prev"))
+          .when(col("_next").isNull, col("_prev"))
+          .when(col("_prev").isNull, col("_next"))
+          .when(col("_t") - pt <= nt - col("_t"), col("_prev"))
+          .otherwise(col("_next")))
+      case _ => None
+    }
+    val surroundFallback =
+      surroundVal.map(x => lit(x)).getOrElse(lit(null)).cast("double")
+    val (interpolated, origin) = refRow match {
+      case Some(ref) =>
+        val refT = ref.getField("_t")
+        val refV = ref.getField("_v")
+        val inRange =
+          if (surroundUs <= 0L) lit(true)
+          else abs(col("_t") - refT) <= lit(surroundUs)
+        (when(ref.isNull, lit(null).cast("double"))
+           .when(inRange, refV).otherwise(surroundFallback),
+         when(ref.isNull || !inRange, lit(null).cast(LongType))
+           .otherwise(refT))
+      case None =>
+        val value = mode match {
+          case FillLinear =>
+            when(col("_exacthit"), pv)
+              .otherwise(pv + (nv - pv) * (col("_t") - pt).cast("double") /
+                (nt - pt).cast("double"))
+          case FillValue(x) => when(col("_exacthit"), pv).otherwise(lit(x))
+          case FillValueF(x) => when(col("_exacthit"), pv).otherwise(lit(x))
+          case _ => when(col("_exacthit"), pv) // NONE / NULL / NULL_F
+        }
+        // non-positional fills have no reference row except an exact hit
+        (value, when(col("_exacthit"), pt).otherwise(lit(null).cast(LongType)))
     }
     val filled = marked
       .withColumn(valueCol, interpolated)
+      .withColumn("_irowts_origin", origin)
       .withColumn("_isfilled", !col("_exacthit"))
     // FILL(NONE): only exact hits survive (fillInterval does the same)
     val bounded =
       if (mode == FillNone) filled.filter(col("_exacthit")) else filled
     bounded.select(keyCols :+ col("_t").as("_irowts") :+ col(valueCol) :+
-      col("_isfilled"): _*)
+      col("_irowts_origin") :+ col("_isfilled"): _*)
   }
 }

@@ -66,8 +66,8 @@ object GraftSql {
 
   private val clauseKws = Seq("SELECT", "FROM", "WHERE", "PARTITION BY",
     "INTERVAL", "SLIDING", "SESSION", "STATE_WINDOW", "COUNT_WINDOW",
-    "EVENT_WINDOW", "RANGE", "EVERY", "FILL", "GROUP BY", "HAVING",
-    "ORDER BY", "SLIMIT", "LIMIT", "OFFSET")
+    "EVENT_WINDOW", "RANGE", "EVERY", "FILL", "SURROUND", "GROUP BY",
+    "HAVING", "ORDER BY", "SLIMIT", "LIMIT", "OFFSET")
 
   /** sql → map(keyword → clause text after the keyword). */
   private def clauses(sql: String): Map[String, String] = {
@@ -271,6 +271,10 @@ object GraftSql {
       val mode = c.get("FILL").map(f =>
         splitArgs(stripOuterParens(f)) match {
           case Seq(m0) => m0.toUpperCase match {
+            case "NONE" => FillOps.FillNone
+            // interp marks every grid point, so forced/non-forced NULL
+            // coincide here (timesliceoperator.c:460 fills both the same)
+            case "NULL" | "NULL_F" => FillOps.FillNull
             case "PREV" => FillOps.FillPrev
             case "NEXT" => FillOps.FillNext
             case "NEAR" => FillOps.FillNear
@@ -279,8 +283,19 @@ object GraftSql {
           }
           case Seq(_, v) => FillOps.FillValue(v.toDouble)
         }).getOrElse(FillOps.FillLinear)
+      // FILL(PREV|NEXT|NEAR) SURROUND(d [, v]) (sql.y:2954-2982): bound
+      // how far the fill reference may sit from the grid point
+      val surround = c.get("SURROUND").map { sr =>
+        require(mode == FillOps.FillPrev || mode == FillOps.FillNext ||
+          mode == FillOps.FillNear,
+          "SURROUND needs FILL(PREV|NEXT|NEAR)")
+        val a = splitArgs(stripOuterParens(sr))
+        (durUs(a.head), a.lift(1).map(_.toDouble))
+      }
       var res = FillOps.interp(df, col(tsCol), valueCol, partCols,
-        step, t0, t1, mode)
+        step, t0, t1, mode,
+        surroundUs = surround.map(_._1).getOrElse(0L),
+        surroundVal = surround.flatMap(_._2))
       // project to the select list: interp(col) → the filled value
       val cols = selectItems.map {
         case (interpPat(_), a) => col(valueCol).as(a)
