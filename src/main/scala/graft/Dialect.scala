@@ -9,8 +9,13 @@ import graft.sql.GraftSql
   * same oracle-exact plans as the DataFrame API. */
 object Dialect {
 
+  private val D = 86400000000L // 1d in µs
+  private val H = 3600000000L // 1h in µs
   private val T0 = 1704067200000000L
-  private val T5 = T0 + 5L * 86400000000L
+  private val T5 = T0 + 5L * D
+  // INTERVAL(1d,6h) grid start covering T0: T0 is midnight-aligned, so
+  // the first 6h-offset window containing it starts 18h earlier
+  private val G6 = T0 - 18L * H
 
   private def run(s: SparkSession, dir: String, sql: String): DataFrame =
     GraftSql.query(s, name => Tables(s, dir, name), sql)
@@ -27,6 +32,31 @@ object Dialect {
             FROM events WHERE ts >= $T0 AND ts < $T5
             PARTITION BY user_id INTERVAL(1d) FILL(PREV)
             ORDER BY user_id, _wstart""")
+    },
+    // INTERVAL offset + FILL: the spine must sit on the SAME offset grid
+    // as _wstart (filloperator.c:540) — the r3 all-null regression case
+    "dialect_interval_offset_fill" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT user_id, _wstart, sum(value) AS v
+            FROM events WHERE ts >= $T0 AND ts < $T5
+            PARTITION BY user_id INTERVAL(1d,6h) FILL(PREV)
+            ORDER BY user_id, _wstart""")
+    },
+    // forced fill over an empty range: NULL_F/VALUE_F still emit the full
+    // spine with zero input rows (filloperator.c:220)
+    "dialect_fill_value_f" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT _wstart, count(*) AS n
+            FROM events WHERE ts >= ${T0 - 10 * D} AND ts < ${T0 - 5 * D}
+            INTERVAL(1d) FILL(VALUE_F, 0)
+            ORDER BY _wstart""")
+    },
+    // SLIMIT after a session window: first 2 sessions per user
+    "dialect_session_slimit" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _wstart, _wend, count(*) AS n
+           FROM events PARTITION BY user_id SESSION(ts, 30m) SLIMIT 2
+           ORDER BY user_id, _wstart""")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -54,5 +84,56 @@ object Dialect {
           SELECT user_id, ws AS _wstart,
             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
               ORDER BY ws ROWS UNBOUNDED PRECEDING) AS v, _isfilled
-          FROM joined ORDER BY user_id, _wstart""")
+          FROM joined ORDER BY user_id, _wstart""",
+    "dialect_interval_offset_fill" ->
+      s"""WITH agg AS (
+            SELECT user_id,
+              epoch_us(ts) - (epoch_us(ts) - ${6 * H}) % $D AS ws,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+            FROM events
+            WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < $T5
+            GROUP BY 1, 2),
+          spine AS (
+            SELECT u.user_id, gs.ws
+            FROM (SELECT DISTINCT user_id FROM agg) u
+            CROSS JOIN (SELECT unnest(range($G6, $T5, $D)) AS ws) gs),
+          joined AS (
+            SELECT s.user_id, s.ws, a.v, a.v IS NULL AS _isfilled
+            FROM spine s LEFT JOIN agg a
+              ON s.user_id = a.user_id AND s.ws = a.ws)
+          SELECT user_id, ws AS _wstart,
+            last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ws ROWS UNBOUNDED PRECEDING) AS v, _isfilled
+          FROM joined ORDER BY user_id, _wstart""",
+    "dialect_fill_value_f" ->
+      s"""WITH agg AS (
+            SELECT epoch_us(ts) - epoch_us(ts) % $D AS ws, count(*) AS n
+            FROM events
+            WHERE epoch_us(ts) >= ${T0 - 10 * D}
+              AND epoch_us(ts) < ${T0 - 5 * D}
+            GROUP BY 1),
+          spine AS (SELECT unnest(range(${T0 - 10 * D}, ${T0 - 5 * D},
+            $D)) AS ws)
+          SELECT s.ws AS _wstart, coalesce(a.n, 0)::DOUBLE AS n,
+            a.n IS NULL AS _isfilled
+          FROM spine s LEFT JOIN agg a ON s.ws = a.ws
+          ORDER BY _wstart""",
+    "dialect_session_slimit" ->
+      s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${30 * 60000000L}
+                 THEN 1 ELSE 0 END AS isnew
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, t,
+            sum(isnew) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS sid
+            FROM t),
+          agg AS (SELECT user_id, sid, min(t) AS ws, max(t) AS we,
+              count(*) AS n
+            FROM s GROUP BY user_id, sid),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ws) AS rn
+            FROM agg)
+          SELECT user_id, ws AS _wstart, we AS _wend, n
+          FROM ranked WHERE rn <= 2 ORDER BY user_id, _wstart""")
 }

@@ -251,7 +251,7 @@ object Functions {
         .agg(graft.functions.Aggregators.sample(col("value"), 5).as("sample"))
         .select(col("user_id"),
           array_join(transform(array_sort(col("sample")),
-            x => format_number(x, 2)), ",").as("sample_csv"),
+            x => format_string("%.2f", x)), ",").as("sample_csv"),
           size(col("sample")).as("sample_n"))
         .orderBy(col("user_id"))
     },

@@ -227,6 +227,74 @@ object TimeSeries {
           round(col("value"), 6).as("value"), col("_isfilled"))
         .orderBy(col("user_id"), col("_irowts_ms"))
     },
+    // ---- STATE_WINDOW(event_type) ZEROTH_STATE('click'): baseline
+    // windows filtered out (sql.y:2905-2944) ----
+    "state_window_zeroth" -> { (s, dir) =>
+      TimeOps.stateWindowsZeroth(ev(s, dir), col("event_type"), col("ts"),
+          Seq(col("user_id")), "click")
+        .groupBy(col("user_id"), col("_wid"))
+        .agg(first(col("event_type")).as("state"),
+          usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("state"), col("_wstart_ms"),
+          col("_wend_ms"), col("n"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- COUNT_WINDOW(50, v2) col-args: all-null rows don't count
+    // (sql.y:2984-2987) ----
+    "count_window_cols" -> { (s, dir) =>
+      val d = ev(s, dir).withColumn("v2",
+        when(col("value") >= 5, col("value")))
+      TimeOps.countWindowsCols(d, 50, col("ts"), Seq(col("user_id")),
+          Seq(col("v2")))
+        .groupBy(col("user_id"), col("_wid"))
+        .agg(count(lit(1)).as("n"),
+          usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"))
+        .select(col("user_id"), col("_wid"), col("n"), col("_wstart_ms"),
+          col("_wend_ms"))
+        .orderBy(col("user_id"), col("_wid"))
+    },
+    // ---- FILL(VALUE_F, 0) over an EMPTY range: forced fill still emits
+    // the whole spine (filloperator.c:220, querynodes.h:717-727) ----
+    "fill_value_f" -> { (s, dir) =>
+      val e0 = T0 - 10 * Dur.d
+      val e1 = T0 - 5 * Dur.d // events start at T0 → zero input rows
+      val agg = TimeOps.assignIntervals(
+          ev(s, dir).filter(col("ts") >= e0 && col("ts") < e1),
+          col("ts"), Dur.d)
+        .groupBy(col("_wstart"))
+        .agg(count(lit(1)).cast(LongType).as("n"))
+      FillOps.fillInterval(agg, "_wstart", "n", Seq.empty, Dur.d,
+          e0, e1 - 1, FillOps.FillValueF(0))
+        .withColumn("n", col("n").cast(LongType))
+        .select(usToMs(col("_wstart")).as("_wstart_ms"), col("n"),
+          col("_isfilled"))
+        .orderBy(col("_wstart_ms"))
+    },
+    // ---- INTERP FILL(PREV) with _irowts_origin: the fill-reference
+    // row's own ts (timesliceoperator.c:457, builtins.c:6788) ----
+    "interp_origin" -> { (s, dir) =>
+      FillOps.interp(ev(s, dir), col("ts"), "value", Seq("user_id"),
+          12 * Dur.h, T0, T1, FillOps.FillPrev)
+        .select(col("user_id"), usToMs(col("_irowts")).as("_irowts_ms"),
+          round(col("value"), 6).as("value"),
+          usToMs(col("_irowts_origin")).as("_irowts_origin_ms"),
+          col("_isfilled"))
+        .orderBy(col("user_id"), col("_irowts_ms"))
+    },
+    // ---- INTERP FILL(NEAR) SURROUND(1h, -1): references farther than 1h
+    // from the grid point are rejected → the surround value
+    // (timesliceoperator.c:315-327) ----
+    "interp_near_surround" -> { (s, dir) =>
+      FillOps.interp(ev(s, dir), col("ts"), "value", Seq("user_id"),
+          12 * Dur.h, T0, T1, FillOps.FillNear,
+          surroundUs = Dur.h, surroundVal = Some(-1.0))
+        .select(col("user_id"), usToMs(col("_irowts")).as("_irowts_ms"),
+          round(col("value"), 6).as("value"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_irowts_ms"))
+    },
     // ---- ASOF JOIN (>=): purchase matched to latest prior-or-equal click --
     "asof_join_ge" -> { (s, dir) =>
       val e = ev(s, dir)
@@ -594,6 +662,94 @@ object TimeSeries {
             round(prev.v, 6) AS value,
             NOT (prev IS NOT NULL AND prev.t = t) AS _isfilled
           FROM marked WHERE g ORDER BY user_id, _irowts_ms""",
+    "state_window_zeroth" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+                 THEN 1 ELSE 0 END AS chg
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, t, event_type,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS wid
+            FROM t)
+          SELECT user_id, min(event_type) AS state,
+            min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
+            count(*) AS n
+          FROM s GROUP BY user_id, wid
+          HAVING min(event_type) <> 'click'
+          ORDER BY user_id, _wstart_ms""",
+    "count_window_cols" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            (row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1) // 50
+              AS wid
+            FROM events WHERE value >= 5)
+          SELECT user_id, wid AS _wid, count(*) AS n,
+            min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms
+          FROM t GROUP BY user_id, wid ORDER BY user_id, wid""",
+    "fill_value_f" ->
+      s"""WITH agg AS (
+            SELECT epoch_us(ts) - epoch_us(ts) % ${Dur.d} AS ws,
+              count(*) AS v
+            FROM events
+            WHERE epoch_us(ts) >= ${T0 - 10 * Dur.d}
+              AND epoch_us(ts) < ${T0 - 5 * Dur.d}
+            GROUP BY 1),
+          spine AS (SELECT unnest(range(${T0 - 10 * Dur.d},
+            ${T0 - 5 * Dur.d}, ${Dur.d})) AS ws)
+          SELECT s.ws // 1000 AS _wstart_ms,
+            coalesce(a.v, 0)::BIGINT AS n, a.v IS NULL AS _isfilled
+          FROM spine s LEFT JOIN agg a ON s.ws = a.ws
+          ORDER BY _wstart_ms""",
+    "interp_origin" ->
+      s"""WITH data AS (SELECT user_id, epoch_us(ts) AS t,
+            CAST(value AS DOUBLE) AS v, false AS g FROM events),
+          grid AS (SELECT u.user_id, gs.t, NULL::DOUBLE AS v, true AS g
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(range($T0, ${T1 + 1}, ${12 * Dur.h}))
+              AS t) gs),
+          unioned AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
+          marked AS (SELECT user_id, t, g,
+            last_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+              IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY t, g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+            FROM unioned)
+          SELECT user_id, t // 1000 AS _irowts_ms,
+            round(prev.v, 6) AS value,
+            prev.t // 1000 AS _irowts_origin_ms,
+            NOT (prev IS NOT NULL AND prev.t = t) AS _isfilled
+          FROM marked WHERE g ORDER BY user_id, _irowts_ms""",
+    "interp_near_surround" ->
+      s"""WITH data AS (SELECT user_id, epoch_us(ts) AS t,
+            CAST(value AS DOUBLE) AS v, false AS g FROM events),
+          grid AS (SELECT u.user_id, gs.t, NULL::DOUBLE AS v, true AS g
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(range($T0, ${T1 + 1}, ${12 * Dur.h}))
+              AS t) gs),
+          unioned AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
+          marked AS (SELECT user_id, t, g,
+            last_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+              IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY t, g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+            first_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+              IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY t, g
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next
+            FROM unioned),
+          sel AS (SELECT user_id, t, prev,
+            CASE WHEN prev IS NOT NULL AND prev.t = t THEN prev
+                 WHEN next IS NULL THEN prev
+                 WHEN prev IS NULL THEN next
+                 WHEN t - prev.t <= next.t - t THEN prev
+                 ELSE next END AS ref
+            FROM marked WHERE g)
+          SELECT user_id, t // 1000 AS _irowts_ms,
+            round(CASE WHEN ref IS NULL THEN NULL
+              WHEN abs(t - ref.t) <= ${Dur.h} THEN ref.v
+              ELSE -1.0 END, 6) AS value,
+            NOT (prev IS NOT NULL AND prev.t = t) AS _isfilled
+          FROM sel ORDER BY user_id, _irowts_ms""",
     "asof_join_ge" -> asofOracle("<=", extra = ", b.value AS click_value"),
     "asof_join_gt" -> asofOracle("<", extra = ""),
     "asof_join_le" -> asofOracleForward(">="),

@@ -151,6 +151,18 @@ object TimeOps {
     out.drop("_chg")
   }
 
+  /** STATE_WINDOW(expr) … ZEROTH_STATE(v) (sql.y:2905-2944,
+    * docs/24-distinguished.md:144): v is the baseline ("zero") state the
+    * user doesn't care about — windows whose state matches it are
+    * filtered out entirely, neither computed nor returned. Window ids
+    * are assigned over ALL rows first (a zero-state run still separates
+    * its neighbours), then zero-state rows drop; since a window's state
+    * is constant, dropping its rows drops the whole window. NULL states
+    * never match a non-null zeroth (null-safe compare). */
+  def stateWindowsZeroth(df: DataFrame, state: Column, tsUs: Column,
+      keys: Seq[Column], zeroth: Any): DataFrame =
+    stateWindows(df, state, tsUs, keys).filter(!(state <=> lit(zeroth)))
+
   /** COUNT_WINDOW(n, sliding): window w starts at row w·sliding+1 (per
     * key, ts order) and spans n rows; each row fans out to the
     * ceil(n/sliding) windows containing it — constant fan-out, one
@@ -165,6 +177,21 @@ object TimeOps {
     df.withColumn("_rn", row_number().over(w).cast(LongType))
       .withColumn("_wid", explode(sequence(lo, hi)))
       .drop("_rn")
+  }
+
+  /** COUNT_WINDOW(n[, sliding], col …) column-args variant (sql.y:2984-2987,
+    * docs/24-distinguished.md:438): a row where EVERY listed column is
+    * NULL does not count toward any window and is excluded from the
+    * window's rows. Pure pre-filter — the count windowing itself is
+    * unchanged, so this stays one sort-shuffle. */
+  def countWindowsCols(df: DataFrame, n: Int, tsUs: Column,
+      keys: Seq[Column], notNullCols: Seq[Column],
+      sliding: Int = 0): DataFrame = {
+    require(notNullCols.nonEmpty, "COUNT_WINDOW col-args needs >= 1 column")
+    val keep = notNullCols.map(_.isNotNull).reduce(_ || _)
+    val kept = df.filter(keep)
+    if (sliding > 0) slidingCountWindows(kept, n, sliding, tsUs, keys)
+    else countWindows(kept, n, tsUs, keys)
   }
 
   // ---------------------------------------------------------------------

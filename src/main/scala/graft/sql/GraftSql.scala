@@ -403,12 +403,14 @@ object GraftSql {
 
     // ---- FILL over an interval grid ----
     (c.get("FILL"), intervalSpec) match {
-      case (Some(f), Some((iv, _))) =>
+      case (Some(f), Some((iv, off))) =>
         val args = splitArgs(stripOuterParens(f))
         val mode = args.head.toUpperCase match {
           case "NONE" => FillOps.FillNone
-          case "NULL" | "NULL_F" => FillOps.FillNull
-          case "VALUE" | "VALUE_F" => FillOps.FillValue(args(1).toDouble)
+          case "NULL" => FillOps.FillNull
+          case "NULL_F" => FillOps.FillNullF
+          case "VALUE" => FillOps.FillValue(args(1).toDouble)
+          case "VALUE_F" => FillOps.FillValueF(args(1).toDouble)
           case "PREV" => FillOps.FillPrev
           case "NEXT" => FillOps.FillNext
           case "NEAR" => FillOps.FillNear
@@ -427,23 +429,36 @@ object GraftSql {
         require(valueCols.length == 1,
           s"FILL supports exactly one value column, got ${valueCols.toSeq}")
         res = FillOps.fillInterval(res, "_wstart", valueCols.head,
-          groupKeys.filterNot(_ == "_wstart"), iv, t0, t1 - 1, mode)
+          groupKeys.filterNot(_ == "_wstart"), iv, t0, t1 - 1, mode,
+          offsetUs = off)
       case (Some(_), None) =>
         throw new IllegalArgumentException("FILL requires INTERVAL")
       case _ =>
     }
 
-    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+    // SLIMIT picks per-partition windows BEFORE the final ORDER BY — a
+    // row_number filter after a sort would not preserve the sort anyway
     c.get("SLIMIT").foreach { n =>
       require(partCols.nonEmpty, "SLIMIT needs PARTITION BY")
+      // order by the group keys that SURVIVED the final projection;
+      // internal ids (_session/_wid) are already dropped, so fall back to
+      // the remaining output columns in select order (window aggregates
+      // like _wstart-per-session are ts-monotone, so this keeps
+      // "first n windows per partition" semantics)
       val ord: Seq[Column] = {
-        val o = groupKeys.filterNot(partCols.contains).map(col)
-        if (o.nonEmpty) o else Seq(lit(1))
+        val out = res.columns.toSeq
+        val o = groupKeys.filterNot(partCols.contains).filter(out.contains)
+          .map(col)
+        val fallback = out.filterNot(partCols.contains).map(col)
+        if (o.nonEmpty) o
+        else if (fallback.nonEmpty) fallback
+        else Seq(lit(1))
       }
       val w = Window.partitionBy(partCols.map(col): _*).orderBy(ord: _*)
       res = res.withColumn("_srn", row_number().over(w))
         .filter(col("_srn") <= n.trim.toInt).drop("_srn")
     }
+    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
     c.get("LIMIT").foreach { n =>
       c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
       res = res.limit(n.trim.toInt)

@@ -35,10 +35,13 @@ class FunctionsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("user_id") ->
         (r.getAs[collection.Seq[Double]]("all").toSet, r.getAs[Long]("n"))).toMap
     out.foreach { r =>
-      val s = r.getAs[collection.Seq[Double]]("sample")
+      val s = r.getAs[String]("sample_csv").split(",").map(_.toDouble).toSeq
       val (all, n) = byUser(r.getAs[Long]("user_id"))
+      assert(r.getAs[Int]("sample_n") == math.min(5, n))
       assert(s.length == math.min(5, n))
-      assert(s.forall(all.contains), "sample element not drawn from input")
+      // csv cells are %.2f-rounded; round the inputs identically
+      val all2 = all.map(v => f"$v%.2f".toDouble)
+      assert(s.forall(all2.contains), "sample element not drawn from input")
     }
   }
 
