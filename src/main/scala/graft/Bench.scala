@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,13 +18,23 @@ object Bench {
       .foreach(t => Tables(spark, sfDir, t).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // materialize the FULL result (toRdd.count keeps every output
+      // column alive; df.count() would let Spark prune the payload of
+      // projection-only queries and under-measure them)
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout gets tail-truncated by the harness; persist the full JSON too
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out.json")
+    Files.write(Paths.get(out), json.getBytes(StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

@@ -51,11 +51,21 @@ object Dialect {
             INTERVAL(1d) FILL(VALUE_F, 0)
             ORDER BY _wstart""")
     },
-    // SLIMIT after a session window: first 2 sessions per user
+    // SLIMIT after a session window: slices 2-3 of the per-user
+    // partitioning (SLIMIT counts SLICES, not rows — 20-select.md:665)
     "dialect_session_slimit" -> { (s, dir) =>
       run(s, dir,
         """SELECT user_id, _wstart, _wend, count(*) AS n
-           FROM events PARTITION BY user_id SESSION(ts, 30m) SLIMIT 2
+           FROM events PARTITION BY user_id SESSION(ts, 30m)
+           SLIMIT 2 SOFFSET 1
+           ORDER BY user_id, _wstart""")
+    },
+    // LIMIT under PARTITION BY caps rows per slice (20-select.md:660):
+    // first 2 sessions of every user
+    "dialect_session_limit" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _wstart, _wend, count(*) AS n
+           FROM events PARTITION BY user_id SESSION(ts, 30m) LIMIT 2
            ORDER BY user_id, _wstart""")
     })
 
@@ -119,6 +129,24 @@ object Dialect {
           FROM spine s LEFT JOIN agg a ON s.ws = a.ws
           ORDER BY _wstart""",
     "dialect_session_slimit" ->
+      s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${30 * 60000000L}
+                 THEN 1 ELSE 0 END AS isnew
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, t,
+            sum(isnew) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS sid
+            FROM t),
+          agg AS (SELECT user_id, sid, min(t) AS ws, max(t) AS we,
+              count(*) AS n
+            FROM s GROUP BY user_id, sid),
+          slices AS (SELECT DISTINCT user_id FROM events
+            ORDER BY user_id LIMIT 2 OFFSET 1)
+          SELECT a.user_id, a.ws AS _wstart, a.we AS _wend, a.n
+          FROM agg a JOIN slices sl ON a.user_id = sl.user_id
+          ORDER BY a.user_id, _wstart""",
+    "dialect_session_limit" ->
       s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t,
             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${30 * 60000000L}

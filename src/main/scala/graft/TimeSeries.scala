@@ -611,11 +611,11 @@ object TimeSeries {
               AS t) gs),
           unioned AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
           marked AS (SELECT user_id, t, g,
-            last_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+            last_value(CASE WHEN NOT g AND v IS NOT NULL THEN struct_pack(t := t, v := v) END
               IGNORE NULLS) OVER
               (PARTITION BY user_id ORDER BY t, g
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
-            first_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+            first_value(CASE WHEN NOT g AND v IS NOT NULL THEN struct_pack(t := t, v := v) END
               IGNORE NULLS) OVER
               (PARTITION BY user_id ORDER BY t, g
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next
@@ -653,7 +653,7 @@ object TimeSeries {
               AS t) gs),
           unioned AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
           marked AS (SELECT user_id, t, g,
-            last_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+            last_value(CASE WHEN NOT g AND v IS NOT NULL THEN struct_pack(t := t, v := v) END
               IGNORE NULLS) OVER
               (PARTITION BY user_id ORDER BY t, g
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
@@ -676,7 +676,7 @@ object TimeSeries {
             min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
             count(*) AS n
           FROM s GROUP BY user_id, wid
-          HAVING min(event_type) <> 'click'
+          HAVING min(event_type) IS DISTINCT FROM 'click'
           ORDER BY user_id, _wstart_ms""",
     "count_window_cols" ->
       """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
@@ -709,7 +709,7 @@ object TimeSeries {
               AS t) gs),
           unioned AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
           marked AS (SELECT user_id, t, g,
-            last_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+            last_value(CASE WHEN NOT g AND v IS NOT NULL THEN struct_pack(t := t, v := v) END
               IGNORE NULLS) OVER
               (PARTITION BY user_id ORDER BY t, g
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
@@ -728,11 +728,11 @@ object TimeSeries {
               AS t) gs),
           unioned AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
           marked AS (SELECT user_id, t, g,
-            last_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+            last_value(CASE WHEN NOT g AND v IS NOT NULL THEN struct_pack(t := t, v := v) END
               IGNORE NULLS) OVER
               (PARTITION BY user_id ORDER BY t, g
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
-            first_value(CASE WHEN NOT g THEN struct_pack(t := t, v := v) END
+            first_value(CASE WHEN NOT g AND v IS NOT NULL THEN struct_pack(t := t, v := v) END
               IGNORE NULLS) OVER
               (PARTITION BY user_id ORDER BY t, g
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next

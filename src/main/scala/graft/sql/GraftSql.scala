@@ -67,7 +67,7 @@ object GraftSql {
   private val clauseKws = Seq("SELECT", "FROM", "WHERE", "PARTITION BY",
     "INTERVAL", "SLIDING", "SESSION", "STATE_WINDOW", "COUNT_WINDOW",
     "EVENT_WINDOW", "RANGE", "EVERY", "FILL", "SURROUND", "GROUP BY",
-    "HAVING", "ORDER BY", "SLIMIT", "LIMIT", "OFFSET")
+    "HAVING", "ORDER BY", "SLIMIT", "SOFFSET", "LIMIT", "OFFSET")
 
   /** sql → map(keyword → clause text after the keyword). */
   private def clauses(sql: String): Map[String, String] = {
@@ -409,8 +409,12 @@ object GraftSql {
           case "NONE" => FillOps.FillNone
           case "NULL" => FillOps.FillNull
           case "NULL_F" => FillOps.FillNullF
-          case "VALUE" => FillOps.FillValue(args(1).toDouble)
-          case "VALUE_F" => FillOps.FillValueF(args(1).toDouble)
+          // the grammar permits bare FILL(VALUE[_F]) (sql.y fill_value
+          // rules); the reference then fills with 0
+          case "VALUE" =>
+            FillOps.FillValue(args.lift(1).map(_.toDouble).getOrElse(0.0))
+          case "VALUE_F" =>
+            FillOps.FillValueF(args.lift(1).map(_.toDouble).getOrElse(0.0))
           case "PREV" => FillOps.FillPrev
           case "NEXT" => FillOps.FillNext
           case "NEAR" => FillOps.FillNear
@@ -436,32 +440,54 @@ object GraftSql {
       case _ =>
     }
 
-    // SLIMIT picks per-partition windows BEFORE the final ORDER BY — a
-    // row_number filter after a sort would not preserve the sort anyway
-    c.get("SLIMIT").foreach { n =>
+    // SLIMIT limits the NUMBER of output partition slices, not rows per
+    // slice (docs/en/14-reference/03-taos-sql/20-select.md:140,665-666:
+    // "control the number of output slices"; `SLIMIT o, n` abbreviates
+    // `SLIMIT n SOFFSET o`). Slices are ordered by the partition key so
+    // the selection is deterministic across engines. The legacy
+    // one-slice-under-ORDER-BY restriction (20-select.md:668) is not
+    // enforced — ORDER BY here only orders the output. The slice list is
+    // small by construction (≤ soffset+n keys), so it broadcasts.
+    c.get("SLIMIT").foreach { raw =>
       require(partCols.nonEmpty, "SLIMIT needs PARTITION BY")
-      // order by the group keys that SURVIVED the final projection;
-      // internal ids (_session/_wid) are already dropped, so fall back to
-      // the remaining output columns in select order (window aggregates
-      // like _wstart-per-session are ts-monotone, so this keeps
-      // "first n windows per partition" semantics)
-      val ord: Seq[Column] = {
-        val out = res.columns.toSeq
-        val o = groupKeys.filterNot(partCols.contains).filter(out.contains)
-          .map(col)
-        val fallback = out.filterNot(partCols.contains).map(col)
-        if (o.nonEmpty) o
-        else if (fallback.nonEmpty) fallback
-        else Seq(lit(1))
+      val (sOff, sN) = splitArgs(raw) match {
+        case Seq(o, n) => (o.trim.toInt, n.trim.toInt)
+        case Seq(n) =>
+          (c.get("SOFFSET").map(_.trim.toInt).getOrElse(0), n.trim.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"bad SLIMIT: $other")
       }
-      val w = Window.partitionBy(partCols.map(col): _*).orderBy(ord: _*)
-      res = res.withColumn("_srn", row_number().over(w))
-        .filter(col("_srn") <= n.trim.toInt).drop("_srn")
+      val slices = res.select(partCols.map(col): _*).distinct()
+        .orderBy(partCols.map(col): _*).offset(sOff).limit(sN)
+      res = res.join(broadcast(slices), partCols, "left_semi")
     }
     c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
     c.get("LIMIT").foreach { n =>
-      c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
-      res = res.limit(n.trim.toInt)
+      if (partCols.nonEmpty) {
+        // under PARTITION BY, LIMIT caps rows WITHIN each slice
+        // (20-select.md:141,660: "LIMIT controls the output within each
+        // partition slice"). Rows are taken in group-key order (window
+        // starts are ts-monotone), matching the reference's per-slice
+        // scan order.
+        val ord: Seq[Column] = {
+          val out = res.columns.toSeq
+          val o = groupKeys.filterNot(partCols.contains).filter(out.contains)
+            .map(col)
+          val fallback = out.filterNot(partCols.contains).map(col)
+          if (o.nonEmpty) o
+          else if (fallback.nonEmpty) fallback
+          else Seq(lit(1))
+        }
+        val off = c.get("OFFSET").map(_.trim.toInt).getOrElse(0)
+        val w = Window.partitionBy(partCols.map(col): _*).orderBy(ord: _*)
+        res = res.withColumn("_srn", row_number().over(w))
+          .filter(col("_srn") > off && col("_srn") <= off + n.trim.toInt)
+          .drop("_srn")
+        c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+      } else {
+        c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
+        res = res.limit(n.trim.toInt)
+      }
     }
     res
   }

@@ -70,10 +70,12 @@ class GraftSqlSpec extends AnyFunSuite {
   }
 
   test("STATE_WINDOW and COUNT_WINDOW lower to the window ops") {
+    // LIMIT under PARTITION BY caps rows per slice (20-select.md:660)
     val st = q("""SELECT user_id, count(*) AS n FROM events
       PARTITION BY user_id STATE_WINDOW(event_type)
       ORDER BY user_id, n DESC LIMIT 5""")
-    assert(st.collect().length == 5)
+    val perUser = st.collect().groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perUser.nonEmpty && perUser.values.forall(_ <= 5))
     val cw = q("""SELECT user_id, _wstart AS ws, count(*) AS n FROM events
       PARTITION BY user_id COUNT_WINDOW(50) ORDER BY user_id, ws""")
     // every full window has exactly 50 rows
@@ -173,13 +175,24 @@ class GraftSqlSpec extends AnyFunSuite {
   }
 
   test("plain GROUP BY + HAVING + SLIMIT path") {
+    // SLIMIT limits output SLICES (20-select.md:665): only the first 2
+    // user_id partitions survive, each with all its groups
     val dialect = q("""SELECT user_id, event_type, count(*) AS n
       FROM events PARTITION BY user_id GROUP BY event_type
       HAVING n > 1 ORDER BY user_id, event_type SLIMIT 2""")
     val rows = dialect.collect()
-    // at most 2 event types survive per user
-    val perUser = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
-    assert(perUser.values.forall(_ <= 2))
+    val users = rows.map(_.getLong(0)).distinct.sorted
+    assert(users.length == 2 && users.sameElements(Array(0L, 1L)))
     assert(rows.forall(_.getLong(2) > 1))
+  }
+
+  test("SLIMIT o, n abbreviation and SOFFSET skip slices") {
+    val a = q("""SELECT user_id, count(*) AS n FROM events
+      PARTITION BY user_id GROUP BY event_type SLIMIT 3 SOFFSET 2""")
+    val b = q("""SELECT user_id, count(*) AS n FROM events
+      PARTITION BY user_id GROUP BY event_type SLIMIT 2, 3""")
+    val ua = a.collect().map(_.getLong(0)).distinct.sorted
+    assert(ua.sameElements(Array(2L, 3L, 4L)))
+    assert(b.collect().map(_.getLong(0)).distinct.sorted.sameElements(ua))
   }
 }
