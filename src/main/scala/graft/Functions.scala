@@ -391,6 +391,26 @@ object Functions {
             / lit(Dur.h)).cast(LongType).as("timediff_h"))
         .orderBy(col("event_id"))
     },
+    // ---- to_char/to_timestamp Postgres token surface (ttime.c:2032,
+    // builtins.c:6621) — plan-time translation to codegen'd built-ins ----
+    "scalar_tochar" -> { (s, dir) =>
+      import graft.functions.TimeFormat
+      val e = ev(s, dir).filter(col("event_id") < 2000)
+        .withColumn("t", timestamp_micros(col("ts")))
+      e.select(col("event_id"),
+          TimeFormat.toChar(col("t"), "YYYY-MM-DD HH24:MI:SS.MS")
+            .as("pg_full"),
+          TimeFormat.toChar(col("t"), "Day, DD Mon YYYY").as("pg_day"),
+          TimeFormat.toChar(col("t"), "HH12:MI:SS AM").as("pg_12h"),
+          TimeFormat.toChar(col("t"), "DDD D YYY").as("pg_ord"),
+          TimeFormat.toChar(col("t"), "MONTH month Dy").as("pg_month"),
+          TimeFormat.toChar(col("t"), "YYYY-MM-DD\"T\"HH24:MI:SS")
+            .as("pg_quoted"),
+          (unix_timestamp(TimeFormat.toTimestamp(
+            TimeFormat.toChar(col("t"), "YYYY-MM-DD HH24:MI:SS"),
+            "YYYY-MM-DD HH24:MI:SS")) * 1000).as("rt_ms"))
+        .orderBy(col("event_id"))
+    },
     // ---- JSON tag operator `->` (builtins.c to_json / JSON filter) ----
     "scalar_json" -> { (s, dir) =>
       Tables(s, dir, "customer").filter(col("c_custkey") <= 500)
@@ -684,6 +704,21 @@ object Functions {
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS to_char_s,
            strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso8601_s,
            (epoch_us(ts) - $T0) // ${Dur.h} AS timediff_h
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "scalar_tochar" ->
+      s"""SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS pg_full,
+           rpad(dayname(ts), 9, ' ') || ', ' || strftime(ts, '%d %b %Y')
+             AS pg_day,
+           strftime(ts, '%I:%M:%S %p') AS pg_12h,
+           strftime(ts, '%j') || ' ' ||
+             CAST(dayofweek(ts) + 1 AS VARCHAR) || ' ' ||
+             substring(strftime(ts, '%Y'), 2, 3) AS pg_ord,
+           rpad(upper(monthname(ts)), 9, ' ') || ' ' ||
+             rpad(lower(monthname(ts)), 9, ' ') || ' ' ||
+             strftime(ts, '%a') AS pg_month,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS pg_quoted,
+           (epoch_us(ts) // 1000000) * 1000 AS rt_ms
          FROM events WHERE event_id < 2000 ORDER BY event_id""",
     "scalar_string2" ->
       """SELECT c_custkey,

@@ -133,9 +133,29 @@ object GraftSql {
       rewriteCall(e.substring(end + 1), name, build)
   }
 
+  /** `'fmt'` argument literal → raw string. */
+  private def unquote(s: String): String = {
+    val t = s.trim
+    require(t.length >= 2 && t.head == '\'' && t.last == '\'',
+      s"expected a string literal, got: $s")
+    t.substring(1, t.length - 1).replace("''", "'")
+  }
+
   /** TDengine function surface → Spark SQL, deterministic forms. */
   def rewriteFuncs(e: String, tsCol: String): String = {
     var r = e
+    // PG-token timestamp formatting (ttime.c:2032): the format is a
+    // literal, so the whole call lowers to built-ins at plan time
+    r = rewriteCall(r, "to_char", a => {
+      val parts = splitArgs(a)
+      graft.functions.TimeFormat.toCharSql(parts(0), unquote(parts(1)))
+    })
+    r = rewriteCall(r, "to_timestamp", a => {
+      val parts = splitArgs(a)
+      if (parts.length < 2) s"to_timestamp($a)"
+      else graft.functions.TimeFormat
+        .toTimestampSql(parts(0), unquote(parts(1)))
+    })
     r = rewriteCall(r, "first", a => s"min_by($a, $tsCol)")
     r = rewriteCall(r, "last_row", a => s"max_by($a, $tsCol)")
     r = rewriteCall(r, "last", a => s"max_by($a, $tsCol)")
