@@ -411,6 +411,27 @@ object Functions {
             "YYYY-MM-DD HH24:MI:SS")) * 1000).as("rt_ms"))
         .orderBy(col("event_id"))
     },
+    // ---- crypto scalars (builtins.c:7870 aes / 7940 sm4): round-trip
+    // through encrypt→decrypt is oracle-checkable (identity), and the
+    // ciphertext lengths pin real CBC+PKCS7 block behavior ----
+    "scalar_crypto" -> { (s, dir) =>
+      import graft.functions.Crypto
+      val key = lit("0123456789abcdef".getBytes)
+      val iv = lit(Array.fill[Byte](16)(0))
+      Tables(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .withColumn("aes_ct",
+          Crypto.aesEncrypt(col("c_name").cast("binary"), key, iv))
+        .withColumn("sm4_ct",
+          Crypto.sm4Encrypt(col("c_name").cast("binary"), key, iv))
+        .select(col("c_custkey"),
+          Crypto.aesDecrypt(col("aes_ct"), key).cast("string").as("aes_rt"),
+          Crypto.sm4Decrypt(col("sm4_ct"), key, iv).cast("string")
+            .as("sm4_rt"),
+          // iv prefix + padded blocks
+          (length(col("aes_ct")).cast(LongType)).as("aes_len"),
+          (length(col("sm4_ct")).cast(LongType)).as("sm4_len"))
+        .orderBy(col("c_custkey"))
+    },
     // ---- JSON tag operator `->` (builtins.c to_json / JSON filter) ----
     "scalar_json" -> { (s, dir) =>
       Tables(s, dir, "customer").filter(col("c_custkey") <= 500)
@@ -705,6 +726,11 @@ object Functions {
            strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso8601_s,
            (epoch_us(ts) - $T0) // ${Dur.h} AS timediff_h
          FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "scalar_crypto" ->
+      """SELECT c_custkey, c_name AS aes_rt, c_name AS sm4_rt,
+           16 + (length(c_name) // 16 + 1) * 16 AS aes_len,
+           (length(c_name) // 16 + 1) * 16 AS sm4_len
+         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
     "scalar_tochar" ->
       s"""SELECT event_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS pg_full,
