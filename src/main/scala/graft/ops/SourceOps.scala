@@ -134,4 +134,32 @@ object SourceOps {
     import spark.implicits._
     rows.toDF("table_name", "n_rows")
   }
+
+  /** FederatedScan (reference executor
+    * federatedscanoperator.c:16 — external MySQL/PostgreSQL/InfluxDB
+    * tables surfaced as scannable operators with condition pushdown).
+    *
+    * Spark-first lowering: the built-in JDBC source. Filters and column
+    * pruning push into the remote database automatically (visible as
+    * PushedFilters in the scan node), which is the reference's
+    * tag/time-condition pushdown. For scale, pass `partition` =
+    * (column, lower, upper, n) so the read issues n range-sliced
+    * queries in parallel instead of one giant result set — the 100 TB
+    * path; a single-connection read is only for small dimension
+    * tables. */
+  def federatedScan(spark: SparkSession, url: String, table: String,
+      driver: String, partition: Option[(String, Long, Long, Int)] = None,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+    partition.foreach { case (c, lo, hi, n) =>
+      r = r.option("partitionColumn", c)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", n)
+    }
+    props.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
 }

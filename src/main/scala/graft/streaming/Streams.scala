@@ -219,6 +219,99 @@ object Streams {
         .collect()
         .foreach(r => send(WindowBounds(r.getLong(0), r.getLong(1), 0L)))
   }
+
+  // ---------------------------------------------------------------------
+  // STREAM_OPTIONS(...) (sql.y:1715-1740): the trigger-option surface
+  // beyond WATERMARK/FILL_HISTORY/DELETE_RECALC (those are above).
+  // ---------------------------------------------------------------------
+
+  /** Parsed STREAM_OPTIONS. `eventTypes` ⊆ {WINDOW_OPEN, WINDOW_CLOSE}
+    * (sql.y event_type_list). */
+  case class StreamOptions(
+      preFilter: Option[Column] = None, // PRE_FILTER(cond)
+      expiredTimeUs: Option[Long] = None, // EXPIRED_TIME(d)
+      forceOutput: Boolean = false, // FORCE_OUTPUT
+      ignoreNoDataTrigger: Boolean = false, // IGNORE_NODATA_TRIGGER
+      eventTypes: Set[String] = Set("WINDOW_CLOSE")) // EVENT_TYPE(...)
+
+  /** PRE_FILTER lowers to a plain filter BEFORE windowing/state — rows
+    * that fail it never reach the trigger (map-side, no shuffle).
+    * EXPIRED_TIME on a live stream is the watermark mechanism itself
+    * (Spark's watermark both delays window close and discards
+    * older-than-delay data — the reference splits these into WATERMARK
+    * + EXPIRED_TIME; here the effective delay is max of the two, which
+    * the caller passes as the watermark). */
+  def applyPreFilter(src: DataFrame, opts: StreamOptions): DataFrame =
+    opts.preFilter.map(src.filter).getOrElse(src)
+
+  /** EXPIRED_TIME(d) on BATCH recalc paths (fill_history / recalc),
+    * where no watermark exists: drop rows older than d behind the
+    * newest event in the frame — the reference's "too old to trigger
+    * recalculation" cut (one extra max() aggregation, no collect of
+    * data rows). */
+  def expiredFilter(df: DataFrame, tsUs: Column, expiredUs: Long)
+      : DataFrame = {
+    val mx = df.agg(max(tsUs.cast("long"))).head.get(0)
+    if (mx == null) df
+    else df.filter(tsUs.cast("long") >= lit(mx.asInstanceOf[Long] - expiredUs))
+  }
+
+  /** calcPerWindow with the option surface applied:
+    * IGNORE_NODATA_TRIGGER skips fired windows whose trigger row count
+    * is 0 (the `n` column when the trigger emits one); FORCE_OUTPUT
+    * emits one all-null row (bounds bound) for windows whose calc
+    * produced nothing — the reference's "always produce a result row"
+    * contract (sql.y FORCE_OUTPUT). */
+  def calcPerWindowOpts(fired: DataFrame, calc: WindowBounds => DataFrame,
+      sink: DataFrame => Unit, opts: StreamOptions)
+      : (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      val b0 = if (opts.ignoreNoDataTrigger && batch.columns.contains("n"))
+        batch.filter(col("n") > 0) else batch
+      val grp = if (b0.columns.contains("_tgrpid"))
+        coalesce(col("_tgrpid"), lit(0L)) else lit(0L)
+      val bounds = b0
+        .select(col("_twstart").cast("long"), col("_twend").cast("long"),
+          grp.cast("long"))
+        .collect()
+        .map(r => WindowBounds(r.getLong(0), r.getLong(1), r.getLong(2)))
+      val outs = bounds.toSeq.map { wb =>
+        val out = calc(wb)
+        if (opts.forceOutput && out.isEmpty) {
+          // one null row, with the placeholder bounds still bound
+          val spark = out.sparkSession
+          val nulls = out.schema.fields.map { f =>
+            val c = f.name match {
+              case "_twstart" => lit(wb.startUs)
+              case "_twend" => lit(wb.endUs)
+              case _ => lit(null)
+            }
+            c.cast(f.dataType).as(f.name)
+          }
+          spark.range(1).select(nulls.toSeq: _*)
+        } else out
+      }
+      outs.reduceOption(_ unionByName _).foreach(sink)
+  }
+
+  /** A notification event: `etype` ∈ {WINDOW_OPEN, WINDOW_CLOSE}. */
+  case class NotifyEvent(etype: String, bounds: WindowBounds)
+
+  /** EVENT_TYPE(...)-aware notify hook: one event per fired window per
+    * requested type. (Open events dispatch at close granularity — the
+    * micro-batch boundary — which is the tightest the batch runner
+    * observes; the reference fires them when the first row of the
+    * window arrives.) */
+  def notifyHookTyped(send: NotifyEvent => Unit, opts: StreamOptions)
+      : (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      val rows = batch
+        .select(col("_twstart").cast("long"), col("_twend").cast("long"))
+        .collect()
+      for (r <- rows; t <- Seq("WINDOW_OPEN", "WINDOW_CLOSE")
+             if opts.eventTypes.contains(t))
+        send(NotifyEvent(t, WindowBounds(r.getLong(0), r.getLong(1), 0L)))
+  }
 }
 
 /** The last-row cache (CACHEMODEL / cachescanoperator.c): a compact
