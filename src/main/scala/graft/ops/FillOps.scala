@@ -67,6 +67,10 @@ object FillOps {
     val joined = spine.join(marked, keys :+ wstartCol, "left")
       .withColumn("_isfilled", coalesce(col("_present"), lit(false)) === false)
       .drop("_present")
+    // scale note: the frame here is the spine-joined AGGREGATE — one
+    // row per grid step, cardinality = range/interval (query-chosen),
+    // not data-sized — so the keyless global window is bounded by the
+    // user's grid, unlike raw-row scans (those use GlobalScan.twoPass).
     val w =
       if (keys.isEmpty) Window.orderBy(col(wstartCol))
       else Window.partitionBy(keys.map(col): _*).orderBy(col(wstartCol))

@@ -75,25 +75,72 @@ object JoinOps {
               else -col("_isleft").cast("int")
     val backward = op == ">=" || op == ">" // best match is at-or-before
     val tieOrd = rightTieBreak.map(c => col("_rp").getField(c))
-    val w0 =
-      if (keys.isEmpty) Window.orderBy(col("_t") +: ord +: tieOrd: _*)
-      else Window.partitionBy(keyCols: _*)
-        .orderBy(col("_t") +: ord +: tieOrd: _*)
-    val rp = when(!col("_isleft"), col("_rp"))
-    val matched =
-      if (backward)
-        last(rp, ignoreNulls = true)
-          .over(w0.rowsBetween(Window.unboundedPreceding, -1))
-      else
-        first(rp, ignoreNulls = true)
-          .over(w0.rowsBetween(1, Window.unboundedFollowing))
-    val out = all
-      .withColumn("_match", matched)
-      .filter(col("_isleft"))
+    val out =
+      if (keys.isEmpty)
+        // no partition key → a global Window.orderBy would collapse to
+        // one partition; run the carry as a GlobalScan two-pass instead
+        keylessAsofMatch(all, backward, col("_t") +: ord +: tieOrd)
+      else {
+        val w0 = Window.partitionBy(keyCols: _*)
+          .orderBy(col("_t") +: ord +: tieOrd: _*)
+        val rp = when(!col("_isleft"), col("_rp"))
+        val matched =
+          if (backward)
+            last(rp, ignoreNulls = true)
+              .over(w0.rowsBetween(Window.unboundedPreceding, -1))
+          else
+            first(rp, ignoreNulls = true)
+              .over(w0.rowsBetween(1, Window.unboundedFollowing))
+        all.withColumn("_match", matched).filter(col("_isleft"))
+      }
     val withPayload = rightCols.foldLeft(out) { (d, c) =>
       d.withColumn(s"r_$c", col("_match").getField(c))
     }
     withPayload.drop("_t", "_isleft", "_rp", "_match")
+  }
+
+  /** Keyless asof carry distributed via [[GlobalScan.twoPass]]: the
+    * partition effect is "last right payload seen" (one small record
+    * per partition). A backward scan walks ascending sort order; the
+    * forward variant walks the exact REVERSE total order, which turns
+    * "first eligible right row after me" into the same last-seen carry.
+    * Output = left rows with `_match` bound, like the keyed branch. */
+  private def keylessAsofMatch(all: DataFrame, backward: Boolean,
+      sortExprs: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    var frame = all
+    val sortNames = sortExprs.zipWithIndex.map { case (e, i) =>
+      frame = frame.withColumn(s"_gs$i", e); s"_gs$i"
+    }
+    // reversing asc-nulls-first is desc-nulls-last (the defaults)
+    val sortCols = sortNames.map(n =>
+      if (backward) col(n) else col(n).desc)
+    val schema = frame.schema
+    val leftIdx = schema.fieldIndex("_isleft")
+    val rpIdx = schema.fieldIndex("_rp")
+    val outSchema = StructType(schema.fields :+
+      StructField("_match", schema("_rp").dataType))
+    GlobalScan.twoPass[Option[Row]](frame, sortCols,
+      zero = None,
+      summary = { it =>
+        var lastRp: Option[Row] = None
+        it.foreach { r =>
+          if (!r.getBoolean(leftIdx)) lastRp = Some(r.getStruct(rpIdx))
+        }
+        lastRp
+      },
+      combine = GlobalScan.lastSeen,
+      emit = { (carry0, it) =>
+        var carry = carry0
+        it.flatMap { r =>
+          if (!r.getBoolean(leftIdx)) {
+            carry = Some(r.getStruct(rpIdx)); None
+          } else Some(Row.fromSeq(r.toSeq :+ carry.orNull))
+        }
+      },
+      outSchema)
+      .drop(sortNames: _*)
   }
 
   /** Backward ASOF JOIN with JLIMIT n (sql.y:2797-2799): for each left
@@ -114,11 +161,12 @@ object JoinOps {
     require(op == ">=" || op == ">", s"JLIMIT lowering is backward-only ($op)")
     val keyCols = keys.map(col)
     val ord = col("_t") +: rightTieBreak.map(col)
-    val wR =
-      if (keys.isEmpty) Window.orderBy(ord: _*)
-      else Window.partitionBy(keyCols: _*).orderBy(ord: _*)
-    val r2 = right.withColumn("_t", col(rightTsUs).cast(LongType))
-      .withColumn("_rn", row_number().over(wR).cast(LongType))
+    val tagged = right.withColumn("_t", col(rightTsUs).cast(LongType))
+    val r2 =
+      if (keys.isEmpty) globalRowNumber(tagged, ord, "_rn")
+      else tagged.withColumn("_rn", row_number()
+        .over(Window.partitionBy(keyCols: _*).orderBy(ord: _*))
+        .cast(LongType))
     val withL = asofJoin(left,
       r2.select(keyCols :+ col(rightTsUs) :+ col("_rn"): _*),
       keys, leftTsUs, rightTsUs, op, Seq("_rn"),
@@ -132,6 +180,31 @@ object JoinOps {
     val rPay = r2.select(keyCols ++ Seq(col("_rn")) ++
       rightCols.map(c => col(c).as(s"r_$c")): _*)
     expanded.join(rPay, keys :+ "_rn", "left").drop("_rn", "_t")
+  }
+
+  /** Global 1-based row numbering in `ord` order without a
+    * single-partition window: GlobalScan two-pass with a row-count
+    * carry (the partition effect is just its row count). */
+  private def globalRowNumber(df: DataFrame, ord: Seq[Column],
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    var frame = df
+    val sortNames = ord.zipWithIndex.map { case (e, i) =>
+      frame = frame.withColumn(s"_gs$i", e); s"_gs$i"
+    }
+    val outSchema = StructType(frame.schema.fields :+
+      StructField(outCol, LongType))
+    GlobalScan.twoPass[Long](frame, sortNames.map(col),
+      zero = 0L,
+      summary = { it => var n = 0L; it.foreach(_ => n += 1); n },
+      combine = _ + _,
+      emit = { (before, it) =>
+        var n = before
+        it.map { r => n += 1; Row.fromSeq(r.toSeq :+ n) }
+      },
+      outSchema)
+      .drop(sortNames: _*)
   }
 
   /** WINDOW join (sql.y:2775): for each left row, all right rows with

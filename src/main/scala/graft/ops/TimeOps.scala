@@ -216,13 +216,9 @@ object TimeOps {
       .withColumn("_s", startCond.cast(BooleanType))
       .withColumn("_e", endCond.cast(BooleanType))
     val keyCols = keys.map(col)
-    // no keys -> the scan is one global sequential fold: everything must
-    // land in a single sorted partition (repartition() with zero columns
-    // would round-robin and split windows across partitions)
-    val sorted =
-      if (keys.isEmpty) tagged.repartition(1).sortWithinPartitions(col("_ts"))
-      else tagged.repartition(keyCols: _*)
-        .sortWithinPartitions(keyCols :+ col("_ts"): _*)
+    if (keys.isEmpty) return eventWindowsKeyless(tagged)
+    val sorted = tagged.repartition(keyCols: _*)
+      .sortWithinPartitions(keyCols :+ col("_ts"): _*)
     val schema = sorted.schema
     val outSchema = StructType(schema.fields :+ StructField("_wstart", LongType))
     val keyIdx = keys.map(schema.fieldIndex)
@@ -250,6 +246,76 @@ object TimeOps {
       }
     }(enc)
     result.drop("_ts", "_s", "_e")
+  }
+
+  /** The window state machine as a GlobalScan effect: (open?, wstart).
+    * `inherit` means "still the wstart the partition was entered with".
+    */
+  private case class EvState(open: Boolean, inherit: Boolean, ws: Long)
+  private case class EvEffect(fromClosed: EvState, fromOpen: EvState)
+
+  /** Keyless EVENT_WINDOW without the single-partition bottleneck: a
+    * two-pass boundary scan (GlobalScan). The partition effect is the
+    * state machine evaluated from BOTH possible incoming states (closed
+    * / open-with-inherited-wstart) — two booleans + a long per
+    * partition, so the driver fold touches n_partitions records, never
+    * rows. Both passes stream; emission stays fully parallel. */
+  private def eventWindowsKeyless(tagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = tagged.schema
+    val outSchema =
+      StructType(schema.fields :+ StructField("_wstart", LongType))
+    val tsIdx = schema.fieldIndex("_ts")
+    val sIdx = schema.fieldIndex("_s")
+    val eIdx = schema.fieldIndex("_e")
+
+    def step(st: EvState, r: Row): EvState = {
+      val s = !r.isNullAt(sIdx) && r.getBoolean(sIdx)
+      val e = !r.isNullAt(eIdx) && r.getBoolean(eIdx)
+      var o = st
+      if (!o.open && s) o = EvState(open = true, inherit = false,
+        ws = r.getLong(tsIdx))
+      if (o.open && e) o = o.copy(open = false)
+      o
+    }
+    // compose: feed `st` through effect `e`
+    def apply(st: EvState, e: EvEffect): EvState =
+      if (!st.open) e.fromClosed
+      else if (e.fromOpen.open && e.fromOpen.inherit)
+        st // window survived the whole partition untouched
+      else e.fromOpen
+
+    val zero = EvEffect(
+      fromClosed = EvState(open = false, inherit = false, ws = 0L),
+      fromOpen = EvState(open = true, inherit = true, ws = 0L))
+
+    val out = GlobalScan.twoPass[EvEffect](
+      tagged, Seq(col("_ts")),
+      zero = zero,
+      summary = { it =>
+        var c = zero.fromClosed; var o = zero.fromOpen
+        it.foreach { r => c = step(c, r); o = step(o, r) }
+        EvEffect(c, o)
+      },
+      combine = (e1, e2) =>
+        EvEffect(apply(e1.fromClosed, e2), apply(e1.fromOpen, e2)),
+      emit = { (prefix, it) =>
+        // global scan starts closed; prefix.fromClosed is concrete
+        var open = prefix.fromClosed.open
+        var wstart = prefix.fromClosed.ws
+        it.flatMap { r =>
+          val s = !r.isNullAt(sIdx) && r.getBoolean(sIdx)
+          val e = !r.isNullAt(eIdx) && r.getBoolean(eIdx)
+          if (!open && s) { open = true; wstart = r.getLong(tsIdx) }
+          if (open) {
+            val out = Row.fromSeq(r.toSeq :+ wstart)
+            if (e) open = false
+            Some(out)
+          } else None
+        }
+      },
+      outSchema = outSchema)
+    out.drop("_ts", "_s", "_e")
   }
 
   /** EXTERNAL_WINDOW (sql.y:2895-2900, externalwindowoperator.c:4367):

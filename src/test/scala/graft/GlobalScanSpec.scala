@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TimeOps
+
+/** Keyless global-order scans via GlobalScan two-pass boundary
+  * detection: results must match the sequential fold exactly — windows
+  * spanning range-partition boundaries included — while the data stays
+  * spread over many partitions. */
+class GlobalScanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("keyless event windows match a single-partition sequential fold") {
+    import spark.implicits._
+    // value cycles 0..9; windows open at v==1, close at v==8 — long
+    // windows guaranteed to straddle range-partition boundaries
+    val n = 50000
+    val df = spark.range(n)
+      .select(col("id").as("ts"), (col("id") % 10).as("v"))
+    val fast = TimeOps.eventWindows(df, col("v") === 1, col("v") === 8,
+      col("ts"), Nil)
+      .select("ts", "v", "_wstart")
+    // reference: the same fold, forced through one partition
+    val one = df.repartition(1).sortWithinPartitions("ts")
+      .as[(Long, Long)].collect()
+    val expect = {
+      var open = false; var ws = 0L
+      val b = Seq.newBuilder[(Long, Long, Long)]
+      one.foreach { case (ts, v) =>
+        if (!open && v == 1) { open = true; ws = ts }
+        if (open) { b += ((ts, v, ws)); if (v == 8) open = false }
+      }
+      b.result()
+    }
+    val got = fast.orderBy("ts").as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    assert(got.size == n / 10 * 8) // v in 1..8 of every cycle
+  }
+
+  test("keyless event windows really run on many partitions") {
+    val df = spark.range(100000)
+      .select(col("id").as("ts"), (col("id") % 100).as("v"))
+    val out = TimeOps.eventWindows(df, col("v") === 0, col("v") === 90,
+      col("ts"), Nil)
+    assert(out.rdd.getNumPartitions > 1,
+      s"keyless scan collapsed to ${out.rdd.getNumPartitions} partition")
+    assert(out.count() == 100000 / 100 * 91)
+  }
+
+  test("keyless asof join matches brute force for all four ops") {
+    import spark.implicits._
+    import graft.ops.JoinOps
+    val lts = (0 until 2000).map(i => i * 10L)
+    val rts = (0 until 1500).map(i => i * 13L + 1)
+    val left = lts.toDF("lt")
+    val right = rts.map(t => (t, t * 2.0)).toDF("rt", "v")
+    for (op <- Seq(">=", ">", "<=", "<")) {
+      val got = JoinOps.asofJoin(left, right, Nil, "lt", "rt", op,
+          Seq("v"))
+        .select(col("lt"), col("r_v"))
+        .as[(Long, Option[Double])].collect().toMap
+      def best(t: Long): Option[Long] = op match {
+        case ">=" => rts.filter(_ <= t).lastOption
+        case ">" => rts.filter(_ < t).lastOption
+        case "<=" => rts.find(_ >= t)
+        case "<" => rts.find(_ > t)
+      }
+      lts.foreach { t =>
+        assert(got(t) == best(t).map(_ * 2.0), s"op $op at lt=$t")
+      }
+    }
+  }
+
+  test("keyless asof join stays multi-partition") {
+    import graft.ops.JoinOps
+    val left = spark.range(100000).select(col("id").as("lt"))
+    val right = spark.range(50000)
+      .select((col("id") * 2).as("rt"), col("id").cast("double").as("v"))
+    val out = JoinOps.asofJoin(left, right, Nil, "lt", "rt", ">=",
+      Seq("v"))
+    assert(out.rdd.getNumPartitions > 1)
+    assert(out.count() == 100000)
+  }
+
+  test("a window opened in the first partition closes in the last") {
+    import spark.implicits._
+    // single window spanning the entire range
+    val df = spark.range(10000).select(col("id").as("ts"),
+      when(col("id") === 0, 1).when(col("id") === 9999, 8).otherwise(5)
+        .as("v"))
+    val out = TimeOps.eventWindows(df, col("v") === 1, col("v") === 8,
+      col("ts"), Nil).select("_wstart").distinct()
+      .as[Long].collect().toSeq
+    assert(out == Seq(0L))
+  }
+}
