@@ -132,6 +132,51 @@ object FillOps {
         .over(w.rowsBetween(1, Window.unboundedFollowing))
   }
 
+  /** Keyless prev/next sample carry for [[interp]], distributed via
+    * [[GlobalScan.twoPass]]: ascending scan carries the last non-null
+    * data sample into `outCol`; the descending variant walks the exact
+    * reverse order, yielding the next-sample carry. Grid markers never
+    * update the carry; each row reads the carry before contributing,
+    * which reproduces the exclusive window bounds of the keyed path. */
+  private def keylessCarry(frame: DataFrame, ascending: Boolean,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val schema = frame.schema
+    val tIdx = schema.fieldIndex("_t")
+    val vIdx = schema.fieldIndex("_v")
+    val gIdx = schema.fieldIndex("_isgrid")
+    val pairType = StructType(Seq(StructField("_t", LongType),
+      StructField("_v", DoubleType)))
+    val outSchema =
+      StructType(schema.fields :+ StructField(outCol, pairType))
+    val sortCols =
+      if (ascending) Seq(col("_t"), col("_isgrid"))
+      else Seq(col("_t").desc, col("_isgrid").desc)
+    GlobalScan.twoPass[Option[(Long, Double)]](frame, sortCols,
+      zero = None,
+      summary = { it =>
+        var lastP: Option[(Long, Double)] = None
+        it.foreach { r =>
+          if (!r.getBoolean(gIdx) && !r.isNullAt(vIdx))
+            lastP = Some((r.getLong(tIdx), r.getDouble(vIdx)))
+        }
+        lastP
+      },
+      combine = GlobalScan.lastSeen,
+      emit = { (c0, it) =>
+        var carry = c0
+        it.map { r =>
+          val out = Row.fromSeq(r.toSeq :+
+            carry.map(p => Row(p._1, p._2)).orNull)
+          if (!r.getBoolean(gIdx) && !r.isNullAt(vIdx))
+            carry = Some((r.getLong(tIdx), r.getDouble(vIdx)))
+          out
+        }
+      },
+      outSchema)
+  }
+
   /** INTERP (timesliceoperator.c): resample raw (ts, value) points onto an
     * EVERY(`stepUs`) grid over RANGE(`t0`,`t1`), per key. Emits
     * `_irowts` (µs), `value`, `_isfilled`.
@@ -160,20 +205,28 @@ object FillOps {
     // Data row sorts before a grid marker at the same ts so an exact hit
     // is visible as "prev" (reference: interp at an existing ts returns
     // that row, _isfilled=false).
-    val w =
-      (if (keys.isEmpty) Window.orderBy(col("_t"), col("_isgrid"))
-       else Window.partitionBy(keyCols: _*).orderBy(col("_t"), col("_isgrid")))
-    // null-valued data points must not block the carrier (same guard as
-    // fillInterval's lastNonNull): only non-null samples ride forward
-    val dataPair = when(!col("_isgrid") && col("_v").isNotNull,
-      struct(col("_t"), col("_v")))
-    val prev = last(dataPair, ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val next = first(dataPair, ignoreNulls = true)
-      .over(w.rowsBetween(1, Window.unboundedFollowing))
-    val marked = all
-      .withColumn("_prev", prev)
-      .withColumn("_next", next)
+    val carried =
+      if (keys.isEmpty)
+        // keyless: the frame is DATA-sized, so a global Window.orderBy
+        // would single-partition it — carry prev (ascending scan) and
+        // next (exact reverse scan) via GlobalScan instead
+        keylessCarry(keylessCarry(all, ascending = true, "_prev"),
+          ascending = false, "_next")
+      else {
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(col("_t"), col("_isgrid"))
+        // null-valued data points must not block the carrier (same
+        // guard as fillInterval's lastNonNull): only non-null samples
+        // ride forward
+        val dataPair = when(!col("_isgrid") && col("_v").isNotNull,
+          struct(col("_t"), col("_v")))
+        all
+          .withColumn("_prev", last(dataPair, ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("_next", first(dataPair, ignoreNulls = true)
+            .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      }
+    val marked = carried
       .filter(col("_isgrid"))
       .withColumn("_exacthit",
         col("_prev").isNotNull && col("_prev").getField("_t") === col("_t"))

@@ -84,6 +84,36 @@ class GlobalScanSpec extends AnyFunSuite {
     assert(out.count() == 100000)
   }
 
+  test("keyless interp matches brute force and stays multi-partition") {
+    import spark.implicits._
+    import graft.ops.FillOps
+    val pts = (0 until 3000).map(i => (i * 7L, i.toDouble))
+    val df = pts.toDF("ts", "v")
+    val step = 10L
+    val out = FillOps.interp(df, col("ts"), "v", Nil, step, 0L, 20000L,
+      FillOps.FillLinear)
+    assert(out.rdd.getNumPartitions > 1)
+    val got = out.select(col("_irowts"), col("v"))
+      .as[(Long, Option[Double])].collect().toMap
+    val ts = pts.map(_._1)
+    for (g <- 0L.to(20000L, step)) {
+      val exact = ts.contains(g)
+      val expect: Option[Double] =
+        if (exact) Some(g / 7 * 1.0)
+        else {
+          val p = ts.filter(_ < g).lastOption
+          val n = ts.find(_ > g)
+          (p, n) match {
+            case (Some(a), Some(b)) =>
+              val (va, vb) = (a / 7 * 1.0, b / 7 * 1.0)
+              Some(va + (vb - va) * (g - a).toDouble / (b - a).toDouble)
+            case _ => None
+          }
+        }
+      assert(got(g) == expect, s"grid $g")
+    }
+  }
+
   test("a window opened in the first partition closes in the last") {
     import spark.implicits._
     // single window spanning the entire range
