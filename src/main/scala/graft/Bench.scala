@@ -16,7 +16,12 @@ object Bench {
     // untimed warmup: JVM/codegen spin-up + parquet footer reads
     Seq("lineitem", "orders", "events", "documents", "embeddings")
       .foreach(t => Tables(spark, sfDir, t).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter (driver never sets it → full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (nm, _) =>
+      only.forall(_.contains(nm)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize the FULL result (toRdd.count keeps every output
       // column alive; df.count() would let Spark prune the payload of

@@ -61,8 +61,8 @@ object Pipeline {
     },
     // ---- language id (lexicon heuristic) ----
     "text_langid" -> { (s, dir) =>
-      docs(s, dir)
-        .select(Seq(col("doc_id")) ++ TextOps.langId(col("text")): _*)
+      TextOps.withLangId(docs(s, dir), col("text"))
+        .select((Seq("doc_id") ++ TextOps.langIdCols).map(col): _*)
         .orderBy(col("doc_id"))
     },
     // ---- quality scoring ----
@@ -88,8 +88,8 @@ object Pipeline {
     //      dedup -> near-dup removal; emits the surviving doc ids ----
     "pipeline_clean_corpus" -> { (s, dir) =>
       val d = docs(s, dir)
-      val lang = d.select(Seq(col("doc_id"), col("text")) ++
-          TextOps.langId(col("text")): _*)
+      val lang = TextOps.withLangId(
+          d.select(col("doc_id"), col("text")), col("text"))
         .filter(col("lang_pred") === "en")
       // the filtered corpus feeds four consumers (exact-dedup agg, the
       // keep join, the jaccard index, the final anti-join) — persist it

@@ -43,25 +43,39 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "que", "y", "es", "una", "por"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour"))
 
-  /** Per-language hit ratio columns + predicted language. CJK scripts are
-    * detected by codepoint range first (no useful word lexicon). */
-  def langId(text: Column): Seq[Column] = {
-    val w = words(text)
-    val nWords = greatest(size(w), lit(1)).cast("double")
-    val scores = lexicons.map { case (lang, lex) =>
-      val hits = size(filter(w, t => t.isInCollection(lex)))
-      (lang, (hits / nWords).as(s"score_$lang"))
+  /** Adds per-language `score_*` columns + `lang_pred`. CJK scripts are
+    * detected by codepoint range first (no useful word lexicon).
+    *
+    * Staged through materialized columns on purpose: the word array is
+    * aliased once (`_w`, referenced 5×, so CollapseProject keeps it)
+    * and the argmax when-chain references score COLUMNS, not score
+    * expressions — inlining the expressions would re-run the
+    * split+filter up to 2^|langs| times per row (measured 3-4× on the
+    * corpus bench). */
+  def withLangId(df: DataFrame, text: Column): DataFrame = {
+    val d1 = df.withColumn("_w", words(text))
+      .withColumn("_nw", greatest(size(col("_w")), lit(1)).cast("double"))
+    val d2 = lexicons.foldLeft(d1) { case (d, (lang, lex)) =>
+      d.withColumn(s"score_$lang",
+        (size(filter(col("_w"), t => t.isInCollection(lex))) / col("_nw"))
+          .cast("double"))
     }
-    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
-    val best = scores.map { case (lang, s) =>
-      struct(s.cast("double").as("s"), lit(lang).as("l"))
+    val cjk =
+      size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val best = lexicons.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
     }.reduce((a, b) =>
       when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    scores.map(_._2) :+
-      when(cjk > 0, lit("zh"))
-        .when(best.getField("s") > 0, best.getField("l"))
-        .otherwise(lit("und")).as("lang_pred")
+    d2.withColumn("lang_pred",
+        when(cjk > 0, lit("zh"))
+          .when(best.getField("s") > 0, best.getField("l"))
+          .otherwise(lit("und")))
+      .drop("_w", "_nw")
   }
+
+  /** Column names produced by [[withLangId]]. */
+  def langIdCols: Seq[String] = lexicons.map(l => s"score_${l._1}") :+
+    "lang_pred"
 
   // ---------------------------------------------------------------------
   // Quality scoring: cheap per-document heuristics.
