@@ -56,6 +56,21 @@ object Sources {
     "sys_columns" -> { (s, dir) =>
       SourceOps.insColumns(s, dir)
         .orderBy(col("table_name"), col("ordinal"))
+    },
+    // ---- TagScan (tagscanoperator.c): enumerate the tag dimension
+    // WITHOUT touching data columns. Tags are denormalized columns here
+    // (SURVEY §1.1), so this is a 2-column pruned scan + distinct — the
+    // parquet reader never materializes ts/value/payload (ReadSchema is
+    // asserted in PlanSpec). ----
+    "tag_scan" -> { (s, dir) =>
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .distinct()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"),
+          array_join(sort_array(collect_set(col("event_type"))), ",")
+            .as("types"))
+        .orderBy(col("user_id"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -86,5 +101,10 @@ object Sources {
            FROM events)
          SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
            event_type, value
-         FROM r WHERE rn = 1 ORDER BY user_id""")
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+    "tag_scan" ->
+      """WITH t AS (SELECT DISTINCT user_id, event_type FROM events)
+         SELECT user_id, count(*) AS n_types,
+           string_agg(event_type, ',' ORDER BY event_type) AS types
+         FROM t GROUP BY user_id ORDER BY user_id""")
 }

@@ -66,8 +66,7 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "el perro y la casa es una historia que los vecinos saben"),
       (4L, "le chien est dans la maison et les enfants pour une heure"),
       (5L, "中文文本")).toDF("doc_id", "text")
-    val out = samples.select(Seq(col("doc_id")) ++
-        TextOps.langId(col("text")): _*)
+    val out = TextOps.withLangId(samples, col("text"))
       .select("doc_id", "lang_pred").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "en"); assert(out(2L) == "de")

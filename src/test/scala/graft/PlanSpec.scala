@@ -25,6 +25,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_comment"), "unused column not pruned from scan")
   }
 
+  test("tag_scan reads only the tag columns from parquet") {
+    val p = plan("tag_scan")
+    assert(p.contains("ReadSchema"), p)
+    // the scan must not materialize data columns — tags only
+    assert(!p.contains("value") && !p.contains("event_id"),
+      s"tag scan reads payload columns:\n$p")
+  }
+
   test("dimension joins broadcast instead of shuffling") {
     val p = plan("join_inner")
     assert(countOf(p, "BroadcastHashJoin") >= 2,
