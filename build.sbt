@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw stdout passthrough for forked runs: without this, sbt decorates
+// every line with "[info] ", which breaks the driver's json.loads of
+// Bench's one-line output (BENCH_r01-r04 all recorded parsed:null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,16 +30,40 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout gets tail-truncated by the harness; persist the full JSON too
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_out.json")
-    Files.write(Paths.get(out), json.getBytes(StandardCharsets.UTF_8))
-    println(json)
+    def render(rs: Seq[(String, Double)], omitted: Int): String = {
+      val qs = rs.map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+        .mkString("{", ",", "}")
+      val total = BigDecimal(results.values.sum)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omit,"sf":"$sfDir"}"""
+    }
+    // The harness keeps only the LAST 2000 chars of stdout, and sbt
+    // appends a ~75-char "[success] Total time" footer after our line —
+    // so the printed JSON must fit in ~1880 chars or its FRONT gets cut
+    // and json.load fails (r01-r04 all recorded parsed:null this way).
+    // Print the slowest queries that fit; persist the complete map to a
+    // file for the full per-query record.
+    val full = render(results.toSeq, 0)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.write(Paths.get(out), full.getBytes(StandardCharsets.UTF_8))
+    val budget = 1750
+    val printable =
+      if (full.length <= budget) full
+      else {
+        val bySlow = results.toSeq.sortBy(-_._2)
+        // binary-free walk: take slowest-first until the rendered line
+        // would exceed the budget
+        var keep = Vector.empty[(String, Double)]
+        var line = render(keep, results.size)
+        for (r <- bySlow) {
+          val trial = render(keep :+ r, results.size - keep.size - 1)
+          if (trial.length <= budget) { keep = keep :+ r; line = trial }
+        }
+        line
+      }
+    println(printable)
     spark.stop()
   }
 }
