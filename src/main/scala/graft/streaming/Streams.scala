@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** CREATE STREAM semantics (SURVEY.md §2.11, §3.3) on Structured
   * Streaming.
@@ -51,6 +51,48 @@ object Streams {
       .select(Seq(col("session_window.start").as("_twstart"),
         col("session_window.end").as("_twend")) ++ keys.map(col) ++
         Seq(col("n")): _*)
+
+  // ---------------------------------------------------------------------
+  // PERIOD(p[,offset]) trigger (sql.y:1661 createPeriodWindowNode): fires
+  // on a PROCESSING-time grid — every p of wall clock, grid points at
+  // offset + k·p — independent of event arrival. The fired "window" is
+  // the period ending at the grid point. Spark mapping: a
+  // Trigger.ProcessingTime(p) micro-batch cadence + period bounds bound
+  // into the calc exactly like window bounds (_tprev_ts/_tcurrent_ts).
+  // ---------------------------------------------------------------------
+
+  /** The micro-batch trigger for PERIOD(p): Spark's processing-time
+    * trigger IS the reference's period timer (the offset shifts the
+    * bounds grid, not the timer phase — batch cadence stays p). */
+  def periodTrigger(periodMs: Long): Trigger = {
+    require(periodMs > 0, s"PERIOD must be positive: $periodMs ms")
+    Trigger.ProcessingTime(periodMs)
+  }
+
+  /** Bounds of the period that closed most recently at `nowUs`:
+    * `_tcurrent_ts` = the newest grid point (offset + k·p) ≤ now,
+    * `_tprev_ts` = one period earlier. Pure alignment arithmetic so
+    * replays bind identical bounds for the same grid point. */
+  def periodBounds(nowUs: Long, periodUs: Long, offsetUs: Long = 0L)
+      : WindowBounds = {
+    require(periodUs > 0 && offsetUs >= 0 && offsetUs < periodUs,
+      s"PERIOD($periodUs, $offsetUs): need 0 <= offset < period")
+    val end = Math.floorDiv(nowUs - offsetUs, periodUs) * periodUs + offsetUs
+    WindowBounds(end - periodUs, end, 0L)
+  }
+
+  /** foreachBatch body for a PERIOD stream: each firing binds the
+    * just-closed period's bounds into the calc and appends to `sink`,
+    * ignoring the batch contents (the reference's PERIOD trigger is
+    * purely clock-driven; data reaches the calc through the bound
+    * query, not through the trigger stream). `clockUs` is injectable
+    * so tests replay a deterministic clock. */
+  def periodCalc(periodUs: Long, offsetUs: Long,
+      calc: WindowBounds => DataFrame, sink: DataFrame => Unit,
+      clockUs: () => Long = () => System.currentTimeMillis() * 1000L)
+      : (DataFrame, Long) => Unit =
+    (_: DataFrame, _: Long) =>
+      sink(calc(periodBounds(clockUs(), periodUs, offsetUs)))
 
   // ---------------------------------------------------------------------
   // COUNT_WINDOW(n) trigger: stateful, exactly n rows per fired window.
@@ -127,6 +169,53 @@ object Streams {
       }
   }
 
+  /** STATE_WINDOW trigger with IDLE_TIMEOUT(d) (sql.y:1740): a key that
+    * receives no rows for d of processing time has its open window
+    * force-closed and emitted — the reference's guard against a stalled
+    * child table holding its window open forever. */
+  def stateWindowTriggerIdle(rows: Dataset[(Long, Long, String)],
+      idleMs: Long): Dataset[FiredStateWindow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        stateWindowIdleHandler(idleMs))
+  }
+
+  /** Per-key handler for [[stateWindowTriggerIdle]], factored out so the
+    * timeout path is unit-testable without a wall clock. On timeout the
+    * open window is emitted and the key's state cleared; otherwise the
+    * [[stateWindowTrigger]] state machine runs and the idle timer is
+    * re-armed. */
+  private[streaming] def stateWindowIdleHandler(idleMs: Long)
+      : (Long, Iterator[(Long, Long, String)], GroupState[StateWinState])
+        => Iterator[FiredStateWindow] = {
+    (key, it, state) =>
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(st =>
+          FiredStateWindow(key, st.cur, st.startUs, st.lastUs, st.n)).iterator
+        state.remove()
+        out
+      } else {
+        val fired = scala.collection.mutable.ArrayBuffer[FiredStateWindow]()
+        var s = state.getOption.orNull
+        it.toSeq.sortBy(_._2).foreach { case (_, ts, v) =>
+          s match {
+            case null => s = StateWinState(v, ts, ts, 1)
+            case st if st.cur == v =>
+              s = st.copy(lastUs = ts, n = st.n + 1)
+            case st =>
+              fired += FiredStateWindow(key, st.cur, st.startUs,
+                st.lastUs, st.n)
+              s = StateWinState(v, ts, ts, 1)
+          }
+        }
+        if (s != null) state.update(s)
+        state.setTimeoutDuration(idleMs)
+        fired.iterator
+      }
+  }
+
   // ---------------------------------------------------------------------
   // Calc-query binding: the reference runs an arbitrary SELECT per fired
   // window with stream placeholders bound (builtins.c:6877-7142).
@@ -200,12 +289,14 @@ object Streams {
     * the old directory is removed, so a mid-write failure leaves the
     * previous data intact. */
   private[streaming] def swapWrite(spark: SparkSession, df: DataFrame,
-      path: String): Unit = {
+      path: String, partitionCols: Seq[String] = Nil): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__staging")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     fs.delete(p, true)
     fs.rename(tmp, p)
   }
@@ -232,7 +323,32 @@ object Streams {
       expiredTimeUs: Option[Long] = None, // EXPIRED_TIME(d)
       forceOutput: Boolean = false, // FORCE_OUTPUT
       ignoreNoDataTrigger: Boolean = false, // IGNORE_NODATA_TRIGGER
-      eventTypes: Set[String] = Set("WINDOW_CLOSE")) // EVENT_TYPE(...)
+      eventTypes: Set[String] = Set("WINDOW_CLOSE"), // EVENT_TYPE(...)
+      maxDelayMs: Option[Long] = None, // MAX_DELAY(d)
+      lowLatencyCalc: Boolean = false, // LOW_LATENCY_CALC
+      idleTimeoutMs: Option[Long] = None) // IDLE_TIMEOUT(d)
+
+  /** Trigger cadence from the option surface (sql.y:1715-1740):
+    * LOW_LATENCY_CALC runs the calc as soon as a micro-batch is ready
+    * (zero-interval processing-time trigger — Spark's closest analog of
+    * the reference's calc-immediately mode); MAX_DELAY(d) bounds result
+    * staleness by re-firing at least every d; default is drain-what's-
+    * available. LOW_LATENCY_CALC wins when both are set (it is the
+    * stricter latency demand). */
+  def resolveTrigger(opts: StreamOptions): Trigger =
+    if (opts.lowLatencyCalc) Trigger.ProcessingTime(0L)
+    else opts.maxDelayMs.map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+
+  /** MAX_DELAY(d) on a windowed aggregation: the reference emits
+    * intermediate window results at most d after new data, without
+    * waiting for the watermark to close the window. Spark mapping:
+    * Update output mode (open windows emit their current partials every
+    * micro-batch) + a processing-time trigger of d — together they
+    * bound staleness by d exactly as the reference does. */
+  def withMaxDelay[T](w: DataStreamWriter[T], delayMs: Long)
+      : DataStreamWriter[T] =
+    w.outputMode(OutputMode.Update).trigger(Trigger.ProcessingTime(delayMs))
 
   /** PRE_FILTER lowers to a plain filter BEFORE windowing/state — rows
     * that fail it never reach the trigger (map-side, no shuffle).
@@ -330,14 +446,37 @@ object LatestRows {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** foreachBatch maintainer for a parquet-backed cache directory. */
+  /** foreachBatch maintainer for a parquet-backed cache directory,
+    * hash-bucketed on the cache key: `buckets` writer tasks each own
+    * one `_bucket=k` directory, so there is no single-writer bottleneck
+    * at 10M child tables (SURVEY §1.1) — point lookups prune to one
+    * bucket via partition pruning on `_bucket`. `buckets` should track
+    * key cardinality (1 row per key per bucket file; ~100k keys/bucket
+    * keeps files in the MB range). */
   def maintainer(spark: SparkSession, path: String, keys: Seq[String],
-      tsCol: String): (DataFrame, Long) => Unit = {
+      tsCol: String, buckets: Int = 1): (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
       val existing =
-        try spark.read.parquet(path)
+        try spark.read.parquet(path).drop("_bucket")
         catch { case _: Exception => batch.limit(0) }
-      Streams.swapWrite(spark,
-        merge(existing, batch, keys, tsCol).coalesce(1), path)
+      val merged = merge(existing, batch, keys, tsCol)
+        .withColumn("_bucket",
+          pmod(hash(keys.map(col): _*), lit(buckets)))
+        .repartition(buckets, col("_bucket"))
+      Streams.swapWrite(spark, merged, path, partitionCols = Seq("_bucket"))
+  }
+
+  /** Point lookup against the bucketed cache: computes the key's bucket
+    * and filters on the `_bucket` partition column, so the read prunes
+    * to a single bucket directory (asserted in ScaleLayoutSpec). */
+  def lookup(spark: SparkSession, path: String, keys: Seq[String],
+      keyVals: Seq[Any], buckets: Int): DataFrame = {
+    val cache = spark.read.parquet(path)
+    val keyEq = keys.zip(keyVals).map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _)
+    val bucket = spark.range(1)
+      .select(pmod(hash(keyVals.map(lit): _*), lit(buckets)).as("b"))
+      .head.getInt(0)
+    cache.filter(col("_bucket") === bucket && keyEq).drop("_bucket")
   }
 }

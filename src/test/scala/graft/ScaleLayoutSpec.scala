@@ -34,6 +34,31 @@ class ScaleLayoutSpec extends AnyFunSuite {
       .select("user_id").distinct().count())
   }
 
+  test("latest-rows cache writes hash buckets; lookups prune to one") {
+    import spark.implicits._
+    import graft.streaming.LatestRows
+    val dir = java.nio.file.Files.createTempDirectory("lr_bucketed").toString
+    val path = s"$dir/cache"
+    val maintain = LatestRows.maintainer(spark, path, Seq("k"), "ts",
+      buckets = 4)
+    maintain(Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"),
+      (4L, 10L, "d"), (5L, 10L, "e")).toDF("k", "ts", "v"), 0L)
+    // second batch: newer rows win, bucket layout preserved
+    maintain(Seq((1L, 20L, "a2"), (6L, 20L, "f")).toDF("k", "ts", "v"), 1L)
+    val bucketDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("_bucket=")).map(_.getName).sorted
+    assert(bucketDirs.length > 1, s"expected >1 bucket dirs: ${bucketDirs.toSeq}")
+    val cache = spark.read.parquet(path)
+    assert(cache.count() == 6)
+    assert(cache.filter(col("k") === 1L).head.getAs[String]("v") == "a2")
+    // the point lookup prunes on the _bucket partition column
+    val look = LatestRows.lookup(spark, path, Seq("k"), Seq(1L), buckets = 4)
+    assert(look.head.getAs[String]("v") == "a2")
+    val scan = look.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("_bucket"),
+      s"lookup does not partition-prune:\n$scan")
+  }
+
   test("self-join on the bucket key needs no exchange") {
     setup
     val t1 = spark.table("ev_bucketed").groupBy("user_id")

@@ -81,6 +81,107 @@ class StreamOptionsSpec extends AnyFunSuite {
     assert(events.map(_.etype) == Seq("WINDOW_CLOSE"))
   }
 
+  test("PERIOD bounds align to the offset grid") {
+    // period 1h, no offset: now lands inside [08:00, 09:00) → the
+    // most recently closed period is [07:00, 08:00)
+    val h = 3600000000L
+    val b0 = Streams.periodBounds(nowUs = 8 * h + 123L, periodUs = h)
+    assert(b0.startUs == 7 * h && b0.endUs == 8 * h)
+    // offset 15m shifts grid points to hh:15; the newest grid point
+    // ≤ 08:00:00.000123 is 07:15, closing the period [06:15, 07:15)
+    val q = h / 4
+    val b1 = Streams.periodBounds(8 * h + 123L, h, offsetUs = q)
+    assert(b1.startUs == 6 * h + q && b1.endUs == 7 * h + q)
+    assert(b1.endUs - b1.startUs == h)
+    // exactly on a grid point: that point closes the period
+    val b2 = Streams.periodBounds(8 * h, h)
+    assert(b2.startUs == 7 * h && b2.endUs == 8 * h)
+  }
+
+  test("PERIOD calc fires once per grid point with bound placeholders") {
+    import spark.implicits._
+    val h = 3600000000L
+    var clock = 8 * h + 1L
+    var seen = Seq.empty[(Long, Long)]
+    val hook = Streams.periodCalc(periodUs = h, offsetUs = 0L,
+      calc = wb => { seen = seen :+ (wb.startUs, wb.endUs)
+        spark.range(1).toDF("x") },
+      sink = _.count(): Unit,
+      clockUs = () => clock)
+    val empty = spark.range(0).toDF("x")
+    hook(empty, 0L) // wall clock inside [8h, 9h): fires for [7h, 8h)
+    clock = 9 * h + 5L
+    hook(empty, 1L) // next period
+    assert(seen == Seq((7 * h, 8 * h), (8 * h, 9 * h)))
+    assert(Streams.periodTrigger(3600000L) ==
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(3600000L))
+  }
+
+  test("LOW_LATENCY_CALC / MAX_DELAY resolve the trigger cadence") {
+    import org.apache.spark.sql.streaming.Trigger
+    assert(Streams.resolveTrigger(Streams.StreamOptions()) ==
+      Trigger.AvailableNow())
+    assert(Streams.resolveTrigger(Streams.StreamOptions(
+      maxDelayMs = Some(5000L))) == Trigger.ProcessingTime(5000L))
+    // LOW_LATENCY_CALC is the stricter demand and wins
+    assert(Streams.resolveTrigger(Streams.StreamOptions(
+      maxDelayMs = Some(5000L), lowLatencyCalc = true)) ==
+      Trigger.ProcessingTime(0L))
+  }
+
+  test("MAX_DELAY emits intermediate results before the window closes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sum("v").as("s"))
+    // Update mode + processing-time cadence = partials emit every
+    // micro-batch; in Append mode this window would never emit (no
+    // watermark ever closes it in this test)
+    val q = Streams.withMaxDelay(
+        agg.writeStream.format("memory").queryName("maxdelay_out"),
+        delayMs = 50L)
+      .start()
+    try {
+      mem.addData((java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:10:00Z")), 1.5))
+      q.processAllAvailable()
+      val partial = spark.table("maxdelay_out").collect()
+      assert(partial.length == 1 && partial(0).getDouble(1) == 1.5)
+      // second batch updates the SAME open window — staleness ≤ delay
+      mem.addData((java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:20:00Z")), 2.5))
+      q.processAllAvailable()
+      val updated = spark.table("maxdelay_out").collect()
+      assert(updated.map(_.getDouble(1)).max == 4.0)
+    } finally q.stop()
+  }
+
+  test("IDLE_TIMEOUT flushes the open window when a key goes idle") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val handler = Streams.stateWindowIdleHandler(idleMs = 1000L)
+    // live batch: rows arrive, state machine runs, timer armed
+    val live = TestGroupState.create[Streams.StateWinState](
+      java.util.Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 100L,
+      eventTimeWatermarkMs = java.util.Optional.empty(), hasTimedOut = false)
+    val fired = handler(7L,
+      Iterator((7L, 10L, "a"), (7L, 20L, "a"), (7L, 30L, "b")), live).toSeq
+    assert(fired == Seq(Streams.FiredStateWindow(7L, "a", 10L, 20L, 2)))
+    assert(live.get == Streams.StateWinState("b", 30L, 30L, 1))
+    assert(live.getTimeoutDurationMs.isPresent &&
+      live.getTimeoutDurationMs.get == 1000L)
+    // idle timeout: the open "b" window force-closes, state clears
+    val timedOut = TestGroupState.create[Streams.StateWinState](
+      java.util.Optional.of(live.get),
+      GroupStateTimeout.ProcessingTimeTimeout, 2000L,
+      java.util.Optional.empty(), hasTimedOut = true)
+    val flushed = handler(7L, Iterator.empty, timedOut).toSeq
+    assert(flushed == Seq(Streams.FiredStateWindow(7L, "b", 30L, 30L, 1)))
+    assert(timedOut.isRemoved)
+  }
+
   test("TMQ: committed offsets resume; a new group replays from start") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("tmq_src").toString
