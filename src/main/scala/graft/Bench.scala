@@ -21,15 +21,32 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (nm, _) =>
       only.forall(_.contains(nm)) }
+    // a crashing query must surface as an error + nonzero exit — a
+    // swallowed failure would record a near-zero timing and make the
+    // bench look FASTER than a working build
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize the FULL result (toRdd.count keeps every output
       // column alive; df.count() would let Spark prune the payload of
       // projection-only queries and under-measure them)
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("\\s+", " ").take(160) }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop intermediates a query persisted: cached blocks from one
+      // query must not pressure (or feed) the next query's timing
+      spark.catalog.clearCache()
+      name -> dt
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
     def render(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.map { case (k, v) =>
         "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
@@ -37,7 +54,10 @@ object Bench {
       val total = BigDecimal(results.values.sum)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP)
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omit,"sf":"$sfDir"}"""
+      val errs = if (errors.isEmpty) "" else errors
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString(""","errors":{""", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omit$errs,"sf":"$sfDir"}"""
     }
     // The harness keeps only the LAST 2000 chars of stdout, and sbt
     // appends a ~75-char "[success] Total time" footer after our line —
@@ -65,5 +85,6 @@ object Bench {
       }
     println(printable)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

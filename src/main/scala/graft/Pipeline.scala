@@ -34,7 +34,7 @@ object Pipeline {
       DedupOps.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, 0.9)
         .orderBy(col("id_a"), col("id_b"))
     },
-    // ---- SimHash fingerprints (xxhash64-based; verified in specs) ----
+    // ---- SimHash fingerprints (md5-bit votes; oracle-checked) ----
     "dedup_simhash" -> { (s, dir) =>
       TextOps.simhash(docs(s, dir), "doc_id", col("text"))
         .orderBy(col("doc_id"))
@@ -268,6 +268,27 @@ object Pipeline {
           FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
+    // same md5-derived 48 bits as TextOps.simhash: nibble 12 - b/4 of the
+    // hex digest holds bit b, extracted arithmetically (no engine-specific
+    // bit ops), so DuckDB reproduces the fingerprint exactly
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+            SELECT doc_id, tok, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+                  FROM documents)
+            GROUP BY 1, 2),
+          hv AS (SELECT doc_id, cnt, md5(tok) AS h FROM toks),
+          votes AS (
+            SELECT doc_id, b,
+              sum(CASE WHEN ((strpos('0123456789abcdef', h[12 - b//4]) - 1)
+                    // CAST(pow(2, b % 4) AS BIGINT)) % 2 = 1
+                  THEN cnt ELSE -cnt END) AS v
+            FROM hv CROSS JOIN (SELECT unnest(range(0, 48)) AS b) bs
+            GROUP BY 1, 2)
+          SELECT doc_id,
+            CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id ORDER BY doc_id""",
     "multimodal_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
            CAST(CASE WHEN doc_id % 3 = 2

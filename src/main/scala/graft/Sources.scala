@@ -16,6 +16,35 @@ object Sources {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
 
+  // --- federated-scan fixture: an in-JVM Derby database standing in for
+  // the remote MySQL/PostgreSQL of federatedscanoperator.c. Loaded once
+  // per (JVM, sfDir) via Spark's distributed JDBC writer; the query then
+  // reads it back through SourceOps.federatedScan so filter/projection
+  // pushdown and range-sliced parallel reads are what the gate measures.
+  private val derbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+  private val fedLoaded = scala.collection.mutable.Set[String]()
+  private def eventsInDerby(s: SparkSession, dir: String): String =
+    synchronized {
+      val db = "graftfed_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      if (!fedLoaded.contains(url)) {
+        Class.forName(derbyDriver)
+        val c = java.sql.DriverManager.getConnection(url)
+        try c.createStatement().execute(
+          """CREATE TABLE events_fed (event_id BIGINT, user_id BIGINT,
+             ts_us BIGINT, event_type VARCHAR(32), value DOUBLE)""")
+        finally c.close()
+        ev(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+            col("event_type"), col("value"))
+          .write.mode("append").format("jdbc")
+          .option("url", url).option("dbtable", "events_fed")
+          .option("driver", derbyDriver).save()
+        fedLoaded += url
+      }
+      url
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- virtual table: click/view/purchase value columns on (user,ts) --
     "vtable_scan" -> { (s, dir) =>
@@ -56,6 +85,20 @@ object Sources {
     "sys_columns" -> { (s, dir) =>
       SourceOps.insColumns(s, dir)
         .orderBy(col("table_name"), col("ordinal"))
+    },
+    // ---- FederatedScan (federatedscanoperator.c:44-50): events served
+    // by a real JDBC database; predicate + projection push into the
+    // remote SQL, and the read is range-sliced on event_id for
+    // parallelism. Derby returns uppercase names — alias back. ----
+    "federated_scan" -> { (s, dir) =>
+      val url = eventsInDerby(s, dir)
+      val hi = ev(s, dir).agg(max(col("event_id"))).head.getLong(0)
+      SourceOps.federatedScan(s, url, "events_fed", derbyDriver,
+          partition = Some(("event_id", 0L, hi + 1, 8)))
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("event_id"), col("user_id").as("user_id"),
+          col("ts_us").as("ts_us"), col("value").as("value"))
+        .orderBy(col("event_id"))
     },
     // ---- TagScan (tagscanoperator.c): enumerate the tag dimension
     // WITHOUT touching data columns. Tags are denormalized columns here
@@ -102,6 +145,68 @@ object Sources {
          SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
            event_type, value
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    // the oracle reads the SAME rows straight from parquet — a mismatch
+    // means the Derby round-trip (or its pushdown) corrupted data
+    "federated_scan" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+         FROM events WHERE event_type = 'click' ORDER BY event_id""",
+    // static expected catalog: insColumns is deterministic footer-only
+    // metadata, so the oracle pins it as a literal VALUES table
+    "sys_columns" ->
+      """SELECT * FROM (VALUES
+            ('customer','c_custkey',1,'bigint',true),
+            ('customer','c_name',2,'string',true),
+            ('customer','c_nationkey',3,'int',true),
+            ('customer','c_acctbal',4,'double',true),
+            ('customer','c_mktsegment',5,'string',true),
+            ('documents','doc_id',1,'bigint',true),
+            ('documents','text',2,'string',true),
+            ('documents','lang',3,'string',true),
+            ('documents','source',4,'string',true),
+            ('documents','n_chars',5,'bigint',true),
+            ('embeddings','vec_id',1,'bigint',true),
+            ('embeddings','embedding',2,'array<float>',true),
+            ('embeddings','label',3,'int',true),
+            ('events','event_id',1,'bigint',true),
+            ('events','ts',2,'bigint',true),
+            ('events','user_id',3,'bigint',true),
+            ('events','event_type',4,'string',true),
+            ('events','value',5,'double',true),
+            ('events','props',6,'string',true),
+            ('lineitem','l_orderkey',1,'bigint',true),
+            ('lineitem','l_partkey',2,'bigint',true),
+            ('lineitem','l_suppkey',3,'bigint',true),
+            ('lineitem','l_linenumber',4,'int',true),
+            ('lineitem','l_quantity',5,'double',true),
+            ('lineitem','l_extendedprice',6,'double',true),
+            ('lineitem','l_discount',7,'double',true),
+            ('lineitem','l_tax',8,'double',true),
+            ('lineitem','l_returnflag',9,'string',true),
+            ('lineitem','l_linestatus',10,'string',true),
+            ('lineitem','l_shipdate',11,'timestamp_ntz',true),
+            ('nation','n_nationkey',1,'int',true),
+            ('nation','n_name',2,'string',true),
+            ('nation','n_regionkey',3,'int',true),
+            ('orders','o_orderkey',1,'bigint',true),
+            ('orders','o_custkey',2,'bigint',true),
+            ('orders','o_orderstatus',3,'string',true),
+            ('orders','o_totalprice',4,'double',true),
+            ('orders','o_orderdate',5,'timestamp_ntz',true),
+            ('orders','o_orderpriority',6,'string',true),
+            ('part','p_partkey',1,'bigint',true),
+            ('part','p_name',2,'string',true),
+            ('part','p_brand',3,'string',true),
+            ('part','p_type',4,'string',true),
+            ('part','p_size',5,'int',true),
+            ('part','p_retailprice',6,'double',true),
+            ('region','r_regionkey',1,'int',true),
+            ('region','r_name',2,'string',true),
+            ('supplier','s_suppkey',1,'bigint',true),
+            ('supplier','s_name',2,'string',true),
+            ('supplier','s_nationkey',3,'int',true),
+            ('supplier','s_acctbal',4,'double',true))
+          AS t(table_name, col_name, ordinal, col_type, nullable)
+          ORDER BY table_name, ordinal""",
     "tag_scan" ->
       """WITH t AS (SELECT DISTINCT user_id, event_type FROM events)
          SELECT user_id, count(*) AS n_types,

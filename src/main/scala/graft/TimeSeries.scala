@@ -437,6 +437,26 @@ object TimeSeries {
         .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
           col("n_clicks"), col("sum_click_value"))
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    },
+    // ---- keyless WINDOW JOIN: clicks of ANY user within [-2m,+2m] of a
+    // sampled purchase. No equi key — exercises the time-bucketed
+    // lowering (an unbucketed range join would plan nested-loop) ----
+    "window_join_keyless" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase" &&
+          col("event_id") % 19 === 0)
+        .select(col("ts"), col("event_id"))
+      val r = e.filter(col("event_type") === "click")
+        .select(col("ts"), col("value"))
+      JoinOps.windowJoin(l, r, Nil, "ts", "ts",
+          -2 * Dur.m, 2 * Dur.m, Seq("value"))
+        .groupBy(col("ts"), col("event_id"))
+        .agg(count(col("r_value")).as("n_clicks"),
+          Lowering.dsum(coalesce(col("r_value"), lit(0)))
+            .as("sum_click_value"))
+        .select(usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          col("n_clicks"), col("sum_click_value"))
+        .orderBy(col("ts_ms"), col("event_id"))
     })
 
   // ---------------------------------------------------------------------
@@ -834,7 +854,19 @@ object TimeSeries {
             AND epoch_us(b.ts) >= epoch_us(a.ts) - ${30 * Dur.m}
             AND epoch_us(b.ts) <= epoch_us(a.ts) + ${30 * Dur.m}
           GROUP BY a.user_id, epoch_us(a.ts), a.event_id
-          ORDER BY a.user_id, ts_ms, a.event_id""")
+          ORDER BY a.user_id, ts_ms, a.event_id""",
+    "window_join_keyless" ->
+      s"""SELECT epoch_us(a.ts) // 1000 AS ts_ms, a.event_id,
+            count(b.value) AS n_clicks,
+            CAST(sum(CAST(coalesce(b.value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_click_value
+          FROM (SELECT * FROM events
+                WHERE event_type = 'purchase' AND event_id % 19 = 0) a
+          LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+            ON epoch_us(b.ts) >= epoch_us(a.ts) - ${2 * Dur.m}
+            AND epoch_us(b.ts) <= epoch_us(a.ts) + ${2 * Dur.m}
+          GROUP BY epoch_us(a.ts), a.event_id
+          ORDER BY ts_ms, a.event_id""")
 
   /** Shared FILL oracle skeleton: daily buckets per user over [T0,T1),
     * left-joined to the dense spine, filled per `fillExpr`. */

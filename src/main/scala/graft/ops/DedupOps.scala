@@ -56,26 +56,43 @@ object DedupOps {
       transform(slice(ids, i + 1, size(ids) - i),
         b => struct(element_at(ids, i).as("id_a"), b.as("id_b")))))
 
-  /** Exact n-gram Jaccard similarity for all pairs meeting `threshold`.
-    * Single scan: each inverted-index row carries its document's set
-    * size, so pairs emerge from the bucket expansion with both sizes
-    * attached — two shuffles, zero joins. */
+  /** Exact n-gram Jaccard similarity for all pairs meeting `threshold`,
+    * via prefix filtering (the PPJoin family's candidate bound): a pair
+    * with J(A,B) >= t must share a shingle among the first
+    * `|X| - ceil(t*|X|) + 1` shingles of each side under ANY global
+    * total order. Ordering rarest-first (document frequency asc) makes
+    * the indexed buckets the RARE shingles — stop-shingle buckets,
+    * which hold ~every document and made the old full-index pair
+    * expansion quadratic in corpus size, never enter the index. Exact:
+    * candidate generation can only over-approximate; every candidate
+    * pair is verified against its true shingle sets. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sets feed the prefix index AND the verify join — persist, or the
+    // shingle split re-runs per consumer (same contract as the LSH path:
+    // lives until session end / LRU eviction)
     val sets = shingleSets(docs, idCol, textCol, k)
-    val sh = sets.select(col("_id"), size(col("_set")).as("_n"),
-      explode(col("_set")).as("_g"))
-    val ids = sort_array(collect_list(struct(col("_id"), col("_n"))))
-    sh.groupBy("_g").agg(ids.as("_ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = sets.filter(size(col("_set")) > 0)
+      .select(col("_id"), size(col("_set")).as("_n"),
+        explode(col("_set")).as("_g"))
+    // global shingle document frequency: partial-agg'd map-side, output
+    // is one row per DISTINCT shingle
+    val dfreq = idx.groupBy("_g").agg(count(lit(1)).as("_df"))
+    // rarest-first rank within each document; (_df, _g) is a total order
+    val prefixLen = col("_n") - ceil(col("_n") * threshold) + 1
+    val ranked = idx.join(dfreq, "_g")
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_id")).orderBy(col("_df"), col("_g"))))
+      .filter(col("_r") <= prefixLen)
+    val cands = ranked.groupBy("_g")
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1)
       .select(explode(pairCombos(col("_ids"))).as("_p"))
-      .groupBy(col("_p.id_a._id").as("id_a"), col("_p.id_a._n").as("_na"),
-        col("_p.id_b._id").as("id_b"), col("_p.id_b._n").as("_nb"))
-      .agg(count(lit(1)).as("_c"))
-      .withColumn("jaccard",
-        col("_c").cast("double") / (col("_na") + col("_nb") - col("_c")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sets, threshold)
   }
 
   /** MinHash signatures as a map-side native expression (see

@@ -211,7 +211,16 @@ object JoinOps {
     * `right.ts` in `[left.ts + loUs, left.ts + hiUs]` (plus key equality).
     * Returns the exploded pairs; aggregate per left row for the
     * per-window stats form.
-    */
+    *
+    * With keys the range is a post-join filter on an equi sort-merge
+    * join. WITHOUT keys a bare range predicate would plan as a
+    * broadcast-nested-loop/cartesian join — quadratic, the classic
+    * 100 TB killer — so the keyless path manufactures an equi key: time
+    * buckets of span >= the window width. A left row lives in exactly
+    * one bucket; a right row can only match left timestamps in
+    * `[rts-hiUs, rts-loUs]`, which spans at most 2 consecutive buckets,
+    * so the right side explodes to <= 2 rows and the join is a plain
+    * shuffled equi-join on the bucket id. */
   def windowJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsUs: String, rightTsUs: String, loUs: Long, hiUs: Long,
       rightCols: Seq[String]): DataFrame = {
@@ -219,13 +228,26 @@ object JoinOps {
       keys.map(c => col(c).as(s"_rk_$c")) ++
         Seq(col(rightTsUs).cast(LongType).as("_rts")) ++
         rightCols.map(c => col(c).as(s"r_$c")): _*)
-    val cond = keys.map(k => left(k) === r(s"_rk_$k")).reduceOption(_ && _)
-      .map(_ && r("_rts") >= left(leftTsUs) + lit(loUs) &&
-        r("_rts") <= left(leftTsUs) + lit(hiUs))
-      .getOrElse(r("_rts") >= left(leftTsUs) + lit(loUs) &&
-        r("_rts") <= left(leftTsUs) + lit(hiUs))
-    left.join(r, cond, "left")
-      .drop(keys.map(k => s"_rk_$k"): _*)
+    val range = (rr: DataFrame, l: DataFrame) =>
+      rr("_rts") >= l(leftTsUs) + lit(loUs) &&
+        rr("_rts") <= l(leftTsUs) + lit(hiUs)
+    if (keys.nonEmpty) {
+      val cond = keys.map(k => left(k) === r(s"_rk_$k")).reduce(_ && _) &&
+        range(r, left)
+      left.join(r, cond, "left").drop(keys.map(k => s"_rk_$k"): _*)
+    } else {
+      val span = math.max(hiUs - loUs, 1L)
+      // floor-division via pmod keeps bucket ids exact in long arithmetic
+      // (plain `x DIV span` truncates toward zero, wrong for negative ts)
+      def bucket(x: Column): Column =
+        ((x - pmod(x, lit(span))) / lit(span)).cast(LongType)
+      val lb = left.withColumn("_lb",
+        bucket(col(leftTsUs).cast(LongType)))
+      val rb = r.withColumn("_rb", explode(sequence(
+        bucket(col("_rts") - lit(hiUs)), bucket(col("_rts") - lit(loUs)))))
+      lb.join(rb, lb("_lb") === rb("_rb") && range(rb, lb), "left")
+        .drop("_lb", "_rb")
+    }
   }
 
   /** WINDOW join with JLIMIT n: keeps the first n right rows per left

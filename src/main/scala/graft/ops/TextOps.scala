@@ -109,10 +109,12 @@ object TextOps {
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
   // ---------------------------------------------------------------------
-  // SimHash (48-bit): per-token 64-bit hashes vote on each bit, weighted
-  // by token frequency; the fingerprint packs the positive-vote bits.
+  // SimHash (48-bit): per-token hashes vote on each bit, weighted by
+  // token frequency; the fingerprint packs the positive-vote bits.
   // Hamming distance <= k on the fingerprints approximates token-set
-  // similarity. 48 bits keeps the packed value clear of the sign bit.
+  // similarity. The per-token hash is the first 12 hex chars of md5 —
+  // 48 engine-reproducible bits (any SQL engine computes the same md5,
+  // so the fingerprint is oracle-checkable), clear of the sign bit.
   // ---------------------------------------------------------------------
   val SimHashBits = 48
 
@@ -120,7 +122,9 @@ object TextOps {
   def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
     val toks = df.select(col(idCol), explode(words(text)).as("_tok"))
       .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_cnt"))
-      .withColumn("_h", xxhash64(col("_tok")))
+      .withColumn("_h",
+        conv(substring(md5(col("_tok").cast("binary")), 1, 12), 16, 10)
+          .cast(LongType))
     val bits = toks.select(col(idCol), col("_h"), col("_cnt"),
         explode(sequence(lit(0), lit(SimHashBits - 1))).as("_b"))
       .withColumn("_vote",

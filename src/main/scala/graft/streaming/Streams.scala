@@ -187,7 +187,7 @@ object Streams {
     * open window is emitted and the key's state cleared; otherwise the
     * [[stateWindowTrigger]] state machine runs and the idle timer is
     * re-armed. */
-  private[streaming] def stateWindowIdleHandler(idleMs: Long)
+  private[graft] def stateWindowIdleHandler(idleMs: Long)
       : (Long, Iterator[(Long, Long, String)], GroupState[StateWinState])
         => Iterator[FiredStateWindow] = {
     (key, it, state) =>

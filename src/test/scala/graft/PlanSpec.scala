@@ -64,6 +64,13 @@ class PlanSpec extends AnyFunSuite {
       "asof join must not explode into a product join")
   }
 
+  test("keyless window join is a bucketed equi-join, not a nested loop") {
+    val p = plan("window_join_keyless")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"keyless range join must lower to a time-bucket equi-join:\n$p")
+  }
+
   test("the 6-way TPC-H-shape join broadcasts every dimension") {
     val p = plan("tpch_q5")
     assert(countOf(p, "BroadcastHashJoin") >= 4,

@@ -132,6 +132,7 @@ class StreamOptionsSpec extends AnyFunSuite {
   test("MAX_DELAY emits intermediate results before the window closes") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Double)]
     val agg = mem.toDF().toDF("ts", "v")
       .groupBy(window(col("ts"), "1 hour"))
@@ -159,24 +160,26 @@ class StreamOptionsSpec extends AnyFunSuite {
   }
 
   test("IDLE_TIMEOUT flushes the open window when a key goes idle") {
+    import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val handler = Streams.stateWindowIdleHandler(idleMs = 1000L)
     // live batch: rows arrive, state machine runs, timer armed
     val live = TestGroupState.create[Streams.StateWinState](
-      java.util.Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
       batchProcessingTimeMs = 100L,
-      eventTimeWatermarkMs = java.util.Optional.empty(), hasTimedOut = false)
+      eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
     val fired = handler(7L,
       Iterator((7L, 10L, "a"), (7L, 20L, "a"), (7L, 30L, "b")), live).toSeq
     assert(fired == Seq(Streams.FiredStateWindow(7L, "a", 10L, 20L, 2)))
     assert(live.get == Streams.StateWinState("b", 30L, 30L, 1))
-    assert(live.getTimeoutDurationMs.isPresent &&
-      live.getTimeoutDurationMs.get == 1000L)
+    // the armed timer surfaces as batch time + idleMs
+    assert(live.getTimeoutTimestampMs.isPresent &&
+      live.getTimeoutTimestampMs.get == 1100L)
     // idle timeout: the open "b" window force-closes, state clears
     val timedOut = TestGroupState.create[Streams.StateWinState](
-      java.util.Optional.of(live.get),
+      Optional.of(live.get),
       GroupStateTimeout.ProcessingTimeTimeout, 2000L,
-      java.util.Optional.empty(), hasTimedOut = true)
+      Optional.empty(), hasTimedOut = true)
     val flushed = handler(7L, Iterator.empty, timedOut).toSeq
     assert(flushed == Seq(Streams.FiredStateWindow(7L, "b", 30L, 30L, 1)))
     assert(timedOut.isRemoved)
