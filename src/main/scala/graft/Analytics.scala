@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.ops.{AnalyticsOps, TimeOps}
+import graft.ops.{AnalyticsOps, BuiltinDetector, Detector, TimeOps}
 import graft.ops.TimeOps.Dur
 
 /** TDgpt-equivalent analytics queries (SURVEY §2.10 forecast /
@@ -18,10 +18,17 @@ object Analytics {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesWith(BuiltinDetector)
+
+  /** The analytics queries bound to a [[Detector]]: swapping in a
+    * learned model (tanalytics.h anode shape) touches no query code —
+    * see DetectorSpec. */
+  def queriesWith(det: Detector)
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- FORECAST(value): per-user linear trend, 6 daily steps ----
     "forecast_linear" -> { (s, dir) =>
-      AnalyticsOps.forecast(ev(s, dir), col("ts"), "value", Seq("user_id"),
+      det.forecast(ev(s, dir), col("ts"), "value", Seq("user_id"),
           horizon = 6, stepUs = Dur.d, t0Us = T0)
         .select(col("user_id"), usToMs(col("_frowts")).as("_frowts_ms"),
           round(col("forecast"), 6).as("forecast"),
@@ -34,14 +41,14 @@ object Analytics {
       val gapped = ev(s, dir).withColumn("value",
         when(col("event_id") % 7 === 0, lit(null).cast("double"))
           .otherwise(col("value").cast("double")))
-      AnalyticsOps.imputeLinear(gapped, col("ts"), "value", Seq("user_id"))
+      det.imputeLinear(gapped, col("ts"), "value", Seq("user_id"))
         .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
           round(col("value"), 6).as("value"), col("_impmark"))
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
     },
     // ---- ANOMALY_WINDOW(value): z=2 score, runs merge into windows ----
     "anomaly_window" -> { (s, dir) =>
-      AnalyticsOps.anomalyRows(ev(s, dir), col("ts"), "value",
+      det.anomalyRows(ev(s, dir), col("ts"), "value",
           Seq("user_id"), z = 2.0)
         .groupBy(col("user_id"), col("_wgrp"))
         .agg(usToMs(min(col("ts"))).as("_wstart_ms"),

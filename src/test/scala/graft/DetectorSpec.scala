@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AnalyticsOps, BuiltinDetector, Detector}
+
+/** The pluggable-analytics contract (tanalytics.h: the reference's
+  * anode service): a custom model implements [[Detector]] and the
+  * analytics queries run unchanged against it. The custom detector here
+  * is the ONNX/HTTP stand-in — a per-series `flatMapGroups` calling a
+  * local scoring function, which is exactly where a model call goes. */
+class DetectorSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Constant-forecast + every-5th-row-anomalous "model service". */
+  private object StubModel extends Detector {
+    def forecast(df: DataFrame, tsUs: Column, valueCol: String,
+        keys: Seq[String], horizon: Int, stepUs: Long, t0Us: Long)
+        : DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(max(tsUs.cast("long")).as("_tmax"))
+        .withColumn("_j", explode(sequence(lit(1), lit(horizon))))
+        .select(keys.map(col) :+
+          (col("_tmax") + col("_j") * lit(stepUs)).as("_frowts") :+
+          lit(42.0).as("forecast") :+ lit(41.0).as("_flow") :+
+          lit(43.0).as("_fhigh"): _*)
+
+    def imputeLinear(df: DataFrame, tsUs: Column, valueCol: String,
+        keys: Seq[String]): DataFrame =
+      df.withColumn("_impmark", col(valueCol).isNull)
+        .withColumn(valueCol,
+          coalesce(col(valueCol).cast("double"), lit(0.0)))
+
+    // per-series model call: group rows by key, hand the series to a
+    // scoring function — swap `score` for an HTTP POST / ONNX session
+    // and the plumbing (shuffle by key, bounded series per task) holds
+    def anomalyRows(df: DataFrame, tsUs: Column, valueCol: String,
+        keys: Seq[String], z: Double): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      def score(series: Seq[(Long, Double)]): Seq[(Long, Long)] =
+        series.sortBy(_._1).zipWithIndex.collect {
+          case ((t, _), i) if i % 5 == 0 => (t, (i / 5).toLong)
+        }
+      val slim = df.select(col(keys.head).cast("long").as("_k"),
+        tsUs.cast("long").as("_t"), col(valueCol).cast("double").as("_v"))
+        .as[(Long, Long, Double)]
+      val flagged = slim.groupByKey(_._1)
+        .flatMapGroups { (k, it) =>
+          score(it.map(r => (r._2, r._3)).toSeq)
+            .map { case (t, g) => (k, t, g) }
+        }
+        .toDF(keys.head, "_t", "_wgrp")
+      df.withColumn("_t", tsUs.cast("long"))
+        .join(flagged, Seq(keys.head, "_t")).drop("_t")
+    }
+  }
+
+  test("builtin binding reproduces the in-engine models") {
+    val events = Tables(spark, sf, "events")
+    val a = BuiltinDetector.forecast(events, col("ts"), "value",
+      Seq("user_id"), 3, 86400000000L, 1704067200000000L).collect()
+    val b = AnalyticsOps.forecast(events, col("ts"), "value",
+      Seq("user_id"), 3, 86400000000L, 1704067200000000L).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("a custom model slots into the queries without query changes") {
+    val q = Analytics.queriesWith(StubModel)
+    val fc = q("forecast_linear")(spark, sf).collect()
+    assert(fc.nonEmpty)
+    assert(fc.forall(_.getAs[Double]("forecast") == 42.0))
+    assert(fc.forall(r => r.getAs[Double]("_flow") == 41.0 &&
+      r.getAs[Double]("_fhigh") == 43.0))
+
+    val an = q("anomaly_window")(spark, sf).collect()
+    assert(an.nonEmpty)
+    // every 5th row per user is anomalous and isolated anomalies form
+    // their own windows → every window has exactly one row
+    assert(an.forall(_.getAs[Long]("n") == 1L))
+
+    val im = q("imputation_linear")(spark, sf).collect()
+    assert(im.nonEmpty)
+    // the stub imputes zeros where the query planted nulls
+    assert(im.filter(_.getAs[Boolean]("_impmark"))
+      .forall(_.getAs[Double]("value") == 0.0))
+  }
+}
