@@ -46,6 +46,19 @@ object Analytics {
           round(col("value"), 6).as("value"), col("_impmark"))
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
     },
+    // ---- IMPUTATION with no partition key: the whole table is one
+    // globally-ordered series, so the prev/next carries run as
+    // GlobalScan two-pass scans, not a single-partition window ----
+    "imputation_keyless" -> { (s, dir) =>
+      val gapped = ev(s, dir).withColumn("value",
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value").cast("double")))
+      AnalyticsOps.imputeLinear(gapped, col("ts"), "value", Nil,
+          tieBreak = Seq("event_id"))
+        .select(usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          round(col("value"), 6).as("value"), col("_impmark"))
+        .orderBy(col("ts_ms"), col("event_id"))
+    },
     // ---- ANOMALY_WINDOW(value): z=2 score, runs merge into windows ----
     "anomaly_window" -> { (s, dir) =>
       det.anomalyRows(ev(s, dir), col("ts"), "value",
@@ -132,6 +145,30 @@ object Analytics {
               / CAST(nv.t - pv.t AS DOUBLE) END, 6) AS value,
           y IS NULL AS _impmark
         FROM m ORDER BY user_id, ts_ms, event_id""",
+    "imputation_keyless" ->
+      """WITH d AS (SELECT epoch_us(ts) AS t, event_id,
+            CASE WHEN event_id % 7 = 0 THEN NULL
+                 ELSE CAST(value AS DOUBLE) END AS y
+          FROM events),
+        m AS (SELECT t, event_id, y,
+            last_value(CASE WHEN y IS NOT NULL
+                THEN struct_pack(t := t, v := y) END IGNORE NULLS)
+              OVER (ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+            first_value(CASE WHEN y IS NOT NULL
+                THEN struct_pack(t := t, v := y) END IGNORE NULLS)
+              OVER (ORDER BY t, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+          FROM d)
+        SELECT t // 1000 AS ts_ms, event_id,
+          round(CASE WHEN y IS NOT NULL THEN y
+            WHEN pv IS NULL AND nv IS NULL THEN NULL
+            WHEN pv IS NULL THEN nv.v
+            WHEN nv IS NULL THEN pv.v
+            ELSE pv.v + (nv.v - pv.v) * CAST(t - pv.t AS DOUBLE)
+              / CAST(nv.t - pv.t AS DOUBLE) END, 6) AS value,
+          y IS NULL AS _impmark
+        FROM m ORDER BY ts_ms, event_id""",
     "anomaly_window" ->
       """WITH s AS (SELECT user_id,
             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,

@@ -379,6 +379,20 @@ object TimeSeries {
           col("r_event_id").as("click_event_id"))
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"), col("jrank"))
     },
+    // ---- ASOF JOIN (<=) JLIMIT 3: three earliest at-or-after matches ----
+    "asof_join_jlimit_fwd" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      JoinOps.asofJoinN(l, r, Seq("user_id"), "ts", "ts", "<=", 3,
+          Seq("ts", "event_id"), rightTieBreak = Seq("event_id"))
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"), col("event_id"),
+          col("jrank"), usToMs(col("r_ts")).as("click_ts_ms"),
+          col("r_event_id").as("click_event_id"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"), col("jrank"))
+    },
     // ---- WINDOW JOIN JLIMIT 3: first three clicks in [-30m,+30m] ----
     "window_join_jlimit" -> { (s, dir) =>
       val e = ev(s, dir)
@@ -794,6 +808,22 @@ object TimeSeries {
                  ORDER BY b.ts DESC, b.event_id DESC) AS rk
              FROM l a LEFT JOIN r b
                ON b.user_id = a.user_id AND b.ts <= a.ts)
+         SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
+           CASE WHEN bts IS NULL THEN NULL ELSE rk END AS jrank,
+           epoch_us(bts) // 1000 AS click_ts_ms, bid AS click_event_id
+         FROM j WHERE rk <= 3 OR bts IS NULL
+         ORDER BY user_id, ts_ms, event_id, jrank""",
+    "asof_join_jlimit_fwd" ->
+      """WITH l AS (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'purchase'),
+           r AS (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'click'),
+           j AS (SELECT a.user_id, a.ts, a.event_id,
+               b.ts AS bts, b.event_id AS bid,
+               row_number() OVER (PARTITION BY a.user_id, a.ts, a.event_id
+                 ORDER BY b.ts, b.event_id) AS rk
+             FROM l a LEFT JOIN r b
+               ON b.user_id = a.user_id AND b.ts >= a.ts)
          SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
            CASE WHEN bts IS NULL THEN NULL ELSE rk END AS jrank,
            epoch_us(bts) // 1000 AS click_ts_ms, bid AS click_event_id

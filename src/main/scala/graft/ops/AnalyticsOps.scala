@@ -69,21 +69,36 @@ object AnalyticsOps {
   /** IMPUTATION(col): linear interpolation of null samples between their
     * surrounding non-null neighbours per key (nearest value at the
     * edges). Emits the original rows with `valueCol` imputed and
-    * `_impmark` = true where a value was filled. One sort-shuffle. */
+    * `_impmark` = true where a value was filled. One sort-shuffle.
+    *
+    * With no `keys` a plain `Window.orderBy` would collapse the whole
+    * input to one partition, so the keyless path runs the prev/next
+    * sample carries as [[GlobalScan.twoPass]] scans (ascending for
+    * prev, exact reverse order for next) — the same distributed shape
+    * as FillOps.interp's keyless carry. `tieBreak` columns order rows
+    * at equal ts (pass one to make keyless results deterministic when
+    * timestamps can collide across the whole table). */
   def imputeLinear(df: DataFrame, tsUs: Column, valueCol: String,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     val keyCols = keys.map(col)
     val d = df.withColumn("_t", tsUs.cast(LongType))
       .withColumn("_y", col(valueCol).cast("double"))
-    val w =
-      if (keys.isEmpty) Window.orderBy(col("_t"))
-      else Window.partitionBy(keyCols: _*).orderBy(col("_t"))
-    val pair = when(col("_y").isNotNull, struct(col("_t"), col("_y")))
-    val pv = last(pair, ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val nv = first(pair, ignoreNulls = true)
-      .over(w.rowsBetween(1, Window.unboundedFollowing))
-    d.withColumn("_pv", pv).withColumn("_nv", nv)
+    val carried =
+      if (keys.isEmpty)
+        keylessCarry(
+          keylessCarry(d, ascending = true, tieBreak, "_pv"),
+          ascending = false, tieBreak, "_nv")
+      else {
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(col("_t") +: tieBreak.map(col): _*)
+        val pair = when(col("_y").isNotNull, struct(col("_t"), col("_y")))
+        val pv = last(pair, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val nv = first(pair, ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing))
+        d.withColumn("_pv", pv).withColumn("_nv", nv)
+      }
+    carried
       .withColumn(valueCol,
         when(col("_y").isNotNull, col("_y"))
           .when(col("_pv").isNull && col("_nv").isNull,
@@ -97,6 +112,50 @@ object AnalyticsOps {
                 .cast("double")))
       .withColumn("_impmark", col("_y").isNull)
       .drop("_t", "_y", "_pv", "_nv")
+  }
+
+  /** Keyless last-non-null (ts,value) carry for [[imputeLinear]],
+    * distributed via [[GlobalScan.twoPass]]: the ascending scan binds
+    * the previous non-null sample to `outCol` (exclusive of the current
+    * row); the descending variant walks the exact reverse total order,
+    * yielding the next-sample carry. The partition effect is one tiny
+    * "last sample seen" record, so all partitions emit in parallel. */
+  private def keylessCarry(frame: DataFrame, ascending: Boolean,
+      tieBreak: Seq[String], outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val schema = frame.schema
+    val tIdx = schema.fieldIndex("_t")
+    val vIdx = schema.fieldIndex("_y")
+    val pairType = StructType(Seq(StructField("_t", LongType),
+      StructField("_y", DoubleType)))
+    val outSchema =
+      StructType(schema.fields :+ StructField(outCol, pairType))
+    val sortCols =
+      if (ascending) col("_t") +: tieBreak.map(col)
+      else col("_t").desc +: tieBreak.map(c => col(c).desc)
+    GlobalScan.twoPass[Option[(Long, Double)]](frame, sortCols,
+      zero = None,
+      summary = { it =>
+        var lastP: Option[(Long, Double)] = None
+        it.foreach { r =>
+          if (!r.isNullAt(vIdx))
+            lastP = Some((r.getLong(tIdx), r.getDouble(vIdx)))
+        }
+        lastP
+      },
+      combine = GlobalScan.lastSeen,
+      emit = { (c0, it) =>
+        var carry = c0
+        it.map { r =>
+          val out = Row.fromSeq(r.toSeq :+
+            carry.map(p => Row(p._1, p._2)).orNull)
+          if (!r.isNullAt(vIdx))
+            carry = Some((r.getLong(tIdx), r.getDouble(vIdx)))
+          out
+        }
+      },
+      outSchema)
   }
 
   /** ANOMALY_WINDOW(col): z-score detector — a row is anomalous when

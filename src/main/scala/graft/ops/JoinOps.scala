@@ -143,22 +143,27 @@ object JoinOps {
       .drop(sortNames: _*)
   }
 
-  /** Backward ASOF JOIN with JLIMIT n (sql.y:2797-2799): for each left
-    * row, the n newest right rows satisfying `right.ts <op> left.ts`
-    * (op in >=, >), ranked `jrank` = 1 for the newest match.
+  /** ASOF JOIN with JLIMIT n (sql.y:2797-2799): for each left row, the
+    * n best right rows satisfying `right.ts <op> left.ts` — the newest
+    * at-or-before matches for backward ops (>=, >), the earliest
+    * at-or-after matches for forward ops (<=, <) — ranked `jrank` = 1
+    * for the best match.
     *
     * Bounded lowering (SURVEY §7.4 risk 4): right rows are numbered per
-    * key; the plain asof join carries only the *index* of the newest
-    * eligible row; the last n indices are expanded with a constant-size
-    * `sequence` and equi-joined back — no per-row collect_list buffers,
-    * so memory stays O(n) regardless of history length.
+    * key in (ts, tie) order; the plain asof join carries only the
+    * *index* of the best eligible row; the n adjacent indices (downward
+    * for backward ops, upward for forward ops, clamped to [1, per-key
+    * count]) are expanded with a constant-size `sequence` and
+    * equi-joined back — no per-row collect_list buffers, so memory
+    * stays O(n) regardless of history length.
     *
     * `rightTieBreak` orders right rows at equal ts (must make the order
     * total for deterministic results). */
   def asofJoinN(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsUs: String, rightTsUs: String, op: String, jlimit: Int,
       rightCols: Seq[String], rightTieBreak: Seq[String] = Nil): DataFrame = {
-    require(op == ">=" || op == ">", s"JLIMIT lowering is backward-only ($op)")
+    require(Seq(">=", ">", "<=", "<").contains(op), s"bad JLIMIT op $op")
+    val backward = op == ">=" || op == ">"
     val keyCols = keys.map(col)
     val ord = col("_t") +: rightTieBreak.map(col)
     val tagged = right.withColumn("_t", col(rightTsUs).cast(LongType))
@@ -167,19 +172,38 @@ object JoinOps {
       else tagged.withColumn("_rn", row_number()
         .over(Window.partitionBy(keyCols: _*).orderBy(ord: _*))
         .cast(LongType))
+    // backward scans take the LAST carried index at equal ts (newest),
+    // forward scans the FIRST (earliest) — both are tie-broken by _rn
     val withL = asofJoin(left,
       r2.select(keyCols :+ col(rightTsUs) :+ col("_rn"): _*),
       keys, leftTsUs, rightTsUs, op, Seq("_rn"),
-      rightTieBreak = Seq("_rn")) // newest index wins at equal ts
-    val expanded = withL
-      .withColumn("_rn", explode_outer(when(col("r__rn").isNotNull,
-        sequence(greatest(col("r__rn") - (jlimit - 1), lit(1L)),
-          col("r__rn")))))
-      .withColumn("jrank", col("r__rn") - col("_rn") + 1)
-      .drop("r__rn")
+      rightTieBreak = Seq("_rn"))
+    val expanded =
+      if (backward) withL
+        .withColumn("_rn", explode_outer(when(col("r__rn").isNotNull,
+          sequence(greatest(col("r__rn") - (jlimit - 1), lit(1L)),
+            col("r__rn")))))
+        .withColumn("jrank", col("r__rn") - col("_rn") + 1)
+      else {
+        // forward: expand upward, clamped to the per-key right count
+        // (one tiny row per key — Catalyst broadcasts it on its own)
+        val counts =
+          if (keys.isEmpty) withL.crossJoin(
+            broadcast(r2.agg(max(col("_rn")).as("_rnmax"))))
+          else withL.join(
+            r2.groupBy(keyCols: _*).agg(max(col("_rn")).as("_rnmax")),
+            keys, "left")
+        counts
+          .withColumn("_rn", explode_outer(when(col("r__rn").isNotNull,
+            sequence(col("r__rn"),
+              least(col("r__rn") + (jlimit - 1), col("_rnmax"))))))
+          .withColumn("jrank", col("_rn") - col("r__rn") + 1)
+          .drop("_rnmax")
+      }
     val rPay = r2.select(keyCols ++ Seq(col("_rn")) ++
       rightCols.map(c => col(c).as(s"r_$c")): _*)
-    expanded.join(rPay, keys :+ "_rn", "left").drop("_rn", "_t")
+    expanded.drop("r__rn")
+      .join(rPay, keys :+ "_rn", "left").drop("_rn", "_t")
   }
 
   /** Global 1-based row numbering in `ord` order without a
