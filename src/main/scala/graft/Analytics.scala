@@ -88,8 +88,11 @@ object Analytics {
           graft.functions.Aggregators.dtwPathUdf(
             slice(col("series"), 1, 48), slice(col("ref_series"), 1, 48))
             .as("path"))
+        // the path is bit-deterministic (canonical diagonal-first tie
+        // break), so its JSON fingerprints to a pinnable literal — the
+        // oracle checks md5 + length instead of the ~1 KB raw string
         .select(col("user_id"), size(col("path")).as("path_len"),
-          to_json(col("path")).as("path_json"))
+          md5(to_json(col("path"))).as("path_md5"))
         .orderBy(col("user_id"))
     })
 
@@ -145,6 +148,8 @@ object Analytics {
               / CAST(nv.t - pv.t AS DOUBLE) END, 6) AS value,
           y IS NULL AS _impmark
         FROM m ORDER BY user_id, ts_ms, event_id""",
+    // pinned literal table — see PinnedOracles / tools/gen_dtw_oracle.py
+    "sf_dtw_path" -> PinnedOracles.sfDtwPath,
     "imputation_keyless" ->
       """WITH d AS (SELECT epoch_us(ts) AS t, event_id,
             CASE WHEN event_id % 7 = 0 THEN NULL

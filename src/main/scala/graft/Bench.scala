@@ -40,6 +40,24 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    // Frozen per-query floor (BENCH_FLOOR.json — the last honest bench,
+    // flat name→seconds map): any query >1.5x its floor (and >1s, to
+    // skip timer noise) is surfaced as `regressed` in the bench artifact
+    // itself, so a cache-feeding or plan regression is visible without
+    // diffing rounds.
+    val floor: Map[String, Double] = {
+      val p = Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR", "BENCH_FLOOR.json"))
+      if (!Files.exists(p)) Map.empty
+      else "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(new String(Files.readAllBytes(p),
+          StandardCharsets.UTF_8))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val regressed = results.collect {
+      case (name, dt) if floor.get(name).exists(f =>
+        dt > f * 1.5 && dt > 1.0) => name
+    }.toSeq.sorted
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -57,7 +75,9 @@ object Bench {
       val errs = if (errors.isEmpty) "" else errors
         .map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(""","errors":{""", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omit$errs,"sf":"$sfDir"}"""
+      val regr = if (floor.isEmpty) ""
+        else regressed.map(jstr).mkString(""","regressed":[""", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omit$errs$regr,"sf":"$sfDir"}"""
     }
     // The harness keeps only the LAST 2000 chars of stdout, and sbt
     // appends a ~75-char "[success] Total time" footer after our line —

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.sql.GraftSql
 
@@ -19,6 +20,23 @@ object Dialect {
 
   private def run(s: SparkSession, dir: String, sql: String): DataFrame =
     GraftSql.query(s, name => Tables(s, dir, name), sql)
+
+  /** Named views for the join dialect forms: event-type slices of
+    * `events`, plus orders/customer with the join key renamed to one
+    * shared name (the dialect's ON clause takes same-name equi keys). */
+  private def views(s: SparkSession, dir: String): String => DataFrame = {
+    case "purchases" => Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    case "clicks" => Tables(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    case "ords" => Tables(s, dir, "orders")
+      .withColumnRenamed("o_custkey", "custkey")
+    case "cust" => Tables(s, dir, "customer")
+      .withColumnRenamed("c_custkey", "custkey")
+    case other => Tables(s, dir, other)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dialect_interval" -> { (s, dir) =>
@@ -67,6 +85,35 @@ object Dialect {
         """SELECT user_id, _wstart, _wend, count(*) AS n
            FROM events PARTITION BY user_id SESSION(ts, 30m) LIMIT 2
            ORDER BY user_id, _wstart""")
+    },
+    // ASOF JOIN in SQL text (sql.y:2766): newest click at-or-before
+    // each purchase, lowered through JoinOps.asofJoin
+    "dialect_asof_join" -> { (s, dir) =>
+      GraftSql.query(s, views(s, dir),
+        """SELECT user_id, ts DIV 1000 AS ts_ms, event_id,
+             r_event_id AS click_event_id, r_value AS click_value
+           FROM purchases ASOF JOIN clicks
+           ON purchases.ts >= clicks.ts
+             AND purchases.user_id = clicks.user_id
+           ORDER BY user_id, ts_ms, event_id""")
+    },
+    // WINDOW JOIN … WINDOW_OFFSET (sql.y:2775): all clicks within
+    // [-30m, +30m] of each purchase
+    "dialect_window_join" -> { (s, dir) =>
+      GraftSql.query(s, views(s, dir),
+        """SELECT user_id, ts DIV 1000 AS ts_ms, event_id,
+             r_event_id AS click_event_id, r_value AS click_value
+           FROM purchases WINDOW JOIN clicks WINDOW_OFFSET(-30m, 30m)
+           ON purchases.user_id = clicks.user_id
+           ORDER BY user_id, ts_ms, event_id, click_event_id""")
+    },
+    // plain equi JOIN in SQL text: orders enriched with their customer
+    "dialect_inner_join" -> { (s, dir) =>
+      GraftSql.query(s, views(s, dir),
+        """SELECT custkey, o_orderkey, o_totalprice,
+             r_c_name AS c_name, r_c_mktsegment AS c_mktsegment
+           FROM ords JOIN cust ON ords.custkey = cust.custkey
+           ORDER BY o_orderkey""")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -163,5 +210,36 @@ object Dialect {
               ORDER BY ws) AS rn
             FROM agg)
           SELECT user_id, ws AS _wstart, we AS _wend, n
-          FROM ranked WHERE rn <= 2 ORDER BY user_id, _wstart""")
+          FROM ranked WHERE rn <= 2 ORDER BY user_id, _wstart""",
+    "dialect_asof_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'purchase'),
+           r AS (SELECT user_id, ts, event_id, value FROM events
+             WHERE event_type = 'click'),
+           j AS (SELECT a.user_id, a.ts, a.event_id,
+               b.event_id AS bid, b.value AS bval,
+               row_number() OVER (PARTITION BY a.user_id, a.ts, a.event_id
+                 ORDER BY b.ts DESC, b.event_id DESC) AS rk
+             FROM l a LEFT JOIN r b
+               ON b.user_id = a.user_id AND b.ts <= a.ts)
+         SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
+           bid AS click_event_id, bval AS click_value
+         FROM j WHERE rk = 1
+         ORDER BY user_id, ts_ms, event_id""",
+    "dialect_window_join" ->
+      s"""SELECT a.user_id, epoch_us(a.ts) // 1000 AS ts_ms, a.event_id,
+            b.event_id AS click_event_id, b.value AS click_value
+          FROM (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase') a
+          LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'click') b
+            ON a.user_id = b.user_id
+            AND epoch_us(b.ts) >= epoch_us(a.ts) - ${30 * 60000000L}
+            AND epoch_us(b.ts) <= epoch_us(a.ts) + ${30 * 60000000L}
+          ORDER BY a.user_id, ts_ms, a.event_id, click_event_id""",
+    "dialect_inner_join" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+           c_name, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""")
 }

@@ -458,15 +458,25 @@ object Functions {
           col("c_name").as("mask_none"))
         .orderBy(col("c_custkey"))
     },
-    // ---- apercentile (builtins.c:3250): approx quantile, rows-only
-    //      check (algorithms differ by engine by design); the spec
-    //      bounds the error against the exact percentile ----
+    // ---- apercentile via the mergeable t-digest (builtins.c:3250,
+    //      detail/tdigest.c). The sketch is approximate by contract, so
+    //      the gate row is the error bound itself: the t-digest p50/p95
+    //      must land within 5% of each group's spread of the exact
+    //      percentile, emitted as deterministic booleans ----
     "sf_apercentile" -> { (s, dir) =>
+      val ap = graft.functions.Aggregators
+        .apercentile(col("value"), Seq(0.5, 0.95))
       ev(s, dir)
         .groupBy(col("user_id"))
-        .agg(percentile_approx(col("value"), lit(0.5), lit(10000))
-            .as("ap50"),
-          percentile_approx(col("value"), lit(0.95), lit(10000)).as("ap95"))
+        .agg(ap.as("_ap"),
+          expr("percentile(value, 0.5)").as("_ex50"),
+          expr("percentile(value, 0.95)").as("_ex95"),
+          (max(col("value")) - min(col("value"))).as("_spread"))
+        .select(col("user_id"),
+          (abs(col("_ap")(0) - col("_ex50")) <= col("_spread") * 0.05)
+            .as("ok50"),
+          (abs(col("_ap")(1) - col("_ex95")) <= col("_spread") * 0.05)
+            .as("ok95"))
         .orderBy(col("user_id"))
     },
     // ---- ROLLUP (free Catalyst superset; GROUP BY list per reference) --
@@ -623,6 +633,14 @@ object Functions {
       """SELECT user_id, round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // the t-digest error-bound contract: every group must satisfy it,
+    // so the expected table is simply `true` per user
+    "sf_apercentile" ->
+      """SELECT user_id, true AS ok50, true AS ok95
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // DuckDB has no DTW — the query is bit-deterministic, so the oracle
+    // is a pinned literal table (tools/gen_dtw_oracle.py)
+    "sf_dtw" -> PinnedOracles.sfDtw,
     "sf_histogram" ->
       """SELECT user_id,
            CAST(least(greatest(floor(value / 20), 0), 9) AS BIGINT)

@@ -52,12 +52,33 @@ object Pipeline {
           "vec_id", "embedding", 10)
         .orderBy(col("q_id"), col("rank"))
     },
-    // ---- LSH-bucketed ANN, same shape (recall checked in specs) ----
+    // ---- LSH-bucketed ANN, same shape (recall gated below) ----
     "sim_lsh_ann" -> { (s, dir) =>
       val e = emb(s, dir)
       SimilarityOps.lshTopK(e.filter(col("vec_id") < 5), e,
-          "vec_id", "embedding", 10, planes = 4)
+          "vec_id", "embedding", 10, planes = 4, tables = 4)
         .orderBy(col("q_id"), col("rank"))
+    },
+    // ---- ANN recall gate: LSH top-10 vs the exact answer. ANN is a
+    // contract-by-recall operator (results legitimately differ from
+    // brute force), so the checkable row is the recall bound itself:
+    // |LSH hits ∩ exact top-10| / |exact top-10| over the same query
+    // set, asserted >= 0.7 ----
+    "sim_lsh_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val exact = SimilarityOps.bruteForceTopK(q, e, "vec_id",
+          "embedding", 10)
+        .select(col("q_id"), col("cand_id"))
+      val approx = SimilarityOps.lshTopK(q, e, "vec_id",
+          "embedding", 10, planes = 4, tables = 4)
+        .select(col("q_id"), col("cand_id"))
+      val hits = exact.join(approx, Seq("q_id", "cand_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.7)
+            .as("recall_ok"))
     },
     // ---- language id (lexicon heuristic) ----
     "text_langid" -> { (s, dir) =>
@@ -171,6 +192,10 @@ object Pipeline {
           FROM dots JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b
           WHERE dot / sqrt(na.n2 * nb.n2) >= 0.45
           ORDER BY id_a, id_b""",
+    // ANN contract-by-recall: 5 query vectors × top-10 = 50 exact pairs,
+    // and the LSH index must recover >= 70% of them
+    "sim_lsh_recall" ->
+      """SELECT CAST(50 AS BIGINT) AS n_exact, true AS recall_ok""",
     "sim_topk" ->
       s"""WITH $embExplode,
           dots AS (SELECT q.id AS q_id, c.id AS cand_id,

@@ -100,6 +100,20 @@ object Sources {
           col("ts_us").as("ts_us"), col("value").as("value"))
         .orderBy(col("event_id"))
     },
+    // ---- information_schema.ins_tables (systable.h): every known
+    // table + its row count, served from parquet footer metadata ----
+    "ins_tables" -> { (s, dir) =>
+      SourceOps.insTables(s, dir).orderBy(col("table_name"))
+    },
+    // ---- _block_dist() (sysscanoperator.c:7525): row-group stats from
+    // parquet footers. Byte sizes vary by writer, so the gate invariant
+    // is the one the reference's SMA also guarantees: the footer row
+    // counts must sum to the true table count ----
+    "block_dist" -> { (s, dir) =>
+      SourceOps.blockDist(s, s"$dir/events.parquet")
+        .agg(sum(col("n_rows")).as("total_rows"),
+          (count(lit(1)) >= 1).as("has_groups"))
+    },
     // ---- TagScan (tagscanoperator.c): enumerate the tag dimension
     // WITHOUT touching data columns. Tags are denormalized columns here
     // (SURVEY §1.1), so this is a 2-column pruned scan + distinct — the
@@ -207,6 +221,24 @@ object Sources {
             ('supplier','s_acctbal',4,'double',true))
           AS t(table_name, col_name, ordinal, col_type, nullable)
           ORDER BY table_name, ordinal""",
+    // catalog row counts recomputed from the same parquet
+    "ins_tables" ->
+      """SELECT * FROM (
+           SELECT 'customer' AS table_name,
+             (SELECT count(*) FROM customer) AS n_rows
+           UNION ALL SELECT 'documents', (SELECT count(*) FROM documents)
+           UNION ALL SELECT 'embeddings', (SELECT count(*) FROM embeddings)
+           UNION ALL SELECT 'events', (SELECT count(*) FROM events)
+           UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem)
+           UNION ALL SELECT 'nation', (SELECT count(*) FROM nation)
+           UNION ALL SELECT 'orders', (SELECT count(*) FROM orders)
+           UNION ALL SELECT 'part', (SELECT count(*) FROM part)
+           UNION ALL SELECT 'region', (SELECT count(*) FROM region)
+           UNION ALL SELECT 'supplier', (SELECT count(*) FROM supplier))
+         ORDER BY table_name""",
+    "block_dist" ->
+      """SELECT (SELECT count(*) FROM events) AS total_rows,
+           true AS has_groups""",
     "tag_scan" ->
       """WITH t AS (SELECT DISTINCT user_id, event_type FROM events)
          SELECT user_id, count(*) AS n_types,

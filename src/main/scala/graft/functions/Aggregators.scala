@@ -75,6 +75,123 @@ object Aggregators {
     udaf(new SampleAgg(k)).apply(c.cast("double"))
 
   // ---------------------------------------------------------------------
+  // apercentile(col, p, "t-digest") (builtins.c:3250, the reference's
+  // mergeable sketch in function/src/detail/tdigest.c)
+  // ---------------------------------------------------------------------
+
+  /** Mergeable t-digest (the merging variant): centroid widths are
+    * bounded by the k1 scale k(q) = δ/2π·asin(2q−1), which keeps tail
+    * centroids near-singleton (sharp p95/p99) while mid-range centroids
+    * absorb ~δ-th fractions of the mass. New values buffer and fold in
+    * at `bufferCap` boundaries; partition sketches merge by centroid
+    * concatenation + one compression pass — the same partial/merge
+    * split the reference uses for its per-vnode digests. */
+  case class TDigest(compression: Double,
+      centroids: Vector[(Double, Long)], buffer: Vector[Double]) {
+
+    def add(v: Double): TDigest = {
+      val b = buffer :+ v
+      if (b.length >= TDigest.bufferCap)
+        copy(buffer = b).compressed
+      else copy(buffer = b)
+    }
+
+    def merge(o: TDigest): TDigest =
+      TDigest(compression, centroids ++ o.centroids,
+        buffer ++ o.buffer).compressed
+
+    private def kScale(q: Double): Double =
+      compression / (2 * math.Pi) *
+        math.asin(2 * math.min(math.max(q, 0.0), 1.0) - 1)
+
+    private def kInverse(k: Double): Double = {
+      val s = math.sin(k * 2 * math.Pi / compression)
+      (s + 1) / 2
+    }
+
+    /** Fold the buffer into the centroid list, greedily merging
+      * adjacent (mean-sorted) clusters while the k-width stays <= 1. */
+    def compressed: TDigest = {
+      val pts = (centroids ++ buffer.map((_, 1L))).sortBy(_._1)
+      if (pts.isEmpty) return copy(buffer = Vector.empty)
+      val total = pts.iterator.map(_._2).sum.toDouble
+      val out = Vector.newBuilder[(Double, Long)]
+      var (cm, cw) = pts.head
+      var wBefore = 0L
+      var limit = total * kInverse(kScale(0.0) + 1.0)
+      pts.tail.foreach { case (m, w) =>
+        if (wBefore + cw + w <= limit) {
+          // weighted running mean keeps the merge order-independent
+          // enough for an approx sketch (exactness is the oracle bound)
+          cm = cm + (m - cm) * w / (cw + w)
+          cw += w
+        } else {
+          out += ((cm, cw))
+          wBefore += cw
+          limit = total * kInverse(kScale(wBefore / total) + 1.0)
+          cm = m; cw = w
+        }
+      }
+      out += ((cm, cw))
+      TDigest(compression, out.result(), Vector.empty)
+    }
+
+    /** Quantile by interpolating between centroid midpoints (each
+      * centroid's mass is centred on its mean). The target rank uses
+      * the order-statistic convention `0.5 + p·(n−1)` so the all-
+      * singleton digest reproduces the exact interpolated percentile
+      * (rank p·(n−1) over sorted values) bit-for-bit. */
+    def quantile(p: Double): Double = {
+      val d = compressed
+      val cs = d.centroids
+      if (cs.isEmpty) return Double.NaN
+      if (cs.length == 1) return cs.head._1
+      val total = cs.iterator.map(_._2).sum.toDouble
+      val target = 0.5 + p * (total - 1)
+      var cum = 0.0
+      var prevMid = 0.0
+      var prevMean = cs.head._1
+      var i = 0
+      while (i < cs.length) {
+        val (m, w) = cs(i)
+        val mid = cum + w / 2.0
+        if (target <= mid) {
+          if (i == 0) return m
+          val f = (target - prevMid) / (mid - prevMid)
+          return prevMean + f * (m - prevMean)
+        }
+        cum += w; prevMid = mid; prevMean = m; i += 1
+      }
+      cs.last._1
+    }
+  }
+
+  object TDigest {
+    val bufferCap = 512
+    def empty(compression: Double): TDigest =
+      TDigest(compression, Vector.empty, Vector.empty)
+  }
+
+  class TDigestAgg(probs: Seq[Double], compression: Double)
+      extends Aggregator[Double, TDigest, Seq[Double]] {
+    def zero: TDigest = TDigest.empty(compression)
+    def reduce(b: TDigest, v: Double): TDigest = b.add(v)
+    def merge(a: TDigest, b: TDigest): TDigest = a.merge(b)
+    def finish(d: TDigest): Seq[Double] = {
+      val c = d.compressed
+      probs.map(c.quantile)
+    }
+    def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** apercentile(col, probs) via the mergeable t-digest sketch. */
+  def apercentile(c: Column, probs: Seq[Double],
+      compression: Double = 100.0): Column =
+    udaf(new TDigestAgg(probs, compression)).apply(c.cast("double"))
+
+  // ---------------------------------------------------------------------
   // dtw / dtw_path / tlcc over collected series (builtins.c:7602-7657)
   // ---------------------------------------------------------------------
 

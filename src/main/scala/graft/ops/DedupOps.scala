@@ -188,11 +188,19 @@ object DedupOps {
     graft.functions.NativeExpressions.longDot(a, b).cast("double") / lit(1e12)
 
   /** Cosine-similarity pairs >= `threshold` among ids < `maxId`: the
-    * pairwise-exact form (broadcast nested-loop over quantized vectors;
-    * inherently quadratic — the LSH path in SimilarityOps is the scale
-    * route, this one is the oracle-exact baseline). */
+    * pairwise-exact form — a broadcast nested-loop over quantized
+    * vectors, inherently QUADRATIC in `maxId`. This is the oracle-exact
+    * baseline only; the mandatory `maxId` cap (enforced <= 100k, i.e.
+    * <= 5e9 candidate pairs) keeps it off the 100 TB path by
+    * construction. For corpus-scale near-dup detection use
+    * [[SimilarityOps.lshTopK]] (bucketed, sub-quadratic) and verify the
+    * candidates exactly, as [[minhashLshPairs]] does. */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxId: Long): DataFrame = {
+    require(maxId > 0 && maxId <= 100000L,
+      s"embeddingCosinePairs is the quadratic exact baseline; cap the id " +
+        s"range (got maxId=$maxId, limit 100000) or use " +
+        s"SimilarityOps.lshTopK for the scale path")
     val v = emb.filter(col(idCol) < maxId)
       .select(col(idCol).as("_id"), microVec(col(vecCol)).as("_m"))
       .withColumn("_n2", microDot(col("_m"), col("_m")))

@@ -43,17 +43,19 @@ object SimilarityOps {
 
   /** Sign-bit LSH bucket id from `planes` hyperplanes — a single
     * map-side expression (projections summed in array order, so the
-    * bucket is fully deterministic). The weight index stride fixes the
-    * plane count at <= 16; more tables (not more planes per table) is
-    * the scale-out axis beyond that. */
-  def lshBucketCol(vec: Column, planes: Int): Column = {
-    require(planes >= 1 && planes <= 16,
-      s"planes must be in [1,16] (weight-index stride): $planes")
+    * bucket is fully deterministic). `planeOffset` selects which slice
+    * of the 16-wide deterministic plane pool the table uses — the
+    * weight index stride fixes `planeOffset + planes <= 16`; more
+    * tables (not more planes per table) is the scale-out axis. */
+  def lshBucketCol(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
+    require(planes >= 1 && planeOffset >= 0 && planeOffset + planes <= 16,
+      s"plane slice must fit [0,16) (weight-index stride): " +
+        s"offset=$planeOffset planes=$planes")
     val projs = transform(sequence(lit(0), lit(planes - 1)), p =>
       aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
           x.cast("double").cast(DecimalType(12, 6)).cast("double") *
-            planeWeight(i * 16 + p)),
+            planeWeight(i * 16 + planeOffset + p)),
         lit(0.0), (acc, x) => acc + x))
     aggregate(
       zip_with(projs, sequence(lit(0), lit(planes - 1)), (pr, p) =>
@@ -61,25 +63,41 @@ object SimilarityOps {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** ANN top-k with multi-probe: queries score candidates in their own
-    * LSH bucket plus every bucket within hamming distance 1 (flip one
-    * plane bit) — the standard trick to buy recall without more tables.
-    * Returns the same schema as bruteForceTopK (recall < 1 by design). */
+  /** ANN top-k with multi-probe and OR-amplification: `tables`
+    * independent hash tables (disjoint plane slices of the
+    * deterministic pool), and within each table queries probe their own
+    * bucket plus every bucket at hamming distance 1. A candidate
+    * colliding with the query in ANY table is scored (pairs are
+    * deduplicated before ranking), so recall compounds as
+    * 1-(1-r)^tables while the candidate side stays a map-side
+    * expression (one bucket id per table). Returns the same schema as
+    * bruteForceTopK (recall < 1 by design). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 4): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 4, tables: Int = 1): DataFrame = {
+    require(tables >= 1 && planes * tables <= 16,
+      s"plane budget: planes*tables <= 16, got $planes*$tables")
+    // table t's bucket ids live in their own range via the t<<planes tag
+    def bucketIn(t: Int, vec: Column): Column =
+      lshBucketCol(vec, planes, t * planes) + lit(t.toLong << planes)
+    val qProbes = concat((0 until tables).map { t =>
+      val b0 = bucketIn(t, col(vecCol))
+      concat(array(b0), transform(sequence(lit(0), lit(planes - 1)),
+        i => b0.bitwiseXOR(pow(lit(2), i).cast("long"))))
+    }: _*)
     val q = queries.select(col(idCol).as("q_id"),
         DedupOps.microVec(col(vecCol)).as("_qm"),
-        lshBucketCol(col(vecCol), planes).as("_b0"))
+        explode(qProbes).as("bucket"))
       .withColumn("_qn2", DedupOps.microDot(col("_qm"), col("_qm")))
-      .withColumn("bucket", explode(concat(array(col("_b0")),
-        transform(sequence(lit(0), lit(planes - 1)),
-          i => col("_b0").bitwiseXOR(pow(lit(2), i).cast("long"))))))
-      .drop("_b0")
+    val cBuckets = array((0 until tables).map(t =>
+      bucketIn(t, col(vecCol))): _*)
     val c = candidates.select(col(idCol).as("_id"),
         DedupOps.microVec(col(vecCol)).as("_m"),
-        lshBucketCol(col(vecCol), planes).as("bucket"))
+        explode(cBuckets).as("bucket"))
       .withColumn("_n2", DedupOps.microDot(col("_m"), col("_m")))
-    rankTopK(c.join(broadcast(q), Seq("bucket")), k)
+    // a pair can collide in several tables — dedupe before ranking
+    // (rows are value-identical once the bucket id is dropped)
+    rankTopK(c.join(broadcast(q), Seq("bucket"))
+      .drop("bucket").distinct(), k)
   }
 
   /** Shared scoring tail: exact dot, cosine, per-query rank <= k.

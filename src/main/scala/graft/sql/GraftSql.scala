@@ -16,8 +16,15 @@ import graft.ops.{FillOps, TimeOps}
   * their Spark lowerings first (first/last → min_by/max_by on the ts
   * key; sum/avg → exact-decimal forms so results are deterministic).
   *
-  * Scope notes: one table per query (joins go through the DataFrame
-  * API); FILL needs a literal `ts >= a AND ts < b` range in WHERE (the
+  * The FROM clause accepts a bare table or the dialect's join forms
+  * (sql.y:2726-2804): `a ASOF JOIN b ON … [JLIMIT n]`, `a WINDOW JOIN
+  * b WINDOW_OFFSET(lo,hi) [ON …]`, and plain `a [INNER|LEFT] JOIN b ON
+  * …` — all lowered onto [[graft.ops.JoinOps]] / `DataFrame.join`,
+  * with right payload columns surfaced as `r_<col>`.
+  *
+  * Scope notes: join ON conditions are same-name equi keys plus (for
+  * ASOF) one ts condition; subqueries in FROM go through the DataFrame
+  * API. FILL needs a literal `ts >= a AND ts < b` range in WHERE (the
   * reference likewise only fills inside the query range) and exactly
   * one filled value column; HAVING/ORDER BY reference output aliases.
   */
@@ -179,7 +186,9 @@ object GraftSql {
     val up = from.toUpperCase
     val asofAt = up.indexOf(" ASOF JOIN ")
     val winAt = up.indexOf(" WINDOW JOIN ")
-    if (asofAt < 0 && winAt < 0) return resolve(from.split(" ")(0))
+    val plainAt = up.indexOf(" JOIN ")
+    if (asofAt < 0 && winAt < 0 && plainAt < 0)
+      return resolve(from.split(" ")(0))
 
     def equiKeys(conds: Seq[String]): Seq[String] = conds.map { c =>
       val m = "(?i)^\\s*\\w+\\.(\\w+)\\s*=\\s*\\w+\\.(\\w+)\\s*$".r
@@ -222,13 +231,17 @@ object GraftSql {
       val keys = equiKeys(eqConds)
       val rightCols = right.columns.toSeq
         .filterNot(keys.contains)
+      // the non-ts payload columns double as the tie-break so the pick
+      // among right rows at equal ts is deterministic (they make the
+      // right order total whenever right rows are distinct)
+      val tie = rightCols.filterNot(_ == tsCol)
       if (jlimit == 1)
         graft.ops.JoinOps.asofJoin(left, right, keys, tsCol, tsCol, op,
-          rightCols)
+          rightCols, rightTieBreak = tie)
       else
         graft.ops.JoinOps.asofJoinN(left, right, keys, tsCol, tsCol, op,
-          jlimit, rightCols)
-    } else {
+          jlimit, rightCols, rightTieBreak = tie)
+    } else if (winAt >= 0) {
       val left = resolve(from.substring(0, winAt).trim.split(" ")(0))
       val rest = from.substring(winAt + " WINDOW JOIN ".length).trim
       val m = "(?i)^(\\w+)\\s+WINDOW_OFFSET\\s*\\(([^)]*)\\)(?:\\s+ON\\s+(.*))?$".r
@@ -244,6 +257,27 @@ object GraftSql {
         case _ => throw new IllegalArgumentException(
           s"WINDOW JOIN needs `tbl WINDOW_OFFSET(lo, hi) [ON …]`: $rest")
       }
+    } else {
+      // plain [INNER|LEFT] JOIN on same-name equi keys; right payload
+      // surfaces as r_<col>, matching the other join forms
+      val ljAt = up.indexOf(" LEFT JOIN ")
+      val ijAt = up.indexOf(" INNER JOIN ")
+      val (at, kw, joinType) =
+        if (ljAt >= 0) (ljAt, " LEFT JOIN ", "left")
+        else if (ijAt >= 0) (ijAt, " INNER JOIN ", "inner")
+        else (plainAt, " JOIN ", "inner")
+      val left = resolve(from.substring(0, at).trim.split(" ")(0))
+      val rest = from.substring(at + kw.length).trim
+      val onAt = rest.toUpperCase.indexOf(" ON ")
+      require(onAt >= 0, "JOIN needs ON")
+      val right = resolve(rest.substring(0, onAt).trim.split(" ")(0))
+      val conds = rest.substring(onAt + 4).trim
+        .split("(?i)\\s+AND\\s+").toSeq
+      val keys = equiKeys(conds)
+      val rightCols = right.columns.toSeq.filterNot(keys.contains)
+      val r = right.select(keys.map(col) ++
+        rightCols.map(c => col(c).as(s"r_$c")): _*)
+      left.join(r, keys, joinType)
     }
   }
 

