@@ -14,6 +14,8 @@ object Dialect {
   private val H = 3600000000L // 1h in µs
   private val T0 = 1704067200000000L
   private val T5 = T0 + 5L * D
+  // events query-range end (2024-01-31), matching TimeSeries.T1
+  private val TEND = 1706659200000000L
   // INTERVAL(1d,6h) grid start covering T0: T0 is midnight-aligned, so
   // the first 6h-offset window containing it starts 18h earlier
   private val G6 = T0 - 18L * H
@@ -85,6 +87,45 @@ object Dialect {
         """SELECT user_id, _wstart, _wend, count(*) AS n
            FROM events PARTITION BY user_id SESSION(ts, 30m) LIMIT 2
            ORDER BY user_id, _wstart""")
+    },
+    // STATE_WINDOW in SQL text — same semantics (and oracle) as the
+    // DataFrame-API state_window query
+    "dialect_state_window" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, first(event_type) AS state,
+             min(ts) DIV 1000 AS _wstart_ms, max(ts) DIV 1000 AS _wend_ms,
+             count(*) AS n
+           FROM events PARTITION BY user_id STATE_WINDOW(event_type)
+           ORDER BY user_id, _wstart_ms""")
+    },
+    // COUNT_WINDOW(50) in SQL text
+    "dialect_count_window" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _wid, count(*) AS n,
+             min(ts) DIV 1000 AS _wstart_ms, max(ts) DIV 1000 AS _wend_ms
+           FROM events PARTITION BY user_id COUNT_WINDOW(50)
+           ORDER BY user_id, _wid""")
+    },
+    // EVENT_WINDOW START WITH … END WITH … in SQL text
+    "dialect_event_window" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _wstart DIV 1000 AS _wstart_ms,
+             _wend DIV 1000 AS _wend_ms, count(*) AS n,
+             sum(value) AS sum_value
+           FROM events PARTITION BY user_id
+           EVENT_WINDOW START WITH value > 90 END WITH value < 10
+           ORDER BY user_id, _wstart_ms""")
+    },
+    // INTERP + RANGE/EVERY/FILL in SQL text; the wrapper only converts
+    // µs to ms and rounds, to line up with the shared oracle
+    "dialect_interp" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT user_id, _irowts, interp(value) AS value, _isfilled
+            FROM events PARTITION BY user_id
+            RANGE($T0, $TEND) EVERY(12h) FILL(LINEAR)""")
+        .select(col("user_id"), expr("_irowts DIV 1000").as("_irowts_ms"),
+          round(col("value"), 6).as("value"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_irowts_ms"))
     },
     // ASOF JOIN in SQL text (sql.y:2766): newest click at-or-before
     // each purchase, lowered through JoinOps.asofJoin
@@ -211,6 +252,12 @@ object Dialect {
             FROM agg)
           SELECT user_id, ws AS _wstart, we AS _wend, n
           FROM ranked WHERE rn <= 2 ORDER BY user_id, _wstart""",
+    // the dialect windows are semantically identical to their
+    // DataFrame-API twins — share the proven oracle text
+    "dialect_state_window" -> TimeSeries.oracleSql("state_window"),
+    "dialect_count_window" -> TimeSeries.oracleSql("count_window"),
+    "dialect_event_window" -> TimeSeries.oracleSql("event_window"),
+    "dialect_interp" -> TimeSeries.oracleSql("interp_linear"),
     "dialect_asof_join" ->
       """WITH l AS (SELECT user_id, ts, event_id FROM events
              WHERE event_type = 'purchase'),

@@ -100,6 +100,38 @@ object Sources {
           col("ts_us").as("ts_us"), col("value").as("value"))
         .orderBy(col("event_id"))
     },
+    // ---- FILE table (sql.y:2670): the table is exported to CSV and
+    // read back through csvTable's declared schema (never inferred);
+    // the oracle reads the original parquet, so a green row proves the
+    // CSV round-trip is lossless. Integer/string columns only — float
+    // text formatting is the one thing CSV does not pin down ----
+    "file_table_scan" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{IntegerType, StringType,
+        StructField, StructType}
+      val tmp = "/tmp/graft_file_tbl_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      SourceOps.csvTable(s, tmp, StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))), header = true)
+        .orderBy(col("n_nationkey"))
+    },
+    // ---- DataInserter (INSERT … SELECT): the selected rows land in a
+    // new parquet table and are read back; the oracle selects the same
+    // rows from the source, proving the write path is lossless ----
+    "insert_select" -> { (s, dir) =>
+      val tmp = "/tmp/graft_ins_sel_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      ev(s, dir).filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("ts_us"), col("value"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).orderBy(col("event_id"))
+    },
     // ---- information_schema.ins_tables (systable.h): every known
     // table + its row count, served from parquet footer metadata ----
     "ins_tables" -> { (s, dir) =>
@@ -221,6 +253,12 @@ object Sources {
             ('supplier','s_acctbal',4,'double',true))
           AS t(table_name, col_name, ordinal, col_type, nullable)
           ORDER BY table_name, ordinal""",
+    "file_table_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         ORDER BY n_nationkey""",
+    "insert_select" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+         FROM events WHERE event_type = 'view' ORDER BY event_id""",
     // catalog row counts recomputed from the same parquet
     "ins_tables" ->
       """SELECT * FROM (

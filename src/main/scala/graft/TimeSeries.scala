@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.ops.{FillOps, JoinOps, TimeOps}
+import graft.ops.{FillOps, JoinOps, TimeOps, TsmaOps}
 import graft.ops.TimeOps.Dur
 
 /** Time-series operator surface (SURVEY.md §2.5, §2.3) over the `events`
@@ -409,6 +409,21 @@ object TimeSeries {
           col("r_event_id").as("click_event_id"),
           col("r_value").as("click_value"))
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"), col("jrank"))
+    },
+    // ---- TSMA (sql.y:1505, rollupoperator.c): hourly partial-state
+    // rollup merged into daily windows by the query router. The oracle
+    // aggregates the BASE table, so a green row proves the rollup's
+    // partial states AND the merge reproduce the exact answer ----
+    "tsma_rollup_served" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val rollup = TsmaOps.createRollup(e, col("ts"), Dur.h,
+        Seq("user_id"), "value")
+      TsmaOps.route(e, rollup, Dur.h, col("ts"), Dur.d,
+          Seq("user_id"), "value")
+        .select(col("user_id"), usToMs(col("_wstart")).as("_wstart_ms"),
+          col("n"), col("sum_v"), col("min_v"), col("max_v"),
+          round(col("avg_v"), 6).as("avg_v"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
     },
     // ---- EXTERNAL_WINDOW: aggregate over a supplied window rowset ----
     "external_window" -> { (s, dir) =>
@@ -848,6 +863,17 @@ object TimeSeries {
            bval AS click_value
          FROM j WHERE rk <= 3 OR bts IS NULL
          ORDER BY user_id, ts_ms, event_id, jrank""",
+    "tsma_rollup_served" ->
+      """SELECT user_id,
+           (epoch_us(ts) - epoch_us(ts) % 86400000000) // 1000
+             AS _wstart_ms,
+           count(value) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           min(value) AS min_v, max(value) AS max_v,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(value), 6) AS avg_v
+         FROM events GROUP BY user_id, _wstart_ms
+         ORDER BY user_id, _wstart_ms""",
     "external_window" ->
       s"""WITH w AS (SELECT k AS wid, $T0 + k * ${3 * Dur.d} AS ws,
              $T0 + k * ${3 * Dur.d} + ${2 * Dur.d} AS we
