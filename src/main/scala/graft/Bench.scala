@@ -38,6 +38,11 @@ object Bench {
       // drop intermediates a query persisted: cached blocks from one
       // query must not pressure (or feed) the next query's timing
       spark.catalog.clearCache()
+      // and drain the GC debt the query accumulated — otherwise heavy
+      // queries tax whichever query happens to RUN NEXT in map order,
+      // which shows up as multi-second phantom "regressions" on
+      // untouched sub-second queries
+      System.gc()
       name -> dt
     }
     // Frozen per-query floor (BENCH_FLOOR.json — the last honest bench,

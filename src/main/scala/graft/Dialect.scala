@@ -155,6 +155,16 @@ object Dialect {
              r_c_name AS c_name, r_c_mktsegment AS c_mktsegment
            FROM ords JOIN cust ON ords.custkey = cust.custkey
            ORDER BY o_orderkey""")
+    },
+    // top-level UNION ALL with a union-level ORDER BY
+    "dialect_union" -> { (s, dir) =>
+      GraftSql.query(s, views(s, dir),
+        """SELECT user_id, count(*) AS n, 'purchase' AS kind
+           FROM purchases GROUP BY user_id
+           UNION ALL
+           SELECT user_id, count(*) AS n, 'click' AS kind
+           FROM clicks GROUP BY user_id
+           ORDER BY user_id, kind""")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -288,5 +298,12 @@ object Dialect {
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
            c_name, c_mktsegment
          FROM orders JOIN customer ON o_custkey = c_custkey
-         ORDER BY o_orderkey""")
+         ORDER BY o_orderkey""",
+    "dialect_union" ->
+      """SELECT user_id, count(*) AS n, 'purchase' AS kind
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id
+         UNION ALL
+         SELECT user_id, count(*) AS n, 'click' AS kind
+         FROM events WHERE event_type = 'click' GROUP BY user_id
+         ORDER BY user_id, kind""")
 }

@@ -86,11 +86,22 @@ object DedupOps {
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("_id")).orderBy(col("_df"), col("_g"))))
       .filter(col("_r") <= prefixLen)
+    // bucket members carry their set size so the PPJoin LENGTH filter
+    // prunes before verification: J(A,B) >= t forces
+    // least(|A|,|B|) / greatest(|A|,|B|) >= t. The division mirrors the
+    // verify arithmetic exactly, so the bound is a true superset.
     val cands = ranked.groupBy("_g")
-      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
-      .select(explode(pairCombos(col("_ids"))).as("_p"))
-      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_n"))))
+        .as("_members"))
+      .filter(size(col("_members")) > 1)
+      .select(explode(pairCombos(col("_members"))).as("_p"))
+      .select(col("_p.id_a").getField("_id").as("id_a"),
+        col("_p.id_a").getField("_n").as("_na"),
+        col("_p.id_b").getField("_id").as("id_b"),
+        col("_p.id_b").getField("_n").as("_nb"))
+      .filter(least(col("_na"), col("_nb")).cast("double") /
+        greatest(col("_na"), col("_nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
       .distinct()
     verifyJaccard(cands, sets, threshold)
   }

@@ -100,6 +100,106 @@ object SimilarityOps {
       .drop("bucket").distinct(), k)
   }
 
+  /** Deterministic IVF-flat ANN: k-means coarse quantizer + inverted
+    * lists (the classic alternative to LSH bucketing; FAISS's IVF
+    * layout re-expressed on DataFrames).
+    *
+    * Train: `nlist` centroids seeded from the vectors with the smallest
+    * `xxhash64(id)` (a deterministic pseudo-random spread), refined by
+    * `iters` Lloyd iterations whose per-dimension means fold through
+    * exact DECIMAL sums — so the codebook is bit-reproducible on any
+    * cluster layout. Index: every candidate is assigned map-side to its
+    * nearest centroid (broadcast codebook, tie -> lowest index). Query:
+    * each query probes its `nprobe` nearest lists and scores only those
+    * candidates — the scan fraction is ~nprobe/nlist.
+    *
+    * Scale: the codebook is nlist x dim doubles (driver-tiny; at 100 TB
+    * train on a deterministic id-sampled subset — the assignment pass
+    * is the only full scan, and it is a map-side expression). Returns
+    * the bruteForceTopK schema; recall < 1 by design. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"bad IVF config: nlist=$nlist nprobe=$nprobe")
+    val spark = candidates.sparkSession
+    // spherical k-means: retrieval is by cosine, so the quantizer must
+    // cluster directions, not magnitudes — normalize before training
+    // and assignment (L2 on unit vectors ranks exactly like cosine)
+    val unit = udf { v: Seq[Double] =>
+      val n = math.sqrt(v.iterator.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val cand = candidates.select(col(idCol).as("_id"),
+      unit(col(vecCol).cast("array<double>")).as("_v"))
+    // ---- train ----
+    var codebook: Array[Array[Double]] = cand
+      .withColumn("_h", xxhash64(col("_id")))
+      .orderBy(col("_h"), col("_id")).limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(codebook)
+      val assign = udf((v: Seq[Double]) => nearestList(bc.value, v))
+      val stats = cand.withColumn("_c", assign(col("_v")))
+        .select(col("_c"), posexplode(col("_v")).as(Seq("_p", "_x")))
+        .groupBy(col("_c"), col("_p"))
+        .agg(sum(col("_x").cast(DecimalType(28, 10))).as("_s"),
+          count(lit(1)).as("_n"))
+        .collect()
+      val next = codebook.map(_.clone())
+      stats.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        next(c)(p) = r.getDecimal(2).doubleValue() / r.getLong(3)
+      } // clusters with no members keep their previous centroid
+      codebook = next
+    }
+    val bc = spark.sparkContext.broadcast(codebook)
+    // ---- index + probe ----
+    val assign = udf((v: Seq[Double]) => nearestList(bc.value, v))
+    val probe = udf((v: Seq[Double]) => nearestLists(bc.value, v, nprobe))
+    // scoring stays on the ORIGINAL vectors (same micro-quantized basis
+    // as bruteForceTopK/lshTopK); only list assignment is normalized
+    val c = candidates
+      .select(col(idCol).as("_id"),
+        DedupOps.microVec(col(vecCol)).as("_m"),
+        assign(unit(col(vecCol).cast("array<double>"))).as("_list"))
+      .withColumn("_n2", DedupOps.microDot(col("_m"), col("_m")))
+    val q = queries.select(col(idCol).as("q_id"),
+        DedupOps.microVec(col(vecCol)).as("_qm"),
+        explode(probe(unit(col(vecCol).cast("array<double>"))))
+          .as("_list"))
+      .withColumn("_qn2", DedupOps.microDot(col("_qm"), col("_qm")))
+    rankTopK(c.join(broadcast(q), Seq("_list")).drop("_list"), k)
+  }
+
+  /** Index of the L2-nearest codebook centroid (tie -> lowest index). */
+  private def nearestList(codebook: Array[Array[Double]],
+      v: Seq[Double]): Int = {
+    var best = 0; var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < codebook.length) {
+      val cen = codebook(c)
+      var d = 0.0; var i = 0
+      val n = math.min(cen.length, v.length)
+      while (i < n) { val t = v(i) - cen(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Indices of the `n` L2-nearest centroids, nearest first (ties ->
+    * lowest index, via the stable sort on (distance, index)). */
+  private def nearestLists(codebook: Array[Array[Double]],
+      v: Seq[Double], n: Int): Seq[Int] =
+    codebook.indices.map { c =>
+      val cen = codebook(c)
+      var d = 0.0; var i = 0
+      val m = math.min(cen.length, v.length)
+      while (i < m) { val t = v(i) - cen(i); d += t * t; i += 1 }
+      (d, c)
+    }.sorted.take(n).map(_._2)
+
   /** Shared scoring tail: exact dot, cosine, per-query rank <= k.
     * Zero-norm vectors are dropped — 0/0 would give NaN, which Spark
     * orders above every real cosine and would hijack rank 1. */

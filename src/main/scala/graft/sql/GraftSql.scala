@@ -296,9 +296,70 @@ object GraftSql {
   // ------------------------------------------------------------------ main
 
   /** Parse and lower a TDengine-dialect query. `resolve` maps a table
-    * name to its DataFrame; `tsCol` is the timestamp primary key. */
+    * name to its DataFrame; `tsCol` is the timestamp primary key.
+    *
+    * Top-level `UNION [ALL]` chains combine by column NAME (the
+    * dialect's set semantics); a trailing ORDER BY / LIMIT on the last
+    * branch applies to the union result, per the reference grammar. */
   def query(spark: SparkSession, resolve: String => DataFrame,
       sql: String, tsCol: String = "ts"): DataFrame = {
+    val norm = sql.replaceAll("\\s+", " ").trim
+    val segments = splitUnion(norm)
+    if (segments.length == 1)
+      return single(spark, resolve, norm, tsCol)
+    // hoist the union-level tail clauses off the LAST branch
+    val lastRaw = segments.last._1
+    val tailAt = topLevelIndex(lastRaw.toUpperCase, "ORDER BY")
+      .orElse(topLevelIndex(lastRaw.toUpperCase, "LIMIT"))
+    val lastSql = tailAt.fold(lastRaw)(i => lastRaw.substring(0, i).trim)
+    val frames = (segments.init.map(_._1) :+ lastSql)
+      .map(s0 => single(spark, resolve, s0, tsCol))
+    // fold left-to-right; dedup binds to its own UNION per SQL rules
+    var res = frames.head
+    segments.tail.zip(frames.tail).foreach { case ((_, all), f) =>
+      res = res.unionByName(f)
+      if (!all) res = res.dropDuplicates()
+    }
+    tailAt.foreach { i =>
+      val tc = clauses("SELECT _ FROM _ " + lastRaw.substring(i).trim)
+      tc.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+      tc.get("LIMIT").foreach(n => res = res.limit(n.trim.toInt))
+    }
+    res
+  }
+
+  /** Split on top-level UNION [ALL]; returns (branchSql, isUnionAll)
+    * where the flag describes the operator BEFORE the branch. */
+  private def splitUnion(norm: String): Seq[(String, Boolean)] = {
+    val up = norm.toUpperCase
+    val out = Seq.newBuilder[(String, Boolean)]
+    var start = 0
+    var i = 0
+    var depth = 0; var inStr = false
+    var prevAll = true
+    while (i < up.length) {
+      val ch = up(i)
+      if (inStr) { if (ch == '\'') inStr = false; i += 1 }
+      else ch match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case 'U' if depth == 0 && up.startsWith("UNION ", i) &&
+            (i == 0 || !up(i - 1).isLetterOrDigit && up(i - 1) != '_') =>
+          val isAll = up.startsWith("UNION ALL ", i)
+          out += ((norm.substring(start, i).trim, prevAll))
+          prevAll = isAll
+          i += (if (isAll) "UNION ALL ".length else "UNION ".length)
+          start = i
+        case _ => i += 1
+      }
+    }
+    out += ((norm.substring(start).trim, prevAll))
+    out.result()
+  }
+
+  private def single(spark: SparkSession, resolve: String => DataFrame,
+      sql: String, tsCol: String): DataFrame = {
     val c = clauses(sql)
     require(c.contains("SELECT") && c.contains("FROM"), "need SELECT/FROM")
     var df = fromClause(resolve, c("FROM"), tsCol)

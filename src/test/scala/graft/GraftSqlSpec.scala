@@ -148,6 +148,18 @@ class GraftSqlSpec extends AnyFunSuite {
       Seq((1L, "c1"), (2L, "c2")))
   }
 
+  test("top-level UNION ALL / UNION with a union-level ORDER BY") {
+    import spark.implicits._
+    val a = Seq((2L, "y"), (1L, "x")).toDF("k", "v")
+    def res(n: String) = n match { case "A" => a }
+    val all = GraftSql.query(spark, res,
+      "SELECT k, v FROM A UNION ALL SELECT k, v FROM A ORDER BY k")
+    assert(all.collect().map(_.getLong(0)).toSeq == Seq(1L, 1L, 2L, 2L))
+    val dedup = GraftSql.query(spark, res,
+      "SELECT k, v FROM A UNION SELECT k, v FROM A ORDER BY k LIMIT 1")
+    assert(dedup.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("plain equi JOIN surfaces right payload as r_ columns") {
     import spark.implicits._
     val l = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "lv")

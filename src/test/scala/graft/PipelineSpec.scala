@@ -58,6 +58,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(ann.forall { case (q, c) => q != c })
   }
 
+  test("IVF ANN probes a fraction of lists yet beats random recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = SimilarityOps.bruteForceTopK(queries, emb, "vec_id",
+      "embedding", 10).select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(queries, emb, "vec_id", "embedding",
+      10, nlist = 8, nprobe = 3).select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, c) => q != c })
+    // random vectors: recall tracks the scan fraction; the quantizer
+    // must still beat it (and be deterministic across runs)
+    assert(recall >= 0.3, s"IVF recall $recall vs brute force")
+    val again = SimilarityOps.ivfTopK(queries, emb, "vec_id", "embedding",
+      10, nlist = 8, nprobe = 3).select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf, "IVF index must be deterministic")
+  }
+
   test("langid predicts real languages on real sentences") {
     import spark.implicits._
     val samples = Seq(

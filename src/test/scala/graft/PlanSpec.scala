@@ -64,6 +64,16 @@ class PlanSpec extends AnyFunSuite {
       "asof join must not explode into a product join")
   }
 
+  test("forward JLIMIT keeps the bounded index-carry shape") {
+    val p = plan("asof_join_jlimit_fwd")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"forward JLIMIT must not explode into a product join:\n$p")
+    // the rank expansion is a constant-size sequence, not collect_list
+    assert(!p.contains("collect_list"),
+      s"JLIMIT must not buffer per-row right histories:\n$p")
+  }
+
   test("keyless window join is a bucketed equi-join, not a nested loop") {
     val p = plan("window_join_keyless")
     assert(!p.contains("CartesianProduct") &&
