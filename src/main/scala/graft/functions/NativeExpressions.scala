@@ -143,6 +143,103 @@ object MinHashSignature {
   }
 }
 
+/** Sign-bit LSH bucket ids for ALL hash tables in one pass over the
+  * vector: table t uses planes `t*planes .. t*planes+planes-1` of the
+  * deterministic xxhash64-derived hyperplane pool (stride 16 per
+  * element), and its bucket id is tagged with `t << planes`. Replaces
+  * `tables` interpreted transform/aggregate/zip_with chains — each
+  * re-walking the vector per plane with per-element lambda dispatch
+  * and Decimal boxing — with a single tight loop. Bit-identical to the
+  * Column formula in SimilarityOps.lshBucketCol (asserted in
+  * NativeExpressionsSpec). */
+case class LshBuckets(child: Expression, planes: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes >= 1 && tables >= 1 && planes * tables <= 16,
+    s"plane budget: planes*tables <= 16, got $planes*$tables")
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType |
+                   org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    LshBuckets.compute(input.asInstanceOf[ArrayData], elemIsFloat,
+      planes, tables)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.LshBuckets.compute(
+       |  $c, $elemIsFloat, $planes, $tables);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object LshBuckets {
+  // xxhash64(lit(0), idx) = hashInt(idx, hashInt(0, 42)) — the same
+  // fold Spark's XxHash64 expression performs over its children; both
+  // operands are IntegerType in the Column formula, so the 4-byte
+  // hashInt variant is the one that matches
+  private final val Seed =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(0, 42L)
+
+  /** Pseudo-random hyperplane component in [-1, 1), identical to
+    * SimilarityOps.planeWeight. */
+  private def weight(idx: Int): Double =
+    (Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashInt(idx, Seed), 2000001L) - 1000000L).toDouble / 1000000.0
+
+  /** Round-trip of `cast(x as decimal(12,6)) as double` — Spark's
+    * Decimal uses the canonical string form + HALF_UP. */
+  private def quant6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(vec: ArrayData, isFloat: Boolean, planes: Int,
+      tables: Int): ArrayData = {
+    val n = vec.numElements()
+    val nPlanes = planes * tables
+    val projs = new Array[Double](nPlanes)
+    var i = 0
+    while (i < n) {
+      val q = quant6(
+        if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i))
+      val base = i * 16
+      var k = 0
+      while (k < nPlanes) {
+        projs(k) += q * weight(base + k)
+        k += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var p = 0
+      while (p < planes) {
+        if (projs(t * planes + p) > 0) b += (1L << p)
+        p += 1
+      }
+      out(t) = b + (t.toLong << planes)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object NativeExpressions {
   /** Column form of [[LongDotProduct]]. */
   def longDot(a: Column, b: Column): Column =
@@ -153,6 +250,11 @@ object NativeExpressions {
   def minhashSig(words: Column, k: Int, numHashes: Int): Column =
     GraftColumnShim.column(MinHashSignature(
       GraftColumnShim.expression(words), k, numHashes))
+
+  /** Column form of [[LshBuckets]]. */
+  def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
+    GraftColumnShim.column(LshBuckets(
+      GraftColumnShim.expression(vec), planes, tables))
 }
 
 /** SparkSessionExtensions entry point: set

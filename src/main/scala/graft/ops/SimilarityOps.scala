@@ -76,23 +76,23 @@ object SimilarityOps {
       vecCol: String, k: Int, planes: Int = 4, tables: Int = 1): DataFrame = {
     require(tables >= 1 && planes * tables <= 16,
       s"plane budget: planes*tables <= 16, got $planes*$tables")
-    // table t's bucket ids live in their own range via the t<<planes tag
-    def bucketIn(t: Int, vec: Column): Column =
-      lshBucketCol(vec, planes, t * planes) + lit(t.toLong << planes)
-    val qProbes = concat((0 until tables).map { t =>
-      val b0 = bucketIn(t, col(vecCol))
-      concat(array(b0), transform(sequence(lit(0), lit(planes - 1)),
-        i => b0.bitwiseXOR(pow(lit(2), i).cast("long"))))
-    }: _*)
+    // all table bucket ids in ONE native-expression pass over the
+    // vector (graft.functions.LshBuckets — bit-identical to the
+    // lshBucketCol formula); table t's ids are tagged t<<planes.
+    // Flipping a low bit stays inside the table, so the hamming-1
+    // probe set derives from the array with cheap bit ops.
+    val buckets = graft.functions.NativeExpressions
+      .lshBuckets(col(vecCol), planes, tables)
+    val qProbes = flatten(transform(buckets, b =>
+      concat(array(b), transform(sequence(lit(0), lit(planes - 1)),
+        i => b.bitwiseXOR(pow(lit(2), i).cast("long"))))))
     val q = queries.select(col(idCol).as("q_id"),
         DedupOps.microVec(col(vecCol)).as("_qm"),
         explode(qProbes).as("bucket"))
       .withColumn("_qn2", DedupOps.microDot(col("_qm"), col("_qm")))
-    val cBuckets = array((0 until tables).map(t =>
-      bucketIn(t, col(vecCol))): _*)
     val c = candidates.select(col(idCol).as("_id"),
         DedupOps.microVec(col(vecCol)).as("_m"),
-        explode(cBuckets).as("bucket"))
+        explode(buckets).as("bucket"))
       .withColumn("_n2", DedupOps.microDot(col("_m"), col("_m")))
     // a pair can collide in several tables — dedupe before ranking
     // (rows are value-identical once the bucket id is dropped)

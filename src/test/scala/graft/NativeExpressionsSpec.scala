@@ -59,4 +59,19 @@ class NativeExpressionsSpec extends AnyFunSuite {
       .as("d")).head.getDouble(0)
     assert(d == 3.0)
   }
+
+  test("lshBuckets matches the Column bucket formula bit-for-bit") {
+    val emb = Tables(spark, sf, "embeddings")
+    val planes = 4; val tables = 4
+    // the Column formula, table-tagged exactly like the old lowering
+    val colForm = array((0 until tables).map(t =>
+      graft.ops.SimilarityOps.lshBucketCol(col("embedding"), planes,
+        t * planes) + lit(t.toLong << planes)): _*)
+    val native = NativeExpressions.lshBuckets(col("embedding"),
+      planes, tables)
+    val diff = emb.select(col("vec_id"), colForm.as("a"), native.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.count() == 0,
+      s"native/Column bucket mismatch: ${diff.take(3).toSeq}")
+  }
 }
