@@ -156,6 +156,23 @@ object Dialect {
            FROM ords JOIN cust ON ords.custkey = cust.custkey
            ORDER BY o_orderkey""")
     },
+    // per-row series functions under PARTITION BY (IndefRowsFunc in
+    // SQL text): a row stream, not an aggregate
+    "dialect_diff" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, ts DIV 1000 AS ts_ms, diff(value) AS diff_v
+           FROM events PARTITION BY user_id ORDER BY user_id, ts_ms""")
+    },
+    "dialect_csum" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, ts DIV 1000 AS ts_ms, csum(value) AS csum
+           FROM events PARTITION BY user_id ORDER BY user_id, ts_ms""")
+    },
+    "dialect_mavg" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, ts DIV 1000 AS ts_ms, mavg(value, 7) AS mavg
+           FROM events PARTITION BY user_id ORDER BY user_id, ts_ms""")
+    },
     // top-level UNION ALL with a union-level ORDER BY
     "dialect_union" -> { (s, dir) =>
       GraftSql.query(s, views(s, dir),
@@ -299,6 +316,23 @@ object Dialect {
            c_name, c_mktsegment
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    "dialect_diff" ->
+      """SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)
+             AS diff_v
+         FROM events ORDER BY user_id, ts_ms""",
+    // same accumulation as the DataFrame-API sf_csum oracle
+    "dialect_csum" -> Functions.oracleSql("sf_csum"),
+    "dialect_mavg" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+           CASE WHEN count(value) OVER w7 = 7 THEN
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w7
+               AS DOUBLE) / 7, 6) END AS mavg
+           FROM events
+           WINDOW w7 AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT user_id, t // 1000 AS ts_ms, mavg FROM t
+         ORDER BY user_id, ts_ms""",
     "dialect_union" ->
       """SELECT user_id, count(*) AS n, 'purchase' AS kind
          FROM events WHERE event_type = 'purchase' GROUP BY user_id

@@ -421,6 +421,50 @@ object GraftSql {
       return res
     }
 
+    // ---- per-row series functions (IndefRowsFunc family): PARTITION
+    // BY + diff/csum/mavg returns a row stream, not an aggregate
+    // (docs: `SELECT DIFF(current) FROM meters PARTITION BY tbname`).
+    // Lowered to the same window-function forms as SeriesOps (exact
+    // decimal csum/mavg accumulation). Keyless input would collapse an
+    // unpartitioned window to one partition, so the keyless form stays
+    // on the DataFrame API (SeriesOps + GlobalScan).
+    val indefPat = "(?i)\\b(diff|csum|mavg)\\s*\\(".r
+    val hasWindowClause = Seq("INTERVAL", "SESSION", "STATE_WINDOW",
+      "COUNT_WINDOW", "EVENT_WINDOW").exists(c.contains)
+    if (!hasWindowClause && !c.contains("GROUP BY") &&
+        selectItems.exists { case (e, _) =>
+          indefPat.findFirstIn(e).isDefined }) {
+      require(partCols.nonEmpty,
+        "per-row series functions need PARTITION BY " +
+          "(keyless form: SeriesOps over GlobalScan)")
+      val partTxt = s"PARTITION BY ${partCols.mkString(", ")} "
+      def over(frame: String) = s"OVER (${partTxt}ORDER BY $tsCol$frame)"
+      def rewriteSeries(e: String): String = {
+        var r = e
+        r = rewriteCall(r, "diff", a => s"(($a) - lag($a) ${over("")})")
+        r = rewriteCall(r, "csum", a =>
+          s"CAST(sum(CAST(($a) AS DECIMAL(18,2))) " +
+            s"${over(" ROWS UNBOUNDED PRECEDING")} AS DOUBLE)")
+        r = rewriteCall(r, "mavg", a => {
+          val parts = splitArgs(a)
+          val x = parts(0); val n = parts(1).trim.toInt
+          val f = s" ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
+          s"(CASE WHEN count($x) ${over(f)} = $n THEN " +
+            s"round(CAST(sum(CAST(($x) AS DECIMAL(18,2))) ${over(f)} " +
+            s"AS DOUBLE) / $n, 6) END)"
+        })
+        // NOT rewriteFuncs: its sum/avg aggregate rewrites would
+        // mangle the window expressions just generated
+        r
+      }
+      var res = df.select(selectItems.map { case (e, a) =>
+        expr(rewriteSeries(e)).as(a) }: _*)
+      c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+      c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
+      c.get("LIMIT").foreach(n => res = res.limit(n.trim.toInt))
+      return res
+    }
+
     // ---- windowing ----
     var groupKeys: Seq[String] = partCols
     var postAgg: DataFrame => DataFrame = identity

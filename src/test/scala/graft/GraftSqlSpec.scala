@@ -148,6 +148,24 @@ class GraftSqlSpec extends AnyFunSuite {
       Seq((1L, "c1"), (2L, "c2")))
   }
 
+  test("PARTITION BY + diff/csum returns a row stream, not an aggregate") {
+    import spark.implicits._
+    val t = Seq((1L, 10L, 1.0), (1L, 20L, 4.0), (1L, 30L, 9.0),
+      (2L, 10L, 5.0)).toDF("k", "ts", "v")
+    def res(n: String) = n match { case "T" => t }
+    val out = GraftSql.query(spark, res,
+      """SELECT k, ts, diff(v) AS d, csum(v) AS c
+         FROM T PARTITION BY k ORDER BY k, ts""")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, None, 1.0), (1L, Some(3.0), 5.0), (1L, Some(5.0), 14.0),
+      (2L, None, 5.0)))
+    // keyless row-stream form must refuse (would single-partition)
+    intercept[IllegalArgumentException] {
+      GraftSql.query(spark, res, "SELECT k, diff(v) AS d FROM T")
+    }
+  }
+
   test("top-level UNION ALL / UNION with a union-level ORDER BY") {
     import spark.implicits._
     val a = Seq((2L, "y"), (1L, "x")).toDF("k", "v")
