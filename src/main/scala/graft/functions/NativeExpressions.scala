@@ -240,6 +240,91 @@ object LshBuckets {
   }
 }
 
+/** SimHash fingerprint in one pass over a word array: per-document
+  * token counts (in-expression hash map), md5 per DISTINCT token, the
+  * top 48 md5 bits vote ±count per bit position, and set bits pack into
+  * a long. Replaces an explode → (id,token) groupBy → 48-way bit
+  * explode → two more groupBys — three shuffles and a 48× row blowup —
+  * with a map-side expression. Bit-identical to that lowering (md5 of
+  * the token's UTF-8 bytes; the first 12 hex digits are the first 6
+  * digest bytes big-endian). Null for token-less documents (the
+  * exploded form drops them). */
+case class SimHashFingerprint(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 48, s"bits must be in [1,48]: $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashFingerprint.compute(input.asInstanceOf[ArrayData], bits)
+
+  // compute() returns null for empty docs — propagate isNull like
+  // MinHashSignature does
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("shBoxed")
+      s"""
+       |java.lang.Long $boxed =
+       |  graft.functions.SimHashFingerprint.compute($c, $bits);
+       |${ev.isNull} = $boxed == null;
+       |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+     """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object SimHashFingerprint {
+  /** Called from both interpreted eval and generated code. */
+  def compute(words: ArrayData, bits: Int): java.lang.Long = {
+    val n = words.numElements()
+    if (n == 0) return null
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val s = words.getUTF8String(i).toString
+      val prev = counts.get(s)
+      counts.put(s, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Long](bits)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val d = md.digest(
+        e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 12 hex digits == first 6 bytes, big-endian
+      var h = 0L
+      var j = 0
+      while (j < 6) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      val cnt: Long = e.getValue.longValue()
+      var b = 0
+      while (b < bits) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) cnt else -cnt)
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+}
+
 object NativeExpressions {
   /** Column form of [[LongDotProduct]]. */
   def longDot(a: Column, b: Column): Column =
@@ -255,6 +340,11 @@ object NativeExpressions {
   def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
     GraftColumnShim.column(LshBuckets(
       GraftColumnShim.expression(vec), planes, tables))
+
+  /** Column form of [[SimHashFingerprint]]. */
+  def simhashFp(words: Column, bits: Int): Column =
+    GraftColumnShim.column(SimHashFingerprint(
+      GraftColumnShim.expression(words), bits))
 }
 
 /** SparkSessionExtensions entry point: set

@@ -118,8 +118,22 @@ object TextOps {
   // ---------------------------------------------------------------------
   val SimHashBits = 48
 
-  /** df must carry `idCol` and a text column; returns (idCol, simhash). */
-  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
+  /** df must carry `idCol` and a text column; returns (idCol, simhash).
+    * One map-side pass per document (graft.functions.SimHashFingerprint
+    * — bit-identical to [[simhashViaExplode]], asserted in spec);
+    * token-less documents drop out, matching the exploded form. */
+  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol),
+        graft.functions.NativeExpressions
+          .simhashFp(words(text), SimHashBits).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The original shuffle-based lowering (explode → per-token md5 →
+    * 48-way bit vote). Kept as the cross-check reference for the native
+    * expression; three shuffles and a 48× row blowup make it the slow
+    * path. */
+  def simhashViaExplode(df: DataFrame, idCol: String,
+      text: Column): DataFrame = {
     val toks = df.select(col(idCol), explode(words(text)).as("_tok"))
       .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_cnt"))
       .withColumn("_h",

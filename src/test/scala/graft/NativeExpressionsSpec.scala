@@ -74,4 +74,16 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(diff.count() == 0,
       s"native/Column bucket mismatch: ${diff.take(3).toSeq}")
   }
+
+  test("simhash fingerprint matches the exploded md5-vote lowering") {
+    val docs = Tables(spark, sf, "documents")
+    val native = graft.ops.TextOps.simhash(docs, "doc_id", col("text"))
+    val exploded = graft.ops.TextOps
+      .simhashViaExplode(docs, "doc_id", col("text"))
+    val diff = native.as("a").join(exploded.as("b"), "doc_id")
+      .filter(col("a.simhash") =!= col("b.simhash"))
+    assert(native.count() == exploded.count())
+    assert(diff.count() == 0,
+      s"native/exploded simhash mismatch: ${diff.take(3).toSeq}")
+  }
 }
