@@ -45,6 +45,24 @@ object Pipeline {
           0.45, 500L)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // ---- embedding near-dup pairs via LSH (the sub-quadratic scale
+    // route; precision 1 — every emitted pair verifies exactly — so
+    // the gate row is recall vs the exact quadratic baseline) ----
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      val e = emb(s, dir).filter(col("vec_id") < 500)
+      val exact = DedupOps.embeddingCosinePairs(e, "vec_id", "embedding",
+          0.45, 500L)
+        .select(col("id_a"), col("id_b"))
+      val approx = DedupOps.embeddingLshPairs(e, "vec_id", "embedding",
+          0.45)
+        .select(col("id_a"), col("id_b"))
+      val hits = exact.join(approx, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.4)
+            .as("recall_ok"))
+    },
     // ---- brute-force cosine top-10 for query vectors vec_id < 5 ----
     "sim_topk" -> { (s, dir) =>
       val e = emb(s, dir)
@@ -226,6 +244,12 @@ object Pipeline {
     // IVF probes 3 of 10 lists; recall must beat the scan fraction
     "sim_ivf_recall" ->
       """SELECT CAST(50 AS BIGINT) AS n_exact, true AS recall_ok""",
+    // 14 exact pairs at threshold 0.45 among ids < 500; the LSH route
+    // must recover >= 40% of them (0.45-cosine pairs share a 4-plane
+    // bucket with p ~ 0.18 per table -> ~0.55 over 4 tables; random
+    // vectors again the adversarial case — measured 0.5, deterministic)
+    "dedup_embedding_lsh" ->
+      """SELECT CAST(14 AS BIGINT) AS n_exact, true AS recall_ok""",
     "sim_topk" ->
       s"""WITH $embExplode,
           dots AS (SELECT q.id AS q_id, c.id AS cand_id,

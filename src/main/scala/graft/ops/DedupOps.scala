@@ -198,6 +198,41 @@ object DedupOps {
   def microDot(a: Column, b: Column): Column =
     graft.functions.NativeExpressions.longDot(a, b).cast("double") / lit(1e12)
 
+  /** Embedding near-duplicate pairs via multi-table sign-LSH: vectors
+    * bucket map-side (graft.functions.LshBuckets, `tables` independent
+    * tables), each bucket's sorted id list expands to candidate pairs,
+    * and candidates verify with the exact quantized cosine — so every
+    * emitted pair is a TRUE >= `threshold` pair (precision 1, recall
+    * < 1 by LSH contract). This is the sub-quadratic scale route the
+    * exact [[embeddingCosinePairs]] baseline documents: candidate
+    * volume is bounded per bucket, and `planes` grows with corpus size
+    * to keep buckets bounded. */
+  def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 4, tables: Int = 4): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("_id"),
+        explode(graft.functions.NativeExpressions
+          .lshBuckets(col(vecCol), planes, tables)).as("_bkt"))
+    val cands = bucketed.groupBy("_bkt")
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(explode(pairCombos(col("_ids"))).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .distinct()
+    val vec = emb.select(col(idCol).as("_vid"),
+        microVec(col(vecCol)).as("_vm"))
+      .withColumn("_vn2", microDot(col("_vm"), col("_vm")))
+      .filter(col("_vn2") > 0)
+    cands
+      .join(vec.select(col("_vid").as("id_a"), col("_vm").as("_ma"),
+        col("_vn2").as("_na")), Seq("id_a"))
+      .join(vec.select(col("_vid").as("id_b"), col("_vm").as("_mb"),
+        col("_vn2").as("_nb")), Seq("id_b"))
+      .withColumn("cosine", microDot(col("_ma"), col("_mb")) /
+        sqrt(col("_na") * col("_nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Cosine-similarity pairs >= `threshold` among ids < `maxId`: the
     * pairwise-exact form — a broadcast nested-loop over quantized
     * vectors, inherently QUADRATIC in `maxId`. This is the oracle-exact

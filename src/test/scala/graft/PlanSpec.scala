@@ -81,6 +81,28 @@ class PlanSpec extends AnyFunSuite {
       s"keyless range join must lower to a time-bucket equi-join:\n$p")
   }
 
+  test("ANN and fingerprint paths stay map-side native expressions") {
+    // LSH: buckets from the native one-pass expression, queries
+    // broadcast onto candidates — no sort-merge on the bucket join
+    val lsh = plan("sim_lsh_ann")
+    assert(lsh.contains("graft_lsh_buckets"),
+      s"LSH buckets not the native expression:\n$lsh")
+    assert(lsh.contains("BroadcastHashJoin"),
+      s"LSH candidate join must broadcast the query side:\n$lsh")
+    // MinHash: map-side native signatures, no product join anywhere
+    val mh = plan("dedup_minhash_lsh")
+    assert(mh.contains("graft_minhash_signature"),
+      s"minhash signatures not the native expression:\n$mh")
+    assert(!mh.contains("CartesianProduct"), mh)
+    // SimHash: one pass, one exchange (the output sort) — the exploded
+    // lowering's three aggregation shuffles are gone
+    val sh = plan("dedup_simhash")
+    assert(sh.contains("graft_simhash"),
+      s"simhash not the native expression:\n$sh")
+    assert(countOf(sh, "Exchange") <= 1,
+      s"simhash should shuffle only for the output sort:\n$sh")
+  }
+
   test("the 6-way TPC-H-shape join broadcasts every dimension") {
     val p = plan("tpch_q5")
     assert(countOf(p, "BroadcastHashJoin") >= 4,
