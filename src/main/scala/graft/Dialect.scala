@@ -98,6 +98,26 @@ object Dialect {
            FROM events PARTITION BY user_id STATE_WINDOW(event_type)
            ORDER BY user_id, _wstart_ms""")
     },
+    // STATE_WINDOW + TRUE_FOR(2h): only windows lasting >= 2h survive
+    "dialect_state_truefor" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, first(event_type) AS state,
+             min(ts) DIV 1000 AS _wstart_ms, max(ts) DIV 1000 AS _wend_ms,
+             count(*) AS n
+           FROM events PARTITION BY user_id STATE_WINDOW(event_type)
+           TRUE_FOR(2h)
+           ORDER BY user_id, _wstart_ms""")
+    },
+    // EVENT_WINDOW + TRUE_FOR(1h)
+    "dialect_event_truefor" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _wstart DIV 1000 AS _wstart_ms,
+             _wend DIV 1000 AS _wend_ms, count(*) AS n
+           FROM events PARTITION BY user_id
+           EVENT_WINDOW START WITH value > 90 END WITH value < 10
+           TRUE_FOR(1h)
+           ORDER BY user_id, _wstart_ms""")
+    },
     // COUNT_WINDOW(50) in SQL text
     "dialect_count_window" -> { (s, dir) =>
       run(s, dir,
@@ -283,6 +303,48 @@ object Dialect {
     // DataFrame-API twins — share the proven oracle text
     "dialect_state_window" -> TimeSeries.oracleSql("state_window"),
     "dialect_count_window" -> TimeSeries.oracleSql("count_window"),
+    // TRUE_FOR compares window duration in the native µs domain
+    "dialect_state_truefor" ->
+      s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+                 THEN 1 ELSE 0 END AS chg
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, t, event_type,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS wid
+            FROM t)
+          SELECT user_id, min(event_type) AS state,
+            min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
+            count(*) AS n
+          FROM s GROUP BY user_id, wid
+          HAVING max(t) - min(t) >= ${2 * H}
+          ORDER BY user_id, _wstart_ms""",
+    "dialect_event_truefor" ->
+      s"""WITH RECURSIVE numbered AS (
+            SELECT user_id, epoch_us(ts) AS t,
+              value > 90 AS s, value < 10 AS e,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+            FROM events),
+          walk AS (
+            SELECT user_id, t, rn,
+              CASE WHEN s THEN t END AS wstart,
+              (s AND NOT e) AS open_after
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            SELECT n.user_id, n.t, n.rn,
+              CASE WHEN w.open_after THEN w.wstart
+                   WHEN n.s THEN n.t END AS wstart,
+              CASE WHEN w.open_after THEN NOT n.e
+                   WHEN n.s THEN NOT n.e ELSE false END AS open_after
+            FROM numbered n JOIN walk w
+              ON n.user_id = w.user_id AND n.rn = w.rn + 1)
+          SELECT user_id, wstart // 1000 AS _wstart_ms,
+            max(t) // 1000 AS _wend_ms, count(*) AS n
+          FROM walk WHERE wstart IS NOT NULL
+          GROUP BY user_id, wstart
+          HAVING max(t) - wstart >= $H
+          ORDER BY user_id, _wstart_ms""",
     "dialect_event_window" -> TimeSeries.oracleSql("event_window"),
     "dialect_interp" -> TimeSeries.oracleSql("interp_linear"),
     "dialect_asof_join" ->

@@ -73,8 +73,9 @@ object GraftSql {
 
   private val clauseKws = Seq("SELECT", "FROM", "WHERE", "PARTITION BY",
     "INTERVAL", "SLIDING", "SESSION", "STATE_WINDOW", "COUNT_WINDOW",
-    "EVENT_WINDOW", "RANGE", "EVERY", "FILL", "SURROUND", "GROUP BY",
-    "HAVING", "ORDER BY", "SLIMIT", "SOFFSET", "LIMIT", "OFFSET")
+    "EVENT_WINDOW", "TRUE_FOR", "RANGE", "EVERY", "FILL", "SURROUND",
+    "GROUP BY", "HAVING", "ORDER BY", "SLIMIT", "SOFFSET", "LIMIT",
+    "OFFSET")
 
   /** sql → map(keyword → clause text after the keyword). */
   private def clauses(sql: String): Map[String, String] = {
@@ -515,6 +516,14 @@ object GraftSql {
       groupKeys = partCols ++ splitArgs(c("GROUP BY"))
     }
 
+    // TRUE_FOR(d) (sql.y state/event window options): keep only windows
+    // lasting at least d — a hidden max(ts)-min(ts) aggregate filter
+    val trueFor = c.get("TRUE_FOR").map { t =>
+      require(c.contains("STATE_WINDOW") || c.contains("EVENT_WINDOW"),
+        "TRUE_FOR needs STATE_WINDOW or EVENT_WINDOW")
+      durUs(stripOuterParens(t))
+    }
+
     // ---- aggregation ----
     val isAgg = groupKeys.nonEmpty
     // HAVING over aggregates not in the select list computes as a hidden
@@ -545,10 +554,14 @@ object GraftSql {
           "grouped query needs at least one aggregate select item")
         val aggCols = aggItems.map { case (e, a) =>
           expr(rewritten(e)).as(a) } ++
-          havingAgg.map(h => expr(rewritten(h)).as("__having")).toSeq
+          havingAgg.map(h => expr(rewritten(h)).as("__having")).toSeq ++
+          trueFor.map(d =>
+            expr(s"(max($tsCol) - min($tsCol)) >= ${d}L")
+              .as("__truefor")).toSeq
         var g = df.groupBy(groupKeys.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
         havingAgg.foreach(_ => g = g.filter(col("__having")))
+        trueFor.foreach(_ => g = g.filter(col("__truefor")))
         // expose key aliases, then project to the select list (drops
         // internal group ids like _session/_wid and __having)
         keyItems.foreach { case (e, a) =>

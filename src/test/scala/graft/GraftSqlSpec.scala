@@ -148,6 +148,23 @@ class GraftSqlSpec extends AnyFunSuite {
       Seq((1L, "c1"), (2L, "c2")))
   }
 
+  test("TRUE_FOR keeps only windows meeting the duration") {
+    import spark.implicits._
+    // key 1: state a spans 0..5s (too short), then b spans 10..130s
+    val t = Seq((1L, 0L, "a"), (1L, 5000000L, "a"),
+      (1L, 10000000L, "b"), (1L, 130000000L, "b")).toDF("k", "ts", "st")
+    def res(n: String) = n match { case "T" => t }
+    val out = GraftSql.query(spark, res,
+      """SELECT k, first(st) AS state, count(*) AS n
+         FROM T PARTITION BY k STATE_WINDOW(st) TRUE_FOR(90s)
+         ORDER BY k, state""").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("b"))
+    intercept[IllegalArgumentException] {
+      GraftSql.query(spark, res,
+        "SELECT k, count(*) AS n FROM T PARTITION BY k TRUE_FOR(90s)")
+    }
+  }
+
   test("PARTITION BY + diff/csum returns a row stream, not an aggregate") {
     import spark.implicits._
     val t = Seq((1L, 10L, 1.0), (1L, 20L, 4.0), (1L, 30L, 9.0),
