@@ -641,6 +641,19 @@ object Functions {
     // DuckDB has no DTW — the query is bit-deterministic, so the oracle
     // is a pinned literal table (tools/gen_dtw_oracle.py)
     "sf_dtw" -> PinnedOracles.sfDtw,
+    // HLL++ register maxima are order-independent, so the estimate is a
+    // pure function of the distinct user set (and the engine version the
+    // driver also runs) — pinnable like the dtw rows. DuckDB's own
+    // approx_count_distinct uses a different sketch, hence the literal.
+    "sf_hyperloglog" ->
+      """SELECT * FROM (VALUES
+            ('click', CAST(151 AS BIGINT), CAST(2006 AS BIGINT)),
+            ('error', CAST(151 AS BIGINT), CAST(2014 AS BIGINT)),
+            ('purchase', CAST(151 AS BIGINT), CAST(1981 AS BIGINT)),
+            ('signup', CAST(151 AS BIGINT), CAST(2017 AS BIGINT)),
+            ('view', CAST(151 AS BIGINT), CAST(1982 AS BIGINT)))
+          AS t(event_type, approx_users, n)
+          ORDER BY event_type""",
     "sf_histogram" ->
       """SELECT user_id,
            CAST(least(greatest(floor(value / 20), 0), 9) AS BIGINT)

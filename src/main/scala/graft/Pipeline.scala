@@ -241,6 +241,10 @@ object Pipeline {
     // and the LSH index must recover >= 70% of them
     "sim_lsh_recall" ->
       """SELECT CAST(50 AS BIGINT) AS n_exact, true AS recall_ok""",
+    // the index itself is deterministic (fixed hash planes, cand_id
+    // tie-break), so its rows pin like the dtw family — see
+    // PinnedOracles / tools/gen_dtw_oracle.py
+    "sim_lsh_ann" -> PinnedOracles.simLshAnn,
     // IVF probes 3 of 10 lists; recall must beat the scan fraction
     "sim_ivf_recall" ->
       """SELECT CAST(50 AS BIGINT) AS n_exact, true AS recall_ok""",
