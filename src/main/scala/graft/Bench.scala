@@ -59,9 +59,11 @@ object Bench {
           StandardCharsets.UTF_8))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+    // flag only when BOTH the ratio and the absolute excess are real:
+    // sub-second floors otherwise flag on scheduler blips
     val regressed = results.collect {
       case (name, dt) if floor.get(name).exists(f =>
-        dt > f * 1.5 && dt > 1.0) => name
+        dt > f * 1.5 && dt - f > 1.0) => name
     }.toSeq.sorted
     def jstr(s: String): String =
       "\"" + s.flatMap {
