@@ -255,6 +255,16 @@ object Functions {
           size(col("sample")).as("sample_n"))
         .orderBy(col("user_id"))
     },
+    // ---- deterministic KMV sample: 5 rows per user by min md5 — the
+    // partition-layout-independent sampling path (the reservoir above
+    // is the mergeable-UDAF form; this one is oracle-exact) ----
+    "sf_sample_kmv" -> { (s, dir) =>
+      SeriesOps.sampleKMV(ev(s, dir), col("event_id"),
+          Seq(col("user_id")), 5)
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"),
+          col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
     // ---- dtw: each user's hourly series vs the fleet-min user ----
     "sf_dtw" -> { (s, dir) =>
       val hourly = ev(s, dir)
@@ -641,6 +651,14 @@ object Functions {
     // DuckDB has no DTW — the query is bit-deterministic, so the oracle
     // is a pinned literal table (tools/gen_dtw_oracle.py)
     "sf_dtw" -> PinnedOracles.sfDtw,
+    // KMV: both engines rank by md5 of the decimal-string id
+    "sf_sample_kmv" ->
+      """WITH r AS (SELECT user_id, ts, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+          FROM events)
+         SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id, value
+         FROM r WHERE rk <= 5 ORDER BY user_id, event_id""",
     // HLL++ register maxima are order-independent, so the estimate is a
     // pure function of the distinct user set (and the engine version the
     // driver also runs) — pinnable like the dtw rows. DuckDB's own

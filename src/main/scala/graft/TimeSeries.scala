@@ -121,6 +121,30 @@ object TimeSeries {
           col("_wend_ms"))
         .orderBy(col("user_id"), col("_wid"))
     },
+    // ---- keyless STATE_WINDOW: the whole table is one globally
+    // ts-ordered state stream — run-ids via the GlobalScan prefix
+    // composition, not a single-partition window ----
+    "state_window_keyless" -> { (s, dir) =>
+      TimeOps.stateWindows(ev(s, dir), col("event_type"), col("ts"), Nil)
+        .groupBy(col("_wid"))
+        .agg(first(col("event_type")).as("state"),
+          usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"),
+          count(lit(1)).as("n"))
+        .select(col("state"), col("_wstart_ms"), col("_wend_ms"), col("n"))
+        .orderBy(col("_wstart_ms"))
+    },
+    // ---- keyless COUNT_WINDOW(100): global row numbering via
+    // GlobalScan, windows of 100 consecutive rows across ALL users ----
+    "count_window_keyless" -> { (s, dir) =>
+      TimeOps.countWindows(ev(s, dir), 100, col("ts"), Nil)
+        .groupBy(col("_wid"))
+        .agg(count(lit(1)).as("n"),
+          usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"))
+        .select(col("_wid"), col("n"), col("_wstart_ms"), col("_wend_ms"))
+        .orderBy(col("_wid"))
+    },
     // ---- EVENT_WINDOW START WITH value>90 END WITH value<10, per user ----
     "event_window" -> { (s, dir) =>
       TimeOps.eventWindows(ev(s, dir), col("value") > 90, col("value") < 10,
@@ -883,6 +907,27 @@ object TimeSeries {
          FROM w JOIN events e
            ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          GROUP BY w.wid, w.ws ORDER BY w.wid""",
+    "state_window_keyless" ->
+      """WITH t AS (SELECT epoch_us(ts) AS t, event_type,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+                 THEN 1 ELSE 0 END AS chg
+            FROM events WINDOW w AS (ORDER BY ts)),
+          s AS (SELECT t, event_type,
+            sum(chg) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS wid
+            FROM t)
+          SELECT min(event_type) AS state,
+            min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
+            count(*) AS n
+          FROM s GROUP BY wid
+          ORDER BY _wstart_ms""",
+    "count_window_keyless" ->
+      """WITH t AS (SELECT epoch_us(ts) AS t,
+            (row_number() OVER (ORDER BY ts) - 1) // 100 AS wid
+            FROM events)
+          SELECT wid AS _wid, count(*) AS n,
+            min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms
+          FROM t GROUP BY wid ORDER BY _wid""",
     "state_window_truefor" ->
       s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type,
             CASE WHEN lag(event_type) OVER w IS NULL

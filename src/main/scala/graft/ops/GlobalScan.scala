@@ -80,4 +80,28 @@ object GlobalScan {
 
   /** "Last seen non-null value" effect: compose = later wins. */
   def lastSeen[A](a: Option[A], b: Option[A]): Option[A] = b.orElse(a)
+
+  /** Global 1-based row numbering in `ord` order without a
+    * single-partition window: the partition effect is just its row
+    * count. Shared by keyless ASOF JLIMIT and keyless COUNT_WINDOW. */
+  def rowNumber(df: DataFrame, ord: Seq[org.apache.spark.sql.Column],
+      outCol: String): DataFrame = {
+    var frame = df
+    val sortNames = ord.zipWithIndex.map { case (e, i) =>
+      frame = frame.withColumn(s"_gs$i", e); s"_gs$i"
+    }
+    val outSchema = StructType(frame.schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.LongType))
+    twoPass[Long](frame, sortNames.map(org.apache.spark.sql.functions.col),
+      zero = 0L,
+      summary = { it => var n = 0L; it.foreach(_ => n += 1); n },
+      combine = _ + _,
+      emit = { (before, it) =>
+        var n = before
+        it.map { r => n += 1; Row.fromSeq(r.toSeq :+ n) }
+      },
+      outSchema)
+      .drop(sortNames: _*)
+  }
 }

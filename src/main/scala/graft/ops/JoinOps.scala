@@ -206,30 +206,11 @@ object JoinOps {
       .join(rPay, keys :+ "_rn", "left").drop("_rn", "_t")
   }
 
-  /** Global 1-based row numbering in `ord` order without a
-    * single-partition window: GlobalScan two-pass with a row-count
-    * carry (the partition effect is just its row count). */
+  /** Global 1-based row numbering without a single-partition window —
+    * see [[GlobalScan.rowNumber]]. */
   private def globalRowNumber(df: DataFrame, ord: Seq[Column],
-      outCol: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StructField, StructType}
-    var frame = df
-    val sortNames = ord.zipWithIndex.map { case (e, i) =>
-      frame = frame.withColumn(s"_gs$i", e); s"_gs$i"
-    }
-    val outSchema = StructType(frame.schema.fields :+
-      StructField(outCol, LongType))
-    GlobalScan.twoPass[Long](frame, sortNames.map(col),
-      zero = 0L,
-      summary = { it => var n = 0L; it.foreach(_ => n += 1); n },
-      combine = _ + _,
-      emit = { (before, it) =>
-        var n = before
-        it.map { r => n += 1; Row.fromSeq(r.toSeq :+ n) }
-      },
-      outSchema)
-      .drop(sortNames: _*)
-  }
+      outCol: String): DataFrame =
+    GlobalScan.rowNumber(df, ord, outCol)
 
   /** WINDOW join (sql.y:2775): for each left row, all right rows with
     * `right.ts` in `[left.ts + loUs, left.ts + hiUs]` (plus key equality).

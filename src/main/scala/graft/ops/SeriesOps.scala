@@ -104,4 +104,20 @@ object SeriesOps {
     df.withColumn("_rn", row_number().over(ww))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  /** Deterministic uniform sample: the k rows per key with the
+    * smallest md5(rowKey) — the k-minimum-values technique. Unlike the
+    * reservoir [[graft.functions.Aggregators.sample]] (whose pick
+    * depends on the partition layout), the KMV sample is a pure
+    * function of the data: any cluster, any partitioning, any engine
+    * reproduces it, so it hash-checks against the oracle. `rowKey`
+    * must be unique per key for a total order (the md5 plays the role
+    * of the random tag; uniformity comes from hash mixing). */
+  def sampleKMV(df: DataFrame, rowKey: Column, keys: Seq[Column],
+      k: Int): DataFrame = {
+    val ww = Window.partitionBy(keys: _*)
+      .orderBy(md5(rowKey.cast("string")), rowKey)
+    df.withColumn("_rank", row_number().over(ww))
+      .filter(col("_rank") <= k).drop("_rank")
+  }
 }

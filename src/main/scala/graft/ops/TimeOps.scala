@@ -93,9 +93,13 @@ object TimeOps {
   // ---------------------------------------------------------------------
 
   /** Adds `_wid`: consecutive runs (per key, ts order) of equal `state`
-    * share a window id. */
+    * share a window id. With no `keys` the run-id prefix sum
+    * distributes via [[GlobalScan.twoPass]] (an unpartitioned window
+    * would collapse the input to one partition); the effect is one
+    * (firstState, lastState, runCount) record per partition. */
   def stateWindows(df: DataFrame, state: Column, tsUs: Column,
       keys: Seq[Column]): DataFrame = {
+    if (keys.isEmpty) return keylessStateWindows(df, state, tsUs)
     val w = Window.partitionBy(keys: _*).orderBy(tsUs)
     val changed = when(lag(state, 1).over(w).isNull ||
       lag(state, 1).over(w) =!= state, 1L).otherwise(0L)
@@ -103,14 +107,79 @@ object TimeOps {
       sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** Partition effect of a keyless state scan: the first/last state
+    * value (which may be a NULL state) and the run count inside. */
+  private case class StateEff(nonEmpty: Boolean, first: Any, last: Any,
+      runs: Long)
+
+  /** Row transition rule, mirroring the keyed `lag` form exactly:
+    * changed = no-previous-row OR previous state NULL OR (both non-null
+    * and different). A NULL current state after a non-null one does NOT
+    * open a new window (`lag =!= state` is null there → 0). */
+  private def stateChanged(hasPrev: Boolean, prev: Any, cur: Any): Boolean =
+    !hasPrev || prev == null || (cur != null && cur != prev)
+
+  private def keylessStateWindows(df: DataFrame, state: Column,
+      tsUs: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val d = df.withColumn("_t", tsUs.cast(LongType))
+      .withColumn("_st", state)
+    val schema = d.schema
+    val stIdx = schema.fieldIndex("_st")
+    val outSchema = StructType(schema.fields :+
+      StructField("_wid", LongType))
+    GlobalScan.twoPass[StateEff](d, Seq(col("_t")),
+      zero = StateEff(nonEmpty = false, null, null, 0L),
+      summary = { it =>
+        var first: Any = null; var last: Any = null
+        var any = false; var runs = 0L
+        it.foreach { r =>
+          val st = r.get(stIdx)
+          if (stateChanged(any, last, st)) runs += 1
+          if (!any) first = st
+          any = true; last = st
+        }
+        StateEff(any, first, last, runs)
+      },
+      combine = { (a, b) =>
+        if (!b.nonEmpty) a
+        else if (!a.nonEmpty) b
+        else {
+          // b's summary counted its first row as a run start; undo it
+          // when the cross-partition transition was not a real change
+          val boundary = stateChanged(hasPrev = true, a.last, b.first)
+          StateEff(nonEmpty = true, a.first, b.last,
+            a.runs + b.runs - (if (boundary) 0 else 1))
+        }
+      },
+      emit = { (in, it) =>
+        var hasPrev = in.nonEmpty
+        var prev: Any = in.last
+        var wid = in.runs
+        it.map { r =>
+          val st = r.get(stIdx)
+          if (stateChanged(hasPrev, prev, st)) wid += 1
+          hasPrev = true; prev = st
+          Row.fromSeq(r.toSeq :+ wid)
+        }
+      },
+      outSchema)
+      .drop("_t", "_st")
+  }
+
   // ---------------------------------------------------------------------
   // COUNT_WINDOW(n [, sliding])  (countwindowoperator.c)
   // ---------------------------------------------------------------------
 
   /** Adds `_wid`: every `n` consecutive rows (per key, ts order) form a
-    * window. */
+    * window. Keyless input numbers rows via [[GlobalScan.rowNumber]]
+    * instead of an unpartitioned (single-partition) window. */
   def countWindows(df: DataFrame, n: Int, tsUs: Column,
       keys: Seq[Column]): DataFrame = {
+    if (keys.isEmpty)
+      return GlobalScan.rowNumber(df, Seq(tsUs.cast(LongType)), "_grn")
+        .withColumn("_wid", floorDiv(col("_grn") - 1, n)).drop("_grn")
     val w = Window.partitionBy(keys: _*).orderBy(tsUs)
     val rn = row_number().over(w) - lit(1)
     df.withColumn("_wid", floorDiv(rn, n))

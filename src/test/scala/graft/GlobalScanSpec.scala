@@ -125,4 +125,31 @@ class GlobalScanSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(out == Seq(0L))
   }
+
+  test("keyless state/count windows match the constant-key keyed path") {
+    import spark.implicits._
+    // state runs of varying length, plus planted NULL states (which
+    // must not open windows), spread over many partitions
+    val n = 20000
+    val df = spark.range(n)
+      .select(col("id").as("ts"),
+        when(col("id") % 97 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), (col("id") / 50).cast("long")
+            .cast("string"))).as("st"))
+      .repartition(16)
+    val keyless = TimeOps.stateWindows(df, col("st"), col("ts"), Nil)
+      .select("ts", "_wid").orderBy("ts").collect()
+    val keyed = TimeOps.stateWindows(df.withColumn("k", lit(1)),
+        col("st"), col("ts"), Seq(col("k")))
+      .select("ts", "_wid").orderBy("ts").collect()
+    assert(keyless.length == n)
+    keyless.zip(keyed).foreach { case (a, b) => assert(a == b) }
+
+    val cKeyless = TimeOps.countWindows(df, 137, col("ts"), Nil)
+      .select("ts", "_wid").orderBy("ts").collect()
+    val cKeyed = TimeOps.countWindows(df.withColumn("k", lit(1)),
+        137, col("ts"), Seq(col("k")))
+      .select("ts", "_wid").orderBy("ts").collect()
+    cKeyless.zip(cKeyed).foreach { case (a, b) => assert(a == b) }
+  }
 }
