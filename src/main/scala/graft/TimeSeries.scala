@@ -121,6 +121,18 @@ object TimeSeries {
           col("_wend_ms"))
         .orderBy(col("user_id"), col("_wid"))
     },
+    // ---- keyless SESSION(2m): one global ts-ordered stream, session
+    // ids from the GlobalScan prefix composition (boundary-straddling
+    // sessions merge across partitions) ----
+    "session_window_keyless" -> { (s, dir) =>
+      TimeOps.sessionize(ev(s, dir), col("ts"), 2 * Dur.m, Nil)
+        .groupBy(col("_session"))
+        .agg(usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"),
+          count(lit(1)).as("n"))
+        .select(col("_wstart_ms"), col("_wend_ms"), col("n"))
+        .orderBy(col("_wstart_ms"))
+    },
     // ---- keyless STATE_WINDOW: the whole table is one globally
     // ts-ordered state stream — run-ids via the GlobalScan prefix
     // composition, not a single-partition window ----
@@ -907,6 +919,19 @@ object TimeSeries {
          FROM w JOIN events e
            ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          GROUP BY w.wid, w.ws ORDER BY w.wid""",
+    "session_window_keyless" ->
+      s"""WITH t AS (SELECT epoch_us(ts) AS t,
+            CASE WHEN lag(epoch_us(ts)) OVER (ORDER BY ts) IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts)
+                   > ${2 * Dur.m}
+                 THEN 1 ELSE 0 END AS isnew
+            FROM events),
+          s AS (SELECT t,
+            sum(isnew) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+            FROM t)
+          SELECT min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
+            count(*) AS n
+          FROM s GROUP BY sid ORDER BY _wstart_ms""",
     "state_window_keyless" ->
       """WITH t AS (SELECT epoch_us(ts) AS t, event_type,
             CASE WHEN lag(event_type) OVER w IS NULL

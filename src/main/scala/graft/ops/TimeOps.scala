@@ -78,14 +78,71 @@ object TimeOps {
   // ---------------------------------------------------------------------
 
   /** Adds `_session`: rows closer than `gapUs` to their predecessor (per
-    * key) share a session id. One sort-shuffle on `keys`. */
+    * key) share a session id. One sort-shuffle on `keys`. With no
+    * `keys`, the session-id prefix sum distributes via
+    * [[GlobalScan.twoPass]] — the effect is one (firstTs, lastTs,
+    * sessionCount) record per partition, and the prefix composition
+    * merges sessions straddling a partition boundary when the gap
+    * across it is within `gapUs`. */
   def sessionize(df: DataFrame, tsUs: Column, gapUs: Long,
       keys: Seq[Column]): DataFrame = {
+    if (keys.isEmpty) return keylessSessionize(df, tsUs, gapUs)
     val w = Window.partitionBy(keys: _*).orderBy(tsUs)
     val isNew = when(tsUs - lag(tsUs, 1).over(w) > lit(gapUs) ||
       lag(tsUs, 1).over(w).isNull, 1L).otherwise(0L)
     df.withColumn("_session",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Partition effect of a keyless session scan. */
+  private case class SessEff(nonEmpty: Boolean, firstTs: Long,
+      lastTs: Long, sessions: Long)
+
+  private def keylessSessionize(df: DataFrame, tsUs: Column,
+      gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val d = df.withColumn("_t", tsUs.cast(LongType))
+    val schema = d.schema
+    val tIdx = schema.fieldIndex("_t")
+    val outSchema = StructType(schema.fields :+
+      StructField("_session", LongType))
+    GlobalScan.twoPass[SessEff](d, Seq(col("_t")),
+      zero = SessEff(nonEmpty = false, 0L, 0L, 0L),
+      summary = { it =>
+        var any = false; var first = 0L; var last = 0L; var s = 0L
+        it.foreach { r =>
+          val t = r.getLong(tIdx)
+          if (!any || t - last > gapUs) s += 1
+          if (!any) first = t
+          any = true; last = t
+        }
+        SessEff(any, first, last, s)
+      },
+      combine = { (a, b) =>
+        if (!b.nonEmpty) a
+        else if (!a.nonEmpty) b
+        else {
+          // b counted its first row as a session start; undo it when
+          // the boundary gap keeps the session open across partitions
+          val open = b.firstTs - a.lastTs <= gapUs
+          SessEff(nonEmpty = true, a.firstTs, b.lastTs,
+            a.sessions + b.sessions - (if (open) 1 else 0))
+        }
+      },
+      emit = { (in, it) =>
+        var any = in.nonEmpty
+        var last = in.lastTs
+        var sid = in.sessions
+        it.map { r =>
+          val t = r.getLong(tIdx)
+          if (!any || t - last > gapUs) sid += 1
+          any = true; last = t
+          Row.fromSeq(r.toSeq :+ sid)
+        }
+      },
+      outSchema)
+      .drop("_t")
   }
 
   // ---------------------------------------------------------------------

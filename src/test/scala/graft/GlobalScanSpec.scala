@@ -152,4 +152,23 @@ class GlobalScanSpec extends AnyFunSuite {
       .select("ts", "_wid").orderBy("ts").collect()
     cKeyless.zip(cKeyed).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("keyless sessions merge across partition boundaries") {
+    import spark.implicits._
+    // gaps of 5 every 40 rows (within gap=10), gaps of 100 every 1000
+    // rows (session breaks) — sessions straddle range partitions
+    val n = 20000
+    val df = spark.range(n)
+      .select((col("id") * 3 +
+        when(col("id") % 1000 === 0, 100).otherwise(0) +
+        when(col("id") % 40 === 0, 5).otherwise(0)).as("ts"))
+      .repartition(16)
+    val keyless = TimeOps.sessionize(df, col("ts"), 10L, Nil)
+      .select("ts", "_session").orderBy("ts").collect()
+    val keyed = TimeOps.sessionize(df.withColumn("k", lit(1)),
+        col("ts"), 10L, Seq(col("k")))
+      .select("ts", "_session").orderBy("ts").collect()
+    assert(keyless.length == n)
+    keyless.zip(keyed).foreach { case (a, b) => assert(a == b) }
+  }
 }
