@@ -253,6 +253,8 @@ object TimeOps {
   def stateWindowsExtend(df: DataFrame, state: Column, tsUs: Column,
       keys: Seq[Column], extend: Int): DataFrame = {
     require(extend >= 0 && extend <= 2, s"EXTEND($extend)")
+    if (keys.isEmpty)
+      return keylessStateWindowsExtend(df, state, tsUs, extend)
     val wOrd = Window.partitionBy(keys: _*).orderBy(col("_t"))
     val prevEff = last(col("_st"), ignoreNulls = true)
       .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
@@ -277,6 +279,101 @@ object TimeOps {
     out.drop("_chg")
   }
 
+  /** Partition effect of the keyless EXTEND scan: the first/last
+    * NON-NULL states (nulls never update the effective-state carry)
+    * and the window-open count inside. */
+  private case class ExtEff(first: Option[Any], last: Option[Any],
+      chgs: Long)
+
+  /** Keyless EXTEND, distributed like [[keylessStateWindows]]: an
+    * ascending GlobalScan assigns `_wid` from the effective-state
+    * carry (null states skip, matching the keyed ignore-nulls `last`),
+    * and EXTEND(2) adds a descending pass carrying the NEXT window id
+    * onto null-state rows. */
+  private def keylessStateWindowsExtend(df: DataFrame, state: Column,
+      tsUs: Column, extend: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val d = df.withColumn("_t", tsUs.cast(LongType))
+      .withColumn("_st", state)
+    val schema = d.schema
+    val stIdx = schema.fieldIndex("_st")
+    val widSchema = StructType(schema.fields :+
+      StructField("_wid", LongType))
+    val withWid = GlobalScan.twoPass[ExtEff](d, Seq(col("_t")),
+      zero = ExtEff(None, None, 0L),
+      summary = { it =>
+        var first: Option[Any] = None; var last: Option[Any] = None
+        var c = 0L
+        it.foreach { r =>
+          val st = r.get(stIdx)
+          if (st != null) {
+            if (last.isEmpty || last.get != st) c += 1
+            if (first.isEmpty) first = Some(st)
+            last = Some(st)
+          }
+        }
+        ExtEff(first, last, c)
+      },
+      combine = { (a, b) =>
+        // b's first non-null row opened a window in b's local count;
+        // undo it when a's carried effective state already matched
+        val adj = if (a.last.isDefined && b.first.isDefined &&
+          a.last.get == b.first.get) 1L else 0L
+        ExtEff(a.first.orElse(b.first), b.last.orElse(a.last),
+          a.chgs + b.chgs - adj)
+      },
+      emit = { (in, it) =>
+        var lastEff = in.last
+        var wid = in.chgs
+        it.map { r =>
+          val st = r.get(stIdx)
+          if (st != null && (lastEff.isEmpty || lastEff.get != st))
+            wid += 1
+          if (st != null) lastEff = Some(st)
+          Row.fromSeq(r.toSeq :+ wid)
+        }
+      },
+      widSchema)
+    extend match {
+      case 0 => withWid.filter(col("_st").isNotNull)
+      case 1 => withWid.filter(col("_wid") > 0)
+      case 2 =>
+        val stIdx2 = widSchema.fieldIndex("_st")
+        val widIdx = widSchema.fieldIndex("_wid")
+        val nwSchema = StructType(widSchema.fields :+
+          StructField("_nw", LongType))
+        // descending scan: the carry read before each row is the _wid
+        // of the NEXT non-null-state row in ascending order
+        GlobalScan.twoPass[Option[Long]](withWid,
+          Seq(col("_t").desc),
+          zero = None,
+          summary = { it =>
+            var v: Option[Long] = None
+            it.foreach { r =>
+              if (r.get(stIdx2) != null) v = Some(r.getLong(widIdx))
+            }
+            v
+          },
+          combine = GlobalScan.lastSeen,
+          emit = { (c0, it) =>
+            var carry = c0
+            it.map { r =>
+              val out = Row.fromSeq(r.toSeq :+
+                carry.map(Long.box).orNull)
+              if (r.get(stIdx2) != null)
+                carry = Some(r.getLong(widIdx))
+              out
+            }
+          },
+          nwSchema)
+          .withColumn("_wid", when(col("_st").isNotNull, col("_wid"))
+            .otherwise(col("_nw")))
+          .filter(col("_wid").isNotNull)
+          .drop("_nw")
+    }
+  }
+
   /** STATE_WINDOW(expr) … ZEROTH_STATE(v) (sql.y:2905-2944,
     * docs/24-distinguished.md:144): v is the baseline ("zero") state the
     * user doesn't care about — windows whose state matches it are
@@ -295,14 +392,16 @@ object TimeOps {
     * sort-shuffle, same shape as the hopping interval lowering. */
   def slidingCountWindows(df: DataFrame, n: Int, sliding: Int,
       tsUs: Column, keys: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(tsUs)
     val rn = col("_rn")
     val lo = when(rn <= n, lit(0L))
       .otherwise(floorDiv(rn - n + (sliding - 1), sliding))
     val hi = floorDiv(rn - 1, sliding)
-    df.withColumn("_rn", row_number().over(w).cast(LongType))
-      .withColumn("_wid", explode(sequence(lo, hi)))
-      .drop("_rn")
+    val numbered =
+      if (keys.isEmpty) // keyless: GlobalScan numbering, no global window
+        GlobalScan.rowNumber(df, Seq(tsUs.cast(LongType)), "_rn")
+      else df.withColumn("_rn", row_number()
+        .over(Window.partitionBy(keys: _*).orderBy(tsUs)).cast(LongType))
+    numbered.withColumn("_wid", explode(sequence(lo, hi))).drop("_rn")
   }
 
   /** COUNT_WINDOW(n[, sliding], col …) column-args variant (sql.y:2984-2987,

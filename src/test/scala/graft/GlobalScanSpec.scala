@@ -171,4 +171,35 @@ class GlobalScanSpec extends AnyFunSuite {
     assert(keyless.length == n)
     keyless.zip(keyed).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("keyless EXTEND state windows and sliding count windows match " +
+      "the constant-key keyed path") {
+    import spark.implicits._
+    val n = 9000
+    val df = spark.range(n)
+      .select(col("id").as("ts"),
+        when(col("id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), (col("id") / 40).cast("long")
+            .cast("string"))).as("st"))
+      .repartition(16)
+    val keyedDf = df.withColumn("k", lit(1))
+    for (ext <- 0 to 2) {
+      val keyless = TimeOps.stateWindowsExtend(df, col("st"), col("ts"),
+          Nil, ext)
+        .select("ts", "_wid").orderBy("ts").collect()
+      val keyed = TimeOps.stateWindowsExtend(keyedDf, col("st"),
+          col("ts"), Seq(col("k")), ext)
+        .select("ts", "_wid").orderBy("ts").collect()
+      assert(keyless.length == keyed.length, s"extend=$ext row count")
+      keyless.zip(keyed).foreach { case (a, b) =>
+        assert(a == b, s"extend=$ext") }
+    }
+    val sKeyless = TimeOps.slidingCountWindows(df, 50, 20, col("ts"), Nil)
+      .select("ts", "_wid").orderBy("ts", "_wid").collect()
+    val sKeyed = TimeOps.slidingCountWindows(keyedDf, 50, 20, col("ts"),
+        Seq(col("k")))
+      .select("ts", "_wid").orderBy("ts", "_wid").collect()
+    assert(sKeyless.length == sKeyed.length)
+    sKeyless.zip(sKeyed).foreach { case (a, b) => assert(a == b) }
+  }
 }
