@@ -98,6 +98,22 @@ object Dialect {
            FROM events PARTITION BY user_id STATE_WINDOW(event_type)
            ORDER BY user_id, _wstart_ms""")
     },
+    // INTERVAL + SLIDING (hopping windows) in SQL text
+    "dialect_interval_sliding" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart DIV 1000 AS _wstart_ms, count(*) AS n
+           FROM events INTERVAL(10m) SLIDING(5m) ORDER BY _wstart_ms""")
+    },
+    // INTERP + FILL(NEAR) + SURROUND bound in SQL text
+    "dialect_interp_surround" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT user_id, _irowts, interp(value) AS value, _isfilled
+            FROM events PARTITION BY user_id
+            RANGE($T0, $TEND) EVERY(12h) FILL(NEAR) SURROUND(1h, -1.0)""")
+        .select(col("user_id"), expr("_irowts DIV 1000").as("_irowts_ms"),
+          round(col("value"), 6).as("value"), col("_isfilled"))
+        .orderBy(col("user_id"), col("_irowts_ms"))
+    },
     // STATE_WINDOW + TRUE_FOR(2h): only windows lasting >= 2h survive
     "dialect_state_truefor" -> { (s, dir) =>
       run(s, dir,
@@ -301,6 +317,9 @@ object Dialect {
           FROM ranked WHERE rn <= 2 ORDER BY user_id, _wstart""",
     // the dialect windows are semantically identical to their
     // DataFrame-API twins — share the proven oracle text
+    "dialect_interval_sliding" -> TimeSeries.oracleSql("interval_sliding"),
+    "dialect_interp_surround" ->
+      TimeSeries.oracleSql("interp_near_surround"),
     "dialect_state_window" -> TimeSeries.oracleSql("state_window"),
     "dialect_count_window" -> TimeSeries.oracleSql("count_window"),
     // TRUE_FOR compares window duration in the native µs domain

@@ -201,8 +201,11 @@ object GraftSql {
     }
 
     if (asofAt >= 0) {
-      val leftName = from.substring(0, asofAt).trim.split(" ")(0)
-      val left = resolve(leftName)
+      // "events e" — token 0 is the table, an optional token 1 its
+      // alias; the ts-condition qualifier may use either
+      val leftToks = from.substring(0, asofAt).trim.split("\\s+")
+      val leftNames = leftToks.map(_.toLowerCase).toSet
+      val left = resolve(leftToks(0))
       val rest = from.substring(asofAt + " ASOF JOIN ".length).trim
       val onAt = rest.toUpperCase.indexOf(" ON ")
       require(onAt >= 0, "ASOF JOIN needs ON")
@@ -224,7 +227,7 @@ object GraftSql {
       // right-side-first flips the operator, not the join direction
       val op0 = tm.group(3)
       val op =
-        if (tm.group(1).equalsIgnoreCase(leftName)) op0
+        if (leftNames.contains(tm.group(1).toLowerCase)) op0
         else op0 match {
           case ">=" => "<="; case "<=" => ">="
           case ">" => "<"; case "<" => ">"; case "=" => "="

@@ -132,6 +132,12 @@ class GraftSqlSpec extends AnyFunSuite {
       "SELECT k, ts, r_cid AS cid FROM L ASOF JOIN R " +
         "ON R.ts <= L.ts AND L.k = R.k")
     assert(flipped.head.getString(2) == "c1")
+    // table aliases: the condition qualifier may be the alias, and the
+    // direction must still resolve to the LEFT side (not flip)
+    val aliased = GraftSql.query(spark, res,
+      "SELECT k, ts, r_cid AS cid FROM L a ASOF JOIN R b " +
+        "ON a.ts >= b.ts AND a.k = b.k")
+    assert(aliased.head.getString(2) == "c1")
   }
 
   test("ASOF JOIN JLIMIT with a forward operator takes the earliest " +
