@@ -209,6 +209,12 @@ object Dialect {
         """SELECT user_id, ts DIV 1000 AS ts_ms, mavg(value, 7) AS mavg
            FROM events PARTITION BY user_id ORDER BY user_id, ts_ms""")
     },
+    // SELECT DISTINCT projection
+    "dialect_distinct" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT DISTINCT user_id, event_type FROM events
+           ORDER BY user_id, event_type""")
+    },
     // top-level UNION ALL with a union-level ORDER BY
     "dialect_union" -> { (s, dir) =>
       GraftSql.query(s, views(s, dir),
@@ -414,6 +420,9 @@ object Dialect {
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
          SELECT user_id, t // 1000 AS ts_ms, mavg FROM t
          ORDER BY user_id, ts_ms""",
+    "dialect_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     "dialect_union" ->
       """SELECT user_id, count(*) AS n, 'purchase' AS kind
          FROM events WHERE event_type = 'purchase' GROUP BY user_id

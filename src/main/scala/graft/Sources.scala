@@ -23,6 +23,9 @@ object Sources {
   // pushdown and range-sliced parallel reads are what the gate measures.
   private val derbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
   private val fedLoaded = scala.collection.mutable.Set[String]()
+  // unique memory-sink names: the smoke spec and the gate both run the
+  // stream query inside one JVM
+  private val streamGateRuns = new java.util.concurrent.atomic.AtomicLong()
   private def eventsInDerby(s: SparkSession, dir: String): String =
     synchronized {
       val db = "graftfed_" + dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -146,6 +149,50 @@ object Sources {
         .agg(sum(col("n_rows")).as("total_rows"),
           (count(lit(1)) >= 1).as("has_groups"))
     },
+    // ---- streaming gate (SURVEY §2.11): the events table replayed
+    // through a MemoryStream in chunks; the interval trigger's
+    // append-mode output — hourly windows closed by the watermark, a
+    // far-future sentinel flushing the tail — must hash-match the
+    // batch aggregate the oracle computes. Sums fold in DECIMAL so the
+    // streamed result is bit-identical to the batch one. ----
+    "stream_interval_gate" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = ev(s, dir)
+        .select(col("ts"), col("user_id"), col("value"))
+        .orderBy(col("ts")).collect()
+        .map(r => (new java.sql.Timestamp(r.getLong(0) / 1000),
+          r.getLong(1), r.getDouble(2)))
+      val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+      val src = mem.toDF().toDF("ts", "user_id", "value")
+        .withColumn("value",
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      val out = graft.streaming.Streams.intervalTrigger(src, "ts",
+        "1 hour", "1 hour", "1 minute", Seq("user_id"))
+      val sink = "stream_iv_gate_" + streamGateRuns.incrementAndGet()
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        // sentinel a year past the data: pushes the watermark over
+        // every real window; its own (user -1) window never closes
+        val maxTs = rows.last._1.getTime
+        mem.addData((new java.sql.Timestamp(maxTs + 365L * 86400000L),
+          -1L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          (unix_micros(col("_twstart")) / 1000L).cast("long")
+            .as("_twstart_ms"),
+          col("n"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("_twstart_ms"))
+    },
     // ---- TagScan (tagscanoperator.c): enumerate the tag dimension
     // WITHOUT touching data columns. Tags are denormalized columns here
     // (SURVEY §1.1), so this is a 2-column pruned scan + distinct — the
@@ -256,6 +303,15 @@ object Sources {
     "file_table_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey""",
+    // the streamed hourly windows must equal the batch aggregate
+    "stream_interval_gate" ->
+      """SELECT user_id,
+           (epoch_us(ts) - epoch_us(ts) % 3600000000) // 1000
+             AS _twstart_ms,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY user_id, _twstart_ms
+         ORDER BY user_id, _twstart_ms""",
     "insert_select" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
          FROM events WHERE event_type = 'view' ORDER BY event_id""",

@@ -370,7 +370,12 @@ object GraftSql {
     c.get("WHERE").foreach(w => df = df.filter(expr(w)))
 
     val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
-    val selectItems = splitArgs(c("SELECT")).map { item =>
+    // SELECT DISTINCT: flag + strip, applied after the projection
+    val selectRaw = c("SELECT").trim
+    val isDistinct = selectRaw.toUpperCase.startsWith("DISTINCT ")
+    val selectBody =
+      if (isDistinct) selectRaw.substring("DISTINCT ".length) else selectRaw
+    val selectItems = splitArgs(selectBody).map { item =>
       val m = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
       item match {
         case m(e, a) => (e.trim, a)
@@ -539,7 +544,8 @@ object GraftSql {
       if (!isAgg) {
         val cols = selectItems.map { case (e, a) =>
           expr(rewriteFuncs(e, tsCol)).as(a) }
-        df.select(cols: _*)
+        val proj = df.select(cols: _*)
+        if (isDistinct) proj.distinct() else proj
       } else {
         def rewritten(e: String): String = {
           var r = e
