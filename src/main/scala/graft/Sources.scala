@@ -26,6 +26,14 @@ object Sources {
   // unique memory-sink names: the smoke spec and the gate both run the
   // stream query inside one JVM
   private val streamGateRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** µs-exact java.sql.Timestamp (the plain ms constructor would
+    * truncate sub-ms digits and could shift a window/gap boundary). */
+  private def usTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
   private def eventsInDerby(s: SparkSession, dir: String): String =
     synchronized {
       val db = "graftfed_" + dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -162,8 +170,8 @@ object Sources {
       val rows = ev(s, dir)
         .select(col("ts"), col("user_id"), col("value"))
         .orderBy(col("ts")).collect()
-        .map(r => (new java.sql.Timestamp(r.getLong(0) / 1000),
-          r.getLong(1), r.getDouble(2)))
+        .map(r => (usTimestamp(r.getLong(0)), r.getLong(1),
+          r.getDouble(2)))
       val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
       val src = mem.toDF().toDF("ts", "user_id", "value")
         .withColumn("value",
@@ -191,6 +199,46 @@ object Sources {
           (unix_micros(col("_twstart")) / 1000L).cast("long")
             .as("_twstart_ms"),
           col("n"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("_twstart_ms"))
+    },
+    // ---- streaming SESSION trigger gate: same replay harness; the
+    // built-in merging session_window (30m gap) closed by the
+    // watermark must reproduce the batch sessionization. The emitted
+    // session end is last-event + gap (Spark's session_window
+    // contract), which the oracle mirrors. ----
+    "stream_session_gate" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = ev(s, dir)
+        .select(col("ts"), col("user_id"))
+        .orderBy(col("ts")).collect()
+        .map(r => (usTimestamp(r.getLong(0)), r.getLong(1)))
+      val mem = MemoryStream[(java.sql.Timestamp, Long)]
+      val src = mem.toDF().toDF("ts", "user_id")
+      val out = graft.streaming.Streams.sessionTrigger(src, "ts",
+        "30 minutes", "1 minute", Seq("user_id"))
+      val sink = "stream_sess_gate_" + streamGateRuns.incrementAndGet()
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val maxTs = rows.last._1.getTime
+        mem.addData((new java.sql.Timestamp(maxTs + 365L * 86400000L),
+          -1L))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          (unix_micros(col("_twstart")) / 1000L).cast("long")
+            .as("_twstart_ms"),
+          (unix_micros(col("_twend")) / 1000L).cast("long")
+            .as("_twend_ms"),
+          col("n"))
         .orderBy(col("user_id"), col("_twstart_ms"))
     },
     // ---- TagScan (tagscanoperator.c): enumerate the tag dimension
@@ -303,6 +351,21 @@ object Sources {
     "file_table_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey""",
+    // streamed sessions vs batch sessionization; session end is
+    // last-event + the 30m gap
+    "stream_session_gate" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS isnew
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, t,
+            sum(isnew) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS sid
+            FROM t)
+          SELECT user_id, min(t) // 1000 AS _twstart_ms,
+            (max(t) + 1800000000) // 1000 AS _twend_ms, count(*) AS n
+          FROM s GROUP BY user_id, sid ORDER BY user_id, _twstart_ms""",
     // the streamed hourly windows must equal the batch aggregate
     "stream_interval_gate" ->
       """SELECT user_id,
