@@ -241,6 +241,39 @@ object Sources {
           col("n"))
         .orderBy(col("user_id"), col("_twstart_ms"))
     },
+    // ---- streaming last-row cache gate (CACHEMODEL): the bucketed
+    // foreachBatch maintainer ingests the replay chunk by chunk; the
+    // final cache directory must hold exactly the newest full row per
+    // user, i.e. the batch last_row answer ----
+    "stream_last_row_gate" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = ev(s, dir)
+        .select(col("ts"), col("user_id"), col("event_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("ts")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4)))
+      val mem = MemoryStream[(Long, Long, Long, String, Double)]
+      val src = mem.toDF()
+        .toDF("ts", "user_id", "event_id", "event_type", "value")
+      val path = "/tmp/graft_lastrow_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        streamGateRuns.incrementAndGet()
+      val q = src.writeStream
+        .foreachBatch(graft.streaming.LatestRows
+          .maintainer(s, path, Seq("user_id"), "ts", buckets = 4))
+        .start()
+      try rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(path).drop("_bucket")
+        .select(col("user_id"), usToMs(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    },
     // ---- TagScan (tagscanoperator.c): enumerate the tag dimension
     // WITHOUT touching data columns. Tags are denormalized columns here
     // (SURVEY §1.1), so this is a 2-column pruned scan + distinct — the
@@ -351,6 +384,14 @@ object Sources {
     "file_table_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey""",
+    // the maintained cache vs the batch newest-row-per-user answer
+    "stream_last_row_gate" ->
+      """WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
+           event_type, value
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     // streamed sessions vs batch sessionization; session end is
     // last-event + the 30m gap
     "stream_session_gate" ->
