@@ -274,6 +274,24 @@ object Sources {
           col("event_id"), col("event_type"), col("value"))
         .orderBy(col("user_id"))
     },
+    // ---- schemaless ingest gate (clientSml.c): events formatted as
+    // InfluxDB line protocol and parsed back through the column-
+    // expression parser; the round trip must reproduce the table
+    // exactly (double→string→double is exact in Java's repr) ----
+    "schemaless_influx_gate" -> { (s, dir) =>
+      val lines = ev(s, dir).select(concat(
+        lit("events,user_id="), col("user_id").cast("string"),
+        lit(" value="), col("value").cast("string"),
+        lit(",event_id="), col("event_id").cast("string"),
+        lit(" "), (col("ts") * 1000).cast("string")).as("value"))
+      graft.streaming.Schemaless.parseLineProtocol(lines)
+        .select(col("measurement"),
+          col("tags")("user_id").cast("long").as("user_id"),
+          col("fields")("event_id").cast("long").as("event_id"),
+          expr("ts_us DIV 1000").as("ts_ms"),
+          col("fields")("value").as("value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
     // ---- TagScan (tagscanoperator.c): enumerate the tag dimension
     // WITHOUT touching data columns. Tags are denormalized columns here
     // (SURVEY §1.1), so this is a 2-column pruned scan + distinct — the
@@ -384,6 +402,11 @@ object Sources {
     "file_table_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey""",
+    // the line-protocol round trip vs the original rows
+    "schemaless_influx_gate" ->
+      """SELECT 'events' AS measurement, user_id, event_id,
+           epoch_us(ts) // 1000 AS ts_ms, value
+         FROM events ORDER BY user_id, event_id""",
     // the maintained cache vs the batch newest-row-per-user answer
     "stream_last_row_gate" ->
       """WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id
