@@ -70,6 +70,19 @@ object Analytics {
         .select(col("user_id"), col("_wstart_ms"), col("_wend_ms"), col("n"))
         .orderBy(col("user_id"), col("_wstart_ms"))
     },
+    // ---- ANOMALY_WINDOW with no partition key: global mean/σ come
+    // from a one-row scalar aggregate broadcast onto the rows, and the
+    // two row numberings ride GlobalScan — no single-partition window ----
+    "anomaly_window_keyless" -> { (s, dir) =>
+      AnalyticsOps.anomalyRows(ev(s, dir), col("ts"), "value",
+          Nil, z = 2.0, tieBreak = Seq("event_id"))
+        .groupBy(col("_wgrp"))
+        .agg(usToMs(min(col("ts"))).as("_wstart_ms"),
+          usToMs(max(col("ts"))).as("_wend_ms"),
+          count(lit(1)).as("n"))
+        .select(col("_wstart_ms"), col("_wend_ms"), col("n"))
+        .orderBy(col("_wstart_ms"))
+    },
     // ---- dtw_path: warping path of each user's series vs user 0 ----
     "sf_dtw_path" -> { (s, dir) =>
       val dec = (c: org.apache.spark.sql.Column) =>
@@ -192,5 +205,24 @@ object Analytics {
         SELECT user_id, min(t) // 1000 AS _wstart_ms,
           max(t) // 1000 AS _wend_ms, count(*) AS n
         FROM a GROUP BY user_id, rn - rna
-        ORDER BY user_id, _wstart_ms""")
+        ORDER BY user_id, _wstart_ms""",
+    "anomaly_window_keyless" ->
+      """WITH s AS (SELECT
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+              AS DOUBLE) AS syy,
+            count(*) AS n
+          FROM events),
+        f AS (SELECT epoch_us(e.ts) AS t, e.event_id,
+            abs(CAST(e.value AS DOUBLE) - s.sy/s.n) >
+              2.0 * sqrt((s.syy - s.sy*s.sy/s.n)/s.n) AS an,
+            row_number() OVER (ORDER BY e.ts, e.event_id) AS rn
+          FROM events e CROSS JOIN s),
+        a AS (SELECT t, rn,
+            row_number() OVER (ORDER BY t, event_id) AS rna
+          FROM f WHERE an)
+        SELECT min(t) // 1000 AS _wstart_ms,
+          max(t) // 1000 AS _wend_ms, count(*) AS n
+        FROM a GROUP BY rn - rna
+        ORDER BY _wstart_ms""")
 }

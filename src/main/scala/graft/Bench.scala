@@ -19,8 +19,11 @@ object Bench {
     // local-iteration filter (driver never sets it → full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.filter { case (nm, _) =>
-      only.forall(_.contains(nm)) }
+    // sorted name order: Map iteration order shifts whenever a query is
+    // added, silently moving GC/cache debt between neighbours across
+    // rounds and faking per-query regressions — pin the order
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (nm, _) => only.forall(_.contains(nm)) }
     // a crashing query must surface as an error + nonzero exit — a
     // swallowed failure would record a near-zero timing and make the
     // bench look FASTER than a working build
@@ -36,8 +39,16 @@ object Bench {
           .replaceAll("\\s+", " ").take(160) }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop intermediates a query persisted: cached blocks from one
-      // query must not pressure (or feed) the next query's timing
+      // query must not pressure (or feed) the next query's timing.
+      // clearCache covers catalog-tracked plans; the blocking unpersist
+      // sweep covers operator-internal persists (GlobalScan's sorted
+      // frame, dedup candidate sets, the pipeline hub) and guarantees
+      // the blocks are GONE before the next timer starts — clearCache
+      // alone releases them asynchronously, leaking BlockManager
+      // pressure into whichever query runs next
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       // and drain the GC debt the query accumulated — otherwise heavy
       // queries tax whichever query happens to RUN NEXT in map order,
       // which shows up as multi-second phantom "regressions" on
@@ -76,7 +87,7 @@ object Bench {
       val qs = rs.map { case (k, v) =>
         "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
         .mkString("{", ",", "}")
-      val total = BigDecimal(results.values.sum)
+      val total = BigDecimal(results.map(_._2).sum)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP)
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val errs = if (errors.isEmpty) "" else errors

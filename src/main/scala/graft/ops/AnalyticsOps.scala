@@ -162,26 +162,50 @@ object AnalyticsOps {
     * |value − mean| > z·σ (population σ per key, from exact sums);
     * consecutive anomalous rows merge into windows. Returns the
     * anomalous rows tagged with `_wgrp` (group id per key); aggregate
-    * min/max ts per (key, _wgrp) for window bounds. */
+    * min/max ts per (key, _wgrp) for window bounds.
+    *
+    * With no `keys` a `Window.partitionBy()` would collapse the whole
+    * input to one partition, so the keyless path computes the global
+    * mean/σ with a one-row scalar aggregate broadcast back onto the
+    * rows, and numbers rows with [[GlobalScan.rowNumber]] — both scans
+    * stay fully partitioned. `tieBreak` orders rows at equal ts so the
+    * keyless numbering is a total order. */
   def anomalyRows(df: DataFrame, tsUs: Column, valueCol: String,
-      keys: Seq[String], z: Double = 2.0): DataFrame = {
-    val keyCols = keys.map(col)
-    val wAll = Window.partitionBy(keyCols: _*)
-    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("_t"))
+      keys: Seq[String], z: Double = 2.0,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val yd = col(valueCol).cast(DecimalType(18, 2))
-    val d = df.withColumn("_t", tsUs.cast(LongType))
+    val d0 = df.withColumn("_t", tsUs.cast(LongType))
       .withColumn("_y", col(valueCol).cast("double"))
-      .withColumn("_sy", sum(yd).over(wAll).cast("double"))
-      .withColumn("_syy", sum(yd * yd).over(wAll).cast("double"))
-      .withColumn("_cnt", count(lit(1)).over(wAll))
-      .withColumn("_rn", row_number().over(wOrd).cast(LongType))
-    val anomalous = d.filter(
+    val isAnom =
       abs(col("_y") - col("_sy") / col("_cnt")) >
         lit(z) * sqrt((col("_syy") - col("_sy") * col("_sy") / col("_cnt")) /
-          col("_cnt")))
-    val wAnom = Window.partitionBy(keyCols: _*).orderBy(col("_t"))
-    anomalous
-      .withColumn("_wgrp", col("_rn") - row_number().over(wAnom))
-      .drop("_sy", "_syy", "_cnt", "_rn", "_y")
+          col("_cnt"))
+    if (keys.isEmpty) {
+      val stats = d0.agg(
+        sum(yd).cast("double").as("_sy"),
+        sum(yd * yd).cast("double").as("_syy"),
+        count(lit(1)).as("_cnt"))
+      val ord = col("_t") +: tieBreak.map(col)
+      val anomalous = GlobalScan.rowNumber(
+          d0.crossJoin(broadcast(stats)), ord, "_rn")
+        .filter(isAnom)
+      GlobalScan.rowNumber(anomalous, ord, "_arn")
+        .withColumn("_wgrp", col("_rn") - col("_arn"))
+        .drop("_sy", "_syy", "_cnt", "_rn", "_arn", "_y")
+    } else {
+      val keyCols = keys.map(col)
+      val wAll = Window.partitionBy(keyCols: _*)
+      val wOrd = Window.partitionBy(keyCols: _*)
+        .orderBy(col("_t") +: tieBreak.map(col): _*)
+      val anomalous = d0
+        .withColumn("_sy", sum(yd).over(wAll).cast("double"))
+        .withColumn("_syy", sum(yd * yd).over(wAll).cast("double"))
+        .withColumn("_cnt", count(lit(1)).over(wAll))
+        .withColumn("_rn", row_number().over(wOrd).cast(LongType))
+        .filter(isAnom)
+      anomalous
+        .withColumn("_wgrp", col("_rn") - row_number().over(wOrd))
+        .drop("_sy", "_syy", "_cnt", "_rn", "_y")
+    }
   }
 }

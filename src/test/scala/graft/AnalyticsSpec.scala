@@ -84,6 +84,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(wins(1).getAs[Long]("ws") == 50 && wins(1).getAs[Long]("n") == 1)
   }
 
+  test("anomalyRows keyless path matches the keyed result and stays " +
+      "distributed") {
+    import spark.implicits._
+    val df = spark.range(1000)
+      .select(col("id").as("seq"), (col("id") * 10L).as("ts"),
+        when(col("id").isin(200L, 201L, 500L), lit(1000.0))
+          .otherwise(lit(10.0)).as("value"))
+      .repartition(8)
+    val keyless = AnalyticsOps.anomalyRows(df, col("ts"), "value", Nil,
+      tieBreak = Seq("seq"))
+    // the keyless plan must not collapse upstream to one partition: the
+    // GlobalScan frame keeps the range-partitioned layout
+    assert(keyless.rdd.getNumPartitions > 1)
+    val wins = keyless.groupBy("_wgrp")
+      .agg(min("ts").as("ws"), max("ts").as("we"), count(lit(1)).as("n"))
+      .orderBy("ws").collect()
+    // reference: same rows under one constant key (keyed window path)
+    val keyed = AnalyticsOps.anomalyRows(
+        df.withColumn("k", lit(1)), col("ts"), "value", Seq("k"),
+        tieBreak = Seq("seq"))
+      .groupBy("k", "_wgrp")
+      .agg(min("ts").as("ws"), max("ts").as("we"), count(lit(1)).as("n"))
+      .orderBy("ws").collect()
+    assert(wins.length == 2) // [2000,2010] merge, [5000] alone
+    assert(wins.map(r => (r.getAs[Long]("ws"), r.getAs[Long]("we"),
+        r.getAs[Long]("n"))).toSeq ==
+      keyed.map(r => (r.getAs[Long]("ws"), r.getAs[Long]("we"),
+        r.getAs[Long]("n"))).toSeq)
+  }
+
   test("dtwPath: endpoints, monotone steps, cost matches dtwDistance") {
     val a = Seq(1.0, 3.0, 4.0, 9.0, 8.0, 2.0, 1.0, 5.0, 7.0)
     val b = Seq(1.0, 6.0, 2.0, 3.0, 0.0, 9.0, 4.0, 3.0, 6.0, 3.0)
