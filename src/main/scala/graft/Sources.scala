@@ -266,7 +266,8 @@ object Sources {
         streamGateRuns.incrementAndGet()
       val q = src.writeStream
         .foreachBatch(graft.streaming.LatestRows
-          .maintainer(s, path, Seq("user_id"), "ts", buckets = 4))
+          .maintainer(s, path, Seq("user_id"), "ts", buckets = 4,
+            tieBreak = Seq("event_id")))
         .start()
       try rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
         mem.addData(chunk.toIndexedSeq)

@@ -125,7 +125,8 @@ object TimeSeries {
     // ids from the GlobalScan prefix composition (boundary-straddling
     // sessions merge across partitions) ----
     "session_window_keyless" -> { (s, dir) =>
-      TimeOps.sessionize(ev(s, dir), col("ts"), 2 * Dur.m, Nil)
+      TimeOps.sessionize(ev(s, dir), col("ts"), 2 * Dur.m, Nil,
+          tieBreak = Seq("event_id"))
         .groupBy(col("_session"))
         .agg(usToMs(min(col("ts"))).as("_wstart_ms"),
           usToMs(max(col("ts"))).as("_wend_ms"),
@@ -137,7 +138,8 @@ object TimeSeries {
     // ts-ordered state stream — run-ids via the GlobalScan prefix
     // composition, not a single-partition window ----
     "state_window_keyless" -> { (s, dir) =>
-      TimeOps.stateWindows(ev(s, dir), col("event_type"), col("ts"), Nil)
+      TimeOps.stateWindows(ev(s, dir), col("event_type"), col("ts"), Nil,
+          tieBreak = Seq("event_id"))
         .groupBy(col("_wid"))
         .agg(first(col("event_type")).as("state"),
           usToMs(min(col("ts"))).as("_wstart_ms"),
@@ -149,7 +151,8 @@ object TimeSeries {
     // ---- keyless COUNT_WINDOW(100): global row numbering via
     // GlobalScan, windows of 100 consecutive rows across ALL users ----
     "count_window_keyless" -> { (s, dir) =>
-      TimeOps.countWindows(ev(s, dir), 100, col("ts"), Nil)
+      TimeOps.countWindows(ev(s, dir), 100, col("ts"), Nil,
+          tieBreak = Seq("event_id"))
         .groupBy(col("_wid"))
         .agg(count(lit(1)).as("n"),
           usToMs(min(col("ts"))).as("_wstart_ms"),
@@ -920,26 +923,28 @@ object TimeSeries {
            ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          GROUP BY w.wid, w.ws ORDER BY w.wid""",
     "session_window_keyless" ->
-      s"""WITH t AS (SELECT epoch_us(ts) AS t,
-            CASE WHEN lag(epoch_us(ts)) OVER (ORDER BY ts) IS NULL
-                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts)
+      s"""WITH t AS (SELECT epoch_us(ts) AS t, event_id,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                    > ${2 * Dur.m}
                  THEN 1 ELSE 0 END AS isnew
-            FROM events),
+            FROM events WINDOW w AS (ORDER BY ts, event_id)),
           s AS (SELECT t,
-            sum(isnew) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+            sum(isnew) OVER (ORDER BY t, event_id
+              ROWS UNBOUNDED PRECEDING) AS sid
             FROM t)
           SELECT min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
             count(*) AS n
           FROM s GROUP BY sid ORDER BY _wstart_ms""",
     "state_window_keyless" ->
-      """WITH t AS (SELECT epoch_us(ts) AS t, event_type,
+      """WITH t AS (SELECT epoch_us(ts) AS t, event_id, event_type,
             CASE WHEN lag(event_type) OVER w IS NULL
                  OR lag(event_type) OVER w <> event_type
                  THEN 1 ELSE 0 END AS chg
-            FROM events WINDOW w AS (ORDER BY ts)),
+            FROM events WINDOW w AS (ORDER BY ts, event_id)),
           s AS (SELECT t, event_type,
-            sum(chg) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS wid
+            sum(chg) OVER (ORDER BY t, event_id
+              ROWS UNBOUNDED PRECEDING) AS wid
             FROM t)
           SELECT min(event_type) AS state,
             min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
@@ -948,7 +953,7 @@ object TimeSeries {
           ORDER BY _wstart_ms""",
     "count_window_keyless" ->
       """WITH t AS (SELECT epoch_us(ts) AS t,
-            (row_number() OVER (ORDER BY ts) - 1) // 100 AS wid
+            (row_number() OVER (ORDER BY ts, event_id) - 1) // 100 AS wid
             FROM events)
           SELECT wid AS _wid, count(*) AS n,
             min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms

@@ -186,9 +186,12 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
-  /** apercentile(col, probs) via the mergeable t-digest sketch. */
+  /** apercentile(col, probs) via the mergeable t-digest sketch. Default
+    * compression matches the reference's pinned COMPRESSION 300
+    * (include/util/tdigest.h:35), so tail quantiles carry the same
+    * accuracy contract as the engine being matched. */
   def apercentile(c: Column, probs: Seq[Double],
-      compression: Double = 100.0): Column =
+      compression: Double = 300.0): Column =
     udaf(new TDigestAgg(probs, compression)).apply(c.cast("double"))
 
   // ---------------------------------------------------------------------

@@ -83,10 +83,13 @@ object TimeOps {
     * [[GlobalScan.twoPass]] — the effect is one (firstTs, lastTs,
     * sessionCount) record per partition, and the prefix composition
     * merges sessions straddling a partition boundary when the gap
-    * across it is within `gapUs`. */
+    * across it is within `gapUs`. `tieBreak` columns order keyless rows
+    * at equal ts — session membership is gap-driven so ids don't move,
+    * but the scan order (and any per-row downstream) becomes a total
+    * order even when timestamps collide across the whole table. */
   def sessionize(df: DataFrame, tsUs: Column, gapUs: Long,
-      keys: Seq[Column]): DataFrame = {
-    if (keys.isEmpty) return keylessSessionize(df, tsUs, gapUs)
+      keys: Seq[Column], tieBreak: Seq[String] = Nil): DataFrame = {
+    if (keys.isEmpty) return keylessSessionize(df, tsUs, gapUs, tieBreak)
     val w = Window.partitionBy(keys: _*).orderBy(tsUs)
     val isNew = when(tsUs - lag(tsUs, 1).over(w) > lit(gapUs) ||
       lag(tsUs, 1).over(w).isNull, 1L).otherwise(0L)
@@ -99,7 +102,7 @@ object TimeOps {
       lastTs: Long, sessions: Long)
 
   private def keylessSessionize(df: DataFrame, tsUs: Column,
-      gapUs: Long): DataFrame = {
+      gapUs: Long, tieBreak: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
     val d = df.withColumn("_t", tsUs.cast(LongType))
@@ -107,7 +110,7 @@ object TimeOps {
     val tIdx = schema.fieldIndex("_t")
     val outSchema = StructType(schema.fields :+
       StructField("_session", LongType))
-    GlobalScan.twoPass[SessEff](d, Seq(col("_t")),
+    GlobalScan.twoPass[SessEff](d, col("_t") +: tieBreak.map(col),
       zero = SessEff(nonEmpty = false, 0L, 0L, 0L),
       summary = { it =>
         var any = false; var first = 0L; var last = 0L; var s = 0L
@@ -153,10 +156,13 @@ object TimeOps {
     * share a window id. With no `keys` the run-id prefix sum
     * distributes via [[GlobalScan.twoPass]] (an unpartitioned window
     * would collapse the input to one partition); the effect is one
-    * (firstState, lastState, runCount) record per partition. */
+    * (firstState, lastState, runCount) record per partition. `tieBreak`
+    * columns make the keyless scan a total order at equal ts (state
+    * transitions at a µs collision would otherwise be
+    * partition-order nondeterministic). */
   def stateWindows(df: DataFrame, state: Column, tsUs: Column,
-      keys: Seq[Column]): DataFrame = {
-    if (keys.isEmpty) return keylessStateWindows(df, state, tsUs)
+      keys: Seq[Column], tieBreak: Seq[String] = Nil): DataFrame = {
+    if (keys.isEmpty) return keylessStateWindows(df, state, tsUs, tieBreak)
     val w = Window.partitionBy(keys: _*).orderBy(tsUs)
     val changed = when(lag(state, 1).over(w).isNull ||
       lag(state, 1).over(w) =!= state, 1L).otherwise(0L)
@@ -177,7 +183,7 @@ object TimeOps {
     !hasPrev || prev == null || (cur != null && cur != prev)
 
   private def keylessStateWindows(df: DataFrame, state: Column,
-      tsUs: Column): DataFrame = {
+      tsUs: Column, tieBreak: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
     val d = df.withColumn("_t", tsUs.cast(LongType))
@@ -186,7 +192,7 @@ object TimeOps {
     val stIdx = schema.fieldIndex("_st")
     val outSchema = StructType(schema.fields :+
       StructField("_wid", LongType))
-    GlobalScan.twoPass[StateEff](d, Seq(col("_t")),
+    GlobalScan.twoPass[StateEff](d, col("_t") +: tieBreak.map(col),
       zero = StateEff(nonEmpty = false, null, null, 0L),
       summary = { it =>
         var first: Any = null; var last: Any = null
@@ -231,11 +237,13 @@ object TimeOps {
 
   /** Adds `_wid`: every `n` consecutive rows (per key, ts order) form a
     * window. Keyless input numbers rows via [[GlobalScan.rowNumber]]
-    * instead of an unpartitioned (single-partition) window. */
+    * instead of an unpartitioned (single-partition) window; `tieBreak`
+    * columns make that numbering a total order at equal ts. */
   def countWindows(df: DataFrame, n: Int, tsUs: Column,
-      keys: Seq[Column]): DataFrame = {
+      keys: Seq[Column], tieBreak: Seq[String] = Nil): DataFrame = {
     if (keys.isEmpty)
-      return GlobalScan.rowNumber(df, Seq(tsUs.cast(LongType)), "_grn")
+      return GlobalScan.rowNumber(df,
+          tsUs.cast(LongType) +: tieBreak.map(col), "_grn")
         .withColumn("_wid", floorDiv(col("_grn") - 1, n)).drop("_grn")
     val w = Window.partitionBy(keys: _*).orderBy(tsUs)
     val rn = row_number().over(w) - lit(1)

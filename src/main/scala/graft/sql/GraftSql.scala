@@ -343,7 +343,12 @@ object GraftSql {
     var prevAll = true
     while (i < up.length) {
       val ch = up(i)
-      if (inStr) { if (ch == '\'') inStr = false; i += 1 }
+      // a doubled quote inside a literal ('it''s') is an escape, not a
+      // close-reopen: consume both and stay in-string
+      if (inStr) {
+        if (ch == '\'' && i + 1 < up.length && up(i + 1) == '\'') i += 2
+        else { if (ch == '\'') inStr = false; i += 1 }
+      }
       else ch match {
         case '\'' => inStr = true; i += 1
         case '(' => depth += 1; i += 1

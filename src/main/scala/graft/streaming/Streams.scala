@@ -435,13 +435,16 @@ object Streams {
   * answer to TDengine's last()/last_row() latency contract. */
 object LatestRows {
 
-  /** Merge a batch into the cache: keep the newest row per key. */
+  /** Merge a batch into the cache: keep the newest row per key.
+    * `tieBreak` columns (descending, after ts) make the pick a total
+    * order when a key can hold two rows at the same timestamp —
+    * without it the cache pick is partition-order nondeterministic. */
   def merge(cache: DataFrame, batch: DataFrame, keys: Seq[String],
-      tsCol: String): DataFrame = {
+      tsCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
     val all = cache.unionByName(batch)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).desc)
+      .orderBy(col(tsCol).desc +: tieBreak.map(c => col(c).desc): _*)
     all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
@@ -454,12 +457,13 @@ object LatestRows {
     * key cardinality (1 row per key per bucket file; ~100k keys/bucket
     * keeps files in the MB range). */
   def maintainer(spark: SparkSession, path: String, keys: Seq[String],
-      tsCol: String, buckets: Int = 1): (DataFrame, Long) => Unit = {
+      tsCol: String, buckets: Int = 1, tieBreak: Seq[String] = Nil)
+      : (DataFrame, Long) => Unit = {
     (batch: DataFrame, _: Long) =>
       val existing =
         try spark.read.parquet(path).drop("_bucket")
         catch { case _: Exception => batch.limit(0) }
-      val merged = merge(existing, batch, keys, tsCol)
+      val merged = merge(existing, batch, keys, tsCol, tieBreak)
         .withColumn("_bucket",
           pmod(hash(keys.map(col): _*), lit(buckets)))
         .repartition(buckets, col("_bucket"))
