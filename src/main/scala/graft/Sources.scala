@@ -244,6 +244,92 @@ object Sources {
           col("n"))
         .orderBy(col("user_id"), col("_twstart_ms"))
     },
+    // ---- streaming COUNT_WINDOW trigger gate: the replayed half-slice
+    // through the O(1)-state count trigger must fire exactly the batch
+    // count windows (full windows of 10 rows per user; the trailing
+    // partial window stays in state and never fires). Values stream as
+    // whole cents so the running double sum is exact and order-free ----
+    "stream_count_gate" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = ev(s, dir).filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100, 0).cast("double"))
+        .orderBy(col("ts"), col("event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val mem = MemoryStream[(Long, Long, Double)]
+      val out = graft.streaming.Streams.countWindowTrigger(mem.toDS(), 10)
+      val sink = "stream_cnt_gate_" + streamGateRuns.incrementAndGet()
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .select(col("key").as("user_id"),
+          usToMs(col("startUs")).as("_wstart_ms"),
+          usToMs(col("endUs")).as("_wend_ms"), col("n"),
+          (col("sum") / 100.0).as("sum_value"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- streaming STATE_WINDOW trigger gate: a state change fires the
+    // closed window; each user's final window stays open in state, so
+    // the oracle drops the last window per user ----
+    "stream_state_gate" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = ev(s, dir).filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .orderBy(col("ts"), col("event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val mem = MemoryStream[(Long, Long, String)]
+      val out = graft.streaming.Streams.stateWindowTrigger(mem.toDS())
+      val sink = "stream_st_gate_" + streamGateRuns.incrementAndGet()
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .select(col("key").as("user_id"), col("state"),
+          usToMs(col("startUs")).as("_wstart_ms"),
+          usToMs(col("endUs")).as("_wend_ms"), col("n"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // ---- streaming EVENT_WINDOW trigger gate: START WITH cents>9000
+    // END WITH cents<1000 over the replayed half-slice; fired windows
+    // must match the batch recursive walk, minus windows still open
+    // when the stream ends ----
+    "stream_event_gate" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = ev(s, dir).filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100, 0).cast("double"))
+        .orderBy(col("ts"), col("event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val mem = MemoryStream[(Long, Long, Double)]
+      val out = graft.streaming.Streams.eventWindowTrigger(mem.toDS(),
+        startCond = _ > 9000d, endCond = _ < 1000d)
+      val sink = "stream_ev_gate_" + streamGateRuns.incrementAndGet()
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .select(col("key").as("user_id"),
+          usToMs(col("startUs")).as("_wstart_ms"),
+          usToMs(col("endUs")).as("_wend_ms"), col("n"),
+          (col("sum") / 100.0).as("sum_value"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
     // ---- streaming last-row cache gate (CACHEMODEL): the bucketed
     // foreachBatch maintainer ingests the replay chunk by chunk; the
     // final cache directory must hold exactly the newest full row per
@@ -458,6 +544,75 @@ object Sources {
          SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
            event_type, value
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    // fired count windows vs the batch full-window answer; the trailing
+    // partial window per user never fires. Cents keep the sum exact.
+    "stream_count_gate" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS t,
+            round(value * 100) AS cents,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_id % 2 = 0)
+         SELECT user_id, min(t) // 1000 AS _wstart_ms,
+           max(t) // 1000 AS _wend_ms, count(*) AS n,
+           sum(cents) / 100 AS sum_value
+         FROM r GROUP BY user_id, (rn - 1) // 10
+         HAVING count(*) = 10
+         ORDER BY user_id, _wstart_ms""",
+    // fired state windows vs the batch runs; each user's final run is
+    // still open in stream state, so the oracle drops it
+    "stream_state_gate" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+            event_type,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+                 THEN 1 ELSE 0 END AS chg
+            FROM events WHERE event_id % 2 = 0
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          s AS (SELECT user_id, t, event_type,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+              ROWS UNBOUNDED PRECEDING) AS wid
+            FROM t),
+          w AS (SELECT user_id, wid, min(event_type) AS state,
+            min(t) AS ws, max(t) AS we, count(*) AS n
+            FROM s GROUP BY user_id, wid)
+         SELECT user_id, state, ws // 1000 AS _wstart_ms,
+           we // 1000 AS _wend_ms, n
+         FROM w
+         WHERE wid < (SELECT max(w2.wid) FROM w w2
+                      WHERE w2.user_id = w.user_id)
+         ORDER BY user_id, _wstart_ms""",
+    // fired event windows vs the batch recursive walk over the same
+    // slice; a window is fired only if closed, i.e. its run contains an
+    // end row — the trailing open window per user drops out
+    "stream_event_gate" ->
+      """WITH RECURSIVE numbered AS (
+            SELECT user_id, epoch_us(ts) AS t,
+              round(value * 100) AS cents,
+              round(value * 100) > 9000 AS s,
+              round(value * 100) < 1000 AS e,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_id % 2 = 0),
+          walk AS (
+            SELECT user_id, t, rn, cents, e,
+              CASE WHEN s THEN t END AS wstart,
+              (s AND NOT e) AS open_after
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            SELECT n.user_id, n.t, n.rn, n.cents, n.e,
+              CASE WHEN w.open_after THEN w.wstart
+                   WHEN n.s THEN n.t END AS wstart,
+              CASE WHEN w.open_after THEN NOT n.e
+                   WHEN n.s THEN NOT n.e ELSE false END AS open_after
+            FROM numbered n JOIN walk w
+              ON n.user_id = w.user_id AND n.rn = w.rn + 1)
+         SELECT user_id, wstart // 1000 AS _wstart_ms,
+           max(t) // 1000 AS _wend_ms, count(*) AS n,
+           sum(cents) / 100 AS sum_value
+         FROM walk WHERE wstart IS NOT NULL
+         GROUP BY user_id, wstart
+         HAVING bool_or(e)
+         ORDER BY user_id, _wstart_ms""",
     // streamed sessions vs batch sessionization; session end is
     // last-event + the 30m gap
     "stream_session_gate" ->

@@ -217,6 +217,53 @@ object Streams {
   }
 
   // ---------------------------------------------------------------------
+  // EVENT_WINDOW trigger: START WITH cond … END WITH cond as a stream
+  // state machine (sql.y:1656-1664 event window trigger type; batch
+  // semantics mirrored from eventwindowoperator.c:631-700).
+  // ---------------------------------------------------------------------
+  case class EventWinState(startUs: Long, n: Long, sum: Double)
+  case class FiredEventWindow(key: Long, startUs: Long, endUs: Long,
+      n: Long, sum: Double)
+
+  /** Rows: (key, tsUs, value). A row satisfying `startCond` opens a
+    * window when none is open (included); the first subsequent row
+    * satisfying `endCond` closes it (included) and fires; a row
+    * satisfying both while closed fires a single-row window. O(1)
+    * state per key; an open window survives micro-batch boundaries and
+    * never fires if the stream ends first (the reference's window-close
+    * trigger contract). */
+  def eventWindowTrigger(rows: Dataset[(Long, Long, Double)],
+      startCond: Double => Boolean, endCond: Double => Boolean)
+      : Dataset[FiredEventWindow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Double)],
+         state: GroupState[EventWinState]) =>
+          val fired = scala.collection.mutable.ArrayBuffer[FiredEventWindow]()
+          var s = state.getOption.orNull
+          it.toSeq.sortBy(_._2).foreach { case (_, ts, v) =>
+            if (s == null) {
+              if (startCond(v)) {
+                if (endCond(v))
+                  fired += FiredEventWindow(key, ts, ts, 1, v)
+                else s = EventWinState(ts, 1, v)
+              }
+            } else {
+              val n = s.n + 1; val sum = s.sum + v
+              if (endCond(v)) {
+                fired += FiredEventWindow(key, s.startUs, ts, n, sum)
+                s = null
+              } else s = EventWinState(s.startUs, n, sum)
+            }
+          }
+          if (s != null) state.update(s) else state.remove()
+          fired.iterator
+      }
+  }
+
+  // ---------------------------------------------------------------------
   // Calc-query binding: the reference runs an arbitrary SELECT per fired
   // window with stream placeholders bound (builtins.c:6877-7142).
   // ---------------------------------------------------------------------

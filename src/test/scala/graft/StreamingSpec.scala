@@ -73,6 +73,37 @@ class StreamingSpec extends AnyFunSuite {
       fired(1).getAs[Long]("endUs") == 4L)
   }
 
+  test("event window trigger opens/closes across batches, drops " +
+      "unclosed tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val out = Streams.eventWindowTrigger(mem.toDS(),
+      startCond = _ > 90d, endCond = _ < 10d)
+    val q = out.writeStream.format("memory").queryName("ew")
+      .outputMode("append").start()
+    // batch 1: window opens at ts=2 (95) and stays open
+    mem.addData((1L, 1L, 50.0), (1L, 2L, 95.0), (1L, 3L, 50.0))
+    q.processAllAvailable()
+    assert(spark.sql("select * from ew").count() == 0)
+    // batch 2: ts=4 (5) closes it; ts=5 (99) reopens a window that
+    // never closes; key 2 opens and closes a 2-row window
+    mem.addData((1L, 4L, 5.0), (1L, 5L, 99.0), (2L, 1L, 95.0),
+      (2L, 2L, 3.0))
+    q.processAllAvailable()
+    val fired = spark.sql("select * from ew order by key").collect()
+    q.stop()
+    assert(fired.length == 2)
+    assert(fired(0).getAs[Long]("key") == 1L &&
+      fired(0).getAs[Long]("startUs") == 2L &&
+      fired(0).getAs[Long]("endUs") == 4L &&
+      fired(0).getAs[Long]("n") == 3L && // rows ts=2,3,4
+      fired(0).getAs[Double]("sum") == 150.0)
+    // key 1's reopened window at ts=5 never closes -> not fired
+    assert(fired(1).getAs[Long]("key") == 2L &&
+      fired(1).getAs[Long]("n") == 2L)
+  }
+
   test("calc binding: per-window calc query over another table") {
     val fired = Seq(Streams.WindowBounds(1704067200000000L,
       1704070800000000L, 0L))
