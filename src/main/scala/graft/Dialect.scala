@@ -88,6 +88,70 @@ object Dialect {
            FROM events PARTITION BY user_id SESSION(ts, 30m) LIMIT 2
            ORDER BY user_id, _wstart""")
     },
+    // subquery in FROM (sql.y:3095-3100): session windows over a
+    // filtered derived table, all in dialect text
+    "dialect_subquery" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _wstart, _wend, count(*) AS n
+           FROM (SELECT user_id, ts FROM events
+                 WHERE event_type = 'click') t
+           PARTITION BY user_id SESSION(ts, 30m)
+           ORDER BY user_id, _wstart""")
+    },
+    // two dialect levels: an outer GROUP BY over the inner INTERVAL
+    // windows — the busiest hour's event count per user
+    "dialect_subquery_agg" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, max(n) AS max_n
+           FROM (SELECT user_id, count(*) AS n
+                 FROM events PARTITION BY user_id INTERVAL(1h)) t
+           GROUP BY user_id ORDER BY user_id""")
+    },
+    // STATE_WINDOW … EXTEND(1) in SQL text (sql.y:2938): null-state
+    // rows merge into the previous window; the null-ing state expr is
+    // an arbitrary CASE inside the clause parens
+    "dialect_state_extend" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, min(_st) AS state,
+             min(ts) DIV 1000 AS _wstart_ms, max(ts) DIV 1000 AS _wend_ms,
+             count(*) AS n
+           FROM events PARTITION BY user_id
+           STATE_WINDOW(CASE WHEN value < 15 THEN NULL
+                             ELSE event_type END)
+           EXTEND(1)
+           ORDER BY user_id, _wstart_ms""")
+    },
+    // STATE_WINDOW … ZEROTH_STATE('click') (sql.y:2905): baseline-state
+    // windows filtered out entirely
+    "dialect_state_zeroth" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, first(event_type) AS state,
+             min(ts) DIV 1000 AS _wstart_ms, max(ts) DIV 1000 AS _wend_ms,
+             count(*) AS n
+           FROM events PARTITION BY user_id
+           STATE_WINDOW(event_type) ZEROTH_STATE('click')
+           ORDER BY user_id, _wstart_ms""")
+    },
+    // ANOMALY_WINDOW(value) (sql.y:2887) in SQL text — the z-score
+    // Detector behind the same clause surface as the reference
+    "dialect_anomaly" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, min(ts) DIV 1000 AS _wstart_ms,
+             max(ts) DIV 1000 AS _wend_ms, count(*) AS n
+           FROM events PARTITION BY user_id ANOMALY_WINDOW(value)
+           ORDER BY user_id, _wstart_ms""")
+    },
+    // JSON tag operator `j->'key'` in SQL text, over a derived json
+    // column built by a FROM subquery
+    "dialect_json_tag" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT c_custkey, j->'name' AS j_name, j->'seg' AS j_seg
+           FROM (SELECT c_custkey,
+                 concat('{"name":"', c_name, '","seg":"', c_mktsegment,
+                   '"}') AS j
+                 FROM customer WHERE c_custkey <= 500)
+           ORDER BY c_custkey""")
+    },
     // STATE_WINDOW in SQL text — same semantics (and oracle) as the
     // DataFrame-API state_window query
     "dialect_state_window" -> { (s, dir) =>
@@ -303,6 +367,89 @@ object Dialect {
           SELECT a.user_id, a.ws AS _wstart, a.we AS _wend, a.n
           FROM agg a JOIN slices sl ON a.user_id = sl.user_id
           ORDER BY a.user_id, _wstart""",
+    "dialect_state_extend" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            CASE WHEN value < 15 THEN NULL ELSE event_type END AS st
+          FROM events),
+        m AS (SELECT user_id, t, st,
+            CASE WHEN st IS NOT NULL AND (last_value(st IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS DISTINCT FROM st)
+              THEN 1 ELSE 0 END AS chg
+          FROM t),
+        w AS (SELECT user_id, t, st,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS wid
+          FROM m)
+        SELECT user_id, min(st) AS state, min(t) // 1000 AS _wstart_ms,
+          max(t) // 1000 AS _wend_ms, count(*) AS n
+        FROM w WHERE wid > 0 GROUP BY user_id, wid
+        ORDER BY user_id, _wstart_ms""",
+    "dialect_state_zeroth" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+                 THEN 1 ELSE 0 END AS chg
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, t, event_type,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS wid
+            FROM t)
+          SELECT user_id, min(event_type) AS state,
+            min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
+            count(*) AS n
+          FROM s GROUP BY user_id, wid
+          HAVING min(event_type) IS DISTINCT FROM 'click'
+          ORDER BY user_id, _wstart_ms""",
+    "dialect_anomaly" ->
+      """WITH s AS (SELECT user_id,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+              AS DOUBLE) AS syy,
+            count(*) AS n
+          FROM events GROUP BY user_id),
+        f AS (SELECT e.user_id, epoch_us(e.ts) AS t,
+            abs(CAST(e.value AS DOUBLE) - s.sy/s.n) >
+              2.0 * sqrt((s.syy - s.sy*s.sy/s.n)/s.n) AS an,
+            row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts) AS rn
+          FROM events e JOIN s ON s.user_id = e.user_id),
+        a AS (SELECT user_id, t, rn,
+            row_number() OVER (PARTITION BY user_id ORDER BY t) AS rna
+          FROM f WHERE an)
+        SELECT user_id, min(t) // 1000 AS _wstart_ms,
+          max(t) // 1000 AS _wend_ms, count(*) AS n
+        FROM a GROUP BY user_id, rn - rna
+        ORDER BY user_id, _wstart_ms""",
+    "dialect_json_tag" ->
+      """SELECT c_custkey,
+           json_extract_string('{"name":"' || c_name || '","seg":"' ||
+             c_mktsegment || '"}', '$.name') AS j_name,
+           json_extract_string('{"name":"' || c_name || '","seg":"' ||
+             c_mktsegment || '"}', '$.seg') AS j_seg
+         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "dialect_subquery" ->
+      s"""WITH f AS (SELECT user_id, epoch_us(ts) AS t FROM events
+            WHERE event_type = 'click'),
+          t AS (SELECT user_id, t,
+            CASE WHEN lag(t) OVER w IS NULL
+                 OR t - lag(t) OVER w > ${30 * 60000000L}
+                 THEN 1 ELSE 0 END AS isnew
+            FROM f WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+          s AS (SELECT user_id, t,
+            sum(isnew) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS sid
+            FROM t)
+          SELECT user_id, min(t) AS _wstart, max(t) AS _wend,
+            count(*) AS n
+          FROM s GROUP BY user_id, sid
+          ORDER BY user_id, _wstart""",
+    "dialect_subquery_agg" ->
+      s"""WITH i AS (SELECT user_id,
+            epoch_us(ts) // ${3600000000L} AS wh, count(*) AS n
+            FROM events GROUP BY user_id, wh)
+          SELECT user_id, max(n) AS max_n
+          FROM i GROUP BY user_id ORDER BY user_id""",
     "dialect_session_limit" ->
       s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t,
             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

@@ -23,8 +23,10 @@ import graft.ops.{FillOps, TimeOps}
   * with right payload columns surfaced as `r_<col>`.
   *
   * Scope notes: join ON conditions are same-name equi keys plus (for
-  * ASOF) one ts condition; subqueries in FROM go through the DataFrame
-  * API. FILL needs a literal `ts >= a AND ts < b` range in WHERE (the
+  * ASOF) one ts condition; `FROM ( <query> ) [alias]` recurses the
+  * full dialect (sql.y:3095-3100), with the alias ignored — a subquery
+  * as one SIDE of a join still goes through the DataFrame API. FILL
+  * needs a literal `ts >= a AND ts < b` range in WHERE (the
   * reference likewise only fills inside the query range) and exactly
   * one filled value column; HAVING/ORDER BY reference output aliases.
   */
@@ -73,7 +75,8 @@ object GraftSql {
 
   private val clauseKws = Seq("SELECT", "FROM", "WHERE", "PARTITION BY",
     "INTERVAL", "SLIDING", "SESSION", "STATE_WINDOW", "COUNT_WINDOW",
-    "EVENT_WINDOW", "TRUE_FOR", "RANGE", "EVERY", "FILL", "SURROUND",
+    "EVENT_WINDOW", "ANOMALY_WINDOW", "EXTEND", "ZEROTH_STATE",
+    "TRUE_FOR", "RANGE", "EVERY", "FILL", "SURROUND",
     "GROUP BY", "HAVING", "ORDER BY", "SLIMIT", "SOFFSET", "LIMIT",
     "OFFSET")
 
@@ -305,9 +308,17 @@ object GraftSql {
     * Top-level `UNION [ALL]` chains combine by column NAME (the
     * dialect's set semantics); a trailing ORDER BY / LIMIT on the last
     * branch applies to the union result, per the reference grammar. */
+  /** JSON tag operator `col->'key'` (sql.y operator table; the JSON
+    * filter in builtins.c): rewritten to get_json_object before any
+    * parsing, so it works in select items, WHERE, and HAVING alike. */
+  private def rewriteJsonArrow(s: String): String =
+    "([A-Za-z_][A-Za-z0-9_]*)\\s*->\\s*'([^']*)'".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
+
   def query(spark: SparkSession, resolve: String => DataFrame,
       sql: String, tsCol: String = "ts"): DataFrame = {
-    val norm = sql.replaceAll("\\s+", " ").trim
+    val norm = rewriteJsonArrow(sql.replaceAll("\\s+", " ").trim)
     val segments = splitUnion(norm)
     if (segments.length == 1)
       return single(spark, resolve, norm, tsCol)
@@ -367,11 +378,42 @@ object GraftSql {
     out.result()
   }
 
+  /** FROM ( <dialect query> ) [alias] — subquery table expressions
+    * (sql.y:3095-3100): the parenthesized text recurses through
+    * [[query]] (so set-ops/windows nest); the alias is accepted and
+    * ignored — the dialect's column namespace stays flat, so inner
+    * columns are referenced unqualified. Returns None when FROM is not
+    * parenthesized (bare table / join forms). */
+  private def subqueryFrom(spark: SparkSession,
+      resolve: String => DataFrame, from: String, tsCol: String)
+      : Option[DataFrame] = {
+    val t = from.trim
+    if (!t.startsWith("(")) return None
+    var depth = 0; var inStr = false; var close = -1; var i = 0
+    while (close < 0 && i < t.length) {
+      val ch = t(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > 0, s"unbalanced parens in FROM: $from")
+    val rest = t.substring(close + 1).trim
+    require(rest.isEmpty || rest.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"FROM subquery takes at most an alias after ')': $rest")
+    Some(query(spark, resolve, t.substring(1, close), tsCol))
+  }
+
   private def single(spark: SparkSession, resolve: String => DataFrame,
       sql: String, tsCol: String): DataFrame = {
     val c = clauses(sql)
     require(c.contains("SELECT") && c.contains("FROM"), "need SELECT/FROM")
-    var df = fromClause(resolve, c("FROM"), tsCol)
+    var df = subqueryFrom(spark, resolve, c("FROM"), tsCol)
+      .getOrElse(fromClause(resolve, c("FROM"), tsCol))
     c.get("WHERE").foreach(w => df = df.filter(expr(w)))
 
     val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
@@ -444,7 +486,7 @@ object GraftSql {
     // on the DataFrame API (SeriesOps + GlobalScan).
     val indefPat = "(?i)\\b(diff|csum|mavg)\\s*\\(".r
     val hasWindowClause = Seq("INTERVAL", "SESSION", "STATE_WINDOW",
-      "COUNT_WINDOW", "EVENT_WINDOW").exists(c.contains)
+      "COUNT_WINDOW", "EVENT_WINDOW", "ANOMALY_WINDOW").exists(c.contains)
     if (!hasWindowClause && !c.contains("GROUP BY") &&
         selectItems.exists { case (e, _) =>
           indefPat.findFirstIn(e).isDefined }) {
@@ -503,10 +545,35 @@ object GraftSql {
       groupKeys = partCols :+ "_session"
       pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
     } else if (c.contains("STATE_WINDOW")) {
-      df = TimeOps.stateWindows(df,
-        expr(stripOuterParens(c("STATE_WINDOW"))), col(tsCol),
-        partCols.map(col))
+      val st = expr(stripOuterParens(c("STATE_WINDOW")))
+      if (c.contains("EXTEND")) {
+        // EXTEND(0|1|2) (sql.y:2938): where a null-state row goes
+        val ext = stripOuterParens(c("EXTEND")).trim.toInt
+        df = TimeOps.stateWindowsExtend(df, st, col(tsCol),
+          partCols.map(col), ext)
+      } else if (c.contains("ZEROTH_STATE")) {
+        // ZEROTH_STATE(v) (sql.y:2905): baseline-state windows drop
+        val ztxt = stripOuterParens(c("ZEROTH_STATE")).trim
+        val z: Any =
+          if (ztxt.startsWith("'")) unquote(ztxt)
+          else if (ztxt.matches("-?\\d+")) ztxt.toLong
+          else ztxt.toDouble
+        df = TimeOps.stateWindowsZeroth(df, st, col(tsCol),
+          partCols.map(col), z)
+      } else
+        df = TimeOps.stateWindows(df, st, col(tsCol), partCols.map(col))
       groupKeys = partCols :+ "_wid"
+      pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
+    } else if (c.contains("ANOMALY_WINDOW")) {
+      // ANOMALY_WINDOW(col[, 'algo=zscore[,z=k]']) (sql.y:2887): the
+      // z-score Detector; the algo literal may override the threshold
+      val args = splitArgs(stripOuterParens(c("ANOMALY_WINDOW")))
+      val z = args.lift(1).map(unquote)
+        .flatMap("z=([0-9.]+)".r.findFirstMatchIn(_))
+        .map(_.group(1).toDouble).getOrElse(2.0)
+      df = graft.ops.AnalyticsOps.anomalyRows(df, col(tsCol),
+        args(0).trim, partCols, z)
+      groupKeys = partCols :+ "_wgrp"
       pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
     } else if (c.contains("COUNT_WINDOW")) {
       val n = stripOuterParens(c("COUNT_WINDOW")).trim.toInt

@@ -278,4 +278,29 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ua.sameElements(Array(2L, 3L, 4L)))
     assert(b.collect().map(_.getLong(0)).distinct.sorted.sameElements(ua))
   }
+
+  test("FROM subquery recurses the dialect, aliased or not") {
+    val sub = q("""SELECT user_id, count(*) AS n
+      FROM (SELECT user_id, ts FROM events WHERE value > 50) t
+      GROUP BY user_id ORDER BY user_id""")
+    val flat = q("""SELECT user_id, count(*) AS n
+      FROM events WHERE value > 50
+      GROUP BY user_id ORDER BY user_id""")
+    sameResult(sub, flat)
+    // nesting two levels, no alias, and a window over the inner result
+    val nested = q("""SELECT user_id, max(n) AS mx
+      FROM (SELECT user_id, count(*) AS n
+            FROM (SELECT user_id, ts FROM events) PARTITION BY user_id
+            INTERVAL(1d))
+      GROUP BY user_id ORDER BY user_id""")
+    assert(nested.columns.toSeq == Seq("user_id", "mx"))
+    assert(nested.count() > 0)
+  }
+
+  test("FROM subquery rejects trailing text that is not an alias") {
+    intercept[IllegalArgumentException] {
+      q("""SELECT user_id FROM (SELECT user_id FROM events) a JOIN b
+        ON a.user_id = b.user_id""").collect()
+    }
+  }
 }
