@@ -88,6 +88,25 @@ object Dialect {
            FROM events PARTITION BY user_id SESSION(ts, 30m) LIMIT 2
            ORDER BY user_id, _wstart""")
     },
+    // ns-precision gate (PRECISION 'ns', sql.y:923): events at ns
+    // precision through the dialect with perSecond=1e9 — durations
+    // scale to ns ticks and min/max ns values must survive end-to-end
+    // (a µs truncation anywhere would zero the sub-µs digits). The
+    // stored sub-µs digits are real but invisible to the oracle
+    // (DuckDB truncates parquet ns to its µs timestamp on load), so
+    // the fixture rebuilds them deterministically from event_id on the
+    // µs-truncated base — both engines can compute that exactly.
+    "ns_interval_gate" -> { (s, dir) =>
+      val nsev = Tables.eventsAt(s, dir, 1000000000L)
+        .withColumn("ts",
+          expr("ts DIV 1000 * 1000") + col("event_id") % 1000)
+      GraftSql.query(s,
+        { case "events_ns" => nsev; case t => Tables(s, dir, t) },
+        """SELECT _wstart AS _wstart_ns, count(*) AS n,
+             min(ts) AS first_ns, max(ts) AS last_ns
+           FROM events_ns INTERVAL(1h) ORDER BY _wstart_ns""",
+        perSecond = 1000000000L)
+    },
     // subquery in FROM (sql.y:3095-3100): session windows over a
     // filtered derived table, all in dialect text
     "dialect_subquery" -> { (s, dir) =>
@@ -428,6 +447,12 @@ object Dialect {
            json_extract_string('{"name":"' || c_name || '","seg":"' ||
              c_mktsegment || '"}', '$.seg') AS j_seg
          FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "ns_interval_gate" ->
+      """WITH t AS (SELECT epoch_us(ts) * 1000 + event_id % 1000 AS tn
+          FROM events)
+        SELECT tn // 3600000000000 * 3600000000000 AS _wstart_ns,
+          count(*) AS n, min(tn) AS first_ns, max(tn) AS last_ns
+        FROM t GROUP BY 1 ORDER BY _wstart_ns""",
     "dialect_subquery" ->
       s"""WITH f AS (SELECT user_id, epoch_us(ts) AS t FROM events
             WHERE event_type = 'click'),

@@ -17,9 +17,35 @@ object Tables {
   /** Small dimension tables that should always be broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation")
 
+  /** Per-table STORED timestamp precision in ticks/second (the
+    * reference's per-database PRECISION 'ms'|'us'|'ns', sql.y:923).
+    * Only `events` carries a timestamp; it is stored at ns. The default
+    * query surface exposes µs (Spark's native timestamp domain); ns
+    * consumers read through [[eventsAt]] — epoch Longs pass through
+    * every window/join/fill operator unchanged, so precision is purely
+    * table metadata, exactly as in the reference. */
+  val precisionPerSec: Map[String, Long] = Map(
+    "events" -> 1000000000L)
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** `events` with `ts` as an epoch Long in the requested precision
+    * (ticks/second: 1e3 ms, 1e6 µs, 1e9 ns). Downscaling from the
+    * stored ns uses integer DIV — never double division, which corrupts
+    * low-order digits at the ~1.7e18 ns epoch scale. */
+  def eventsAt(spark: SparkSession, sfDir: String,
+      perSecond: Long): DataFrame = {
+    require(Set(1000L, 1000000L, 1000000000L).contains(perSecond),
+      s"precision must be ms/us/ns ticks-per-second, got $perSecond")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val div = 1000000000L / perSecond
+    if (div == 1L) raw
+    else raw.withColumn("ts",
+      org.apache.spark.sql.functions.expr(s"ts DIV ${div}L"))
   }
 
   /** The `events` table carries a nanosecond-precision timestamp, which
@@ -29,11 +55,6 @@ object Tables {
     * oracle comparisons line up exactly. This mirrors the reference's
     * ns-precision databases (SURVEY §1.2: Long epoch + precision metadata).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // integer DIV: ns epoch (~1.7e18) is not exactly representable as a
-    // double, so `/` (double division) would corrupt low-order digits.
-    raw.withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000L"))
-  }
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsAt(spark, sfDir, 1000000L)
 }

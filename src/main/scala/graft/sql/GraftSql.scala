@@ -33,20 +33,33 @@ import graft.ops.{FillOps, TimeOps}
 object GraftSql {
 
   // ---------------------------------------------------------------- durations
-  private val unitUs = Map("u" -> 1L, "a" -> 1000L, "s" -> 1000000L,
-    "m" -> 60000000L, "h" -> 3600000000L, "d" -> 86400000000L,
-    "w" -> 604800000000L)
+  private val unitNs = Map("u" -> 1000L, "a" -> 1000000L,
+    "s" -> 1000000000L, "m" -> 60000000000L, "h" -> 3600000000000L,
+    "d" -> 86400000000000L, "w" -> 604800000000000L)
 
-  /** "10m" → microseconds. Bare integers are already µs. */
-  def durUs(s: String): Long = {
+  /** "10m" → ticks of the table's precision (`perSecond` ticks/second —
+    * the reference's per-database PRECISION ms/us/ns, sql.y:923). Bare
+    * integers are already native ticks. A duration finer than the
+    * precision can represent ("500u" on a ms table) fails loudly
+    * rather than silently truncating. */
+  def durNative(s: String, perSecond: Long): Long = {
     val t = s.trim.toLowerCase
     val m = "^(\\d+)([uasmhdw]?)$".r
     t match {
       case m(n, "") => n.toLong
-      case m(n, u) => n.toLong * unitUs(u)
+      case m(n, u) =>
+        val ns = n.toLong * unitNs(u)
+        val div = 1000000000L / perSecond
+        require(ns % div == 0,
+          s"duration $s is finer than the table's precision " +
+            s"($perSecond ticks/s)")
+        ns / div
       case _ => throw new IllegalArgumentException(s"bad duration: $s")
     }
   }
+
+  /** "10m" → microseconds (the default table precision). */
+  def durUs(s: String): Long = durNative(s, 1000000L)
 
   // ------------------------------------------------------------ clause split
 
@@ -186,7 +199,7 @@ object GraftSql {
     * convention); plain table names only (subqueries go through the
     * DataFrame API). */
   private def fromClause(resolve: String => DataFrame, from: String,
-      tsCol: String): DataFrame = {
+      tsCol: String, perSecond: Long = 1000000L): DataFrame = {
     val up = from.toUpperCase
     val asofAt = up.indexOf(" ASOF JOIN ")
     val winAt = up.indexOf(" WINDOW JOIN ")
@@ -255,7 +268,7 @@ object GraftSql {
       rest match {
         case m(rightName, offs, onOrNull) =>
           val right = resolve(rightName)
-          val bounds = splitArgs(offs).map(s => signedDurUs(s))
+          val bounds = splitArgs(offs).map(s => signedDurNative(s, perSecond))
           val keys = Option(onOrNull).toSeq
             .flatMap(o => equiKeys(o.split("(?i)\\s+AND\\s+").toSeq))
           val rightCols = right.columns.toSeq.filterNot(keys.contains)
@@ -288,9 +301,10 @@ object GraftSql {
     }
   }
 
-  private def signedDurUs(s: String): Long = {
+  private def signedDurNative(s: String, perSecond: Long): Long = {
     val t = s.trim
-    if (t.startsWith("-")) -durUs(t.substring(1)) else durUs(t)
+    if (t.startsWith("-")) -durNative(t.substring(1), perSecond)
+    else durNative(t, perSecond)
   }
 
   /** ORDER BY items with DESC support. */
@@ -317,18 +331,19 @@ object GraftSql {
         s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
 
   def query(spark: SparkSession, resolve: String => DataFrame,
-      sql: String, tsCol: String = "ts"): DataFrame = {
+      sql: String, tsCol: String = "ts",
+      perSecond: Long = 1000000L): DataFrame = {
     val norm = rewriteJsonArrow(sql.replaceAll("\\s+", " ").trim)
     val segments = splitUnion(norm)
     if (segments.length == 1)
-      return single(spark, resolve, norm, tsCol)
+      return single(spark, resolve, norm, tsCol, perSecond)
     // hoist the union-level tail clauses off the LAST branch
     val lastRaw = segments.last._1
     val tailAt = topLevelIndex(lastRaw.toUpperCase, "ORDER BY")
       .orElse(topLevelIndex(lastRaw.toUpperCase, "LIMIT"))
     val lastSql = tailAt.fold(lastRaw)(i => lastRaw.substring(0, i).trim)
     val frames = (segments.init.map(_._1) :+ lastSql)
-      .map(s0 => single(spark, resolve, s0, tsCol))
+      .map(s0 => single(spark, resolve, s0, tsCol, perSecond))
     // fold left-to-right; dedup binds to its own UNION per SQL rules
     var res = frames.head
     segments.tail.zip(frames.tail).foreach { case ((_, all), f) =>
@@ -385,8 +400,8 @@ object GraftSql {
     * columns are referenced unqualified. Returns None when FROM is not
     * parenthesized (bare table / join forms). */
   private def subqueryFrom(spark: SparkSession,
-      resolve: String => DataFrame, from: String, tsCol: String)
-      : Option[DataFrame] = {
+      resolve: String => DataFrame, from: String, tsCol: String,
+      perSecond: Long): Option[DataFrame] = {
     val t = from.trim
     if (!t.startsWith("(")) return None
     var depth = 0; var inStr = false; var close = -1; var i = 0
@@ -405,15 +420,16 @@ object GraftSql {
     val rest = t.substring(close + 1).trim
     require(rest.isEmpty || rest.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"FROM subquery takes at most an alias after ')': $rest")
-    Some(query(spark, resolve, t.substring(1, close), tsCol))
+    Some(query(spark, resolve, t.substring(1, close), tsCol, perSecond))
   }
 
   private def single(spark: SparkSession, resolve: String => DataFrame,
-      sql: String, tsCol: String): DataFrame = {
+      sql: String, tsCol: String, perSecond: Long): DataFrame = {
+    def dur(t: String): Long = durNative(t, perSecond)
     val c = clauses(sql)
     require(c.contains("SELECT") && c.contains("FROM"), "need SELECT/FROM")
-    var df = subqueryFrom(spark, resolve, c("FROM"), tsCol)
-      .getOrElse(fromClause(resolve, c("FROM"), tsCol))
+    var df = subqueryFrom(spark, resolve, c("FROM"), tsCol, perSecond)
+      .getOrElse(fromClause(resolve, c("FROM"), tsCol, perSecond))
     c.get("WHERE").foreach(w => df = df.filter(expr(w)))
 
     val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
@@ -438,7 +454,7 @@ object GraftSql {
       }.getOrElse(throw new IllegalArgumentException(
         "RANGE/EVERY needs an interp(col) select item"))
       val Seq(t0, t1) = splitArgs(stripOuterParens(c("RANGE"))).map(_.toLong)
-      val step = durUs(stripOuterParens(c("EVERY")))
+      val step = dur(stripOuterParens(c("EVERY")))
       val mode = c.get("FILL").map(f =>
         splitArgs(stripOuterParens(f)) match {
           case Seq(m0) => m0.toUpperCase match {
@@ -461,7 +477,7 @@ object GraftSql {
           mode == FillOps.FillNear,
           "SURROUND needs FILL(PREV|NEXT|NEAR)")
         val a = splitArgs(stripOuterParens(sr))
-        (durUs(a.head), a.lift(1).map(_.toDouble))
+        (dur(a.head), a.lift(1).map(_.toDouble))
       }
       var res = FillOps.interp(df, col(tsCol), valueCol, partCols,
         step, t0, t1, mode,
@@ -528,11 +544,11 @@ object GraftSql {
     var intervalSpec: Option[(Long, Long)] = None // (intervalUs, offsetUs)
 
     if (c.contains("INTERVAL")) {
-      val args = splitArgs(stripOuterParens(c("INTERVAL"))).map(durUs)
+      val args = splitArgs(stripOuterParens(c("INTERVAL"))).map(dur)
       val iv = args.head
       val off = if (args.length > 1) args(1) else 0L
       val slide = c.get("SLIDING")
-        .map(s => durUs(stripOuterParens(s))).getOrElse(iv)
+        .map(s => dur(stripOuterParens(s))).getOrElse(iv)
       df = TimeOps.assignIntervals(df, col(tsCol), iv, slide, off)
       groupKeys = partCols :+ "_wstart"
       intervalSpec = Some((iv, off))
@@ -540,7 +556,7 @@ object GraftSql {
         "_wend" -> s"(_wstart + $iv)")
     } else if (c.contains("SESSION")) {
       val args = splitArgs(stripOuterParens(c("SESSION")))
-      df = TimeOps.sessionize(df, col(args(0)), durUs(args(1)),
+      df = TimeOps.sessionize(df, col(args(0)), dur(args(1)),
         partCols.map(col))
       groupKeys = partCols :+ "_session"
       pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
@@ -601,7 +617,7 @@ object GraftSql {
     val trueFor = c.get("TRUE_FOR").map { t =>
       require(c.contains("STATE_WINDOW") || c.contains("EVENT_WINDOW"),
         "TRUE_FOR needs STATE_WINDOW or EVENT_WINDOW")
-      durUs(stripOuterParens(t))
+      dur(stripOuterParens(t))
     }
 
     // ---- aggregation ----
