@@ -84,10 +84,7 @@ object AnalyticsOps {
     val d = df.withColumn("_t", tsUs.cast(LongType))
       .withColumn("_y", col(valueCol).cast("double"))
     val carried =
-      if (keys.isEmpty)
-        keylessCarry(
-          keylessCarry(d, ascending = true, tieBreak, "_pv"),
-          ascending = false, tieBreak, "_nv")
+      if (keys.isEmpty) keylessCarryBoth(d, tieBreak)
       else {
         val w = Window.partitionBy(keyCols: _*)
           .orderBy(col("_t") +: tieBreak.map(col): _*)
@@ -114,14 +111,19 @@ object AnalyticsOps {
       .drop("_t", "_y", "_pv", "_nv")
   }
 
-  /** Keyless last-non-null (ts,value) carry for [[imputeLinear]],
-    * distributed via [[GlobalScan.twoPass]]: the ascending scan binds
-    * the previous non-null sample to `outCol` (exclusive of the current
-    * row); the descending variant walks the exact reverse total order,
-    * yielding the next-sample carry. The partition effect is one tiny
-    * "last sample seen" record, so all partitions emit in parallel. */
-  private def keylessCarry(frame: DataFrame, ascending: Boolean,
-      tieBreak: Seq[String], outCol: String): DataFrame = {
+  /** Keyless prev+next non-null (ts,value) carry for [[imputeLinear]],
+    * distributed via [[GlobalScan.twoPassBidir]]: ONE range sort binds
+    * both `_pv` (previous non-null sample, exclusive of the current
+    * row, from the ascending replay) and `_nv` (next non-null sample,
+    * exclusive, from the suffix effect + a bounded lookahead buffer).
+    * The naive backward carry re-sorts the whole frame descending — a
+    * second full sort-shuffle; here rows between consecutive samples
+    * wait in a small pending buffer until their next sample arrives
+    * (bounded by the longest null run, the same working set the linear
+    * interpolation itself needs), and the partition-tail rows take the
+    * first sample of the LATER partitions from the suffix effect. */
+  private def keylessCarryBoth(frame: DataFrame,
+      tieBreak: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val schema = frame.schema
@@ -129,31 +131,50 @@ object AnalyticsOps {
     val vIdx = schema.fieldIndex("_y")
     val pairType = StructType(Seq(StructField("_t", LongType),
       StructField("_y", DoubleType)))
-    val outSchema =
-      StructType(schema.fields :+ StructField(outCol, pairType))
-    val sortCols =
-      if (ascending) col("_t") +: tieBreak.map(col)
-      else col("_t").desc +: tieBreak.map(c => col(c).desc)
-    GlobalScan.twoPass[Option[(Long, Double)]](frame, sortCols,
-      zero = None,
+    val outSchema = StructType(schema.fields :+
+      StructField("_pv", pairType) :+ StructField("_nv", pairType))
+    val sortCols = col("_t") +: tieBreak.map(col)
+    type Sample = Option[(Long, Double)]
+    def pairRow(p: Sample): Row = p.map(s => Row(s._1, s._2)).orNull
+    GlobalScan.twoPassBidir[Sample, Sample](frame, sortCols,
+      zeroPre = None, zeroSuf = None,
       summary = { it =>
-        var lastP: Option[(Long, Double)] = None
+        var first: Sample = None
+        var last: Sample = None
         it.foreach { r =>
-          if (!r.isNullAt(vIdx))
-            lastP = Some((r.getLong(tIdx), r.getDouble(vIdx)))
+          if (!r.isNullAt(vIdx)) {
+            val s = Some((r.getLong(tIdx), r.getDouble(vIdx)))
+            if (first.isEmpty) first = s
+            last = s
+          }
         }
-        lastP
+        (last, first)
       },
-      combine = GlobalScan.lastSeen,
-      emit = { (c0, it) =>
-        var carry = c0
-        it.map { r =>
-          val out = Row.fromSeq(r.toSeq :+
-            carry.map(p => Row(p._1, p._2)).orNull)
-          if (!r.isNullAt(vIdx))
-            carry = Some((r.getLong(tIdx), r.getDouble(vIdx)))
-          out
+      combinePre = GlobalScan.lastSeen,
+      combineSuf = GlobalScan.firstSeen,
+      emit = { (prev0, next0, it) =>
+        var carry = prev0
+        // rows already extended with _pv, awaiting their _nv
+        val pending = scala.collection.mutable.ArrayBuffer[Row]()
+        def flush(nv: Sample): Iterator[Row] = {
+          val out = pending.toArray
+          pending.clear()
+          out.iterator.map(r => Row.fromSeq(r.toSeq :+ pairRow(nv)))
         }
+        val main = it.flatMap { r =>
+          val withPv = Row.fromSeq(r.toSeq :+ pairRow(carry))
+          val sample: Sample =
+            if (r.isNullAt(vIdx)) None
+            else Some((r.getLong(tIdx), r.getDouble(vIdx)))
+          // rows BEFORE this sample see it as their next; the sample row
+          // itself joins pending (its next is a later sample)
+          val flushed =
+            if (sample.isDefined) flush(sample) else Iterator.empty
+          pending += withPv
+          if (sample.isDefined) carry = sample
+          flushed
+        }
+        main ++ flush(next0)
       },
       outSchema)
   }
@@ -167,9 +188,12 @@ object AnalyticsOps {
     * With no `keys` a `Window.partitionBy()` would collapse the whole
     * input to one partition, so the keyless path computes the global
     * mean/σ with a one-row scalar aggregate broadcast back onto the
-    * rows, and numbers rows with [[GlobalScan.rowNumber]] — both scans
-    * stay fully partitioned. `tieBreak` orders rows at equal ts so the
-    * keyless numbering is a total order. */
+    * rows, then numbers all rows AND anomalous rows in a single
+    * [[GlobalScan.dualRowNumber]] sorted pass (the composite effect is
+    * (rows, anomalousRows) per partition) — one range sort where the
+    * naive number/filter/number-again lowering sorts twice. `tieBreak`
+    * orders rows at equal ts so the keyless numbering is a total
+    * order. */
   def anomalyRows(df: DataFrame, tsUs: Column, valueCol: String,
       keys: Seq[String], z: Double = 2.0,
       tieBreak: Seq[String] = Nil): DataFrame = {
@@ -186,12 +210,17 @@ object AnalyticsOps {
         sum(yd * yd).cast("double").as("_syy"),
         count(lit(1)).as("_cnt"))
       val ord = col("_t") +: tieBreak.map(col)
-      val anomalous = GlobalScan.rowNumber(
-          d0.crossJoin(broadcast(stats)), ord, "_rn")
-        .filter(isAnom)
-      GlobalScan.rowNumber(anomalous, ord, "_arn")
+      // evaluate the detector map-side and drop the stat columns BEFORE
+      // the sort so the shuffled payload carries one boolean, not three
+      // doubles; the single dualRowNumber pass then yields both
+      // numberings at the cost of ONE range sort
+      val flagged = d0.crossJoin(broadcast(stats))
+        .withColumn("_isanom", coalesce(isAnom, lit(false)))
+        .drop("_sy", "_syy", "_cnt")
+      GlobalScan.dualRowNumber(flagged, ord, "_isanom", "_rn", "_arn")
+        .filter(col("_isanom"))
         .withColumn("_wgrp", col("_rn") - col("_arn"))
-        .drop("_sy", "_syy", "_cnt", "_rn", "_arn", "_y")
+        .drop("_isanom", "_rn", "_arn", "_y")
     } else {
       val keyCols = keys.map(col)
       val wAll = Window.partitionBy(keyCols: _*)

@@ -153,6 +153,64 @@ class GlobalScanSpec extends AnyFunSuite {
     cKeyless.zip(cKeyed).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("release() drops the retained sorted copies once results are " +
+      "materialized") {
+    import graft.ops.GlobalScan
+    GlobalScan.release() // baseline: no scan-owned caches
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = spark.range(20000).select(col("id").as("ts"))
+    val out = GlobalScan.rowNumber(df, Seq(col("ts")), "_rn")
+    assert(out.count() == 20000)
+    assert(GlobalScan.retainedCount >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "twoPass should persist its sorted copy")
+    GlobalScan.release()
+    assert(GlobalScan.retainedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "release() must unpersist every scan-retained sorted copy")
+  }
+
+  test("fused keyless anomaly numbering shuffles exactly once") {
+    import graft.ops.AnalyticsOps
+    val df = spark.range(50000)
+      .select(col("id").as("ts"),
+        when(col("id") % 997 === 0, 1e6).otherwise(col("id") % 10)
+          .cast("double").as("value"))
+      .repartition(16)
+    val out = AnalyticsOps.anomalyRows(df, col("ts"), "value", Nil)
+    // ONE range sort end-to-end: the dual numbering replays the same
+    // sorted partitions, so the lineage holds a single shuffle (the
+    // upstream .repartition(16) is re-used, not re-shuffled per pass)
+    val shuffles = out.rdd.toDebugString.linesIterator
+      .count(_.contains("ShuffledRowRDD"))
+    assert(shuffles <= 2, // range sort + the explicit upstream repartition
+      s"expected one scan shuffle over the input, got lineage:\n" +
+        out.rdd.toDebugString)
+    assert(out.rdd.getNumPartitions > 1)
+    // spikes every 997 rows are isolated single-row windows
+    val wins = out.select("_wgrp").distinct().count()
+    assert(wins == 50000 / 997 + 1)
+  }
+
+  test("bidirectional keyless carry (imputation) shuffles exactly once") {
+    import graft.ops.AnalyticsOps
+    val df = spark.range(30000)
+      .select(col("id").as("ts"),
+        when(col("id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("id").cast("double")).as("value"))
+      .repartition(16)
+    val out = AnalyticsOps.imputeLinear(df, col("ts"), "value", Nil)
+    val shuffles = out.rdd.toDebugString.linesIterator
+      .count(_.contains("ShuffledRowRDD"))
+    assert(shuffles <= 2, // one range sort + the explicit repartition
+      s"backward carry must not re-sort; lineage:\n" + out.rdd.toDebugString)
+    // interior nulls are linearly interpolated between their neighbours
+    import spark.implicits._
+    val got = out.select("ts", "value").as[(Long, Double)].collect().toMap
+    assert(got(7L) == 7.0 && got(14L) == 14.0)
+    assert(out.count() == 30000)
+  }
+
   test("keyless sessions merge across partition boundaries") {
     import spark.implicits._
     // gaps of 5 every 40 rows (within gap=10), gaps of 100 every 1000
