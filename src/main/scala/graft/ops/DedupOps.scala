@@ -171,10 +171,18 @@ object DedupOps {
       minhashSignatures(docs, idCol, textCol, k, numHashes), numHashes,
       bands).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // re-shingle only the docs named by some candidate pair: filter the
-    // raw docs by id first (broadcast the tiny id set), then shingle
+    // raw docs by id first (broadcast the tiny id set, so the corpus is
+    // NOT shuffled — size estimation can't see through the persist, and
+    // an unhinted plan sort-merge-joins the whole corpus), then shingle.
+    // candSets feeds verifyJaccard TWICE (the id_a and id_b joins);
+    // without its own persist each reference re-filters + re-shingles —
+    // a THIRD full corpus scan. With both persists the corpus is read
+    // exactly twice: signatures, and the candidate re-shingle.
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-    val candSets = shingleSets(docs.join(candIds, idCol), idCol, textCol, k)
+    val candSets = shingleSets(docs.join(broadcast(candIds), idCol),
+        idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccard(cands, candSets, threshold)
   }
 
