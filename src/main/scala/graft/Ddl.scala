@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sql.{GraftCatalog, GraftSql}
+
+/** DDL / INSERT text-surface gates (reference sql.y:1066-1092 CREATE
+  * STABLE, 1176-1177 CREATE TABLE USING, 1623-1711 CREATE STREAM,
+  * 1889-1891 INSERT; parInsertSql.c): the catalog is built purely from
+  * DDL + INSERT text, queried back through the dialect, and
+  * hash-matched against DuckDB reading the same source parquet — so a
+  * green row proves the whole text round-trip (parse → catalog →
+  * upsert-visible read → dialect SELECT) is lossless. */
+object Ddl {
+
+  private val H = 3600000000L
+  private val T0 = 1704067200000000L
+
+  private def esc(s: String): String = s.replace("'", "''")
+
+  /** Deterministic demo catalog built ONLY through the text surface:
+    * a `nat` stable (child per nation, CREATE TABLE … USING … TAGS +
+    * one multi-table INSERT), a `cm` stable (INSERT … USING auto-create
+    * with bound columns, then a duplicate-ts re-insert that must
+    * resolve last-writer-wins), and a CREATE STREAM definition over the
+    * registered events table. */
+  private def demo(s: SparkSession, dir: String): GraftCatalog = {
+    val cat = new GraftCatalog(s)
+    cat.exec("CREATE DATABASE graftdb PRECISION 'us'")
+    cat.exec("""CREATE STABLE nat (ts TIMESTAMP, v DOUBLE)
+      TAGS (n_name VARCHAR(32), n_regionkey INT)""")
+    val nations = Tables(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .collect().sortBy(_.getInt(0))
+    nations.foreach { r =>
+      cat.exec(s"CREATE TABLE IF NOT EXISTS nat_${r.getInt(0)} USING nat " +
+        s"TAGS ('${esc(r.getString(1))}', ${r.getInt(2)})")
+    }
+    // the multi-table insert fast path: every child in ONE statement
+    cat.exec("INSERT INTO " + nations.map { r =>
+      val k = r.getInt(0)
+      s"nat_$k VALUES (${T0 + k.toLong * H}, ${k * 1.5})"
+    }.mkString(" "))
+    cat.exec("""CREATE STABLE cm (ts TIMESTAMP, bal DOUBLE, note VARCHAR(8))
+      TAGS (seg VARCHAR(16))""")
+    val custs = Tables(s, dir, "customer")
+      .filter(col("c_custkey") <= 40)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .collect().sortBy(_.getLong(0))
+    // INSERT … USING TAGS auto-creates each child; (ts, bal) bound
+    // columns leave `note` NULL
+    cat.exec("INSERT INTO " + custs.map { r =>
+      val k = r.getLong(0)
+      s"cm_$k USING cm TAGS ('${esc(r.getString(1))}') (ts, bal) " +
+        s"VALUES (${T0 + k * H}, ${r.getDouble(2)})"
+    }.mkString(" "))
+    // duplicate-ts re-insert: upsert means the +1000 values win
+    cat.exec("INSERT INTO " + custs.map { r =>
+      val k = r.getLong(0)
+      s"cm_$k (ts, bal) VALUES (${T0 + k * H}, ${r.getDouble(2) + 1000})"
+    }.mkString(" "))
+    cat.register("events", Tables(s, dir, "events"))
+    cat.exec("""CREATE STREAM hourly TRIGGER WINDOW_CLOSE WATERMARK 1m
+      INTO hourly_out AS
+      SELECT _wstart, count(*) AS n, sum(value) AS sum_value
+      FROM events INTERVAL(1h)""")
+    cat
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CREATE STABLE/TABLE…USING…TAGS + multi-table INSERT, read back
+    // through a dialect SELECT over the stable (tags + tbname attached)
+    "ddl_roundtrip_gate" -> { (s, dir) =>
+      GraftSql.query(s, demo(s, dir).table,
+        "SELECT tbname, n_name, n_regionkey, ts, v FROM nat ORDER BY ts")
+    },
+    // INSERT…USING auto-create + bound columns + duplicate-ts upsert
+    "insert_autocreate_gate" -> { (s, dir) =>
+      GraftSql.query(s, demo(s, dir).table,
+        "SELECT tbname, seg, ts, bal, note FROM cm ORDER BY ts")
+    },
+    // CREATE STREAM text → FILL_HISTORY batch run → read the INTO table
+    "ddl_stream_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.fillHistory("hourly")
+      cat.table("hourly_out").orderBy("_wstart")
+    },
+    // information_schema over the DDL-built catalog
+    "ins_stables_gate" -> { (s, dir) =>
+      demo(s, dir).insStables.orderBy("stable_name")
+    },
+    "ins_tags_gate" -> { (s, dir) =>
+      demo(s, dir).insTags.orderBy("table_name", "tag_name")
+    },
+    "ins_databases_gate" -> { (s, dir) =>
+      demo(s, dir).insDatabases.orderBy("db_name")
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "ddl_roundtrip_gate" ->
+      s"""SELECT 'nat_' || n_nationkey AS tbname, n_name, n_regionkey,
+            $T0 + n_nationkey * $H AS ts, n_nationkey * 1.5 AS v
+          FROM nation ORDER BY ts""",
+    "insert_autocreate_gate" ->
+      s"""SELECT 'cm_' || c_custkey AS tbname, c_mktsegment AS seg,
+            $T0 + c_custkey * $H AS ts, c_acctbal + 1000 AS bal,
+            CAST(NULL AS VARCHAR) AS note
+          FROM customer WHERE c_custkey <= 40 ORDER BY ts""",
+    // the stream's FILL_HISTORY output must equal the batch aggregate
+    "ddl_stream_gate" -> Dialect.oracleSql("dialect_interval"),
+    "ins_stables_gate" ->
+      """SELECT * FROM (VALUES
+           ('cm', 'graftdb', 3, 1, 41),
+           ('nat', 'graftdb', 2, 2, 25))
+         AS t(stable_name, db_name, columns, tags, child_tables)
+         ORDER BY stable_name""",
+    "ins_tags_gate" ->
+      """SELECT * FROM (
+           SELECT 'nat_' || n_nationkey AS table_name,
+             'graftdb' AS db_name, 'nat' AS stable_name,
+             'n_name' AS tag_name, 'VARCHAR(32)' AS tag_type,
+             n_name AS tag_value
+           FROM nation
+           UNION ALL
+           SELECT 'nat_' || n_nationkey, 'graftdb', 'nat', 'n_regionkey',
+             'INT', CAST(n_regionkey AS VARCHAR)
+           FROM nation
+           UNION ALL
+           SELECT 'cm_' || c_custkey, 'graftdb', 'cm', 'seg',
+             'VARCHAR(16)', c_mktsegment
+           FROM customer WHERE c_custkey <= 40)
+         ORDER BY table_name, tag_name""",
+    "ins_databases_gate" ->
+      """SELECT * FROM (VALUES
+           ('default', 'us', 0), ('graftdb', 'us', 66))
+         AS t(db_name, precision, ntables)
+         ORDER BY db_name""")
+}

@@ -18,10 +18,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TimeSeries.queries ++ Functions.queries ++
       Pipeline.queries ++ Analytics.queries ++ Sources.queries ++
-      Dialect.queries
+      Dialect.queries ++ Ddl.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TimeSeries.oracleSql ++ Functions.oracleSql ++
       Pipeline.oracleSql ++ Analytics.oracleSql ++ Sources.oracleSql ++
-      Dialect.oracleSql
+      Dialect.oracleSql ++ Ddl.oracleSql
 }

@@ -1,0 +1,516 @@
+package graft.sql
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TDengine DDL + INSERT text surface over an in-memory catalog
+  * (SURVEY §2.1/§7.1 periphery; reference grammar: `CREATE STABLE …
+  * TAGS(…)` sql.y:1066-1092, `CREATE TABLE … USING … TAGS(…)`
+  * sql.y:1176-1177, `CREATE STREAM … INTO … AS …` sql.y:1623-1711,
+  * `INSERT INTO d USING st TAGS(…) VALUES (…)` sql.y:1889-1891 +
+  * parInsertSql.c).
+  *
+  * The catalog maps the reference's metadata model onto Spark:
+  *
+  *  - a STABLE is a schema (data columns, first column the ts primary
+  *    key) plus a tag schema;
+  *  - a child table binds tag VALUES; its rows carry an ingest
+  *    sequence so duplicate-ts re-inserts resolve last-writer-wins
+  *    (the reference's upsert, parInsertSql.c dedup) through
+  *    [[graft.ops.SourceOps.upsertLatest]];
+  *  - querying a child yields data columns + its tag columns +
+  *    `tbname`; querying the STABLE unions all children — exactly the
+  *    reference's super-table read path (tags denormalized onto rows);
+  *  - CREATE STREAM registers the trigger/calc definition; its
+  *    FILL_HISTORY run lowers the saved SELECT through [[GraftSql]],
+  *    and [[streamTrigger]] wires the same definition onto a live
+  *    Structured Streaming source via [[graft.streaming.Streams]].
+  *
+  * Scale note: VALUES-form INSERT is the reference's *client batch*
+  * path — rows originate driver-side by construction, so building the
+  * batch on the driver is the honest lowering, not a bottleneck. Bulk
+  * ingest at 100 TB goes through INSERT…SELECT (parquet writer),
+  * schemaless ingest, or streams — all distributed and gated
+  * separately.
+  */
+class GraftCatalog(val spark: SparkSession) {
+
+  case class Database(name: String, perSecond: Long)
+  case class Stable(name: String, db: String,
+      colDefs: Seq[(String, String)], tagDefs: Seq[(String, String)]) {
+    val cols: StructType =
+      StructType(colDefs.map { case (n, t) => StructField(n, sparkType(t)) })
+    val tags: StructType =
+      StructType(tagDefs.map { case (n, t) => StructField(n, sparkType(t)) })
+    def tsCol: String = colDefs.head._1
+  }
+  case class StreamDef(name: String, options: String, into: String,
+      select: String)
+
+  private case class Child(name: String, stableName: String,
+      tagVals: Seq[Any], rows: mutable.ArrayBuffer[(Seq[Any], Long)])
+
+  private val databases = mutable.LinkedHashMap[String, Database](
+    "default" -> Database("default", 1000000L))
+  private var currentDb = "default"
+  private val stables = mutable.LinkedHashMap[String, Stable]()
+  private val children = mutable.LinkedHashMap[String, Child]()
+  private val external = mutable.LinkedHashMap[String, DataFrame]()
+  private val materialized = mutable.LinkedHashMap[String, DataFrame]()
+  private val streamDefs = mutable.LinkedHashMap[String, StreamDef]()
+  private var seqCounter = 0L
+
+  /** Ticks/second of the current database (PRECISION 'ms'|'us'|'ns'). */
+  def perSecond: Long = databases(currentDb).perSecond
+
+  /** Register an externally-provided table (parquet-backed DataFrame)
+    * so dialect queries and streams can reference it by name. */
+  def register(name: String, df: DataFrame): Unit = external(name) = df
+
+  def streams: Map[String, StreamDef] = streamDefs.toMap
+
+  // ------------------------------------------------------------- types
+
+  /** TDengine column type text → Spark type (tdataformat.h type ids).
+    * TIMESTAMP maps to the Long tick domain — precision is database
+    * metadata, exactly as in the reference. */
+  private def sparkType(t: String): DataType = {
+    val u = t.trim.toUpperCase
+    val dec = "DECIMAL\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)".r
+    u match {
+      case x if x.startsWith("TIMESTAMP") => LongType
+      case x if x.startsWith("BOOL") => BooleanType
+      case x if x.startsWith("TINYINT UNSIGNED") ||
+        x.startsWith("SMALLINT UNSIGNED") => IntegerType
+      case x if x.startsWith("TINYINT") || x.startsWith("SMALLINT") =>
+        IntegerType
+      case x if x.startsWith("BIGINT") => LongType
+      case x if x.startsWith("INT UNSIGNED") => LongType
+      case x if x.startsWith("INT") => IntegerType
+      case x if x.startsWith("FLOAT") => FloatType
+      case x if x.startsWith("DOUBLE") => DoubleType
+      case dec(p, s) => DecimalType(p.toInt, s.toInt)
+      case x if x.startsWith("BINARY") || x.startsWith("VARCHAR") ||
+        x.startsWith("NCHAR") || x.startsWith("JSON") ||
+        x.startsWith("VARBINARY") || x.startsWith("GEOMETRY") => StringType
+      case other =>
+        throw new IllegalArgumentException(s"unsupported column type: $other")
+    }
+  }
+
+  // ---------------------------------------------------------- literals
+
+  /** One SQL literal → value coerced to the target type. */
+  private def literal(s0: String, dt: DataType): Any = {
+    val s = s0.trim
+    if (s.equalsIgnoreCase("NULL")) return null
+    val unq =
+      if (s.startsWith("'") && s.endsWith("'") && s.length >= 2)
+        Some(s.substring(1, s.length - 1).replace("''", "'"))
+      else None
+    dt match {
+      case StringType => unq.getOrElse(s)
+      case BooleanType => s.toBoolean
+      case LongType => unq match {
+        // quoted datetime on a ts column: parse as UTC → current-db ticks
+        case Some(txt) => parseTs(txt)
+        case None => s.toLong
+      }
+      case IntegerType => s.toInt
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case d: DecimalType => new java.math.BigDecimal(s)
+      case other =>
+        throw new IllegalArgumentException(s"cannot coerce $s to $other")
+    }
+  }
+
+  /** 'yyyy-MM-dd HH:mm:ss[.fff]' (UTC) → ticks at the db precision. */
+  private def parseTs(txt: String): Long = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm[:ss[.SSS]]")
+    val ldt = java.time.LocalDateTime.parse(txt, fmt)
+    val us = ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    // µs → db ticks without overflow (ns: scale up; ms: integer down)
+    if (perSecond >= 1000000L) us * (perSecond / 1000000L)
+    else us / (1000000L / perSecond)
+  }
+
+  // ------------------------------------------------------------ lexing
+
+  /** Depth-aware scan returning (parenGroupBody, afterIndex) for the
+    * group opening at `at` (which must be '('). */
+  private def parenGroup(s: String, at: Int): (String, Int) = {
+    require(s(at) == '(', s"expected ( at $at in: $s")
+    var depth = 0; var inStr = false; var i = at
+    while (i < s.length) {
+      val c = s(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(at + 1, i), i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens in: $s")
+  }
+
+  private val ident = "[A-Za-z_][A-Za-z0-9_.]*"
+
+  /** Strip an optional `db.` qualifier (single flat namespace here —
+    * the db name only selects precision via USE). */
+  private def bare(name: String): String =
+    name.substring(name.indexOf('.') + 1)
+
+  // ------------------------------------------------------------- exec
+
+  /** Execute one DDL / INSERT statement. */
+  def exec(sql: String): Unit = {
+    val stmt = sql.replaceAll("\\s+", " ").trim.stripSuffix(";").trim
+    val up = stmt.toUpperCase
+    if (up.startsWith("CREATE DATABASE")) createDatabase(stmt)
+    else if (up.startsWith("USE ")) {
+      val db = bare(stmt.substring(4).trim)
+      require(databases.contains(db), s"unknown database: $db")
+      currentDb = db
+    }
+    else if (up.startsWith("CREATE STABLE")) createStable(stmt)
+    else if (up.startsWith("CREATE TABLE")) createTable(stmt)
+    else if (up.startsWith("CREATE STREAM")) createStream(stmt)
+    else if (up.startsWith("INSERT INTO")) insert(stmt)
+    else if (up.startsWith("DROP STABLE")) {
+      val n = bare(stmt.split("\\s+").last)
+      stables.remove(n)
+      children.filterInPlace((_, c) => c.stableName != n)
+    }
+    else if (up.startsWith("DROP TABLE")) {
+      children.remove(bare(stmt.split("\\s+").last)); ()
+    }
+    else if (up.startsWith("DROP STREAM")) {
+      streamDefs.remove(bare(stmt.split("\\s+").last)); ()
+    }
+    else throw new IllegalArgumentException(s"unsupported statement: $stmt")
+  }
+
+  private def stripIfNotExists(rest: String): String = {
+    val up = rest.toUpperCase
+    if (up.startsWith("IF NOT EXISTS "))
+      rest.substring("IF NOT EXISTS ".length)
+    else rest
+  }
+
+  /** CREATE DATABASE [IF NOT EXISTS] db [… PRECISION 'ms'|'us'|'ns' …]
+    * (sql.y:923 PRECISION option; other options are accepted and
+    * ignored — replication/retention are cluster knobs Spark owns). */
+  private def createDatabase(stmt: String): Unit = {
+    val rest = stripIfNotExists(stmt.substring("CREATE DATABASE".length).trim)
+    val name = bare(rest.split("\\s+")(0))
+    val per = "(?i)PRECISION\\s+'(ms|us|ns)'".r.findFirstMatchIn(rest)
+      .map(_.group(1).toLowerCase match {
+        case "ms" => 1000L
+        case "us" => 1000000L
+        case "ns" => 1000000000L
+      }).getOrElse(1000000L)
+    databases(name) = Database(name, per)
+    currentDb = name
+  }
+
+  private def colDefs(body: String): Seq[(String, String)] =
+    GraftSql.splitArgs(body).map { d =>
+      val parts = d.trim.split("\\s+", 2)
+      require(parts.length == 2, s"bad column definition: $d")
+      // trailing options (PRIMARY KEY, ENCODE/COMPRESS/LEVEL) ride in
+      // the type text and are ignored by sparkType's prefix match
+      (parts(0), parts(1))
+    }
+
+  /** CREATE STABLE st (ts TIMESTAMP, …) TAGS (t1 T, …)
+    * (sql.y:1066-1092). */
+  private def createStable(stmt: String): Unit = {
+    val rest = stripIfNotExists(stmt.substring("CREATE STABLE".length).trim)
+    val name = bare(rest.split("[\\s(]")(0))
+    val o1 = rest.indexOf('(')
+    val (colsBody, after) = parenGroup(rest, o1)
+    val tail = rest.substring(after).trim
+    require(tail.toUpperCase.startsWith("TAGS"),
+      s"CREATE STABLE needs TAGS(…): $stmt")
+    val (tagsBody, _) = parenGroup(tail, tail.indexOf('('))
+    val st = Stable(name, currentDb, colDefs(colsBody), colDefs(tagsBody))
+    require(st.cols.fields.head.dataType == LongType,
+      "first column must be the TIMESTAMP primary key")
+    stables(name) = st
+  }
+
+  /** CREATE TABLE child USING st [(tagNames)] TAGS (v, …)
+    * (sql.y:1176-1177), or a plain CREATE TABLE t (cols) — modeled as
+    * a tagless stable with one child of the same name. */
+  private def createTable(stmt: String): Unit = {
+    val rest = stripIfNotExists(stmt.substring("CREATE TABLE".length).trim)
+    val usingAt = " USING ".r.findFirstMatchIn(rest.toUpperCase)
+      .map(_.start)
+    usingAt match {
+      case Some(at) =>
+        val child = bare(rest.substring(0, at).trim)
+        if (children.contains(child)) return // idempotent re-create
+        val tail = rest.substring(at + " USING ".length).trim
+        val stTok = tail.split("[\\s(]")(0)
+        makeChild(child, bare(stTok), tail.substring(stTok.length).trim)
+      case None =>
+        val name = bare(rest.split("[\\s(]")(0))
+        val (body, _) = parenGroup(rest, rest.indexOf('('))
+        stables(name) = Stable(name, currentDb, colDefs(body), Nil)
+        children(name) = Child(name, name, Nil, mutable.ArrayBuffer())
+    }
+  }
+
+  /** Parse `[(tagNames)] TAGS (vals)` after `USING st` and create the
+    * child bound to those tag values (missing named tags → null). */
+  private def makeChild(child: String, stName: String,
+      tagPart: String): Unit = {
+    val st = stables.getOrElse(stName,
+      throw new IllegalArgumentException(s"unknown stable: $stName"))
+    var rest = tagPart.trim
+    val names: Seq[String] =
+      if (rest.startsWith("(")) {
+        val (body, after) = parenGroup(rest, 0)
+        rest = rest.substring(after).trim
+        GraftSql.splitArgs(body).map(_.trim)
+      } else st.tagDefs.map(_._1)
+    require(rest.toUpperCase.startsWith("TAGS"),
+      s"USING needs TAGS(…): $tagPart")
+    val (valsBody, _) = parenGroup(rest, rest.indexOf('('))
+    val vals = GraftSql.splitArgs(valsBody)
+    require(vals.length == names.length,
+      s"TAGS arity ${vals.length} != ${names.length} for $child")
+    val byName = names.zip(vals).toMap
+    val tagVals = st.tagDefs.map { case (n, t) =>
+      byName.get(n).map(v => literal(v, sparkType(t))).orNull
+    }
+    children(child) = Child(child, stName, tagVals, mutable.ArrayBuffer())
+  }
+
+  /** INSERT INTO tb1 [USING st [(tagNames)] TAGS(…)] [(cols)] VALUES
+    * (…)+ [tb2 … VALUES (…)+ …] — the reference's multi-table insert
+    * fast path (sql.y:1889-1891, parInsertSql.c) with auto-create
+    * child semantics. Unlisted bound columns land NULL; duplicate-ts
+    * rows resolve last-writer-wins on read. */
+  private def insert(stmt: String): Unit = {
+    var rest = stmt.substring("INSERT INTO".length).trim
+    while (rest.nonEmpty) {
+      val tok = rest.split("[\\s(]")(0)
+      val name = bare(tok)
+      rest = rest.substring(tok.length).trim
+      // optional USING st [(tagNames)] TAGS(...)
+      if (rest.toUpperCase.startsWith("USING ")) {
+        val tail = rest.substring("USING ".length).trim
+        val stTok = tail.split("[\\s(]")(0)
+        val stName = bare(stTok)
+        var p = tail.substring(stTok.length).trim
+        val tagPartStart = p
+        // consume optional (tagNames)
+        if (p.startsWith("(")) p = p.substring(parenGroup(p, 0)._2).trim
+        require(p.toUpperCase.startsWith("TAGS"),
+          s"INSERT USING needs TAGS(…): $stmt")
+        val afterTags = parenGroup(p, p.indexOf('('))._2
+        val consumed = tagPartStart.length - (p.length - afterTags)
+        if (!children.contains(name))
+          makeChild(name, stName, tagPartStart.substring(0, consumed))
+        rest = tagPartStart.substring(consumed).trim
+      }
+      val c = children.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"unknown table $name (add USING st TAGS(…) to auto-create)"))
+      val st = stables(c.stableName)
+      // optional bound-column list, then VALUES
+      var cols: Seq[String] = st.colDefs.map(_._1)
+      if (rest.startsWith("(")) {
+        val (body, after) = parenGroup(rest, 0)
+        cols = GraftSql.splitArgs(body).map(_.trim)
+        rest = rest.substring(after).trim
+      }
+      require(rest.toUpperCase.startsWith("VALUES"),
+        s"expected VALUES in INSERT: $rest")
+      rest = rest.substring("VALUES".length).trim
+      while (rest.startsWith("(")) {
+        val (tuple, after) = parenGroup(rest, 0)
+        rest = rest.substring(after).trim
+        val vals = GraftSql.splitArgs(tuple)
+        require(vals.length == cols.length,
+          s"VALUES arity ${vals.length} != columns ${cols.length}")
+        val byName = cols.zip(vals).toMap
+        val row = st.colDefs.map { case (n, t) =>
+          byName.get(n).map(v => literal(v, sparkType(t))).orNull
+        }
+        seqCounter += 1
+        c.rows += ((row, seqCounter))
+      }
+    }
+  }
+
+  /** CREATE STREAM name [options] INTO out AS select
+    * (sql.y:1623-1711): trigger/watermark options ride in the saved
+    * definition; the SELECT is the calc query. */
+  private def createStream(stmt: String): Unit = {
+    val rest = stripIfNotExists(stmt.substring("CREATE STREAM".length).trim)
+    val tok = rest.split("\\s+")(0)
+    val name = bare(tok)
+    val up = rest.toUpperCase
+    val intoAt = up.indexOf(" INTO ")
+    require(intoAt > 0, s"CREATE STREAM needs INTO: $stmt")
+    val asAt = up.indexOf(" AS ", intoAt)
+    require(asAt > 0, s"CREATE STREAM needs AS <select>: $stmt")
+    val options = rest.substring(tok.length, intoAt).trim
+    val into = bare(rest.substring(intoAt + " INTO ".length, asAt).trim)
+    val select = rest.substring(asAt + " AS ".length).trim
+    streamDefs(name) = StreamDef(name, options, into, select)
+  }
+
+  // ----------------------------------------------------------- reading
+
+  /** Resolve a table name: external registration, stream output,
+    * child table (rows + tags + tbname), or stable (union of its
+    * children). This is the `resolve` to pass to [[GraftSql.query]]. */
+  def table(name0: String): DataFrame = {
+    val name = bare(name0)
+    if (external.contains(name)) external(name)
+    else if (materialized.contains(name)) materialized(name)
+    else if (children.contains(name)) childDf(children(name))
+    else if (stables.contains(name)) {
+      val kids = children.values.filter(_.stableName == name).toSeq
+      require(kids.nonEmpty, s"stable $name has no child tables")
+      kids.map(childDf).reduce(_ unionByName _)
+    }
+    else throw new IllegalArgumentException(s"unknown table: $name")
+  }
+
+  private def childDf(c: Child): DataFrame = {
+    val st = stables(c.stableName)
+    val schema = StructType(st.cols.fields :+ StructField("_seq", LongType))
+    val rows = new java.util.ArrayList[Row](c.rows.length)
+    c.rows.foreach { case (vals, seq) => rows.add(Row.fromSeq(vals :+ seq)) }
+    val base = spark.createDataFrame(rows, schema)
+    val latest = graft.ops.SourceOps
+      .upsertLatest(base, Seq(st.tsCol), "_seq").drop("_seq")
+    val tagged = st.tags.fields.zip(c.tagVals).foldLeft(latest) {
+      case (d, (f, v)) =>
+        d.withColumn(f.name, lit(v).cast(f.dataType))
+    }
+    tagged.withColumn("tbname", lit(c.name))
+  }
+
+  /** Run a stream's calc over the full history of its source tables in
+    * batch (the reference's FILL_HISTORY 1 backfill,
+    * streamBackfill/st.c semantics) and materialize the result as the
+    * stream's INTO table. */
+  def fillHistory(streamName: String): DataFrame = {
+    val sd = streamDefs.getOrElse(streamName,
+      throw new IllegalArgumentException(s"unknown stream: $streamName"))
+    val out = GraftSql.query(spark, table, sd.select,
+      perSecond = perSecond)
+    materialized(sd.into) = out
+    out
+  }
+
+  /** Wire a stream definition onto a live streaming source: the saved
+    * SELECT's INTERVAL/SESSION clause becomes the Structured Streaming
+    * trigger ([[graft.streaming.Streams]]); WATERMARK comes from the
+    * stream options (default 1 minute). */
+  def streamTrigger(streamName: String, src: DataFrame,
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val sd = streamDefs(streamName)
+    val sel = sd.select
+    val up = sel.toUpperCase
+    val wmUs = "(?i)WATERMARK\\s*\\(?\\s*(\\d+[uasmhdw]?)\\s*\\)?".r
+      .findFirstMatchIn(sd.options)
+      .map(m => GraftSql.durNative(m.group(1), 1000000L))
+      .getOrElse(60000000L)
+    val wm = s"${wmUs} microseconds"
+    val keys = "(?i)PARTITION BY\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+      .findFirstMatchIn(sel).map(_.group(1)).toSeq
+    val iv = "(?i)INTERVAL\\s*\\(\\s*([^),]+)\\s*\\)".r
+      .findFirstMatchIn(sel)
+    val sess = "(?i)SESSION\\s*\\(\\s*([^,]+),\\s*([^)]+)\\)".r
+      .findFirstMatchIn(sel)
+    (iv, sess) match {
+      case (Some(m), _) =>
+        val ivUs = GraftSql.durNative(m.group(1).trim, 1000000L)
+        val slide = "(?i)SLIDING\\s*\\(\\s*([^)]+)\\s*\\)".r
+          .findFirstMatchIn(sel)
+          .map(s => GraftSql.durNative(s.group(1).trim, 1000000L))
+          .getOrElse(ivUs)
+        graft.streaming.Streams.intervalTrigger(src, tsCol,
+          s"$ivUs microseconds", s"$slide microseconds", wm, keys, valueCol)
+      case (_, Some(m)) =>
+        val gapUs = GraftSql.durNative(m.group(2).trim, 1000000L)
+        graft.streaming.Streams.sessionTrigger(src, m.group(1).trim,
+          s"$gapUs microseconds", wm, keys)
+      case _ => throw new IllegalArgumentException(
+        s"stream $streamName: no INTERVAL/SESSION trigger in its SELECT")
+    }
+  }
+
+  // ------------------------------------------- information_schema
+
+  import spark.implicits._
+
+  /** information_schema.ins_databases (systable.h:26-112). */
+  def insDatabases: DataFrame =
+    databases.values.toSeq.map { d =>
+      val prec = d.perSecond match {
+        case 1000L => "ms"; case 1000000L => "us"; case _ => "ns"
+      }
+      val n = children.values.count(c => stables(c.stableName).db == d.name)
+      (d.name, prec, n)
+    }.toDF("db_name", "precision", "ntables")
+
+  /** information_schema.ins_stables: one row per super table. */
+  def insStables: DataFrame =
+    stables.values.filter(_.tagDefs.nonEmpty).toSeq.map { st =>
+      (st.name, st.db, st.colDefs.length, st.tagDefs.length,
+        children.values.count(_.stableName == st.name))
+    }.toDF("stable_name", "db_name", "columns", "tags", "child_tables")
+
+  /** information_schema.ins_tags: every (child, tag) value, rendered
+    * as text exactly as the reference does (sysscanoperator.c tag
+    * scan). */
+  def insTags: DataFrame =
+    children.values.toSeq.flatMap { c =>
+      val st = stables(c.stableName)
+      st.tagDefs.zip(c.tagVals).map { case ((tn, tt), v) =>
+        (c.name, st.db, st.name, tn, tt.toUpperCase,
+          Option(v).map(_.toString).orNull)
+      }
+    }.toDF("table_name", "db_name", "stable_name", "tag_name", "tag_type",
+      "tag_value")
+
+  /** information_schema.ins_columns over catalog tables (col_kind
+    * distinguishes data columns from tags). */
+  def insColumns: DataFrame =
+    stables.values.toSeq.flatMap { st =>
+      st.colDefs.zipWithIndex.map { case ((n, t), i) =>
+        (st.name, n, i + 1, t.toUpperCase, "column")
+      } ++ st.tagDefs.zipWithIndex.map { case ((n, t), i) =>
+        (st.name, n, st.colDefs.length + i + 1, t.toUpperCase, "tag")
+      }
+    }.toDF("table_name", "col_name", "ordinal", "col_type", "col_kind")
+
+  /** information_schema.ins_tables over catalog child tables. */
+  def insTables: DataFrame =
+    children.values.toSeq.map { c =>
+      (c.name, stables(c.stableName).db, c.stableName,
+        // upsert-visible row count (post last-writer-wins)
+        c.rows.map(_._1.head).distinct.length.toLong)
+    }.toDF("table_name", "db_name", "stable_name", "n_rows")
+
+  /** information_schema.ins_streams. */
+  def insStreams: DataFrame =
+    streamDefs.values.toSeq.map(s => (s.name, s.into, s.select))
+      .toDF("stream_name", "target_table", "sql")
+}

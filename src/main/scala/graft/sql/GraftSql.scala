@@ -106,7 +106,7 @@ object GraftSql {
   }
 
   /** Split on top-level commas. */
-  private def splitArgs(s: String): Seq[String] = {
+  private[sql] def splitArgs(s: String): Seq[String] = {
     var depth = 0; var inStr = false; val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     s.foreach { c =>
@@ -123,7 +123,7 @@ object GraftSql {
     out.result()
   }
 
-  private def stripOuterParens(s: String): String = {
+  private[sql] def stripOuterParens(s: String): String = {
     val t = s.trim
     if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1)
     else t

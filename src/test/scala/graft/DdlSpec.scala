@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.{GraftCatalog, GraftSql}
+
+/** DDL + INSERT text surface: catalog round-trips, upsert-on-read,
+  * precision metadata, and the CREATE STREAM → Structured Streaming
+  * trigger wiring. */
+class DdlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("create stable / child / insert / select round-trips with tags " +
+      "and tbname") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE d1 PRECISION 'us'")
+    cat.exec("CREATE STABLE meters (ts TIMESTAMP, current DOUBLE, " +
+      "voltage INT) TAGS (location VARCHAR(24), group_id INT)")
+    cat.exec("CREATE TABLE d1001 USING meters TAGS ('SF', 2)")
+    cat.exec("INSERT INTO d1001 VALUES (1000, 10.5, 219) (2000, 11.0, 220)")
+    // named-tag form + auto-create via INSERT
+    cat.exec("INSERT INTO d1002 USING meters (group_id) TAGS (3) " +
+      "VALUES (1500, 9.9, 218)")
+    val rows = cat.table("meters")
+      .orderBy("ts").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("tbname")).toSeq ==
+      Seq("d1001", "d1002", "d1001"))
+    assert(rows(1).getAs[String]("location") == null) // unnamed tag -> null
+    assert(rows(1).getAs[Int]("group_id") == 3)
+    // dialect SELECT over the stable
+    val agg = GraftSql.query(spark, cat.table,
+      "SELECT tbname, count(*) AS n FROM meters GROUP BY tbname " +
+        "ORDER BY tbname").collect()
+    assert(agg.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("d1001", 2L), ("d1002", 1L)))
+  }
+
+  test("duplicate-ts re-insert resolves last-writer-wins (upsert)") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) TAGS (t INT)")
+    cat.exec("INSERT INTO c1 USING st TAGS (1) VALUES (100, 1.0) (200, 2.0)")
+    cat.exec("INSERT INTO c1 VALUES (100, 9.0)")
+    val got = cat.table("c1").orderBy("ts")
+      .select("ts", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((100L, 9.0), (200L, 2.0)))
+  }
+
+  test("bound columns leave unlisted columns NULL; ms precision " +
+      "parses datetime literals to ms ticks") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE msdb PRECISION 'ms'")
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, a DOUBLE, b VARCHAR(8)) " +
+      "TAGS (t INT)")
+    cat.exec("INSERT INTO c USING st TAGS (7) (ts, a) " +
+      "VALUES ('2024-01-01 00:00:00', 5.5)")
+    val r = cat.table("c").head
+    assert(r.getAs[Long]("ts") == 1704067200000L) // ms ticks
+    assert(r.getAs[Double]("a") == 5.5)
+    assert(r.getAs[String]("b") == null)
+  }
+
+  test("drop statements remove catalog objects") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) TAGS (t INT)")
+    cat.exec("CREATE TABLE c1 USING st TAGS (1)")
+    cat.exec("CREATE STREAM s1 INTO o1 AS SELECT count(*) AS n FROM c1")
+    assert(cat.streams.contains("s1"))
+    cat.exec("DROP STREAM s1")
+    cat.exec("DROP TABLE c1")
+    assert(!cat.streams.contains("s1"))
+    intercept[IllegalArgumentException](cat.table("c1"))
+    cat.exec("DROP STABLE st")
+    intercept[IllegalArgumentException](cat.table("st"))
+  }
+
+  test("CREATE STREAM wires onto a live MemoryStream interval trigger") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STREAM s2 TRIGGER WINDOW_CLOSE WATERMARK 1m " +
+      "INTO out2 AS SELECT _wstart, count(*) AS n, sum(value) AS " +
+      "sum_value FROM src PARTITION BY k INTERVAL(1h)")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val src = mem.toDF().toDF("ts", "k", "value")
+    val out = cat.streamTrigger("s2", src)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("ddl_stream_spec")
+      .outputMode("append").start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      mem.addData((t(0), 1L, 1.0), (t(30), 1L, 2.0), (t(65), 1L, 4.0))
+      q.processAllAvailable()
+      // push the watermark past hour 0 and hour 1
+      mem.addData((t(300), 9L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fired = spark.table("ddl_stream_spec")
+      .filter(col("k") === 1).orderBy("_twstart")
+      .select(col("n"), col("sum_value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fired.toSeq == Seq((2L, 3.0), (1L, 4.0)))
+  }
+
+  test("ns precision database scales duration + datetime to ns ticks") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE nsdb PRECISION 'ns'")
+    assert(cat.perSecond == 1000000000L)
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) TAGS (t INT)")
+    cat.exec("INSERT INTO c USING st TAGS (1) " +
+      "VALUES ('2024-01-01 00:00:00', 1.0)")
+    assert(cat.table("c").head.getAs[Long]("ts") == 1704067200000000000L)
+  }
+}
