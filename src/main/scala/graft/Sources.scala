@@ -413,6 +413,46 @@ object Sources {
           expr("ts_us DIV 1000").as("ts_ms"), col("value"))
         .orderBy(col("user_id"), col("event_id"))
     },
+    // ---- TMQ subscription gate (clientTmq.c:989 subscribe,
+    // clientTmq.c:1770 poll loop + committed-offset resume): the topic
+    // is an ingest directory, the consumer group is the checkpoint, a
+    // poll is a micro-batch, and resume-after-restart replays from the
+    // COMMITTED offsets — never re-consuming, never skipping. The gate
+    // ingests two chunks, consumes them, stops the consumer, lands a
+    // third chunk while the consumer is away, restarts from the same
+    // checkpoint, and the consumption log must equal the batch read of
+    // everything ingested — the reference's at-least-once-dedup TMQ
+    // contract, here exactly-once via the file-source offset log. ----
+    "tmq_subscribe_gate" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType,
+        StructField, StructType}
+      val run = streamGateRuns.incrementAndGet()
+      val base = "/tmp/graft_tmq_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + run
+      val (topic, log, ckpt) =
+        (s"$base/topic", s"$base/log", s"$base/ckpt")
+      val slice = ev(s, dir).filter(col("event_id") % 4 === 1)
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("value"))
+      val schema = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts_us", LongType),
+        StructField("value", DoubleType)))
+      def land(m: Int): Unit = slice.filter(col("event_id") % 3 === m)
+        .write.mode("append").parquet(topic)
+      def consume(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(topic)
+          .writeStream.format("parquet")
+          .option("path", log).option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      land(0); land(1)
+      consume() // first subscription: consumes chunks 0-1, commits
+      land(2) // data lands while the consumer is offline
+      consume() // resume from committed offsets: chunk 2 only
+      s.read.parquet(log).orderBy(col("event_id"))
+    },
     // ---- TagScan (tagscanoperator.c): enumerate the tag dimension
     // WITHOUT touching data columns. Tags are denormalized columns here
     // (SURVEY §1.1), so this is a 2-column pruned scan + distinct — the
@@ -660,6 +700,11 @@ object Sources {
     "block_dist" ->
       """SELECT (SELECT count(*) FROM events) AS total_rows,
            true AS has_groups""",
+    // the consumption log vs the batch read of the same ingested slice:
+    // a mismatch means resume re-consumed or skipped an offset
+    "tmq_subscribe_gate" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+         FROM events WHERE event_id % 4 = 1 ORDER BY event_id""",
     "tag_scan" ->
       """WITH t AS (SELECT DISTINCT user_id, event_type FROM events)
          SELECT user_id, count(*) AS n_types,
