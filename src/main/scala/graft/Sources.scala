@@ -27,6 +27,22 @@ object Sources {
   // stream query inside one JVM
   private val streamGateRuns = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Wipe-and-recreate a gate's scratch directory. The per-JVM run
+    * counter alone is NOT unique across JVMs: a test-suite run and a
+    * later Verify run both start at 1, and a stale topic/checkpoint
+    * from the first JVM silently corrupts the second (committed
+    * offsets skip files; appended topics double rows). */
+  private def freshGateDir(path: String): String = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val d = new java.io.File(path)
+    if (d.exists()) rm(d)
+    d.mkdirs()
+    path
+  }
+
   /** µs-exact java.sql.Timestamp (the plain ms constructor would
     * truncate sub-ms digits and could shift a window/gap boundary). */
   private def usTimestamp(us: Long): java.sql.Timestamp = {
@@ -347,9 +363,9 @@ object Sources {
       val mem = MemoryStream[(Long, Long, Long, String, Double)]
       val src = mem.toDF()
         .toDF("ts", "user_id", "event_id", "event_type", "value")
-      val path = "/tmp/graft_lastrow_" +
+      val path = freshGateDir("/tmp/graft_lastrow_" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-        streamGateRuns.incrementAndGet()
+        streamGateRuns.incrementAndGet())
       val q = src.writeStream
         .foreachBatch(graft.streaming.LatestRows
           .maintainer(s, path, Seq("user_id"), "ts", buckets = 4,
@@ -427,8 +443,8 @@ object Sources {
       import org.apache.spark.sql.types.{DoubleType, LongType,
         StructField, StructType}
       val run = streamGateRuns.incrementAndGet()
-      val base = "/tmp/graft_tmq_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + run
+      val base = freshGateDir("/tmp/graft_tmq_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + run)
       val (topic, log, ckpt) =
         (s"$base/topic", s"$base/log", s"$base/ckpt")
       val slice = ev(s, dir).filter(col("event_id") % 4 === 1)
