@@ -86,6 +86,41 @@ object Ddl {
       cat.fillHistory("hourly")
       cat.table("hourly_out").orderBy("_wstart")
     },
+    // ALTER STABLE ADD COLUMN/ADD TAG + ALTER TABLE SET TAG: rows from
+    // before the ALTER read back with the new column NULL, rows from
+    // after carry values, and the re-bound tag is visible on its child
+    "ddl_alter_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("ALTER STABLE nat ADD COLUMN v2 DOUBLE")
+      cat.exec("ALTER STABLE nat ADD TAG grp INT")
+      cat.exec("ALTER TABLE nat_0 SET TAG grp = 7")
+      val nations = Tables(s, dir, "nation")
+        .select("n_nationkey").collect().map(_.getInt(0)).sorted
+      cat.exec("INSERT INTO " + nations.map { k =>
+        s"nat_$k VALUES (${T0 + k.toLong * H + 1800000000L}, " +
+          s"${k * 2.5}, ${k * 0.5})"
+      }.mkString(" "))
+      cat.sql("SELECT tbname, n_name, grp, ts, v, v2 FROM nat ORDER BY ts")
+    },
+    // DELETE FROM: ts-range delete on the stable + whole-child delete
+    "ddl_delete_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec(s"DELETE FROM nat WHERE ts >= ${T0 + 12 * H}")
+      cat.exec("DELETE FROM nat_3")
+      cat.sql("SELECT tbname, ts, v FROM nat ORDER BY ts")
+    },
+    // DESCRIBE: field/type/length/note with tags after data columns
+    "ddl_describe_gate" -> { (s, dir) =>
+      demo(s, dir).sql("DESCRIBE nat").orderBy("field")
+    },
+    // CREATE TOPIC + SHOW TOPICS (the consume path is oracle-gated by
+    // tmq_subscribe_gate; this pins the text surface + listing)
+    "ddl_topic_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE TOPIC nat_topic AS SELECT ts, v FROM nat")
+      cat.exec("CREATE TOPIC db_topic AS DATABASE graftdb")
+      cat.sql("SHOW TOPICS").orderBy("topic_name")
+    },
     // information_schema over the DDL-built catalog
     "ins_stables_gate" -> { (s, dir) =>
       demo(s, dir).insStables.orderBy("stable_name")
@@ -98,6 +133,37 @@ object Ddl {
     })
 
   def oracleSql: Map[String, String] = Map(
+    "ddl_alter_gate" ->
+      s"""SELECT * FROM (
+            SELECT 'nat_' || n_nationkey AS tbname, n_name,
+              CASE WHEN n_nationkey = 0 THEN 7 END AS grp,
+              $T0 + n_nationkey * $H AS ts, n_nationkey * 1.5 AS v,
+              CAST(NULL AS DOUBLE) AS v2
+            FROM nation
+            UNION ALL
+            SELECT 'nat_' || n_nationkey, n_name,
+              CASE WHEN n_nationkey = 0 THEN 7 END,
+              $T0 + n_nationkey * $H + 1800000000,
+              n_nationkey * 2.5, n_nationkey * 0.5
+            FROM nation)
+          ORDER BY ts""",
+    "ddl_delete_gate" ->
+      s"""SELECT 'nat_' || n_nationkey AS tbname,
+            $T0 + n_nationkey * $H AS ts, n_nationkey * 1.5 AS v
+          FROM nation WHERE n_nationkey < 12 AND n_nationkey <> 3
+          ORDER BY ts""",
+    "ddl_describe_gate" ->
+      """SELECT * FROM (VALUES
+           ('n_name', 'VARCHAR', 32, 'TAG'),
+           ('n_regionkey', 'INT', 4, 'TAG'),
+           ('ts', 'TIMESTAMP', 8, ''),
+           ('v', 'DOUBLE', 8, ''))
+         AS t(field, type, length, note) ORDER BY field""",
+    "ddl_topic_gate" ->
+      """SELECT * FROM (VALUES
+           ('db_topic', 'graftdb', 'DATABASE graftdb'),
+           ('nat_topic', 'graftdb', 'SELECT ts, v FROM nat'))
+         AS t(topic_name, db_name, subject) ORDER BY topic_name""",
     "ddl_roundtrip_gate" ->
       s"""SELECT 'nat_' || n_nationkey AS tbname, n_name, n_regionkey,
             $T0 + n_nationkey * $H AS ts, n_nationkey * 1.5 AS v

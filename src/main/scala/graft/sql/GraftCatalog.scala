@@ -49,6 +49,7 @@ class GraftCatalog(val spark: SparkSession) {
   }
   case class StreamDef(name: String, options: String, into: String,
       select: String)
+  case class TopicDef(name: String, db: String, subject: String)
 
   private case class Child(name: String, stableName: String,
       tagVals: Seq[Any], rows: mutable.ArrayBuffer[(Seq[Any], Long)])
@@ -61,6 +62,7 @@ class GraftCatalog(val spark: SparkSession) {
   private val external = mutable.LinkedHashMap[String, DataFrame]()
   private val materialized = mutable.LinkedHashMap[String, DataFrame]()
   private val streamDefs = mutable.LinkedHashMap[String, StreamDef]()
+  private val topicDefs = mutable.LinkedHashMap[String, TopicDef]()
   private var seqCounter = 0L
 
   /** Ticks/second of the current database (PRECISION 'ms'|'us'|'ns'). */
@@ -184,7 +186,14 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("CREATE STABLE")) createStable(stmt)
     else if (up.startsWith("CREATE TABLE")) createTable(stmt)
     else if (up.startsWith("CREATE STREAM")) createStream(stmt)
+    else if (up.startsWith("CREATE TOPIC")) createTopic(stmt)
     else if (up.startsWith("INSERT INTO")) insert(stmt)
+    else if (up.startsWith("ALTER STABLE") || up.startsWith("ALTER TABLE"))
+      alter(stmt)
+    else if (up.startsWith("DELETE FROM")) delete(stmt)
+    else if (up.startsWith("DROP TOPIC")) {
+      topicDefs.remove(bare(stmt.split("\\s+").last)); ()
+    }
     else if (up.startsWith("DROP STABLE")) {
       val n = bare(stmt.split("\\s+").last)
       stables.remove(n)
@@ -372,6 +381,160 @@ class GraftCatalog(val spark: SparkSession) {
     streamDefs(name) = StreamDef(name, options, into, select)
   }
 
+  /** CREATE TOPIC name AS {subquery | DATABASE db | STABLE st}
+    * (sql.y:1562-1580): registers the subscription subject; the
+    * consume path is file-source Structured Streaming (the
+    * `tmq_subscribe_gate` contract), so the catalog only owns the
+    * definition + listing. */
+  private def createTopic(stmt: String): Unit = {
+    val rest = stripIfNotExists(stmt.substring("CREATE TOPIC".length).trim)
+    val tok = rest.split("\\s+")(0)
+    val name = bare(tok)
+    val tail = rest.substring(tok.length).trim
+    require(tail.toUpperCase.startsWith("AS "),
+      s"CREATE TOPIC needs AS <subject>: $stmt")
+    topicDefs(name) = TopicDef(name, currentDb, tail.substring(3).trim)
+  }
+
+  /** ALTER STABLE st ADD/DROP/MODIFY COLUMN | ADD/DROP/MODIFY/RENAME
+    * TAG (sql.y:1092-1175), and ALTER TABLE child SET TAG t=v [, …].
+    * Existing rows see an added column as NULL; a dropped column's
+    * stored values are discarded — the reference's schema-evolution
+    * contract (schema version bump, old blocks padded on read). */
+  private def alter(stmt: String): Unit = {
+    val onStable = stmt.toUpperCase.startsWith("ALTER STABLE")
+    val kw = if (onStable) "ALTER STABLE" else "ALTER TABLE"
+    val rest = stmt.substring(kw.length).trim
+    val tok = rest.split("\\s+")(0)
+    val name = bare(tok)
+    val action = rest.substring(tok.length).trim
+    val up = action.toUpperCase
+    if (up.startsWith("SET TAG ")) return setTags(name, action)
+    // regular tables are modeled as a tagless stable of the same name,
+    // so ALTER TABLE t ADD COLUMN … resolves to its stable
+    require(stables.contains(name), s"unknown ${if (onStable) "stable"
+      else "table"}: $name")
+    val st = stables(name)
+    def oneDef(s: String): (String, String) = {
+      val p = s.trim.split("\\s+", 2)
+      require(p.length == 2, s"bad column/tag definition: $s")
+      (p(0), p(1))
+    }
+    def kids = children.values.filter(_.stableName == name)
+    if (up.startsWith("ADD COLUMN ")) {
+      val d = oneDef(action.substring("ADD COLUMN ".length))
+      stables(name) = st.copy(colDefs = st.colDefs :+ d)
+      kids.foreach(c => c.rows.mapInPlace {
+        case (r, seq) => (r :+ null, seq) })
+    } else if (up.startsWith("DROP COLUMN ")) {
+      val cn = action.substring("DROP COLUMN ".length).trim
+      val i = st.colDefs.indexWhere(_._1.equalsIgnoreCase(cn))
+      require(i > 0, if (i == 0)
+        s"cannot drop the TIMESTAMP primary key $cn" else
+        s"unknown column $cn on $name")
+      stables(name) = st.copy(colDefs =
+        st.colDefs.patch(i, Nil, 1))
+      kids.foreach(c => c.rows.mapInPlace {
+        case (r, seq) => (r.patch(i, Nil, 1), seq) })
+    } else if (up.startsWith("MODIFY COLUMN ")) {
+      val d = oneDef(action.substring("MODIFY COLUMN ".length))
+      val i = st.colDefs.indexWhere(_._1.equalsIgnoreCase(d._1))
+      require(i >= 0, s"unknown column ${d._1} on $name")
+      // the reference only allows widening var-length types — the
+      // runtime representation is unchanged, so stored values stand
+      stables(name) = st.copy(colDefs = st.colDefs.updated(i, d))
+    } else if (up.startsWith("ADD TAG ")) {
+      val d = oneDef(action.substring("ADD TAG ".length))
+      stables(name) = st.copy(tagDefs = st.tagDefs :+ d)
+      kids.toSeq.foreach(c =>
+        children(c.name) = c.copy(tagVals = c.tagVals :+ null))
+    } else if (up.startsWith("DROP TAG ")) {
+      val tn = action.substring("DROP TAG ".length).trim
+      val i = st.tagDefs.indexWhere(_._1.equalsIgnoreCase(tn))
+      require(i >= 0, s"unknown tag $tn on $name")
+      stables(name) = st.copy(tagDefs = st.tagDefs.patch(i, Nil, 1))
+      kids.toSeq.foreach(c =>
+        children(c.name) = c.copy(tagVals = c.tagVals.patch(i, Nil, 1)))
+    } else if (up.startsWith("RENAME TAG ")) {
+      val p = action.substring("RENAME TAG ".length).trim.split("\\s+")
+      require(p.length == 2, s"RENAME TAG needs old new: $action")
+      val i = st.tagDefs.indexWhere(_._1.equalsIgnoreCase(p(0)))
+      require(i >= 0, s"unknown tag ${p(0)} on $name")
+      stables(name) = st.copy(tagDefs =
+        st.tagDefs.updated(i, (p(1), st.tagDefs(i)._2)))
+    } else if (up.startsWith("MODIFY TAG ")) {
+      val d = oneDef(action.substring("MODIFY TAG ".length))
+      val i = st.tagDefs.indexWhere(_._1.equalsIgnoreCase(d._1))
+      require(i >= 0, s"unknown tag ${d._1} on $name")
+      stables(name) = st.copy(tagDefs = st.tagDefs.updated(i, d))
+    } else throw new IllegalArgumentException(
+      s"unsupported ALTER action: $action")
+  }
+
+  /** ALTER TABLE child SET TAG t1=v1 [, t2=v2 …] (sql.y:1160). */
+  private def setTags(childName: String, action: String): Unit = {
+    val c = children.getOrElse(childName,
+      throw new IllegalArgumentException(s"unknown table: $childName"))
+    val st = stables(c.stableName)
+    var vals = c.tagVals
+    GraftSql.splitArgs(action.substring("SET TAG ".length)).foreach { kv =>
+      val eq = kv.indexOf('=')
+      require(eq > 0, s"SET TAG needs t=v: $kv")
+      val tn = kv.substring(0, eq).trim
+      val i = st.tagDefs.indexWhere(_._1.equalsIgnoreCase(tn))
+      require(i >= 0, s"unknown tag $tn on ${st.name}")
+      vals = vals.updated(i,
+        literal(kv.substring(eq + 1), sparkType(st.tagDefs(i)._2)))
+    }
+    children(childName) = c.copy(tagVals = vals)
+  }
+
+  /** DELETE FROM tb [WHERE <ts conditions>] (sql.y:1896; the reference
+    * only supports timestamp-range predicates on delete —
+    * parTranslater.c checkDelete). No WHERE = delete all rows. */
+  private def delete(stmt: String): Unit = {
+    val rest = stmt.substring("DELETE FROM".length).trim
+    val tok = rest.split("\\s+")(0)
+    val name = bare(tok)
+    val condTxt = {
+      val t = rest.substring(tok.length).trim
+      if (t.isEmpty) "" else {
+        require(t.toUpperCase.startsWith("WHERE "),
+          s"expected WHERE in DELETE: $stmt")
+        t.substring("WHERE ".length).trim
+      }
+    }
+    val targets: Seq[Child] =
+      if (children.contains(name)) Seq(children(name))
+      else if (stables.contains(name))
+        children.values.filter(_.stableName == name).toSeq
+      else throw new IllegalArgumentException(s"unknown table: $name")
+    if (targets.isEmpty) return
+    val tsCol = stables(targets.head.stableName).tsCol
+    // conjunction of `ts <op> literal` predicates on the ts primary key
+    val cmp = s"(?i)\\b$tsCol\\b\\s*(<=|>=|<|>|=)\\s*('[^']*'|\\S+)".r
+    val preds = if (condTxt.isEmpty) Seq((">=", Long.MinValue)) else {
+      val ps = cmp.findAllMatchIn(condTxt).map { m =>
+        (m.group(1), literal(m.group(2), LongType).asInstanceOf[Long])
+      }.toSeq
+      require(ps.nonEmpty && condTxt.toUpperCase.split("\\bAND\\b")
+        .length == ps.length,
+        s"DELETE supports only AND-ed $tsCol range predicates: $condTxt")
+      ps
+    }
+    def hit(ts: Long): Boolean = preds.forall {
+      case ("<", v) => ts < v
+      case ("<=", v) => ts <= v
+      case (">", v) => ts > v
+      case (">=", v) => ts >= v
+      case ("=", v) => ts == v
+      case _ => false
+    }
+    targets.foreach(_.rows.filterInPlace {
+      case (row, _) => !hit(row.head.asInstanceOf[Long])
+    })
+  }
+
   // ----------------------------------------------------------- reading
 
   /** Resolve a table name: external registration, stream output,
@@ -513,4 +676,65 @@ class GraftCatalog(val spark: SparkSession) {
   def insStreams: DataFrame =
     streamDefs.values.toSeq.map(s => (s.name, s.into, s.select))
       .toDF("stream_name", "target_table", "sql")
+
+  /** information_schema.ins_topics. */
+  def insTopics: DataFrame =
+    topicDefs.values.toSeq.map(t => (t.name, t.db, t.subject))
+      .toDF("topic_name", "db_name", "subject")
+
+  // --------------------------------------------------- text dispatch
+
+  /** Byte width the reference reports per type in DESCRIBE/ins_columns
+    * (tdataformat.h fixed sizes; var types report their declared
+    * bound). */
+  private def typeLen(t: String): Int = {
+    val u = t.trim.toUpperCase
+    val varLen = "(?:VARCHAR|BINARY|NCHAR|VARBINARY|GEOMETRY)\\s*\\((\\d+)\\)".r
+    u match {
+      case varLen(n) => n.toInt
+      case x if x.startsWith("BOOL") || x.startsWith("TINYINT") => 1
+      case x if x.startsWith("SMALLINT") => 2
+      case x if x.startsWith("INT ") || x == "INT" ||
+        x.startsWith("FLOAT") => 4
+      case x if x.startsWith("JSON") => 4095
+      case _ => 8 // BIGINT, DOUBLE, TIMESTAMP, DECIMAL64…
+    }
+  }
+
+  /** DESCRIBE tb (sql.y:1596): field | type | length | note, data
+    * columns first then tags, exactly the reference's column order. */
+  def describe(name0: String): DataFrame = {
+    val name = bare(name0)
+    val st =
+      if (stables.contains(name)) stables(name)
+      else if (children.contains(name)) stables(children(name).stableName)
+      else throw new IllegalArgumentException(s"unknown table: $name")
+    def render(t: String): String = {
+      val u = t.trim.toUpperCase
+      if (u.startsWith("DECIMAL")) u.replaceAll("\\s+", "")
+      else u.replaceAll("\\(\\d+\\)", "").split("\\s+")(0)
+    }
+    (st.colDefs.map { case (n, t) => (n, render(t), typeLen(t), "") } ++
+      st.tagDefs.map { case (n, t) => (n, render(t), typeLen(t), "TAG") })
+      .toDF("field", "type", "length", "note")
+  }
+
+  /** One text entry point for the full surface: SELECT goes through
+    * the dialect front end, SHOW/DESCRIBE serve catalog metadata, and
+    * everything else is DDL/DML via [[exec]] (returning an empty OK
+    * frame, as the reference's taos shell does). */
+  def sql(stmt0: String): DataFrame = {
+    val stmt = stmt0.replaceAll("\\s+", " ").trim.stripSuffix(";").trim
+    val up = stmt.toUpperCase
+    if (up.startsWith("SELECT"))
+      GraftSql.query(spark, table, stmt, perSecond = perSecond)
+    else if (up.startsWith("SHOW DATABASES")) insDatabases
+    else if (up.startsWith("SHOW STABLES")) insStables
+    else if (up.startsWith("SHOW TABLES")) insTables
+    else if (up.startsWith("SHOW STREAMS")) insStreams
+    else if (up.startsWith("SHOW TOPICS")) insTopics
+    else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
+      describe(stmt.split("\\s+").last)
+    else { exec(stmt); spark.emptyDataFrame }
+  }
 }

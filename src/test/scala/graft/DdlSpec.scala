@@ -104,6 +104,61 @@ class DdlSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("ALTER drop/modify/rename reshape columns and tags in place") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, a DOUBLE, b VARCHAR(8)) " +
+      "TAGS (t1 INT, t2 VARCHAR(4))")
+    cat.exec("INSERT INTO c USING st TAGS (1, 'x') VALUES (100, 1.5, 'hi')")
+    cat.exec("ALTER STABLE st DROP COLUMN b")
+    assert(cat.table("c").columns.toSeq ==
+      Seq("ts", "a", "t1", "t2", "tbname"))
+    assert(cat.table("c").head.getAs[Double]("a") == 1.5)
+    cat.exec("ALTER STABLE st MODIFY COLUMN a DOUBLE")
+    cat.exec("ALTER STABLE st RENAME TAG t2 t2r")
+    assert(cat.table("c").head.getAs[String]("t2r") == "x")
+    cat.exec("ALTER STABLE st DROP TAG t1")
+    assert(!cat.table("c").columns.contains("t1"))
+    cat.exec("ALTER STABLE st MODIFY TAG t2r VARCHAR(16)")
+    assert(cat.describe("st").collect()
+      .find(_.getString(0) == "t2r").get.getInt(2) == 16)
+    intercept[IllegalArgumentException](
+      cat.exec("ALTER STABLE st DROP COLUMN ts"))
+  }
+
+  test("DELETE parses datetime literals and deletes all rows without " +
+      "WHERE") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE deldb PRECISION 'ms'")
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) TAGS (t INT)")
+    cat.exec("INSERT INTO c USING st TAGS (1) " +
+      "VALUES ('2024-01-01 00:00:00', 1.0) ('2024-01-02 00:00:00', 2.0)")
+    cat.exec("DELETE FROM st WHERE ts >= '2024-01-02 00:00:00'")
+    assert(cat.table("c").count() == 1)
+    cat.exec("DELETE FROM c")
+    assert(cat.table("c").count() == 0)
+    intercept[IllegalArgumentException](
+      cat.exec("DELETE FROM c WHERE v > 1")) // non-ts predicate refused
+  }
+
+  test("sql() dispatches SHOW/DESCRIBE/SELECT/DDL from one entry point") {
+    val cat = new GraftCatalog(spark)
+    cat.sql("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) TAGS (t INT)")
+    cat.sql("INSERT INTO c USING st TAGS (1) VALUES (100, 1.0)")
+    assert(cat.sql("SHOW DATABASES").columns.contains("db_name"))
+    assert(cat.sql("SHOW STABLES").count() == 1)
+    assert(cat.sql("SHOW TABLES").count() == 1)
+    assert(cat.sql("SHOW STREAMS").count() == 0)
+    cat.sql("CREATE TOPIC tp AS SELECT * FROM st")
+    assert(cat.sql("SHOW TOPICS").count() == 1)
+    cat.sql("DROP TOPIC tp")
+    assert(cat.sql("SHOW TOPICS").count() == 0)
+    // DESCRIBE on a child resolves through its stable
+    assert(cat.sql("DESC c").collect().map(_.getString(0)).toSeq ==
+      Seq("ts", "v", "t"))
+    assert(cat.sql("SELECT sum(v) AS s FROM st")
+      .head.get(0).toString.toDouble == 1.0)
+  }
+
   test("ns precision database scales duration + datetime to ns ticks") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE DATABASE nsdb PRECISION 'ns'")
