@@ -113,6 +113,14 @@ object Ddl {
     "ddl_describe_gate" -> { (s, dir) =>
       demo(s, dir).sql("DESCRIBE nat").orderBy("field")
     },
+    // CREATE VIEW: saved dialect query, re-planned per read
+    "ddl_view_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE VIEW big_nat AS " +
+        "SELECT tbname, n_regionkey, v FROM nat WHERE v > 10")
+      cat.sql("SELECT n_regionkey, count(*) AS n, sum(v) AS sum_v " +
+        "FROM big_nat GROUP BY n_regionkey ORDER BY n_regionkey")
+    },
     // CREATE TOPIC + SHOW TOPICS (the consume path is oracle-gated by
     // tmq_subscribe_gate; this pins the text surface + listing)
     "ddl_topic_gate" -> { (s, dir) =>
@@ -159,6 +167,10 @@ object Ddl {
            ('ts', 'TIMESTAMP', 8, ''),
            ('v', 'DOUBLE', 8, ''))
          AS t(field, type, length, note) ORDER BY field""",
+    "ddl_view_gate" ->
+      """SELECT n_regionkey, count(*) AS n, sum(v) AS sum_v FROM (
+           SELECT n_regionkey, n_nationkey * 1.5 AS v FROM nation)
+         WHERE v > 10 GROUP BY n_regionkey ORDER BY n_regionkey""",
     "ddl_topic_gate" ->
       """SELECT * FROM (VALUES
            ('db_topic', 'graftdb', 'DATABASE graftdb'),

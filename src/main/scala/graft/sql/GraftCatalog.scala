@@ -63,6 +63,7 @@ class GraftCatalog(val spark: SparkSession) {
   private val materialized = mutable.LinkedHashMap[String, DataFrame]()
   private val streamDefs = mutable.LinkedHashMap[String, StreamDef]()
   private val topicDefs = mutable.LinkedHashMap[String, TopicDef]()
+  private val viewDefs = mutable.LinkedHashMap[String, String]()
   private var seqCounter = 0L
 
   /** Ticks/second of the current database (PRECISION 'ms'|'us'|'ns'). */
@@ -187,6 +188,19 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("CREATE TABLE")) createTable(stmt)
     else if (up.startsWith("CREATE STREAM")) createStream(stmt)
     else if (up.startsWith("CREATE TOPIC")) createTopic(stmt)
+    else if (up.startsWith("CREATE VIEW")) {
+      // CREATE VIEW v AS <select> (sql.y:1615-1618): saved query,
+      // re-planned at each read so it tracks later DDL/DML
+      val rest = stripIfNotExists(stmt.substring("CREATE VIEW".length).trim)
+      val tok = rest.split("\\s+")(0)
+      val tail = rest.substring(tok.length).trim
+      require(tail.toUpperCase.startsWith("AS "),
+        s"CREATE VIEW needs AS <select>: $stmt")
+      viewDefs(bare(tok)) = tail.substring(3).trim
+    }
+    else if (up.startsWith("DROP VIEW")) {
+      viewDefs.remove(bare(stmt.split("\\s+").last)); ()
+    }
     else if (up.startsWith("INSERT INTO")) insert(stmt)
     else if (up.startsWith("ALTER STABLE") || up.startsWith("ALTER TABLE"))
       alter(stmt)
@@ -544,13 +558,44 @@ class GraftCatalog(val spark: SparkSession) {
     val name = bare(name0)
     if (external.contains(name)) external(name)
     else if (materialized.contains(name)) materialized(name)
+    else if (viewDefs.contains(name))
+      GraftSql.query(spark, table, viewDefs(name), perSecond = perSecond)
     else if (children.contains(name)) childDf(children(name))
-    else if (stables.contains(name)) {
-      val kids = children.values.filter(_.stableName == name).toSeq
-      require(kids.nonEmpty, s"stable $name has no child tables")
-      kids.map(childDf).reduce(_ unionByName _)
-    }
+    else if (stables.contains(name)) stableDf(name)
     else throw new IllegalArgumentException(s"unknown table: $name")
+  }
+
+  /** Stable read = ONE combined rows frame (upsert keyed on
+    * (tbname, ts)) + ONE broadcast join against the tag dimension —
+    * not an N-way union of per-child frames. The union form costs a
+    * planner node per child (the reference fans a stable out to
+    * millions of children); the dimension-join form is the same shape
+    * the parquet-backed path uses: tags live in a small dim table
+    * keyed by tbname (SURVEY §1.1). */
+  private def stableDf(name: String): DataFrame = {
+    val st = stables(name)
+    val kids = children.values.filter(_.stableName == name).toSeq
+    require(kids.nonEmpty, s"stable $name has no child tables")
+    val rowSchema = StructType(st.cols.fields :+
+      StructField("_seq", LongType) :+ StructField("tbname", StringType))
+    val rows = new java.util.ArrayList[Row]()
+    kids.foreach(c => c.rows.foreach { case (vals, seq) =>
+      rows.add(Row.fromSeq(vals :+ seq :+ c.name)) })
+    val latest = graft.ops.SourceOps
+      .upsertLatest(spark.createDataFrame(rows, rowSchema),
+        Seq("tbname", st.tsCol), "_seq").drop("_seq")
+    if (st.tags.fields.isEmpty)
+      latest.select((st.cols.fieldNames :+ "tbname").map(col): _*)
+    else {
+      val tagSchema = StructType(
+        StructField("tbname", StringType) +: st.tags.fields)
+      val tagRows = new java.util.ArrayList[Row](kids.length)
+      kids.foreach(c => tagRows.add(Row.fromSeq(c.name +: c.tagVals)))
+      val dim = spark.createDataFrame(tagRows, tagSchema)
+      latest.join(broadcast(dim), "tbname")
+        .select((st.cols.fieldNames ++ st.tags.fieldNames :+
+          "tbname").map(col): _*)
+    }
   }
 
   private def childDf(c: Child): DataFrame = {

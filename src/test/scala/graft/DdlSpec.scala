@@ -155,8 +155,15 @@ class DdlSpec extends AnyFunSuite {
     // DESCRIBE on a child resolves through its stable
     assert(cat.sql("DESC c").collect().map(_.getString(0)).toSeq ==
       Seq("ts", "v", "t"))
+    // views resolve through the dialect and track later inserts
+    cat.sql("CREATE VIEW vw AS SELECT ts, v FROM st WHERE v > 0")
+    assert(cat.sql("SELECT count(*) AS n FROM vw").head.getLong(0) == 1L)
+    cat.sql("INSERT INTO c VALUES (200, 2.0)")
+    assert(cat.sql("SELECT count(*) AS n FROM vw").head.getLong(0) == 2L)
+    cat.sql("DROP VIEW vw")
+    intercept[IllegalArgumentException](cat.table("vw"))
     assert(cat.sql("SELECT sum(v) AS s FROM st")
-      .head.get(0).toString.toDouble == 1.0)
+      .head.get(0).toString.toDouble == 3.0) // 1.0 + the 2.0 row above
   }
 
   test("ns precision database scales duration + datetime to ns ticks") {
