@@ -138,6 +138,12 @@ object Ddl {
     },
     "ins_databases_gate" -> { (s, dir) =>
       demo(s, dir).insDatabases.orderBy("db_name")
+    },
+    // information_schema served through the dialect text path
+    "ins_columns_gate" -> { (s, dir) =>
+      demo(s, dir).sql("SELECT table_name, col_name, ordinal, col_type, " +
+        "col_kind FROM information_schema.ins_columns " +
+        "ORDER BY table_name, ordinal")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -213,5 +219,17 @@ object Ddl {
       """SELECT * FROM (VALUES
            ('default', 'us', 0), ('graftdb', 'us', 66))
          AS t(db_name, precision, ntables)
-         ORDER BY db_name""")
+         ORDER BY db_name""",
+    "ins_columns_gate" ->
+      """SELECT * FROM (VALUES
+           ('cm', 'ts', 1, 'TIMESTAMP', 'column'),
+           ('cm', 'bal', 2, 'DOUBLE', 'column'),
+           ('cm', 'note', 3, 'VARCHAR(8)', 'column'),
+           ('cm', 'seg', 4, 'VARCHAR(16)', 'tag'),
+           ('nat', 'ts', 1, 'TIMESTAMP', 'column'),
+           ('nat', 'v', 2, 'DOUBLE', 'column'),
+           ('nat', 'n_name', 3, 'VARCHAR(32)', 'tag'),
+           ('nat', 'n_regionkey', 4, 'INT', 'tag'))
+         AS t(table_name, col_name, ordinal, col_type, col_kind)
+         ORDER BY table_name, ordinal""")
 }

@@ -1,6 +1,7 @@
 package graft.sql
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -562,6 +563,15 @@ class GraftCatalog(val spark: SparkSession) {
       GraftSql.query(spark, table, viewDefs(name), perSecond = perSecond)
     else if (children.contains(name)) childDf(children(name))
     else if (stables.contains(name)) stableDf(name)
+    // `FROM information_schema.ins_x` arrives here as `ins_x` (the
+    // db qualifier is stripped); user tables of the same name shadow
+    else if (name == "ins_databases") insDatabases
+    else if (name == "ins_stables") insStables
+    else if (name == "ins_tables") insTables
+    else if (name == "ins_tags") insTags
+    else if (name == "ins_columns") insColumns
+    else if (name == "ins_streams") insStreams
+    else if (name == "ins_topics") insTopics
     else throw new IllegalArgumentException(s"unknown table: $name")
   }
 
@@ -773,6 +783,45 @@ class GraftCatalog(val spark: SparkSession) {
     val up = stmt.toUpperCase
     if (up.startsWith("SELECT"))
       GraftSql.query(spark, table, stmt, perSecond = perSecond)
+    else if (up.startsWith("EXPLAIN ")) {
+      // EXPLAIN <select> (sql.y:1738): the physical plan, one row per
+      // line — Spark's plan is the honest answer here
+      val df = sql(stmt.substring("EXPLAIN ".length))
+      val lines = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+        .linesIterator.toSeq
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](lines.map(Row(_)).asJava),
+        StructType(Seq(StructField("plan_line", StringType))))
+    }
+    else if (up.startsWith("SHOW CREATE STABLE ") ||
+        up.startsWith("SHOW CREATE TABLE ")) {
+      val name = bare(stmt.split("\\s+").last)
+      val ddl =
+        if (children.contains(name) &&
+            children(name).stableName != name) {
+          val c = children(name)
+          val st = stables(c.stableName)
+          val tags = st.tagDefs.zip(c.tagVals).map { case ((_, t), v) =>
+            if (v == null) "NULL"
+            else if (sparkType(t) == StringType)
+              "'" + v.toString.replace("'", "''") + "'"
+            else v.toString
+          }.mkString(", ")
+          s"CREATE TABLE `$name` USING `${st.name}` TAGS ($tags)"
+        } else {
+          val st = stables.getOrElse(name, throw
+            new IllegalArgumentException(s"unknown table: $name"))
+          val cols = st.colDefs.map { case (n, t) => s"`$n` $t" }
+            .mkString(", ")
+          val tags =
+            if (st.tagDefs.isEmpty) ""
+            else st.tagDefs.map { case (n, t) => s"`$n` $t" }
+              .mkString(" TAGS (", ", ", ")")
+          s"CREATE STABLE `$name` ($cols)$tags"
+        }
+      Seq((name, ddl)).toDF("table_name", "create_sql")
+    }
     else if (up.startsWith("SHOW DATABASES")) insDatabases
     else if (up.startsWith("SHOW STABLES")) insStables
     else if (up.startsWith("SHOW TABLES")) insTables

@@ -162,6 +162,19 @@ class DdlSpec extends AnyFunSuite {
     assert(cat.sql("SELECT count(*) AS n FROM vw").head.getLong(0) == 2L)
     cat.sql("DROP VIEW vw")
     intercept[IllegalArgumentException](cat.table("vw"))
+    // SHOW CREATE renders runnable DDL; EXPLAIN returns the plan
+    val stDdl = cat.sql("SHOW CREATE STABLE st").head.getString(1)
+    assert(stDdl.contains("CREATE STABLE") && stDdl.contains("TAGS"))
+    val cDdl = cat.sql("SHOW CREATE TABLE c").head.getString(1)
+    assert(cDdl.contains("USING `st` TAGS (1)"), cDdl)
+    assert(cat.sql("EXPLAIN SELECT count(*) AS n FROM st")
+      .collect().map(_.getString(0)).mkString("\n")
+      .contains("HashAggregate"))
+    // information_schema is queryable through the dialect
+    assert(cat.sql("SELECT count(*) AS n FROM information_schema.ins_columns " +
+      "WHERE col_kind = 'tag'").head.getLong(0) == 1L)
+    assert(cat.sql("SELECT stable_name FROM information_schema.ins_stables")
+      .head.getString(0) == "st")
     assert(cat.sql("SELECT sum(v) AS s FROM st")
       .head.get(0).toString.toDouble == 3.0) // 1.0 + the 2.0 row above
   }
