@@ -109,6 +109,24 @@ object Dialect {
     },
     // subquery in FROM (sql.y:3095-3100): session windows over a
     // filtered derived table, all in dialect text
+    // IN (SELECT …) in WHERE lowers to a left-semi join; NOT IN to an
+    // anti join with the SQL null guard (parTranslater.c)
+    "dialect_in_subquery" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id, user_id, value FROM events
+           WHERE user_id IN (SELECT user_id FROM events
+                             WHERE event_type = 'purchase' AND value > 95)
+             AND event_type = 'click'
+           ORDER BY event_id""")
+    },
+    "dialect_notin_subquery" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, count(*) AS n FROM events
+           WHERE user_id NOT IN (SELECT user_id FROM events
+                                 WHERE event_type = 'purchase'
+                                   AND value > 99.5)
+           GROUP BY user_id ORDER BY user_id""")
+    },
     "dialect_subquery" -> { (s, dir) =>
       run(s, dir,
         """SELECT user_id, _wstart, _wend, count(*) AS n
@@ -453,6 +471,18 @@ object Dialect {
         SELECT tn // 3600000000000 * 3600000000000 AS _wstart_ns,
           count(*) AS n, min(tn) AS first_ns, max(tn) AS last_ns
         FROM t GROUP BY 1 ORDER BY _wstart_ns""",
+    "dialect_in_subquery" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE user_id IN (SELECT user_id FROM events
+                           WHERE event_type = 'purchase' AND value > 95)
+           AND event_type = 'click'
+         ORDER BY event_id""",
+    "dialect_notin_subquery" ->
+      """SELECT user_id, count(*) AS n FROM events
+         WHERE user_id NOT IN (SELECT user_id FROM events
+                               WHERE event_type = 'purchase'
+                                 AND value > 99.5)
+         GROUP BY user_id ORDER BY user_id""",
     "dialect_subquery" ->
       s"""WITH f AS (SELECT user_id, epoch_us(ts) AS t FROM events
             WHERE event_type = 'click'),

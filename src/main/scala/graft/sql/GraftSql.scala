@@ -105,6 +105,54 @@ object GraftSql {
     }.toMap
   }
 
+  /** Pull `lhs [NOT] IN (SELECT …)` conjuncts out of a WHERE clause
+    * (parTranslater.c translates these to semi/anti joins; Spark's
+    * `expr()` can't host a correlated list). Returns (plain conjuncts,
+    * (lhsExpr, negated, subquerySql) triples). Only top-level AND
+    * conjunction is rewritten — an OR over an IN-subquery stays
+    * unsupported, loudly. `BETWEEN a AND b` pieces are re-merged after
+    * the AND split so their inner AND survives. */
+  private def whereInSubqueries(w: String)
+      : (Seq[String], Seq[(String, Boolean, String)]) = {
+    val inSub = "(?i)^(.+?)\\s+(NOT\\s+)?IN\\s*\\(\\s*SELECT\\b".r
+    if (inSub.findFirstIn(w.trim).isEmpty &&
+        !w.toUpperCase.contains("( SELECT") &&
+        !w.toUpperCase.contains("(SELECT")) return (Seq(w), Nil)
+    // split top-level ANDs
+    var pieces = Seq.newBuilder[String]
+    var rest = w.trim
+    var more = true
+    while (more) topLevelIndex(rest.toUpperCase, "AND") match {
+      case Some(i) =>
+        pieces += rest.substring(0, i).trim
+        rest = rest.substring(i + 3).trim
+      case None => pieces += rest; more = false
+    }
+    // re-merge BETWEEN … AND …
+    val merged = pieces.result().foldLeft(Vector.empty[String]) {
+      case (acc, p) =>
+        val needsMerge = acc.nonEmpty && {
+          val prevUp = acc.last.toUpperCase
+          topLevelIndex(prevUp, "BETWEEN").isDefined &&
+            topLevelIndex(prevUp, "AND").isEmpty
+        }
+        if (needsMerge) acc.init :+ (acc.last + " AND " + p) else acc :+ p
+    }
+    val plain = Seq.newBuilder[String]
+    val subs = Seq.newBuilder[(String, Boolean, String)]
+    merged.foreach { p =>
+      inSub.findFirstMatchIn(p) match {
+        case Some(m) if p.trim.endsWith(")") =>
+          val at = p.indexOf('(', m.group(1).length)
+          // body = text inside the outermost paren group
+          val body = p.substring(at + 1, p.lastIndexOf(')')).trim
+          subs += ((m.group(1).trim, m.group(2) != null, body))
+        case _ => plain += p
+      }
+    }
+    (plain.result(), subs.result())
+  }
+
   /** Split on top-level commas. */
   private[sql] def splitArgs(s: String): Seq[String] = {
     var depth = 0; var inStr = false; val out = Seq.newBuilder[String]
@@ -430,7 +478,26 @@ object GraftSql {
     require(c.contains("SELECT") && c.contains("FROM"), "need SELECT/FROM")
     var df = subqueryFrom(spark, resolve, c("FROM"), tsCol, perSecond)
       .getOrElse(fromClause(resolve, c("FROM"), tsCol, perSecond))
-    c.get("WHERE").foreach(w => df = df.filter(expr(w)))
+    c.get("WHERE").foreach { w =>
+      val (plain, subs) = whereInSubqueries(w)
+      if (plain.nonEmpty) df = df.filter(expr(plain.mkString(" AND ")))
+      subs.foreach { case (lhs, negated, subSql) =>
+        val sub = query(spark, resolve, subSql, tsCol, perSecond)
+        require(sub.columns.length == 1,
+          s"IN subquery must select exactly one column: $subSql")
+        val vals = sub.select(sub.col(sub.columns.head).as("_insub"))
+        if (!negated)
+          df = df.join(vals, expr(lhs) === col("_insub"), "left_semi")
+        else {
+          // SQL NOT IN three-valued logic: one NULL in the subquery
+          // empties the result; otherwise anti-join on equality
+          val hasNull = vals.filter(col("_insub").isNull).limit(1)
+            .count() > 0
+          df = if (hasNull) df.limit(0)
+          else df.join(vals, expr(lhs) === col("_insub"), "left_anti")
+        }
+      }
+    }
 
     val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
     // SELECT DISTINCT: flag + strip, applied after the projection

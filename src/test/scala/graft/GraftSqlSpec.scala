@@ -303,4 +303,22 @@ class GraftSqlSpec extends AnyFunSuite {
         ON a.user_id = b.user_id""").collect()
     }
   }
+
+  test("NOT IN with a NULL in the subquery yields no rows; BETWEEN " +
+      "survives the AND split around an IN subquery") {
+    import spark.implicits._
+    val t = Seq((1L, Option(1L)), (2L, Option.empty[Long]),
+      (3L, Option(3L))).toDF("id", "ref")
+    val resolve: String => org.apache.spark.sql.DataFrame = _ => t
+    assert(GraftSql.query(spark, resolve,
+      "SELECT id FROM t WHERE id NOT IN (SELECT ref FROM t)").count() == 0)
+    assert(GraftSql.query(spark, resolve,
+      "SELECT id FROM t WHERE id NOT IN (SELECT ref FROM t " +
+        "WHERE ref IS NOT NULL) ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(GraftSql.query(spark, resolve,
+      "SELECT id FROM t WHERE id BETWEEN 1 AND 2 AND id IN " +
+        "(SELECT id FROM t WHERE id < 2) ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
