@@ -127,6 +127,15 @@ object Dialect {
                                    AND value > 99.5)
            GROUP BY user_id ORDER BY user_id""")
     },
+    // scalar subquery folded to a literal before planning (exact max,
+    // so the DuckDB comparison is bit-stable)
+    "dialect_scalar_subquery" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id, user_id, value FROM events
+           WHERE value >= (SELECT max(value) FROM events
+                           WHERE event_type = 'view') - 0.5
+           ORDER BY event_id""")
+    },
     "dialect_subquery" -> { (s, dir) =>
       run(s, dir,
         """SELECT user_id, _wstart, _wend, count(*) AS n
@@ -483,6 +492,11 @@ object Dialect {
                                WHERE event_type = 'purchase'
                                  AND value > 99.5)
          GROUP BY user_id ORDER BY user_id""",
+    "dialect_scalar_subquery" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE value >= (SELECT max(value) FROM events
+                         WHERE event_type = 'view') - 0.5
+         ORDER BY event_id""",
     "dialect_subquery" ->
       s"""WITH f AS (SELECT user_id, epoch_us(ts) AS t FROM events
             WHERE event_type = 'click'),

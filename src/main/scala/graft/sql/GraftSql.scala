@@ -153,6 +153,50 @@ object GraftSql {
     (plain.result(), subs.result())
   }
 
+  /** Replace every `(SELECT …)` group in a predicate with its computed
+    * scalar literal (sql.y:3095 scalar subquery; the reference's
+    * planner evaluates these as uncorrelated one-row subplans). The
+    * subquery must return exactly one row and one column — a
+    * broadcast-sized value, so inlining it as a literal is the same
+    * plan the reference builds, with Catalyst then free to push the
+    * folded predicate into the scan. */
+  private def inlineScalarSubqueries(spark: SparkSession,
+      resolve: String => DataFrame, pred: String, tsCol: String,
+      perSecond: Long): String = {
+    val open = "(?i)\\(\\s*SELECT\\b".r
+    var p = pred
+    var m = open.findFirstMatchIn(p)
+    while (m.isDefined) {
+      val at = m.get.start
+      // matching close paren, string-aware
+      var depth = 0; var inStr = false; var close = -1; var i = at
+      while (close < 0 && i < p.length) {
+        val ch = p(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(close > 0, s"unbalanced scalar subquery in: $pred")
+      val rows = query(spark, resolve, p.substring(at + 1, close).trim,
+        tsCol, perSecond).collect()
+      require(rows.length == 1 && rows.head.length == 1,
+        s"scalar subquery must return 1 row x 1 column: $pred")
+      val lit = rows.head.get(0) match {
+        case null => "NULL"
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case v => v.toString
+      }
+      p = p.substring(0, at) + lit + p.substring(close + 1)
+      m = open.findFirstMatchIn(p)
+    }
+    p
+  }
+
   /** Split on top-level commas. */
   private[sql] def splitArgs(s: String): Seq[String] = {
     var depth = 0; var inStr = false; val out = Seq.newBuilder[String]
@@ -479,7 +523,9 @@ object GraftSql {
     var df = subqueryFrom(spark, resolve, c("FROM"), tsCol, perSecond)
       .getOrElse(fromClause(resolve, c("FROM"), tsCol, perSecond))
     c.get("WHERE").foreach { w =>
-      val (plain, subs) = whereInSubqueries(w)
+      val (plain0, subs) = whereInSubqueries(w)
+      val plain = plain0
+        .map(p => inlineScalarSubqueries(spark, resolve, p, tsCol, perSecond))
       if (plain.nonEmpty) df = df.filter(expr(plain.mkString(" AND ")))
       subs.foreach { case (lhs, negated, subSql) =>
         val sub = query(spark, resolve, subSql, tsCol, perSecond)
