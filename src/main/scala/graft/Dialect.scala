@@ -302,6 +302,21 @@ object Dialect {
            FROM ords JOIN cust ON ords.custkey = cust.custkey
            ORDER BY o_orderkey""")
     },
+    // RIGHT JOIN keeps order-less customers (null order side); FULL
+    // JOIN over disjoint event slices nulls both ways
+    "dialect_right_join" -> { (s, dir) =>
+      GraftSql.query(s, views(s, dir),
+        """SELECT custkey, o_orderkey, o_totalprice, r_c_name AS c_name
+           FROM ords RIGHT JOIN cust ON ords.custkey = cust.custkey
+           ORDER BY custkey, o_orderkey""")
+    },
+    "dialect_full_join" -> { (s, dir) =>
+      GraftSql.query(s, views(s, dir),
+        """SELECT event_id, user_id, r_user_id, r_value
+           FROM purchases FULL JOIN clicks
+             ON purchases.event_id = clicks.event_id
+           ORDER BY event_id""")
+    },
     // per-row series functions under PARTITION BY (IndefRowsFunc in
     // SQL text): a row stream, not an aggregate
     "dialect_diff" -> { (s, dir) =>
@@ -619,6 +634,20 @@ object Dialect {
            c_name, c_mktsegment
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    "dialect_right_join" ->
+      """SELECT c_custkey AS custkey, o_orderkey, o_totalprice, c_name
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         ORDER BY custkey, o_orderkey NULLS FIRST""",
+    "dialect_full_join" ->
+      """WITH p AS (SELECT user_id, event_id FROM events
+            WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, event_id, value FROM events
+            WHERE event_type = 'click')
+         SELECT COALESCE(p.event_id, c.event_id) AS event_id,
+           p.user_id AS user_id, c.user_id AS r_user_id,
+           c.value AS r_value
+         FROM p FULL JOIN c ON p.event_id = c.event_id
+         ORDER BY event_id""",
     "dialect_diff" ->
       """SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
            value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)

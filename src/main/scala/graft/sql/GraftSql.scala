@@ -370,12 +370,17 @@ object GraftSql {
           s"WINDOW JOIN needs `tbl WINDOW_OFFSET(lo, hi) [ON …]`: $rest")
       }
     } else {
-      // plain [INNER|LEFT] JOIN on same-name equi keys; right payload
-      // surfaces as r_<col>, matching the other join forms
+      // plain [INNER|LEFT|RIGHT|FULL] JOIN on same-name equi keys;
+      // right payload surfaces as r_<col>, matching the other join
+      // forms (sql.y:2726-2804 join_type)
       val ljAt = up.indexOf(" LEFT JOIN ")
+      val rjAt = up.indexOf(" RIGHT JOIN ")
+      val fjAt = up.indexOf(" FULL JOIN ")
       val ijAt = up.indexOf(" INNER JOIN ")
       val (at, kw, joinType) =
         if (ljAt >= 0) (ljAt, " LEFT JOIN ", "left")
+        else if (rjAt >= 0) (rjAt, " RIGHT JOIN ", "right")
+        else if (fjAt >= 0) (fjAt, " FULL JOIN ", "full")
         else if (ijAt >= 0) (ijAt, " INNER JOIN ", "inner")
         else (plainAt, " JOIN ", "inner")
       val left = resolve(from.substring(0, at).trim.split(" ")(0))
