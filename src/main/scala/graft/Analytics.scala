@@ -36,6 +36,16 @@ object Analytics {
           round(col("_fhigh"), 6).as("_fhigh"))
         .orderBy(col("user_id"), col("_frowts_ms"))
     },
+    // ---- FORECAST(value) algo=holtwinters: Holt linear-trend double
+    // exponential smoothing, DuckDB recursive-CTE oracle ----
+    "forecast_holt" -> { (s, dir) =>
+      graft.ops.AnalyticsOps.forecastHolt(ev(s, dir), col("ts"), "value",
+          Seq("user_id"), horizon = 3, stepUs = Dur.d, t0Us = T0,
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), usToMs(col("_frowts")).as("_frowts_ms"),
+          round(col("forecast"), 6).as("forecast"))
+        .orderBy(col("user_id"), col("_frowts_ms"))
+    },
     // ---- IMPUTATION(value): nulls planted at event_id % 7 = 0 ----
     "imputation_linear" -> { (s, dir) =>
       val gapped = ev(s, dir).withColumn("value",
@@ -136,6 +146,36 @@ object Analytics {
             round(a + b*(xmax + j*86400) - 1.96*sigma, 6) AS _flow,
             round(a + b*(xmax + j*86400) + 1.96*sigma, 6) AS _fhigh
           FROM f ORDER BY user_id, _frowts_ms"""
+    },
+    // Holt recursion replayed in DuckDB as a recursive CTE, stepping
+    // rn -> rn+1 per series; literals written in the exact operation
+    // order of the Scala fold ((1 - 0.3), not 0.7 — they differ in the
+    // last ulp) so both engines produce bit-identical doubles
+    "forecast_holt" -> {
+      s"""WITH RECURSIVE s AS (
+            SELECT user_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS rn,
+              CAST(value AS DOUBLE) AS y
+            FROM events),
+          mx AS (SELECT user_id, max(rn) AS mr FROM s GROUP BY user_id),
+          r AS (
+            SELECT user_id, rn, y AS l, CAST(0 AS DOUBLE) AS b
+            FROM s WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.rn,
+              0.5 * s.y + (1 - 0.5) * (r.l + r.b),
+              0.3 * ((0.5 * s.y + (1 - 0.5) * (r.l + r.b)) - r.l)
+                + (1 - 0.3) * r.b
+            FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1),
+          fin AS (SELECT r.user_id, r.l, r.b FROM r
+            JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.mr),
+          hs AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(h))
+          SELECT user_id,
+            ($T0 + (h - 1) * ${24L * 3600000000L}) // 1000 AS _frowts_ms,
+            round(l + h * b, 6) AS forecast
+          FROM fin CROSS JOIN hs
+          ORDER BY user_id, _frowts_ms"""
     },
     "imputation_linear" ->
       """WITH d AS (SELECT user_id, epoch_us(ts) AS t, event_id,

@@ -22,6 +22,79 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object AnalyticsOps {
 
+  /** FORECAST(col, algo=holtwinters): Holt's linear-trend double
+    * exponential smoothing (the reference's TDgpt ships holtwinters as
+    * a named algo next to the default linear —
+    * tools/tdgpt/taosanalytics/algo/fc/holtwinters.py). Deterministic
+    * fixed-smoothing form: level l and trend b fold left over each
+    * series in ts order, `l₁=α·y + (1−α)·(l+b)`, `b₁=β·(l₁−l) +
+    * (1−β)·b`, seeded l=y₀, b=0; forecast h steps out is `l + h·b`.
+    *
+    * Scale shape: repartition by key + sortWithinPartitions, then a
+    * per-key O(1) state machine streams each partition once — no
+    * collect_list, no per-key buffering, output is horizon rows per
+    * key. The fold is inherently sequential per series, matching the
+    * reference's per-series model fit on the anode. Null samples are
+    * skipped (the reference's fc preprocessing drops them). */
+  def forecastHolt(df: DataFrame, tsUs: Column, valueCol: String,
+      keys: Seq[String], horizon: Int, stepUs: Long, t0Us: Long,
+      alpha: Double = 0.5, beta: Double = 0.3,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "forecastHolt needs at least one series key")
+    val spark = df.sparkSession
+    val d = df.select(keys.map(col) ++ Seq(tsUs.cast(LongType).as("_t"),
+      col(valueCol).cast("double").as("_y")) ++ tieBreak.map(col): _*)
+    val sorted = d.repartition(keys.map(col): _*)
+      .sortWithinPartitions(
+        keys.map(col) ++ (col("_t") +: tieBreak.map(col)): _*)
+    val kN = keys.length
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields.take(kN) ++ Seq(
+        org.apache.spark.sql.types.StructField("_frowts", LongType),
+        org.apache.spark.sql.types.StructField("forecast",
+          org.apache.spark.sql.types.DoubleType)))
+    val rdd = sorted.rdd.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private var cur: Seq[Any] = null
+        private var l = 0.0; private var b = 0.0; private var started = false
+        private val out =
+          scala.collection.mutable.Queue[org.apache.spark.sql.Row]()
+        private def close(): Unit = if (started) {
+          var h = 1
+          while (h <= horizon) {
+            // Seq[Any], not Seq(...): Scala's lub would numerically
+            // widen the Long timestamp to Double next to `l + h * b`
+            out += org.apache.spark.sql.Row.fromSeq(
+              cur ++ Seq[Any](t0Us + (h - 1).toLong * stepUs, l + h * b))
+            h += 1
+          }
+        }
+        private def fill(): Unit = {
+          while (out.isEmpty && it.hasNext) {
+            val r = it.next()
+            val k = r.toSeq.take(kN)
+            if (cur == null || k != cur) {
+              close(); cur = k; started = false
+            }
+            if (!r.isNullAt(kN + 1)) {
+              val y = r.getDouble(kN + 1)
+              if (!started) { l = y; b = 0.0; started = true }
+              else {
+                val l1 = alpha * y + (1 - alpha) * (l + b)
+                b = beta * (l1 - l) + (1 - beta) * b
+                l = l1
+              }
+            }
+          }
+          if (out.isEmpty && cur != null) { close(); cur = null }
+        }
+        def hasNext: Boolean = { fill(); out.nonEmpty }
+        def next(): org.apache.spark.sql.Row = { fill(); out.dequeue() }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** FORECAST(col): per-key OLS linear trend extrapolated `horizon`
     * steps of `stepUs` beyond the newest sample. Emits `_frowts` (µs),
     * `forecast`, `_flow`, `_fhigh` (±1.96·residual σ). One hash
