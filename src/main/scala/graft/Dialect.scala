@@ -302,6 +302,15 @@ object Dialect {
            FROM ords JOIN cust ON ords.custkey = cust.custkey
            ORDER BY o_orderkey""")
     },
+    // FORECAST(col, 'opts') text form routing to the TDgpt ops
+    "dialect_forecast" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _frowts,
+             ROUND(FORECAST(value, 'algo=holtwinters,rows=3,
+               start=1704067200000000,every=1d'), 6) AS forecast
+           FROM events PARTITION BY user_id
+           ORDER BY user_id, _frowts""")
+    },
     // RIGHT JOIN keeps order-less customers (null order side); FULL
     // JOIN over disjoint event slices nulls both ways
     "dialect_right_join" -> { (s, dir) =>
@@ -634,6 +643,33 @@ object Dialect {
            c_name, c_mktsegment
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    "dialect_forecast" -> {
+      val T0us = 1704067200000000L
+      val day = 24L * 3600000000L
+      s"""WITH RECURSIVE s AS (
+            SELECT user_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS rn,
+              CAST(value AS DOUBLE) AS y
+            FROM events),
+          mx AS (SELECT user_id, max(rn) AS mr FROM s GROUP BY user_id),
+          r AS (
+            SELECT user_id, rn, y AS l, CAST(0 AS DOUBLE) AS b
+            FROM s WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.rn,
+              0.5 * s.y + (1 - 0.5) * (r.l + r.b),
+              0.3 * ((0.5 * s.y + (1 - 0.5) * (r.l + r.b)) - r.l)
+                + (1 - 0.3) * r.b
+            FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1),
+          fin AS (SELECT r.user_id, r.l, r.b FROM r
+            JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.mr),
+          hs AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(h))
+          SELECT user_id, $T0us + (h - 1) * $day AS _frowts,
+            round(l + h * b, 6) AS forecast
+          FROM fin CROSS JOIN hs
+          ORDER BY user_id, _frowts"""
+    },
     "dialect_right_join" ->
       """SELECT c_custkey AS custkey, o_orderkey, o_totalprice, c_name
          FROM orders RIGHT JOIN customer ON o_custkey = c_custkey

@@ -398,6 +398,74 @@ object GraftSql {
     }
   }
 
+  /** `SELECT [keys,] [_frowts,] FORECAST(col, 'algo=…,rows=…,start=…,
+    * every=…') FROM t [PARTITION BY k]` (sql.y FORECAST token; TDgpt
+    * fc surface): routes to [[graft.ops.AnalyticsOps]] — `linear`
+    * (default, OLS with `_flow`/`_fhigh`) or `holtwinters` (Holt
+    * linear-trend fold). `rows` = horizon (default 10), `every` = a
+    * dialect duration, `start` = first forecast ts in native ticks
+    * (the reference defaults start/every from the series cadence; this
+    * dialect requires them explicitly so results are reproducible).
+    * The FORECAST(...) span in each select item is replaced by the
+    * op's `forecast` output column, so wrappers like ROUND(...) work. */
+  private def forecastSelect(spark: SparkSession, df: DataFrame,
+      c: Map[String, String], tsCol: String, perSecond: Long): DataFrame = {
+    val sel = c("SELECT").trim
+    val m = "(?i)\\bFORECAST\\s*\\(".r.findFirstMatchIn(sel).get
+    val open = sel.indexOf('(', m.start)
+    var depth = 0; var inStr = false; var close = -1; var i = open
+    while (close < 0 && i < sel.length) {
+      val ch = sel(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > 0, s"unbalanced FORECAST call: $sel")
+    val args = splitArgs(sel.substring(open + 1, close))
+    require(args.nonEmpty, "FORECAST needs a value column")
+    val valueCol = args.head.trim
+    val opts = args.drop(1).map(_.trim)
+      .find(a => a.startsWith("'") || a.startsWith("\""))
+      .map(_.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\""))
+      .getOrElse("")
+    val om = opts.split(",").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k.trim.toLowerCase -> v.trim
+    }.toMap
+    val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
+      .map(_.trim)
+    val rows = om.getOrElse("rows", "10").toInt
+    val every = durNative(om.getOrElse("every", "1d"), perSecond)
+    val start = om.get("start").map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        "FORECAST needs start=<native ticks> in its option string"))
+    val out = om.getOrElse("algo", "linear") match {
+      case "holtwinters" => graft.ops.AnalyticsOps.forecastHolt(
+        df, col(tsCol), valueCol, partCols, rows, every, start)
+      case "linear" => graft.ops.AnalyticsOps.forecast(
+        df, col(tsCol), valueCol, partCols, rows, every, start)
+      case other =>
+        throw new IllegalArgumentException(s"unknown forecast algo: $other")
+    }
+    // project: the FORECAST span collapses to the op's output column
+    val sel2 = sel.substring(0, m.start) + "forecast" +
+      sel.substring(close + 1)
+    val asRe = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    var res = out.select(splitArgs(sel2).map(_.trim).map {
+      case asRe(e, a) => expr(e.trim).as(a)
+      case e => expr(e).as(e)
+    }: _*)
+    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+    c.get("LIMIT").foreach(n => res = res.limit(n.trim.toInt))
+    res
+  }
+
   private def signedDurNative(s: String, perSecond: Long): Long = {
     val t = s.trim
     if (t.startsWith("-")) -durNative(t.substring(1), perSecond)
@@ -549,6 +617,9 @@ object GraftSql {
         }
       }
     }
+
+    if ("(?i)\\bFORECAST\\s*\\(".r.findFirstIn(c("SELECT")).isDefined)
+      return forecastSelect(spark, df, c, tsCol, perSecond)
 
     val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
     // SELECT DISTINCT: flag + strip, applied after the projection
