@@ -46,6 +46,14 @@ object Analytics {
           round(col("forecast"), 6).as("forecast"))
         .orderBy(col("user_id"), col("_frowts_ms"))
     },
+    // ---- FORECAST(value) algo=arima: AR(1)-with-mean closed form ----
+    "forecast_arima" -> { (s, dir) =>
+      graft.ops.AnalyticsOps.forecastAr1(ev(s, dir), col("ts"), "value",
+          Seq("user_id"), horizon = 3, stepUs = Dur.d, t0Us = T0)
+        .select(col("user_id"), usToMs(col("_frowts")).as("_frowts_ms"),
+          round(col("forecast"), 6).as("forecast"))
+        .orderBy(col("user_id"), col("_frowts_ms"))
+    },
     // ---- IMPUTATION(value): nulls planted at event_id % 7 = 0 ----
     "imputation_linear" -> { (s, dir) =>
       val gapped = ev(s, dir).withColumn("value",
@@ -176,6 +184,51 @@ object Analytics {
             round(l + h * b, 6) AS forecast
           FROM fin CROSS JOIN hs
           ORDER BY user_id, _frowts_ms"""
+    },
+    // AR(1) sufficient statistics in exact DECIMAL sums; double
+    // expressions in the same operation order as the Scala lowering,
+    // phi powers by repeated multiplication (libm pow is not
+    // correctly-rounded and may differ between engines)
+    "forecast_arima" -> {
+      s"""WITH p AS (
+            SELECT user_id, CAST(value AS DECIMAL(18,2)) AS yd,
+              lag(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts) AS pv,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC)
+                AS rdesc
+            FROM events),
+          st AS (
+            SELECT user_id, count(*) AS n,
+              CAST(sum(yd) AS DOUBLE) AS sy,
+              CAST(max(CASE WHEN rdesc = 1 THEN yd END) AS DOUBLE)
+                AS last_y,
+              CAST(sum(CASE WHEN pv IS NOT NULL THEN yd END) AS DOUBLE)
+                AS sa,
+              CAST(sum(pv) AS DOUBLE) AS sb,
+              CAST(sum(pv * pv) AS DOUBLE) AS sbb,
+              CAST(sum(yd * pv) AS DOUBLE) AS sab,
+              count(pv) AS m
+            FROM p GROUP BY user_id),
+          ph AS (
+            SELECT user_id, sy / n AS mu, last_y,
+              CASE WHEN sbb - (sy/n) * sb - (sy/n) * sb
+                     + m * (sy/n) * (sy/n) = 0 THEN 0.0
+                   ELSE (sab - (sy/n) * sa - (sy/n) * sb
+                     + m * (sy/n) * (sy/n))
+                    / (sbb - (sy/n) * sb - (sy/n) * sb
+                     + m * (sy/n) * (sy/n)) END AS phi
+            FROM st),
+          f AS (
+            SELECT user_id, 1 AS h, mu + phi * (last_y - mu) AS fc FROM ph
+            UNION ALL
+            SELECT user_id, 2, mu + phi * phi * (last_y - mu) FROM ph
+            UNION ALL
+            SELECT user_id, 3, mu + phi * phi * phi * (last_y - mu)
+            FROM ph)
+          SELECT user_id,
+            ($T0 + (h - 1) * ${24L * 3600000000L}) // 1000 AS _frowts_ms,
+            round(fc, 6) AS forecast
+          FROM f ORDER BY user_id, _frowts_ms"""
     },
     "imputation_linear" ->
       """WITH d AS (SELECT user_id, epoch_us(ts) AS t, event_id,

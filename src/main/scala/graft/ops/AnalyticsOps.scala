@@ -95,6 +95,53 @@ object AnalyticsOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** FORECAST(col, algo=arima): AR(1)-with-mean — the deterministic
+    * heart of the reference's arima algo
+    * (tools/tdgpt/taosanalytics/algo/fc/arima.py fits (p,d,q); the
+    * fixed (1,0,0) form keeps results closed-form and oracle-exact).
+    * Per key: mean μ from exact sums, lag-1 coefficient
+    * `φ = Σ(yₜ−μ)(yₜ₋₁−μ) / Σ(yₜ₋₁−μ)²` expanded into exact decimal
+    * sufficient statistics (one lag window + one hash aggregate — two
+    * shuffles total, one row per key out), forecast `μ + φʰ·(y_T − μ)`
+    * with φʰ built by repeated multiplication, NOT libm pow — pow is
+    * not correctly-rounded, so JVM and DuckDB could differ in the last
+    * ulp. */
+  def forecastAr1(df: DataFrame, tsUs: Column, valueCol: String,
+      keys: Seq[String], horizon: Int, stepUs: Long,
+      t0Us: Long): DataFrame = {
+    require(keys.nonEmpty, "forecastAr1 needs at least one series key")
+    val d = df
+      .withColumn("_t", tsUs.cast(LongType))
+      .withColumn("_yd", col(valueCol).cast(DecimalType(18, 2)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_t"))
+    val p = d.withColumn("_pv", lag(col("_yd"), 1).over(w))
+    val stats = p.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("_n"),
+      sum(col("_yd")).cast("double").as("_sy"),
+      max_by(col("_yd"), col("_t")).cast("double").as("_last"),
+      sum(when(col("_pv").isNotNull, col("_yd"))).cast("double").as("_sa"),
+      sum(col("_pv")).cast("double").as("_sb"),
+      sum(col("_pv") * col("_pv")).cast("double").as("_sbb"),
+      sum(col("_yd") * col("_pv")).cast("double").as("_sab"),
+      count(col("_pv")).as("_m"))
+    // canonical operation order, mirrored verbatim in the oracle SQL
+    val mu = col("_sy") / col("_n")
+    val num = col("_sab") - mu * col("_sa") - mu * col("_sb") +
+      col("_m") * mu * mu
+    val den = col("_sbb") - mu * col("_sb") - mu * col("_sb") +
+      col("_m") * mu * mu
+    val withPhi = stats
+      .withColumn("_mu", mu)
+      .withColumn("_phi", when(den === 0.0, 0.0).otherwise(num / den))
+    (1 to horizon).map { h =>
+      val phiH = (1 to h).map(_ => col("_phi")).reduce(_ * _)
+      withPhi.select(keys.map(col) ++ Seq(
+        lit(t0Us + (h - 1).toLong * stepUs).as("_frowts"),
+        (col("_mu") + phiH * (col("_last") - col("_mu")))
+          .as("forecast")): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** FORECAST(col): per-key OLS linear trend extrapolated `horizon`
     * steps of `stepUs` beyond the newest sample. Emits `_frowts` (µs),
     * `forecast`, `_flow`, `_fhigh` (±1.96·residual σ). One hash

@@ -448,6 +448,8 @@ object GraftSql {
     val out = om.getOrElse("algo", "linear") match {
       case "holtwinters" => graft.ops.AnalyticsOps.forecastHolt(
         df, col(tsCol), valueCol, partCols, rows, every, start)
+      case "arima" => graft.ops.AnalyticsOps.forecastAr1(
+        df, col(tsCol), valueCol, partCols, rows, every, start)
       case "linear" => graft.ops.AnalyticsOps.forecast(
         df, col(tsCol), valueCol, partCols, rows, every, start)
       case other =>
