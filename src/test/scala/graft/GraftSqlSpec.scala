@@ -304,6 +304,22 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("FORECAST routes algo=linear and algo=arima; linear exposes " +
+      "_flow/_fhigh") {
+    val q = "SELECT user_id, _frowts, FORECAST(value, " +
+      "'algo=%s,rows=2,start=1704067200000000,every=1d') AS fc, %s " +
+      "FROM events PARTITION BY user_id ORDER BY user_id, _frowts"
+    val lin = GraftSql.query(spark,
+      name => Tables(spark, sf, name), q.format("linear", "_flow"))
+    assert(lin.columns.toSeq == Seq("user_id", "_frowts", "fc", "_flow"))
+    assert(lin.count() > 0)
+    val ar = GraftSql.query(spark,
+      name => Tables(spark, sf, name),
+      q.format("arima", "user_id AS uid2"))
+    assert(ar.columns.toSeq == Seq("user_id", "_frowts", "fc", "uid2"))
+    assert(ar.count() > 0)
+  }
+
   test("NOT IN with a NULL in the subquery yields no rows; BETWEEN " +
       "survives the AND split around an IN subquery") {
     import spark.implicits._
