@@ -43,6 +43,34 @@ object Sources {
     path
   }
 
+  /** Run `body` with spark.sql.shuffle.partitions pinned low. The
+    * replay gates feed a few thousand driver-collected rows per
+    * micro-batch, but every stateful stage spins up (and checkpoints)
+    * one state store per shuffle partition per micro-batch — at the
+    * session's 32 that is pure constant overhead, and state-store
+    * maintenance across many stores was the prime suspect in r10's
+    * 40 s interval-gate anomaly on unchanged code (12.4 s alone /
+    * 8.3 s in a full local bench, see PERFNOTES.md). A fresh streaming
+    * query reads the conf at start; restored after so batch queries
+    * keep the session default. */
+  private def withReplayPartitions[T](s: SparkSession, n: Int)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Optional per-micro-batch profile dump (set SPARK_GRAFT_GATE_PROFILE)
+    * so a slow gate run can be split into its batch durations instead of
+    * guessed at. */
+  private def logProgress(sink: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.contains("SPARK_GRAFT_GATE_PROFILE"))
+      q.recentProgress.foreach(p => System.err.println(
+        s"[gate-profile] $sink batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}"))
+
   /** µs-exact java.sql.Timestamp (the plain ms constructor would
     * truncate sub-ms digits and could shift a window/gap boundary). */
   private def usTimestamp(us: Long): java.sql.Timestamp = {
@@ -198,20 +226,23 @@ object Sources {
       val out = graft.streaming.Streams.intervalTrigger(src, "ts",
         "1 hour", "1 hour", "1 minute", Seq("user_id"))
       val sink = "stream_iv_gate_" + streamGateRuns.incrementAndGet()
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-          mem.addData(chunk.toIndexedSeq)
+      withReplayPartitions(s, 8) {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+            mem.addData(chunk.toIndexedSeq)
+            q.processAllAvailable()
+          }
+          // sentinel a year past the data: pushes the watermark over
+          // every real window; its own (user -1) window never closes
+          val maxTs = rows.last._1.getTime
+          mem.addData((new java.sql.Timestamp(maxTs + 365L * 86400000L),
+            -1L, 0.0))
           q.processAllAvailable()
-        }
-        // sentinel a year past the data: pushes the watermark over
-        // every real window; its own (user -1) window never closes
-        val maxTs = rows.last._1.getTime
-        mem.addData((new java.sql.Timestamp(maxTs + 365L * 86400000L),
-          -1L, 0.0))
-        q.processAllAvailable()
-      } finally q.stop()
+          logProgress(sink, q)
+        } finally q.stop()
+      }
       s.table(sink)
         .filter(col("user_id") >= 0)
         .select(col("user_id"),
@@ -238,18 +269,21 @@ object Sources {
       val out = graft.streaming.Streams.sessionTrigger(src, "ts",
         "30 minutes", "1 minute", Seq("user_id"))
       val sink = "stream_sess_gate_" + streamGateRuns.incrementAndGet()
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-          mem.addData(chunk.toIndexedSeq)
+      withReplayPartitions(s, 8) {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+            mem.addData(chunk.toIndexedSeq)
+            q.processAllAvailable()
+          }
+          val maxTs = rows.last._1.getTime
+          mem.addData((new java.sql.Timestamp(maxTs + 365L * 86400000L),
+            -1L))
           q.processAllAvailable()
-        }
-        val maxTs = rows.last._1.getTime
-        mem.addData((new java.sql.Timestamp(maxTs + 365L * 86400000L),
-          -1L))
-        q.processAllAvailable()
-      } finally q.stop()
+          logProgress(sink, q)
+        } finally q.stop()
+      }
       s.table(sink)
         .filter(col("user_id") >= 0)
         .select(col("user_id"),
@@ -277,12 +311,14 @@ object Sources {
       val mem = MemoryStream[(Long, Long, Double)]
       val out = graft.streaming.Streams.countWindowTrigger(mem.toDS(), 10)
       val sink = "stream_cnt_gate_" + streamGateRuns.incrementAndGet()
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-        mem.addData(chunk.toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+      withReplayPartitions(s, 8) {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        } finally { logProgress(sink, q); q.stop() }
+      }
       s.table(sink)
         .select(col("key").as("user_id"),
           usToMs(col("startUs")).as("_wstart_ms"),
@@ -304,12 +340,14 @@ object Sources {
       val mem = MemoryStream[(Long, Long, String)]
       val out = graft.streaming.Streams.stateWindowTrigger(mem.toDS())
       val sink = "stream_st_gate_" + streamGateRuns.incrementAndGet()
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-        mem.addData(chunk.toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+      withReplayPartitions(s, 8) {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        } finally { logProgress(sink, q); q.stop() }
+      }
       s.table(sink)
         .select(col("key").as("user_id"), col("state"),
           usToMs(col("startUs")).as("_wstart_ms"),
@@ -333,12 +371,14 @@ object Sources {
       val out = graft.streaming.Streams.eventWindowTrigger(mem.toDS(),
         startCond = _ > 9000d, endCond = _ < 1000d)
       val sink = "stream_ev_gate_" + streamGateRuns.incrementAndGet()
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
-        mem.addData(chunk.toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+      withReplayPartitions(s, 8) {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        } finally { logProgress(sink, q); q.stop() }
+      }
       s.table(sink)
         .select(col("key").as("user_id"),
           usToMs(col("startUs")).as("_wstart_ms"),

@@ -86,6 +86,28 @@ object GraftSql {
     None
   }
 
+  /** True when `s` contains a comparison operator (=, <, >, !=, <=, >=,
+    * <>) at paren depth 0 outside string literals — used to reject an
+    * IN-subquery lhs that is itself a predicate. */
+  private def hasTopLevelComparison(s: String): Boolean = {
+    var depth = 0; var i = 0; var inStr = false
+    while (i < s.length) {
+      val c = s(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '=' | '<' | '>' if depth == 0 => return true
+        case '!' if depth == 0 && i + 1 < s.length && s(i + 1) == '=' =>
+          return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
   private val clauseKws = Seq("SELECT", "FROM", "WHERE", "PARTITION BY",
     "INTERVAL", "SLIDING", "SESSION", "STATE_WINDOW", "COUNT_WINDOW",
     "EVENT_WINDOW", "ANOMALY_WINDOW", "EXTEND", "ZEROTH_STATE",
@@ -143,10 +165,21 @@ object GraftSql {
     merged.foreach { p =>
       inSub.findFirstMatchIn(p) match {
         case Some(m) if p.trim.endsWith(")") =>
+          val lhs = m.group(1).trim
+          // the non-greedy lhs regex would happily swallow an OR/NOT
+          // disjunct (`a = 1 OR b IN (SELECT…)` → lhs "a = 1 OR b"),
+          // turning an unsupported shape into a silently-wrong
+          // semi-join — fail loudly instead (only top-level AND
+          // conjunction over IN-subqueries is supported)
+          val lhsUp = lhs.toUpperCase
+          require(Seq("OR", "NOT").forall(k =>
+            topLevelIndex(lhsUp, k).isEmpty) &&
+            !hasTopLevelComparison(lhs),
+            s"IN-subquery under OR/NOT/comparison is unsupported: $p")
           val at = p.indexOf('(', m.group(1).length)
           // body = text inside the outermost paren group
           val body = p.substring(at + 1, p.lastIndexOf(')')).trim
-          subs += ((m.group(1).trim, m.group(2) != null, body))
+          subs += ((lhs, m.group(2) != null, body))
         case _ => plain += p
       }
     }
@@ -445,9 +478,15 @@ object GraftSql {
     val start = om.get("start").map(_.toLong).getOrElse(
       throw new IllegalArgumentException(
         "FORECAST needs start=<native ticks> in its option string"))
+    // tiebreak=col1;col2 orders duplicate timestamps inside a series
+    // deterministically — without it the sequential Holt fold's result
+    // depends on shuffle arrival order when ts ties exist
+    val tieBreak = om.get("tiebreak").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
     val out = om.getOrElse("algo", "linear") match {
       case "holtwinters" => graft.ops.AnalyticsOps.forecastHolt(
-        df, col(tsCol), valueCol, partCols, rows, every, start)
+        df, col(tsCol), valueCol, partCols, rows, every, start,
+        tieBreak = tieBreak)
       case "arima" => graft.ops.AnalyticsOps.forecastAr1(
         df, col(tsCol), valueCol, partCols, rows, every, start)
       case "linear" => graft.ops.AnalyticsOps.forecast(
@@ -614,8 +653,16 @@ object GraftSql {
           // empties the result; otherwise anti-join on equality
           val hasNull = vals.filter(col("_insub").isNull).limit(1)
             .count() > 0
+          val isEmpty = !hasNull && vals.limit(1).count() == 0
+          // three-valued logic on the lhs too: NULL NOT IN (non-empty
+          // list) is UNKNOWN, so a NULL lhs row must be dropped — a
+          // plain left_anti would keep it. NOT IN (empty) is TRUE for
+          // every row, NULL lhs included, so the filter only applies
+          // when the subquery returned rows.
           df = if (hasNull) df.limit(0)
-          else df.join(vals, expr(lhs) === col("_insub"), "left_anti")
+          else if (isEmpty) df
+          else df.filter(expr(lhs).isNotNull)
+            .join(vals, expr(lhs) === col("_insub"), "left_anti")
         }
       }
     }
