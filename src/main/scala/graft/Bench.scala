@@ -47,6 +47,10 @@ object Bench {
       // alone releases them asynchronously, leaking BlockManager
       // pressure into whichever query runs next
       spark.catalog.clearCache()
+      // exercise the keyless ops' retained-copy contract on the hot
+      // path (the unpersist sweep below would also catch the blocks,
+      // but release() is the API long-lived sessions must call)
+      graft.ops.GlobalScan.release()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       // and drain the GC debt the query accumulated — otherwise heavy

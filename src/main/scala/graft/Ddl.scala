@@ -16,6 +16,7 @@ object Ddl {
 
   private val H = 3600000000L
   private val T0 = 1704067200000000L
+  private val liveRuns = new java.util.concurrent.atomic.AtomicLong()
 
   private def esc(s: String): String = s.replace("'", "''")
 
@@ -129,6 +130,116 @@ object Ddl {
       cat.exec("CREATE TOPIC db_topic AS DATABASE graftdb")
       cat.sql("SHOW TOPICS").orderBy("topic_name")
     },
+    // CREATE TSMA text (sql.y:1503-1505; reference tests 19-TSMAs):
+    // hourly partial-state rollup declared via DDL, daily windows
+    // served THROUGH the router — the oracle aggregates the base
+    // table, so a green row proves create-text → rollup → partial
+    // merge reproduces the direct answer bit-exactly
+    "ddl_tsma_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("""CREATE TSMA ev_tsma ON events
+        FUNCTION(count(value), sum(value), min(value), max(value),
+          avg(value)) INTERVAL(1h)""")
+      cat.serveInterval("events", 24 * H, Seq("user_id"),
+          Seq(("count", "value"), ("sum", "value"), ("min", "value"),
+            ("max", "value"), ("avg", "value")))
+        .select(col("user_id"),
+          Lowering.usToMs(col("_wstart")).as("_wstart_ms"),
+          col("count_value").as("n"), col("sum_value").as("sum_v"),
+          col("min_value").as("min_v"), col("max_value").as("max_v"),
+          round(col("avg_value"), 6).as("avg_v"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
+    // CREATE VTABLE text (sql.y:1074-1076, column FROM refs
+    // sql.y:3253): three per-type value columns aligned on ts; the
+    // oracle states the same read as a grouped pivot over the base
+    // rows — virtualtablescanoperator.c's ts-merge, relationally
+    "ddl_vtable_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      val e = Tables(s, dir, "events").filter(col("user_id") === 7)
+      Seq("click", "view", "purchase").foreach(t =>
+        cat.register("ev_" + t, e.filter(col("event_type") === t)
+          .select(col("ts"), col("value"))))
+      cat.exec("""CREATE VTABLE vt7 (ts TIMESTAMP,
+        click_v DOUBLE FROM ev_click.value,
+        view_v DOUBLE FROM ev_view.value,
+        purchase_v DOUBLE FROM ev_purchase.value)""")
+      cat.sql("SELECT ts AS ts_us, click_v, view_v, purchase_v " +
+        "FROM vt7 ORDER BY ts_us")
+    },
+    // CREATE [AGGREGATE] FUNCTION text (sql.y:1589; taosudf.h runtime
+    // contract through UdfRegistry): a scalar UDF in WHERE and a
+    // partial/merge UDAF in the aggregate list, both bound by DDL and
+    // resolved by name inside dialect expressions
+    "ddl_udf_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE FUNCTION gcd64 AS 'graft.udf.Gcd64' " +
+        "OUTPUTTYPE BIGINT")
+      cat.exec("CREATE AGGREGATE FUNCTION bitor64 AS " +
+        "'graft.udf.BitOr64' OUTPUTTYPE BIGINT BUFSIZE 8")
+      cat.sql("SELECT user_id, bitor64(event_id) AS bits, " +
+        "count(*) AS n FROM events WHERE gcd64(event_id, 6) = 6 " +
+        "GROUP BY user_id ORDER BY user_id")
+    },
+    // SHOW FUNCTIONS / ins_functions through the dialect FROM
+    "ins_functions_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE FUNCTION gcd64 AS 'graft.udf.Gcd64' " +
+        "OUTPUTTYPE BIGINT")
+      cat.exec("CREATE AGGREGATE FUNCTION bitor64 AS " +
+        "'graft.udf.BitOr64' OUTPUTTYPE BIGINT BUFSIZE 8")
+      cat.sql("SELECT name, func_type, impl, output_type, bufsize " +
+        "FROM information_schema.ins_functions ORDER BY name")
+    },
+    // CREATE STREAM text → LIVE trigger (not just FILL_HISTORY): the
+    // saved definition wired onto a MemoryStream replay; the fired
+    // append-mode windows must hash-match the batch aggregate — the
+    // end-to-end loop the reference's 18-StreamProcessing cases run
+    "ddl_stream_live_gate" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val cat = demo(s, dir)
+      val rows = Tables(s, dir, "events")
+        .filter(col("event_id") % 2 === 0)
+        .select(col("ts"), col("value")).orderBy(col("ts")).collect()
+        .map { r =>
+          val us = r.getLong(0)
+          val t = new java.sql.Timestamp(
+            math.floorDiv(us, 1000000L) * 1000L)
+          t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+          (t, r.getDouble(1))
+        }
+      val mem = MemoryStream[(java.sql.Timestamp, Double)]
+      val src = mem.toDF().toDF("ts", "value")
+        .withColumn("value", col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      val out = cat.streamTrigger("hourly", src)
+      val sink = "ddl_stream_live_" + liveRuns.incrementAndGet()
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { ch =>
+            mem.addData(ch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+          // far-future sentinel closes every real window; its own
+          // window never fires (nothing later advances the watermark)
+          val maxTs = rows.last._1.getTime
+          mem.addData((new java.sql.Timestamp(
+            maxTs + 365L * 86400000L), 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink)
+        .select((unix_micros(col("_twstart")) / 1000L).cast("long")
+            .as("_twstart_ms"),
+          col("n"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("_twstart_ms"))
+    },
     // information_schema over the DDL-built catalog
     "ins_stables_gate" -> { (s, dir) =>
       demo(s, dir).insStables.orderBy("stable_name")
@@ -193,6 +304,37 @@ object Ddl {
           FROM customer WHERE c_custkey <= 40 ORDER BY ts""",
     // the stream's FILL_HISTORY output must equal the batch aggregate
     "ddl_stream_gate" -> Dialect.oracleSql("dialect_interval"),
+    // rollup-served daily aggregate == direct base-table aggregate
+    "ddl_tsma_gate" -> TimeSeries.oracleSql("tsma_rollup_served"),
+    "ddl_vtable_gate" ->
+      """SELECT epoch_us(ts) AS ts_us,
+           max(CASE WHEN event_type = 'click' THEN value END) AS click_v,
+           max(CASE WHEN event_type = 'view' THEN value END) AS view_v,
+           max(CASE WHEN event_type = 'purchase' THEN value END)
+             AS purchase_v
+         FROM events
+         WHERE user_id = 7
+           AND event_type IN ('click', 'view', 'purchase')
+         GROUP BY epoch_us(ts) ORDER BY ts_us""",
+    "ddl_udf_gate" ->
+      """SELECT user_id, bit_or(event_id) AS bits, count(*) AS n
+         FROM events WHERE gcd(event_id, 6) = 6
+         GROUP BY user_id ORDER BY user_id""",
+    "ins_functions_gate" ->
+      """SELECT * FROM (VALUES
+           ('bitor64', 'AGGREGATE', 'graft.udf.BitOr64', 'BIGINT', 8),
+           ('gcd64', 'SCALAR', 'graft.udf.Gcd64', 'BIGINT', 0))
+         AS t(name, func_type, impl, output_type, bufsize)
+         ORDER BY name""",
+    // live-triggered stream windows == the batch hourly aggregate of
+    // the replayed slice (every real window closed by the sentinel)
+    "ddl_stream_live_gate" ->
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) // 1000
+             AS _twstart_ms,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_id % 2 = 0
+         GROUP BY _twstart_ms ORDER BY _twstart_ms""",
     "ins_stables_gate" ->
       """SELECT * FROM (VALUES
            ('cm', 'graftdb', 3, 1, 41),

@@ -127,6 +127,16 @@ object Dialect {
                                    AND value > 99.5)
            GROUP BY user_id ORDER BY user_id""")
     },
+    // MATCH / NMATCH regex operators (sql.y operator grammar;
+    // filter.c regex eval) — rewritten to RLIKE before the expr leaf
+    "dialect_match" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id, event_type, user_id FROM events
+           WHERE event_type MATCH '^(cl|pu)'
+             AND event_type NMATCH 'ick$'
+             AND user_id < 40
+           ORDER BY event_id""")
+    },
     // scalar subquery folded to a literal before planning (exact max,
     // so the DuckDB comparison is bit-stable)
     "dialect_scalar_subquery" -> { (s, dir) =>
@@ -516,6 +526,12 @@ object Dialect {
                                WHERE event_type = 'purchase'
                                  AND value > 99.5)
          GROUP BY user_id ORDER BY user_id""",
+    "dialect_match" ->
+      """SELECT event_id, event_type, user_id FROM events
+         WHERE regexp_matches(event_type, '^(cl|pu)')
+           AND NOT regexp_matches(event_type, 'ick$')
+           AND user_id < 40
+         ORDER BY event_id""",
     "dialect_scalar_subquery" ->
       """SELECT event_id, user_id, value FROM events
          WHERE value >= (SELECT max(value) FROM events

@@ -27,6 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // results are on disk: drop the sorted copies keyless ops
+      // persisted so a 195-query pass doesn't accumulate them
+      graft.ops.GlobalScan.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoders, SparkSession, functions}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Runtime bindings for the UDF DDL surface (reference grammar
+  * sql.y:1589 `CREATE [AGGREGATE] FUNCTION name AS <impl> OUTPUTTYPE t
+  * [BUFSIZE n]`; runtime contract taosudf.h scalar/agg entry points,
+  * loaded out-of-process by udfd.c).
+  *
+  * The reference's AS clause names a native shared library; here it
+  * names a registry key resolved to a JVM implementation — the same
+  * name→code indirection with the JVM as the loader. Binding goes
+  * through `spark.udf.register`, so once a function is created via DDL
+  * text it resolves by name inside any dialect expression (WHERE,
+  * SELECT, aggregates), exactly like the reference's parser resolving
+  * a UDF call against the mnode's function catalog.
+  *
+  * Scale note: scalar entries are plain Scala UDFs (row-at-a-time but
+  * fully distributed); aggregate entries are [[Aggregator]]s with the
+  * partial/merge contract, so they combine map-side like any built-in
+  * aggregate — no driver funnels. */
+object UdfRegistry {
+
+  /** Bitwise-OR aggregate over BIGINT — exact at any merge order, the
+    * canonical partial/merge shape of taosudf.h's udaf (start/agg/
+    * merge/finish). */
+  private object BitOr64 extends Aggregator[java.lang.Long, Long,
+      java.lang.Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: java.lang.Long): Long =
+      if (a == null) b else b | a.longValue()
+    def merge(b1: Long, b2: Long): Long = b1 | b2
+    def finish(r: Long): java.lang.Long = r
+    def bufferEncoder = Encoders.scalaLong
+    def outputEncoder = Encoders.LONG
+  }
+
+  private def gcd(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  /** impl key → (aggregate?, bind). Spark null-guards primitive-typed
+    * Scala UDFs (null in → null out), matching the reference's
+    * NULL-propagating scalar UDF default. */
+  private val impls: Map[String, (Boolean, (SparkSession, String) => Unit)] =
+    Map(
+      "graft.udf.Gcd64" -> ((false, (s, n) =>
+        s.udf.register(n, (a: Long, b: Long) => gcd(a, b)))),
+      "graft.udf.BitOr64" -> ((true, (s, n) =>
+        s.udf.register(n, functions.udaf(BitOr64, Encoders.LONG)))))
+
+  def knownImpls: Seq[String] = impls.keys.toSeq.sorted
+
+  /** Bind `impl` under `fnName`. The DDL's AGGREGATE keyword must match
+    * the implementation's kind — the reference rejects a scalar lib
+    * declared AGGREGATE at create time, not first call. */
+  def bind(spark: SparkSession, fnName: String, impl: String,
+      aggregate: Boolean): Unit = {
+    val (isAgg, reg) = impls.getOrElse(impl,
+      throw new IllegalArgumentException(
+        s"unknown UDF implementation '$impl' (known: " +
+          s"${knownImpls.mkString(", ")})"))
+    require(isAgg == aggregate,
+      s"$impl is ${if (isAgg) "an AGGREGATE" else "a scalar"} " +
+        s"implementation but was declared ${if (aggregate) "AGGREGATE"
+          else "scalar"}")
+    reg(spark, fnName)
+  }
+}

@@ -31,6 +31,76 @@ object TsmaOps {
         min(v).as("_min"), max(v).as("_max"))
   }
 
+  /** Multi-column rollup (sql.y:1503 `CREATE TSMA … FUNCTION(f(c),…)`):
+    * partial aggregate state per grain bucket for EVERY referenced
+    * value column, suffixed `_<col>` — one shuffle builds state that
+    * serves any covered (func, col) combination. */
+  def createRollupMulti(df: DataFrame, tsUs: Column, grainUs: Long,
+      keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "TSMA rollup needs at least one column")
+    val aggs = valueCols.flatMap { c => Seq(
+      count(col(c)).as(s"_cnt_$c"),
+      sum(col(c).cast(DecimalType(18, 2))).as(s"_sum_$c"),
+      min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")) }
+    df.withColumn("_gstart", TimeOps.tumblingStart(tsUs, grainUs))
+      .groupBy((keys.map(col) :+ col("_gstart")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge a multi-column rollup's partials into `intervalUs` windows
+    * and emit one column per requested (func, col) spec, named
+    * `<func>_<col>` (`_wstart` carries the window start). `intervalUs`
+    * must be a grain multiple — the router checks eligibility. avg is
+    * served as exact-decimal sum over count, the same operation order
+    * the base-table aggregate uses, so rollup-served answers
+    * hash-match direct ones. */
+  def serveFromRollup(rollup: DataFrame, grainUs: Long, intervalUs: Long,
+      keys: Seq[String], specs: Seq[(String, String)]): DataFrame = {
+    require(intervalUs % grainUs == 0,
+      s"interval $intervalUs is not a multiple of TSMA grain $grainUs")
+    val aggs = specs.map { case (f, c) =>
+      val e = f.toLowerCase match {
+        case "count" => sum(col(s"_cnt_$c"))
+        case "sum" => sum(col(s"_sum_$c")).cast("double")
+        case "min" => min(col(s"_min_$c"))
+        case "max" => max(col(s"_max_$c"))
+        case "avg" =>
+          sum(col(s"_sum_$c")).cast("double") / sum(col(s"_cnt_$c"))
+        case other => throw new IllegalArgumentException(
+          s"TSMA cannot serve $other($c)")
+      }
+      e.as(s"${f.toLowerCase}_$c")
+    }
+    rollup
+      .withColumn("_wstart",
+        TimeOps.tumblingStart(col("_gstart"), intervalUs))
+      .groupBy((keys.map(col) :+ col("_wstart")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The same (func, col) aggregate list computed straight off the
+    * base table — the router's fallback when no TSMA is eligible. */
+  def aggBase(base: DataFrame, tsUs: Column, intervalUs: Long,
+      keys: Seq[String], specs: Seq[(String, String)]): DataFrame = {
+    val aggs = specs.map { case (f, c) =>
+      val e = f.toLowerCase match {
+        case "count" => count(col(c))
+        case "sum" => sum(col(c).cast(DecimalType(18, 2))).cast("double")
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        case "avg" =>
+          sum(col(c).cast(DecimalType(18, 2))).cast("double") /
+            count(col(c))
+        case other => throw new IllegalArgumentException(
+          s"unsupported interval aggregate $other($c)")
+      }
+      e.as(s"${f.toLowerCase}_$c")
+    }
+    base.withColumn("_wstart", TimeOps.tumblingStart(tsUs, intervalUs))
+      .groupBy((keys.map(col) :+ col("_wstart")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** The aggregate surface a TSMA can serve. */
   final case class IntervalAgg(n: Column, sum: Column, min: Column,
       max: Column, avg: Column, wstart: Column)

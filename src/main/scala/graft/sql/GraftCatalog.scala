@@ -51,6 +51,17 @@ class GraftCatalog(val spark: SparkSession) {
   case class StreamDef(name: String, options: String, into: String,
       select: String)
   case class TopicDef(name: String, db: String, subject: String)
+  /** CREATE TSMA … FUNCTION(f(c),…) INTERVAL(d) (sql.y:1503-1507). */
+  case class TsmaDef(name: String, table: String,
+      funcs: Seq[(String, String)], grainUs: Long, intervalTxt: String)
+  /** CREATE VTABLE … (ts TIMESTAMP, c t FROM tbl.col, …)
+    * (sql.y:1074-1076; column_options FROM column_ref sql.y:3253). */
+  case class VtableDef(name: String, tsCol: String,
+      cols: Seq[(String, String, String, String)]) // (name,type,srcTbl,srcCol)
+  /** CREATE [AGGREGATE] FUNCTION … AS '<impl>' OUTPUTTYPE t
+    * (sql.y:1589; runtime taosudf.h via [[graft.functions.UdfRegistry]]). */
+  case class UdfDef(name: String, impl: String, aggregate: Boolean,
+      outputType: String, bufSize: Int)
 
   private case class Child(name: String, stableName: String,
       tagVals: Seq[Any], rows: mutable.ArrayBuffer[(Seq[Any], Long)])
@@ -65,6 +76,13 @@ class GraftCatalog(val spark: SparkSession) {
   private val streamDefs = mutable.LinkedHashMap[String, StreamDef]()
   private val topicDefs = mutable.LinkedHashMap[String, TopicDef]()
   private val viewDefs = mutable.LinkedHashMap[String, String]()
+  private val tsmaDefs = mutable.LinkedHashMap[String, TsmaDef]()
+  // rollup frames materialized lazily per (tsma, serving keys) — the
+  // reference maintains its TSMA result table through an ingest-side
+  // stream; the router shape (partial-state merge) is identical
+  private val tsmaRollups = mutable.LinkedHashMap[String, DataFrame]()
+  private val vtableDefs = mutable.LinkedHashMap[String, VtableDef]()
+  private val udfDefs = mutable.LinkedHashMap[String, UdfDef]()
   private var seqCounter = 0L
 
   /** Ticks/second of the current database (PRECISION 'ms'|'us'|'ns'). */
@@ -176,8 +194,29 @@ class GraftCatalog(val spark: SparkSession) {
   // ------------------------------------------------------------- exec
 
   /** Execute one DDL / INSERT statement. */
+  /** Collapse whitespace runs to single spaces OUTSIDE single-quoted
+    * literals: an INSERT value like 'a  b' (or one holding a tab)
+    * must reach storage byte-exact — parInsertSql.c treats quoted
+    * text as opaque, and so must we. */
+  private def normalizeWs(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var inStr = false; var pendingSpace = false; var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (inStr) { b.append(c); if (c == '\'') inStr = false }
+      else if (c.isWhitespace) pendingSpace = b.nonEmpty
+      else {
+        if (pendingSpace) { b.append(' '); pendingSpace = false }
+        b.append(c)
+        if (c == '\'') inStr = true
+      }
+      i += 1
+    }
+    b.toString
+  }
+
   def exec(sql: String): Unit = {
-    val stmt = sql.replaceAll("\\s+", " ").trim.stripSuffix(";").trim
+    val stmt = normalizeWs(sql).trim.stripSuffix(";").trim
     val up = stmt.toUpperCase
     if (up.startsWith("CREATE DATABASE")) createDatabase(stmt)
     else if (up.startsWith("USE ")) {
@@ -220,7 +259,193 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("DROP STREAM")) {
       streamDefs.remove(bare(stmt.split("\\s+").last)); ()
     }
+    else if (up.startsWith("CREATE TSMA") ||
+        up.startsWith("CREATE RECURSIVE TSMA")) createTsma(stmt)
+    else if (up.startsWith("DROP TSMA")) {
+      val n = bare(stmt.split("\\s+").last)
+      tsmaDefs.remove(n)
+      tsmaRollups.filterInPlace((k, _) => !k.startsWith(n + "|")); ()
+    }
+    else if (up.startsWith("CREATE VTABLE")) createVtable(stmt)
+    else if (up.startsWith("DROP VTABLE")) {
+      vtableDefs.remove(bare(stmt.split("\\s+").last)); ()
+    }
+    else if (fnCreateRe.findFirstIn(stmt).isDefined) createFunction(stmt)
+    else if (up.startsWith("DROP FUNCTION")) {
+      // the Spark function registry has no unregister; dropping removes
+      // the catalog entry (listing + re-create validation) — the
+      // reference's mnode drop likewise leaves live queries unaffected
+      udfDefs.remove(bare(stmt.split("\\s+").last)); ()
+    }
     else throw new IllegalArgumentException(s"unsupported statement: $stmt")
+  }
+
+  // ------------------------------------------------- TSMA / VTABLE / UDF
+
+  /** CREATE TSMA name ON tbl FUNCTION(f1(c1), …) INTERVAL(d)
+    * (sql.y:1503-1505; reference tests 19-TSMAs). The rollup's partial
+    * state materializes lazily per serving key-set ([[serveInterval]]);
+    * the reference fills its result stable through an ingest-side
+    * stream — same state, different refresh trigger. */
+  private def createTsma(stmt: String): Unit = {
+    val re = ("(?i)^CREATE (?:RECURSIVE )?TSMA (?:IF NOT EXISTS )?" +
+      "([A-Za-z_][A-Za-z0-9_.]*) ON ([A-Za-z_][A-Za-z0-9_.]*)" +
+      "(?: FUNCTION\\s*\\((.*)\\))? INTERVAL\\s*\\(([^)]+)\\)$").r
+    stmt match {
+      case re(name0, tbl0, funcsTxt, ivTxt) =>
+        val name = bare(name0); val tbl = bare(tbl0)
+        require(funcsTxt != null,
+          s"RECURSIVE TSMA (no FUNCTION list) is unsupported: $stmt")
+        val fnRe = "(?i)^([A-Za-z_]+)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+        val funcs = GraftSql.splitArgs(funcsTxt).map(_.trim).map {
+          case fnRe(f, c) => (f.toLowerCase, c)
+          case other => throw new IllegalArgumentException(
+            s"TSMA FUNCTION list entry not f(col): $other")
+        }
+        require(funcs.nonEmpty, s"TSMA needs a FUNCTION list: $stmt")
+        table(tbl) // validates the target exists
+        tsmaDefs(name) = TsmaDef(name, tbl, funcs,
+          GraftSql.durNative(ivTxt.trim, perSecond), ivTxt.trim)
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse CREATE TSMA: $stmt")
+    }
+  }
+
+  /** The rollup frame for `t` keyed by `keys`, built once per
+    * (tsma, key-set) and cached. */
+  private def tsmaRollup(t: TsmaDef, keys: Seq[String]): DataFrame = {
+    val k = t.name + "|" + keys.mkString(",")
+    tsmaRollups.getOrElseUpdate(k, {
+      val cols = t.funcs.map(_._2).distinct
+      graft.ops.TsmaOps.createRollupMulti(table(t.table),
+        col(tsColOf(t.table)), t.grainUs, keys, cols)
+    })
+  }
+
+  /** Serve INTERVAL(`intervalUs`) aggregates (`specs` = (func, col))
+    * over `tableName`, per `keys` — routed through an eligible TSMA
+    * when one covers the request (the planner rewrite
+    * smaIndexOptimize/tsmaOptimize performs on the reference; the
+    * eligibility test is the same: grain divides the interval and
+    * every requested aggregate was declared). Output columns are
+    * `_wstart` + `<func>_<col>`. */
+  def serveInterval(tableName: String, intervalUs: Long,
+      keys: Seq[String], specs: Seq[(String, String)]): DataFrame = {
+    val want = specs.map { case (f, c) => (f.toLowerCase, c) }
+    val covered = (t: TsmaDef) => want.forall { case (f, c) =>
+      t.funcs.contains((f, c)) ||
+        // avg folds from declared sum+count partials
+        (f == "avg" && t.funcs.contains(("sum", c)) &&
+          t.funcs.contains(("count", c)))
+    }
+    tsmaDefs.values.find(t => t.table == bare(tableName) &&
+        intervalUs % t.grainUs == 0 && covered(t)) match {
+      case Some(t) => graft.ops.TsmaOps.serveFromRollup(
+        tsmaRollup(t, keys), t.grainUs, intervalUs, keys, want)
+      case None => graft.ops.TsmaOps.aggBase(table(tableName),
+        col(tsColOf(tableName)), intervalUs, keys, want)
+    }
+  }
+
+  /** The timestamp primary-key column of a readable table: a stable /
+    * child declares it (first data column); an external registration
+    * uses its `ts` column when present, else its first column. */
+  private def tsColOf(name0: String): String = {
+    val name = bare(name0)
+    if (children.contains(name)) stables(children(name).stableName).tsCol
+    else if (stables.contains(name)) stables(name).tsCol
+    else if (external.contains(name)) {
+      val cols = external(name).columns
+      if (cols.contains("ts")) "ts" else cols.head
+    }
+    else throw new IllegalArgumentException(
+      s"no timestamp column known for: $name")
+  }
+
+  /** CREATE VTABLE name (ts TIMESTAMP, c t FROM [db.]tbl.col, …)
+    * (sql.y:1074-1076, column reference option sql.y:3253;
+    * virtualtablescanoperator.c). Definition only — the read path is
+    * [[vtableDf]]. */
+  private def createVtable(stmt: String): Unit = {
+    val rest = stripIfNotExists(
+      stmt.substring("CREATE VTABLE".length).trim)
+    val tok = rest.split("\\s+")(0)
+    val name = bare(tok)
+    val at = rest.indexOf('(', tok.length)
+    require(at > 0, s"CREATE VTABLE needs a column list: $stmt")
+    val (body, _) = parenGroup(rest, at)
+    val defRe = ("(?i)^([A-Za-z_][A-Za-z0-9_]*)\\s+([A-Za-z0-9()]+)" +
+      "(?:\\s+FROM\\s+([A-Za-z0-9_.]+))?$").r
+    var tsCol: String = null
+    val cols = Seq.newBuilder[(String, String, String, String)]
+    GraftSql.splitArgs(body).map(_.trim).foreach {
+      case defRe(cn, tp, null) =>
+        require(tsCol == null,
+          s"only the first VTABLE column may omit FROM: $cn")
+        require(tp.equalsIgnoreCase("TIMESTAMP"),
+          s"VTABLE first column must be TIMESTAMP: $cn $tp")
+        tsCol = cn
+      case defRe(cn, tp, ref) =>
+        val parts = ref.split("\\.")
+        require(parts.length >= 2,
+          s"VTABLE column $cn needs FROM table.column: $ref")
+        // db qualifier (if any) is advisory here — single catalog
+        cols += ((cn, tp, parts(parts.length - 2), parts.last))
+      case other => throw new IllegalArgumentException(
+        s"cannot parse VTABLE column def: $other")
+    }
+    require(tsCol != null, s"CREATE VTABLE needs a TIMESTAMP column: $stmt")
+    val cs = cols.result()
+    require(cs.nonEmpty, s"CREATE VTABLE needs sourced columns: $stmt")
+    cs.foreach { case (_, _, tbl, _) => table(tbl) } // validate sources
+    vtableDefs(name) = VtableDef(name, tsCol, cs)
+  }
+
+  /** Virtual-table read (virtualtablescanoperator.c:702 ts-aligned
+    * column merge). Scale shape: columns of one declared type fold
+    * into a single union+pivot hash aggregate (one shuffle regardless
+    * of source count — the [[graft.ops.SourceOps.virtualTable]]
+    * lowering); distinct-type groups then align on ts with full-outer
+    * joins, one per extra type, not one per column. */
+  private def vtableDf(v: VtableDef): DataFrame = {
+    val frames = v.cols.groupBy { case (_, tp, _, _) => tp.toUpperCase }
+      .toSeq.sortBy(_._1).map { case (_, cs) =>
+        val dt = sparkType(cs.head._2)
+        val tagged = cs.map { case (cn, _, tbl, sc) =>
+          val src = table(tbl)
+          src.select(col(tsColOf(tbl)).as("_vts"),
+            lit(cn).as("_vsrc"), col(sc).cast(dt).as("_vv"))
+        }.reduce(_ unionByName _)
+        tagged.groupBy(col("_vts")).agg(
+          max(when(col("_vsrc") === cs.head._1, col("_vv")))
+            .as(cs.head._1),
+          cs.tail.map { case (cn, _, _, _) =>
+            max(when(col("_vsrc") === cn, col("_vv"))).as(cn) }: _*)
+      }
+    frames.reduce((a, b) => a.join(b, Seq("_vts"), "full_outer"))
+      .withColumnRenamed("_vts", v.tsCol)
+      .select((v.tsCol +: v.cols.map(_._1)).map(col): _*)
+  }
+
+  private val fnCreateRe =
+    ("(?i)^CREATE (?:OR REPLACE )?(AGGREGATE )?FUNCTION " +
+      "(?:IF NOT EXISTS )?([A-Za-z_][A-Za-z0-9_]*) AS '([^']+)' " +
+      "OUTPUTTYPE ([A-Za-z0-9()]+)(?: BUFSIZE (\\d+))?" +
+      "(?: LANGUAGE '[^']*')?$").r
+
+  /** CREATE [AGGREGATE] FUNCTION name AS '<impl>' OUTPUTTYPE t
+    * (sql.y:1589): binds a [[graft.functions.UdfRegistry]]
+    * implementation into the Spark function registry under `name`, so
+    * dialect expressions resolve it like any built-in. */
+  private def createFunction(stmt: String): Unit = stmt match {
+    case fnCreateRe(agg, name0, impl, outType, bufSize) =>
+      val name = bare(name0)
+      graft.functions.UdfRegistry.bind(spark, name, impl, agg != null)
+      udfDefs(name) = UdfDef(name, impl, agg != null,
+        outType.toUpperCase,
+        Option(bufSize).map(_.toInt).getOrElse(0))
+    case _ => throw new IllegalArgumentException(
+      s"cannot parse CREATE FUNCTION: $stmt")
   }
 
   private def stripIfNotExists(rest: String): String = {
@@ -561,6 +786,7 @@ class GraftCatalog(val spark: SparkSession) {
     else if (materialized.contains(name)) materialized(name)
     else if (viewDefs.contains(name))
       GraftSql.query(spark, table, viewDefs(name), perSecond = perSecond)
+    else if (vtableDefs.contains(name)) vtableDf(vtableDefs(name))
     else if (children.contains(name)) childDf(children(name))
     else if (stables.contains(name)) stableDf(name)
     // `FROM information_schema.ins_x` arrives here as `ins_x` (the
@@ -572,6 +798,8 @@ class GraftCatalog(val spark: SparkSession) {
     else if (name == "ins_columns") insColumns
     else if (name == "ins_streams") insStreams
     else if (name == "ins_topics") insTopics
+    else if (name == "ins_functions") insFunctions
+    else if (name == "ins_tsmas") insTsmas
     else throw new IllegalArgumentException(s"unknown table: $name")
   }
 
@@ -737,6 +965,26 @@ class GraftCatalog(val spark: SparkSession) {
     topicDefs.values.toSeq.map(t => (t.name, t.db, t.subject))
       .toDF("topic_name", "db_name", "subject")
 
+  /** information_schema.ins_functions (systable.h; SHOW FUNCTIONS
+    * sql.y:1374). */
+  def insFunctions: DataFrame =
+    udfDefs.values.toSeq.map(u => (u.name,
+        if (u.aggregate) "AGGREGATE" else "SCALAR",
+        u.impl, u.outputType, u.bufSize))
+      .toDF("name", "func_type", "impl", "output_type", "bufsize")
+
+  /** SHOW TSMAS (sql.y:1509). */
+  def insTsmas: DataFrame =
+    tsmaDefs.values.toSeq.map(t => (t.name, t.table,
+        t.funcs.map { case (f, c) => s"$f($c)" }.mkString(","),
+        t.intervalTxt))
+      .toDF("tsma_name", "table_name", "func_list", "interval")
+
+  /** SHOW VTABLES (sql.y:1361). */
+  def insVtables: DataFrame =
+    vtableDefs.values.toSeq.map(v => (v.name, v.cols.length + 1))
+      .toDF("vtable_name", "columns")
+
   // --------------------------------------------------- text dispatch
 
   /** Byte width the reference reports per type in DESCRIBE/ins_columns
@@ -779,7 +1027,7 @@ class GraftCatalog(val spark: SparkSession) {
     * everything else is DDL/DML via [[exec]] (returning an empty OK
     * frame, as the reference's taos shell does). */
   def sql(stmt0: String): DataFrame = {
-    val stmt = stmt0.replaceAll("\\s+", " ").trim.stripSuffix(";").trim
+    val stmt = normalizeWs(stmt0).trim.stripSuffix(";").trim
     val up = stmt.toUpperCase
     if (up.startsWith("SELECT"))
       GraftSql.query(spark, table, stmt, perSecond = perSecond)
@@ -822,11 +1070,33 @@ class GraftCatalog(val spark: SparkSession) {
         }
       Seq((name, ddl)).toDF("table_name", "create_sql")
     }
+    else if (up.startsWith("SHOW CREATE TSMA ")) {
+      val name = bare(stmt.split("\\s+").last)
+      val t = tsmaDefs.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown TSMA: $name"))
+      val ddl = s"CREATE TSMA `${t.name}` ON `${t.table}` FUNCTION(" +
+        t.funcs.map { case (f, c) => s"$f(`$c`)" }.mkString(", ") +
+        s") INTERVAL(${t.intervalTxt})"
+      Seq((t.name, ddl)).toDF("tsma_name", "create_sql")
+    }
+    else if (up.startsWith("SHOW CREATE VTABLE ")) {
+      val name = bare(stmt.split("\\s+").last)
+      val v = vtableDefs.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown VTABLE: $name"))
+      val ddl = s"CREATE VTABLE `${v.name}` (`${v.tsCol}` TIMESTAMP, " +
+        v.cols.map { case (cn, tp, tbl, sc) =>
+          s"`$cn` ${tp.toUpperCase} FROM `$tbl`.`$sc`" }.mkString(", ") +
+        ")"
+      Seq((v.name, ddl)).toDF("vtable_name", "create_sql")
+    }
     else if (up.startsWith("SHOW DATABASES")) insDatabases
     else if (up.startsWith("SHOW STABLES")) insStables
     else if (up.startsWith("SHOW TABLES")) insTables
     else if (up.startsWith("SHOW STREAMS")) insStreams
     else if (up.startsWith("SHOW TOPICS")) insTopics
+    else if (up.startsWith("SHOW TSMAS")) insTsmas
+    else if (up.startsWith("SHOW VTABLES")) insVtables
+    else if (up.startsWith("SHOW FUNCTIONS")) insFunctions
     else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
       describe(stmt.split("\\s+").last)
     else { exec(stmt); spark.emptyDataFrame }

@@ -186,6 +186,23 @@ object GraftSql {
     (plain.result(), subs.result())
   }
 
+  /** TDengine's regex operators (sql.y operator grammar; filter.c
+    * regex eval): `col MATCH 'pat'` → Spark `RLIKE`, `col NMATCH
+    * 'pat'` → `NOT … RLIKE` (NOT binds tighter than AND/OR, so the
+    * inline negation is safe inside a conjunct). Both engines speak
+    * POSIX-extended-compatible regex for the patterns these ops see. */
+  private def rewriteRegexOps(p: String): String = {
+    import java.util.regex.Matcher.quoteReplacement
+    val lhs = "([A-Za-z_][A-Za-z0-9_]*)"
+    val pat = "('(?:[^']|'')*')"
+    val m = s"(?i)\\b$lhs\\s+MATCH\\s+$pat".r
+    val n = s"(?i)\\b$lhs\\s+NMATCH\\s+$pat".r
+    m.replaceAllIn(
+      n.replaceAllIn(p, x =>
+        quoteReplacement(s"NOT ${x.group(1)} RLIKE ${x.group(2)}")),
+      x => quoteReplacement(s"${x.group(1)} RLIKE ${x.group(2)}"))
+  }
+
   /** Replace every `(SELECT …)` group in a predicate with its computed
     * scalar literal (sql.y:3095 scalar subquery; the reference's
     * planner evaluates these as uncorrelated one-row subplans). The
@@ -639,6 +656,7 @@ object GraftSql {
     c.get("WHERE").foreach { w =>
       val (plain0, subs) = whereInSubqueries(w)
       val plain = plain0
+        .map(rewriteRegexOps)
         .map(p => inlineScalarSubqueries(spark, resolve, p, tsCol, perSecond))
       if (plain.nonEmpty) df = df.filter(expr(plain.mkString(" AND ")))
       subs.foreach { case (lhs, negated, subSql) =>

@@ -179,6 +179,92 @@ class DdlSpec extends AnyFunSuite {
       .head.get(0).toString.toDouble == 3.0) // 1.0 + the 2.0 row above
   }
 
+  test("CREATE TSMA routes an eligible interval through the rollup " +
+      "and falls back to base otherwise") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE m (ts TIMESTAMP, v DOUBLE) TAGS (g INT)")
+    cat.exec("INSERT INTO m1 USING m TAGS (1) VALUES " +
+      (0 until 50).map(i => s"(${i.toLong * 600000000L}, ${i * 1.5})")
+        .mkString(" "))
+    cat.exec("CREATE TSMA m_tsma ON m FUNCTION(count(v), sum(v), " +
+      "min(v), max(v)) INTERVAL(1h)")
+    assert(cat.sql("SHOW TSMAS").count() == 1)
+    val ddl = cat.sql("SHOW CREATE TSMA m_tsma").head.getString(1)
+    assert(ddl.contains("FUNCTION(count(`v`)") &&
+      ddl.contains("INTERVAL(1h)"), ddl)
+    // eligible: 2h % 1h == 0 and every func declared (avg via
+    // sum+count partials); result must equal the direct aggregate
+    val served = cat.serveInterval("m", 7200000000L, Seq("tbname"),
+      Seq(("count", "v"), ("sum", "v"), ("avg", "v")))
+      .orderBy("_wstart").collect()
+    val direct = graft.ops.TsmaOps.aggBase(cat.table("m"), col("ts"),
+      7200000000L, Seq("tbname"),
+      Seq(("count", "v"), ("sum", "v"), ("avg", "v")))
+      .orderBy("_wstart").collect()
+    assert(served.toSeq == direct.toSeq)
+    // ineligible interval (90m not a grain multiple) still answers
+    val odd = cat.serveInterval("m", 5400000000L, Seq("tbname"),
+      Seq(("count", "v")))
+    assert(odd.agg(sum("count_v")).head.getLong(0) == 50L)
+    // min must NOT be served from a TSMA that never declared it…
+    cat.exec("DROP TSMA m_tsma")
+    cat.exec("CREATE TSMA sum_only ON m FUNCTION(sum(v)) INTERVAL(1h)")
+    // …which shows as the base path giving the same correct answer
+    val viaBase = cat.serveInterval("m", 7200000000L, Seq("tbname"),
+      Seq(("min", "v"), ("sum", "v"))).orderBy("_wstart").collect()
+    val directMin = graft.ops.TsmaOps.aggBase(cat.table("m"),
+      col("ts"), 7200000000L, Seq("tbname"),
+      Seq(("min", "v"), ("sum", "v"))).orderBy("_wstart").collect()
+    assert(viaBase.toSeq == directMin.toSeq)
+  }
+
+  test("CREATE VTABLE joins heterogeneous column types across " +
+      "type-grouped pivots") {
+    import spark.implicits._
+    val cat = new GraftCatalog(spark)
+    cat.register("src_d",
+      Seq((100L, 1.5), (200L, 2.5)).toDF("ts", "dv"))
+    cat.register("src_i",
+      Seq((100L, 7), (300L, 9)).toDF("ts", "iv"))
+    cat.exec("CREATE VTABLE vt (ts TIMESTAMP, a DOUBLE FROM src_d.dv, " +
+      "b INT FROM src_i.iv)")
+    val rows = cat.table("vt").orderBy("ts").collect()
+    assert(rows.map(r => (r.getLong(0), Option(r.get(1)),
+      Option(r.get(2)))).toSeq == Seq(
+      (100L, Some(1.5), Some(7)),
+      (200L, Some(2.5), None),
+      (300L, None, Some(9))))
+    assert(cat.sql("SHOW VTABLES").count() == 1)
+    val ddl = cat.sql("SHOW CREATE VTABLE vt").head.getString(1)
+    assert(ddl.contains("FROM `src_d`.`dv`"), ddl)
+    cat.exec("DROP VTABLE vt")
+    intercept[IllegalArgumentException](cat.table("vt"))
+  }
+
+  test("CREATE FUNCTION validates the registry impl and its kind") {
+    val cat = new GraftCatalog(spark)
+    intercept[IllegalArgumentException](cat.exec(
+      "CREATE FUNCTION f AS 'no.such.Impl' OUTPUTTYPE BIGINT"))
+    // scalar impl declared AGGREGATE must fail at create time
+    intercept[IllegalArgumentException](cat.exec(
+      "CREATE AGGREGATE FUNCTION f AS 'graft.udf.Gcd64' " +
+        "OUTPUTTYPE BIGINT"))
+    cat.exec("CREATE FUNCTION mygcd AS 'graft.udf.Gcd64' " +
+      "OUTPUTTYPE BIGINT")
+    assert(cat.sql("SHOW FUNCTIONS").count() == 1)
+    cat.exec("DROP FUNCTION mygcd")
+    assert(cat.sql("SHOW FUNCTIONS").count() == 0)
+  }
+
+  test("whitespace inside quoted literals survives normalization") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE s (ts TIMESTAMP, note VARCHAR(64)) " +
+      "TAGS (g INT)")
+    cat.exec("INSERT INTO s1 USING s TAGS (1) VALUES " +
+      "(100, 'a  b\tc')")
+    assert(cat.table("s1").head.getAs[String]("note") == "a  b\tc")
+  }
+
   test("ns precision database scales duration + datetime to ns ticks") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE DATABASE nsdb PRECISION 'ns'")

@@ -170,6 +170,26 @@ class GlobalScanSpec extends AnyFunSuite {
       "release() must unpersist every scan-retained sorted copy")
   }
 
+  test("Verify-style pass over the keyless SparkEntry queries retains " +
+      "nothing after release()") {
+    import graft.ops.GlobalScan
+    GlobalScan.release()
+    val sfDir = "/root/testdata/sf0.001"
+    // the queries whose keyless paths route through GlobalScan —
+    // driven exactly as graft.Verify drives them (materialize, then
+    // release between queries)
+    val keyless = Seq("imputation_keyless", "anomaly_window_keyless",
+      "session_window_keyless", "state_window_keyless",
+      "count_window_keyless", "window_join_keyless")
+    keyless.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).queryExecution.toRdd.count()
+      GlobalScan.release()
+      assert(GlobalScan.retainedCount == 0,
+        s"$name left ${GlobalScan.retainedCount} retained copies")
+    }
+  }
+
   test("fused keyless anomaly numbering shuffles exactly once") {
     import graft.ops.AnalyticsOps
     val df = spark.range(50000)

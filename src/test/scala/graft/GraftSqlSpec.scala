@@ -337,4 +337,44 @@ class GraftSqlSpec extends AnyFunSuite {
         "(SELECT id FROM t WHERE id < 2) ORDER BY id")
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("NOT IN drops NULL-lhs rows against a non-empty subquery but " +
+      "keeps every row against an empty one") {
+    import spark.implicits._
+    val t = Seq((Option(1L), 1L), (Option.empty[Long], 2L),
+      (Option(5L), 3L)).toDF("ref", "id")
+    val resolve: String => org.apache.spark.sql.DataFrame = _ => t
+    // ref=NULL is UNKNOWN against {1}: only ref=5 survives
+    assert(GraftSql.query(spark, resolve,
+      "SELECT id FROM t WHERE ref NOT IN (SELECT id FROM t " +
+        "WHERE id = 1) ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // empty subquery: NOT IN is TRUE for all rows, NULL lhs included
+    assert(GraftSql.query(spark, resolve,
+      "SELECT id FROM t WHERE ref NOT IN (SELECT id FROM t " +
+        "WHERE id > 99) ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("an IN-subquery under OR/NOT/comparison fails loudly instead " +
+      "of silently semi-joining the swallowed disjunct") {
+    import spark.implicits._
+    val t = Seq((1L, 1L)).toDF("x", "y")
+    val resolve: String => org.apache.spark.sql.DataFrame = _ => t
+    val e = intercept[IllegalArgumentException](GraftSql.query(spark,
+      resolve,
+      "SELECT x FROM t WHERE x = 1 OR y IN (SELECT y FROM t)"))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("MATCH / NMATCH rewrite to RLIKE semantics in WHERE") {
+    import spark.implicits._
+    val t = Seq(("click", 1L), ("purchase", 2L), ("view", 3L))
+      .toDF("et", "id")
+    val resolve: String => org.apache.spark.sql.DataFrame = _ => t
+    assert(GraftSql.query(spark, resolve,
+      "SELECT id FROM t WHERE et MATCH '^(cl|pu)' AND " +
+        "et NMATCH 'ick$' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
