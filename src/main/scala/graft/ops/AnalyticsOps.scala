@@ -133,13 +133,19 @@ object AnalyticsOps {
     val withPhi = stats
       .withColumn("_mu", mu)
       .withColumn("_phi", when(den === 0.0, 0.0).otherwise(num / den))
-    (1 to horizon).map { h =>
-      val phiH = (1 to h).map(_ => col("_phi")).reduce(_ * _)
-      withPhi.select(keys.map(col) ++ Seq(
-        lit(t0Us + (h - 1).toLong * stepUs).as("_frowts"),
-        (col("_mu") + phiH * (col("_last") - col("_mu")))
-          .as("forecast")): _*)
-    }.reduce(_ unionByName _)
+    // one generator per key row instead of an h-way union of
+    // projections; φʰ still folds by repeated multiplication
+    // (aggregate's left fold = the reduce chain's order exactly, and
+    // 1.0·φ ≡ φ in IEEE) — never libm pow, which is not
+    // correctly-rounded and could differ from DuckDB in the last ulp
+    withPhi
+      .withColumn("_h", explode(sequence(lit(1), lit(horizon))))
+      .select(keys.map(col) ++ Seq(
+        (lit(t0Us) + (col("_h") - 1).cast(LongType) * stepUs)
+          .as("_frowts"),
+        (col("_mu") + aggregate(sequence(lit(1), col("_h")),
+          lit(1.0), (acc, _) => acc * col("_phi")) *
+          (col("_last") - col("_mu"))).as("forecast")): _*)
   }
 
   /** FORECAST(col): per-key OLS linear trend extrapolated `horizon`
@@ -274,15 +280,18 @@ object AnalyticsOps {
       combineSuf = GlobalScan.firstSeen,
       emit = { (prev0, next0, it) =>
         var carry = prev0
-        // rows already extended with _pv, awaiting their _nv
-        val pending = scala.collection.mutable.ArrayBuffer[Row]()
+        // rows awaiting their _nv, paired with the _pv they saw —
+        // the output Row is built ONCE, when the next sample arrives
+        // (building it twice doubled the dominant allocation cost)
+        val pending = scala.collection.mutable.ArrayBuffer[(Row, Row)]()
         def flush(nv: Sample): Iterator[Row] = {
+          val nvRow = pairRow(nv)
           val out = pending.toArray
           pending.clear()
-          out.iterator.map(r => Row.fromSeq(r.toSeq :+ pairRow(nv)))
+          out.iterator.map { case (r, pv) =>
+            Row.fromSeq(r.toSeq :+ pv :+ nvRow) }
         }
         val main = it.flatMap { r =>
-          val withPv = Row.fromSeq(r.toSeq :+ pairRow(carry))
           val sample: Sample =
             if (r.isNullAt(vIdx)) None
             else Some((r.getLong(tIdx), r.getDouble(vIdx)))
@@ -290,7 +299,7 @@ object AnalyticsOps {
           // itself joins pending (its next is a later sample)
           val flushed =
             if (sample.isDefined) flush(sample) else Iterator.empty
-          pending += withPv
+          pending += ((r, pairRow(carry)))
           if (sample.isDefined) carry = sample
           flushed
         }
