@@ -255,6 +255,16 @@ object Ddl {
       demo(s, dir).sql("SELECT table_name, col_name, ordinal, col_type, " +
         "col_kind FROM information_schema.ins_columns " +
         "ORDER BY table_name, ordinal")
+    },
+    "ins_streams_gate" -> { (s, dir) =>
+      demo(s, dir).sql("SELECT stream_name, target_table " +
+        "FROM information_schema.ins_streams ORDER BY stream_name")
+    },
+    "ins_topics_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE TOPIC ev_topic AS SELECT ts, v FROM nat")
+      cat.sql("SELECT topic_name, db_name, subject " +
+        "FROM information_schema.ins_topics ORDER BY topic_name")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -362,6 +372,13 @@ object Ddl {
            ('default', 'us', 0), ('graftdb', 'us', 66))
          AS t(db_name, precision, ntables)
          ORDER BY db_name""",
+    "ins_streams_gate" ->
+      """SELECT * FROM (VALUES ('hourly', 'hourly_out'))
+         AS t(stream_name, target_table) ORDER BY stream_name""",
+    "ins_topics_gate" ->
+      """SELECT * FROM (VALUES
+           ('ev_topic', 'graftdb', 'SELECT ts, v FROM nat'))
+         AS t(topic_name, db_name, subject) ORDER BY topic_name""",
     "ins_columns_gate" ->
       """SELECT * FROM (VALUES
            ('cm', 'ts', 1, 'TIMESTAMP', 'column'),
