@@ -368,6 +368,17 @@ object Dialect {
            SELECT user_id, count(*) AS n, 'click' AS kind
            FROM clicks GROUP BY user_id
            ORDER BY user_id, kind""")
+    },
+    // cols(selectFunc, out…) (builtins.c:6831): companion values at the
+    // row a selection function picks — expands to max_by/min_by items.
+    // event_id is unique, so the picked row is deterministic.
+    "dialect_cols" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id,
+             cols(max(event_id), ts DIV 1000 AS ts_at_max,
+               value AS v_at_max),
+             cols(min(event_id), ts DIV 1000 AS ts_at_min)
+           FROM events PARTITION BY user_id ORDER BY user_id""")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -726,5 +737,13 @@ object Dialect {
          UNION ALL
          SELECT user_id, count(*) AS n, 'click' AS kind
          FROM events WHERE event_type = 'click' GROUP BY user_id
-         ORDER BY user_id, kind""")
+         ORDER BY user_id, kind""",
+    // cols(max(event_id), …) picks companion values at the arg-max row;
+    // event_id is unique so max_by/min_by are deterministic in both engines
+    "dialect_cols" ->
+      """SELECT user_id,
+           max_by(epoch_us(ts) // 1000, event_id) AS ts_at_max,
+           max_by(value, event_id) AS v_at_max,
+           min_by(epoch_us(ts) // 1000, event_id) AS ts_at_min
+         FROM events GROUP BY user_id ORDER BY user_id""")
 }

@@ -307,6 +307,51 @@ object GraftSql {
     t.substring(1, t.length - 1).replace("''", "'")
   }
 
+  /** `cols(selectFunc(x), out1 [AS a1], out2…)` (builtins.c:6831;
+    * parTranslater.c:11820 rewriteColsFunction): every output
+    * expression is evaluated at the single row the selection function
+    * picks, which the reference rewrites to per-output "select value"
+    * aggregates. The Spark lowering is `max_by`/`min_by` with the
+    * selector (or the timestamp, for first/last/last_row) as the
+    * ordering key — one hash aggregate, no self-join. Expands in place
+    * to a comma-joined item list, so one `cols()` yields N select
+    * items exactly as the reference's projection-bind list does. */
+  private def expandColsArgs(a: String, tsCol: String): String = {
+    val parts = splitArgs(a)
+    require(parts.length >= 2, s"cols() needs a selector and outputs: $a")
+    val selPat = "(?i)^(max|min|first|last|last_row)\\s*\\((.+)\\)$".r
+    val (fn, sx) = parts.head.trim match {
+      case selPat(f, x) => (f.toLowerCase, x.trim)
+      case other => throw new IllegalArgumentException(
+        s"cols() selector must be max/min/first/last/last_row: $other")
+    }
+    val asPat = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    parts.tail.map { out =>
+      val (e, alias) = out.trim match {
+        case asPat(e0, al) => (e0.trim, Some(al))
+        case e0 => (e0.trim, None)
+      }
+      val agg = fn match {
+        case "max" => s"max_by($e, $sx)"
+        case "min" => s"min_by($e, $sx)"
+        // first/last skip NULL selector rows (builtins.c firstFunction
+        // semantics); a NULL ordering key is ignored by min_by/max_by
+        case "first" =>
+          s"min_by($e, CASE WHEN ($sx) IS NOT NULL THEN $tsCol END)"
+        case "last" =>
+          s"max_by($e, CASE WHEN ($sx) IS NOT NULL THEN $tsCol END)"
+        case "last_row" => s"max_by($e, $tsCol)"
+      }
+      alias match {
+        case Some(al) => s"$agg AS $al"
+        case None =>
+          require(e.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"cols() output expression needs an AS alias: $out")
+          s"$agg AS $e"
+      }
+    }.mkString(", ")
+  }
+
   /** TDengine function surface → Spark SQL, deterministic forms. */
   def rewriteFuncs(e: String, tsCol: String): String = {
     var r = e
@@ -692,8 +737,12 @@ object GraftSql {
     // SELECT DISTINCT: flag + strip, applied after the projection
     val selectRaw = c("SELECT").trim
     val isDistinct = selectRaw.toUpperCase.startsWith("DISTINCT ")
-    val selectBody =
+    val selectBody0 =
       if (isDistinct) selectRaw.substring("DISTINCT ".length) else selectRaw
+    // cols() expands to several select items BEFORE the item split —
+    // the expansion is comma-joined text at the item level
+    val selectBody = rewriteCall(selectBody0, "cols",
+      a => expandColsArgs(a, tsCol))
     val selectItems = splitArgs(selectBody).map { item =>
       val m = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
       item match {
