@@ -379,6 +379,48 @@ object Dialect {
                value AS v_at_max),
              cols(min(event_id), ts DIV 1000 AS ts_at_min)
            FROM events PARTITION BY user_id ORDER BY user_id""")
+    },
+    // TDengine time scalars Spark spells differently (sclfunc.c:4870
+    // timediff, 4076 to_iso8601, 5113 week family, 4954 timezone);
+    // now()/today() exercise the WHERE rewrite path (trivially-true
+    // bounds: the data is all in 2024, both engines evaluate at run
+    // time years later)
+    "dialect_scalar_time" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT event_id,
+             timediff(ts, $T0, 1h) AS td_h,
+             timediff($T0, ts, 1d) AS td_negd,
+             timediff(ts, $T0) AS td_raw,
+             to_iso8601(ts) AS iso,
+             to_unixtimestamp(to_char(ts, 'YYYY-MM-DD HH24:MI:SS'))
+               AS rt_us,
+             week(ts) AS wk0, week(ts, 3) AS wk3,
+             weekofyear(ts) AS woy, weekday(ts) AS wd,
+             dayofweek(ts) AS dow, timezone() AS tz
+           FROM events
+           WHERE event_id < 2000 AND ts < now() AND ts < today()
+           ORDER BY event_id""")
+    },
+    // misc scalar spellings: truncate (decimalFn trunc-toward-zero),
+    // CHAR code points, base64 pair, plus passthroughs TDengine and
+    // Spark share (greatest/least/char_length/ascii/position/mod/sign)
+    "dialect_scalar_misc" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT c_custkey,
+             truncate(c_acctbal * 1.7, 2) AS tr2,
+             truncate(c_acctbal, 0) AS tr0,
+             char(65 + c_custkey % 26, 97 + c_custkey % 26) AS ch2,
+             to_base64(c_name) AS b64,
+             from_base64(to_base64(c_name)) AS rt,
+             greatest(c_custkey % 7, c_custkey % 5, 3) AS gt,
+             least(c_custkey % 7, c_custkey % 5) AS lt,
+             char_length(c_name) AS clen,
+             ascii(c_name) AS asc_c,
+             position('3' IN c_name) AS pos_c,
+             mod(c_custkey, 7) AS md,
+             sign(c_acctbal - 10) AS sg,
+             md5(c_name) AS h
+           FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -745,5 +787,41 @@ object Dialect {
            max_by(epoch_us(ts) // 1000, event_id) AS ts_at_max,
            max_by(value, event_id) AS v_at_max,
            min_by(epoch_us(ts) // 1000, event_id) AS ts_at_min
-         FROM events GROUP BY user_id ORDER BY user_id""")
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // %U = Sunday-first week, 00-53, week 0 before the first Sunday —
+    // exactly MySQL WEEK(d,0); weekofyear = ISO = MySQL WEEK(d,3);
+    // DuckDB // floors, so negative timediff needs the trunc guard
+    "dialect_scalar_time" ->
+      s"""SELECT event_id,
+           (epoch_us(ts) - $T0) // ${H} AS td_h,
+           CASE WHEN epoch_us(ts) <= $T0
+             THEN ($T0 - epoch_us(ts)) // ${D}
+             ELSE -((epoch_us(ts) - $T0) // ${D}) END AS td_negd,
+           $T0 - epoch_us(ts) + 2 * (epoch_us(ts) - $T0) AS td_raw,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+0000' AS iso,
+           epoch_us(date_trunc('second', ts)) AS rt_us,
+           CAST(strftime(ts, '%U') AS BIGINT) AS wk0,
+           CAST(weekofyear(ts) AS BIGINT) AS wk3,
+           CAST(weekofyear(ts) AS BIGINT) AS woy,
+           CAST(isodow(ts) - 1 AS BIGINT) AS wd,
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           'UTC (UTC, +0000)' AS tz
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "dialect_scalar_misc" ->
+      """SELECT c_custkey,
+           trunc(CAST(c_acctbal * 1.7 AS DOUBLE) * 100) / 100 AS tr2,
+           trunc(CAST(c_acctbal AS DOUBLE)) / 1.0 AS tr0,
+           chr(CAST(65 + c_custkey % 26 AS INT)) ||
+             chr(CAST(97 + c_custkey % 26 AS INT)) AS ch2,
+           to_base64(encode(c_name)) AS b64,
+           decode(from_base64(to_base64(encode(c_name)))) AS rt,
+           greatest(c_custkey % 7, c_custkey % 5, 3) AS gt,
+           least(c_custkey % 7, c_custkey % 5) AS lt,
+           length(c_name) AS clen,
+           ascii(c_name) AS asc_c,
+           position('3' IN c_name) AS pos_c,
+           mod(c_custkey, 7) AS md,
+           sign(c_acctbal - 10) AS sg,
+           md5(c_name) AS h
+         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""")
 }

@@ -359,7 +359,10 @@ object GraftSql {
     // literal, so the whole call lowers to built-ins at plan time
     r = rewriteCall(r, "to_char", a => {
       val parts = splitArgs(a)
-      graft.functions.TimeFormat.toCharSql(parts(0), unquote(parts(1)))
+      // dialect timestamps are µs bigints; to_char needs TIMESTAMP
+      graft.functions.TimeFormat.toCharSql(
+        s"timestamp_micros(CAST((${parts(0)}) AS BIGINT))",
+        unquote(parts(1)))
     })
     r = rewriteCall(r, "to_timestamp", a => {
       val parts = splitArgs(a)
@@ -375,6 +378,101 @@ object GraftSql {
       s"CAST(sum(CAST(($a) AS DECIMAL(18,2))) AS DOUBLE)")
     r = rewriteCall(r, "avg", a =>
       s"(CAST(sum(CAST(($a) AS DECIMAL(18,2))) AS DOUBLE) / count($a))")
+    rewriteTimeScalars(r)
+  }
+
+  /** TDengine time/misc scalars Spark lacks or spells differently
+    * (sclfunc.c:4870 timediff, 4076 to_iso8601, 4941 today, 4954
+    * timezone, 5044 dayofweek, 5113 week family, 5323 truncate):
+    * lowered to Spark built-ins over the dialect's bigint-µs
+    * timestamps. Also applied to WHERE conjuncts so now()/today()
+    * bounds work in filters. */
+  def rewriteTimeScalars(e0: String): String = {
+    // literal datetime strings parse via to_timestamp; columns are µs
+    def tsUs(x: String): String = {
+      val t = x.trim
+      if (t.startsWith("'")) s"unix_micros(to_timestamp($t))"
+      else s"CAST(($t) AS BIGINT)"
+    }
+    def asTs(x: String): String = s"timestamp_micros(${tsUs(x)})"
+    // reference decimalFn: trunc(x * 10^d) / 10^d, toward zero
+    def truncSql(a: String): String = {
+      val p = splitArgs(a)
+      val d = p.lift(1).map(_.trim.toInt).getOrElse(0)
+      require(d >= 0 && d <= 15, s"truncate digits out of range: $a")
+      val sc = BigInt(10).pow(d)
+      // CAST first: decimal inputs would otherwise keep decimal scale
+      val x = s"(CAST((${p(0)}) AS DOUBLE))"
+      // divide by a DOUBLE: a bare `$sc.0` literal parses as DECIMAL
+      // and would turn the result column decimal-typed
+      s"(CASE WHEN $x < 0 THEN -floor(-($x) * $sc) / CAST($sc AS DOUBLE) " +
+        s"ELSE floor($x * $sc) / CAST($sc AS DOUBLE) END)"
+    }
+    var r = e0
+    r = rewriteCall(r, "timediff", a => {
+      val p = splitArgs(a)
+      require(p.length >= 2, s"timediff needs 2+ args: $a")
+      val d = s"(${tsUs(p(0))} - ${tsUs(p(1))})"
+      if (p.length == 2) d
+      else { // C division truncates toward zero; Spark DIV does too,
+             // but guard the sign explicitly for clarity with floor-div
+             // oracle spellings
+        val u = durUs(p(2).trim)
+        s"(CASE WHEN $d >= 0 THEN $d DIV $u ELSE -((-$d) DIV $u) END)"
+      }
+    })
+    r = rewriteCall(r, "to_unixtimestamp", a =>
+      s"unix_micros(to_timestamp(${splitArgs(a).head}))")
+    r = rewriteCall(r, "to_iso8601", a => {
+      val p = splitArgs(a)
+      val suffix = p.lift(1).map(unquote).map {
+        case "z" | "Z" => "Z"
+        case "+0000" | "-0000" | "+00:00" | "UTC+0" | "UTC" => "+0000"
+        case other => throw new IllegalArgumentException(
+          s"to_iso8601: session timezone is UTC, got offset $other")
+      }.getOrElse("+0000")
+      val t = asTs(p(0))
+      s"concat(date_format($t, 'yyyy-MM-dd'), 'T', " +
+        s"date_format($t, 'HH:mm:ss.SSSSSS'), '$suffix')"
+    })
+    r = rewriteCall(r, "today", _ =>
+      "unix_micros(date_trunc('DAY', current_timestamp()))")
+    r = rewriteCall(r, "now", _ => "unix_micros(current_timestamp())")
+    r = rewriteCall(r, "timezone", _ => "'UTC (UTC, +0000)'")
+    // longer names first: their rewritten bodies must not be re-matched
+    // by the shorter `week`
+    r = rewriteCall(r, "weekofyear", a =>
+      s"CAST(weekofyear(${asTs(a)}) AS BIGINT)")
+    r = rewriteCall(r, "weekday", a =>
+      s"CAST(weekday(${asTs(a)}) AS BIGINT)")
+    r = rewriteCall(r, "dayofweek", a =>
+      s"CAST(dayofweek(${asTs(a)}) AS BIGINT)")
+    r = rewriteCall(r, "week", a => {
+      val p = splitArgs(a)
+      val mode = p.lift(1).map(_.trim.toInt).getOrElse(0)
+      val t = asTs(p(0))
+      mode match {
+        case 3 => s"CAST(weekofyear($t) AS BIGINT)"
+        case 0 =>
+          // MySQL WEEK(d,0) (sclfunc.c:5073 calculateWeekNum):
+          // Sunday-first, range 0..53; days before the year's first
+          // Sunday are week 0
+          val fs = s"(1 + (8 - dayofweek(date_trunc('YEAR', $t))) % 7)"
+          s"(CASE WHEN dayofyear($t) < $fs THEN CAST(0 AS BIGINT) " +
+            s"ELSE CAST((dayofyear($t) - $fs) DIV 7 + 1 AS BIGINT) END)"
+        case other => throw new IllegalArgumentException(
+          s"week(): modes 0 and 3 supported, got $other")
+      }
+    })
+    r = rewriteCall(r, "truncate", truncSql)
+    r = rewriteCall(r, "trunc", truncSql)
+    // CHAR(n1[, n2…]) (sclfunc.c charFunction): code points → string
+    r = rewriteCall(r, "char", a => splitArgs(a)
+      .map(x => s"char(CAST(($x) AS INT))").mkString("concat(", ", ", ")"))
+    r = rewriteCall(r, "to_base64", a =>
+      s"base64(CAST((${splitArgs(a).head}) AS BINARY))")
+    r = rewriteCall(r, "from_base64", a =>
+      s"CAST(unbase64(${splitArgs(a).head}) AS STRING)")
     r
   }
 
@@ -702,6 +800,7 @@ object GraftSql {
       val (plain0, subs) = whereInSubqueries(w)
       val plain = plain0
         .map(rewriteRegexOps)
+        .map(rewriteTimeScalars)
         .map(p => inlineScalarSubqueries(spark, resolve, p, tsCol, perSecond))
       if (plain.nonEmpty) df = df.filter(expr(plain.mkString(" AND ")))
       subs.foreach { case (lhs, negated, subSql) =>
