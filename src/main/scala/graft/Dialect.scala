@@ -401,6 +401,55 @@ object Dialect {
            WHERE event_id < 2000 AND ts < now() AND ts < today()
            ORDER BY event_id""")
     },
+    // window functions through the text front end (builtins.c rank /
+    // dense_rank / row_number / lag / lead / nth_value / percent_rank /
+    // cume_dist): OVER (…) parses as a parenthesized span, so the
+    // clause splitter never sees its PARTITION BY/ORDER BY, and the
+    // expressions delegate to Spark's native window functions
+    "dialect_over" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, ts DIV 1000 AS ts_ms, event_id,
+             rank() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id) AS rk,
+             dense_rank() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id) AS drk,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn,
+             lag(value, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS lg,
+             lead(value, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS ld,
+             nth_value(value, 3) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nth,
+             round(percent_rank() OVER (PARTITION BY user_id
+               ORDER BY value, event_id), 6) AS pr,
+             round(cume_dist() OVER (PARTITION BY user_id
+               ORDER BY value, event_id), 6) AS cd
+           FROM events ORDER BY user_id, ts_ms, event_id""")
+    },
+    // IMPUTATION text form (builtins.c imputation; clientTests.cpp:1150
+    // `select imputation(a) from …`): gaps planted in a FROM subquery,
+    // filled by the linear model, _improwts/_impmark pseudo-columns
+    "dialect_imputation" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _improwts DIV 1000 AS ts_ms, event_id,
+             round(imputation(value), 6) AS value, _impmark
+           FROM (SELECT user_id, ts, event_id,
+                   CASE WHEN event_id % 7 = 0 THEN NULL
+                        ELSE value END AS value
+                 FROM events)
+           PARTITION BY user_id
+           ORDER BY user_id, ts_ms, event_id""")
+    },
+    // ANOMALYCHECK text form (builtins.c:7291, _anomalymark :7592):
+    // per-row z-score verdicts over the per-user series
+    "dialect_anomalycheck" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, ts DIV 1000 AS ts_ms, event_id,
+             anomalycheck(value, 'z=2') AS value, _anomalymark
+           FROM events PARTITION BY user_id
+           ORDER BY user_id, ts_ms, event_id""")
+    },
     // misc scalar spellings: truncate (decimalFn trunc-toward-zero),
     // CHAR code points, base64 pair, plus passthroughs TDengine and
     // Spark share (greatest/least/char_length/ascii/position/mod/sign)
@@ -788,6 +837,42 @@ object Dialect {
            max_by(value, event_id) AS v_at_max,
            min_by(epoch_us(ts) // 1000, event_id) AS ts_at_min
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "dialect_over" ->
+      """SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
+           rank() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id) AS rk,
+           dense_rank() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id) AS drk,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS rn,
+           lag(value, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS lg,
+           lead(value, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS ld,
+           nth_value(value, 3) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth,
+           round(percent_rank() OVER (PARTITION BY user_id
+             ORDER BY value, event_id), 6) AS pr,
+           round(cume_dist() OVER (PARTITION BY user_id
+             ORDER BY value, event_id), 6) AS cd
+         FROM events ORDER BY user_id, ts_ms, event_id""",
+    // same accumulation spelling as the direct imputation_linear oracle
+    "dialect_imputation" -> Analytics.oracleSql("imputation_linear"),
+    "dialect_anomalycheck" ->
+      """WITH s AS (SELECT user_id,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(value AS DECIMAL(18,2)) *
+              CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+            count(*) AS n
+          FROM events GROUP BY user_id)
+         SELECT e.user_id, epoch_us(e.ts) // 1000 AS ts_ms, e.event_id,
+           e.value AS value,
+           coalesce(abs(e.value - s.sy/s.n) >
+             2.0 * sqrt((s.syy - s.sy*s.sy/s.n)/s.n), false)
+             AS _anomalymark
+         FROM events e JOIN s ON s.user_id = e.user_id
+         ORDER BY e.user_id, ts_ms, e.event_id""",
     // %U = Sunday-first week, 00-53, week 0 before the first Sunday —
     // exactly MySQL WEEK(d,0); weekofyear = ISO = MySQL WEEK(d,3);
     // DuckDB // floors, so negative timediff needs the trunc guard

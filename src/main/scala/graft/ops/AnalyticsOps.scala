@@ -323,6 +323,35 @@ object AnalyticsOps {
     * naive number/filter/number-again lowering sorts twice. `tieBreak`
     * orders rows at equal ts so the keyless numbering is a total
     * order. */
+  /** ANOMALYCHECK(col) row marks (builtins.c:7291; `_anomalymark`
+    * pseudo-column :7592): every input row back, plus `_anomalymark` =
+    * the z-score detector's verdict for that row. Same decimal-stable
+    * stats as [[anomalyRows]]; keyed stats ride a window aggregate
+    * (one shuffle), keyless stats a broadcast one-row aggregate. */
+  def anomalyMark(df: DataFrame, valueCol: String, keys: Seq[String],
+      z: Double = 2.0): DataFrame = {
+    val yd = col(valueCol).cast(DecimalType(18, 2))
+    val d0 = df.withColumn("_y", col(valueCol).cast("double"))
+    val isAnom =
+      abs(col("_y") - col("_sy") / col("_cnt")) >
+        lit(z) * sqrt((col("_syy") - col("_sy") * col("_sy") / col("_cnt")) /
+          col("_cnt"))
+    val withStats = if (keys.isEmpty) {
+      val stats = d0.agg(
+        sum(yd).cast("double").as("_sy"),
+        sum(yd * yd).cast("double").as("_syy"),
+        count(lit(1)).as("_cnt"))
+      d0.crossJoin(broadcast(stats))
+    } else {
+      val wAll = Window.partitionBy(keys.map(col): _*)
+      d0.withColumn("_sy", sum(yd).over(wAll).cast("double"))
+        .withColumn("_syy", sum(yd * yd).over(wAll).cast("double"))
+        .withColumn("_cnt", count(lit(1)).over(wAll))
+    }
+    withStats.withColumn("_anomalymark", coalesce(isAnom, lit(false)))
+      .drop("_sy", "_syy", "_cnt", "_y")
+  }
+
   def anomalyRows(df: DataFrame, tsUs: Column, valueCol: String,
       keys: Seq[String], z: Double = 2.0,
       tieBreak: Seq[String] = Nil): DataFrame = {

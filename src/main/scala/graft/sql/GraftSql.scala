@@ -667,6 +667,100 @@ object GraftSql {
     res
   }
 
+  /** Locate `fname(args…)` in a select list: (matchStart, args,
+    * closeParenIndex), quote-aware like forecastSelect's scanner. */
+  private def analyticCallSpan(sel: String, fname: String)
+      : (Int, Seq[String], Int) = {
+    val m = s"(?i)\\b$fname\\s*\\(".r.findFirstMatchIn(sel).get
+    val open = sel.indexOf('(', m.start)
+    var depth = 0; var inStr = false; var close = -1; var i = open
+    while (close < 0 && i < sel.length) {
+      val ch = sel(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > 0, s"unbalanced $fname call: $sel")
+    (m.start, splitArgs(sel.substring(open + 1, close)), close)
+  }
+
+  private def analyticOpts(args: Seq[String]): Map[String, String] =
+    args.drop(1).map(_.trim)
+      .find(a => a.startsWith("'") || a.startsWith("\""))
+      .map(_.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\""))
+      .getOrElse("").split(",").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k.trim.toLowerCase -> v.trim
+      }.toMap
+
+  /** Project the analytic op's full-row output through the original
+    * select list, with the op call span replaced by `replacement` and
+    * pseudo-column spellings rewritten. */
+  private def analyticProject(out: DataFrame, c: Map[String, String],
+      sel: String, start: Int, close: Int, replacement: String,
+      pseudo: Map[String, String]): DataFrame = {
+    var sel2 = sel.substring(0, start) + replacement +
+      sel.substring(close + 1)
+    pseudo.foreach { case (k, v) =>
+      sel2 = sel2.replaceAll(
+        s"(?i)(?<![A-Za-z0-9_])$k(?![A-Za-z0-9_])", v)
+    }
+    val asRe = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    var res = out.select(splitArgs(sel2).map(_.trim).map {
+      case asRe(e, a) => expr(e.trim).as(a)
+      case e => expr(e).as(e)
+    }: _*)
+    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+    c.get("LIMIT").foreach(n => res = res.limit(n.trim.toInt))
+    res
+  }
+
+  /** `SELECT [_improwts,] IMPUTATION(col[, 'opts'])[, _impmark] …`
+    * (builtins.c imputation; imputationoperator.c:105; clientTests.cpp
+    * :1150 text form): every input row back with gaps filled. Only the
+    * deterministic linear model is in-engine (SURVEY §2.10). */
+  private def imputationSelect(df: DataFrame, c: Map[String, String],
+      tsCol: String): DataFrame = {
+    val sel = c("SELECT").trim
+    val (start, args, close) = analyticCallSpan(sel, "IMPUTATION")
+    require(args.nonEmpty, "IMPUTATION needs a value column")
+    val valueCol = args.head.trim
+    val om = analyticOpts(args)
+    val algo = om.getOrElse("algo", "linear")
+    require(algo == "linear", s"unknown imputation algo: $algo")
+    val tieBreak = om.get("tiebreak").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+    val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
+      .map(_.trim)
+    val out = graft.ops.AnalyticsOps.imputeLinear(
+      df, col(tsCol), valueCol, partCols, tieBreak)
+    analyticProject(out, c, sel, start, close, valueCol,
+      Map("_improwts" -> tsCol))
+  }
+
+  /** `SELECT ANOMALYCHECK(col[, 'opts'])[, _anomalymark] …`
+    * (builtins.c:7291; `_anomalymark` :7592): row stream back with the
+    * detector verdict; z= tunes the threshold. */
+  private def anomalycheckSelect(df: DataFrame, c: Map[String, String],
+      tsCol: String): DataFrame = {
+    val sel = c("SELECT").trim
+    val (start, args, close) = analyticCallSpan(sel, "ANOMALYCHECK")
+    require(args.nonEmpty, "ANOMALYCHECK needs a value column")
+    val valueCol = args.head.trim
+    val om = analyticOpts(args)
+    val z = om.get("z").map(_.toDouble).getOrElse(2.0)
+    val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
+      .map(_.trim)
+    val out = graft.ops.AnalyticsOps.anomalyMark(df, valueCol, partCols, z)
+    analyticProject(out, c, sel, start, close, valueCol, Map.empty)
+  }
+
   private def signedDurNative(s: String, perSecond: Long): Long = {
     val t = s.trim
     if (t.startsWith("-")) -durNative(t.substring(1), perSecond)
@@ -831,6 +925,10 @@ object GraftSql {
 
     if ("(?i)\\bFORECAST\\s*\\(".r.findFirstIn(c("SELECT")).isDefined)
       return forecastSelect(spark, df, c, tsCol, perSecond)
+    if ("(?i)\\bIMPUTATION\\s*\\(".r.findFirstIn(c("SELECT")).isDefined)
+      return imputationSelect(df, c, tsCol)
+    if ("(?i)\\bANOMALYCHECK\\s*\\(".r.findFirstIn(c("SELECT")).isDefined)
+      return anomalycheckSelect(df, c, tsCol)
 
     val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
     // SELECT DISTINCT: flag + strip, applied after the projection
