@@ -761,6 +761,44 @@ object GraftSql {
     analyticProject(out, c, sel, start, close, valueCol, Map.empty)
   }
 
+  /** Row-producing selection functions `TOP/BOTTOM(col, k)`,
+    * `TAIL(col, k[, offset])`, `UNIQUE(col)` (builtins.c:4431 tail,
+    * :4471 unique; topbotoperator semantics): each keeps a subset of
+    * input rows, so the rest of the select list projects the kept rows
+    * directly. Skipped when a window/group clause is present — those
+    * compose differently and are not routed here. */
+  private def seriesSelect(df: DataFrame, c: Map[String, String],
+      tsCol: String): Option[DataFrame] = {
+    val windowed = Seq("INTERVAL", "SESSION", "STATE_WINDOW",
+      "COUNT_WINDOW", "EVENT_WINDOW", "ANOMALY_WINDOW", "GROUP BY")
+      .exists(c.contains)
+    if (windowed) return None
+    val sel = c("SELECT").trim
+    val fname = Seq("top", "bottom", "tail", "unique").find(f =>
+      s"(?i)\\b$f\\s*\\(".r.findFirstIn(sel).isDefined)
+    fname.map { f =>
+      val (start, args, close) = analyticCallSpan(sel, f)
+      val valueCol = args.head.trim
+      val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
+        .map(_.trim)
+      val keys = partCols.map(col)
+      import graft.ops.SeriesOps
+      val out = f match {
+        case "top" => SeriesOps.topK(df, col(valueCol), col(tsCol),
+          keys, args(1).trim.toInt)
+        case "bottom" => SeriesOps.topK(df, col(valueCol), col(tsCol),
+          keys, args(1).trim.toInt, bottom = true)
+        case "tail" => SeriesOps.tail(df, col(tsCol), keys,
+          args(1).trim.toInt,
+          args.lift(2).map(_.trim.toInt).getOrElse(0))
+        case "unique" => SeriesOps.unique(df, col(valueCol),
+          col(tsCol), keys)
+      }
+      analyticProject(out.drop("_rank"), c, sel, start, close, valueCol,
+        Map.empty)
+    }
+  }
+
   private def signedDurNative(s: String, perSecond: Long): Long = {
     val t = s.trim
     if (t.startsWith("-")) -durNative(t.substring(1), perSecond)
@@ -929,6 +967,7 @@ object GraftSql {
       return imputationSelect(df, c, tsCol)
     if ("(?i)\\bANOMALYCHECK\\s*\\(".r.findFirstIn(c("SELECT")).isDefined)
       return anomalycheckSelect(df, c, tsCol)
+    seriesSelect(df, c, tsCol).foreach(r => return r)
 
     val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
     // SELECT DISTINCT: flag + strip, applied after the projection
