@@ -33,19 +33,39 @@ object Tables {
   }
 
   /** `events` with `ts` as an epoch Long in the requested precision
-    * (ticks/second: 1e3 ms, 1e6 µs, 1e9 ns). Downscaling from the
-    * stored ns uses integer DIV — never double division, which corrupts
-    * low-order digits at the ~1.7e18 ns epoch scale. */
+    * (ticks/second: 1e3 ms, 1e6 µs, 1e9 ns). The stored column may be
+    * either a raw epoch Long at ns (legacy layout, read via
+    * `nanosAsLong`) or a parquet `timestamp[us]` (current driver
+    * layout, surfacing as TIMESTAMP/TIMESTAMP_NTZ). Both normalize to
+    * the Long epoch domain here, so every downstream window/join/fill
+    * operator sees one ts representation. Rescaling uses integer
+    * DIV/multiply — never double division, which corrupts low-order
+    * digits at the ~1.7e18 ns epoch scale. */
   def eventsAt(spark: SparkSession, sfDir: String,
       perSecond: Long): DataFrame = {
     require(Set(1000L, 1000000L, 1000000000L).contains(perSecond),
       s"precision must be ms/us/ns ticks-per-second, got $perSecond")
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ→LTZ cast below reads the wall clock in the session zone;
+    // pin UTC so epoch extraction matches DuckDB's epoch_us() exactly.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val div = 1000000000L / perSecond
-    if (div == 1L) raw
-    else raw.withColumn("ts",
-      org.apache.spark.sql.functions.expr(s"ts DIV ${div}L"))
+    raw.schema("ts").dataType match {
+      case LongType => // stored ns epoch
+        val div = 1000000000L / perSecond
+        if (div == 1L) raw
+        else raw.withColumn("ts", expr(s"ts DIV ${div}L"))
+      case _ => // stored timestamp[us]
+        val us = unix_micros(col("ts").cast(TimestampType))
+        val c =
+          if (perSecond == 1000000L) us
+          else if (perSecond == 1000L) expr(
+            "unix_micros(cast(ts as timestamp)) DIV 1000L")
+          else us.multiply(1000L)
+        raw.withColumn("ts", c)
+    }
   }
 
   /** The `events` table carries a nanosecond-precision timestamp, which

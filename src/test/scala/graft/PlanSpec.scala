@@ -123,7 +123,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("events scan prunes to the referenced columns only") {
     val p = plan("interval_partitioned")
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>"),
+    // ts is bigint in the legacy ns layout, timestamp_ntz in the
+    // current timestamp[us] layout — either way only 3 columns read
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>")
+        || p.contains(
+          "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,value:double>"),
       s"events scan reads more than (ts,user_id,value):\n$p")
   }
 }
