@@ -470,6 +470,24 @@ object Dialect {
              sign(c_acctbal - 10) AS sg,
              md5(c_name) AS h
            FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""")
+    },
+    // row-producing selection functions in the text form: the rest of
+    // the select list projects the kept rows (topbotoperator;
+    // builtins.c:4431 tail, :4471 unique)
+    "dialect_top" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, user_id, TOP(value, 3) AS v FROM events
+           PARTITION BY user_id ORDER BY user_id, v DESC, ts""")
+    },
+    "dialect_tail" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, user_id, TAIL(value, 5, 2) AS v FROM events
+           PARTITION BY user_id ORDER BY user_id, ts""")
+    },
+    "dialect_unique" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, UNIQUE(event_type) AS et, ts FROM events
+           PARTITION BY user_id ORDER BY user_id, et""")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -908,5 +926,23 @@ object Dialect {
            mod(c_custkey, 7) AS md,
            sign(c_acctbal - 10) AS sg,
            md5(c_name) AS h
-         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""")
+         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "dialect_top" ->
+      """WITH r AS (SELECT epoch_us(ts) AS ts, user_id, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, ts ASC) AS rn FROM events)
+         SELECT ts, user_id, value AS v FROM r WHERE rn <= 3
+         ORDER BY user_id, v DESC, ts""",
+    "dialect_tail" ->
+      """WITH r AS (SELECT epoch_us(ts) AS ts, user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC)
+             AS rn FROM events)
+         SELECT ts, user_id, value AS v FROM r
+         WHERE rn > 2 AND rn <= 7 ORDER BY user_id, ts""",
+    "dialect_unique" ->
+      """WITH r AS (SELECT user_id, event_type AS et, epoch_us(ts) AS ts,
+           row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts) AS rn FROM events)
+         SELECT user_id, et, ts FROM r WHERE rn = 1
+         ORDER BY user_id, et""")
 }

@@ -377,4 +377,46 @@ class GraftSqlSpec extends AnyFunSuite {
         "et NMATCH 'ick$' ORDER BY id")
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("TOP/BOTTOM/TAIL/UNIQUE select the kept rows, matching the " +
+      "direct SeriesOps lowerings") {
+    import graft.ops.SeriesOps
+    val ev = resolve("events")
+    val uKey = Seq(col("user_id"))
+
+    val top = q("""SELECT ts, user_id, TOP(value, 3) AS v FROM events
+      PARTITION BY user_id ORDER BY user_id, v DESC, ts""")
+    val topD = SeriesOps.topK(ev, col("value"), col("ts"), uKey, 3)
+      .select(col("ts"), col("user_id"), col("value").as("v"))
+      .orderBy(col("user_id"), col("v").desc, col("ts"))
+    sameResult(top, topD)
+
+    val bot = q("""SELECT ts, user_id, BOTTOM(value, 3) AS v FROM events
+      PARTITION BY user_id ORDER BY user_id, v, ts""")
+    val botD = SeriesOps.topK(ev, col("value"), col("ts"), uKey, 3,
+        bottom = true)
+      .select(col("ts"), col("user_id"), col("value").as("v"))
+      .orderBy(col("user_id"), col("v"), col("ts"))
+    sameResult(bot, botD)
+
+    val tl = q("""SELECT ts, user_id, TAIL(value, 5, 2) AS v FROM events
+      PARTITION BY user_id ORDER BY user_id, ts""")
+    val tlD = SeriesOps.tail(ev, col("ts"), uKey, 5, 2)
+      .select(col("ts"), col("user_id"), col("value").as("v"))
+      .orderBy(col("user_id"), col("ts"))
+    sameResult(tl, tlD)
+
+    val uq = q("""SELECT user_id, UNIQUE(event_type) AS et, ts FROM events
+      PARTITION BY user_id ORDER BY user_id, et""")
+    val uqD = SeriesOps.unique(ev, col("event_type"), col("ts"), uKey)
+      .select(col("user_id"), col("event_type").as("et"), col("ts"))
+      .orderBy(col("user_id"), col("et"))
+    sameResult(uq, uqD)
+
+    // windowed/grouped selects do NOT take this route — the aggregate
+    // path still owns them
+    val grouped = q("""SELECT user_id, count(*) AS n FROM events
+      GROUP BY user_id ORDER BY user_id""")
+    assert(grouped.columns.toSeq == Seq("user_id", "n"))
+  }
 }
