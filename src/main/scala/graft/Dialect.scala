@@ -468,6 +468,7 @@ object Dialect {
              position('3' IN c_name) AS pos_c,
              mod(c_custkey, 7) AS md,
              sign(c_acctbal - 10) AS sg,
+             sign(c_custkey - 250) AS sgi,
              md5(c_name) AS h
            FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""")
     },
@@ -924,7 +925,8 @@ object Dialect {
            ascii(c_name) AS asc_c,
            position('3' IN c_name) AS pos_c,
            mod(c_custkey, 7) AS md,
-           sign(c_acctbal - 10) AS sg,
+           CAST(sign(c_acctbal - 10) AS DOUBLE) AS sg,
+           CAST(sign(c_custkey - 250) AS BIGINT) AS sgi,
            md5(c_name) AS h
          FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
     "dialect_top" ->

@@ -17,13 +17,16 @@ object Tables {
   /** Small dimension tables that should always be broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation")
 
-  /** Per-table STORED timestamp precision in ticks/second (the
-    * reference's per-database PRECISION 'ms'|'us'|'ns', sql.y:923).
-    * Only `events` carries a timestamp; it is stored at ns. The default
-    * query surface exposes µs (Spark's native timestamp domain); ns
-    * consumers read through [[eventsAt]] — epoch Longs pass through
-    * every window/join/fill operator unchanged, so precision is purely
-    * table metadata, exactly as in the reference. */
+  /** Per-table QUERY-SURFACE timestamp precision ceiling in
+    * ticks/second (the reference's per-database PRECISION
+    * 'ms'|'us'|'ns', sql.y:923). Only `events` carries a timestamp.
+    * The stored layout is currently parquet `timestamp[us]` (the
+    * legacy layout was a raw ns-epoch Long — [[eventsAt]] handles
+    * both); the value here is the finest precision the query surface
+    * offers, not the storage tick. The default surface exposes µs;
+    * other precisions read through [[eventsAt]] — epoch Longs pass
+    * through every window/join/fill operator unchanged, so precision
+    * is purely table metadata, exactly as in the reference. */
   val precisionPerSec: Map[String, Long] = Map(
     "events" -> 1000000000L)
 
@@ -47,10 +50,16 @@ object Tables {
       s"precision must be ms/us/ns ticks-per-second, got $perSecond")
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NTZ→LTZ cast below reads the wall clock in the session zone;
-    // pin UTC so epoch extraction matches DuckDB's epoch_us() exactly.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // The NTZ→LTZ cast below reads the session zone; epoch extraction
+    // only matches DuckDB's epoch_us() under UTC. Sessions pin UTC at
+    // build time (Verify/Bench/SparkTestSession) — fail loudly rather
+    // than silently produce shifted epochs under a foreign session.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft sessions must pin spark.sql.session.timeZone=UTC at build" +
+        " time (see Verify.scala) — events epoch extraction depends on it")
+    // Range predicates on the normalized Long ts must still prune the
+    // parquet scan; the rule re-derives them on the stored column.
+    graft.plans.TsRangePushdown.install(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => // stored ns epoch

@@ -466,6 +466,14 @@ object GraftSql {
     })
     r = rewriteCall(r, "truncate", truncSql)
     r = rewriteCall(r, "trunc", truncSql)
+    // sign (builtins.c signFunction: outputType = inputType; Spark's
+    // signum is always DOUBLE — wrong for integral inputs, where the
+    // reference returns the integer type). The CASE arithmetic keeps
+    // the input's own type: BIGINT→BIGINT, DOUBLE→DOUBLE. (x)-(x) is
+    // exactly 0 for any finite input.
+    r = rewriteCall(r, "sign", a =>
+      s"(CASE WHEN ($a) > 0 THEN (($a) - ($a)) + 1 " +
+        s"WHEN ($a) < 0 THEN (($a) - ($a)) - 1 ELSE ($a) - ($a) END)")
     // CHAR(n1[, n2…]) (sclfunc.c charFunction): code points → string
     r = rewriteCall(r, "char", a => splitArgs(a)
       .map(x => s"char(CAST(($x) AS INT))").mkString("concat(", ", ", ")"))

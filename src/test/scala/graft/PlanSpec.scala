@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape assertions for the 100 TB design goals (SURVEY §4 /
@@ -123,11 +123,40 @@ class PlanSpec extends AnyFunSuite {
 
   test("events scan prunes to the referenced columns only") {
     val p = plan("interval_partitioned")
-    // ts is bigint in the legacy ns layout, timestamp_ntz in the
-    // current timestamp[us] layout — either way only 3 columns read
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>")
-        || p.contains(
-          "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,value:double>"),
+    // ts is bigint in the legacy ns layout, timestamp_ntz or timestamp
+    // in the current timestamp[us] layout (depends on the reader's NTZ
+    // inference conf) — either way only 3 columns read
+    assert(
+      "ReadSchema: struct<ts:(bigint|timestamp_ntz|timestamp),user_id:bigint,value:double>".r
+        .findFirstIn(p).isDefined,
       s"events scan reads more than (ts,user_id,value):\n$p")
+  }
+
+  test("events ts-range filter is pushed to the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    // mid-range bounds in the µs epoch domain (the default surface)
+    val ev = Tables(spark, sf, "events")
+    val Array(lo, hi) = ev.selectExpr("min(ts)", "max(ts)").collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val t0 = lo + (hi - lo) / 4
+    val t1 = lo + (hi - lo) / 2
+    val q = ev.filter(col("ts") >= t0 && col("ts") < t1)
+    val p = q.queryExecution.explainString(FormattedMode)
+    // TsRangePushdown must re-derive the range on the STORED column so
+    // parquet prunes row groups — the 100 TB contract (SURVEY §2.1
+    // row 1; reference scanoperator.c:2713 pushes the ts range the
+    // same way). Legacy Long layout pushes natively; timestamp[us]
+    // needs the derived predicate.
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r
+        .findFirstIn(p).isDefined,
+      s"events ts lower bound did not reach PushedFilters:\n$p")
+    assert("PushedFilters: \\[[^\\]]*LessThanOrEqual\\(ts".r
+        .findFirstIn(p).isDefined,
+      s"events ts upper bound did not reach PushedFilters:\n$p")
+    // and the rewrite must not change results
+    val n = q.count()
+    val expect = ev.collect().count { r =>
+      val t = r.getAs[Long]("ts"); t >= t0 && t < t1 }
+    assert(n == expect, s"pushdown rewrite changed row count: $n vs $expect")
   }
 }

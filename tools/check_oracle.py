@@ -13,6 +13,7 @@ import json
 import math
 import os
 import sys
+from decimal import Decimal
 
 import duckdb
 
@@ -21,10 +22,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Emulate the driver's string-shaped hash: int 1 and float 1.0 hash
+    # DIFFERENT (round-11 dialect_scalar_misc red row), but
+    # Decimal('0.0') and float 0.0 hash EQUAL (the ddl gates were green
+    # with exactly that pairing). str() reproduces both data points;
+    # a raw == compare would miss the first, a type-tagged compare
+    # would false-fail the second.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return str(v)
+    if isinstance(v, Decimal):
+        # via float64 so Decimal('0.0') == 0.0 and scale differences
+        # (67.50 vs 67.5) collapse; local stand-in only — fine at the
+        # <=15-significant-digit magnitudes the queries emit
+        return str(float(v))
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int):
+        return str(v)
     return v
 
 
