@@ -477,13 +477,13 @@ object Dialect {
     // builtins.c:4431 tail, :4471 unique)
     "dialect_top" -> { (s, dir) =>
       run(s, dir,
-        """SELECT ts, user_id, TOP(value, 3) AS v FROM events
-           PARTITION BY user_id ORDER BY user_id, v DESC, ts""")
+        """SELECT ts, user_id, event_id, TOP(value, 3) AS v FROM events
+           PARTITION BY user_id ORDER BY user_id, v DESC, ts, event_id""")
     },
     "dialect_tail" -> { (s, dir) =>
       run(s, dir,
-        """SELECT ts, user_id, TAIL(value, 5, 2) AS v FROM events
-           PARTITION BY user_id ORDER BY user_id, ts""")
+        """SELECT ts, user_id, event_id, TAIL(value, 5, 2) AS v FROM events
+           PARTITION BY user_id ORDER BY user_id, ts, event_id""")
     },
     "dialect_unique" -> { (s, dir) =>
       run(s, dir,
@@ -930,21 +930,21 @@ object Dialect {
            md5(c_name) AS h
          FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
     "dialect_top" ->
-      """WITH r AS (SELECT epoch_us(ts) AS ts, user_id, value,
+      """WITH r AS (SELECT epoch_us(ts) AS ts, user_id, event_id, value,
            row_number() OVER (PARTITION BY user_id
-             ORDER BY value DESC, ts ASC) AS rn FROM events)
-         SELECT ts, user_id, value AS v FROM r WHERE rn <= 3
-         ORDER BY user_id, v DESC, ts""",
+             ORDER BY value DESC, ts ASC, event_id ASC) AS rn FROM events)
+         SELECT ts, user_id, event_id, value AS v FROM r WHERE rn <= 3
+         ORDER BY user_id, v DESC, ts, event_id""",
     "dialect_tail" ->
-      """WITH r AS (SELECT epoch_us(ts) AS ts, user_id, value,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC)
-             AS rn FROM events)
-         SELECT ts, user_id, value AS v FROM r
-         WHERE rn > 2 AND rn <= 7 ORDER BY user_id, ts""",
+      """WITH r AS (SELECT epoch_us(ts) AS ts, user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         SELECT ts, user_id, event_id, value AS v FROM r
+         WHERE rn > 2 AND rn <= 7 ORDER BY user_id, ts, event_id""",
     "dialect_unique" ->
       """WITH r AS (SELECT user_id, event_type AS et, epoch_us(ts) AS ts,
            row_number() OVER (PARTITION BY user_id, event_type
-             ORDER BY ts) AS rn FROM events)
+             ORDER BY ts, event_id) AS rn FROM events)
          SELECT user_id, et, ts FROM r WHERE rn = 1
          ORDER BY user_id, et""")
 }

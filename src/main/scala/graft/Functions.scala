@@ -77,28 +77,31 @@ object Functions {
     },
     // ---- top / bottom (builtins.c:3371) ----
     "sf_top" -> { (s, dir) =>
-      SeriesOps.topK(ev(s, dir), col("value"), col("ts"), uKey, 3)
+      SeriesOps.topK(ev(s, dir), col("value"), col("ts"), uKey, 3,
+          tie = Seq(col("event_id")))
         .select(col("user_id"), col("_rank"), usToMs(col("ts")).as("ts_ms"),
           col("value"))
         .orderBy(col("user_id"), col("_rank"))
     },
     "sf_bottom" -> { (s, dir) =>
       SeriesOps.topK(ev(s, dir), col("value"), col("ts"), uKey, 3,
-          bottom = true)
+          bottom = true, tie = Seq(col("event_id")))
         .select(col("user_id"), col("_rank"), usToMs(col("ts")).as("ts_ms"),
           col("value"))
         .orderBy(col("user_id"), col("_rank"))
     },
     // ---- tail(5, 2) (builtins.c:4431) ----
     "sf_tail" -> { (s, dir) =>
-      SeriesOps.tail(ev(s, dir), col("ts"), uKey, 5, 2)
+      SeriesOps.tail(ev(s, dir), col("ts"), uKey, 5, 2,
+          tie = Seq(col("event_id")))
         .select(col("user_id"), col("_rank"), usToMs(col("ts")).as("ts_ms"),
           col("event_id"))
         .orderBy(col("user_id"), col("_rank"))
     },
     // ---- unique (builtins.c:4471) ----
     "sf_unique" -> { (s, dir) =>
-      SeriesOps.unique(ev(s, dir), col("event_type"), col("ts"), uKey)
+      SeriesOps.unique(ev(s, dir), col("event_type"), col("ts"), uKey,
+          tie = Seq(col("event_id")))
         .select(col("user_id"), col("event_type"),
           usToMs(col("ts")).as("first_ts_ms"))
         .orderBy(col("user_id"), col("event_type"))
@@ -593,25 +596,25 @@ object Functions {
     "sf_top" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS t, value,
            row_number() OVER (PARTITION BY user_id
-             ORDER BY value DESC, ts ASC) AS _rank FROM events)
+             ORDER BY value DESC, ts ASC, event_id ASC) AS _rank FROM events)
          SELECT user_id, _rank, t // 1000 AS ts_ms, value FROM r
          WHERE _rank <= 3 ORDER BY user_id, _rank""",
     "sf_bottom" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS t, value,
            row_number() OVER (PARTITION BY user_id
-             ORDER BY value ASC, ts ASC) AS _rank FROM events)
+             ORDER BY value ASC, ts ASC, event_id ASC) AS _rank FROM events)
          SELECT user_id, _rank, t // 1000 AS ts_ms, value FROM r
          WHERE _rank <= 3 ORDER BY user_id, _rank""",
     "sf_tail" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS t, event_id,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC)
-             AS _rank FROM events)
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS _rank FROM events)
          SELECT user_id, _rank, t // 1000 AS ts_ms, event_id FROM r
          WHERE _rank > 2 AND _rank <= 7 ORDER BY user_id, _rank""",
     "sf_unique" ->
       """WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS t,
-           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts)
-             AS rn FROM events)
+           row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS rn FROM events)
          SELECT user_id, event_type, t // 1000 AS first_ts_ms FROM r
          WHERE rn = 1 ORDER BY user_id, event_type""",
     "sf_first_last" ->

@@ -81,17 +81,23 @@ object SeriesOps {
   /** top/bottom(col, k): the k extreme rows per key (builtins.c:3371).
     * Ties broken by ts then value for determinism. */
   def topK(df: DataFrame, value: Column, ts: Column, keys: Seq[Column],
-      k: Int, bottom: Boolean = false): DataFrame = {
-    val ord = if (bottom) Seq(value.asc, ts.asc) else Seq(value.desc, ts.asc)
+      k: Int, bottom: Boolean = false,
+      tie: Seq[Column] = Nil): DataFrame = {
+    val ord = (if (bottom) Seq(value.asc, ts.asc)
+      else Seq(value.desc, ts.asc)) ++ tie.map(_.asc)
     val ww = Window.partitionBy(keys: _*).orderBy(ord: _*)
     df.withColumn("_rank", row_number().over(ww)).filter(col("_rank") <= k)
   }
 
   /** tail(k, offset): the last k rows by ts per key, skipping `offset`
-    * newest (builtins.c:4431). */
+    * newest (builtins.c:4431). `tie` columns (e.g. a row id) make the
+    * selection total when ts alone is not unique per key — without
+    * them a µs-collision in a future data layout silently makes the
+    * picked rows (and the oracle hash) nondeterministic. */
   def tail(df: DataFrame, ts: Column, keys: Seq[Column], k: Int,
-      offset: Int = 0): DataFrame = {
-    val ww = Window.partitionBy(keys: _*).orderBy(ts.desc)
+      offset: Int = 0, tie: Seq[Column] = Nil): DataFrame = {
+    val ww = Window.partitionBy(keys: _*)
+      .orderBy(ts.desc +: tie.map(_.desc): _*)
     df.withColumn("_rank", row_number().over(ww))
       .filter(col("_rank") > offset && col("_rank") <= offset + k)
   }
@@ -99,8 +105,9 @@ object SeriesOps {
   /** unique(col): the first-occurrence row of each distinct value
     * (builtins.c:4471). */
   def unique(df: DataFrame, value: Column, ts: Column,
-      keys: Seq[Column]): DataFrame = {
-    val ww = Window.partitionBy(keys :+ value: _*).orderBy(ts)
+      keys: Seq[Column], tie: Seq[Column] = Nil): DataFrame = {
+    val ww = Window.partitionBy(keys :+ value: _*)
+      .orderBy(ts.asc +: tie.map(_.asc): _*)
     df.withColumn("_rn", row_number().over(ww))
       .filter(col("_rn") === 1).drop("_rn")
   }

@@ -791,16 +791,21 @@ object GraftSql {
         .map(_.trim)
       val keys = partCols.map(col)
       import graft.ops.SeriesOps
+      // a row-id tiebreaker keeps the selection total when ts collides
+      // within a key (ADVICE r11: µs-level collisions in a future
+      // layout would otherwise flake the oracle hash)
+      val tie = if (df.columns.contains("event_id"))
+        Seq(col("event_id")) else Nil
       val out = f match {
         case "top" => SeriesOps.topK(df, col(valueCol), col(tsCol),
-          keys, args(1).trim.toInt)
+          keys, args(1).trim.toInt, tie = tie)
         case "bottom" => SeriesOps.topK(df, col(valueCol), col(tsCol),
-          keys, args(1).trim.toInt, bottom = true)
+          keys, args(1).trim.toInt, bottom = true, tie = tie)
         case "tail" => SeriesOps.tail(df, col(tsCol), keys,
           args(1).trim.toInt,
-          args.lift(2).map(_.trim.toInt).getOrElse(0))
+          args.lift(2).map(_.trim.toInt).getOrElse(0), tie = tie)
         case "unique" => SeriesOps.unique(df, col(valueCol),
-          col(tsCol), keys)
+          col(tsCol), keys, tie = tie)
       }
       analyticProject(out.drop("_rank"), c, sel, start, close, valueCol,
         Map.empty)
