@@ -87,6 +87,21 @@ object Ddl {
       cat.fillHistory("hourly")
       cat.table("hourly_out").orderBy("_wstart")
     },
+    // RECALCULATE STREAM text (sql.y:1628; docs/41-stream.md:864):
+    // backfill, then a late-data correction lands in a 2-day slice of
+    // the source and the text recalc swaps exactly those windows — the
+    // rest of the output must stay identical to the original backfill
+    "ddl_recalc_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.fillHistory("hourly")
+      val lo = T0 + 48 * H; val hi = T0 + 96 * H
+      cat.register("events", Tables(s, dir, "events")
+        .withColumn("value",
+          when(col("ts") >= lo && col("ts") < hi, col("value") + 10)
+            .otherwise(col("value"))))
+      cat.exec(s"RECALCULATE STREAM hourly FROM $lo TO $hi")
+      cat.table("hourly_out").orderBy("_wstart")
+    },
     // ALTER STABLE ADD COLUMN/ADD TAG + ALTER TABLE SET TAG: rows from
     // before the ALTER read back with the new column NULL, rows from
     // after carry values, and the re-bound tag is visible on its child
@@ -319,6 +334,18 @@ object Ddl {
           FROM customer WHERE c_custkey <= 40 ORDER BY ts""",
     // the stream's FILL_HISTORY output must equal the batch aggregate
     "ddl_stream_gate" -> Dialect.oracleSql("dialect_interval"),
+    // hourly windows inside the recalc range re-aggregate the corrected
+    // (+10) values; windows outside keep the original backfill
+    "ddl_recalc_gate" ->
+      s"""WITH b AS (SELECT
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS _wstart,
+             CASE WHEN epoch_us(ts) >= ${T0 + 48 * H}
+                   AND epoch_us(ts) < ${T0 + 96 * H}
+                  THEN value + 10 ELSE value END AS v
+           FROM events)
+         SELECT _wstart, count(*) AS n,
+           CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM b GROUP BY _wstart ORDER BY _wstart""",
     // rollup-served daily aggregate == direct base-table aggregate
     "ddl_tsma_gate" -> TimeSeries.oracleSql("tsma_rollup_served"),
     "ddl_vtable_gate" ->

@@ -427,6 +427,26 @@ object Dialect {
                ORDER BY value, event_id), 6) AS cd
            FROM events ORDER BY user_id, ts_ms, event_id""")
     },
+    // named windows — WINDOW w AS (…) (sql.y:3002-3015; resolved at
+    // plan time by windowfuncoperator.c:1980): `OVER w` inlines to the
+    // named spec before the expr() hand-off, incl. ROWS and duration
+    // RANGE frames shared across select items
+    "dialect_named_window" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, ts DIV 1000 AS ts_ms, event_id,
+             rank() OVER w AS rk,
+             max(value) OVER wrows AS mx4,
+             count(*) OVER wrange AS cnt_1h,
+             min(value) OVER wrange AS mn_1h
+           FROM events WHERE user_id < 20
+           WINDOW w AS (PARTITION BY user_id
+               ORDER BY value DESC, event_id),
+             wrows AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             wrange AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, ts_ms, event_id""")
+    },
     // IMPUTATION text form (builtins.c imputation; clientTests.cpp:1150
     // `select imputation(a) from …`): gaps planted in a FROM subquery,
     // filled by the linear model, _improwts/_impmark pseudo-columns
@@ -876,6 +896,22 @@ object Dialect {
            round(cume_dist() OVER (PARTITION BY user_id
              ORDER BY value, event_id), 6) AS cd
          FROM events ORDER BY user_id, ts_ms, event_id""",
+    // DuckDB resolves its own WINDOW clause — a true named-window
+    // round-trip on both engines
+    "dialect_named_window" ->
+      """SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
+           rank() OVER w AS rk,
+           max(value) OVER wrows AS mx4,
+           count(*) OVER wrange AS cnt_1h,
+           min(value) OVER wrange AS mn_1h
+         FROM events WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id
+             ORDER BY value DESC, event_id),
+           wrows AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+           wrange AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_ms, event_id""",
     // same accumulation spelling as the direct imputation_linear oracle
     "dialect_imputation" -> Analytics.oracleSql("imputation_linear"),
     "dialect_anomalycheck" ->

@@ -259,6 +259,7 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("DROP STREAM")) {
       streamDefs.remove(bare(stmt.split("\\s+").last)); ()
     }
+    else if (up.startsWith("RECALCULATE STREAM")) recalcStream(stmt)
     else if (up.startsWith("CREATE TSMA") ||
         up.startsWith("CREATE RECURSIVE TSMA")) createTsma(stmt)
     else if (up.startsWith("DROP TSMA")) {
@@ -619,6 +620,58 @@ class GraftCatalog(val spark: SparkSession) {
     val into = bare(rest.substring(intoAt + " INTO ".length, asAt).trim)
     val select = rest.substring(asAt + " AS ".length).trim
     streamDefs(name) = StreamDef(name, options, into, select)
+  }
+
+  /** RECALCULATE STREAM [db.]name FROM start [TO end] (sql.y:1628;
+    * docs/41-stream.md:864): re-runs the saved calc over the source
+    * rows in [start, end) — bounds aligned OUT to the stream's
+    * INTERVAL grid so boundary windows recompute whole — and swaps
+    * exactly those output windows in the INTO table, preserving
+    * output outside the range. The catalog-materialized mirror of
+    * [[graft.streaming.Streams.recalcRange]] (same merge contract,
+    * parquet path there, catalog table here). Bounds are epoch ticks
+    * at the db precision or quoted 'yyyy-MM-dd HH:mm:ss' literals. */
+  private def recalcStream(stmt: String): Unit = {
+    val rest = stmt.substring("RECALCULATE STREAM".length).trim
+    val re = "(?i)^(\\S+)\\s+FROM\\s+(.+?)(?:\\s+TO\\s+(.+))?$".r
+    val (name, t0Raw, t1Raw) = rest match {
+      case re(nm, f, t) =>
+        (bare(nm).split('.').last, f.trim, Option(t).map(_.trim))
+      case _ => throw new IllegalArgumentException(
+        s"RECALCULATE STREAM needs FROM start [TO end]: $stmt")
+    }
+    val sd = streamDefs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown stream: $name"))
+    def ticks(s: String): Long =
+      if (s.startsWith("'")) parseTs(s.stripPrefix("'").stripSuffix("'"))
+      else s.toLong
+    var t0 = ticks(t0Raw)
+    var t1 = t1Raw.map(ticks).getOrElse(Long.MaxValue)
+    "(?i)INTERVAL\\s*\\(\\s*([^),]+)\\s*\\)".r
+      .findFirstMatchIn(sd.select).foreach { m =>
+        val iv = GraftSql.durNative(m.group(1).trim, perSecond)
+        t0 = Math.floorDiv(t0, iv) * iv
+        if (t1 != Long.MaxValue)
+          t1 = Math.floorDiv(t1 + iv - 1, iv) * iv
+      }
+    val lo = t0; val hi = t1
+    val bounded: String => DataFrame = n => {
+      val df = table(n)
+      if (df.columns.contains("ts"))
+        df.filter(col("ts") >= lo && col("ts") < hi)
+      else df
+    }
+    val fresh = GraftSql.query(spark, bounded, sd.select,
+      perSecond = perSecond)
+    val outTs =
+      if (fresh.columns.contains("_wstart")) "_wstart"
+      else fresh.columns.head
+    val merged = materialized.get(sd.into) match {
+      case None => fresh
+      case Some(ex) =>
+        ex.filter(col(outTs) < lo || col(outTs) >= hi).unionByName(fresh)
+    }
+    materialized(sd.into) = merged
   }
 
   /** CREATE TOPIC name AS {subquery | DATABASE db | STABLE st}

@@ -934,10 +934,60 @@ object GraftSql {
     Some(query(spark, resolve, t.substring(1, close), tsCol, perSecond))
   }
 
+  /** Inline `WINDOW w AS (spec)[, w2 AS (spec2)…]` (sql.y:3002-3015):
+    * each `rank() OVER w` becomes `rank() OVER (spec)` before the
+    * `expr()` leaf hand-off — the same named-spec resolution
+    * windowfuncoperator.c:1980 performs at plan time. The WINDOW
+    * clause itself is cut from the text (it sits between HAVING and
+    * ORDER BY, so the surrounding clauses re-join cleanly). */
+  private def inlineNamedWindows(norm: String): String = {
+    val upper = norm.toUpperCase
+    val at = topLevelIndex(upper, "WINDOW").getOrElse(return norm)
+    val defs = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = at + "WINDOW".length
+    var done = false
+    while (!done) {
+      while (i < norm.length && norm(i) == ' ') i += 1
+      val nm0 = i
+      while (i < norm.length &&
+          (norm(i).isLetterOrDigit || norm(i) == '_')) i += 1
+      val nm = norm.substring(nm0, i)
+      require(nm.nonEmpty, s"WINDOW clause needs a name: $norm")
+      while (i < norm.length && norm(i) == ' ') i += 1
+      require(upper.startsWith("AS", i) ,
+        s"WINDOW $nm needs AS (spec): $norm")
+      i += 2
+      while (i < norm.length && norm(i) == ' ') i += 1
+      require(i < norm.length && norm(i) == '(',
+        s"WINDOW $nm AS needs a parenthesized spec: $norm")
+      var depth = 0; var close = -1; var j = i
+      while (close < 0 && j < norm.length) {
+        norm(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = j
+          case _ =>
+        }
+        j += 1
+      }
+      require(close > 0, s"unbalanced parens in WINDOW spec: $norm")
+      defs(nm) = norm.substring(i + 1, close).trim
+      i = close + 1
+      while (i < norm.length && norm(i) == ' ') i += 1
+      if (i < norm.length && norm(i) == ',') i += 1 else done = true
+    }
+    var out = (norm.substring(0, at) + norm.substring(i)).trim
+    defs.foreach { case (nm, spec) =>
+      out = out.replaceAll(
+        s"(?i)\\bOVER\\s+${java.util.regex.Pattern.quote(nm)}\\b",
+        java.util.regex.Matcher.quoteReplacement(s"OVER ($spec)"))
+    }
+    out
+  }
+
   private def single(spark: SparkSession, resolve: String => DataFrame,
       sql: String, tsCol: String, perSecond: Long): DataFrame = {
     def dur(t: String): Long = durNative(t, perSecond)
-    val c = clauses(sql)
+    val c = clauses(inlineNamedWindows(sql))
     require(c.contains("SELECT") && c.contains("FROM"), "need SELECT/FROM")
     var df = subqueryFrom(spark, resolve, c("FROM"), tsCol, perSecond)
       .getOrElse(fromClause(resolve, c("FROM"), tsCol, perSecond))
