@@ -198,6 +198,21 @@ class GraftCatalog(val spark: SparkSession) {
     * literals: an INSERT value like 'a  b' (or one holding a tab)
     * must reach storage byte-exact — parInsertSql.c treats quoted
     * text as opaque, and so must we. */
+  /** Strip identifier backticks outside string literals, so the DDL
+    * SHOW CREATE renders (backtick-quoted, as the reference prints)
+    * round-trips through [[exec]] — shown text re-creates the object
+    * identically. Tag values like 'O`Brien' keep their backticks. */
+  private def stripBackticks(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var inStr = false
+    s.foreach { c =>
+      if (inStr) { b.append(c); if (c == '\'') inStr = false }
+      else if (c == '`') ()
+      else { b.append(c); if (c == '\'') inStr = true }
+    }
+    b.toString
+  }
+
   private def normalizeWs(s: String): String = {
     val b = new StringBuilder(s.length)
     var inStr = false; var pendingSpace = false; var i = 0
@@ -216,7 +231,7 @@ class GraftCatalog(val spark: SparkSession) {
   }
 
   def exec(sql: String): Unit = {
-    val stmt = normalizeWs(sql).trim.stripSuffix(";").trim
+    val stmt = stripBackticks(normalizeWs(sql)).trim.stripSuffix(";").trim
     val up = stmt.toUpperCase
     if (up.startsWith("CREATE DATABASE")) createDatabase(stmt)
     else if (up.startsWith("USE ")) {

@@ -241,6 +241,53 @@ class DdlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cat.table("vt"))
   }
 
+  test("SHOW CREATE TSMA / VTABLE / STABLE round-trips: the shown " +
+      "text re-creates the object identically") {
+    import spark.implicits._
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE m (ts TIMESTAMP, v DOUBLE) TAGS (g INT)")
+    cat.exec("INSERT INTO m1 USING m TAGS (1) VALUES " +
+      (0 until 20).map(i => s"(${i.toLong * 600000000L}, ${i * 1.5})")
+        .mkString(" "))
+    cat.exec("CREATE TSMA rt_tsma ON m FUNCTION(count(v), sum(v)) " +
+      "INTERVAL(1h)")
+    val tsmaDdl = cat.sql("SHOW CREATE TSMA rt_tsma").head.getString(1)
+    cat.exec("DROP TSMA rt_tsma")
+    cat.exec(tsmaDdl) // the backticked shown text must parse
+    assert(cat.sql("SHOW CREATE TSMA rt_tsma").head.getString(1)
+      == tsmaDdl, "re-created TSMA renders different DDL")
+    // and it still serves: routed result == direct aggregate
+    val served = cat.serveInterval("m", 7200000000L, Seq("tbname"),
+      Seq(("sum", "v"))).orderBy("_wstart").collect()
+    val direct = graft.ops.TsmaOps.aggBase(cat.table("m"), col("ts"),
+      7200000000L, Seq("tbname"), Seq(("sum", "v")))
+      .orderBy("_wstart").collect()
+    assert(served.toSeq == direct.toSeq)
+
+    cat.register("src_d", Seq((100L, 1.5), (200L, 2.5)).toDF("ts", "dv"))
+    cat.exec("CREATE VTABLE vt (ts TIMESTAMP, a DOUBLE FROM src_d.dv)")
+    val before = cat.table("vt").orderBy("ts").collect().toSeq
+    val vtDdl = cat.sql("SHOW CREATE VTABLE vt").head.getString(1)
+    cat.exec("DROP VTABLE vt")
+    cat.exec(vtDdl)
+    assert(cat.sql("SHOW CREATE VTABLE vt").head.getString(1) == vtDdl,
+      "re-created VTABLE renders different DDL")
+    assert(cat.table("vt").orderBy("ts").collect().toSeq == before)
+
+    val stDdl = cat.sql("SHOW CREATE STABLE m").head.getString(1)
+    val cat2 = new GraftCatalog(spark)
+    cat2.exec(stDdl)
+    assert(cat2.sql("SHOW CREATE STABLE m").head.getString(1) == stDdl,
+      "re-created STABLE renders different DDL")
+    // a backticked tag value inside a string literal must survive
+    cat2.exec("CREATE TABLE mq USING m TAGS (3)")
+    cat2.exec("CREATE STABLE s2 (ts TIMESTAMP, v DOUBLE) " +
+      "TAGS (nm VARCHAR(16))")
+    cat2.exec("CREATE TABLE s2c USING s2 TAGS ('O`Brien')")
+    assert(cat2.sql("SHOW CREATE TABLE s2c").head.getString(1)
+      .contains("O`Brien"))
+  }
+
   test("CREATE FUNCTION validates the registry impl and its kind") {
     val cat = new GraftCatalog(spark)
     intercept[IllegalArgumentException](cat.exec(
