@@ -49,7 +49,8 @@ object Tables {
     require(Set(1000L, 1000000L, 1000000000L).contains(perSecond),
       s"precision must be ms/us/ns ticks-per-second, got $perSecond")
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType,
+      TimestampType}
     // The NTZ→LTZ cast below reads the session zone; epoch extraction
     // only matches DuckDB's epoch_us() under UTC. Sessions pin UTC at
     // build time (Verify/Bench/SparkTestSession) — fail loudly rather
@@ -66,7 +67,22 @@ object Tables {
         val div = 1000000000L / perSecond
         if (div == 1L) raw
         else raw.withColumn("ts", expr(s"ts DIV ${div}L"))
-      case _ => // stored timestamp[us]
+      case TimestampNTZType =>
+        // stored timestamp[us] surfacing as NTZ: the internal repr IS
+        // epoch-µs, so the normalization is a zero-cost reinterpret
+        // (graft_ntz_micros) — not per-row timezone-cast machinery
+        val us = graft.functions.NativeExpressions.ntzMicros(col("ts"))
+        val c =
+          if (perSecond == 1000000L) us
+          else if (perSecond == 1000L)
+            org.apache.spark.sql.GraftColumnShim.column(
+              org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+                org.apache.spark.sql.GraftColumnShim.expression(us),
+                org.apache.spark.sql.catalyst.expressions.Literal(1000L)))
+          else us.multiply(1000L)
+        raw.withColumn("ts", c)
+      case _ => // stored timestamp[us] surfacing as LTZ (reader-conf
+        // dependent): UTC-session cast chain, exact same values
         val us = unix_micros(col("ts").cast(TimestampType))
         val c =
           if (perSecond == 1000000L) us

@@ -325,7 +325,39 @@ object SimHashFingerprint {
   }
 }
 
+/** Identity reinterpret of a TIMESTAMP_NTZ value as its internal
+  * epoch-µs Long — Spark stores NTZ as micros-since-epoch, so the
+  * events normalization (`Tables.eventsAt`) becomes a zero-cost
+  * rename instead of running `cast(ntz as timestamp)` timezone
+  * machinery per row on every events scan. `TsRangePushdown`
+  * recognizes this node when re-deriving storage-domain scan ranges. */
+case class TimestampNtzMicros(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs timestamp_ntz, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ntz_micros"
+
+  override def nullSafeEval(v: Any): Any = v
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(newChild)
+}
+
 object NativeExpressions {
+  /** Column form of [[TimestampNtzMicros]]. */
+  def ntzMicros(c: Column): Column =
+    GraftColumnShim.column(TimestampNtzMicros(
+      GraftColumnShim.expression(c)))
+
   /** Column form of [[LongDotProduct]]. */
   def longDot(a: Column, b: Column): Column =
     GraftColumnShim.column(LongDotProduct(

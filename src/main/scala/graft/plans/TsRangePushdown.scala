@@ -53,6 +53,9 @@ object TsRangePushdown extends Rule[LogicalPlan] {
       case _: ArithmeticException => None }
 
   private def decompose(e: Expression): Option[Chain] = e match {
+    // the loader's zero-cost reinterpret: derived Long == internal µs
+    case graft.functions.TimestampNtzMicros(a: AttributeReference) =>
+      Some(Chain(a, v => Some(v), v => Some(v)))
     case UnixMicros(c: Cast)
         if c.dataType == TimestampType &&
           c.child.isInstanceOf[AttributeReference] &&
@@ -95,6 +98,7 @@ object TsRangePushdown extends Rule[LogicalPlan] {
     * a bare `long_col >= 5` would just re-derive itself. */
   private def nonTrivial(e: Expression): Boolean = e match {
     case _: UnixMicros | _: Multiply | _: IntegralDivide => true
+    case _: graft.functions.TimestampNtzMicros => true
     case _ => false
   }
 

@@ -942,7 +942,20 @@ object GraftSql {
     * ORDER BY, so the surrounding clauses re-join cleanly). */
   private def inlineNamedWindows(norm: String): String = {
     val upper = norm.toUpperCase
-    val at = topLevelIndex(upper, "WINDOW").getOrElse(return norm)
+    // `WINDOW JOIN` (the join operator, JoinOps) also spells WINDOW at
+    // top level — only a `WINDOW <name> AS (` occurrence is the
+    // named-window clause
+    @annotation.tailrec
+    def findClause(base: Int): Option[Int] =
+      topLevelIndex(upper.substring(base), "WINDOW") match {
+        case None => None
+        case Some(rel) =>
+          val i = base + rel
+          val after = upper.substring(i + "WINDOW".length).trim
+          if (after.startsWith("JOIN")) findClause(i + "WINDOW".length)
+          else Some(i)
+      }
+    val at = findClause(0).getOrElse(return norm)
     val defs = scala.collection.mutable.LinkedHashMap[String, String]()
     var i = at + "WINDOW".length
     var done = false
