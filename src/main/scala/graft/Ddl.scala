@@ -196,6 +196,16 @@ object Ddl {
         "count(*) AS n FROM events WHERE gcd64(event_id, 6) = 6 " +
         "GROUP BY user_id ORDER BY user_id")
     },
+    // CREATE ANODE text + SHOW ANODES FULL / ins_anodes_full through
+    // the dialect FROM (sql.y:689-692, systable.h:32-33)
+    "ins_anodes_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE ANODE 'http://anode1:6090'")
+      cat.exec("CREATE ANODE 'http://anode2:6090'")
+      cat.exec("DROP ANODE 2")
+      cat.sql("SELECT id, type, algo " +
+        "FROM information_schema.ins_anodes_full ORDER BY id, type")
+    },
     // SHOW FUNCTIONS / ins_functions through the dialect FROM
     "ins_functions_gate" -> { (s, dir) =>
       val cat = demo(s, dir)
@@ -362,6 +372,12 @@ object Ddl {
       """SELECT user_id, bit_or(event_id) AS bits, count(*) AS n
          FROM events WHERE gcd(event_id, 6) = 6
          GROUP BY user_id ORDER BY user_id""",
+    "ins_anodes_gate" ->
+      """SELECT * FROM (VALUES
+           (1, 'anomaly-detection', 'zscore'),
+           (1, 'forecast', 'linear,holtwinters,arima'),
+           (1, 'imputation', 'linear'))
+         AS t(id, type, algo) ORDER BY id, type""",
     "ins_functions_gate" ->
       """SELECT * FROM (VALUES
            ('bitor64', 'AGGREGATE', 'graft.udf.BitOr64', 'BIGINT', 8),

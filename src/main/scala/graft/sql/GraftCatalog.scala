@@ -62,6 +62,10 @@ class GraftCatalog(val spark: SparkSession) {
     * (sql.y:1589; runtime taosudf.h via [[graft.functions.UdfRegistry]]). */
   case class UdfDef(name: String, impl: String, aggregate: Boolean,
       outputType: String, bufSize: Int)
+  /** CREATE ANODE 'url' (sql.y:689-692; tanalytics.h anode service):
+    * the catalog registers the endpoint and id; query-time binding is
+    * [[graft.ops.ServiceDetector]] over an injectable transport. */
+  case class AnodeDef(id: Int, url: String, status: String)
 
   private case class Child(name: String, stableName: String,
       tagVals: Seq[Any], rows: mutable.ArrayBuffer[(Seq[Any], Long)])
@@ -83,6 +87,8 @@ class GraftCatalog(val spark: SparkSession) {
   private val tsmaRollups = mutable.LinkedHashMap[String, DataFrame]()
   private val vtableDefs = mutable.LinkedHashMap[String, VtableDef]()
   private val udfDefs = mutable.LinkedHashMap[String, UdfDef]()
+  private val anodeDefs = mutable.LinkedHashMap[Int, AnodeDef]()
+  private var anodeSeq = 0
   private var seqCounter = 0L
 
   /** Ticks/second of the current database (PRECISION 'ms'|'us'|'ns'). */
@@ -275,6 +281,30 @@ class GraftCatalog(val spark: SparkSession) {
       streamDefs.remove(bare(stmt.split("\\s+").last)); ()
     }
     else if (up.startsWith("RECALCULATE STREAM")) recalcStream(stmt)
+    // CREATE ANODE 'url' / UPDATE ANODE n / UPDATE ALL ANODES /
+    // DROP ANODE n (sql.y:689-692): analytics-service registration.
+    // UPDATE re-pulls the service's algo list on the reference; here
+    // it re-validates the entry (the algo set is the Detector seam's).
+    else if (up.startsWith("CREATE ANODE")) {
+      val url = stmt.substring("CREATE ANODE".length).trim
+      require(url.startsWith("'") && url.endsWith("'") && url.length > 2,
+        s"CREATE ANODE needs a quoted endpoint: $stmt")
+      anodeSeq += 1
+      anodeDefs(anodeSeq) = AnodeDef(anodeSeq,
+        url.substring(1, url.length - 1), "ready")
+    }
+    else if (up.startsWith("UPDATE ALL ANODES")) {
+      anodeDefs.mapValuesInPlace((_, a) => a.copy(status = "ready")); ()
+    }
+    else if (up.startsWith("UPDATE ANODE ")) {
+      val id = stmt.substring("UPDATE ANODE ".length).trim.toInt
+      val a = anodeDefs.getOrElse(id,
+        throw new IllegalArgumentException(s"unknown anode: $id"))
+      anodeDefs(id) = a.copy(status = "ready")
+    }
+    else if (up.startsWith("DROP ANODE ")) {
+      anodeDefs.remove(stmt.substring("DROP ANODE ".length).trim.toInt); ()
+    }
     else if (up.startsWith("CREATE TSMA") ||
         up.startsWith("CREATE RECURSIVE TSMA")) createTsma(stmt)
     else if (up.startsWith("DROP TSMA")) {
@@ -868,6 +898,8 @@ class GraftCatalog(val spark: SparkSession) {
     else if (name == "ins_topics") insTopics
     else if (name == "ins_functions") insFunctions
     else if (name == "ins_tsmas") insTsmas
+    else if (name == "ins_anodes") insAnodes
+    else if (name == "ins_anodes_full") insAnodesFull
     else throw new IllegalArgumentException(s"unknown table: $name")
   }
 
@@ -1033,6 +1065,21 @@ class GraftCatalog(val spark: SparkSession) {
     topicDefs.values.toSeq.map(t => (t.name, t.db, t.subject))
       .toDF("topic_name", "db_name", "subject")
 
+  /** information_schema.ins_anodes (systable.h:32). */
+  def insAnodes: DataFrame =
+    anodeDefs.values.toSeq.map(a => (a.id, a.url, a.status))
+      .toDF("id", "url", "status")
+
+  /** information_schema.ins_anodes_full (systable.h:33): one row per
+    * (anode, served algo type) — the algo families the Detector seam
+    * serves (reference: the anode reports its registered algos). */
+  def insAnodesFull: DataFrame =
+    anodeDefs.values.toSeq.flatMap(a => Seq(
+      (a.id, "forecast", "linear,holtwinters,arima"),
+      (a.id, "imputation", "linear"),
+      (a.id, "anomaly-detection", "zscore")))
+      .toDF("id", "type", "algo")
+
   /** information_schema.ins_functions (systable.h; SHOW FUNCTIONS
     * sql.y:1374). */
   def insFunctions: DataFrame =
@@ -1165,6 +1212,8 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW TSMAS")) insTsmas
     else if (up.startsWith("SHOW VTABLES")) insVtables
     else if (up.startsWith("SHOW FUNCTIONS")) insFunctions
+    else if (up.startsWith("SHOW ANODES FULL")) insAnodesFull
+    else if (up.startsWith("SHOW ANODES")) insAnodes
     else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
       describe(stmt.split("\\s+").last)
     else { exec(stmt); spark.emptyDataFrame }

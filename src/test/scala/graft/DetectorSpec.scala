@@ -58,6 +58,81 @@ class DetectorSpec extends AnyFunSuite {
     }
   }
 
+  /** Deterministic stand-in for the anode wire protocol: forecasts
+    * the series mean, imputes -1.0, flags values above 90. */
+  private object FakeTransport extends graft.ops.AnalyticsTransport {
+    def forecast(algo: String, ts: Array[Long], values: Array[Double],
+        horizon: Int, stepUs: Long, t0Us: Long)
+        : Seq[(Long, Double, Double, Double)] = {
+      val m = values.sum / values.length
+      (0 until horizon).map(h =>
+        (t0Us + h.toLong * stepUs, m, m - 1.0, m + 1.0))
+    }
+    def impute(algo: String, ts: Array[Long],
+        values: Array[Option[Double]]): Seq[Double] =
+      values.toSeq.map(_.getOrElse(-1.0))
+    def anomaly(algo: String, ts: Array[Long], values: Array[Double],
+        z: Double): Seq[Boolean] = values.toSeq.map(_ > 90.0)
+  }
+
+  test("ServiceDetector routes whole ts-ordered series through the " +
+      "transport and keeps the Detector output contracts") {
+    val det = graft.ops.ServiceDetector(FakeTransport)
+    val events = Tables(spark, sf, "events")
+
+    val fc = det.forecast(events, col("ts"), "value", Seq("user_id"),
+      horizon = 3, stepUs = 86400000000L, t0Us = 1704067200000000L)
+    val perKey = fc.groupBy("user_id").count().collect()
+    assert(perKey.nonEmpty && perKey.forall(_.getLong(1) == 3L))
+    // the transport saw the whole series: forecast == per-key mean
+    val means = events.groupBy("user_id")
+      .agg(avg("value").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    fc.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("forecast") -
+        means(r.getLong(0))) < 1e-9)
+      assert(r.getAs[Double]("_fhigh") - r.getAs[Double]("_flow") == 2.0)
+    }
+
+    val gapped = events.withColumn("value",
+      when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    val im = det.imputeLinear(gapped, col("ts"), "value", Seq("user_id"))
+    assert(im.count() == gapped.count(), "impute must keep every row")
+    val marked = im.filter(col("_impmark")).collect()
+    assert(marked.length ==
+      gapped.filter(col("value").isNull).count().toInt)
+    assert(marked.forall(_.getAs[Double]("value") == -1.0))
+
+    val an = det.anomalyRows(events, col("ts"), "value", Seq("user_id"),
+      z = 2.0)
+    val expect = events.filter(col("value") > 90.0).count()
+    assert(an.count() == expect, "anomaly rows must match the flag rule")
+    // _wgrp groups consecutive flagged rows per key, starting at 0
+    val g0 = an.groupBy("user_id").agg(min("_wgrp").as("g")).collect()
+    assert(g0.forall(_.getLong(1) == 0L))
+  }
+
+  test("CREATE/UPDATE/DROP ANODE text + SHOW ANODES/ins_anodes " +
+      "round out the service registration surface") {
+    val cat = new graft.sql.GraftCatalog(spark)
+    cat.exec("CREATE ANODE 'http://anode1:6090'")
+    cat.exec("CREATE ANODE 'http://anode2:6090'")
+    val shown = cat.sql("SHOW ANODES").collect()
+    assert(shown.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "http://anode1:6090"), (2, "http://anode2:6090")))
+    cat.exec("UPDATE ANODE 1")
+    cat.exec("UPDATE ALL ANODES")
+    assert(cat.sql("SHOW ANODES FULL")
+      .filter(col("type") === "forecast").count() == 2)
+    // served through the dialect information_schema path too
+    assert(cat.sql("SELECT count(*) AS n FROM " +
+      "information_schema.ins_anodes").head.getLong(0) == 2L)
+    cat.exec("DROP ANODE 1")
+    assert(cat.sql("SHOW ANODES").count() == 1)
+    intercept[IllegalArgumentException](cat.exec("UPDATE ANODE 9"))
+  }
+
   test("builtin binding reproduces the in-engine models") {
     val events = Tables(spark, sf, "events")
     val a = BuiltinDetector.forecast(events, col("ts"), "value",
