@@ -900,6 +900,9 @@ class GraftCatalog(val spark: SparkSession) {
     else if (name == "ins_tsmas") insTsmas
     else if (name == "ins_anodes") insAnodes
     else if (name == "ins_anodes_full") insAnodesFull
+    else if (name == "ins_dnodes") insDnodes
+    else if (name == "ins_users") insUsers
+    else if (name == "ins_cluster") insCluster
     else throw new IllegalArgumentException(s"unknown table: $name")
   }
 
@@ -1065,6 +1068,30 @@ class GraftCatalog(val spark: SparkSession) {
     topicDefs.values.toSeq.map(t => (t.name, t.db, t.subject))
       .toDF("topic_name", "db_name", "subject")
 
+  /** information_schema.ins_dnodes (systable.h:26 dnodesSchema): the
+    * honest Spark mapping — each executor is a data node; local mode
+    * reports the single driver-executor. `support_vnodes` carries the
+    * executor's core count (its parallel-partition capacity). */
+  def insDnodes: DataFrame = {
+    val infos = spark.sparkContext.statusTracker.getExecutorInfos.toSeq
+    infos.zipWithIndex.map { case (e, i) =>
+      (i + 1, e.host, e.numRunningTasks, spark.sparkContext.defaultParallelism,
+        "ready")
+    }.toDF("id", "endpoint", "vnodes", "support_vnodes", "status")
+  }
+
+  /** information_schema.ins_users (systable.h usersSchema): single
+    * root superuser — Spark delegates real authn/authz to the cluster
+    * manager, so the catalog reports the reference's default. */
+  def insUsers: DataFrame =
+    Seq(("root", 1, 1, 1, 1)).toDF(
+      "name", "super", "enable", "sysinfo", "createdb")
+
+  /** information_schema.ins_cluster (systable.h clusterSchema). */
+  def insCluster: DataFrame =
+    Seq((spark.sparkContext.applicationId, "graft", spark.version))
+      .toDF("id", "name", "version")
+
   /** information_schema.ins_anodes (systable.h:32). */
   def insAnodes: DataFrame =
     anodeDefs.values.toSeq.map(a => (a.id, a.url, a.status))
@@ -1214,6 +1241,9 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW FUNCTIONS")) insFunctions
     else if (up.startsWith("SHOW ANODES FULL")) insAnodesFull
     else if (up.startsWith("SHOW ANODES")) insAnodes
+    else if (up.startsWith("SHOW DNODES")) insDnodes
+    else if (up.startsWith("SHOW USERS")) insUsers
+    else if (up.startsWith("SHOW CLUSTER")) insCluster
     else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
       describe(stmt.split("\\s+").last)
     else { exec(stmt); spark.emptyDataFrame }

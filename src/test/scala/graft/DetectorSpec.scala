@@ -131,6 +131,12 @@ class DetectorSpec extends AnyFunSuite {
     cat.exec("DROP ANODE 1")
     assert(cat.sql("SHOW ANODES").count() == 1)
     intercept[IllegalArgumentException](cat.exec("UPDATE ANODE 9"))
+    // admin catalog rows: executors-as-dnodes, root user, cluster id
+    val dn = cat.sql("SHOW DNODES").collect()
+    assert(dn.nonEmpty && dn.forall(_.getAs[String]("status") == "ready"))
+    assert(cat.sql("SELECT name FROM information_schema.ins_users")
+      .head.getString(0) == "root")
+    assert(cat.sql("SHOW CLUSTER").head.getAs[String]("name") == "graft")
   }
 
   test("builtin binding reproduces the in-engine models") {

@@ -159,4 +159,25 @@ class PlanSpec extends AnyFunSuite {
       val t = r.getAs[Long]("ts"); t >= t0 && t < t1 }
     assert(n == expect, s"pushdown rewrite changed row count: $n vs $expect")
   }
+
+  test("ms and ns precision surfaces also push their ts ranges down") {
+    import org.apache.spark.sql.functions.col
+    // DIV-1000 (ms) and *1000 (ns) wrap the reinterpret — the rule
+    // must invert through the rescale with conservative bounds
+    for ((per, lo, hi) <- Seq(
+        (1000L, 1704326400000L, 1704499200000L),
+        (1000000000L, 1704326400000000000L, 1704499200000000000L))) {
+      val ev = Tables.eventsAt(spark, sf, per)
+      val q = ev.filter(col("ts") >= lo && col("ts") < hi)
+      val p = q.queryExecution.explainString(FormattedMode)
+      assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r
+          .findFirstIn(p).isDefined,
+        s"per=$per lower bound missing from PushedFilters:\n$p")
+      val n = q.count()
+      val expect = ev.collect().count { r =>
+        val t = r.getAs[Long]("ts"); t >= lo && t < hi }
+      assert(n == expect,
+        s"per=$per pushdown changed row count: $n vs $expect")
+    }
+  }
 }
