@@ -427,6 +427,24 @@ object Dialect {
                ORDER BY value, event_id), 6) AS cd
            FROM events ORDER BY user_id, ts_ms, event_id""")
     },
+    // query-range pseudo columns (builtins.c:5211-5249 _qstart/_qend/
+    // _qduration; 20-select.md:292): the WHERE ts-range as inclusive
+    // bounds, visible in the select list
+    "dialect_qrange" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT _qstart AS qs, _qend AS qe, _qduration AS qd,
+              count(*) AS n
+            FROM events WHERE ts >= $T0 AND ts < $T5""")
+    },
+    // ORDER BY … [ASC|DESC] NULLS FIRST|LAST (sql.y
+    // null_ordering_opt): non-default null placement
+    "dialect_nulls_order" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id,
+             CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+           FROM events WHERE user_id < 5
+           ORDER BY v ASC NULLS FIRST, event_id""")
+    },
     // named windows — WINDOW w AS (…) (sql.y:3002-3015; resolved at
     // plan time by windowfuncoperator.c:1980): `OVER w` inlines to the
     // named spec before the expr() hand-off, incl. ROWS and duration
@@ -896,6 +914,16 @@ object Dialect {
            round(cume_dist() OVER (PARTITION BY user_id
              ORDER BY value, event_id), 6) AS cd
          FROM events ORDER BY user_id, ts_ms, event_id""",
+    "dialect_qrange" ->
+      s"""SELECT CAST($T0 AS BIGINT) AS qs,
+            CAST(${T5 - 1} AS BIGINT) AS qe,
+            CAST(${T5 - 1 - T0} AS BIGINT) AS qd, count(*) AS n
+          FROM events WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < $T5""",
+    "dialect_nulls_order" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+         FROM events WHERE user_id < 5
+         ORDER BY v ASC NULLS FIRST, event_id""",
     // DuckDB resolves its own WINDOW clause — a true named-window
     // round-trip on both engines
     "dialect_named_window" ->

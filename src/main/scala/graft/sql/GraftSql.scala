@@ -819,10 +819,26 @@ object GraftSql {
   }
 
   /** ORDER BY items with DESC support. */
+  /** ORDER BY items: [ASC|DESC] [NULLS FIRST|LAST] (sql.y
+    * ordering_specification_opt / null_ordering_opt; defaults match
+    * the reference: ASC, and NULLS LAST for ASC / NULLS FIRST for
+    * DESC — the same defaults Spark uses). */
   private def orderCols(o: String): Seq[Column] =
     splitArgs(o).map { s =>
-      val d = "(?i)^(.*?)\\s+DESC$".r
-      s match { case d(e) => expr(e).desc; case e => expr(e).asc }
+      val m = ("(?i)^(.*?)(?:\\s+(ASC|DESC))?" +
+        "(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$").r
+      s.trim match {
+        case m(e, dir, nulls) =>
+          val desc = dir != null && dir.equalsIgnoreCase("DESC")
+          Option(nulls).map(_.toUpperCase) match {
+            case Some("FIRST") =>
+              if (desc) expr(e).desc_nulls_first else expr(e).asc_nulls_first
+            case Some("LAST") =>
+              if (desc) expr(e).desc_nulls_last else expr(e).asc_nulls_last
+            case _ => if (desc) expr(e).desc else expr(e).asc
+          }
+        case e => expr(e).asc
+      }
     }
 
   // ------------------------------------------------------------------ main
@@ -1004,12 +1020,60 @@ object GraftSql {
     require(c.contains("SELECT") && c.contains("FROM"), "need SELECT/FROM")
     var df = subqueryFrom(spark, resolve, c("FROM"), tsCol, perSecond)
       .getOrElse(fromClause(resolve, c("FROM"), tsCol, perSecond))
+    // _qstart/_qend/_qduration (builtins.c:5211-5249; 20-select.md:292):
+    // the WHERE clause's primary-ts range as INCLUSIVE bounds —
+    // `ts < Y` contributes qend = Y-1 — defaulting to the full int64
+    // range when no ts condition exists
+    var qStart = Long.MinValue
+    var qEnd = Long.MaxValue
     c.get("WHERE").foreach { w =>
       val (plain0, subs) = whereInSubqueries(w)
       val plain = plain0
         .map(rewriteRegexOps)
         .map(rewriteTimeScalars)
         .map(p => inlineScalarSubqueries(spark, resolve, p, tsCol, perSecond))
+      val tsCmp = ("(?i)^\\s*" + java.util.regex.Pattern.quote(tsCol) +
+        "\\s*(>=|<=|<|>|=)\\s*(-?\\d+)L?\\s*$").r
+      val tsBetween = ("(?i)^\\s*" + java.util.regex.Pattern.quote(tsCol) +
+        "\\s+BETWEEN\\s+(-?\\d+)L?\\s+AND\\s+(-?\\d+)L?\\s*$").r
+      // plain items may still hold top-level AND chains (the subquery
+      // splitter only splits when an IN-subquery is present)
+      def conjuncts(t: String): Seq[String] = {
+        val parts = Seq.newBuilder[String]
+        var rest = t.trim
+        var more = true
+        while (more) topLevelIndex(rest.toUpperCase, "AND") match {
+          case Some(i) =>
+            parts += rest.substring(0, i).trim
+            rest = rest.substring(i + 3).trim
+          case None => parts += rest; more = false
+        }
+        // re-merge BETWEEN … AND …
+        parts.result().foldLeft(Vector.empty[String]) { case (acc, p) =>
+          val merge = acc.nonEmpty && {
+            val up = acc.last.toUpperCase
+            topLevelIndex(up, "BETWEEN").isDefined &&
+              topLevelIndex(up, "AND").isEmpty
+          }
+          if (merge) acc.init :+ (acc.last + " AND " + p) else acc :+ p
+        }
+      }
+      plain.flatMap(conjuncts).foreach {
+        case tsCmp(op, v0) =>
+          val v = v0.toLong
+          op match {
+            case ">=" => qStart = math.max(qStart, v)
+            case ">" => qStart = math.max(qStart, v + 1)
+            case "<=" => qEnd = math.min(qEnd, v)
+            case "<" => qEnd = math.min(qEnd, v - 1)
+            case "=" => qStart = math.max(qStart, v)
+              qEnd = math.min(qEnd, v)
+          }
+        case tsBetween(a, b) =>
+          qStart = math.max(qStart, a.toLong)
+          qEnd = math.min(qEnd, b.toLong)
+        case _ =>
+      }
       if (plain.nonEmpty) df = df.filter(expr(plain.mkString(" AND ")))
       subs.foreach { case (lhs, negated, subSql) =>
         val sub = query(spark, resolve, subSql, tsCol, perSecond)
@@ -1157,7 +1221,12 @@ object GraftSql {
     // ---- windowing ----
     var groupKeys: Seq[String] = partCols
     var postAgg: DataFrame => DataFrame = identity
-    var pseudo: Map[String, String] = Map.empty // textual rewrites
+    // textual rewrites; the query-range pseudo columns are visible in
+    // every branch (windowed or not), window pseudos merge per branch
+    val qPseudo: Map[String, String] = Map(
+      "_qstart" -> s"${qStart}L", "_qend" -> s"${qEnd}L",
+      "_qduration" -> s"${qEnd - qStart}L")
+    var pseudo: Map[String, String] = qPseudo
     var intervalSpec: Option[(Long, Long)] = None // (intervalUs, offsetUs)
 
     if (c.contains("INTERVAL")) {
@@ -1169,14 +1238,14 @@ object GraftSql {
       df = TimeOps.assignIntervals(df, col(tsCol), iv, slide, off)
       groupKeys = partCols :+ "_wstart"
       intervalSpec = Some((iv, off))
-      pseudo = Map("_wduration" -> iv.toString,
+      pseudo = qPseudo ++ Map("_wduration" -> iv.toString,
         "_wend" -> s"(_wstart + $iv)")
     } else if (c.contains("SESSION")) {
       val args = splitArgs(stripOuterParens(c("SESSION")))
       df = TimeOps.sessionize(df, col(args(0)), dur(args(1)),
         partCols.map(col))
       groupKeys = partCols :+ "_session"
-      pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
+      pseudo = qPseudo ++ Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
     } else if (c.contains("STATE_WINDOW")) {
       val st = expr(stripOuterParens(c("STATE_WINDOW")))
       if (c.contains("EXTEND")) {
@@ -1196,7 +1265,7 @@ object GraftSql {
       } else
         df = TimeOps.stateWindows(df, st, col(tsCol), partCols.map(col))
       groupKeys = partCols :+ "_wid"
-      pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
+      pseudo = qPseudo ++ Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
     } else if (c.contains("ANOMALY_WINDOW")) {
       // ANOMALY_WINDOW(col[, 'algo=zscore[,z=k]']) (sql.y:2887): the
       // z-score Detector; the algo literal may override the threshold
@@ -1207,12 +1276,12 @@ object GraftSql {
       df = graft.ops.AnalyticsOps.anomalyRows(df, col(tsCol),
         args(0).trim, partCols, z)
       groupKeys = partCols :+ "_wgrp"
-      pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
+      pseudo = qPseudo ++ Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
     } else if (c.contains("COUNT_WINDOW")) {
       val n = stripOuterParens(c("COUNT_WINDOW")).trim.toInt
       df = TimeOps.countWindows(df, n, col(tsCol), partCols.map(col))
       groupKeys = partCols :+ "_wid"
-      pseudo = Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
+      pseudo = qPseudo ++ Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
     } else if (c.contains("EVENT_WINDOW")) {
       val body = c("EVENT_WINDOW")
       val m = "(?i)^START WITH (.*) END WITH (.*)$".r
@@ -1221,7 +1290,7 @@ object GraftSql {
           df = TimeOps.eventWindows(df, expr(s0), expr(e0), col(tsCol),
             partCols)
           groupKeys = partCols :+ "_wstart"
-          pseudo = Map("_wend" -> s"max($tsCol)")
+          pseudo = qPseudo ++ Map("_wend" -> s"max($tsCol)")
         case _ => throw new IllegalArgumentException(
           "EVENT_WINDOW needs START WITH … END WITH …")
       }
@@ -1245,21 +1314,21 @@ object GraftSql {
     val havingAgg = if (isAgg) c.get("HAVING").filter(h =>
       "(?i)\\b(sum|count|avg|min|max|first|last|spread)\\s*\\(".r
         .findFirstIn(h).isDefined) else None
+    def rewritten(e: String): String = {
+      var r = e
+      pseudo.foreach { case (k, v) =>
+        r = r.replaceAll(s"(?i)(?<![A-Za-z0-9_])${k}(?![A-Za-z0-9_])",
+          v.replace("$", "\\$"))
+      }
+      rewriteFuncs(r, tsCol)
+    }
     val out: DataFrame =
       if (!isAgg) {
         val cols = selectItems.map { case (e, a) =>
-          expr(rewriteFuncs(e, tsCol)).as(a) }
+          expr(rewritten(e)).as(a) }
         val proj = df.select(cols: _*)
         if (isDistinct) proj.distinct() else proj
       } else {
-        def rewritten(e: String): String = {
-          var r = e
-          pseudo.foreach { case (k, v) =>
-            r = r.replaceAll(s"(?i)(?<![A-Za-z0-9_])${k}(?![A-Za-z0-9_])",
-              v.replace("$", "\\$"))
-          }
-          rewriteFuncs(r, tsCol)
-        }
         val keyItems = selectItems.filter { case (e, _) =>
           groupKeys.contains(e) }
         val aggItems = selectItems.filterNot { case (e, _) =>
