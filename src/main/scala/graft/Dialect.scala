@@ -427,6 +427,19 @@ object Dialect {
                ORDER BY value, event_id), 6) AS cd
            FROM events ORDER BY user_id, ts_ms, event_id""")
     },
+    // percentile(0-100 scale), population stddev, elapsed — the
+    // TDengine aggregate spellings Spark spells differently
+    // (builtins.c:3216 percentile, :3038 stddev=pop, elapsed)
+    "dialect_agg_misc" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id,
+             round(percentile(value, 90), 6) AS p90,
+             round(stddev(value), 6) AS sd_pop,
+             round(stddev_samp(value), 6) AS sd_samp,
+             elapsed(ts) AS span_us,
+             round(elapsed(ts, 1h), 6) AS span_h
+           FROM events PARTITION BY user_id ORDER BY user_id""")
+    },
     // query-range pseudo columns (builtins.c:5211-5249 _qstart/_qend/
     // _qduration; 20-select.md:292): the WHERE ts-range as inclusive
     // bounds, visible in the select list
@@ -914,6 +927,15 @@ object Dialect {
            round(cume_dist() OVER (PARTITION BY user_id
              ORDER BY value, event_id), 6) AS cd
          FROM events ORDER BY user_id, ts_ms, event_id""",
+    "dialect_agg_misc" ->
+      """SELECT user_id,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(stddev_pop(value), 6) AS sd_pop,
+           round(stddev_samp(value), 6) AS sd_samp,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+           round((max(epoch_us(ts)) - min(epoch_us(ts)))
+             / 3600000000.0, 6) AS span_h
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "dialect_qrange" ->
       s"""SELECT CAST($T0 AS BIGINT) AS qs,
             CAST(${T5 - 1} AS BIGINT) AS qe,

@@ -374,6 +374,27 @@ object GraftSql {
     r = rewriteCall(r, "last_row", a => s"max_by($a, $tsCol)")
     r = rewriteCall(r, "last", a => s"max_by($a, $tsCol)")
     r = rewriteCall(r, "spread", a => s"(max($a) - min($a))")
+    // percentile(c, p) takes p in 0..100 (builtins.c:3216
+    // percentileFunction; Spark's percentile takes a 0..1 fraction);
+    // exact, linear interpolation in both engines
+    r = rewriteCall(r, "percentile", a => {
+      val p = splitArgs(a)
+      require(p.length == 2, s"percentile needs (col, p): $a")
+      s"percentile(${p(0)}, (${p(1)}) / 100.0)"
+    })
+    // TDengine's bare stddev IS population stddev (builtins.c:3038;
+    // stddev_samp is the separate :7476 spelling, which passes
+    // through — `stddev(` cannot match inside `stddev_samp(`) —
+    // Spark's bare stddev is SAMPLE, the silent-wrong-answer trap
+    r = rewriteCall(r, "stddev", a => s"stddev_pop($a)")
+    // elapsed(ts[, unit]) (builtins.c elapsedFunction): window/group
+    // time span, scaled to `unit` ticks (default: db precision)
+    r = rewriteCall(r, "elapsed", a => {
+      val p = splitArgs(a)
+      val span = s"(max(${p(0)}) - min(${p(0)}))"
+      p.lift(1).map(u => s"(CAST($span AS DOUBLE) / ${durUs(u.trim)})")
+        .getOrElse(span)
+    })
     r = rewriteCall(r, "sum", a =>
       s"CAST(sum(CAST(($a) AS DECIMAL(18,2))) AS DOUBLE)")
     r = rewriteCall(r, "avg", a =>
