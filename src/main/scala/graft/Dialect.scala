@@ -427,6 +427,18 @@ object Dialect {
                ORDER BY value, event_id), 6) AS cd
            FROM events ORDER BY user_id, ts_ms, event_id""")
     },
+    // approximate aggregates through the text surface: hyperloglog
+    // (HLL++ estimate, pinned oracle — register maxima are order-
+    // independent) and apercentile's registered t-digest UDAF judged
+    // by the reference's error-bound contract
+    "dialect_approx" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_type, hyperloglog(user_id) AS approx_users,
+             (abs(apercentile(value, 50) - percentile(value, 50)) <=
+               (max(value) - min(value)) * 0.05) AS ok50,
+             count(*) AS n
+           FROM events GROUP BY event_type ORDER BY event_type""")
+    },
     // percentile(0-100 scale), population stddev, elapsed — the
     // TDengine aggregate spellings Spark spells differently
     // (builtins.c:3216 percentile, :3038 stddev=pop, elapsed)
@@ -927,6 +939,15 @@ object Dialect {
            round(cume_dist() OVER (PARTITION BY user_id
              ORDER BY value, event_id), 6) AS cd
          FROM events ORDER BY user_id, ts_ms, event_id""",
+    "dialect_approx" ->
+      """SELECT * FROM (VALUES
+            ('click', CAST(151 AS BIGINT), true, CAST(2006 AS BIGINT)),
+            ('error', CAST(151 AS BIGINT), true, CAST(2014 AS BIGINT)),
+            ('purchase', CAST(151 AS BIGINT), true, CAST(1981 AS BIGINT)),
+            ('signup', CAST(151 AS BIGINT), true, CAST(2017 AS BIGINT)),
+            ('view', CAST(151 AS BIGINT), true, CAST(1982 AS BIGINT)))
+          AS t(event_type, approx_users, ok50, n)
+          ORDER BY event_type""",
     "dialect_agg_misc" ->
       """SELECT user_id,
            round(quantile_cont(value, 0.9), 6) AS p90,

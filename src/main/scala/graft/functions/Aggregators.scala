@@ -194,6 +194,24 @@ object Aggregators {
       compression: Double = 300.0): Column =
     udaf(new TDigestAgg(probs, compression)).apply(c.cast("double"))
 
+  /** SQL-registrable apercentile(value, p) with TDengine's 0-100 `p`
+    * as a runtime argument (builtins.c:3250) — the registered-name
+    * form the dialect resolves; [[apercentile]] is the Column form. */
+  class TDigestPAgg
+      extends Aggregator[(Double, Double), (TDigest, Double), Double] {
+    def zero: (TDigest, Double) = (TDigest.empty(300.0), Double.NaN)
+    def reduce(b: (TDigest, Double), in: (Double, Double)) =
+      (b._1.add(in._1), in._2)
+    def merge(a: (TDigest, Double), b: (TDigest, Double)) =
+      (a._1.merge(b._1), if (a._2.isNaN) b._2 else a._2)
+    def finish(r: (TDigest, Double)): Double =
+      if (r._2.isNaN) Double.NaN
+      else r._1.compressed.quantile(r._2 / 100.0)
+    def bufferEncoder: Encoder[(TDigest, Double)] =
+      Encoders.kryo[(TDigest, Double)]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   // ---------------------------------------------------------------------
   // dtw / dtw_path / tlcc over collected series (builtins.c:7602-7657)
   // ---------------------------------------------------------------------

@@ -382,6 +382,9 @@ object GraftSql {
       require(p.length == 2, s"percentile needs (col, p): $a")
       s"percentile(${p(0)}, (${p(1)}) / 100.0)"
     })
+    // hyperloglog (builtins.c HLL) ≈ Spark's HLL++ estimator — the
+    // distinct-count contract, not a bit-identical register layout
+    r = rewriteCall(r, "hyperloglog", a => s"approx_count_distinct($a)")
     // TDengine's bare stddev IS population stddev (builtins.c:3038;
     // stddev_samp is the separate :7476 spelling, which passes
     // through — `stddev(` cannot match inside `stddev_samp(`) —
@@ -878,9 +881,24 @@ object GraftSql {
       scala.util.matching.Regex.quoteReplacement(
         s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
 
+  /** Sessions where the TDengine-named custom aggregates are already
+    * registered (one spark.udf.register per session, not per query). */
+  private val aggRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register the custom-sketch aggregates under their TDengine names
+    * so dialect text resolves them like built-ins: apercentile's
+    * t-digest (the same sketch the Column form uses). */
+  private def ensureCustomAggs(spark: SparkSession): Unit =
+    if (aggRegistered.add(spark))
+      spark.udf.register("apercentile", org.apache.spark.sql.functions
+        .udaf(new graft.functions.Aggregators.TDigestPAgg))
+
   def query(spark: SparkSession, resolve: String => DataFrame,
       sql: String, tsCol: String = "ts",
       perSecond: Long = 1000000L): DataFrame = {
+    ensureCustomAggs(spark)
     val norm = rewriteJsonArrow(sql.replaceAll("\\s+", " ").trim)
     val segments = splitUnion(norm)
     if (segments.length == 1)
