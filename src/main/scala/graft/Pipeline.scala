@@ -34,6 +34,18 @@ object Pipeline {
       DedupOps.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, 0.9)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // ---- train/eval decontamination: 3-gram containment of a held-
+    // out eval slice (doc_id % 7 = 0, wide enough that the corpus's
+    // planted near-dups straddle the split) inside the rest of the
+    // corpus — the contaminated train docs must flag ----
+    "dedup_contamination" -> { (s, dir) =>
+      val d = docs(s, dir)
+      DedupOps.contamination(
+          d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          k = 3, threshold = 0.8)
+        .orderBy(col("eval_id"), col("train_id"))
+    },
     // ---- SimHash fingerprints (md5-bit votes; oracle-checked) ----
     "dedup_simhash" -> { (s, dir) =>
       TextOps.simhash(docs(s, dir), "doc_id", col("text"))
@@ -225,6 +237,24 @@ object Pipeline {
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
           FROM documents GROUP BY $norm ORDER BY keep_id""",
     "dedup_ngram_jaccard" -> jaccardSql(0.8),
+    "dedup_contamination" ->
+      s"""WITH ${shingleCte("documents WHERE doc_id % 7 <> 0")},
+          ${shingleCte("documents WHERE doc_id % 7 = 0", "doc_id")
+            .replace("docs AS", "edocs AS")
+            .replace("idx AS", "eidx AS").replace("sh AS", "esh AS")
+            .replace("sizes AS", "esizes AS")
+            .replace("FROM docs", "FROM edocs")
+            .replace("FROM idx", "FROM eidx")
+            .replace("FROM sh ", "FROM esh ")},
+          common AS (SELECT e._id AS eval_id, t._id AS train_id,
+              es.n AS en, count(*) AS n_common
+            FROM sh t JOIN esh e ON t.g = e.g
+            JOIN esizes es ON es._id = e._id
+            WHERE t._id <> e._id GROUP BY 1, 2, 3)
+          SELECT eval_id, train_id, n_common,
+            round(n_common * 1.0 / en, 6) AS containment
+          FROM common WHERE n_common * 1.0 / en >= 0.8
+          ORDER BY eval_id, train_id""",
     "dedup_minhash_lsh" -> jaccardSql(0.9),
     "dedup_embedding" ->
       s"""WITH $embExplode,

@@ -156,6 +156,37 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Train/eval decontamination (the GPT-3-style n-gram overlap
+    * check a training pipeline runs before holding out an eval set):
+    * for each eval document, every train document whose word-k-gram
+    * set covers >= `threshold` of the eval doc's k-grams. Scale
+    * shape: the train side stays an exploded map-side inverted index
+    * (never collected, never crossed); the eval side — benchmarks are
+    * tiny next to a 100 TB corpus — broadcasts, so the only wide op
+    * is the partial-agg'd count per (train, eval) candidate pair.
+    * Containment `|T ∩ E| / |E|` is asymmetric by design: a 100-word
+    * eval prompt quoted inside a 10k-word train doc must flag. */
+  def contamination(train: DataFrame, trainId: String, trainText: String,
+      evalDocs: DataFrame, evalId: String, evalText: String,
+      k: Int = 3, threshold: Double = 0.8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val tIdx = shingleIndex(train, trainId, trainText, k)
+    val eSets = shingleSets(evalDocs, evalId, evalText, k)
+    val eIdx0 = eSets.filter(size(col("_set")) > 0)
+      .select(col("_id").as("_eid"), size(col("_set")).as("_en"),
+        explode(col("_set")).as("_g"))
+    val eIdx = if (broadcastEval) broadcast(eIdx0) else eIdx0
+    tIdx.join(eIdx, "_g")
+      .filter(col("_id") =!= col("_eid"))
+      .groupBy(col("_eid"), col("_id"), col("_en"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("_en"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("_eid").as("eval_id"), col("_id").as("train_id"),
+        col("n_common"), col("containment"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: banded candidates, then exact
     * Jaccard verification at `threshold`. With 32 hashes / 16 bands the
     * probability of missing a pair at j>=0.9 is ~(1-j^2)^16 ≈ 1e-11. */
