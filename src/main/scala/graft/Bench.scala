@@ -18,6 +18,41 @@ object Bench {
     // untimed warmup: JVM/codegen spin-up + parquet footer reads
     Seq("lineitem", "orders", "events", "documents", "embeddings")
       .foreach(t => Tables(spark, sfDir, t).count())
+    // Frozen per-query floor (BENCH_FLOOR.json — the last honest bench,
+    // flat name→seconds map): any query >1.5x its floor (and >1s, to
+    // skip timer noise) is surfaced as `regressed` in the bench artifact
+    // itself, so a cache-feeding or plan regression is visible without
+    // diffing rounds.
+    val floor: Map[String, Double] = {
+      val p = Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR", "BENCH_FLOOR.json"))
+      if (!Files.exists(p)) Map.empty
+      else "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(new String(Files.readAllBytes(p),
+          StandardCharsets.UTF_8))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    // host-load sentinel: a fixed cheap query timed before AND after the
+    // run. When either reading exceeds ~1.5x its pinned floor the host
+    // was contended, so the artifact stamps environment_suspect and the
+    // `regressed` list self-qualifies — driver-host noise produced false
+    // regression lists three rounds running (r10-r12), each needing
+    // manual adjudication against quiet local runs.
+    val sentinelName = "q1_agg"
+    def timeSentinel(): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(sentinelName)(spark, sfDir)
+        .queryExecution.toRdd.count()
+      catch { case _: Throwable => }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
+    // one untimed sentinel run first: the timed "first" reading must
+    // measure host load, not JVM/codegen cold-start (which is ~5-10x the
+    // steady state and would stamp every run suspect)
+    timeSentinel()
+    val sentinelFirst = timeSentinel()
     // local-iteration filter (driver never sets it → full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -62,20 +97,10 @@ object Bench {
       System.gc()
       name -> dt
     }
-    // Frozen per-query floor (BENCH_FLOOR.json — the last honest bench,
-    // flat name→seconds map): any query >1.5x its floor (and >1s, to
-    // skip timer noise) is surfaced as `regressed` in the bench artifact
-    // itself, so a cache-feeding or plan regression is visible without
-    // diffing rounds.
-    val floor: Map[String, Double] = {
-      val p = Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_FLOOR", "BENCH_FLOOR.json"))
-      if (!Files.exists(p)) Map.empty
-      else "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r
-        .findAllMatchIn(new String(Files.readAllBytes(p),
-          StandardCharsets.UTF_8))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
+    val sentinelLast = timeSentinel()
+    val sentinelFloor = floor.getOrElse(sentinelName, 0.0)
+    val environmentSuspect = sentinelFloor > 0 &&
+      math.max(sentinelFirst, sentinelLast) > sentinelFloor * 1.5
     // flag only when BOTH the ratio and the absolute excess are real:
     // sub-second floors otherwise flag on scheduler blips
     val regressed = results.collect {
@@ -101,7 +126,12 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
       val regr = if (floor.isEmpty) ""
         else regressed.map(jstr).mkString(""","regressed":[""", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omit$errs$regr,"sf":"$sfDir"}"""
+      def s3(v: Double) =
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      val sent = s""","sentinel":{"query":${jstr(sentinelName)},"first":${
+        s3(sentinelFirst)},"last":${s3(sentinelLast)},"floor":${
+        s3(sentinelFloor)}},"environment_suspect":$environmentSuspect"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omit$errs$regr$sent,"sf":"$sfDir"}"""
     }
     // The harness keeps only the LAST 2000 chars of stdout, and sbt
     // appends a ~75-char "[success] Total time" footer after our line —

@@ -156,30 +156,96 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Eval-side prefix index for [[contamination]]: for each eval doc,
+    * the `|E| - ceil(t*|E|) + 1` shingles that are RAREST in the train
+    * corpus (train document frequency asc, shingle asc as tiebreak;
+    * shingles absent from train rank first — they generate zero
+    * candidates and only tighten the bound). Soundness is the PPJoin
+    * pigeonhole: a train doc with containment >= t misses at most
+    * `|E| - ceil(t*|E|)` of E's shingles, so it shares at least one
+    * shingle with ANY subset of that size + 1 — in particular this
+    * prefix. Choosing the train-rarest shingles keeps hot stop-grams
+    * (present in ~every train doc, the 100 TB join-blowup key) out of
+    * the candidate join entirely unless an eval doc is made of almost
+    * nothing else. `tDf` is the train shingle document-frequency table
+    * (`_g`, `_df`); the join on `_g` reuses its groupBy partitioning,
+    * so only the tiny eval index shuffles. */
+  private[graft] def evalPrefixIndex(tDf: DataFrame, eSets: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eIdx = eSets.select(col("_id").as("_eid"),
+      size(col("_set")).as("_en"), explode(col("_set")).as("_g"))
+    val prefixLen = col("_en") - ceil(col("_en") * threshold) + 1
+    eIdx.join(tDf, Seq("_g"), "left")
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_eid"))
+          .orderBy(coalesce(col("_df"), lit(0L)), col("_g"))))
+      .filter(col("_r") <= prefixLen)
+      .select(col("_eid"), col("_g"))
+  }
+
   /** Train/eval decontamination (the GPT-3-style n-gram overlap
     * check a training pipeline runs before holding out an eval set):
     * for each eval document, every train document whose word-k-gram
-    * set covers >= `threshold` of the eval doc's k-grams. Scale
-    * shape: the train side stays an exploded map-side inverted index
-    * (never collected, never crossed); the eval side — benchmarks are
-    * tiny next to a 100 TB corpus — broadcasts, so the only wide op
-    * is the partial-agg'd count per (train, eval) candidate pair.
+    * set covers >= `threshold` of the eval doc's k-grams.
     * Containment `|T ∩ E| / |E|` is asymmetric by design: a 100-word
-    * eval prompt quoted inside a 10k-word train doc must flag. */
+    * eval prompt quoted inside a 10k-word train doc must flag.
+    *
+    * Scale shape: the train side stays an exploded map-side inverted
+    * index (never collected, never crossed). Candidates come from
+    * joining it against only the [[evalPrefixIndex]] — the
+    * train-RAREST fraction of each eval doc's shingles — so a hot
+    * stop-gram shared by ~every train doc never becomes a join key;
+    * without the prefix the per-shingle intermediate is
+    * |train ∋ g| × |eval ∋ g| rows, a many-trillion-row skewed
+    * exchange at 100 TB. Exactness is preserved because candidates
+    * only over-approximate (PPJoin pigeonhole, see
+    * [[evalPrefixIndex]]) and every candidate verifies `n_common`
+    * against the FULL shingle sets — fetched for the candidate train
+    * docs only. The eval side broadcasts when its exploded
+    * index is small (auto-falls back to a shuffle join above
+    * `maxEvalBroadcastRows` — an eval suite is tiny next to a 100 TB
+    * corpus, but a mis-sized one must not broadcast-OOM). */
   def contamination(train: DataFrame, trainId: String, trainText: String,
       evalDocs: DataFrame, evalId: String, evalText: String,
       k: Int = 3, threshold: Double = 0.8,
-      broadcastEval: Boolean = true): DataFrame = {
-    val tIdx = shingleIndex(train, trainId, trainText, k)
+      broadcastEval: Boolean = true,
+      maxEvalBroadcastRows: Long = 4000000L): DataFrame = {
+    // train sets feed the inverted index (twice: document frequency +
+    // candidate join) AND the exact verify — persist so the text is
+    // shingled once, not three times (same lifecycle contract as the
+    // other dedup ops: session end / LRU, spills to disk at scale)
+    val tSets = shingleSets(train, trainId, trainText, k)
+      .filter(size(col("_set")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tIdx = tSets.select(col("_id"), explode(col("_set")).as("_g"))
+    // eval sets feed the prefix index AND the exact verify — persist,
+    // same lifecycle contract as the other dedup ops (session end / LRU)
     val eSets = shingleSets(evalDocs, evalId, evalText, k)
-    val eIdx0 = eSets.filter(size(col("_set")) > 0)
-      .select(col("_id").as("_eid"), size(col("_set")).as("_en"),
-        explode(col("_set")).as("_g"))
-    val eIdx = if (broadcastEval) broadcast(eIdx0) else eIdx0
-    tIdx.join(eIdx, "_g")
+      .filter(size(col("_set")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalIdxRows = eSets
+      .agg(coalesce(sum(size(col("_set"))), lit(0L))).first().getLong(0)
+    val bcast = broadcastEval && evalIdxRows <= maxEvalBroadcastRows
+    val hint: DataFrame => DataFrame = d => if (bcast) broadcast(d) else d
+    // train shingle document frequency: partial-agg'd, one row per
+    // DISTINCT shingle; downstream joins on _g reuse its partitioning
+    val tDf = tIdx.groupBy("_g").agg(count(lit(1)).as("_df"))
+    val cands = tIdx.join(hint(evalPrefixIndex(tDf, eSets, threshold)),
+        Seq("_g"))
       .filter(col("_id") =!= col("_eid"))
-      .groupBy(col("_eid"), col("_id"), col("_en"))
-      .agg(count(lit(1)).as("n_common"))
+      .select(col("_eid"), col("_id")).distinct()
+    // exact verify: pull full shingle sets ONLY for candidate train docs
+    // (broadcast the tiny id set so the persisted sets are filtered, not
+    // shuffled)
+    val candTrainIds = cands.select(col("_id")).distinct()
+    val tCand = tSets.join(broadcast(candTrainIds), Seq("_id"))
+    cands
+      .join(tCand.select(col("_id"), col("_set").as("_ts")), Seq("_id"))
+      .join(hint(eSets.select(col("_id").as("_eid"),
+        col("_set").as("_es"), size(col("_set")).as("_en"))), Seq("_eid"))
+      .withColumn("n_common",
+        size(array_intersect(col("_ts"), col("_es"))).cast(LongType))
       .withColumn("containment",
         round(col("n_common").cast("double") / col("_en"), 6))
       .filter(col("containment") >= threshold)

@@ -126,6 +126,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(wrong == 0)
   }
 
+  test("contamination prefix index excludes hot train shingles") {
+    import spark.implicits._
+    // every train doc opens with the same stop-gram "alpha beta gamma";
+    // the rest of each doc is unique filler
+    val train = (0 until 40).map { i =>
+      (i.toLong, ("alpha beta gamma" +: (0 until 10).map(j => s"w$i$j"))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    // eval 100 is a verbatim copy of train doc 5 (contaminated, c=1.0);
+    // eval 101 shares ONLY the hot stop-gram (clean, c=1/12)
+    val evalDocs = Seq(
+      (100L, ("alpha beta gamma" +: (0 until 10).map(j => s"w5$j"))
+        .mkString(" ")),
+      (101L, ("alpha beta gamma" +: (0 until 10).map(j => s"z$j"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val tDf = DedupOps.shingleIndex(train, "doc_id", "text", 3)
+      .groupBy("_g").agg(count(lit(1)).as("_df"))
+    val eSets = DedupOps.shingleSets(evalDocs, "doc_id", "text", 3)
+      .filter(size(col("_set")) > 0)
+    val prefix = DedupOps.evalPrefixIndex(tDf, eSets, 0.8).collect()
+    // each eval doc has 12 shingles -> prefix length 12 - ceil(9.6) + 1 = 3
+    assert(prefix.count(_.getLong(0) == 100L) == 3)
+    assert(prefix.count(_.getLong(0) == 101L) == 3)
+    // the hot shingle (train df = 40) must never enter the candidate index
+    assert(!prefix.exists(_.getString(1) == "alpha beta gamma"))
+
+    val out = DedupOps.contamination(train, "doc_id", "text",
+      evalDocs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((100L, 5L, 1.0)))
+    // the shuffle-join fallback (broadcast fenced off) agrees exactly
+    val noBc = DedupOps.contamination(train, "doc_id", "text",
+      evalDocs, "doc_id", "text", 3, 0.8, maxEvalBroadcastRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(noBc.toSeq == Seq((100L, 5L, 1.0)))
+  }
+
+  test("contamination matches brute-force containment on sf docs") {
+    val d = docs
+    val train = d.filter(col("doc_id") % 7 =!= 0)
+    val ev = d.filter(col("doc_id") % 7 === 0)
+    val got = DedupOps.contamination(train, "doc_id", "text",
+        ev, "doc_id", "text", 3, 0.8)
+      .select("eval_id", "train_id", "n_common").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: full-set intersect over the raw (unfiltered) index
+    val tS = DedupOps.shingleSets(train, "doc_id", "text", 3)
+      .select(col("_id").as("_tid"), col("_set").as("_ts"))
+    val eS = DedupOps.shingleSets(ev, "doc_id", "text", 3)
+      .filter(size(col("_set")) > 0)
+      .select(col("_id").as("_eid"), col("_set").as("_es"))
+    val want = tS.crossJoin(eS)
+      .filter(col("_tid") =!= col("_eid"))
+      .select(col("_eid"), col("_tid"),
+        size(array_intersect(col("_ts"), col("_es"))).as("_c"),
+        size(col("_es")).as("_en"))
+      .filter(col("_c").cast("double") / col("_en") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .toSet
+    assert(want.nonEmpty, "sf corpus should contain planted contamination")
+    assert(got == want)
+  }
+
   test("exact dedup keeps one id per canonical text") {
     val d2 = docs.select(col("doc_id"), col("text"))
       .union(docs.select(col("doc_id") + 100000, upper(col("text"))))
