@@ -960,7 +960,7 @@ object Dialect {
     "dialect_qrange" ->
       s"""SELECT CAST($T0 AS BIGINT) AS qs,
             CAST(${T5 - 1} AS BIGINT) AS qe,
-            CAST(${T5 - 1 - T0} AS BIGINT) AS qd, count(*) AS n
+            CAST(${T5 - T0} AS BIGINT) AS qd, count(*) AS n
           FROM events WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < $T5""",
     "dialect_nulls_order" ->
       """SELECT event_id,

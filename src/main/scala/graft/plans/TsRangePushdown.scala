@@ -52,6 +52,10 @@ object TsRangePushdown extends Rule[LogicalPlan] {
     try Some(Math.multiplyExact(a, b)) catch {
       case _: ArithmeticException => None }
 
+  private def addExact(a: Long, b: Long): Option[Long] =
+    try Some(Math.addExact(a, b)) catch {
+      case _: ArithmeticException => None }
+
   private def decompose(e: Expression): Option[Chain] = e match {
     // the loader's zero-cost reinterpret: derived Long == internal µs
     case graft.functions.TimestampNtzMicros(a: AttributeReference) =>
@@ -81,14 +85,21 @@ object TsRangePushdown extends Rule[LogicalPlan] {
         case _ => None
       }
     // derived = inner DIV k (µs → ms surface). Spark's DIV truncates
-    // toward zero = floor on the non-negative epoch range; restrict the
-    // lower bound to v >= 0 so truncation-vs-floor never bites.
+    // TOWARD ZERO, not floor: for v >= 1 a negative raw can never reach
+    // the bound, so raw >= v*k is implied; but for v <= 0 the set
+    // { raw : trunc(raw/k) >= v } extends down to v*k - (k-1)
+    // (e.g. raw in [-(k-1), -1] satisfies raw DIV k >= 0), so the
+    // implied lower bound there is v*k - (k-1) — emitting v*k would
+    // wrongly drop pre-1970 rows.
     case d: IntegralDivide =>
       (d.left, d.right) match {
         case (inner, Literal(k: Long, LongType)) if k > 0 =>
           decompose(inner).map(ch => Chain(ch.attr,
-            v => if (v >= 0) mulExact(v, k).flatMap(ch.lower) else None,
-            v => mulExact(v + 1, k).map(_ - 1).flatMap(ch.upper)))
+            v => mulExact(v, k)
+              .flatMap(b => if (v >= 1) Some(b) else addExact(b, 1 - k))
+              .flatMap(ch.lower),
+            v => addExact(v, 1).flatMap(mulExact(_, k)).map(_ - 1)
+              .flatMap(ch.upper)))
         case _ => None
       }
     case _ => None

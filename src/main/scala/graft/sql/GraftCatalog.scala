@@ -700,9 +700,18 @@ class GraftCatalog(val spark: SparkSession) {
           t1 = Math.floorDiv(t1 + iv - 1, iv) * iv
       }
     val lo = t0; val hi = t1
+    // the recalc range bounds ONLY the stream's source table (the
+    // primary FROM table of the saved select) — a joined dimension or
+    // second table that happens to carry a ts column must stay
+    // unrestricted, or the recomputed windows see truncated inputs
+    val sourceTable = "(?i)\\bFROM\\s+([A-Za-z0-9_.`]+)".r
+      .findFirstMatchIn(sd.select)
+      .map(m => bare(m.group(1)).split('.').last.toLowerCase)
     val bounded: String => DataFrame = n => {
       val df = table(n)
-      if (df.columns.contains("ts"))
+      val isSource =
+        sourceTable.contains(bare(n).split('.').last.toLowerCase)
+      if (isSource && df.columns.contains("ts"))
         df.filter(col("ts") >= lo && col("ts") < hi)
       else df
     }

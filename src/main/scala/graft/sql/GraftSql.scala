@@ -352,8 +352,11 @@ object GraftSql {
     }.mkString(", ")
   }
 
-  /** TDengine function surface → Spark SQL, deterministic forms. */
-  def rewriteFuncs(e: String, tsCol: String): String = {
+  /** TDengine function surface → Spark SQL, deterministic forms.
+    * `perSecond` = the surface's ticks/second (db PRECISION): unit
+    * arguments like elapsed's scale relative to it. */
+  def rewriteFuncs(e: String, tsCol: String,
+      perSecond: Long = 1000000L): String = {
     var r = e
     // PG-token timestamp formatting (ttime.c:2032): the format is a
     // literal, so the whole call lowers to built-ins at plan time
@@ -391,11 +394,16 @@ object GraftSql {
     // Spark's bare stddev is SAMPLE, the silent-wrong-answer trap
     r = rewriteCall(r, "stddev", a => s"stddev_pop($a)")
     // elapsed(ts[, unit]) (builtins.c elapsedFunction): window/group
-    // time span, scaled to `unit` ticks (default: db precision)
+    // time span in NATIVE ticks, scaled to `unit` ticks (default: db
+    // precision). The divisor must be the unit's length in the
+    // surface's own precision — durUs would be 1000x off on a ms or
+    // ns surface.
     r = rewriteCall(r, "elapsed", a => {
       val p = splitArgs(a)
       val span = s"(max(${p(0)}) - min(${p(0)}))"
-      p.lift(1).map(u => s"(CAST($span AS DOUBLE) / ${durUs(u.trim)})")
+      p.lift(1)
+        .map(u => s"(CAST($span AS DOUBLE) / ${
+          durNative(u.trim, perSecond)})")
         .getOrElse(span)
     })
     r = rewriteCall(r, "sum", a =>
@@ -1262,9 +1270,16 @@ object GraftSql {
     var postAgg: DataFrame => DataFrame = identity
     // textual rewrites; the query-range pseudo columns are visible in
     // every branch (windowed or not), window pseudos merge per branch
+    // _qduration is the INCLUSIVE tick count ekey - skey + 1, and
+    // INT64_MIN when either bound is unbounded (reference
+    // parTranslater.c rewriteQdurationFunc) — qEnd - qStart would be
+    // one short, and with no ts predicate would overflow to -1
+    val qDuration =
+      if (qStart == Long.MinValue || qEnd == Long.MaxValue) Long.MinValue
+      else qEnd - qStart + 1
     val qPseudo: Map[String, String] = Map(
       "_qstart" -> s"${qStart}L", "_qend" -> s"${qEnd}L",
-      "_qduration" -> s"${qEnd - qStart}L")
+      "_qduration" -> s"${qDuration}L")
     var pseudo: Map[String, String] = qPseudo
     var intervalSpec: Option[(Long, Long)] = None // (intervalUs, offsetUs)
 
@@ -1359,7 +1374,7 @@ object GraftSql {
         r = r.replaceAll(s"(?i)(?<![A-Za-z0-9_])${k}(?![A-Za-z0-9_])",
           v.replace("$", "\\$"))
       }
-      rewriteFuncs(r, tsCol)
+      rewriteFuncs(r, tsCol, perSecond)
     }
     val out: DataFrame =
       if (!isAgg) {

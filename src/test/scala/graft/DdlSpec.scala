@@ -104,6 +104,35 @@ class DdlSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("RECALCULATE bounds only the stream source, not joined tables") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE src (ts TIMESTAMP, v DOUBLE) TAGS (g INT)")
+    cat.exec("INSERT INTO s1 USING src TAGS (1) " +
+      "VALUES (0, 1.0) (3600000000, 2.0) (7200000000, 3.0)")
+    // the joined dimension carries its OWN ts column, far outside any
+    // recalc range — the range bound must never apply to it
+    cat.exec("CREATE STABLE dim (ts TIMESTAMP, g INT, factor DOUBLE) " +
+      "TAGS (z INT)")
+    cat.exec("INSERT INTO d1 USING dim TAGS (0) " +
+      "VALUES (999999000000000, 1, 10.0)")
+    cat.exec("CREATE STREAM sj TRIGGER WINDOW_CLOSE INTO sj_out AS " +
+      "SELECT _wstart, count(*) AS n, max(r_factor) AS f " +
+      "FROM src JOIN dim ON src.g = dim.g INTERVAL(1h)")
+    cat.fillHistory("sj")
+    val before = cat.table("sj_out").orderBy("_wstart").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(before == Seq((0L, 1L, 10.0), (3600000000L, 1L, 10.0),
+      (7200000000L, 1L, 10.0)))
+    // recalc just the middle window: if the resolver bounded `dim` too
+    // (its ts sits outside the range), the join would go empty and the
+    // recomputed window would vanish from the output
+    cat.exec("RECALCULATE STREAM sj FROM 3600000000 TO 7200000000")
+    val after = cat.table("sj_out").orderBy("_wstart").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before,
+      "recalc with an unchanged-in-range join must reproduce the output")
+  }
+
   test("ALTER drop/modify/rename reshape columns and tags in place") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE STABLE st (ts TIMESTAMP, a DOUBLE, b VARCHAR(8)) " +

@@ -27,6 +27,24 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(GraftSql.durUs("42") == 42L)
   }
 
+  test("_qduration is the inclusive tick count; INT64_MIN unbounded") {
+    // reference parTranslater.c rewriteQdurationFunc: ekey - skey + 1
+    // when both bounds resolve, INT64_MIN when either is unbounded
+    val lo = resolve("events").agg(min("ts")).collect()(0).getLong(0)
+    val hi = lo + 3600000000L
+    val bounded = q(s"""SELECT _qstart AS qs, _qend AS qe,
+        _qduration AS qd FROM events
+        WHERE ts >= $lo AND ts <= $hi LIMIT 1""")
+      .collect()(0)
+    assert(bounded.getLong(0) == lo && bounded.getLong(1) == hi)
+    assert(bounded.getLong(2) == hi - lo + 1)
+    val open = q(s"""SELECT _qduration AS qd FROM events
+        WHERE ts >= $lo LIMIT 1""").collect()(0)
+    assert(open.getLong(0) == Long.MinValue)
+    val none = q("SELECT _qduration AS qd FROM events LIMIT 1").collect()(0)
+    assert(none.getLong(0) == Long.MinValue)
+  }
+
   test("INTERVAL(1h) tumbling matches the direct lowering") {
     val dialect = q("""SELECT _wstart, count(*) AS n, sum(value) AS s
       FROM events INTERVAL(1h) ORDER BY _wstart""")

@@ -51,6 +51,25 @@ class NsPrecisionSpec extends AnyFunSuite {
     }
   }
 
+  test("elapsed unit scales by the surface precision, not fixed µs") {
+    import spark.implicits._
+    // ms-precision surface: 100 events 1 s apart -> span 99000 ms ticks
+    val ms = (0 until 100).map(i => (i.toLong, i * 1000L))
+      .toDF("event_id", "ts")
+    val gotMs = GraftSql.query(spark, _ => ms,
+      """SELECT elapsed(ts) AS raw, elapsed(ts, 1m) AS mins FROM t""",
+      perSecond = 1000L).collect()(0)
+    assert(gotMs.getLong(0) == 99000L)
+    assert(gotMs.getDouble(1) == 99000.0 / 60000.0) // NOT /60e6
+    // ns surface: same span in ns ticks
+    val ns = (0 until 100).map(i => (i.toLong, i * 1000000000L))
+      .toDF("event_id", "ts")
+    val gotNs = GraftSql.query(spark, _ => ns,
+      """SELECT elapsed(ts, 1s) AS secs FROM t""",
+      perSecond = 1000000000L).collect()(0)
+    assert(gotNs.getDouble(0) == 99.0)
+  }
+
   test("dialect INTERVAL at ns matches the direct ns lowering") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, i * 250L))

@@ -160,6 +160,26 @@ class PlanSpec extends AnyFunSuite {
     assert(n == expect, s"pushdown rewrite changed row count: $n vs $expect")
   }
 
+  test("DIV lower bound keeps trunc-toward-zero semantics at v <= 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    graft.plans.TsRangePushdown.install(spark)
+    // DIV truncates toward zero: raw in [-(k-1), -1] satisfies
+    // raw DIV k >= 0, so the derived raw-domain bound at v <= 0 must be
+    // v*k - (k-1), not v*k — the rule matches bare `long DIV k` chains
+    // session-wide, so pre-1970 rows must survive
+    val df = Seq(-1500L, -999L, -1L, 0L, 1L, 999L, 1500L).toDF("raw")
+    def got(pred: String) =
+      df.filter(expr(pred)).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got("raw DIV 1000 >= 0") ==
+      Seq(-999L, -1L, 0L, 1L, 999L, 1500L))
+    assert(got("raw DIV 1000 >= -1") ==
+      Seq(-1500L, -999L, -1L, 0L, 1L, 999L, 1500L))
+    assert(got("raw DIV 1000 >= 1") == Seq(1500L))
+    assert(got("raw DIV 1000 <= -1") == Seq(-1500L))
+    assert(got("raw DIV 1000 <= 0") == Seq(-1500L, -999L, -1L, 0L, 1L, 999L))
+  }
+
   test("ms and ns precision surfaces also push their ts ranges down") {
     import org.apache.spark.sql.functions.col
     // DIV-1000 (ms) and *1000 (ns) wrap the reinterpret — the rule
