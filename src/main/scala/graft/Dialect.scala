@@ -40,6 +40,25 @@ object Dialect {
     case other => Tables(s, dir, other)
   }
 
+  /** State-window change-point oracle shared by the TRUE_FOR limit
+    * variants — only the HAVING predicate differs per form. */
+  private def stateTrueForOracle(having: String): String =
+    s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type,
+          CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type
+               THEN 1 ELSE 0 END AS chg
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, t, event_type,
+          sum(chg) OVER (PARTITION BY user_id ORDER BY t
+            ROWS UNBOUNDED PRECEDING) AS wid
+          FROM t)
+        SELECT user_id, min(event_type) AS state,
+          min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
+          count(*) AS n
+        FROM s GROUP BY user_id, wid
+        HAVING $having
+        ORDER BY user_id, _wstart_ms"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dialect_interval" -> { (s, dir) =>
       run(s, dir,
@@ -208,6 +227,17 @@ object Dialect {
                  FROM customer WHERE c_custkey <= 500)
            ORDER BY c_custkey""")
     },
+    // fill_forward(x) (builtins.c:8187, the §2.6 window-function
+    // family): last non-null carried forward along the per-key ts
+    // order — the indef-rows text spelling, like diff/csum
+    "dialect_fill_forward" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, ts DIV 1000 AS ts_ms,
+             fill_forward(CASE WHEN value < 15 THEN NULL
+                          ELSE value END) AS ff
+           FROM events PARTITION BY user_id
+           ORDER BY user_id, ts_ms""")
+    },
     // STATE_WINDOW in SQL text — same semantics (and oracle) as the
     // DataFrame-API state_window query
     "dialect_state_window" -> { (s, dir) =>
@@ -242,6 +272,35 @@ object Dialect {
              count(*) AS n
            FROM events PARTITION BY user_id STATE_WINDOW(event_type)
            TRUE_FOR(2h)
+           ORDER BY user_id, _wstart_ms""")
+    },
+    // TRUE_FOR limit variants (sql.y true_for_opt :3030-3032): COUNT n
+    // keeps windows holding >= n rows; AND/OR combine with the duration
+    "dialect_state_truefor_count" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, first(event_type) AS state,
+             min(ts) DIV 1000 AS _wstart_ms, max(ts) DIV 1000 AS _wend_ms,
+             count(*) AS n
+           FROM events PARTITION BY user_id STATE_WINDOW(event_type)
+           TRUE_FOR(COUNT 5)
+           ORDER BY user_id, _wstart_ms""")
+    },
+    "dialect_state_truefor_and" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, first(event_type) AS state,
+             min(ts) DIV 1000 AS _wstart_ms, max(ts) DIV 1000 AS _wend_ms,
+             count(*) AS n
+           FROM events PARTITION BY user_id STATE_WINDOW(event_type)
+           TRUE_FOR(2h AND COUNT 5)
+           ORDER BY user_id, _wstart_ms""")
+    },
+    "dialect_state_truefor_or" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, first(event_type) AS state,
+             min(ts) DIV 1000 AS _wstart_ms, max(ts) DIV 1000 AS _wend_ms,
+             count(*) AS n
+           FROM events PARTITION BY user_id STATE_WINDOW(event_type)
+           TRUE_FOR(2h OR COUNT 5)
            ORDER BY user_id, _wstart_ms""")
     },
     // EVENT_WINDOW + TRUE_FOR(1h)
@@ -767,24 +826,25 @@ object Dialect {
     "dialect_interp_surround" ->
       TimeSeries.oracleSql("interp_near_surround"),
     "dialect_state_window" -> TimeSeries.oracleSql("state_window"),
+    "dialect_fill_forward" ->
+      """SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
+           last_value(CASE WHEN value < 15 THEN NULL
+                      ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS ff
+         FROM events ORDER BY user_id, ts_ms""",
     "dialect_count_window" -> TimeSeries.oracleSql("count_window"),
     // TRUE_FOR compares window duration in the native µs domain
     "dialect_state_truefor" ->
-      s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type,
-            CASE WHEN lag(event_type) OVER w IS NULL
-                 OR lag(event_type) OVER w <> event_type
-                 THEN 1 ELSE 0 END AS chg
-            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-          s AS (SELECT user_id, t, event_type,
-            sum(chg) OVER (PARTITION BY user_id ORDER BY t
-              ROWS UNBOUNDED PRECEDING) AS wid
-            FROM t)
-          SELECT user_id, min(event_type) AS state,
-            min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
-            count(*) AS n
-          FROM s GROUP BY user_id, wid
-          HAVING max(t) - min(t) >= ${2 * H}
-          ORDER BY user_id, _wstart_ms""",
+      stateTrueForOracle(s"max(t) - min(t) >= ${2 * H}"),
+    // COUNT / AND / OR limit forms (sql.y true_for_opt :3030-3032;
+    // executor.c isTrueForSatisfied)
+    "dialect_state_truefor_count" ->
+      stateTrueForOracle("count(*) >= 5"),
+    "dialect_state_truefor_and" ->
+      stateTrueForOracle(s"max(t) - min(t) >= ${2 * H} AND count(*) >= 5"),
+    "dialect_state_truefor_or" ->
+      stateTrueForOracle(s"max(t) - min(t) >= ${2 * H} OR count(*) >= 5"),
     "dialect_event_truefor" ->
       s"""WITH RECURSIVE numbered AS (
             SELECT user_id, epoch_us(ts) AS t,

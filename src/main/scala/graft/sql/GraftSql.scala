@@ -376,6 +376,10 @@ object GraftSql {
     r = rewriteCall(r, "first", a => s"min_by($a, $tsCol)")
     r = rewriteCall(r, "last_row", a => s"max_by($a, $tsCol)")
     r = rewriteCall(r, "last", a => s"max_by($a, $tsCol)")
+    // fill_forward(x) OVER … (builtins.c:8187): last non-null carried
+    // forward — emitted AFTER the `last` rewrite so the generated
+    // last(x, true) survives untouched; an explicit OVER spec governs
+    r = rewriteCall(r, "fill_forward", a => s"last($a, true)")
     r = rewriteCall(r, "spread", a => s"(max($a) - min($a))")
     // percentile(c, p) takes p in 0..100 (builtins.c:3216
     // percentileFunction; Spark's percentile takes a 0..1 fraction);
@@ -1228,7 +1232,7 @@ object GraftSql {
     // decimal csum/mavg accumulation). Keyless input would collapse an
     // unpartitioned window to one partition, so the keyless form stays
     // on the DataFrame API (SeriesOps + GlobalScan).
-    val indefPat = "(?i)\\b(diff|csum|mavg)\\s*\\(".r
+    val indefPat = "(?i)\\b(diff|csum|mavg|fill_forward)\\s*\\(".r
     val hasWindowClause = Seq("INTERVAL", "SESSION", "STATE_WINDOW",
       "COUNT_WINDOW", "EVENT_WINDOW", "ANOMALY_WINDOW").exists(c.contains)
     if (!hasWindowClause && !c.contains("GROUP BY") &&
@@ -1253,6 +1257,12 @@ object GraftSql {
             s"round(CAST(sum(CAST(($x) AS DECIMAL(18,2))) ${over(f)} " +
             s"AS DOUBLE) / $n, 6) END)"
         })
+        // fill_forward(x) (builtins.c:8187, window-function family
+        // :7996-8239): carry the last non-null value forward along the
+        // ts order — Spark's last(x, ignoreNulls=true) over the
+        // cumulative frame
+        r = rewriteCall(r, "fill_forward", a =>
+          s"last($a, true) ${over(" ROWS UNBOUNDED PRECEDING")}")
         // NOT rewriteFuncs: its sum/avg aggregate rewrites would
         // mangle the window expressions just generated
         r
@@ -1352,12 +1362,25 @@ object GraftSql {
       groupKeys = partCols ++ splitArgs(c("GROUP BY"))
     }
 
-    // TRUE_FOR(d) (sql.y state/event window options): keep only windows
-    // lasting at least d — a hidden max(ts)-min(ts) aggregate filter
-    val trueFor = c.get("TRUE_FOR").map { t =>
+    // TRUE_FOR(d | COUNT n | d AND COUNT n | d OR COUNT n) (sql.y
+    // true_for_opt :3028-3032; executor.c isTrueForSatisfied): keep
+    // only windows lasting at least d / holding at least n rows —
+    // hidden max(ts)-min(ts) and count(*) aggregate filters
+    val trueFor: Option[String] = c.get("TRUE_FOR").map { t =>
       require(c.contains("STATE_WINDOW") || c.contains("EVENT_WINDOW"),
         "TRUE_FOR needs STATE_WINDOW or EVENT_WINDOW")
-      dur(stripOuterParens(t))
+      val body = stripOuterParens(t).trim
+      def durP(d: String) = s"(max($tsCol) - min($tsCol)) >= ${dur(d)}L"
+      def cntP(n: String) = s"count(1) >= ${n.trim.toLong}L"
+      val mCount = "(?i)^COUNT\\s+(\\d+)$".r
+      val mAnd = "(?i)^(\\S+)\\s+AND\\s+COUNT\\s+(\\d+)$".r
+      val mOr = "(?i)^(\\S+)\\s+OR\\s+COUNT\\s+(\\d+)$".r
+      body match {
+        case mCount(n) => cntP(n)
+        case mAnd(d, n) => s"(${durP(d)} AND ${cntP(n)})"
+        case mOr(d, n) => s"(${durP(d)} OR ${cntP(n)})"
+        case d => durP(d)
+      }
     }
 
     // ---- aggregation ----
@@ -1392,9 +1415,7 @@ object GraftSql {
         val aggCols = aggItems.map { case (e, a) =>
           expr(rewritten(e)).as(a) } ++
           havingAgg.map(h => expr(rewritten(h)).as("__having")).toSeq ++
-          trueFor.map(d =>
-            expr(s"(max($tsCol) - min($tsCol)) >= ${d}L")
-              .as("__truefor")).toSeq
+          trueFor.map(p => expr(p).as("__truefor")).toSeq
         var g = df.groupBy(groupKeys.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
         havingAgg.foreach(_ => g = g.filter(col("__having")))

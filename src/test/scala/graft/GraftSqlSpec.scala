@@ -27,6 +27,29 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(GraftSql.durUs("42") == 42L)
   }
 
+  test("TRUE_FOR COUNT / AND / OR limit forms filter windows") {
+    // reference executor.c isTrueForSatisfied: duration = span >= d,
+    // count = rows >= n, AND/OR combine them
+    val base = """SELECT user_id, _wstart, _wend, count(*) AS n
+       FROM events PARTITION BY user_id
+       EVENT_WINDOW START WITH value > 90 END WITH value < 10"""
+    val tail = " ORDER BY user_id, _wstart"
+    val all = q(base + tail).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(all.nonEmpty)
+    val h = 3600000000L
+    def got(opt: String) = q(base + opt + tail).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(" TRUE_FOR(COUNT 8)").toSeq ==
+      all.filter(_._4 >= 8).toSeq)
+    assert(got(" TRUE_FOR(1h AND COUNT 8)").toSeq ==
+      all.filter(w => w._3 - w._2 >= h && w._4 >= 8).toSeq)
+    assert(got(" TRUE_FOR(1h OR COUNT 8)").toSeq ==
+      all.filter(w => w._3 - w._2 >= h || w._4 >= 8).toSeq)
+    // the filtered sets genuinely differ, or the test proves nothing
+    assert(all.count(_._4 >= 8) != all.length)
+  }
+
   test("_qduration is the inclusive tick count; INT64_MIN unbounded") {
     // reference parTranslater.c rewriteQdurationFunc: ekey - skey + 1
     // when both bounds resolve, INT64_MIN when either is unbounded
