@@ -81,6 +81,41 @@ object Ddl {
       GraftSql.query(s, demo(s, dir).table,
         "SELECT tbname, seg, ts, bal, note FROM cm ORDER BY ts")
     },
+    // FILE bulk-load spellings (sql.y:1064-1065
+    // createCreateSubTableFromFileClause; parInsertSql.c csv path):
+    // CREATE TABLE USING … (fields) FILE batch-creates children from a
+    // tbname+tags CSV (unlisted tags NULL); INSERT … FILE loads data
+    // rows, including the USING auto-create form — then the stable
+    // read-back must round-trip every value
+    "ddl_file_load_gate" -> { (s, dir) =>
+      val cat = new GraftCatalog(s)
+      cat.exec("CREATE DATABASE filedb PRECISION 'us'")
+      cat.exec("""CREATE STABLE mt (ts TIMESTAMP, v DOUBLE,
+        note VARCHAR(16)) TAGS (loc VARCHAR(16), gid INT)""")
+      val d = java.nio.file.Files.createTempDirectory("graft_file_load")
+      def put(name: String, text: String): String = {
+        val p = d.resolve(name)
+        java.nio.file.Files.write(p,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        p.toString
+      }
+      val subs = put("subs.csv",
+        "'m1','SF'\n'm2','LA'\n")
+      val d1 = put("m1.csv",
+        s"${T0},1.5,'a'\n${T0 + H},2.5,'b'\n")
+      val d2 = put("m2.csv",
+        s"${T0 + 2 * H},3.5,NULL\n")
+      val d3 = put("m3.csv",
+        s"${T0 + 3 * H},4.5\n")
+      // batch child creation: gid unlisted -> NULL
+      cat.exec(s"CREATE TABLE USING mt (tbname, loc) FILE '$subs'")
+      cat.exec(s"INSERT INTO m1 FILE '$d1'")
+      cat.exec(s"INSERT INTO m2 FILE '$d2'")
+      // auto-create + bound columns + FILE in one statement
+      cat.exec(s"INSERT INTO m3 USING mt TAGS ('NY', 7) (ts, v) " +
+        s"FILE '$d3'")
+      cat.sql("SELECT tbname, loc, gid, ts, v, note FROM mt ORDER BY ts")
+    },
     // CREATE STREAM text → FILL_HISTORY batch run → read the INTO table
     "ddl_stream_gate" -> { (s, dir) =>
       val cat = demo(s, dir)
@@ -356,6 +391,19 @@ object Ddl {
          SELECT _wstart, count(*) AS n,
            CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM b GROUP BY _wstart ORDER BY _wstart""",
+    // the FILE-loaded catalog state is fully determined by the CSV
+    // text the gate writes — pin it as literal rows
+    "ddl_file_load_gate" ->
+      s"""SELECT * FROM (VALUES
+           ('m1', 'SF', CAST(NULL AS INT), CAST($T0 AS BIGINT),
+             1.5, 'a'),
+           ('m1', 'SF', CAST(NULL AS INT), CAST(${T0 + H} AS BIGINT),
+             2.5, 'b'),
+           ('m2', 'LA', CAST(NULL AS INT), CAST(${T0 + 2 * H} AS BIGINT),
+             3.5, CAST(NULL AS VARCHAR)),
+           ('m3', 'NY', 7, CAST(${T0 + 3 * H} AS BIGINT),
+             4.5, CAST(NULL AS VARCHAR)))
+         t(tbname, loc, gid, ts, v, note) ORDER BY ts""",
     // rollup-served daily aggregate == direct base-table aggregate
     "ddl_tsma_gate" -> TimeSeries.oracleSql("tsma_rollup_served"),
     "ddl_vtable_gate" ->

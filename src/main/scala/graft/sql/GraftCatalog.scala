@@ -548,6 +548,12 @@ class GraftCatalog(val spark: SparkSession) {
     * a tagless stable with one child of the same name. */
   private def createTable(stmt: String): Unit = {
     val rest = stripIfNotExists(stmt.substring("CREATE TABLE".length).trim)
+    // CREATE TABLE [IF NOT EXISTS] USING stb (fields) FILE 'path' — no
+    // table name before USING: the children come from the CSV
+    if (rest.toUpperCase.startsWith("USING ")) {
+      createChildrenFromFile(rest)
+      return
+    }
     val usingAt = " USING ".r.findFirstMatchIn(rest.toUpperCase)
       .map(_.start)
     usingAt match {
@@ -562,6 +568,61 @@ class GraftCatalog(val spark: SparkSession) {
         val (body, _) = parenGroup(rest, rest.indexOf('('))
         stables(name) = Stable(name, currentDb, colDefs(body), Nil)
         children(name) = Child(name, name, Nil, mutable.ArrayBuffer())
+    }
+  }
+
+  /** Lines of a FILE csv as value lists: the reference CSV dialect
+    * (parInsertSql.c csv path; 10-insert.md:54) — comma-separated,
+    * values optionally single-quoted, no header. Lines split with the
+    * same quote-aware splitter as SQL argument lists, so quoted
+    * commas survive. Driver-side by design: FILE is the reference's
+    * *client batch* spelling (like VALUES); distributed bulk load is
+    * INSERT…SELECT over a FILE table (SourceOps.fileTable). */
+  private def csvRows(path: String): Seq[Seq[String]] =
+    spark.read.textFile(path).collect().toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map(l => GraftSql.splitArgs(l).map(_.trim))
+
+  /** `CREATE TABLE [IF NOT EXISTS] USING stb (fields) FILE 'path'`
+    * (sql.y:1064-1065 createCreateSubTableFromFileClause;
+    * 03-table.md:80-90): batch-create one child per CSV line. The
+    * field list orders the CSV columns, must include `tbname`, and
+    * may list zero or more of the stable's tags; unlisted tags are
+    * NULL. Existing children are left untouched (idempotent). */
+  private def createChildrenFromFile(rest0: String): Unit = {
+    val tail = rest0.substring("USING ".length).trim
+    val stTok = tail.split("[\\s(]")(0)
+    val st = stables.getOrElse(bare(stTok),
+      throw new IllegalArgumentException(s"unknown stable: $stTok"))
+    var p = tail.substring(stTok.length).trim
+    require(p.startsWith("("),
+      s"CREATE TABLE USING … FILE needs a (field list): $rest0")
+    val (body, after) = parenGroup(p, 0)
+    val fields = GraftSql.splitArgs(body).map(f => bare(f.trim).toLowerCase)
+    p = p.substring(after).trim
+    require(p.toUpperCase.startsWith("FILE"),
+      s"expected FILE 'path' after the field list: $p")
+    val path = literal(p.substring("FILE".length).trim, StringType).toString
+    require(fields.contains("tbname"),
+      s"field list must include tbname: ($body)")
+    require(fields.distinct.length == fields.length,
+      s"duplicate field in list: ($body)")
+    fields.foreach(f => require(f == "tbname" ||
+      st.tagDefs.exists(_._1.equalsIgnoreCase(f)),
+      s"$f is not a tag of ${st.name}"))
+    val tbIdx = fields.indexOf("tbname")
+    csvRows(path).foreach { vals =>
+      require(vals.length == fields.length,
+        s"CSV arity ${vals.length} != field list ${fields.length}: $vals")
+      val child = literal(vals(tbIdx), StringType).toString
+      val byName = fields.zip(vals).toMap - "tbname"
+      val tagVals = st.tagDefs.map { case (n, t) =>
+        byName.collectFirst { case (f, v) if n.equalsIgnoreCase(f) =>
+          literal(v, sparkType(t)) }.orNull
+      }
+      if (!children.contains(child))
+        children(child) =
+          Child(child, st.name, tagVals, mutable.ArrayBuffer())
     }
   }
 
@@ -630,21 +691,36 @@ class GraftCatalog(val spark: SparkSession) {
         cols = GraftSql.splitArgs(body).map(_.trim)
         rest = rest.substring(after).trim
       }
-      require(rest.toUpperCase.startsWith("VALUES"),
-        s"expected VALUES in INSERT: $rest")
-      rest = rest.substring("VALUES".length).trim
-      while (rest.startsWith("(")) {
-        val (tuple, after) = parenGroup(rest, 0)
-        rest = rest.substring(after).trim
-        val vals = GraftSql.splitArgs(tuple)
+      def addRow(vals: Seq[String], what: String): Unit = {
         require(vals.length == cols.length,
-          s"VALUES arity ${vals.length} != columns ${cols.length}")
+          s"$what arity ${vals.length} != columns ${cols.length}")
         val byName = cols.zip(vals).toMap
         val row = st.colDefs.map { case (n, t) =>
           byName.get(n).map(v => literal(v, sparkType(t))).orNull
         }
         seqCounter += 1
         c.rows += ((row, seqCounter))
+      }
+      if (rest.toUpperCase.startsWith("FILE")) {
+        // INSERT INTO tb [USING …] [(cols)] FILE 'path'
+        // (parInsertSql.c:2053; 10-insert.md:150-157): CSV data rows,
+        // same bound-column + auto-create semantics as VALUES
+        val after = rest.substring("FILE".length).trim
+        require(after.startsWith("'"), s"FILE needs a quoted path: $rest")
+        val endQ = after.indexOf('\'', 1)
+        require(endQ > 0, s"unterminated FILE path: $rest")
+        val path = after.substring(1, endQ)
+        rest = after.substring(endQ + 1).trim
+        csvRows(path).foreach(addRow(_, "FILE row"))
+      } else {
+        require(rest.toUpperCase.startsWith("VALUES"),
+          s"expected VALUES or FILE in INSERT: $rest")
+        rest = rest.substring("VALUES".length).trim
+        while (rest.startsWith("(")) {
+          val (tuple, after) = parenGroup(rest, 0)
+          rest = rest.substring(after).trim
+          addRow(GraftSql.splitArgs(tuple), "VALUES")
+        }
       }
     }
   }

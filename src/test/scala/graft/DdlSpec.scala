@@ -104,6 +104,29 @@ class DdlSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("FILE load: quoted commas and datetime cells survive the CSV") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE ft (ts TIMESTAMP, v DOUBLE, " +
+      "txt VARCHAR(32)) TAGS (city VARCHAR(32))")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    def put(n: String, s: String) = {
+      val p = dir.resolve(n)
+      java.nio.file.Files.write(p, s.getBytes("UTF-8")); p.toString
+    }
+    val subs = put("subs.csv", "'c1','San Jose, CA'\n")
+    val rows = put("c1.csv",
+      "'2024-01-01 00:00:00',1.5,'a, b'\n1704070800000000,2.5,'x'\n")
+    cat.exec(s"CREATE TABLE USING ft (tbname, city) FILE '$subs'")
+    cat.exec(s"INSERT INTO c1 FILE '$rows'")
+    val got = cat.table("ft").orderBy("ts")
+      .select("ts", "v", "txt", "city").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1704067200000000L, 1.5, "a, b", "San Jose, CA"),
+      (1704070800000000L, 2.5, "x", "San Jose, CA")))
+  }
+
   test("RECALCULATE bounds only the stream source, not joined tables") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE STABLE src (ts TIMESTAMP, v DOUBLE) TAGS (g INT)")
