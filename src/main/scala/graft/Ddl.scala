@@ -200,6 +200,29 @@ object Ddl {
           round(col("avg_value"), 6).as("avg_v"))
         .orderBy(col("user_id"), col("_wstart_ms"))
     },
+    // CREATE RSMA text (sql.y:1480-1484; rollupoperator.c): 2-level
+    // retention ladder (1h -> 1d); serving a 1d interval must pick the
+    // COARSEST eligible level (the 1d fold of the 1h state) and still
+    // hash-match the direct base-table aggregate. The served_grain
+    // column pins the router's retention-aware choice in the hash.
+    "ddl_rsma_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("""CREATE RSMA ev_rsma ON events
+        FUNCTION(count(value), sum(value), min(value), max(value),
+          avg(value)) INTERVAL(1h, 1d)""")
+      val specs = Seq(("count", "value"), ("sum", "value"),
+        ("min", "value"), ("max", "value"), ("avg", "value"))
+      val grain = cat.servingGrain("events", 24 * H, specs)
+        .getOrElse(-1L)
+      cat.serveInterval("events", 24 * H, Seq("user_id"), specs)
+        .select(col("user_id"),
+          Lowering.usToMs(col("_wstart")).as("_wstart_ms"),
+          col("count_value").as("n"), col("sum_value").as("sum_v"),
+          col("min_value").as("min_v"), col("max_value").as("max_v"),
+          round(col("avg_value"), 6).as("avg_v"),
+          lit(grain).as("served_grain"))
+        .orderBy(col("user_id"), col("_wstart_ms"))
+    },
     // CREATE VTABLE text (sql.y:1074-1076, column FROM refs
     // sql.y:3253): three per-type value columns aligned on ts; the
     // oracle states the same read as a grouped pivot over the base
@@ -406,6 +429,20 @@ object Ddl {
          t(tbname, loc, gid, ts, v, note) ORDER BY ts""",
     // rollup-served daily aggregate == direct base-table aggregate
     "ddl_tsma_gate" -> TimeSeries.oracleSql("tsma_rollup_served"),
+    // the RSMA-served daily aggregate must equal the direct daily
+    // aggregate, AND the router must have read the 1d level
+    "ddl_rsma_gate" ->
+      """SELECT user_id,
+           (epoch_us(ts) - epoch_us(ts) % 86400000000) // 1000
+             AS _wstart_ms,
+           count(value) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           min(value) AS min_v, max(value) AS max_v,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(value), 6) AS avg_v,
+           CAST(86400000000 AS BIGINT) AS served_grain
+         FROM events GROUP BY user_id, _wstart_ms
+         ORDER BY user_id, _wstart_ms""",
     "ddl_vtable_gate" ->
       """SELECT epoch_us(ts) AS ts_us,
            max(CASE WHEN event_type = 'click' THEN value END) AS click_v,

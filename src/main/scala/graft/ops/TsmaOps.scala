@@ -47,6 +47,29 @@ object TsmaOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Fold a multi-column rollup's partial state to a COARSER grain —
+    * the RSMA level-(k+1) table derived from level k (sql.y:1483
+    * CREATE RSMA; rollupoperator.c): counts and sums add, min of mins
+    * / max of maxes — the merge is exact, so every level serves
+    * hash-identical answers. Deriving each level from the previous one
+    * (not the base table) is the scale property: level k+1 reads
+    * |level k| rows, never the raw 100 TB. */
+  def mergeRollupMulti(rollup: DataFrame, toGrainUs: Long,
+      keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "RSMA fold needs at least one column")
+    val aggs = valueCols.flatMap { c => Seq(
+      sum(col(s"_cnt_$c")).as(s"_cnt_$c"),
+      sum(col(s"_sum_$c")).as(s"_sum_$c"),
+      min(col(s"_min_$c")).as(s"_min_$c"),
+      max(col(s"_max_$c")).as(s"_max_$c")) }
+    rollup
+      .withColumn("_gcoarse", TimeOps.tumblingStart(col("_gstart"),
+        toGrainUs))
+      .drop("_gstart").withColumnRenamed("_gcoarse", "_gstart")
+      .groupBy((keys.map(col) :+ col("_gstart")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Merge a multi-column rollup's partials into `intervalUs` windows
     * and emit one column per requested (func, col) spec, named
     * `<func>_<col>` (`_wstart` carries the window start). `intervalUs`

@@ -54,6 +54,12 @@ class GraftCatalog(val spark: SparkSession) {
   /** CREATE TSMA … FUNCTION(f(c),…) INTERVAL(d) (sql.y:1503-1507). */
   case class TsmaDef(name: String, table: String,
       funcs: Seq[(String, String)], grainUs: Long, intervalTxt: String)
+  /** CREATE RSMA … ON tbl FUNCTION(f(c),…) INTERVAL(d1, d2, …)
+    * (sql.y:1480-1484; rollupoperator.c): multi-level retention
+    * rollup — level k+1 folds level k's partial state. */
+  case class RsmaDef(name: String, table: String,
+      funcs: Seq[(String, String)], levels: Seq[Long],
+      levelTxts: Seq[String])
   /** CREATE VTABLE … (ts TIMESTAMP, c t FROM tbl.col, …)
     * (sql.y:1074-1076; column_options FROM column_ref sql.y:3253). */
   case class VtableDef(name: String, tsCol: String,
@@ -85,6 +91,9 @@ class GraftCatalog(val spark: SparkSession) {
   // reference maintains its TSMA result table through an ingest-side
   // stream; the router shape (partial-state merge) is identical
   private val tsmaRollups = mutable.LinkedHashMap[String, DataFrame]()
+  private val rsmaDefs = mutable.LinkedHashMap[String, RsmaDef]()
+  // per (rsma, level, key-set); level k+1 builds FROM level k's frame
+  private val rsmaRollups = mutable.LinkedHashMap[String, DataFrame]()
   private val vtableDefs = mutable.LinkedHashMap[String, VtableDef]()
   private val udfDefs = mutable.LinkedHashMap[String, UdfDef]()
   private val anodeDefs = mutable.LinkedHashMap[Int, AnodeDef]()
@@ -312,6 +321,12 @@ class GraftCatalog(val spark: SparkSession) {
       tsmaDefs.remove(n)
       tsmaRollups.filterInPlace((k, _) => !k.startsWith(n + "|")); ()
     }
+    else if (up.startsWith("CREATE RSMA")) createRsma(stmt)
+    else if (up.startsWith("DROP RSMA")) {
+      val n = bare(stmt.split("\\s+").last)
+      rsmaDefs.remove(n)
+      rsmaRollups.filterInPlace((k, _) => !k.startsWith(n + "|")); ()
+    }
     else if (up.startsWith("CREATE VTABLE")) createVtable(stmt)
     else if (up.startsWith("DROP VTABLE")) {
       vtableDefs.remove(bare(stmt.split("\\s+").last)); ()
@@ -368,6 +383,61 @@ class GraftCatalog(val spark: SparkSession) {
     })
   }
 
+  /** CREATE RSMA name ON tbl FUNCTION(f1(c1), …) INTERVAL(d1, d2, …)
+    * (sql.y:1480-1484 createCreateRsmaStmt; rollupoperator.c): the
+    * multi-level retention rollup. Levels must be strictly coarsening
+    * and each must divide the next, so every level folds exactly from
+    * the previous one's partial state. The grammar's empty FUNCTION()
+    * form is rejected loudly — serving semantics need the list. */
+  private def createRsma(stmt: String): Unit = {
+    val re = ("(?i)^CREATE RSMA (?:IF NOT EXISTS )?" +
+      "([A-Za-z_][A-Za-z0-9_.]*) ON ([A-Za-z_][A-Za-z0-9_.]*)" +
+      "(?: FUNCTION\\s*\\((.*)\\))? INTERVAL\\s*\\(([^)]+)\\)$").r
+    stmt match {
+      case re(name0, tbl0, funcsTxt, ivTxt) =>
+        val name = bare(name0); val tbl = bare(tbl0)
+        require(funcsTxt != null && funcsTxt.trim.nonEmpty,
+          s"CREATE RSMA needs a FUNCTION list: $stmt")
+        val fnRe =
+          "(?i)^([A-Za-z_]+)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+        val funcs = GraftSql.splitArgs(funcsTxt).map(_.trim).map {
+          case fnRe(f, c) => (f.toLowerCase, c)
+          case other => throw new IllegalArgumentException(
+            s"RSMA FUNCTION list entry not f(col): $other")
+        }
+        val levelTxts = GraftSql.splitArgs(ivTxt).map(_.trim)
+        val levels = levelTxts.map(GraftSql.durNative(_, perSecond))
+        require(levels.nonEmpty, s"RSMA needs at least one level: $stmt")
+        levels.sliding(2).foreach {
+          case Seq(a, b) => require(b > a && b % a == 0,
+            s"RSMA levels must coarsen by exact multiples: $a -> $b")
+          case _ =>
+        }
+        table(tbl) // validates the target exists
+        rsmaDefs(name) = RsmaDef(name, tbl, funcs, levels, levelTxts)
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse CREATE RSMA: $stmt")
+    }
+  }
+
+  /** The level-`lvl` rollup frame of `r` keyed by `keys`: level 0
+    * aggregates the base table once; each coarser level folds the
+    * previous level's partial state (reads |level k| rows, never the
+    * base again — the retention-ladder scale property). */
+  private def rsmaRollup(r: RsmaDef, lvl: Int,
+      keys: Seq[String]): DataFrame = {
+    val k = r.name + "|" + lvl + "|" + keys.mkString(",")
+    rsmaRollups.getOrElseUpdate(k, {
+      val cols = r.funcs.map(_._2).distinct
+      if (lvl == 0)
+        graft.ops.TsmaOps.createRollupMulti(table(r.table),
+          col(tsColOf(r.table)), r.levels(0), keys, cols)
+      else
+        graft.ops.TsmaOps.mergeRollupMulti(rsmaRollup(r, lvl - 1, keys),
+          r.levels(lvl), keys, cols)
+    })
+  }
+
   /** Serve INTERVAL(`intervalUs`) aggregates (`specs` = (func, col))
     * over `tableName`, per `keys` — routed through an eligible TSMA
     * when one covers the request (the planner rewrite
@@ -378,19 +448,53 @@ class GraftCatalog(val spark: SparkSession) {
   def serveInterval(tableName: String, intervalUs: Long,
       keys: Seq[String], specs: Seq[(String, String)]): DataFrame = {
     val want = specs.map { case (f, c) => (f.toLowerCase, c) }
-    val covered = (t: TsmaDef) => want.forall { case (f, c) =>
-      t.funcs.contains((f, c)) ||
-        // avg folds from declared sum+count partials
-        (f == "avg" && t.funcs.contains(("sum", c)) &&
-          t.funcs.contains(("count", c)))
-    }
-    tsmaDefs.values.find(t => t.table == bare(tableName) &&
-        intervalUs % t.grainUs == 0 && covered(t)) match {
-      case Some(t) => graft.ops.TsmaOps.serveFromRollup(
-        tsmaRollup(t, keys), t.grainUs, intervalUs, keys, want)
+    val covered = (funcs: Seq[(String, String)]) =>
+      want.forall { case (f, c) =>
+        funcs.contains((f, c)) ||
+          // avg folds from declared sum+count partials
+          (f == "avg" && funcs.contains(("sum", c)) &&
+            funcs.contains(("count", c)))
+      }
+    // candidates: every eligible TSMA grain and RSMA level; the router
+    // picks the COARSEST eligible state (fewest rows read — the
+    // retention-aware choice smaIndexOptimize makes on the reference)
+    val tsmaCands = tsmaDefs.values.toSeq
+      .filter(t => t.table == bare(tableName) &&
+        intervalUs % t.grainUs == 0 && covered(t.funcs))
+      .map(t => (t.grainUs, () => graft.ops.TsmaOps.serveFromRollup(
+        tsmaRollup(t, keys), t.grainUs, intervalUs, keys, want)))
+    val rsmaCands = rsmaDefs.values.toSeq
+      .filter(r => r.table == bare(tableName) && covered(r.funcs))
+      .flatMap(r => r.levels.zipWithIndex
+        .filter { case (g, _) => intervalUs % g == 0 }
+        .map { case (g, i) => (g, () => graft.ops.TsmaOps.serveFromRollup(
+          rsmaRollup(r, i, keys), g, intervalUs, keys, want)) })
+    (tsmaCands ++ rsmaCands).sortBy(-_._1).headOption match {
+      case Some((_, serve)) => serve()
       case None => graft.ops.TsmaOps.aggBase(table(tableName),
         col(tsColOf(tableName)), intervalUs, keys, want)
     }
+  }
+
+  /** The grain (ticks) of the state [[serveInterval]] would read for
+    * this request, None = base table — the router's choice, exposed so
+    * gates and specs can assert retention-awareness. */
+  def servingGrain(tableName: String, intervalUs: Long,
+      specs: Seq[(String, String)]): Option[Long] = {
+    val want = specs.map { case (f, c) => (f.toLowerCase, c) }
+    val covered = (funcs: Seq[(String, String)]) =>
+      want.forall { case (f, c) =>
+        funcs.contains((f, c)) ||
+          (f == "avg" && funcs.contains(("sum", c)) &&
+            funcs.contains(("count", c)))
+      }
+    val grains =
+      tsmaDefs.values.toSeq.filter(t => t.table == bare(tableName) &&
+        intervalUs % t.grainUs == 0 && covered(t.funcs)).map(_.grainUs) ++
+      rsmaDefs.values.toSeq
+        .filter(r => r.table == bare(tableName) && covered(r.funcs))
+        .flatMap(_.levels.filter(intervalUs % _ == 0))
+    grains.sorted.lastOption
   }
 
   /** The timestamp primary-key column of a readable table: a stable /
@@ -1207,6 +1311,13 @@ class GraftCatalog(val spark: SparkSession) {
         t.intervalTxt))
       .toDF("tsma_name", "table_name", "func_list", "interval")
 
+  /** SHOW RSMAS (sql.y:1489). */
+  def insRsmas: DataFrame =
+    rsmaDefs.values.toSeq.map(r => (r.name, r.table,
+        r.funcs.map { case (f, c) => s"$f($c)" }.mkString(","),
+        r.levelTxts.mkString(",")))
+      .toDF("rsma_name", "table_name", "func_list", "intervals")
+
   /** SHOW VTABLES (sql.y:1361). */
   def insVtables: DataFrame =
     vtableDefs.values.toSeq.map(v => (v.name, v.cols.length + 1))
@@ -1306,6 +1417,15 @@ class GraftCatalog(val spark: SparkSession) {
         s") INTERVAL(${t.intervalTxt})"
       Seq((t.name, ddl)).toDF("tsma_name", "create_sql")
     }
+    else if (up.startsWith("SHOW CREATE RSMA ")) {
+      val name = bare(stmt.split("\\s+").last)
+      val r = rsmaDefs.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown RSMA: $name"))
+      val ddl = s"CREATE RSMA `${r.name}` ON `${r.table}` FUNCTION(" +
+        r.funcs.map { case (f, c) => s"$f(`$c`)" }.mkString(", ") +
+        s") INTERVAL(${r.levelTxts.mkString(", ")})"
+      Seq((r.name, ddl)).toDF("rsma_name", "create_sql")
+    }
     else if (up.startsWith("SHOW CREATE VTABLE ")) {
       val name = bare(stmt.split("\\s+").last)
       val v = vtableDefs.getOrElse(name,
@@ -1322,6 +1442,7 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW STREAMS")) insStreams
     else if (up.startsWith("SHOW TOPICS")) insTopics
     else if (up.startsWith("SHOW TSMAS")) insTsmas
+    else if (up.startsWith("SHOW RSMAS")) insRsmas
     else if (up.startsWith("SHOW VTABLES")) insVtables
     else if (up.startsWith("SHOW FUNCTIONS")) insFunctions
     else if (up.startsWith("SHOW ANODES FULL")) insAnodesFull

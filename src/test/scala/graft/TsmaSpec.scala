@@ -37,6 +37,44 @@ class TsmaSpec extends AnyFunSuite {
       Seq("user_id", "_wstart", "n", "sum_v", "min_v", "max_v", "avg_v")))
   }
 
+  test("RSMA: levels fold exactly; router picks the coarsest; DDL " +
+      "round-trips") {
+    import graft.sql.GraftCatalog
+    val cat = new GraftCatalog(spark)
+    cat.register("events", events)
+    cat.exec("""CREATE RSMA ev_rsma ON events
+      FUNCTION(count(value), sum(value), min(value), max(value))
+      INTERVAL(1h, 1d)""")
+    val specs = Seq(("count", "value"), ("sum", "value"))
+    // a 1d query is eligible at BOTH levels — the router must read the
+    // coarser (1d) one
+    assert(cat.servingGrain("events", Dur.d, specs) == Some(Dur.d))
+    // a 6h query only divides the 1h level
+    assert(cat.servingGrain("events", 6 * Dur.h, specs) == Some(Dur.h))
+    // a 90m query divides neither -> base table
+    assert(cat.servingGrain("events", 90 * Dur.m, specs).isEmpty)
+    // the 1d-level fold serves the same bytes as the direct aggregate
+    val served = cat.serveInterval("events", Dur.d, Seq("user_id"), specs)
+      .orderBy("user_id", "_wstart").collect().map(_.toSeq)
+    val direct = events
+      .withColumn("_wstart", TimeOps.tumblingStart(col("ts"), Dur.d))
+      .groupBy(col("user_id"), col("_wstart"))
+      .agg(count(col("value")).cast("long").as("count_value"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("user_id", "_wstart").collect().map(_.toSeq)
+    assert(served.toSeq == direct.toSeq)
+    // DDL listing + SHOW CREATE round-trip, then DROP falls back
+    assert(cat.sql("SHOW RSMAS").collect().map(_.getString(0)).toSeq ==
+      Seq("ev_rsma"))
+    val shown = cat.sql("SHOW CREATE RSMA ev_rsma")
+      .collect()(0).getString(1)
+    cat.exec("DROP RSMA ev_rsma")
+    assert(cat.servingGrain("events", Dur.d, specs).isEmpty)
+    cat.exec(shown)
+    assert(cat.servingGrain("events", Dur.d, specs) == Some(Dur.d))
+  }
+
   test("rollup compacts dense data to one row per (key, grain)") {
     import spark.implicits._
     // 4 users x 2000 points inside 2 hours -> 4 x 2 rollup rows
