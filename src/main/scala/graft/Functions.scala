@@ -366,6 +366,35 @@ object Functions {
             "p -> c_mktsegment RLIKE p)").as("regexp_in_set"))
         .orderBy(col("c_custkey"))
     },
+    // ---- DECIMAL(38) feature surface (decimal.c native 128-bit
+    // arithmetic; §1.2): exact products through pinned intermediate
+    // types, DECIMAL(38,6)/(38,2) casts (HALF_UP rounding of exact
+    // decimal values — identical in both engines for positives), and
+    // the wide sum/avg aggregates. Operand precisions stay small
+    // enough that NEITHER engine hits its own overflow-adjustment
+    // rules, so the arithmetic itself is the thing compared. ----
+    "scalar_decimal" -> { (s, dir) =>
+      val one4 = lit(1).cast(DecimalType(8, 4))
+      val price = col("l_extendedprice").cast(DecimalType(18, 2))
+      val disc = col("l_discount").cast(DecimalType(8, 4))
+      val tax = col("l_tax").cast(DecimalType(8, 4))
+      val net = (price * (one4 - disc)).cast(DecimalType(38, 6))
+      val gross = (price * (one4 - disc) * (one4 + tax))
+        .cast(DecimalType(38, 6))
+      Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(net).cast(DecimalType(38, 6)).as("sum_net"),
+          max(net).as("max_net"),
+          round(sum(gross), 2).cast(DecimalType(38, 2))
+            .as("sum_gross_r2"),
+          // no round(): the exact-decimal sum casts to the same
+          // binary64 on both engines and the division is then
+          // bit-identical — rounding would re-introduce a
+          // string-vs-binary half-boundary
+          (sum(gross).cast("double") / count(lit(1))).as("avg_gross"))
+        .orderBy(col("l_orderkey"))
+    },
     // ---- math family 2: trig/degrees/cbrt (round(6) absorbs libm ulps) --
     "scalar_math2" -> { (s, dir) =>
       Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
@@ -820,6 +849,25 @@ object Functions {
            len(list_filter(string_split('^MACH,URE$', ','),
              p -> regexp_matches(c_mktsegment, p))) > 0 AS regexp_in_set
          FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "scalar_decimal" ->
+      """WITH d AS (SELECT l_orderkey,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(8,4)) -
+              CAST(l_discount AS DECIMAL(8,4)))
+             AS DECIMAL(38,6)) AS net,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(8,4)) -
+              CAST(l_discount AS DECIMAL(8,4))) *
+             (CAST(1 AS DECIMAL(8,4)) +
+              CAST(l_tax AS DECIMAL(8,4)))
+             AS DECIMAL(38,6)) AS gross
+         FROM lineitem WHERE l_orderkey <= 2000)
+         SELECT l_orderkey, count(*) AS n,
+           CAST(sum(net) AS DECIMAL(38,6)) AS sum_net,
+           max(net) AS max_net,
+           CAST(round(sum(gross), 2) AS DECIMAL(38,2)) AS sum_gross_r2,
+           CAST(sum(gross) AS DOUBLE) / count(*) AS avg_gross
+         FROM d GROUP BY l_orderkey ORDER BY l_orderkey""",
     "scalar_math2" ->
       """SELECT l_orderkey, l_linenumber,
            round(sin(l_discount), 6) AS sin_d,
