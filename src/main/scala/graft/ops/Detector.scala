@@ -90,16 +90,29 @@ case class ServiceDetector(transport: AnalyticsTransport,
           buf.clear()
           f(cur, rows.map(_.getLong(kN)), rows)
         }
+      // key comparison is field-wise against the current key — this is
+      // a per-row hot path, so no per-row Seq materializes; the key
+      // Seq is built once per series (for the flush callback)
+      def keyOf(r: Row): IndexedSeq[Any] =
+        (0 until kN).map(r.get)
+      def sameKey(r: Row, k: Seq[Any]): Boolean = {
+        var i = 0
+        while (i < kN) {
+          val a = r.get(i)
+          if (if (a == null) k(i) != null else a != k(i)) return false
+          i += 1
+        }
+        true
+      }
       new Iterator[Row] {
         private var pending: Iterator[Row] = Iterator.empty
         private def fill(): Unit = {
           while (!pending.hasNext && it.hasNext) {
             val r = it.next()
-            val k = r.toSeq.take(kN)
-            if (cur == null) cur = k
-            if (k != cur) { pending = flush(); cur = k }
+            if (cur == null) cur = keyOf(r)
+            else if (!sameKey(r, cur)) { pending = flush(); cur = keyOf(r) }
             require(buf.length < cap,
-              s"series $k exceeds maxSeriesRows=$cap — raise the cap " +
+              s"series $cur exceeds maxSeriesRows=$cap — raise the cap " +
                 "or pre-aggregate before the service call")
             buf += r
           }
