@@ -313,6 +313,20 @@ object Dialect {
            TRUE_FOR(1h)
            ORDER BY user_id, _wstart_ms""")
     },
+    // extended TRUE_FOR with START/END streak limits (sql.y
+    // true_for_opt :3040-3060; eventwindowoperator.c:631-760): the
+    // open backdates to the start streak's first row, the close lands
+    // on the end streak's first row — oracle is an independently
+    // generated pin (tools/gen_truefor_oracle.py)
+    "dialect_event_truefor_limits" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _wstart DIV 1000 AS _wstart_ms,
+             _wend DIV 1000 AS _wend_ms, count(*) AS n
+           FROM events WHERE user_id < 20 PARTITION BY user_id
+           EVENT_WINDOW START WITH value > 70 END WITH value < 30
+           TRUE_FOR(COUNT 2, START(COUNT 2), END(1h OR COUNT 2))
+           ORDER BY user_id, _wstart_ms""")
+    },
     // COUNT_WINDOW(50) in SQL text
     "dialect_count_window" -> { (s, dir) =>
       run(s, dir,
@@ -834,6 +848,8 @@ object Dialect {
                ROWS UNBOUNDED PRECEDING) AS ff
          FROM events ORDER BY user_id, ts_ms""",
     "dialect_count_window" -> TimeSeries.oracleSql("count_window"),
+    "dialect_event_truefor_limits" ->
+      PinnedOracles.sfEventTrueForLimits,
     // TRUE_FOR compares window duration in the native µs domain
     "dialect_state_truefor" ->
       stateTrueForOracle(s"max(t) - min(t) >= ${2 * H}"),

@@ -481,6 +481,179 @@ object TimeOps {
     result.drop("_ts", "_s", "_e")
   }
 
+  /** A TRUE_FOR limit sub-expression (sql.y true_for_limit_expr;
+    * executor.c isTrueForSatisfied): `duration <= 0` / `count <= 0`
+    * mean "not constrained"; `mode` picks the combination. */
+  final case class TrueForLimit(duration: Long, count: Long,
+      mode: String) {
+    require(Set("dur", "cnt", "and", "or").contains(mode),
+      s"bad TRUE_FOR mode: $mode")
+    def satisfied(skey: Long, ekey: Long, n: Long): Boolean = {
+      val ds = duration <= 0 || math.abs(ekey - skey) >= duration
+      val cs = count <= 0 || n >= count
+      mode match {
+        case "cnt" => cs
+        case "and" => ds && cs
+        case "or" => ds || cs
+        case _ => ds
+      }
+    }
+  }
+
+  /** EVENT_WINDOW with START/END streak limits (sql.y extended
+    * true_for_opt; eventwindowoperator.c:631-760): the window opens
+    * only once the start condition has held for a CONSECUTIVE streak
+    * meeting `startLimit` — the window's `_wstart` backdates to the
+    * streak's first row, and the streak rows belong to the window.
+    * Symmetrically the window closes once the end condition has held
+    * for a streak meeting `endLimit`; the window's last row is the
+    * streak's FIRST row (`closeWindowOnEndStreak` overrides ekey with
+    * endFirstTs) — later streak rows are dropped, and scanning resumes
+    * after the row that completed the streak. A broken streak flushes
+    * its held rows back into the open window. A row may satisfy both
+    * conditions (overlap): it can complete the start streak and open
+    * the end streak at once.
+    *
+    * Sequential per key, so one `mapPartitions` pass over key-sorted
+    * partitions. Held state is bounded by the ACTIVE streak only —
+    * count-mode limits hold at most `count` rows, duration-mode at
+    * most one limit-window of rows — never the partition. Keyed form
+    * only: the keyless two-pass GlobalScan variant would need the
+    * streak state threaded through the effect algebra; a keyless call
+    * fails loudly instead of collapsing to one partition. */
+  def eventWindowsLimits(df: DataFrame, startCond: Column,
+      endCond: Column, tsUs: Column, keys: Seq[String],
+      startLimit: Option[TrueForLimit],
+      endLimit: Option[TrueForLimit]): DataFrame = {
+    require(keys.nonEmpty,
+      "EVENT_WINDOW with START/END limits needs PARTITION BY keys")
+    if (startLimit.isEmpty && endLimit.isEmpty)
+      return eventWindows(df, startCond, endCond, tsUs, keys)
+    val sl = startLimit.getOrElse(TrueForLimit(0, 0, "dur"))
+    val el = endLimit.getOrElse(TrueForLimit(0, 0, "dur"))
+    val tagged = df
+      .withColumn("_ts", tsUs.cast(LongType))
+      .withColumn("_s", startCond.cast(BooleanType))
+      .withColumn("_e", endCond.cast(BooleanType))
+    val keyCols = keys.map(col)
+    val sorted = tagged.repartition(keyCols: _*)
+      .sortWithinPartitions(keyCols :+ col("_ts"): _*)
+    val schema = sorted.schema
+    val outSchema =
+      StructType(schema.fields :+ StructField("_wstart", LongType))
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex("_ts")
+    val sIdx = schema.fieldIndex("_s")
+    val eIdx = schema.fieldIndex("_e")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    import org.apache.spark.sql.Row
+    val result = sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var open = false
+      var wstart = 0L
+      // start streak (closed state): rows held until the streak meets
+      // the limit (they become the window head) or breaks (dropped)
+      var sFirstTs = 0L; var sCnt = 0L
+      val sBuf = scala.collection.mutable.ArrayBuffer[Row]()
+      // end streak (open state): rows AFTER the streak's first row are
+      // held — dropped if the streak completes, flushed into the
+      // window if it breaks
+      var eFirstTs = 0L; var eCnt = 0L
+      val eBuf = scala.collection.mutable.ArrayBuffer[Row]()
+      def resetStart(): Unit = { sCnt = 0; sBuf.clear() }
+      def resetEnd(): Unit = { eCnt = 0; eBuf.clear() }
+      def withW(r: Row): Row = Row.fromSeq(r.toSeq :+ wstart)
+      def keyEnd(): Iterator[Row] = {
+        // unfinished end streak at key end: unresolved — flush into
+        // the (still-open, never-closed) window, matching the basic
+        // form's emit-unclosed behavior
+        val tail =
+          if (open && eBuf.nonEmpty) eBuf.toArray.toIterator.map(withW)
+          else Iterator.empty
+        resetStart(); resetEnd(); open = false
+        tail
+      }
+      def stepRow(r: Row): Iterator[Row] = {
+        val s = !r.isNullAt(sIdx) && r.getBoolean(sIdx)
+        val e = !r.isNullAt(eIdx) && r.getBoolean(eIdx)
+        val ts = r.getLong(tsIdx)
+        if (!open) {
+          if (!s) { resetStart(); Iterator.empty }
+          else {
+            if (sCnt == 0) sFirstTs = ts
+            sCnt += 1; sBuf += r
+            if (!sl.satisfied(sFirstTs, ts, sCnt)) Iterator.empty
+            else {
+              open = true; wstart = sFirstTs
+              val head = sBuf.toArray
+              resetStart(); resetEnd()
+              val out = head.iterator.map(withW)
+              // overlap: this row may also begin (and even complete)
+              // the end streak
+              if (e) {
+                eFirstTs = ts; eCnt = 1
+                if (el.satisfied(eFirstTs, ts, eCnt)) {
+                  open = false; resetEnd()
+                }
+              }
+              out
+            }
+          }
+        } else {
+          if (e) {
+            if (eCnt == 0) {
+              // the streak's first row is the window's last row either
+              // way (ekey override) — emit it now
+              eFirstTs = ts; eCnt = 1
+              val out = Iterator.single(withW(r))
+              if (el.satisfied(eFirstTs, ts, eCnt)) {
+                open = false; resetEnd()
+              }
+              out
+            } else {
+              eCnt += 1
+              if (el.satisfied(eFirstTs, ts, eCnt)) {
+                // streak complete: held rows (and this one) are past
+                // endFirstTs — dropped; scan resumes after this row
+                open = false; resetEnd()
+                Iterator.empty
+              } else { eBuf += r; Iterator.empty }
+            }
+          } else {
+            // streak broke: held rows return to the window
+            val held = eBuf.toArray
+            resetEnd()
+            (held.iterator ++ Iterator.single(r)).map(withW)
+          }
+        }
+      }
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        private def fill(): Unit = {
+          while (!pending.hasNext && it.hasNext) {
+            val r = it.next()
+            val k = keyIdx.map(r.get)
+            if (curKey == null) curKey = k
+            if (k != curKey) {
+              val tail = keyEnd()
+              curKey = k
+              pending = tail ++ stepRow(r)
+            } else pending = stepRow(r)
+          }
+          if (!pending.hasNext && curKey != null) {
+            val tail = keyEnd()
+            curKey = null
+            pending = tail
+          }
+        }
+        def hasNext: Boolean = { fill(); pending.hasNext }
+        def next(): Row = { fill(); pending.next() }
+      }
+    }(enc)
+    result.drop("_ts", "_s", "_e")
+  }
+
   /** The window state machine as a GlobalScan effect: (open?, wstart).
     * `inherit` means "still the wstart the partition was entered with".
     */

@@ -1293,6 +1293,61 @@ object GraftSql {
     var pseudo: Map[String, String] = qPseudo
     var intervalSpec: Option[(Long, Long)] = None // (intervalUs, offsetUs)
 
+    // TRUE_FOR(d | COUNT n | d AND/OR COUNT n [, START(limit)]
+    // [, END(limit)]) (sql.y true_for_opt :3028-3060; executor.c
+    // isTrueForSatisfied): the window limit filters emitted windows
+    // (a hidden aggregate predicate); START/END limits gate the
+    // event-window open/close streaks — parsed here so the
+    // EVENT_WINDOW branch below can thread them into the operator
+    val (trueFor, tfStart, tfEnd): (Option[String],
+        Option[TimeOps.TrueForLimit], Option[TimeOps.TrueForLimit]) =
+      c.get("TRUE_FOR") match {
+        case None => (None, None, None)
+        case Some(t) =>
+          require(c.contains("STATE_WINDOW") ||
+            c.contains("EVENT_WINDOW"),
+            "TRUE_FOR needs STATE_WINDOW or EVENT_WINDOW")
+          val mCount = "(?i)^COUNT\\s+(\\d+)$".r
+          val mAnd = "(?i)^(\\S+)\\s+AND\\s+COUNT\\s+(\\d+)$".r
+          val mOr = "(?i)^(\\S+)\\s+OR\\s+COUNT\\s+(\\d+)$".r
+          def parseLimit(b0: String): TimeOps.TrueForLimit =
+            b0.trim match {
+              case mCount(n) => TimeOps.TrueForLimit(0, n.toLong, "cnt")
+              case mAnd(d, n) =>
+                TimeOps.TrueForLimit(dur(d), n.toLong, "and")
+              case mOr(d, n) =>
+                TimeOps.TrueForLimit(dur(d), n.toLong, "or")
+              case d => TimeOps.TrueForLimit(dur(d), 0, "dur")
+            }
+          def pred(l: TimeOps.TrueForLimit): String = {
+            val ds = s"(max($tsCol) - min($tsCol)) >= ${l.duration}L"
+            val cs = s"count(1) >= ${l.count}L"
+            l.mode match {
+              case "cnt" => cs
+              case "and" => s"($ds AND $cs)"
+              case "or" => s"($ds OR $cs)"
+              case _ => ds
+            }
+          }
+          var w: Option[String] = None
+          var sL: Option[TimeOps.TrueForLimit] = None
+          var eL: Option[TimeOps.TrueForLimit] = None
+          val startRe = "(?i)^START\\s*\\((.*)\\)$".r
+          val endRe = "(?i)^END\\s*\\((.*)\\)$".r
+          splitArgs(stripOuterParens(t)).map(_.trim).foreach {
+            case startRe(b) =>
+              require(c.contains("EVENT_WINDOW"),
+                "TRUE_FOR START(…) limits need EVENT_WINDOW")
+              sL = Some(parseLimit(b))
+            case endRe(b) =>
+              require(c.contains("EVENT_WINDOW"),
+                "TRUE_FOR END(…) limits need EVENT_WINDOW")
+              eL = Some(parseLimit(b))
+            case b => w = Some(pred(parseLimit(b)))
+          }
+          (w, sL, eL)
+      }
+
     if (c.contains("INTERVAL")) {
       val args = splitArgs(stripOuterParens(c("INTERVAL"))).map(dur)
       val iv = args.head
@@ -1351,8 +1406,12 @@ object GraftSql {
       val m = "(?i)^START WITH (.*) END WITH (.*)$".r
       body match {
         case m(s0, e0) =>
-          df = TimeOps.eventWindows(df, expr(s0), expr(e0), col(tsCol),
-            partCols)
+          df =
+            if (tfStart.isDefined || tfEnd.isDefined)
+              TimeOps.eventWindowsLimits(df, expr(s0), expr(e0),
+                col(tsCol), partCols, tfStart, tfEnd)
+            else TimeOps.eventWindows(df, expr(s0), expr(e0),
+              col(tsCol), partCols)
           groupKeys = partCols :+ "_wstart"
           pseudo = qPseudo ++ Map("_wend" -> s"max($tsCol)")
         case _ => throw new IllegalArgumentException(
@@ -1360,27 +1419,6 @@ object GraftSql {
       }
     } else if (c.contains("GROUP BY")) {
       groupKeys = partCols ++ splitArgs(c("GROUP BY"))
-    }
-
-    // TRUE_FOR(d | COUNT n | d AND COUNT n | d OR COUNT n) (sql.y
-    // true_for_opt :3028-3032; executor.c isTrueForSatisfied): keep
-    // only windows lasting at least d / holding at least n rows —
-    // hidden max(ts)-min(ts) and count(*) aggregate filters
-    val trueFor: Option[String] = c.get("TRUE_FOR").map { t =>
-      require(c.contains("STATE_WINDOW") || c.contains("EVENT_WINDOW"),
-        "TRUE_FOR needs STATE_WINDOW or EVENT_WINDOW")
-      val body = stripOuterParens(t).trim
-      def durP(d: String) = s"(max($tsCol) - min($tsCol)) >= ${dur(d)}L"
-      def cntP(n: String) = s"count(1) >= ${n.trim.toLong}L"
-      val mCount = "(?i)^COUNT\\s+(\\d+)$".r
-      val mAnd = "(?i)^(\\S+)\\s+AND\\s+COUNT\\s+(\\d+)$".r
-      val mOr = "(?i)^(\\S+)\\s+OR\\s+COUNT\\s+(\\d+)$".r
-      body match {
-        case mCount(n) => cntP(n)
-        case mAnd(d, n) => s"(${durP(d)} AND ${cntP(n)})"
-        case mOr(d, n) => s"(${durP(d)} OR ${cntP(n)})"
-        case d => durP(d)
-      }
     }
 
     // ---- aggregation ----

@@ -50,6 +50,29 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(all.count(_._4 >= 8) != all.length)
   }
 
+  test("TRUE_FOR START/END streak limits route to eventWindowsLimits") {
+    import graft.ops.TimeOps
+    import graft.ops.TimeOps.TrueForLimit
+    val e = resolve("events")
+    val dialect = q("""SELECT user_id, _wstart, _wend, count(*) AS n
+       FROM events PARTITION BY user_id
+       EVENT_WINDOW START WITH value > 70 END WITH value < 30
+       TRUE_FOR(COUNT 2, START(COUNT 2), END(1h OR COUNT 2))
+       ORDER BY user_id, _wstart""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val direct = TimeOps.eventWindowsLimits(e, col("value") > 70,
+        col("value") < 30, col("ts"), Seq("user_id"),
+        Some(TrueForLimit(0, 2, "cnt")),
+        Some(TrueForLimit(3600000000L, 2, "or")))
+      .groupBy(col("user_id"), col("_wstart"))
+      .agg(max(col("ts")).as("_wend"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .orderBy(col("user_id"), col("_wstart")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dialect.nonEmpty)
+    assert(dialect.toSeq == direct.toSeq)
+  }
+
   test("_qduration is the inclusive tick count; INT64_MIN unbounded") {
     // reference parTranslater.c rewriteQdurationFunc: ekey - skey + 1
     // when both bounds resolve, INT64_MIN when either is unbounded

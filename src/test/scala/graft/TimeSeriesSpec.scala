@@ -66,6 +66,70 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(opener.filter(col("value") <= 90).count() == 0)
   }
 
+  test("event windows with START/END streak limits: backdated open, " +
+      "first-row close, limbo flush") {
+    import spark.implicits._
+    import graft.ops.TimeOps.TrueForLimit
+    // per-ts flags: s = start cond, e = end cond
+    // ts: 1  2  3  4  5  6  7  8  9 10 11 12
+    // s : T  T  F  T  T  T  F  F  F  F  F  F
+    // e : F  F  F  F  F  F  T  F  T  T  F  T
+    val rows = Seq(
+      (1L, true, false), (2L, true, false), (3L, false, false),
+      (4L, true, false), (5L, true, false), (6L, true, false),
+      (7L, false, true), (8L, false, false), (9L, false, true),
+      (10L, false, true), (11L, false, false), (12L, false, true))
+      .map { case (t, s, e) => (1, t, s, e) }
+      .toDF("k", "t", "s", "e")
+    // START(COUNT 3): the ts=1..2 streak breaks at 3 (rows dropped);
+    // the 4-5-6 streak completes at 6 -> window opens BACKDATED to 4.
+    // END(COUNT 2): end streak 7 breaks at 8 (7 flushes back in; 8 is
+    // a window row); streak 9-10 completes at 10 -> window closes with
+    // last row 9 (streak first row); 10 dropped; 11-12 after close
+    // (no second window: no start rows remain).
+    val got = TimeOps.eventWindowsLimits(rows, col("s"), col("e"),
+        col("t"), Seq("k"),
+        Some(TrueForLimit(0, 3, "cnt")), Some(TrueForLimit(0, 2, "cnt")))
+      .select("t", "_wstart").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq ==
+      Seq((4L, 4L), (5L, 4L), (6L, 4L), (7L, 4L), (8L, 4L), (9L, 4L)))
+
+    // duration limits: START(3) on a µs-tick axis -> streak must SPAN
+    // >= 3 ticks (1,2 insufficient even as a 2-streak with span 1)
+    val got2 = TimeOps.eventWindowsLimits(rows, col("s"), col("e"),
+        col("t"), Seq("k"),
+        Some(TrueForLimit(3, 0, "dur")), None)
+      .select("t", "_wstart").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // 1-2 streak spans 1 tick then breaks; 4-5-6 spans 2 at 6... never
+    // reaches 3 within the streak -> no window at all
+    assert(got2.isEmpty)
+
+    // overlap: a row completing the start streak that also satisfies
+    // the end cond with a 1-count end limit closes a 1-streak window
+    val rows3 = Seq((1L, true, false), (2L, true, true),
+        (3L, false, false), (4L, false, true))
+      .map { case (t, s, e) => (1, t, s, e) }.toDF("k", "t", "s", "e")
+    val got3 = TimeOps.eventWindowsLimits(rows3, col("s"), col("e"),
+        col("t"), Seq("k"),
+        Some(TrueForLimit(0, 2, "cnt")), Some(TrueForLimit(0, 1, "cnt")))
+      .select("t", "_wstart").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got3.toSeq == Seq((1L, 1L), (2L, 1L)))
+
+    // no limits -> identical to the basic event window
+    val basic = TimeOps.eventWindows(rows, col("s"), col("e"),
+        col("t"), Seq("k"))
+      .select("t", "_wstart").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaLimits = TimeOps.eventWindowsLimits(rows, col("s"), col("e"),
+        col("t"), Seq("k"), None, None)
+      .select("t", "_wstart").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaLimits.toSeq == basic.toSeq)
+  }
+
   test("fill(PREV) produces a dense spine with no null after first value") {
     val agg = TimeOps.assignIntervals(events, col("ts"), Dur.d)
       .groupBy(col("user_id"), col("_wstart"))
