@@ -46,6 +46,15 @@ object Pipeline {
           k = 3, threshold = 0.8)
         .orderBy(col("eval_id"), col("train_id"))
     },
+    // ---- near-dup clustering: connected components over the exact
+    // 3-gram Jaccard pairs -> every clustered doc maps to its
+    // cluster's smallest id (the keeper decision) ----
+    "dedup_clusters" -> { (s, dir) =>
+      DedupOps.dupClusters(
+          DedupOps.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+            3, 0.8))
+        .orderBy(col("doc_id"))
+    },
     // ---- SimHash fingerprints (md5-bit votes; oracle-checked) ----
     "dedup_simhash" -> { (s, dir) =>
       TextOps.simhash(docs(s, dir), "doc_id", col("text"))
@@ -256,6 +265,26 @@ object Pipeline {
           FROM common WHERE n_common * 1.0 / en >= 0.8
           ORDER BY eval_id, train_id""",
     "dedup_minhash_lsh" -> jaccardSql(0.9),
+    // transitive closure of the >= 0.8 pair graph: min reachable id
+    // per node (DuckDB's recursive UNION dedups states, so the walk
+    // terminates on the finite (id, label) space)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${shingleCte()},
+          common AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.g = b.g AND a._id < b._id
+            GROUP BY 1, 2),
+          pairs AS (SELECT id_a, id_b
+            FROM common
+            JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+          walk(id, lab) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
+          SELECT id AS doc_id, min(lab) AS keep_id
+          FROM walk GROUP BY id ORDER BY doc_id""",
     "dedup_embedding" ->
       s"""WITH $embExplode,
           dots AS (SELECT a.id AS id_a, b.id AS id_b,

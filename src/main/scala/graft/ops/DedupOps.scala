@@ -283,6 +283,54 @@ object DedupOps {
     verifyJaccard(cands, candSets, threshold)
   }
 
+  /** Connected components over near-duplicate pairs — the step that
+    * turns a pair list (from [[ngramJaccardPairs]] /
+    * [[minhashLshPairs]]) into an actionable keeper decision:
+    * transitive near-dups form one cluster, and every member maps to
+    * the cluster's smallest id (`keep_id`). A doc in no pair keeps
+    * itself and is not emitted.
+    *
+    * Hash-to-min label propagation: each round every node adopts the
+    * minimum label among itself and its neighbours; converges in
+    * O(component diameter) rounds (near-dup clusters are shallow —
+    * a verbatim-copy cluster has diameter 1-2). Scale shape: the edge
+    * list is the PAIR set, orders of magnitude smaller than the
+    * corpus; each round is one partial-agg'd shuffle join on it; the
+    * driver sees one changed-count per round, never rows. Bounded by
+    * `maxIter` with a loud error, not a silent partial answer. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("_id")).distinct()
+      .withColumn("_lab", col("_id"))
+      .persist(lvl)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("_id", "src"), Seq("src"))
+        .select(col("dst").as("_id"), col("_lab"))
+      val next = labels.union(msgs)
+        .groupBy("_id").agg(min(col("_lab")).as("_lab"))
+        .persist(lvl)
+      val changed = next
+        .join(labels.withColumnRenamed("_lab", "_old"), Seq("_id"))
+        .filter(col("_lab") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"dupClusters did not converge in $maxIter rounds — component " +
+        "diameter exceeds the bound; raise maxIter")
+    edges.unpersist()
+    labels.select(col("_id").as("doc_id"), col("_lab").as("keep_id"))
+  }
+
   // -------------------------------------------------------------------
   // Embedding near-dup: exact integer dot products, fully map-side.
   // -------------------------------------------------------------------

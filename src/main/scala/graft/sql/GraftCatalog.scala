@@ -1087,6 +1087,7 @@ class GraftCatalog(val spark: SparkSession) {
     else if (name == "ins_topics") insTopics
     else if (name == "ins_functions") insFunctions
     else if (name == "ins_tsmas") insTsmas
+    else if (name == "ins_rsmas") insRsmas
     else if (name == "ins_anodes") insAnodes
     else if (name == "ins_anodes_full") insAnodesFull
     else if (name == "ins_dnodes") insDnodes

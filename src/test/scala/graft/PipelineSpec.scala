@@ -189,6 +189,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dup clusters: transitivity across chained pairs, min keeper") {
+    import spark.implicits._
+    // two components: a 4-chain 1-2-3-4 (no direct 1-4 pair) and an
+    // isolated pair 10-11; doc 99 is in no pair -> not emitted
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+    // non-convergence fails loudly instead of emitting partial labels
+    intercept[IllegalArgumentException] {
+      DedupOps.dupClusters(
+        (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+          .toDF("id_a", "id_b"), maxIter = 1)
+    }
+  }
+
   test("exact dedup keeps one id per canonical text") {
     val d2 = docs.select(col("doc_id"), col("text"))
       .union(docs.select(col("doc_id") + 100000, upper(col("text"))))

@@ -67,6 +67,11 @@ class TsmaSpec extends AnyFunSuite {
     // DDL listing + SHOW CREATE round-trip, then DROP falls back
     assert(cat.sql("SHOW RSMAS").collect().map(_.getString(0)).toSeq ==
       Seq("ev_rsma"))
+    val insRow = cat.sql("SELECT rsma_name, intervals " +
+      "FROM information_schema.ins_rsmas ORDER BY rsma_name")
+      .collect()(0)
+    assert(insRow.getString(0) == "ev_rsma" &&
+      insRow.getString(1) == "1h,1d")
     val shown = cat.sql("SHOW CREATE RSMA ev_rsma")
       .collect()(0).getString(1)
     cat.exec("DROP RSMA ev_rsma")
