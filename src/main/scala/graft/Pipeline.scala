@@ -195,6 +195,18 @@ object Pipeline {
       kept.join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
+    // ---- deterministic stratified sampling: per-source keep rates
+    // via a portable hash threshold — reproducible on any cluster
+    // size and oracle-checkable because both engines compute the
+    // same md5 text form ----
+    "sample_stratified" -> { (s, dir) =>
+      graft.ops.SampleOps.stratifiedSample(docs(s, dir), "doc_id",
+          "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
     // ---- multimodal: frame sampling (every 10th frame per video) ----
     "multimodal_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(
@@ -296,6 +308,16 @@ object Pipeline {
           FROM dots JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b
           WHERE dot / sqrt(na.n2 * nb.n2) >= 0.45
           ORDER BY id_a, id_b""",
+    // the same hash-threshold predicate, stated in DuckDB's md5 —
+    // thresholds are thresholdHex(1.0/0.5/0.25/0.1)
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE source WHEN 'src0' THEN 'g'
+                       WHEN 'src1' THEN '80000000'
+                       WHEN 'src2' THEN '40000000'
+                       ELSE '1999999a' END
+         ORDER BY doc_id""",
     // ANN contract-by-recall: 5 query vectors × top-10 = 50 exact pairs,
     // and the LSH index must recover >= 70% of them
     "sim_lsh_recall" ->

@@ -189,6 +189,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stratified sample: deterministic, rate-accurate, salt-varying") {
+    import graft.ops.SampleOps
+    val d = docs
+    val a = SampleOps.stratifiedSample(d, "doc_id", "source",
+      Map("src0" -> 1.0), defaultRate = 0.5)
+    val b = SampleOps.stratifiedSample(d, "doc_id", "source",
+      Map("src0" -> 1.0), defaultRate = 0.5)
+    // identical input + salt -> byte-identical selection
+    assert(a.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      b.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // rate 1.0 keeps every src0 row
+    val n0 = d.filter(col("source") === "src0").count()
+    assert(a.filter(col("source") === "src0").count() == n0)
+    // default 0.5 keeps roughly half of the rest (binomial 3-sigma)
+    val rest = d.filter(col("source") =!= "src0").count().toDouble
+    val kept = a.filter(col("source") =!= "src0").count().toDouble
+    assert(math.abs(kept - rest / 2) < 3 * math.sqrt(rest / 4) + 1,
+      s"kept $kept of $rest at rate 0.5")
+    // a different salt draws a different (but same-law) sample
+    val c = SampleOps.stratifiedSample(d, "doc_id", "source",
+      Map("src0" -> 1.0), defaultRate = 0.5, salt = "other")
+    assert(c.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq !=
+      a.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // threshold encoding: boundaries are exact
+    assert(SampleOps.thresholdHex(0.0) == "00000000")
+    assert(SampleOps.thresholdHex(1.0) == "g")
+    assert(SampleOps.thresholdHex(0.5) == "80000000")
+  }
+
   test("dup clusters: transitivity across chained pairs, min keeper") {
     import spark.implicits._
     // two components: a 4-chain 1-2-3-4 (no direct 1-4 pair) and an
