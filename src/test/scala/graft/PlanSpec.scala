@@ -160,6 +160,23 @@ class PlanSpec extends AnyFunSuite {
     assert(n == expect, s"pushdown rewrite changed row count: $n vs $expect")
   }
 
+  test("contamination plan: broadcast candidate join, no nested loop") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables(spark, sf, "documents")
+    val q = graft.ops.DedupOps.contamination(
+      d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+      d.filter(col("doc_id") % 7 === 0), "doc_id", "text", 3, 0.8)
+    val p = q.queryExecution.explainString(SimpleMode)
+    // the prefix index and the eval sets broadcast; nothing may fall
+    // back to a nested loop or a cartesian over the corpus
+    assert(!p.contains("CartesianProduct"),
+      s"contamination plan grew a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"contamination plan grew a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast candidate/verify joins:\n$p")
+  }
+
   test("DIV lower bound keeps trunc-toward-zero semantics at v <= 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
