@@ -327,6 +327,16 @@ class GraftCatalog(val spark: SparkSession) {
       rsmaDefs.remove(n)
       rsmaRollups.filterInPlace((k, _) => !k.startsWith(n + "|")); ()
     }
+    else if (up.startsWith("ROLLUP DATABASE")) {
+      // ROLLUP DATABASE db [START WITH x] [END WITH y] (sql.y:1492
+      // createRollupStmt): a manual rollup pass — eagerly build and
+      // cache every RSMA ladder level (the reference walks vgroups;
+      // here the levels materialize keyless, the router's key-set
+      // cache fills lazily as queries arrive)
+      rsmaDefs.values.foreach { r =>
+        r.levels.indices.foreach(i => rsmaRollup(r, i, Nil).count())
+      }
+    }
     else if (up.startsWith("CREATE VTABLE")) createVtable(stmt)
     else if (up.startsWith("DROP VTABLE")) {
       vtableDefs.remove(bare(stmt.split("\\s+").last)); ()
@@ -1444,6 +1454,13 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW TOPICS")) insTopics
     else if (up.startsWith("SHOW TSMAS")) insTsmas
     else if (up.startsWith("SHOW RSMAS")) insRsmas
+    else if (up.startsWith("SHOW RETENTIONS")) {
+      // SHOW RETENTIONS (sql.y:1490): one row per RSMA ladder level
+      rsmaDefs.values.toSeq.flatMap(r =>
+        r.levelTxts.zipWithIndex.map { case (txt, i) =>
+          (r.name, r.table, i, txt) })
+        .toDF("rsma_name", "table_name", "level", "interval")
+    }
     else if (up.startsWith("SHOW VTABLES")) insVtables
     else if (up.startsWith("SHOW FUNCTIONS")) insFunctions
     else if (up.startsWith("SHOW ANODES FULL")) insAnodesFull

@@ -72,6 +72,12 @@ class TsmaSpec extends AnyFunSuite {
       .collect()(0)
     assert(insRow.getString(0) == "ev_rsma" &&
       insRow.getString(1) == "1h,1d")
+    // retention listing: one row per ladder level
+    assert(cat.sql("SHOW RETENTIONS").collect()
+      .map(r => (r.getInt(2), r.getString(3))).toSeq ==
+      Seq((0, "1h"), (1, "1d")))
+    // manual rollup pass pre-materializes every level without error
+    cat.exec("ROLLUP DATABASE default")
     val shown = cat.sql("SHOW CREATE RSMA ev_rsma")
       .collect()(0).getString(1)
     cat.exec("DROP RSMA ev_rsma")
