@@ -650,11 +650,35 @@ class GraftCatalog(val spark: SparkSession) {
     val tail = rest.substring(after).trim
     require(tail.toUpperCase.startsWith("TAGS"),
       s"CREATE STABLE needs TAGS(…): $stmt")
-    val (tagsBody, _) = parenGroup(tail, tail.indexOf('('))
-    val st = Stable(name, currentDb, colDefs(colsBody), colDefs(tagsBody))
-    require(st.cols.fields.head.dataType == LongType,
+    val (tagsBody, afterTags) = parenGroup(tail, tail.indexOf('('))
+    var own = Stable(name, currentDb, colDefs(colsBody), colDefs(tagsBody))
+    // BASE ON parent[, parent]… (sql.y:1069-1071
+    // createCreateInheritedStableStmt; 05-virtualtable.md:7-35): the
+    // child inherits every parent column and tag, its own appended
+    // after the inherited ones, duplicates-by-name collapsing to the
+    // first (parent-order) definition
+    val post = tail.substring(afterTags).trim
+    val baseRe = "(?i)^BASE ON\\s+(.+?)(?:\\s+VIRTUAL\\s+\\d+)?$".r
+    post match {
+      case baseRe(parentsTxt) =>
+        val parents = GraftSql.splitArgs(parentsTxt).map(_.trim)
+          .map(p => stables.getOrElse(bare(p),
+            throw new IllegalArgumentException(
+              s"BASE ON parent stable not found: $p")))
+        def mergeDefs(inherited: Seq[Seq[(String, String)]],
+            ownDefs: Seq[(String, String)]): Seq[(String, String)] =
+          (inherited.flatten ++ ownDefs).foldLeft(
+            Vector.empty[(String, String)]) { (acc, d) =>
+              if (acc.exists(_._1.equalsIgnoreCase(d._1))) acc
+              else acc :+ d }
+        own = Stable(name, currentDb,
+          mergeDefs(parents.map(_.colDefs), own.colDefs),
+          mergeDefs(parents.map(_.tagDefs), own.tagDefs))
+      case _ =>
+    }
+    require(own.cols.fields.head.dataType == LongType,
       "first column must be the TIMESTAMP primary key")
-    stables(name) = st
+    stables(name) = own
   }
 
   /** CREATE TABLE child USING st [(tagNames)] TAGS (v, …)

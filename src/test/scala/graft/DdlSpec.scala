@@ -104,6 +104,23 @@ class DdlSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("CREATE STABLE BASE ON inherits parent columns and tags") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE p_device (ts TIMESTAMP, status INT) " +
+      "TAGS (region INT) VIRTUAL 1")
+    cat.exec("CREATE STABLE p_temp (ts TIMESTAMP, temp DOUBLE) " +
+      "TAGS (sensor_id INT) BASE ON p_device VIRTUAL 1")
+    // inherited first, own appended, ts dedup'd (05-virtualtable.md)
+    cat.exec("INSERT INTO t1 USING p_temp TAGS (7, 100) " +
+      "VALUES (1000, 1, 21.5)")
+    val r = cat.table("p_temp").collect()(0)
+    assert(r.getAs[Long]("ts") == 1000L)
+    assert(r.getAs[Int]("status") == 1)
+    assert(r.getAs[Double]("temp") == 21.5)
+    assert(r.getAs[Int]("region") == 7)
+    assert(r.getAs[Int]("sensor_id") == 100)
+  }
+
   test("FILE load: quoted commas and datetime cells survive the CSV") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE STABLE ft (ts TIMESTAMP, v DOUBLE, " +
