@@ -142,10 +142,16 @@ object Streams {
 
   /** Rows: (key, tsUs, stateValue), assumed ts-ordered per key within a
     * batch (the reference requires disorder handling via watermark;
-    * IGNORE_DISORDER is the modeled mode here). */
-  def stateWindowTrigger(rows: Dataset[(Long, Long, String)])
+    * IGNORE_DISORDER is the modeled mode here). `trueFor` drops fired
+    * windows below the duration/count limit (sql.y:1657 trigger-side
+    * true_for_opt; executor.c isTrueForSatisfied) — applied at emit,
+    * after the window's span and rowcount are final. */
+  def stateWindowTrigger(rows: Dataset[(Long, Long, String)],
+      trueFor: Option[graft.ops.TimeOps.TrueForLimit] = None)
       : Dataset[FiredStateWindow] = {
     import rows.sparkSession.implicits._
+    val keep = (w: FiredStateWindow) =>
+      trueFor.forall(_.satisfied(w.startUs, w.endUs, w.n))
     rows.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
@@ -165,7 +171,7 @@ object Streams {
             }
           }
           if (s != null) state.update(s)
-          fired.iterator
+          fired.iterator.filter(keep)
       }
   }
 
@@ -233,9 +239,12 @@ object Streams {
     * never fires if the stream ends first (the reference's window-close
     * trigger contract). */
   def eventWindowTrigger(rows: Dataset[(Long, Long, Double)],
-      startCond: Double => Boolean, endCond: Double => Boolean)
+      startCond: Double => Boolean, endCond: Double => Boolean,
+      trueFor: Option[graft.ops.TimeOps.TrueForLimit] = None)
       : Dataset[FiredEventWindow] = {
     import rows.sparkSession.implicits._
+    val keep = (w: FiredEventWindow) =>
+      trueFor.forall(_.satisfied(w.startUs, w.endUs, w.n))
     rows.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
@@ -259,7 +268,7 @@ object Streams {
             }
           }
           if (s != null) state.update(s) else state.remove()
-          fired.iterator
+          fired.iterator.filter(keep)
       }
   }
 

@@ -104,6 +104,42 @@ class StreamingSpec extends AnyFunSuite {
       fired(1).getAs[Long]("n") == 2L)
   }
 
+  test("trigger-side TRUE_FOR drops short fired windows") {
+    import spark.implicits._
+    import graft.ops.TimeOps.TrueForLimit
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    // windows: on x2 (rows 1-2), off x1 (row 3), on x3 (rows 4-6);
+    // COUNT 2 must drop the 1-row off window at emission
+    val out = Streams.stateWindowTrigger(mem.toDS(),
+      trueFor = Some(TrueForLimit(0, 2, "cnt")))
+    val q = out.writeStream.format("memory").queryName("swtf")
+      .outputMode("append").start()
+    mem.addData((1L, 1L, "on"), (1L, 2L, "on"), (1L, 3L, "off"),
+      (1L, 4L, "on"), (1L, 5L, "on"), (1L, 6L, "on"), (1L, 7L, "off"))
+    q.processAllAvailable()
+    val fired = spark.sql("select * from swtf order by startUs").collect()
+    q.stop()
+    assert(fired.map(r => (r.getAs[String]("state"),
+      r.getAs[Long]("n"))).toSeq == Seq(("on", 2L), ("on", 3L)))
+
+    val mem2 = MemoryStream[(Long, Long, Double)]
+    // event windows: [95@2 .. 5@4] span 2 fires; [99@5 .. 5@6] span 1
+    // is dropped by the duration limit
+    val out2 = Streams.eventWindowTrigger(mem2.toDS(),
+      startCond = _ > 90d, endCond = _ < 10d,
+      trueFor = Some(TrueForLimit(2L, 0, "dur")))
+    val q2 = out2.writeStream.format("memory").queryName("ewtf")
+      .outputMode("append").start()
+    mem2.addData((1L, 1L, 50.0), (1L, 2L, 95.0), (1L, 3L, 50.0),
+      (1L, 4L, 5.0), (1L, 5L, 99.0), (1L, 6L, 5.0))
+    q2.processAllAvailable()
+    val fired2 = spark.sql("select * from ewtf order by startUs").collect()
+    q2.stop()
+    assert(fired2.map(r => (r.getAs[Long]("startUs"),
+      r.getAs[Long]("endUs"))).toSeq == Seq((2L, 4L)))
+  }
+
   test("calc binding: per-window calc query over another table") {
     val fired = Seq(Streams.WindowBounds(1704067200000000L,
       1704070800000000L, 0L))
