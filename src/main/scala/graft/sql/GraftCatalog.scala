@@ -327,6 +327,27 @@ class GraftCatalog(val spark: SparkSession) {
       rsmaDefs.remove(n)
       rsmaRollups.filterInPlace((k, _) => !k.startsWith(n + "|")); ()
     }
+    else if (up.startsWith("ALTER RSMA")) {
+      // ALTER RSMA name FUNCTION(f(c), …) (sql.y:1487): replace the
+      // rollup's function list; cached level frames invalidate so the
+      // next serve rebuilds state for the new columns
+      val rest = stmt.substring("ALTER RSMA".length).trim
+      val nm = bare(rest.split("[\\s(]")(0))
+      val r = rsmaDefs.getOrElse(nm,
+        throw new IllegalArgumentException(s"unknown RSMA: $nm"))
+      val fm = "(?i)FUNCTION\\s*\\((.*)\\)\\s*$".r.findFirstMatchIn(rest)
+        .getOrElse(throw new IllegalArgumentException(
+          s"ALTER RSMA needs FUNCTION(…): $stmt"))
+      val fnRe =
+        "(?i)^([A-Za-z_]+)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+      val funcs = GraftSql.splitArgs(fm.group(1)).map(_.trim).map {
+        case fnRe(f, c) => (f.toLowerCase, c)
+        case other => throw new IllegalArgumentException(
+          s"RSMA FUNCTION list entry not f(col): $other")
+      }
+      rsmaDefs(nm) = r.copy(funcs = funcs)
+      rsmaRollups.filterInPlace((k, _) => !k.startsWith(nm + "|")); ()
+    }
     else if (up.startsWith("ROLLUP DATABASE")) {
       // ROLLUP DATABASE db [START WITH x] [END WITH y] (sql.y:1492
       // createRollupStmt): a manual rollup pass — eagerly build and

@@ -78,12 +78,23 @@ class TsmaSpec extends AnyFunSuite {
       Seq((0, "1h"), (1, "1d")))
     // manual rollup pass pre-materializes every level without error
     cat.exec("ROLLUP DATABASE default")
+    // ALTER RSMA narrows the function list: sum-only no longer covers
+    // a count request, so the router falls back to base for it
+    cat.exec("ALTER RSMA ev_rsma FUNCTION(sum(value))")
+    assert(cat.servingGrain("events", Dur.d,
+      Seq(("sum", "value"))) == Some(Dur.d))
+    assert(cat.servingGrain("events", Dur.d,
+      Seq(("count", "value"))).isEmpty)
+    // SHOW CREATE reflects the ALTERed list and round-trips
     val shown = cat.sql("SHOW CREATE RSMA ev_rsma")
       .collect()(0).getString(1)
+    assert(shown.contains("sum(`value`)") && !shown.contains("count("))
     cat.exec("DROP RSMA ev_rsma")
-    assert(cat.servingGrain("events", Dur.d, specs).isEmpty)
+    assert(cat.servingGrain("events", Dur.d,
+      Seq(("sum", "value"))).isEmpty)
     cat.exec(shown)
-    assert(cat.servingGrain("events", Dur.d, specs) == Some(Dur.d))
+    assert(cat.servingGrain("events", Dur.d,
+      Seq(("sum", "value"))) == Some(Dur.d))
   }
 
   test("rollup compacts dense data to one row per (key, grain)") {
