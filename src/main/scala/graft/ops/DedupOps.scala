@@ -206,11 +206,18 @@ object DedupOps {
     * index is small (auto-falls back to a shuffle join above
     * `maxEvalBroadcastRows` — an eval suite is tiny next to a 100 TB
     * corpus, but a mis-sized one must not broadcast-OOM). */
+  /** `excludeSameId` drops (train, eval) pairs with EQUAL ids — the
+    * self-match guard for decontaminating a corpus against a held-out
+    * slice of ITSELF (an eval doc must not flag its own train copy of
+    * the same row). Set it false when train and eval are distinct
+    * corpora whose id spaces may collide: there, train id 7 quoting
+    * eval id 7 is true contamination, not a self-match. */
   def contamination(train: DataFrame, trainId: String, trainText: String,
       evalDocs: DataFrame, evalId: String, evalText: String,
       k: Int = 3, threshold: Double = 0.8,
       broadcastEval: Boolean = true,
-      maxEvalBroadcastRows: Long = 4000000L): DataFrame = {
+      maxEvalBroadcastRows: Long = 4000000L,
+      excludeSameId: Boolean = true): DataFrame = {
     // train sets feed the inverted index (twice: document frequency +
     // candidate join) AND the exact verify — persist so the text is
     // shingled once, not three times (same lifecycle contract as the
@@ -231,9 +238,10 @@ object DedupOps {
     // train shingle document frequency: partial-agg'd, one row per
     // DISTINCT shingle; downstream joins on _g reuse its partitioning
     val tDf = tIdx.groupBy("_g").agg(count(lit(1)).as("_df"))
-    val cands = tIdx.join(hint(evalPrefixIndex(tDf, eSets, threshold)),
+    val cands0 = tIdx.join(hint(evalPrefixIndex(tDf, eSets, threshold)),
         Seq("_g"))
-      .filter(col("_id") =!= col("_eid"))
+    val cands = (if (excludeSameId)
+        cands0.filter(col("_id") =!= col("_eid")) else cands0)
       .select(col("_eid"), col("_id")).distinct()
     // exact verify: pull full shingle sets ONLY for candidate train docs
     // (broadcast the tiny id set so the persisted sets are filtered, not
@@ -307,28 +315,35 @@ object DedupOps {
     var labels = edges.select(col("src").as("_id")).distinct()
       .withColumn("_lab", col("_id"))
       .persist(lvl)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val msgs = edges
-        .join(labels.withColumnRenamed("_id", "src"), Seq("src"))
-        .select(col("dst").as("_id"), col("_lab"))
-      val next = labels.union(msgs)
-        .groupBy("_id").agg(min(col("_lab")).as("_lab"))
-        .persist(lvl)
-      val changed = next
-        .join(labels.withColumnRenamed("_lab", "_old"), Seq("_id"))
-        .filter(col("_lab") =!= col("_old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    require(converged,
-      s"dupClusters did not converge in $maxIter rounds — component " +
-        "diameter exceeds the bound; raise maxIter")
-    edges.unpersist()
-    labels.select(col("_id").as("doc_id"), col("_lab").as("keep_id"))
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val msgs = edges
+          .join(labels.withColumnRenamed("_id", "src"), Seq("src"))
+          .select(col("dst").as("_id"), col("_lab"))
+        val next = labels.union(msgs)
+          .groupBy("_id").agg(min(col("_lab")).as("_lab"))
+          .persist(lvl)
+        val changed = next
+          .join(labels.withColumnRenamed("_lab", "_old"), Seq("_id"))
+          .filter(col("_lab") =!= col("_old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged) {
+        // release the cached blocks BEFORE failing — a long-lived
+        // session retrying with a larger maxIter must not strand a
+        // generation of persisted frames per attempt
+        labels.unpersist()
+        throw new IllegalArgumentException(
+          s"dupClusters did not converge in $maxIter rounds — " +
+            "component diameter exceeds the bound; raise maxIter")
+      }
+      labels.select(col("_id").as("doc_id"), col("_lab").as("keep_id"))
+    } finally edges.unpersist()
   }
 
   // -------------------------------------------------------------------

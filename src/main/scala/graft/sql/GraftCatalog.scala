@@ -350,12 +350,17 @@ class GraftCatalog(val spark: SparkSession) {
     }
     else if (up.startsWith("ROLLUP DATABASE")) {
       // ROLLUP DATABASE db [START WITH x] [END WITH y] (sql.y:1492
-      // createRollupStmt): a manual rollup pass — eagerly build and
-      // cache every RSMA ladder level (the reference walks vgroups;
-      // here the levels materialize keyless, the router's key-set
-      // cache fills lazily as queries arrive)
+      // createRollupStmt): a manual rollup pass — build, PERSIST and
+      // materialize every RSMA ladder level for the keyless key-set
+      // (the cached frame in rsmaRollups is the persisted one, so
+      // subsequent keyless serves read the materialized state; keyed
+      // serves fill their own cache lazily as queries arrive)
       rsmaDefs.values.foreach { r =>
-        r.levels.indices.foreach(i => rsmaRollup(r, i, Nil).count())
+        r.levels.indices.foreach { i =>
+          rsmaRollup(r, i, Nil)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .count()
+        }
       }
     }
     else if (up.startsWith("CREATE VTABLE")) createVtable(stmt)
@@ -479,6 +484,22 @@ class GraftCatalog(val spark: SparkSession) {
   def serveInterval(tableName: String, intervalUs: Long,
       keys: Seq[String], specs: Seq[(String, String)]): DataFrame = {
     val want = specs.map { case (f, c) => (f.toLowerCase, c) }
+    eligibleStates(tableName, intervalUs, keys, want)
+      .sortBy(-_._1).headOption match {
+      case Some((_, serve)) => serve()
+      case None => graft.ops.TsmaOps.aggBase(table(tableName),
+        col(tsColOf(tableName)), intervalUs, keys, want)
+    }
+  }
+
+  /** Every TSMA grain and RSMA level eligible for this request, with
+    * its serve closure — the ONE eligibility enumeration shared by the
+    * router ([[serveInterval]], which takes the coarsest) and the
+    * choice probe ([[servingGrain]]): the probe exists to pin the
+    * router's decision in gate hashes, so the two must never diverge. */
+  private def eligibleStates(tableName: String, intervalUs: Long,
+      keys: Seq[String], want: Seq[(String, String)])
+      : Seq[(Long, () => DataFrame)] = {
     val covered = (funcs: Seq[(String, String)]) =>
       want.forall { case (f, c) =>
         funcs.contains((f, c)) ||
@@ -486,9 +507,6 @@ class GraftCatalog(val spark: SparkSession) {
           (f == "avg" && funcs.contains(("sum", c)) &&
             funcs.contains(("count", c)))
       }
-    // candidates: every eligible TSMA grain and RSMA level; the router
-    // picks the COARSEST eligible state (fewest rows read — the
-    // retention-aware choice smaIndexOptimize makes on the reference)
     val tsmaCands = tsmaDefs.values.toSeq
       .filter(t => t.table == bare(tableName) &&
         intervalUs % t.grainUs == 0 && covered(t.funcs))
@@ -500,11 +518,7 @@ class GraftCatalog(val spark: SparkSession) {
         .filter { case (g, _) => intervalUs % g == 0 }
         .map { case (g, i) => (g, () => graft.ops.TsmaOps.serveFromRollup(
           rsmaRollup(r, i, keys), g, intervalUs, keys, want)) })
-    (tsmaCands ++ rsmaCands).sortBy(-_._1).headOption match {
-      case Some((_, serve)) => serve()
-      case None => graft.ops.TsmaOps.aggBase(table(tableName),
-        col(tsColOf(tableName)), intervalUs, keys, want)
-    }
+    tsmaCands ++ rsmaCands
   }
 
   /** The grain (ticks) of the state [[serveInterval]] would read for
@@ -513,19 +527,8 @@ class GraftCatalog(val spark: SparkSession) {
   def servingGrain(tableName: String, intervalUs: Long,
       specs: Seq[(String, String)]): Option[Long] = {
     val want = specs.map { case (f, c) => (f.toLowerCase, c) }
-    val covered = (funcs: Seq[(String, String)]) =>
-      want.forall { case (f, c) =>
-        funcs.contains((f, c)) ||
-          (f == "avg" && funcs.contains(("sum", c)) &&
-            funcs.contains(("count", c)))
-      }
-    val grains =
-      tsmaDefs.values.toSeq.filter(t => t.table == bare(tableName) &&
-        intervalUs % t.grainUs == 0 && covered(t.funcs)).map(_.grainUs) ++
-      rsmaDefs.values.toSeq
-        .filter(r => r.table == bare(tableName) && covered(r.funcs))
-        .flatMap(_.levels.filter(intervalUs % _ == 0))
-    grains.sorted.lastOption
+    eligibleStates(tableName, intervalUs, Nil, want)
+      .map(_._1).sorted.lastOption
   }
 
   /** The timestamp primary-key column of a readable table: a stable /

@@ -1423,6 +1423,14 @@ object GraftSql {
 
     // ---- aggregation ----
     val isAgg = groupKeys.nonEmpty
+    // fill_forward is an INDEFINITE_ROWS function (builtins.c:8187):
+    // inside a windowed/grouped aggregate its last(x, true) lowering
+    // would be row-order-nondeterministic, and the reference rejects
+    // indef-rows functions there — fail loudly instead
+    require(!(isAgg && selectItems.exists { case (e, _) =>
+      "(?i)\\bfill_forward\\s*\\(".r.findFirstIn(e).isDefined }),
+      "fill_forward is per-row (indefinite-rows) — not allowed inside " +
+        "a window/GROUP BY aggregate")
     // HAVING over aggregates not in the select list computes as a hidden
     // boolean aggregate column, filtered then dropped; HAVING over
     // output aliases filters post-projection. Decide once, here.

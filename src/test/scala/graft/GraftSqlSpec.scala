@@ -50,6 +50,17 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(all.count(_._4 >= 8) != all.length)
   }
 
+  test("fill_forward inside a windowed aggregate is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      q("SELECT _wstart, fill_forward(value) AS ff FROM events " +
+        "INTERVAL(1h)")
+    }
+    intercept[IllegalArgumentException] {
+      q("SELECT user_id, fill_forward(value) AS ff FROM events " +
+        "GROUP BY user_id")
+    }
+  }
+
   test("TRUE_FOR START/END streak limits route to eventWindowsLimits") {
     import graft.ops.TimeOps
     import graft.ops.TimeOps.TrueForLimit
