@@ -51,9 +51,12 @@ class GraftCatalog(val spark: SparkSession) {
   case class StreamDef(name: String, options: String, into: String,
       select: String)
   case class TopicDef(name: String, db: String, subject: String)
-  /** CREATE TSMA … FUNCTION(f(c),…) INTERVAL(d) (sql.y:1503-1507). */
+  /** CREATE TSMA … FUNCTION(f(c),…) INTERVAL(d) (sql.y:1503-1507);
+    * `baseTsma` set = the RECURSIVE form (sql.y:1506) — funcs/table
+    * inherited, state folded from the base rollup. */
   case class TsmaDef(name: String, table: String,
-      funcs: Seq[(String, String)], grainUs: Long, intervalTxt: String)
+      funcs: Seq[(String, String)], grainUs: Long, intervalTxt: String,
+      baseTsma: Option[String] = None)
   /** CREATE RSMA … ON tbl FUNCTION(f(c),…) INTERVAL(d1, d2, …)
     * (sql.y:1480-1484; rollupoperator.c): multi-level retention
     * rollup — level k+1 folds level k's partial state. */
@@ -318,6 +321,10 @@ class GraftCatalog(val spark: SparkSession) {
         up.startsWith("CREATE RECURSIVE TSMA")) createTsma(stmt)
     else if (up.startsWith("DROP TSMA")) {
       val n = bare(stmt.split("\\s+").last)
+      tsmaDefs.values.find(_.baseTsma.contains(n)).foreach(c =>
+        throw new IllegalArgumentException(
+          s"cannot drop TSMA $n: recursive TSMA ${c.name} is based " +
+            "on it"))
       tsmaDefs.remove(n)
       tsmaRollups.filterInPlace((k, _) => !k.startsWith(n + "|")); ()
     }
@@ -347,6 +354,28 @@ class GraftCatalog(val spark: SparkSession) {
       }
       rsmaDefs(nm) = r.copy(funcs = funcs)
       rsmaRollups.filterInPlace((k, _) => !k.startsWith(nm + "|")); ()
+    }
+    else if (up.startsWith("COMPACT DATABASE")) {
+      // COMPACT DATABASE db (sql.y:880): apply the upsert resolution
+      // physically — keep only the last-writer row per (child, ts),
+      // so dedup-on-read stops paying for superseded versions (the
+      // dedup-on-compaction preference SURVEY §8.5 records). Read
+      // results are unchanged by contract; buffers shrink.
+      children.values.foreach { c =>
+        if (c.rows.nonEmpty) {
+          val kept = c.rows.groupBy(_._1.head)
+            .map { case (_, vs) => vs.maxBy(_._2) }
+            .toSeq.sortBy(_._2)
+          c.rows.clear()
+          c.rows ++= kept
+        }
+      }
+    }
+    else if (up.startsWith("FLUSH DATABASE")) {
+      // FLUSH DATABASE db (sql.y:879): forces memtable → disk on the
+      // reference; this catalog's buffers are already the durable
+      // representation, so the statement is an accepted no-op
+      ()
     }
     else if (up.startsWith("ROLLUP DATABASE")) {
       // ROLLUP DATABASE db [START WITH x] [END WITH y] (sql.y:1492
@@ -388,21 +417,41 @@ class GraftCatalog(val spark: SparkSession) {
     val re = ("(?i)^CREATE (?:RECURSIVE )?TSMA (?:IF NOT EXISTS )?" +
       "([A-Za-z_][A-Za-z0-9_.]*) ON ([A-Za-z_][A-Za-z0-9_.]*)" +
       "(?: FUNCTION\\s*\\((.*)\\))? INTERVAL\\s*\\(([^)]+)\\)$").r
+    val recursive = stmt.toUpperCase.startsWith("CREATE RECURSIVE")
     stmt match {
       case re(name0, tbl0, funcsTxt, ivTxt) =>
         val name = bare(name0); val tbl = bare(tbl0)
-        require(funcsTxt != null,
-          s"RECURSIVE TSMA (no FUNCTION list) is unsupported: $stmt")
-        val fnRe = "(?i)^([A-Za-z_]+)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
-        val funcs = GraftSql.splitArgs(funcsTxt).map(_.trim).map {
-          case fnRe(f, c) => (f.toLowerCase, c)
-          case other => throw new IllegalArgumentException(
-            s"TSMA FUNCTION list entry not f(col): $other")
+        val grain = GraftSql.durNative(ivTxt.trim, perSecond)
+        if (recursive) {
+          // CREATE RECURSIVE TSMA name ON base_tsma INTERVAL(d)
+          // (sql.y:1506; 42-tsma.md:18-24): no FUNCTION list — the
+          // function set and table are inherited from the base TSMA,
+          // and the interval must be an exact multiple of its grain;
+          // state folds from the base rollup, never the base table
+          require(funcsTxt == null,
+            s"RECURSIVE TSMA takes no FUNCTION list: $stmt")
+          val base = tsmaDefs.getOrElse(tbl,
+            throw new IllegalArgumentException(
+              s"RECURSIVE TSMA base not found: $tbl"))
+          require(grain > base.grainUs && grain % base.grainUs == 0,
+            s"RECURSIVE TSMA interval $ivTxt must be an exact " +
+              s"multiple of base grain ${base.intervalTxt}")
+          tsmaDefs(name) = TsmaDef(name, base.table, base.funcs,
+            grain, ivTxt.trim, baseTsma = Some(base.name))
+        } else {
+          require(funcsTxt != null,
+            s"CREATE TSMA needs a FUNCTION list: $stmt")
+          val fnRe =
+            "(?i)^([A-Za-z_]+)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+          val funcs = GraftSql.splitArgs(funcsTxt).map(_.trim).map {
+            case fnRe(f, c) => (f.toLowerCase, c)
+            case other => throw new IllegalArgumentException(
+              s"TSMA FUNCTION list entry not f(col): $other")
+          }
+          require(funcs.nonEmpty, s"TSMA needs a FUNCTION list: $stmt")
+          table(tbl) // validates the target exists
+          tsmaDefs(name) = TsmaDef(name, tbl, funcs, grain, ivTxt.trim)
         }
-        require(funcs.nonEmpty, s"TSMA needs a FUNCTION list: $stmt")
-        table(tbl) // validates the target exists
-        tsmaDefs(name) = TsmaDef(name, tbl, funcs,
-          GraftSql.durNative(ivTxt.trim, perSecond), ivTxt.trim)
       case _ => throw new IllegalArgumentException(
         s"cannot parse CREATE TSMA: $stmt")
     }
@@ -414,8 +463,16 @@ class GraftCatalog(val spark: SparkSession) {
     val k = t.name + "|" + keys.mkString(",")
     tsmaRollups.getOrElseUpdate(k, {
       val cols = t.funcs.map(_._2).distinct
-      graft.ops.TsmaOps.createRollupMulti(table(t.table),
-        col(tsColOf(t.table)), t.grainUs, keys, cols)
+      t.baseTsma match {
+        case Some(b) =>
+          // recursive TSMA: fold the BASE TSMA's partial state to the
+          // coarser grain — |base rollup| rows read, never the table
+          graft.ops.TsmaOps.mergeRollupMulti(
+            tsmaRollup(tsmaDefs(b), keys), t.grainUs, keys, cols)
+        case None =>
+          graft.ops.TsmaOps.createRollupMulti(table(t.table),
+            col(tsColOf(t.table)), t.grainUs, keys, cols)
+      }
     })
   }
 
@@ -1471,9 +1528,13 @@ class GraftCatalog(val spark: SparkSession) {
       val name = bare(stmt.split("\\s+").last)
       val t = tsmaDefs.getOrElse(name,
         throw new IllegalArgumentException(s"unknown TSMA: $name"))
-      val ddl = s"CREATE TSMA `${t.name}` ON `${t.table}` FUNCTION(" +
-        t.funcs.map { case (f, c) => s"$f(`$c`)" }.mkString(", ") +
-        s") INTERVAL(${t.intervalTxt})"
+      val ddl = t.baseTsma match {
+        case Some(b) => s"CREATE RECURSIVE TSMA `${t.name}` ON `$b` " +
+          s"INTERVAL(${t.intervalTxt})"
+        case None => s"CREATE TSMA `${t.name}` ON `${t.table}` FUNCTION(" +
+          t.funcs.map { case (f, c) => s"$f(`$c`)" }.mkString(", ") +
+          s") INTERVAL(${t.intervalTxt})"
+      }
       Seq((t.name, ddl)).toDF("tsma_name", "create_sql")
     }
     else if (up.startsWith("SHOW CREATE RSMA ")) {

@@ -104,6 +104,28 @@ class DdlSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("COMPACT DATABASE applies upsert resolution physically") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) TAGS (t INT)")
+    cat.exec("INSERT INTO c1 USING st TAGS (1) " +
+      "VALUES (100, 1.0) (200, 2.0) (100, 9.0) (200, 8.0) (100, 7.0)")
+    val before = cat.table("c1").orderBy("ts")
+      .select("ts", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(before.toSeq == Seq((100L, 7.0), (200L, 8.0)))
+    cat.exec("COMPACT DATABASE default")
+    cat.exec("FLUSH DATABASE default") // accepted no-op
+    // read results unchanged; superseded versions physically gone
+    val after = cat.table("c1").orderBy("ts")
+      .select("ts", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(after.toSeq == before.toSeq)
+    assert(cat.sql("SHOW TABLES").filter(col("table_name") === "c1")
+      .collect()(0).getAs[Long]("n_rows") == 2L)
+    // a post-compaction re-insert still wins over the compacted row
+    cat.exec("INSERT INTO c1 VALUES (100, 5.5)")
+    assert(cat.table("c1").filter(col("ts") === 100)
+      .collect()(0).getAs[Double]("v") == 5.5)
+  }
+
   test("CREATE STABLE BASE ON inherits parent columns and tags") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE STABLE p_device (ts TIMESTAMP, status INT) " +

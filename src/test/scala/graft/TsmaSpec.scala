@@ -97,6 +97,41 @@ class TsmaSpec extends AnyFunSuite {
       Seq(("sum", "value"))) == Some(Dur.d))
   }
 
+  test("RECURSIVE TSMA folds the base rollup and wins eligible routes") {
+    import graft.sql.GraftCatalog
+    val cat = new GraftCatalog(spark)
+    cat.register("events", events)
+    cat.exec("CREATE TSMA t1 ON events " +
+      "FUNCTION(count(value), sum(value)) INTERVAL(1h)")
+    cat.exec("CREATE RECURSIVE TSMA t2 ON t1 INTERVAL(1d)")
+    val specs = Seq(("count", "value"), ("sum", "value"))
+    // a 1d query routes through the recursive (coarser) state
+    assert(cat.servingGrain("events", Dur.d, specs) == Some(Dur.d))
+    assert(cat.servingGrain("events", 6 * Dur.h, specs) == Some(Dur.h))
+    val served = cat.serveInterval("events", Dur.d, Seq("user_id"), specs)
+      .orderBy("user_id", "_wstart").collect().map(_.toSeq)
+    val direct = events
+      .withColumn("_wstart", TimeOps.tumblingStart(col("ts"), Dur.d))
+      .groupBy(col("user_id"), col("_wstart"))
+      .agg(count(col("value")).cast("long").as("count_value"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("user_id", "_wstart").collect().map(_.toSeq)
+    assert(served.toSeq == direct.toSeq)
+    // interval not a multiple of the base grain, and dropping a base
+    // with dependents, both fail loudly
+    intercept[IllegalArgumentException] {
+      cat.exec("CREATE RECURSIVE TSMA t3 ON t1 INTERVAL(90m)")
+    }
+    intercept[IllegalArgumentException] { cat.exec("DROP TSMA t1") }
+    // SHOW CREATE round-trips the recursive form
+    val shown = cat.sql("SHOW CREATE TSMA t2").collect()(0).getString(1)
+    assert(shown.startsWith("CREATE RECURSIVE TSMA"))
+    cat.exec("DROP TSMA t2")
+    cat.exec(shown)
+    assert(cat.servingGrain("events", Dur.d, specs) == Some(Dur.d))
+  }
+
   test("rollup compacts dense data to one row per (key, grain)") {
     import spark.implicits._
     // 4 users x 2000 points inside 2 hours -> 4 x 2 rollup rows
