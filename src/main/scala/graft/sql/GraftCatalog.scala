@@ -100,6 +100,10 @@ class GraftCatalog(val spark: SparkSession) {
   private val vtableDefs = mutable.LinkedHashMap[String, VtableDef]()
   private val udfDefs = mutable.LinkedHashMap[String, UdfDef]()
   private val anodeDefs = mutable.LinkedHashMap[Int, AnodeDef]()
+  // CREATE [SMA] INDEX (sql.y:1519-1523): (name, table, kind, detail);
+  // an SMA index shares its name with the TsmaDef that serves it
+  private val indexDefs =
+    mutable.LinkedHashMap[String, (String, String, String)]()
   private var anodeSeq = 0
   private var seqCounter = 0L
 
@@ -354,6 +358,43 @@ class GraftCatalog(val spark: SparkSession) {
       }
       rsmaDefs(nm) = r.copy(funcs = funcs)
       rsmaRollups.filterInPlace((k, _) => !k.startsWith(nm + "|")); ()
+    }
+    else if (up.startsWith("CREATE SMA INDEX")) {
+      // CREATE SMA INDEX name ON tbl FUNCTION(…) INTERVAL(d)
+      // (sql.y:1519, INDEX_TYPE_SMA): the legacy spelling of a TSMA —
+      // one rollup machinery serves both (smaIndexOptimize and
+      // tsmaOptimize are the same planner rewrite on the reference)
+      val rest = stripIfNotExists(
+        stmt.substring("CREATE SMA INDEX".length).trim)
+      val nm = bare(rest.split("[\\s(]")(0))
+      createTsma("CREATE TSMA " + rest)
+      indexDefs(nm) = (nm, tsmaDefs(nm).table, "sma")
+    }
+    else if (up.startsWith("CREATE INDEX")) {
+      // CREATE INDEX name ON tbl (cols) (sql.y:1521, INDEX_TYPE_NORMAL
+      // — the tag index): a scan-acceleration hint on the reference;
+      // here tag predicates already prune via the broadcast tag join,
+      // so the catalog records the definition for listing/round-trip
+      val rest = stripIfNotExists(
+        stmt.substring("CREATE INDEX".length).trim)
+      val nm = bare(rest.split("[\\s(]")(0))
+      val m = "(?i)ON\\s+(\\S+)\\s*\\(([^)]*)\\)\\s*$".r
+        .findFirstMatchIn(rest).getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE INDEX needs ON tbl (cols): $stmt"))
+      val tbl = bare(m.group(1))
+      require(stables.contains(tbl) || children.contains(tbl) ||
+        external.contains(tbl), s"unknown table: $tbl")
+      indexDefs(nm) = (nm, tbl, "normal:" + m.group(2).trim)
+    }
+    else if (up.startsWith("DROP INDEX")) {
+      val nm = bare(stmt.split("\\s+").last)
+      indexDefs.remove(nm).foreach { case (_, _, kind) =>
+        if (kind == "sma") {
+          tsmaDefs.remove(nm)
+          tsmaRollups.filterInPlace((k, _) => !k.startsWith(nm + "|"))
+        }
+      }
     }
     else if (up.startsWith("COMPACT DATABASE")) {
       // COMPACT DATABASE db (sql.y:880): apply the upsert resolution
@@ -1563,6 +1604,45 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW TOPICS")) insTopics
     else if (up.startsWith("SHOW TSMAS")) insTsmas
     else if (up.startsWith("SHOW RSMAS")) insRsmas
+    else if (up.startsWith("SHOW INDEXES FROM ")) {
+      val t = bare(stmt.substring("SHOW INDEXES FROM ".length).trim)
+      indexDefs.values.toSeq.filter(_._2 == t)
+        .map { case (n, tbl, kind) => (n, tbl, kind) }
+        .toDF("index_name", "table_name", "index_kind")
+    }
+    else if (up.startsWith("SHOW TAGS FROM ")) {
+      // SHOW TAGS FROM child (sql.y:1416): the child's tag bindings
+      val t = bare(stmt.substring("SHOW TAGS FROM ".length).trim)
+      insTags.filter(col("table_name") === t)
+    }
+    else if (up.startsWith("SHOW TABLE TAGS FROM ")) {
+      // SHOW TABLE TAGS FROM stable (sql.y:1418): one row per child,
+      // tbname + each tag as a column
+      val stName =
+        bare(stmt.substring("SHOW TABLE TAGS FROM ".length).trim)
+      val st = stables.getOrElse(stName,
+        throw new IllegalArgumentException(s"unknown stable: $stName"))
+      val kids = children.values.filter(_.stableName == stName).toSeq
+      val rows = kids.map(c => Row.fromSeq(c.name +: c.tagVals))
+      val schema = StructType(StructField("tbname", StringType) +:
+        st.tags.fields.toSeq)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
+    else if (up.startsWith("SHOW TABLE DISTRIBUTED ")) {
+      // SHOW TABLE DISTRIBUTED tbl (sql.y:1413): storage distribution
+      // summary — for catalog buffers: total vs upsert-visible rows
+      // (the delta is what COMPACT reclaims)
+      val t =
+        bare(stmt.substring("SHOW TABLE DISTRIBUTED ".length).trim)
+      val kids =
+        if (children.contains(t)) Seq(children(t))
+        else children.values.filter(_.stableName == t).toSeq
+      require(kids.nonEmpty, s"unknown table: $t")
+      kids.map(c => (c.name, c.rows.length.toLong,
+          c.rows.map(_._1.head).distinct.length.toLong))
+        .toDF("table_name", "total_rows", "visible_rows")
+    }
     else if (up.startsWith("SHOW RETENTIONS")) {
       // SHOW RETENTIONS (sql.y:1490): one row per RSMA ladder level
       rsmaDefs.values.toSeq.flatMap(r =>

@@ -104,6 +104,39 @@ class DdlSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("SMA/normal indexes, SHOW TAGS/TABLE TAGS/TABLE DISTRIBUTED") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) " +
+      "TAGS (loc VARCHAR(8), g INT)")
+    cat.exec("INSERT INTO c1 USING st TAGS ('SF', 1) " +
+      "VALUES (100, 1.0) (200, 2.0) (100, 9.0)")
+    cat.exec("INSERT INTO c2 USING st TAGS ('LA', 2) VALUES (150, 3.0)")
+    // SMA index = the legacy TSMA spelling; one router serves both
+    cat.exec("CREATE SMA INDEX sidx ON st " +
+      "FUNCTION(count(v), sum(v)) INTERVAL(1h)")
+    assert(cat.servingGrain("st", 3600000000L * 24,
+      Seq(("sum", "v"))) == Some(3600000000L))
+    cat.exec("CREATE INDEX tidx ON st (g)")
+    assert(cat.sql("SHOW INDEXES FROM st").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("sidx", "tidx"))
+    cat.exec("DROP INDEX sidx")
+    assert(cat.servingGrain("st", 3600000000L * 24,
+      Seq(("sum", "v"))).isEmpty)
+    // SHOW TAGS FROM child lists its bindings
+    val tags = cat.sql("SHOW TAGS FROM c1").collect()
+    assert(tags.length == 2)
+    // SHOW TABLE TAGS: one row per child with tag value columns
+    val tt = cat.sql("SHOW TABLE TAGS FROM st")
+      .orderBy("tbname").collect()
+    assert(tt.map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSeq == Seq(("c1", "SF", 1), ("c2", "LA", 2)))
+    // SHOW TABLE DISTRIBUTED: total vs upsert-visible rows
+    val dist = cat.sql("SHOW TABLE DISTRIBUTED st")
+      .orderBy("table_name").collect()
+    assert(dist.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("c1", 3L, 2L), ("c2", 1L, 1L)))
+  }
+
   test("COMPACT DATABASE applies upsert resolution physically") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) TAGS (t INT)")
