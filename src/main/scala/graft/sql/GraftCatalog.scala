@@ -49,7 +49,7 @@ class GraftCatalog(val spark: SparkSession) {
     def tsCol: String = colDefs.head._1
   }
   case class StreamDef(name: String, options: String, into: String,
-      select: String)
+      select: String, status: String = "running")
   case class TopicDef(name: String, db: String, subject: String)
   /** CREATE TSMA … FUNCTION(f(c),…) INTERVAL(d) (sql.y:1503-1507);
     * `baseTsma` set = the RECURSIVE form (sql.y:1506) — funcs/table
@@ -358,6 +358,19 @@ class GraftCatalog(val spark: SparkSession) {
       }
       rsmaDefs(nm) = r.copy(funcs = funcs)
       rsmaRollups.filterInPlace((k, _) => !k.startsWith(nm + "|")); ()
+    }
+    else if (up.startsWith("STOP STREAM ") ||
+        up.startsWith("START STREAM ")) {
+      // START/STOP STREAM (sql.y START STREAM / STOP STREAM): the
+      // lifecycle flag live wiring checks; definitions persist across
+      // stop/start (the reference keeps the stream meta in mnode)
+      val starting = up.startsWith("START")
+      val kw = if (starting) "START STREAM " else "STOP STREAM "
+      val nm = bare(stmt.substring(kw.length).trim)
+      val sd = streamDefs.getOrElse(nm,
+        throw new IllegalArgumentException(s"unknown stream: $nm"))
+      streamDefs(nm) =
+        sd.copy(status = if (starting) "running" else "stopped")
     }
     else if (up.startsWith("CREATE SMA INDEX")) {
       // CREATE SMA INDEX name ON tbl FUNCTION(…) INTERVAL(d)
@@ -1320,6 +1333,8 @@ class GraftCatalog(val spark: SparkSession) {
   def streamTrigger(streamName: String, src: DataFrame,
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
     val sd = streamDefs(streamName)
+    require(sd.status == "running",
+      s"stream $streamName is ${sd.status} — START STREAM it first")
     val sel = sd.select
     val up = sel.toUpperCase
     val wmUs = "(?i)WATERMARK\\s*\\(?\\s*(\\d+[uasmhdw]?)\\s*\\)?".r
@@ -1406,8 +1421,8 @@ class GraftCatalog(val spark: SparkSession) {
 
   /** information_schema.ins_streams. */
   def insStreams: DataFrame =
-    streamDefs.values.toSeq.map(s => (s.name, s.into, s.select))
-      .toDF("stream_name", "target_table", "sql")
+    streamDefs.values.toSeq.map(s => (s.name, s.into, s.select, s.status))
+      .toDF("stream_name", "target_table", "sql", "status")
 
   /** information_schema.ins_topics. */
   def insTopics: DataFrame =
@@ -1604,6 +1619,27 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW TOPICS")) insTopics
     else if (up.startsWith("SHOW TSMAS")) insTsmas
     else if (up.startsWith("SHOW RSMAS")) insRsmas
+    else if (up.startsWith("SHOW VARIABLES") ||
+        up.startsWith("SHOW LOCAL VARIABLES")) {
+      // SHOW [LOCAL] VARIABLES (sql.y:1397-1399): the engine-relevant
+      // session settings a TDengine client would inspect
+      Seq(
+        ("timezone", spark.conf.get("spark.sql.session.timeZone")),
+        ("shuffle_partitions",
+          spark.conf.get("spark.sql.shuffle.partitions")),
+        ("current_database", currentDb),
+        ("precision_ticks_per_second", perSecond.toString))
+        .toDF("name", "value")
+    }
+    else if (up.startsWith("SHOW QUERIES")) {
+      // SHOW QUERIES (sql.y:1390): live query listing — the Spark
+      // status tracker's active jobs are the engine's running work
+      val st = spark.sparkContext.statusTracker
+      st.getActiveJobIds().toSeq.map { id =>
+        val info = st.getJobInfo(id)
+        (id, info.map(_.status.toString).getOrElse("UNKNOWN"))
+      }.toDF("job_id", "status")
+    }
     else if (up.startsWith("SHOW INDEXES FROM ")) {
       val t = bare(stmt.substring("SHOW INDEXES FROM ".length).trim)
       indexDefs.values.toSeq.filter(_._2 == t)

@@ -104,6 +104,31 @@ class DdlSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("STOP/START STREAM lifecycle; SHOW VARIABLES/QUERIES") {
+    val cat = new GraftCatalog(spark)
+    cat.register("events", Tables(spark, sf, "events"))
+    cat.exec("CREATE STREAM s1 TRIGGER WINDOW_CLOSE INTO s1_out AS " +
+      "SELECT _wstart, count(*) AS n FROM events INTERVAL(1h)")
+    assert(cat.sql("SHOW STREAMS").collect()(0)
+      .getAs[String]("status") == "running")
+    cat.exec("STOP STREAM s1")
+    assert(cat.sql("SHOW STREAMS").collect()(0)
+      .getAs[String]("status") == "stopped")
+    intercept[IllegalArgumentException] {
+      cat.streamTrigger("s1", Tables(spark, sf, "events"))
+    }
+    cat.exec("START STREAM s1")
+    assert(cat.sql("SHOW STREAMS").collect()(0)
+      .getAs[String]("status") == "running")
+    val vars = cat.sql("SHOW VARIABLES").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(vars("timezone") == "UTC")
+    assert(vars("precision_ticks_per_second") == "1000000")
+    // no active jobs while idle — the listing itself must not throw
+    assert(cat.sql("SHOW QUERIES").columns.toSeq ==
+      Seq("job_id", "status"))
+  }
+
   test("SMA/normal indexes, SHOW TAGS/TABLE TAGS/TABLE DISTRIBUTED") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) " +
