@@ -39,7 +39,10 @@ import org.apache.spark.sql.types._
   */
 class GraftCatalog(val spark: SparkSession) {
 
-  case class Database(name: String, perSecond: Long)
+  /** `keepTicks` = the retention horizon (CREATE DATABASE … KEEP d),
+    * None = keep forever; TRIM DATABASE enforces it. */
+  case class Database(name: String, perSecond: Long,
+      keepTicks: Option[Long] = None)
   case class Stable(name: String, db: String,
       colDefs: Seq[(String, String)], tagDefs: Seq[(String, String)]) {
     val cols: StructType =
@@ -425,6 +428,26 @@ class GraftCatalog(val spark: SparkSession) {
         }
       }
     }
+    else if (up.startsWith("TRIM DATABASE")) {
+      // TRIM DATABASE db (sql.y:884): enforce the KEEP horizon now —
+      // rows older than (wall clock − KEEP) are physically dropped,
+      // the reference's expired-file sweep expressed on the buffers.
+      // A db without KEEP trims nothing (retention = forever).
+      val nm = bare(stmt.substring("TRIM DATABASE".length).trim)
+      val db = databases.getOrElse(nm,
+        throw new IllegalArgumentException(s"unknown database: $nm"))
+      db.keepTicks.foreach { keep =>
+        val nowTicks = System.currentTimeMillis() / 1000L * db.perSecond
+        val horizon = nowTicks - keep
+        children.values.foreach { c =>
+          if (stables(c.stableName).db == nm) {
+            val kept = c.rows.filter(_._1.head
+              .asInstanceOf[Long] >= horizon)
+            c.rows.clear(); c.rows ++= kept
+          }
+        }
+      }
+    }
     else if (up.startsWith("FLUSH DATABASE")) {
       // FLUSH DATABASE db (sql.y:879): forces memtable → disk on the
       // reference; this catalog's buffers are already the durable
@@ -762,7 +785,16 @@ class GraftCatalog(val spark: SparkSession) {
         case "us" => 1000000L
         case "ns" => 1000000000L
       }).getOrElse(1000000L)
-    databases(name) = Database(name, per)
+    // KEEP d (sql.y db_options): retention horizon in db ticks; bare
+    // integers are DAYS (the reference's KEEP unit), suffixed values
+    // are dialect durations
+    val keep = "(?i)KEEP\\s+(\\d+[uasmhdw]?)".r.findFirstMatchIn(rest)
+      .map { m =>
+        val t = m.group(1)
+        if (t.last.isDigit) GraftSql.durNative(t + "d", per)
+        else GraftSql.durNative(t, per)
+      }
+    databases(name) = Database(name, per, keep)
     currentDb = name
   }
 

@@ -104,6 +104,27 @@ class DdlSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("TRIM DATABASE enforces the KEEP horizon") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE shortk PRECISION 'us' KEEP 1")
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) TAGS (t INT)")
+    // one ancient row (2024) and one within the 1-day horizon
+    val recent = System.currentTimeMillis() * 1000L
+    cat.exec("INSERT INTO c1 USING st TAGS (1) " +
+      s"VALUES (1704067200000000, 1.0) ($recent, 2.0)")
+    assert(cat.table("c1").count() == 2)
+    cat.exec("TRIM DATABASE shortk")
+    val left = cat.table("c1").collect()
+    assert(left.length == 1 && left(0).getAs[Double]("v") == 2.0)
+    // a db without KEEP trims nothing
+    val cat2 = new GraftCatalog(spark)
+    cat2.exec("CREATE DATABASE forever PRECISION 'us'")
+    cat2.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) TAGS (t INT)")
+    cat2.exec("INSERT INTO c1 USING st TAGS (1) VALUES (1000, 1.0)")
+    cat2.exec("TRIM DATABASE forever")
+    assert(cat2.table("c1").count() == 1)
+  }
+
   test("STOP/START STREAM lifecycle; SHOW VARIABLES/QUERIES") {
     val cat = new GraftCatalog(spark)
     cat.register("events", Tables(spark, sf, "events"))
