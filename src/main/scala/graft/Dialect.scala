@@ -409,6 +409,23 @@ object Dialect {
              ON purchases.event_id = clicks.event_id
            ORDER BY event_id""")
     },
+    // LEFT SEMI / LEFT ANTI join text (sql.y:2726-2804 join_type)
+    // with ON residual conjuncts — side-local pre-filter semantics
+    "dialect_semi_join" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id FROM events a
+           LEFT SEMI JOIN events b
+           ON a.user_id = b.user_id AND a.value > 50 AND b.value > 95
+           ORDER BY event_id""")
+    },
+    "dialect_anti_join" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id FROM events a
+           LEFT ANTI JOIN events b
+           ON a.user_id = b.user_id AND b.event_type = 'purchase'
+              AND b.value > 99.9
+           ORDER BY event_id""")
+    },
     // per-row series functions under PARTITION BY (IndefRowsFunc in
     // SQL text): a row stream, not an aggregate
     "dialect_diff" -> { (s, dir) =>
@@ -946,6 +963,17 @@ object Dialect {
           FROM fin CROSS JOIN hs
           ORDER BY user_id, _frowts"""
     },
+    "dialect_semi_join" ->
+      """SELECT event_id FROM events a
+         SEMI JOIN events b
+           ON a.user_id = b.user_id AND b.value > 95
+         WHERE a.value > 50 ORDER BY event_id""",
+    "dialect_anti_join" ->
+      """SELECT event_id FROM events a
+         ANTI JOIN (SELECT user_id FROM events
+                    WHERE event_type = 'purchase' AND value > 99.9) b
+           ON a.user_id = b.user_id
+         ORDER BY event_id""",
     "dialect_right_join" ->
       """SELECT c_custkey AS custkey, o_orderkey, o_totalprice, c_name
          FROM orders RIGHT JOIN customer ON o_custkey = c_custkey

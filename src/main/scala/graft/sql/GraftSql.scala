@@ -607,31 +607,105 @@ object GraftSql {
           s"WINDOW JOIN needs `tbl WINDOW_OFFSET(lo, hi) [ON …]`: $rest")
       }
     } else {
-      // plain [INNER|LEFT|RIGHT|FULL] JOIN on same-name equi keys;
-      // right payload surfaces as r_<col>, matching the other join
-      // forms (sql.y:2726-2804 join_type)
-      val ljAt = up.indexOf(" LEFT JOIN ")
-      val rjAt = up.indexOf(" RIGHT JOIN ")
-      val fjAt = up.indexOf(" FULL JOIN ")
-      val ijAt = up.indexOf(" INNER JOIN ")
-      val (at, kw, joinType) =
-        if (ljAt >= 0) (ljAt, " LEFT JOIN ", "left")
-        else if (rjAt >= 0) (rjAt, " RIGHT JOIN ", "right")
-        else if (fjAt >= 0) (fjAt, " FULL JOIN ", "full")
-        else if (ijAt >= 0) (ijAt, " INNER JOIN ", "inner")
-        else (plainAt, " JOIN ", "inner")
-      val left = resolve(from.substring(0, at).trim.split(" ")(0))
+      // plain [INNER|LEFT|RIGHT|FULL|LEFT/RIGHT SEMI|LEFT/RIGHT ANTI]
+      // JOIN on same-name equi keys; right payload surfaces as r_<col>,
+      // matching the other join forms (sql.y:2726-2804 join_type).
+      // Non-equi ON conjuncts are accepted for INNER joins as
+      // post-join residual filters (equivalent there); outer/semi/anti
+      // ON-residuals change match semantics and stay loud errors.
+      val arms = Seq(
+        (" LEFT SEMI JOIN ", "left_semi", false),
+        (" RIGHT SEMI JOIN ", "left_semi", true),
+        (" LEFT ANTI JOIN ", "left_anti", false),
+        (" RIGHT ANTI JOIN ", "left_anti", true),
+        (" LEFT JOIN ", "left", false),
+        (" RIGHT JOIN ", "right", false),
+        (" FULL JOIN ", "full", false),
+        (" INNER JOIN ", "inner", false))
+      val (at, kw, joinType, swap) = arms
+        .collectFirst { case (k, t, sw) if up.indexOf(k) >= 0 =>
+          (up.indexOf(k), k, t, sw) }
+        .getOrElse((plainAt, " JOIN ", "inner", false))
+      val leftToks = from.substring(0, at).trim.split("\\s+")
+      val leftTbl = leftToks(0)
       val rest = from.substring(at + kw.length).trim
       val onAt = rest.toUpperCase.indexOf(" ON ")
       require(onAt >= 0, "JOIN needs ON")
-      val right = resolve(rest.substring(0, onAt).trim.split(" ")(0))
+      val rightToks = rest.substring(0, onAt).trim.split("\\s+")
+      val rightTbl = rightToks(0)
+      // RIGHT SEMI/ANTI = the mirrored left form (the preserved side
+      // is the right table); aliases travel with their tables
+      val (lToks, rToks) =
+        if (swap) (rightToks, leftToks) else (leftToks, rightToks)
+      val left = resolve(lToks(0))
+      val right = resolve(rToks(0))
+      val leftQuals = (Set(lToks(0)) ++ lToks.lift(1)).map(_.toLowerCase)
+      val rightQuals = (Set(rToks(0)) ++ rToks.lift(1)).map(_.toLowerCase)
       val conds = rest.substring(onAt + 4).trim
         .split("(?i)\\s+AND\\s+").toSeq
-      val keys = equiKeys(conds)
-      val rightCols = right.columns.toSeq.filterNot(keys.contains)
-      val r = right.select(keys.map(col) ++
-        rightCols.map(c => col(c).as(s"r_$c")): _*)
-      left.join(r, keys, joinType)
+      val eqRe = "(?i)^\\s*\\w+\\.(\\w+)\\s*=\\s*\\w+\\.(\\w+)\\s*$".r
+      val (eqConds, residual) = conds.partition {
+        case eqRe(k1, k2) => k1 == k2
+        case _ => false
+      }
+      val keys = equiKeys(eqConds)
+      // which side(s) a residual conjunct references
+      def sidesOf(cnd: String): (Boolean, Boolean) = {
+        var l = false; var r = false
+        "(?i)\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(cnd).foreach { m =>
+          val q = m.group(1).toLowerCase
+          if (leftQuals.contains(q)) l = true
+          else if (rightQuals.contains(q)) r = true
+        }
+        (l, r)
+      }
+      def bare(cnd: String): String =
+        "(?i)\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(cnd, m =>
+          if (leftQuals.contains(m.group(1).toLowerCase) ||
+            rightQuals.contains(m.group(1).toLowerCase)) m.group(2)
+          else m.matched)
+      joinType match {
+        case "left_semi" | "left_anti" =>
+          // ON residuals: a side-local conjunct pre-filters its side —
+          // exact for semi on both sides and for anti on the RIGHT
+          // (an anti LEFT-side ON-cond makes every right row a
+          // non-match, KEEPING the row — not a pre-filter; loud)
+          var l = left; var r0 = right
+          residual.foreach { cnd =>
+            sidesOf(cnd) match {
+              case (true, false) if joinType == "left_semi" =>
+                l = l.filter(expr(bare(cnd)))
+              case (false, true) =>
+                r0 = r0.filter(expr(bare(cnd)))
+              case _ => throw new IllegalArgumentException(
+                s"unsupported ON condition for $kw: $cnd")
+            }
+          }
+          l.join(r0.select(keys.map(col): _*), keys, joinType)
+        case _ =>
+          require(residual.isEmpty || joinType == "inner",
+            s"non-equi ON condition only supported for INNER JOIN " +
+              s"(outer-join match semantics differ): ${residual.head}")
+          val rightCols = right.columns.toSeq.filterNot(keys.contains)
+          val r = right.select(keys.map(col) ++
+            rightCols.map(c => col(c).as(s"r_$c")): _*)
+          var joined = left.join(r, keys, joinType)
+          // inner residuals: post-join filters (equivalent for inner);
+          // `q.c` resolves by q's side — right columns are r_-prefixed
+          // except the shared equi keys
+          residual.foreach { cnd =>
+            val rewritten = "(?i)\\b(\\w+)\\.(\\w+)\\b".r
+              .replaceAllIn(cnd, m => {
+                val q = m.group(1).toLowerCase; val c = m.group(2)
+                if (rightQuals.contains(q))
+                  if (keys.contains(c)) c else s"r_$c"
+                else if (leftQuals.contains(q)) c
+                else m.matched
+              })
+            joined = joined.filter(expr(rewritten))
+          }
+          joined
+      }
     }
   }
 
@@ -911,7 +985,11 @@ object GraftSql {
       sql: String, tsCol: String = "ts",
       perSecond: Long = 1000000L): DataFrame = {
     ensureCustomAggs(spark)
-    val norm = rewriteJsonArrow(sql.replaceAll("\\s+", " ").trim)
+    // planner hints (/*+ SORT_FOR_GROUP() */ etc., sql.y hint_list):
+    // advisory on the reference, and Catalyst does its own planning —
+    // strip them rather than fail the statement
+    val deHinted = sql.replaceAll("/\\*\\+.*?\\*/", " ")
+    val norm = rewriteJsonArrow(deHinted.replaceAll("\\s+", " ").trim)
     val segments = splitUnion(norm)
     if (segments.length == 1)
       return single(spark, resolve, norm, tsCol, perSecond)

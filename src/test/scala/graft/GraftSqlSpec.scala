@@ -50,6 +50,40 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(all.count(_._4 >= 8) != all.length)
   }
 
+  test("SEMI/ANTI join text, ON residuals, and hint stripping") {
+    val e = resolve("events")
+    // LEFT SEMI with residuals on both sides (20-join.md example shape)
+    val semi = q("""SELECT event_id FROM events a
+        LEFT SEMI JOIN events b
+        ON a.user_id = b.user_id AND a.value > 50 AND b.value > 95
+        ORDER BY event_id""").collect().map(_.getLong(0))
+    val hotUsers = e.filter(col("value") > 95)
+      .select("user_id").distinct()
+    val wantSemi = e.filter(col("value") > 50)
+      .join(hotUsers, Seq("user_id"), "left_semi")
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    assert(semi.nonEmpty && semi.toSeq == wantSemi.toSeq)
+    // LEFT ANTI with a right-side residual
+    val anti = q("""SELECT event_id FROM events a
+        LEFT ANTI JOIN events b
+        ON a.user_id = b.user_id AND b.value > 95
+        ORDER BY event_id""").collect().map(_.getLong(0))
+    val wantAnti = e.join(hotUsers, Seq("user_id"), "left_anti")
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    assert(anti.toSeq == wantAnti.toSeq)
+    // an anti LEFT-side ON residual is a semantics trap -> loud
+    intercept[IllegalArgumentException] {
+      q("""SELECT event_id FROM events a LEFT ANTI JOIN events b
+          ON a.user_id = b.user_id AND a.value > 95""")
+    }
+    // INNER residual = post-join filter; hints strip cleanly
+    val inner = q("""SELECT /*+ PARTITION_FIRST() */ count(*) AS n
+        FROM events a JOIN events b
+        ON a.event_id = b.event_id AND b.value > 95""")
+      .collect()(0).getLong(0)
+    assert(inner == e.filter(col("value") > 95).count())
+  }
+
   test("fill_forward inside a windowed aggregate is rejected loudly") {
     intercept[IllegalArgumentException] {
       q("SELECT _wstart, fill_forward(value) AS ff FROM events " +
