@@ -248,6 +248,17 @@ object Dialect {
            FROM events PARTITION BY user_id STATE_WINDOW(event_type)
            ORDER BY user_id, _wstart_ms""")
     },
+    // STATE_WINDOW(e1, e2) (sql.y:2874 state_window_expr_list): the
+    // window key is the TUPLE; bare state expressions may be selected
+    "dialect_state_multi" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, min(ts) DIV 1000 AS _wstart_ms,
+             max(ts) DIV 1000 AS _wend_ms, count(*) AS n,
+             event_type, CAST(value > 50 AS INT) AS hi
+           FROM events PARTITION BY user_id
+           STATE_WINDOW(event_type, CAST(value > 50 AS INT))
+           ORDER BY user_id, _wstart_ms""")
+    },
     // INTERVAL + SLIDING (hopping windows) in SQL text
     "dialect_interval_sliding" -> { (s, dir) =>
       run(s, dir,
@@ -857,6 +868,24 @@ object Dialect {
     "dialect_interp_surround" ->
       TimeSeries.oracleSql("interp_near_surround"),
     "dialect_state_window" -> TimeSeries.oracleSql("state_window"),
+    "dialect_state_multi" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type,
+            CAST(value > 50 AS INT) AS hi,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+                 OR lag(CAST(value > 50 AS INT)) OVER w
+                    <> CAST(value > 50 AS INT)
+                 THEN 1 ELSE 0 END AS chg
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, t, event_type, hi,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS wid
+            FROM t)
+          SELECT user_id, min(t) // 1000 AS _wstart_ms,
+            max(t) // 1000 AS _wend_ms, count(*) AS n,
+            min(event_type) AS event_type, min(hi) AS hi
+          FROM s GROUP BY user_id, wid
+          ORDER BY user_id, _wstart_ms""",
     "dialect_fill_forward" ->
       """SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
            last_value(CASE WHEN value < 15 THEN NULL

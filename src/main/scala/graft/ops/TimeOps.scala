@@ -392,7 +392,13 @@ object TimeOps {
     * never match a non-null zeroth (null-safe compare). */
   def stateWindowsZeroth(df: DataFrame, state: Column, tsUs: Column,
       keys: Seq[Column], zeroth: Any): DataFrame =
-    stateWindows(df, state, tsUs, keys).filter(!(state <=> lit(zeroth)))
+    stateWindowsZerothC(df, state, tsUs, keys, lit(zeroth))
+
+  /** Column-typed zeroth value — the multi-expression form compares
+    * the state TUPLE against a struct of literals. */
+  def stateWindowsZerothC(df: DataFrame, state: Column, tsUs: Column,
+      keys: Seq[Column], zeroth: Column): DataFrame =
+    stateWindows(df, state, tsUs, keys).filter(!(state <=> zeroth))
 
   /** COUNT_WINDOW(n, sliding): window w starts at row w·sliding+1 (per
     * key, ts order) and spans n rows; each row fans out to the

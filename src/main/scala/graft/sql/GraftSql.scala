@@ -1356,6 +1356,10 @@ object GraftSql {
     // ---- windowing ----
     var groupKeys: Seq[String] = partCols
     var postAgg: DataFrame => DataFrame = identity
+    // raw STATE_WINDOW expression texts: a select item that IS one of
+    // them is constant within its window, so it may be selected bare
+    // (docs 06-window examples) — lowered to first(…)
+    var stateTexts: Seq[String] = Nil
     // textual rewrites; the query-range pseudo columns are visible in
     // every branch (windowed or not), window pseudos merge per branch
     // _qduration is the INCLUSIVE tick count ekey - skey + 1, and
@@ -1444,20 +1448,40 @@ object GraftSql {
       groupKeys = partCols :+ "_session"
       pseudo = qPseudo ++ Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
     } else if (c.contains("STATE_WINDOW")) {
-      val st = expr(stripOuterParens(c("STATE_WINDOW")))
+      // STATE_WINDOW(e1[, e2 …]) (sql.y:2874 state_window_expr_list):
+      // multiple expressions window on the TUPLE — a new window opens
+      // when ANY component changes; a tuple with a NULL component is a
+      // NULL state (matching the single-expr null semantics)
+      stateTexts = splitArgs(stripOuterParens(c("STATE_WINDOW")))
+        .map(_.trim)
+      val stParts = stateTexts.map(expr)
+      val st =
+        if (stParts.length == 1) stParts.head
+        else when(stParts.map(_.isNull).reduce(_ || _), lit(null))
+          .otherwise(struct(stParts: _*))
       if (c.contains("EXTEND")) {
         // EXTEND(0|1|2) (sql.y:2938): where a null-state row goes
         val ext = stripOuterParens(c("EXTEND")).trim.toInt
         df = TimeOps.stateWindowsExtend(df, st, col(tsCol),
           partCols.map(col), ext)
       } else if (c.contains("ZEROTH_STATE")) {
-        // ZEROTH_STATE(v) (sql.y:2905): baseline-state windows drop
-        val ztxt = stripOuterParens(c("ZEROTH_STATE")).trim
-        val z: Any =
-          if (ztxt.startsWith("'")) unquote(ztxt)
-          else if (ztxt.matches("-?\\d+")) ztxt.toLong
-          else ztxt.toDouble
-        df = TimeOps.stateWindowsZeroth(df, st, col(tsCol),
+        // ZEROTH_STATE(v[, v2 …]) (sql.y:2905): baseline-state windows
+        // drop; arity follows the state expression list
+        val zvals =
+          splitArgs(stripOuterParens(c("ZEROTH_STATE"))).map(_.trim)
+        require(zvals.length == stateTexts.length,
+          s"ZEROTH_STATE arity ${zvals.length} != state exprs " +
+            s"${stateTexts.length}")
+        def zlit(t: String): Column =
+          if (t.startsWith("'")) lit(unquote(t))
+          else if (t.matches("-?\\d+")) lit(t.toLong)
+          else lit(t.toDouble)
+        // cast the literal (tuple) onto the state's exact type —
+        // struct null-safe equality requires identical field types
+        val stType = df.select(st.as("_z")).schema.head.dataType
+        val z = (if (zvals.length == 1) zlit(zvals.head)
+          else struct(zvals.map(zlit): _*)).cast(stType)
+        df = TimeOps.stateWindowsZerothC(df, st, col(tsCol),
           partCols.map(col), z)
       } else
         df = TimeOps.stateWindows(df, st, col(tsCol), partCols.map(col))
@@ -1537,7 +1561,9 @@ object GraftSql {
         require(aggItems.nonEmpty,
           "grouped query needs at least one aggregate select item")
         val aggCols = aggItems.map { case (e, a) =>
-          expr(rewritten(e)).as(a) } ++
+          // a bare state expression is constant within its window
+          val e2 = if (stateTexts.contains(e.trim)) s"first($e)" else e
+          expr(rewritten(e2)).as(a) } ++
           havingAgg.map(h => expr(rewritten(h)).as("__having")).toSeq ++
           trueFor.map(p => expr(p).as("__truefor")).toSeq
         var g = df.groupBy(groupKeys.map(col): _*)

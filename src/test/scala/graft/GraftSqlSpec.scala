@@ -50,6 +50,41 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(all.count(_._4 >= 8) != all.length)
   }
 
+  test("multi-expression STATE_WINDOW windows on the tuple") {
+    import graft.ops.TimeOps
+    // tuple state + bare state columns in the select (docs 06-window)
+    val dialect = q("""SELECT user_id, _wstart, _wend, count(*) AS n,
+          event_type, value > 50 AS hi
+        FROM events PARTITION BY user_id
+        STATE_WINDOW(event_type, value > 50)
+        ORDER BY user_id, _wstart""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getBoolean(5)))
+    val e = resolve("events")
+    val st = struct(col("event_type"), col("value") > 50)
+    val direct = TimeOps.stateWindows(e, st, col("ts"),
+        Seq(col("user_id")))
+      .groupBy(col("user_id"), col("_wid"))
+      .agg(min(col("ts")).as("_wstart"), max(col("ts")).as("_wend"),
+        count(lit(1)).as("n"),
+        min_by(col("event_type"), col("ts")).as("event_type"),
+        min_by(col("value") > 50, col("ts")).as("hi"))
+      .orderBy(col("user_id"), col("_wstart")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5), r.getBoolean(6)))
+    assert(dialect.nonEmpty && dialect.toSeq == direct.toSeq)
+    // multi-arg ZEROTH_STATE drops the baseline tuple
+    val z = q("""SELECT user_id, count(*) AS n, event_type, hi
+        FROM (SELECT user_id, ts, event_type,
+                CAST(value > 50 AS INT) AS hi FROM events)
+        PARTITION BY user_id STATE_WINDOW(event_type, hi)
+        ZEROTH_STATE('click', 1)
+        ORDER BY user_id, n, event_type, hi LIMIT 50""").collect()
+    assert(z.nonEmpty)
+    assert(!z.exists(r =>
+      r.getString(2) == "click" && r.getInt(3) == 1))
+  }
+
   test("SEMI/ANTI join text, ON residuals, and hint stripping") {
     val e = resolve("events")
     // LEFT SEMI with residuals on both sides (20-join.md example shape)
