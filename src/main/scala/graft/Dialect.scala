@@ -259,6 +259,15 @@ object Dialect {
            STATE_WINDOW(event_type, CAST(value > 50 AS INT))
            ORDER BY user_id, _wstart_ms""")
     },
+    // calendar INTERVAL units (20-select.md v3.4.2): monthly buckets
+    // are calendar-aligned, not fixed 30-day spans
+    "dialect_interval_month" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _wstart DIV 1000 AS ws_ms,
+             _wend DIV 1000 AS we_ms, count(*) AS n
+           FROM events PARTITION BY user_id INTERVAL(1n)
+           ORDER BY user_id, ws_ms""")
+    },
     // INTERVAL + SLIDING (hopping windows) in SQL text
     "dialect_interval_sliding" -> { (s, dir) =>
       run(s, dir,
@@ -865,6 +874,13 @@ object Dialect {
     // the dialect windows are semantically identical to their
     // DataFrame-API twins — share the proven oracle text
     "dialect_interval_sliding" -> TimeSeries.oracleSql("interval_sliding"),
+    "dialect_interval_month" ->
+      """SELECT user_id,
+           epoch_us(date_trunc('month', ts)) // 1000 AS ws_ms,
+           epoch_us(date_trunc('month', ts) + INTERVAL 1 MONTH) // 1000
+             AS we_ms,
+           count(*) AS n
+         FROM events GROUP BY 1, 2, 3 ORDER BY user_id, ws_ms""",
     "dialect_interp_surround" ->
       TimeSeries.oracleSql("interp_near_surround"),
     "dialect_state_window" -> TimeSeries.oracleSql("state_window"),

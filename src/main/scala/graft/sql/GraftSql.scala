@@ -1430,7 +1430,45 @@ object GraftSql {
           (w, sL, eL)
       }
 
-    if (c.contains("INTERVAL")) {
+    val calRe = "(?i)^(\\d+)([nqy])$".r
+    if (c.contains("INTERVAL") &&
+        calRe.findFirstIn(
+          splitArgs(stripOuterParens(c("INTERVAL"))).head.trim)
+          .isDefined) {
+      // calendar INTERVAL units (20-select.md v3.4.2: n = months,
+      // q = quarters, y = years): buckets are CALENDAR-aligned, not
+      // fixed-duration — _wstart = the 1st 00:00 UTC of the bucket's
+      // opening month, computed from months-since-epoch DIV k. Only
+      // tumbling: SLIDING/offset over variable-length months have no
+      // fixed grid and fail loudly.
+      val args = splitArgs(stripOuterParens(c("INTERVAL"))).map(_.trim)
+      require(args.length == 1 && !c.contains("SLIDING"),
+        "calendar INTERVAL units support only the tumbling form " +
+          "(no SLIDING, no offset)")
+      val calRe(numTxt, unit) = args.head
+      val k = numTxt.toLong * (unit.toLowerCase match {
+        case "n" => 1L
+        case "q" => 3L
+        case _ => 12L
+      })
+      // ticks → seconds → calendar fields (UTC session); sub-second
+      // digits cannot move a month boundary for the positive epoch
+      val t = s"timestamp_seconds(($tsCol) DIV ${perSecond}L)"
+      val ms = s"((year($t) - 1970) * 12 + month($t) - 1)"
+      def bucketStart(b: String): String =
+        s"(unix_timestamp(make_timestamp(1970 + CAST(($b) / 12 AS INT)," +
+          s" CAST(($b) % 12 AS INT) + 1, 1, 0, 0, 0)) * ${perSecond}L)"
+      val bucket = s"($ms - ($ms % $k))"
+      df = df.withColumn("_wstart", expr(bucketStart(bucket)))
+      groupKeys = partCols :+ "_wstart"
+      // _wend/_wduration must derive from the GROUP KEY (_wstart), not
+      // raw row columns — re-read the bucket from the key
+      val tW = s"timestamp_seconds((_wstart) DIV ${perSecond}L)"
+      val msW = s"((year($tW) - 1970) * 12 + month($tW) - 1)"
+      val wend = bucketStart(s"($msW + $k)")
+      pseudo = qPseudo ++
+        Map("_wend" -> wend, "_wduration" -> s"($wend - _wstart)")
+    } else if (c.contains("INTERVAL")) {
       val args = splitArgs(stripOuterParens(c("INTERVAL"))).map(dur)
       val iv = args.head
       val off = if (args.length > 1) args(1) else 0L

@@ -50,6 +50,51 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(all.count(_._4 >= 8) != all.length)
   }
 
+  test("calendar INTERVAL units bucket on month boundaries") {
+    import spark.implicits._
+    // 14 monthly points: 2023-11-15 .. 2024-12-15 (UTC, µs ticks)
+    val pts = (0 until 14).map { i =>
+      val y = 2023 + (10 + i) / 12; val m = (10 + i) % 12 + 1
+      val ts = java.time.LocalDateTime.of(y, m, 15, 12, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      (i.toLong, ts)
+    }
+    val df = pts.toDF("event_id", "ts")
+    def buckets(sql: String): Seq[(Long, Long)] =
+      GraftSql.query(spark, _ => df, sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    // 1n: one bucket per calendar month, _wend = next month's 1st
+    val m1 = buckets("SELECT _wstart, count(*) AS n FROM t " +
+      "INTERVAL(1n) ORDER BY _wstart")
+    assert(m1.length == 14 && m1.forall(_._2 == 1))
+    val jan24 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    assert(m1.map(_._1).contains(jan24))
+    // 1q: quarter-aligned (2023-Q4 holds Nov+Dec here)
+    val q1 = buckets("SELECT _wstart, count(*) AS n FROM t " +
+      "INTERVAL(1q) ORDER BY _wstart")
+    val oct23 = java.time.LocalDateTime.of(2023, 10, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    assert(q1.head == (oct23, 2L)) // Nov 15 + Dec 15
+    assert(q1.map(_._2).sum == 14)
+    // 1y: calendar years 2023 (2 pts) / 2024 (12 pts)
+    val y1 = buckets("SELECT _wstart, count(*) AS n FROM t " +
+      "INTERVAL(1y) ORDER BY _wstart")
+    assert(y1.map(_._2).toSeq == Seq(2L, 12L))
+    // _wend is the NEXT calendar boundary, not start + fixed span
+    val we = GraftSql.query(spark, _ => df,
+      "SELECT _wstart, _wend FROM t INTERVAL(1n) ORDER BY _wstart")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val feb24 = java.time.LocalDateTime.of(2024, 2, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    assert(we.contains((jan24, feb24))) // January is 31 days
+    // SLIDING over calendar units has no fixed grid -> loud
+    intercept[IllegalArgumentException] {
+      GraftSql.query(spark, _ => df,
+        "SELECT _wstart, count(*) AS n FROM t INTERVAL(1n) SLIDING(10d)")
+    }
+  }
+
   test("multi-expression STATE_WINDOW windows on the tuple") {
     import graft.ops.TimeOps
     // tuple state + bare state columns in the select (docs 06-window)
