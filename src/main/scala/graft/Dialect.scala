@@ -259,6 +259,18 @@ object Dialect {
            STATE_WINDOW(event_type, CAST(value > 50 AS INT))
            ORDER BY user_id, _wstart_ms""")
     },
+    // EXTERNAL_WINDOW ( (subquery) w ) (sql.y:2895-2900): window set
+    // from a subquery — here the 12h buckets where user 7 was active,
+    // aggregating ALL rows that fall inside them
+    "dialect_external_window" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart DIV 1000 AS ws_ms, _wend DIV 1000 AS we_ms,
+             count(*) AS n
+           FROM events EXTERNAL_WINDOW (
+             (SELECT _wstart, _wend FROM events WHERE user_id = 7
+              INTERVAL(12h)) w )
+           ORDER BY ws_ms""")
+    },
     // calendar INTERVAL units (20-select.md v3.4.2): monthly buckets
     // are calendar-aligned, not fixed 30-day spans
     "dialect_interval_month" -> { (s, dir) =>
@@ -874,6 +886,16 @@ object Dialect {
     // the dialect windows are semantically identical to their
     // DataFrame-API twins — share the proven oracle text
     "dialect_interval_sliding" -> TimeSeries.oracleSql("interval_sliding"),
+    "dialect_external_window" ->
+      """WITH w AS (SELECT DISTINCT
+             epoch_us(ts) - epoch_us(ts) % 43200000000 AS ws
+           FROM events WHERE user_id = 7)
+         SELECT ws // 1000 AS ws_ms,
+           (ws + 43200000000) // 1000 AS we_ms, count(*) AS n
+         FROM events e JOIN w
+           ON epoch_us(e.ts) >= ws
+          AND epoch_us(e.ts) < ws + 43200000000
+         GROUP BY 1, 2 ORDER BY ws_ms""",
     "dialect_interval_month" ->
       """SELECT user_id,
            epoch_us(date_trunc('month', ts)) // 1000 AS ws_ms,

@@ -110,7 +110,8 @@ object GraftSql {
 
   private val clauseKws = Seq("SELECT", "FROM", "WHERE", "PARTITION BY",
     "INTERVAL", "SLIDING", "SESSION", "STATE_WINDOW", "COUNT_WINDOW",
-    "EVENT_WINDOW", "ANOMALY_WINDOW", "EXTEND", "ZEROTH_STATE",
+    "EVENT_WINDOW", "ANOMALY_WINDOW", "EXTERNAL_WINDOW",
+    "EXTEND", "ZEROTH_STATE",
     "TRUE_FOR", "RANGE", "EVERY", "FILL", "SURROUND",
     "GROUP BY", "HAVING", "ORDER BY", "SLIMIT", "SOFFSET", "LIMIT",
     "OFFSET")
@@ -1525,6 +1526,39 @@ object GraftSql {
         df = TimeOps.stateWindows(df, st, col(tsCol), partCols.map(col))
       groupKeys = partCols :+ "_wid"
       pseudo = qPseudo ++ Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
+    } else if (c.contains("EXTERNAL_WINDOW")) {
+      // EXTERNAL_WINDOW ( (subquery) alias ) (sql.y:2895-2900,
+      // externalwindowoperator.c): the window set comes from a
+      // subquery yielding _wstart/_wend; rows join into the half-open
+      // [start, end) span (broadcast — a window list is small next to
+      // the fact table). Windows may overlap, so the window identity
+      // is BOTH bounds.
+      val body = stripOuterParens(c("EXTERNAL_WINDOW")).trim
+      require(body.startsWith("("),
+        s"EXTERNAL_WINDOW needs ( (subquery) alias ): $body")
+      var depth = 0; var inStr = false; var close = -1; var i = 0
+      while (close < 0 && i < body.length) {
+        val ch = body(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(close > 0, s"unbalanced EXTERNAL_WINDOW subquery: $body")
+      val sub = body.substring(1, close).trim
+      val wins = query(spark, resolve, sub, tsCol, perSecond)
+      require(wins.columns.contains("_wstart") &&
+        wins.columns.contains("_wend"),
+        "the EXTERNAL_WINDOW subquery must yield _wstart and _wend")
+      df = TimeOps.externalWindows(df,
+        wins.select(col("_wstart"), col("_wend")).dropDuplicates(),
+        col(tsCol))
+      groupKeys = partCols ++ Seq("_wstart", "_wend")
+      pseudo = qPseudo ++ Map("_wduration" -> "(_wend - _wstart)")
     } else if (c.contains("ANOMALY_WINDOW")) {
       // ANOMALY_WINDOW(col[, 'algo=zscore[,z=k]']) (sql.y:2887): the
       // z-score Detector; the algo literal may override the threshold
