@@ -171,6 +171,44 @@ object Pipeline {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     },
+    // ---- repetition metrics (Gopher-style boilerplate detection) ----
+    "text_repetition" -> { (s, dir) =>
+      TextOps.repetitionMetrics(docs(s, dir), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+    // ---- PII scrub: typed redaction + per-kind audit counts. The
+    // synthetic corpus carries no contact strings, so the gate
+    // constructs a deterministic one per doc (varying which kinds are
+    // present) and the oracle mirrors the construction — the regexes
+    // and the replace chain are what is under test ----
+    "text_pii_redact" -> { (s, dir) =>
+      val id = col("doc_id")
+      val email = concat(col("source"), lit(".u"), id.cast("string"),
+        lit("@example."),
+        when(id % 2 === 0, "org").otherwise("net"))
+      val phone = concat(lit("555-"),
+        lpad(((id * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((id * 13) % 10000).cast("string"), 4, "0"))
+      val ip = concat(lit("10.0."), (id % 256).cast("string"), lit("."),
+        (id % 254 + 1).cast("string"))
+      val d = docs(s, dir).select(id,
+        concat_ws(" ", lit("contact:"),
+          when(id % 3 =!= 1, email),
+          when(id % 3 =!= 2, phone),
+          when(id % 2 === 0, ip)).as("contact"))
+      d.select(Seq(id) ++ TextOps.piiCounts(col("contact")) :+
+          TextOps.redactPii(col("contact")).as("redacted"): _*)
+        .orderBy(id)
+    },
+    // ---- vocabulary construction: global word frequencies, top 50.
+    // Partial-agg'd groupBy then a 50-row ordered take — the classic
+    // tokenizer-training prep pass ----
+    "vocab_topk" -> { (s, dir) =>
+      docs(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(50)
+    },
     // ---- end-to-end corpus cleaning: langid -> quality -> exact
     //      dedup -> near-dup removal; emits the surviving doc ids ----
     "pipeline_clean_corpus" -> { (s, dir) =>
@@ -206,6 +244,26 @@ object Pipeline {
           defaultRate = 0.1)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    },
+    // ---- exact-count data mix: rank-based per-stratum draw hitting
+    // the mixture spec exactly (counts, not rates) ----
+    "mix_exact" -> { (s, dir) =>
+      graft.ops.SampleOps.exactMix(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 0.2, "src1" -> 0.1, "src2" -> 0.05),
+          defaultProp = 0.025, frac = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    // ---- sequence packing: next-fit into 256-token bins per source;
+    // the gate emits the per-bin profile ----
+    "pack_sequences" -> { (s, dir) =>
+      val toks = docs(s, dir).select(col("source"), col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("tok"))
+      graft.ops.PackOps
+        .nextFitPack(toks, "source", "doc_id", col("tok"), 256)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
+        .orderBy(col("source"), col("bin"))
     },
     // ---- multimodal: frame sampling (every 10th frame per video) ----
     "multimodal_frames" -> { (s, dir) =>
@@ -318,6 +376,42 @@ object Pipeline {
                        WHEN 'src2' THEN '40000000'
                        ELSE '1999999a' END
          ORDER BY doc_id""",
+    // same rank rule: k_s = min(round(0.5 * N * p_s), N_s), rows ranked
+    // by (md5 hash, id) within each stratum
+    "mix_exact" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents
+            GROUP BY 1),
+          t AS (SELECT source, cnt, sum(cnt) OVER () AS tot FROM c),
+          k AS (SELECT source, least(CAST(round(0.5 * tot *
+              (CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.1
+                           WHEN 'src2' THEN 0.05 ELSE 0.025 END))
+              AS BIGINT), cnt) AS k FROM t),
+          r AS (SELECT doc_id, source, row_number() OVER (
+              PARTITION BY source ORDER BY
+                substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8),
+                doc_id) AS rn
+            FROM documents)
+          SELECT r.doc_id, r.source FROM r JOIN k USING (source)
+          WHERE rn <= k ORDER BY doc_id""",
+    // next-fit packing replayed as a linear recursion per source (the
+    // oracle corpus is small; the engine side is a streaming scan)
+    "pack_sequences" ->
+      s"""WITH RECURSIVE d AS (SELECT source, doc_id,
+            len(string_split($norm, ' ')) AS tok,
+            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents),
+          p AS (
+            SELECT source, doc_id, tok, rn,
+              CAST(0 AS BIGINT) AS bin, tok AS cum
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.source, d.doc_id, d.tok, d.rn,
+              CASE WHEN p.cum + d.tok > 256 THEN p.bin + 1 ELSE p.bin END,
+              CASE WHEN p.cum + d.tok > 256 THEN d.tok
+                   ELSE p.cum + d.tok END
+            FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+          SELECT source, bin, count(*) AS n_docs, sum(tok) AS n_toks
+          FROM p GROUP BY 1, 2 ORDER BY source, bin""",
     // ANN contract-by-recall: 5 query vectors × top-10 = 50 exact pairs,
     // and the LSH index must recover >= 70% of them
     "sim_lsh_recall" ->
@@ -432,6 +526,66 @@ object Pipeline {
           FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
+    // word-stream Gopher rules: top-1 2-gram by (count desc, gram asc),
+    // duplicated-3-gram char coverage, repeated-word fraction
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w,
+            length($norm) AS nc FROM documents),
+          g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+            FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+          c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+          t2 AS (SELECT doc_id, c * length(g) AS chars,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY c DESC, g ASC) AS rn FROM c2),
+          g3 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+            FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM t)),
+          c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+          d3 AS (SELECT doc_id, sum(c * length(g)) AS chars
+            FROM c3 WHERE c > 1 GROUP BY 1)
+          SELECT t.doc_id, len(w) AS n_words,
+            round(1.0 - len(list_distinct(w)) * 1.0 /
+              greatest(len(w), 1), 6) AS dup_word_frac,
+            round(coalesce(p.chars, 0) * 1.0 /
+              greatest(nc, 1), 6) AS top2gram_frac,
+            round(coalesce(d3.chars, 0) * 1.0 /
+              greatest(nc, 1), 6) AS dup3gram_frac
+          FROM t
+          LEFT JOIN (SELECT doc_id, chars FROM t2 WHERE rn = 1) p
+            USING (doc_id)
+          LEFT JOIN d3 USING (doc_id)
+          ORDER BY doc_id""",
+    // the same contact construction + the same three regexes; DuckDB
+    // needs the explicit 'g' flag for replace-all
+    "text_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH c AS (SELECT doc_id, concat_ws(' ', 'contact:',
+            CASE WHEN doc_id % 3 <> 1 THEN source || '.u' ||
+              CAST(doc_id AS VARCHAR) || '@example.' ||
+              (CASE WHEN doc_id % 2 = 0 THEN 'org' ELSE 'net' END) END,
+            CASE WHEN doc_id % 3 <> 2 THEN '555-' ||
+              lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+              lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0') END,
+            CASE WHEN doc_id % 2 = 0 THEN '10.0.' ||
+              CAST(doc_id % 256 AS VARCHAR) || '.' ||
+              CAST(doc_id % 254 + 1 AS VARCHAR) END) AS contact
+          FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(contact, '$email')) AS n_email,
+            len(regexp_extract_all(contact, '$phone')) AS n_phone,
+            len(regexp_extract_all(contact, '$ip')) AS n_ip,
+            regexp_replace(regexp_replace(regexp_replace(contact,
+              '$email', '<EMAIL>', 'g'),
+              '$phone', '<PHONE>', 'g'),
+              '$ip', '<IP>', 'g') AS redacted
+          FROM c ORDER BY doc_id"""
+    },
+    "vocab_topk" ->
+      s"""WITH w AS (SELECT unnest(string_split($norm, ' ')) AS word
+            FROM documents)
+          SELECT word, count(*) AS cnt FROM w
+          GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""",
     // same md5-derived 48 bits as TextOps.simhash: nibble 12 - b/4 of the
     // hex digest holds bit b, extracted arithmetically (no engine-specific
     // bit ops), so DuckDB reproduces the fingerprint exactly

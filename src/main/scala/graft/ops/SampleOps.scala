@@ -44,4 +44,41 @@ object SampleOps {
     }
     df.filter(hashHex(col(idCol), salt) < th)
   }
+
+  /** Exact-size deterministic mixture: per stratum keep the
+    * `k_s = min(round(frac * N_total * p_s), N_s)` rows with the
+    * smallest portable hash, where `p_s` are the target mixture
+    * weights. Rank-based rather than threshold-based, so the drawn
+    * counts hit the data-mix spec EXACTLY (a threshold sample only
+    * gets the rate right in expectation — a mix spec is a contract on
+    * counts). Reproducible in (salt, id) on any cluster size.
+    *
+    * Shape: two tiny aggregates for the stratum counts (broadcast
+    * back), then one per-stratum window rank. The rank shuffle is
+    * keyed by the stratum — at 100 TB with few huge strata, shard the
+    * stratum column first and split k across shards, or refine a hash
+    * threshold from an approx quantile instead of ranking. */
+  def exactMix(df: DataFrame, idCol: String, strataCol: String,
+      proportions: Map[String, Double], defaultProp: Double = 0.0,
+      frac: Double = 1.0, salt: String = "graft"): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac out of [0,1]: $frac")
+    val p = proportions.toSeq.sortBy(_._1).foldLeft(lit(defaultProp)) {
+      case (acc, (s, w)) => when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    val perStratum = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_cnt"))
+    val counts = perStratum
+      .crossJoin(broadcast(perStratum.agg(sum(col("_cnt")).as("_tot"))))
+      .select(col(strataCol),
+        least(round(lit(frac) * col("_tot") * p).cast("long"),
+          col("_cnt")).as("_k"))
+    val ranked = df.withColumn("_rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(strataCol))
+          .orderBy(hashHex(col(idCol), salt), col(idCol))))
+    ranked.join(broadcast(counts), strataCol)
+      .filter(col("_rn") <= col("_k"))
+      .drop("_rn", "_k")
+  }
 }

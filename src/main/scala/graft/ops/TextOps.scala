@@ -32,6 +32,98 @@ object TextOps {
       zip_with(acc, part(j), (a, b) => concat(a, lit(" "), b))))
   }
 
+  /** Word n-grams WITH duplicates (same slice/zip_with builder as
+    * [[shingles]] minus the distinct) — repetition metrics need the
+    * multiplicity. Empty when the document has < n words. */
+  def ngrams(text: Column, n: Int): Column =
+    ngramsFromWords(words(text), n)
+
+  // ---------------------------------------------------------------------
+  // Repetition metrics (the Gopher-style quality rules, Rae et al. 2021
+  // §A1.1, restated over the word stream since the corpus has no line
+  // structure): fraction of repeated words, fraction of characters in
+  // the single most frequent 2-gram, and fraction of characters covered
+  // by duplicated 3-grams. High values flag boilerplate/spam documents
+  // a training pipeline should drop.
+  // ---------------------------------------------------------------------
+
+  /** Per-document repetition metrics over `text`. Returns
+    * (idCol, n_words, dup_word_frac, top2gram_frac, dup3gram_frac).
+    *
+    * Shape at scale: the word-level fraction is map-side; the n-gram
+    * frequency tables are per-(doc, gram) partial-agg'd groupBys keyed
+    * by the doc id — linear in corpus size, map-side combined, no
+    * skew (the key carries the doc id). The top-1 2-gram is a single
+    * `min(struct(-cnt, gram))` agg — no window, one shuffle per n. */
+  def repetitionMetrics(df: DataFrame, idCol: String,
+      text: Column): DataFrame = {
+    val id = col(idCol)
+    val base = df.select(id, text.as("_t"))
+      .select(id, words(col("_t")).as("_w"),
+        length(normalize(col("_t"))).cast("double").as("_nc"))
+      .select(id, col("_nc"),
+        size(col("_w")).cast("long").as("n_words"),
+        size(array_distinct(col("_w"))).cast("double").as("_ndw"),
+        ngrams2(col("_w")).as("_g2"), ngrams3(col("_w")).as("_g3"))
+    val g2 = base.select(id, explode(col("_g2")).as("_g"))
+      .groupBy(id, col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(id).agg(min(struct((-col("_c")).as("nc"),
+        col("_g").as("g"))).as("_top"))
+      .select(id, ((-col("_top.nc")) * length(col("_top.g")))
+        .cast("double").as("_top2_chars"))
+    val g3 = base.select(id, explode(col("_g3")).as("_g"))
+      .groupBy(id, col("_g")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+      .groupBy(id).agg(sum(col("_c") * length(col("_g")))
+        .cast("double").as("_dup3_chars"))
+    base.join(g2, Seq(idCol), "left").join(g3, Seq(idCol), "left")
+      .select(id, col("n_words"),
+        round(lit(1.0) - col("_ndw") /
+          greatest(col("n_words").cast("double"), lit(1.0)), 6)
+          .as("dup_word_frac"),
+        round(coalesce(col("_top2_chars"), lit(0.0)) /
+          greatest(col("_nc"), lit(1.0)), 6).as("top2gram_frac"),
+        round(coalesce(col("_dup3_chars"), lit(0.0)) /
+          greatest(col("_nc"), lit(1.0)), 6).as("dup3gram_frac"))
+  }
+
+  /** n-gram builders over an already-materialized word array (keeps the
+    * split from re-running once per slice). */
+  private def ngramsFromWords(w: Column, n: Int): Column = {
+    val len = greatest(size(w) - lit(n - 1), lit(0))
+    def part(j: Int) = slice(w, lit(j + 1), len)
+    (1 until n).foldLeft(part(0))((acc, j) =>
+      zip_with(acc, part(j), (a, b) => concat(a, lit(" "), b)))
+  }
+  private def ngrams2(w: Column): Column = ngramsFromWords(w, 2)
+  private def ngrams3(w: Column): Column = ngramsFromWords(w, 3)
+
+  // ---------------------------------------------------------------------
+  // PII redaction: the scrub pass a corpus runs before training. Plain
+  // regexp_replace chains — codegen'd, shuffle-free; counts are taken on
+  // the ORIGINAL text so the audit trail survives the scrub.
+  // ---------------------------------------------------------------------
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Replace emails, then phone numbers, then IPv4 literals with typed
+    * placeholder tags. Email runs first: its pattern is a superset
+    * context for dotted tokens, and the later passes never match inside
+    * an already-emitted tag (tags carry no digits). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-kind match counts on the un-redacted text. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).cast(LongType).as("n_email"),
+    regexp_count(text, lit(PhoneRe)).cast(LongType).as("n_phone"),
+    regexp_count(text, lit(Ipv4Re)).cast(LongType).as("n_ip"))
+
   // ---------------------------------------------------------------------
   // Language ID: tiny per-language lexicons of high-frequency function
   // words (the classic cheap n-gram/stopword heuristic). Deterministic:

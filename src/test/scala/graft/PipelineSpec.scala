@@ -243,4 +243,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count() == docs.count()) // case-folded copies collapse
     assert(out.agg(sum("n_copies")).head.getLong(0) == 2 * docs.count())
   }
+
+  test("repetition metrics: hand-computed document") {
+    import spark.implicits._
+    // words: a b a b c  -> 5 words, 3 distinct; 2-grams: "a b"x2,
+    // "b a", "b c"; 3-grams all unique -> dup3 = 0
+    // normalized chars = 9; top 2-gram "a b" covers 2*3=6 chars
+    val d = Seq((1L, "a b a b c"), (2L, "x x x x")).toDF("doc_id", "text")
+    val m = TextOps.repetitionMetrics(d, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    assert(m(0).getLong(1) == 5)
+    assert(math.abs(m(0).getDouble(2) - (1.0 - 3.0 / 5)) < 1e-6)
+    assert(math.abs(m(0).getDouble(3) - 6.0 / 9) < 1e-6)
+    assert(m(0).getDouble(4) == 0.0)
+    // "x x x x": 2-gram "x x"x3 covers 9/7 (>1 by construction: the
+    // occurrences overlap, Gopher counts each occurrence's chars);
+    // 3-gram "x x x"x2 -> 10/7
+    assert(math.abs(m(1).getDouble(3) - 9.0 / 7) < 1e-6)
+    assert(math.abs(m(1).getDouble(4) - 10.0 / 7) < 1e-6)
+  }
+
+  test("next-fit packing: budget boundary, oversized doc, group reset") {
+    import spark.implicits._
+    // budget 200: (100,100) fill bin 0 exactly (cum+tok > b is strict);
+    // 60 overflows to bin 1; the 500-token doc takes bin 2 alone; the
+    // next doc then overflows again; a new group resets to bin 0
+    val d = Seq(("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 60L),
+      ("a", 4L, 500L), ("a", 5L, 10L), ("b", 9L, 50L))
+      .toDF("g", "id", "tok")
+    val out = graft.ops.PackOps
+      .nextFitPack(d, "g", "id", col("tok"), 200)
+      .orderBy("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(out == Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("a", 4L, 2L), ("a", 5L, 3L), ("b", 9L, 0L)))
+  }
+
+  test("exact mix draws the spec'd counts exactly, deterministically") {
+    val props = Map("src0" -> 0.2, "src1" -> 0.1, "src2" -> 0.05)
+    val frac = 0.5
+    val nBySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTot = nBySrc.values.sum
+    def expectK(s: String): Long = math.min(
+      math.round(frac * nTot * props.getOrElse(s, 0.025)), nBySrc(s))
+    val out = graft.ops.SampleOps.exactMix(docs, "doc_id", "source",
+      props, defaultProp = 0.025, frac = frac)
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    nBySrc.keys.foreach { s =>
+      assert(got.getOrElse(s, 0L) == expectK(s),
+        s"stratum $s: got ${got.getOrElse(s, 0L)}, want ${expectK(s)}")
+    }
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.ops.SampleOps.exactMix(docs, "doc_id", "source",
+        props, defaultProp = 0.025, frac = frac)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "exact mix must be deterministic")
+  }
+
+  test("pii redaction replaces every kind and counts on the original") {
+    import spark.implicits._
+    val d = Seq((1L,
+      "mail a.b@x.org or b@y.io, call 555-123-4567, host 10.0.0.1 end"))
+      .toDF("id", "t")
+    val out = d.select(
+        Seq(col("id")) ++ TextOps.piiCounts(col("t")) :+
+          TextOps.redactPii(col("t")).as("r"): _*).head
+    assert(out.getLong(1) == 2 && out.getLong(2) == 1 && out.getLong(3) == 1)
+    assert(out.getString(4) ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP> end")
+  }
 }
