@@ -657,6 +657,22 @@ object Dialect {
              md5(c_name) AS h
            FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""")
     },
+    // hash scalars (builtins.c:6149 crc32, :7723-7786 sha family)
+    "dialect_scalar_hash" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT c_custkey, crc32(c_name) AS crc, sha1(c_name) AS s1,
+             sha(c_name) AS s0, sha2(c_name, 256) AS s2, md5(c_name) AS h
+           FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey""")
+    },
+    // system-info scalars (builtins.c FUNC_MGT_SYSTEM_INFO_FUNC)
+    "dialect_sysinfo" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT r_regionkey, server_version() AS sv,
+             client_version() AS cv, current_user() AS cu,
+             user() AS usr, database() AS db,
+             first_day_of_week() AS fdow
+           FROM region ORDER BY r_regionkey""")
+    },
     // row-producing selection functions in the text form: the rest of
     // the select list projects the kept rows (topbotoperator;
     // builtins.c:4431 tail, :4471 unique)
@@ -1207,6 +1223,12 @@ object Dialect {
            CAST(sign(c_custkey - 250) AS BIGINT) AS sgi,
            md5(c_name) AS h
          FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "dialect_scalar_hash" -> graft.PinnedOracles.scalarHash,
+    "dialect_sysinfo" ->
+      """SELECT r_regionkey, '3.3.6.0' AS sv, '3.3.6.0' AS cv,
+           'root' AS cu, 'root' AS usr, 'default' AS db,
+           CAST(0 AS BIGINT) AS fdow
+         FROM region ORDER BY r_regionkey""",
     "dialect_top" ->
       """WITH r AS (SELECT epoch_us(ts) AS ts, user_id, event_id, value,
            row_number() OVER (PARTITION BY user_id

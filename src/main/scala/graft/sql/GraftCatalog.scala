@@ -1572,7 +1572,12 @@ class GraftCatalog(val spark: SparkSession) {
     val stmt = normalizeWs(stmt0).trim.stripSuffix(";").trim
     val up = stmt.toUpperCase
     if (up.startsWith("SELECT"))
-      GraftSql.query(spark, table, stmt, perSecond = perSecond)
+      // database() reflects this session's USE state; substitute before
+      // the dialect's static 'default' fallback can see it
+      GraftSql.query(spark, table,
+        stmt.replaceAll("(?i)(?<![A-Za-z0-9_])database\\s*\\(\\s*\\)",
+          s"'$currentDb'"),
+        perSecond = perSecond)
     else if (up.startsWith("EXPLAIN ")) {
       // EXPLAIN <select> (sql.y:1738): the physical plan, one row per
       // line — Spark's plan is the honest answer here

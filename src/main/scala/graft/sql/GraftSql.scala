@@ -518,6 +518,30 @@ object GraftSql {
       s"base64(CAST((${splitArgs(a).head}) AS BINARY))")
     r = rewriteCall(r, "from_base64", a =>
       s"CAST(unbase64(${splitArgs(a).head}) AS STRING)")
+    // crc32 (builtins.c:6149; sclfunc.c:2338 — the standard zlib
+    // polynomial with ~0 init/final, which is exactly what Spark's
+    // crc32 computes; the reference's UINT32 widens to BIGINT here)
+    r = rewriteCall(r, "crc32", a =>
+      s"crc32(CAST((${splitArgs(a).head}) AS BINARY))")
+    // sha / sha1 → hex SHA-1; sha2(expr, bits) (builtins.c:7723-7786)
+    r = rewriteCall(r, "sha2", a => { val p = splitArgs(a)
+      s"sha2(CAST((${p(0)}) AS BINARY), CAST(${p(1)} AS INT))" })
+    r = rewriteCall(r, "sha1", a =>
+      s"sha1(CAST((${splitArgs(a).head}) AS BINARY))")
+    r = rewriteCall(r, "sha", a =>
+      s"sha1(CAST((${splitArgs(a).head}) AS BINARY))")
+    // session/system info (builtins.c FUNC_MGT_SYSTEM_INFO_FUNC family).
+    // first_day_of_week() reports the session config; the engine pins
+    // the reference default 0 = Sunday (tglobal.c:409 tsFirstDayOfWeek).
+    r = rewriteCall(r, "first_day_of_week", _ => "CAST(0 AS BIGINT)")
+    r = rewriteCall(r, "server_version", _ => "'3.3.6.0'")
+    r = rewriteCall(r, "client_version", _ => "'3.3.6.0'")
+    r = rewriteCall(r, "current_user", _ => "'root'")
+    r = rewriteCall(r, "user", _ => "'root'")
+    // database(): the catalog front end substitutes its current db
+    // before delegating (GraftCatalog.sql); the bare dialect runs with
+    // no USE state, where the reference returns the unset default
+    r = rewriteCall(r, "database", _ => "'default'")
     r
   }
 

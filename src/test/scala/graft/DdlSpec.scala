@@ -491,4 +491,16 @@ class DdlSpec extends AnyFunSuite {
       "VALUES ('2024-01-01 00:00:00', 1.0)")
     assert(cat.table("c").head.getAs[Long]("ts") == 1704067200000000000L)
   }
+
+  test("database() tracks the catalog's USE state") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE mixdb")
+    cat.exec("CREATE TABLE t1 (ts TIMESTAMP, v DOUBLE)")
+    cat.exec("INSERT INTO t1 VALUES (1000, 1.5)")
+    assert(cat.sql("SELECT database() AS db FROM t1")
+      .head.getString(0) == "mixdb")
+    cat.exec("CREATE DATABASE otherdb")
+    assert(cat.sql("SELECT database() AS db FROM t1")
+      .head.getString(0) == "otherdb")
+  }
 }

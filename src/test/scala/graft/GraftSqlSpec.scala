@@ -608,4 +608,12 @@ class GraftSqlSpec extends AnyFunSuite {
       GROUP BY user_id ORDER BY user_id""")
     assert(grouped.columns.toSeq == Seq("user_id", "n"))
   }
+
+  test("rand() passes through and draws uniform in [0, 1)") {
+    val r = q("SELECT rand() AS r FROM customer WHERE c_custkey <= 50")
+      .collect().map(_.getDouble(0))
+    assert(r.length == 51)
+    assert(r.forall(x => x >= 0.0 && x < 1.0))
+    assert(r.distinct.length > 1, "rand() must vary per row")
+  }
 }
