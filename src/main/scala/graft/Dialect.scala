@@ -657,6 +657,41 @@ object Dialect {
              md5(c_name) AS h
            FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""")
     },
+    // multi-column FILL: one VALUE literal per aggregate column
+    // (sql.y fill_mode; tfill.c fills every result column)
+    "dialect_fill_multi" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT _wstart, max(value) AS mx, min(value) AS mn
+            FROM events WHERE ts >= $T0 AND ts < ${T0 + 31 * D}
+              AND user_id = 3 AND event_type = 'purchase' AND value > 90
+            INTERVAL(1d) FILL(VALUE, 1.5, 2.5)
+            ORDER BY _wstart""")
+    },
+    // FILL with no WHERE ts-range: the fill span defaults to the
+    // result's own first..last window (fillGetWindowRange)
+    "dialect_fill_norange" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart, max(value) AS mx FROM events
+           WHERE user_id = 3 AND event_type = 'purchase' AND value > 90
+           INTERVAL(1d) FILL(PREV) ORDER BY _wstart""")
+    },
+    // multi-column INTERP: every interp(col) resamples at the same grid
+    "dialect_interp_multi" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT user_id, _irowts, interp(value) AS v1,
+              interp(event_id) AS v2
+            FROM events PARTITION BY user_id
+            RANGE($T0, $TEND) EVERY(12h) FILL(LINEAR)""")
+        .select(col("user_id"), expr("_irowts DIV 1000").as("_irowts_ms"),
+          round(col("v1"), 6).as("v1"), round(col("v2"), 6).as("v2"))
+        .orderBy(col("user_id"), col("_irowts_ms"))
+    },
+    // ORDER BY may name an aggregate expression verbatim after GROUP BY
+    "dialect_order_agg" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+           ORDER BY count(*) DESC, user_id LIMIT 5""")
+    },
     // hash scalars (builtins.c:6149 crc32, :7723-7786 sha family)
     "dialect_scalar_hash" -> { (s, dir) =>
       run(s, dir,
@@ -1223,6 +1258,73 @@ object Dialect {
            CAST(sign(c_custkey - 250) AS BIGINT) AS sgi,
            md5(c_name) AS h
          FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    "dialect_fill_multi" ->
+      s"""WITH agg AS (SELECT epoch_us(ts) - epoch_us(ts) % $D AS ws,
+            max(value) AS mx, min(value) AS mn
+          FROM events
+          WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < ${T0 + 31 * D}
+            AND user_id = 3 AND event_type = 'purchase' AND value > 90
+          GROUP BY 1),
+        spine AS (SELECT unnest(range($T0, ${T0 + 31 * D}, $D)) AS ws)
+        SELECT s.ws AS _wstart, coalesce(a.mx, 1.5) AS mx,
+          coalesce(a.mn, 2.5) AS mn, a.ws IS NULL AS _isfilled
+        FROM spine s LEFT JOIN agg a ON s.ws = a.ws
+        ORDER BY _wstart""",
+    "dialect_fill_norange" ->
+      s"""WITH agg AS (SELECT epoch_us(ts) - epoch_us(ts) % $D AS ws,
+            max(value) AS mx
+          FROM events
+          WHERE user_id = 3 AND event_type = 'purchase' AND value > 90
+          GROUP BY 1),
+        ext AS (SELECT min(ws) AS lo, max(ws) AS hi FROM agg),
+        spine AS (SELECT unnest(range((SELECT lo FROM ext),
+          (SELECT hi FROM ext) + $D, $D)) AS ws),
+        j AS (SELECT s.ws, a.mx, a.ws IS NULL AS f
+          FROM spine s LEFT JOIN agg a ON s.ws = a.ws)
+        SELECT ws AS _wstart,
+          last_value(mx IGNORE NULLS) OVER (ORDER BY ws
+            ROWS UNBOUNDED PRECEDING) AS mx,
+          f AS _isfilled
+        FROM j ORDER BY _wstart""",
+    "dialect_interp_multi" ->
+      s"""WITH data AS (SELECT user_id, epoch_us(ts) AS t,
+            CAST(value AS DOUBLE) AS v1, CAST(event_id AS DOUBLE) AS v2,
+            false AS g FROM events),
+          grid AS (SELECT u.user_id, gs.t, NULL::DOUBLE AS v1,
+            NULL::DOUBLE AS v2, true AS g
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(range($T0, ${TEND + 1},
+              ${12 * H})) AS t) gs),
+          unioned AS (SELECT * FROM data UNION ALL SELECT * FROM grid),
+          marked AS (SELECT user_id, t, g,
+            last_value(CASE WHEN NOT g AND v1 IS NOT NULL
+              THEN struct_pack(t := t, v := v1) END IGNORE NULLS)
+              OVER wprev AS p1,
+            first_value(CASE WHEN NOT g AND v1 IS NOT NULL
+              THEN struct_pack(t := t, v := v1) END IGNORE NULLS)
+              OVER wnext AS n1,
+            last_value(CASE WHEN NOT g AND v2 IS NOT NULL
+              THEN struct_pack(t := t, v := v2) END IGNORE NULLS)
+              OVER wprev AS p2,
+            first_value(CASE WHEN NOT g AND v2 IS NOT NULL
+              THEN struct_pack(t := t, v := v2) END IGNORE NULLS)
+              OVER wnext AS n2
+            FROM unioned
+            WINDOW wprev AS (PARTITION BY user_id ORDER BY t, g
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            wnext AS (PARTITION BY user_id ORDER BY t, g
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+          SELECT user_id, t // 1000 AS _irowts_ms,
+            round(CASE WHEN p1 IS NOT NULL AND p1.t = t THEN p1.v
+              ELSE p1.v + (n1.v - p1.v) * CAST(t - p1.t AS DOUBLE)
+                / CAST(n1.t - p1.t AS DOUBLE) END, 6) AS v1,
+            round(CASE WHEN p2 IS NOT NULL AND p2.t = t THEN p2.v
+              ELSE p2.v + (n2.v - p2.v) * CAST(t - p2.t AS DOUBLE)
+                / CAST(n2.t - p2.t AS DOUBLE) END, 6) AS v2
+          FROM marked WHERE g ORDER BY user_id, _irowts_ms""",
+    "dialect_order_agg" ->
+      """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+         ORDER BY count(*) DESC, user_id LIMIT 5""",
     "dialect_scalar_hash" -> graft.PinnedOracles.scalarHash,
     "dialect_sysinfo" ->
       """SELECT r_regionkey, '3.3.6.0' AS sv, '3.3.6.0' AS cv,

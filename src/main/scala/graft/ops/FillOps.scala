@@ -50,12 +50,25 @@ object FillOps {
     */
   def fillInterval(agg: DataFrame, wstartCol: String, valueCol: String,
       keys: Seq[String], intervalUs: Long, rangeStartUs: Long,
-      rangeEndUs: Long, mode: FillMode, offsetUs: Long = 0L): DataFrame = {
+      rangeEndUs: Long, mode: FillMode, offsetUs: Long = 0L): DataFrame =
+    fillIntervalMulti(agg, wstartCol, Seq(valueCol -> mode), keys,
+      intervalUs, rangeStartUs, rangeEndUs, offsetUs)
+
+  /** Multi-column form: FILL applies to EVERY aggregate output column
+    * (tfill.c fills each result column; FILL(VALUE, v1, v2, …) carries
+    * one literal per column). One spine join serves all columns;
+    * per-column fill transforms chain on the joined frame. */
+  def fillIntervalMulti(agg: DataFrame, wstartCol: String,
+      valueCols: Seq[(String, FillMode)], keys: Seq[String],
+      intervalUs: Long, rangeStartUs: Long, rangeEndUs: Long,
+      offsetUs: Long = 0L): DataFrame = {
+    require(valueCols.nonEmpty, "fill needs at least one value column")
+    val anyForced = valueCols.exists(vc => isForced(vc._2))
     val gridStart =
       rangeStartUs - Math.floorMod(rangeStartUs - offsetUs, intervalUs)
     val keyDf =
       if (keys.nonEmpty) agg.select(keys.map(col): _*).distinct()
-      else if (isForced(mode))
+      else if (anyForced)
         // forced fill emits the spine even over empty input
         agg.sparkSession.range(1).select(lit(1).as("_one"))
       else agg.limit(1).select(lit(1).as("_one"))
@@ -74,9 +87,22 @@ object FillOps {
     val w =
       if (keys.isEmpty) Window.orderBy(col(wstartCol))
       else Window.partitionBy(keys.map(col): _*).orderBy(col(wstartCol))
+    val filled = valueCols.foldLeft(joined) { case (d, (vc, mode)) =>
+      applyFill(d, wstartCol, vc, mode, w)
+    }
+    // FILL(NONE) on any column means "emit only real windows"
+    if (valueCols.exists(_._2 == FillNone))
+      filled.filter(!col("_isfilled"))
+    else filled
+  }
+
+  /** One column's fill transform over the spine-joined frame. */
+  private def applyFill(joined: DataFrame, wstartCol: String,
+      valueCol: String, mode: FillMode,
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
     val v = col(valueCol)
-    val filled = mode match {
-      case FillNone => joined.filter(!col("_isfilled"))
+    mode match {
+      case FillNone => joined // row filtering happens once, in the caller
       case FillNull | FillNullF => joined
       case FillValue(x) =>
         joined.withColumn(valueCol, coalesce(v, lit(x)))
@@ -115,7 +141,6 @@ object FillOps {
                   (col(wstartCol) - pv.getField("_t")).cast("double") /
                   (nv.getField("_t") - pv.getField("_t")).cast("double")))
     }
-    filled
   }
 
   /** Last (or first-following) non-null (ts,value) struct — the carrier

@@ -959,6 +959,16 @@ object GraftSql {
     * the reference: ASC, and NULLS LAST for ASC / NULLS FIRST for
     * DESC — the same defaults Spark uses). */
   private def orderCols(o: String): Seq[Column] =
+    orderCols(o, Map.empty)
+
+  /** `aliases` maps a NORMALIZED select-item expression text to its
+    * output alias, so `ORDER BY count(*)` after GROUP BY resolves to
+    * the projected aggregate column instead of asking Spark to sort a
+    * projection by an aggregate it no longer contains. */
+  private def orderCols(o: String,
+      aliases: Map[String, String]): Seq[Column] = {
+    def resolved(e: String): Column =
+      aliases.get(normExprKey(e)).map(col).getOrElse(expr(e))
     splitArgs(o).map { s =>
       val m = ("(?i)^(.*?)(?:\\s+(ASC|DESC))?" +
         "(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$").r
@@ -967,14 +977,22 @@ object GraftSql {
           val desc = dir != null && dir.equalsIgnoreCase("DESC")
           Option(nulls).map(_.toUpperCase) match {
             case Some("FIRST") =>
-              if (desc) expr(e).desc_nulls_first else expr(e).asc_nulls_first
+              if (desc) resolved(e).desc_nulls_first
+              else resolved(e).asc_nulls_first
             case Some("LAST") =>
-              if (desc) expr(e).desc_nulls_last else expr(e).asc_nulls_last
-            case _ => if (desc) expr(e).desc else expr(e).asc
+              if (desc) resolved(e).desc_nulls_last
+              else resolved(e).asc_nulls_last
+            case _ => if (desc) resolved(e).desc else resolved(e).asc
           }
-        case e => expr(e).asc
+        case e => resolved(e).asc
       }
     }
+  }
+
+  /** Whitespace-and-case-insensitive key for matching an ORDER BY
+    * expression against a select item's expression text. */
+  private def normExprKey(e: String): String =
+    e.toLowerCase.replaceAll("\\s+", "")
 
   // ------------------------------------------------------------------ main
 
@@ -1281,13 +1299,17 @@ object GraftSql {
       }
     }
 
-    // ---- INTERP: SELECT interp(col) … RANGE(t0,t1) EVERY(step) FILL(m)
+    // ---- INTERP: SELECT interp(col)[, interp(col2) …] … RANGE(t0,t1)
+    // EVERY(step) FILL(m) — every interp column resamples at the same
+    // grid points (timesliceoperator.c fills all slice columns per row)
     if (c.contains("RANGE") && c.contains("EVERY")) {
       val interpPat = "(?i)^interp\\((\\w+)\\)$".r
-      val valueCol = selectItems.collectFirst {
+      val interpCols = selectItems.collect {
         case (interpPat(v), _) => v
-      }.getOrElse(throw new IllegalArgumentException(
-        "RANGE/EVERY needs an interp(col) select item"))
+      }.distinct
+      require(interpCols.nonEmpty,
+        "RANGE/EVERY needs an interp(col) select item")
+      val valueCol = interpCols.head
       val Seq(t0, t1) = splitArgs(stripOuterParens(c("RANGE"))).map(_.toLong)
       val step = dur(stripOuterParens(c("EVERY")))
       val mode = c.get("FILL").map(f =>
@@ -1318,9 +1340,23 @@ object GraftSql {
         step, t0, t1, mode,
         surroundUs = surround.map(_._1).getOrElse(0L),
         surroundVal = surround.flatMap(_._2))
-      // project to the select list: interp(col) → the filled value
+      // further interp columns resample independently and join back on
+      // the (keys, grid-point) identity — the grids are identical by
+      // construction, and each joined frame is grid-sized (range/step
+      // per key), not data-sized. _isfilled/_irowts_origin come from
+      // the first run: exact-hit-ness is a property of the row's ts,
+      // the same for every column.
+      interpCols.tail.foreach { vc =>
+        val extra = FillOps.interp(df, col(tsCol), vc, partCols,
+            step, t0, t1, mode,
+            surroundUs = surround.map(_._1).getOrElse(0L),
+            surroundVal = surround.flatMap(_._2))
+          .select((partCols :+ "_irowts").map(col) :+ col(vc): _*)
+        res = res.join(extra, partCols :+ "_irowts")
+      }
+      // project to the select list: interp(col) → that column's value
       val cols = selectItems.map {
-        case (interpPat(_), a) => col(valueCol).as(a)
+        case (interpPat(v), a) => col(v).as(a)
         case (e, a) => expr(e).as(a)
       }
       res = res.select(cols: _*)
@@ -1681,36 +1717,53 @@ object GraftSql {
     (c.get("FILL"), intervalSpec) match {
       case (Some(f), Some((iv, off))) =>
         val args = splitArgs(stripOuterParens(f))
-        val mode = args.head.toUpperCase match {
-          case "NONE" => FillOps.FillNone
-          case "NULL" => FillOps.FillNull
-          case "NULL_F" => FillOps.FillNullF
-          // the grammar permits bare FILL(VALUE[_F]) (sql.y fill_value
-          // rules); the reference then fills with 0
-          case "VALUE" =>
-            FillOps.FillValue(args.lift(1).map(_.toDouble).getOrElse(0.0))
-          case "VALUE_F" =>
-            FillOps.FillValueF(args.lift(1).map(_.toDouble).getOrElse(0.0))
-          case "PREV" => FillOps.FillPrev
-          case "NEXT" => FillOps.FillNext
-          case "NEAR" => FillOps.FillNear
-          case "LINEAR" => FillOps.FillLinear
+        val valueCols = res.columns
+          .filterNot(groupKeys.contains).filterNot(_ == "_isfilled").toSeq
+        // FILL(VALUE, v1[, v2 …]): one literal per value column; a
+        // single literal (or none — the grammar permits bare
+        // FILL(VALUE), filling 0) broadcasts to every column
+        def valueList(forced: Boolean): Seq[FillOps.FillMode] = {
+          val vs = args.tail.map(_.trim.toDouble)
+          val per = vs match {
+            case Seq() => Seq.fill(valueCols.length)(0.0)
+            case Seq(one) => Seq.fill(valueCols.length)(one)
+            case many =>
+              require(many.length == valueCols.length,
+                s"FILL(VALUE …) carries ${many.length} literals for " +
+                  s"${valueCols.length} value columns")
+              many
+          }
+          if (forced) per.map(FillOps.FillValueF) else per.map(FillOps.FillValue)
+        }
+        val modes: Seq[FillOps.FillMode] = args.head.toUpperCase match {
+          case "NONE" => Seq.fill(valueCols.length)(FillOps.FillNone)
+          case "NULL" => Seq.fill(valueCols.length)(FillOps.FillNull)
+          case "NULL_F" => Seq.fill(valueCols.length)(FillOps.FillNullF)
+          case "VALUE" => valueList(forced = false)
+          case "VALUE_F" => valueList(forced = true)
+          case "PREV" => Seq.fill(valueCols.length)(FillOps.FillPrev)
+          case "NEXT" => Seq.fill(valueCols.length)(FillOps.FillNext)
+          case "NEAR" => Seq.fill(valueCols.length)(FillOps.FillNear)
+          case "LINEAR" => Seq.fill(valueCols.length)(FillOps.FillLinear)
           case other => throw new IllegalArgumentException(s"FILL $other")
         }
         val range =
           s"(?i).*\\b$tsCol\\s*>=\\s*(\\d+)\\s*AND\\s*$tsCol\\s*<\\s*(\\d+).*".r
         val (t0, t1) = c.get("WHERE") match {
           case Some(range(a, b)) => (a.toLong, b.toLong)
-          case _ => throw new IllegalArgumentException(
-            s"FILL needs a literal `$tsCol >= a AND $tsCol < b` WHERE range")
+          case _ =>
+            // no literal range: fill within the RESULT's own window
+            // extent (fillGetWindowRange — absent an explicit range the
+            // reference fills first..last window). One tiny agg over
+            // the already-aggregated frame; empty input fills nothing.
+            val mm = res.agg(min(col("_wstart")), max(col("_wstart"))).head
+            if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1) + iv)
         }
-        val valueCols = res.columns
-          .filterNot(groupKeys.contains).filterNot(_ == "_isfilled")
-        require(valueCols.length == 1,
-          s"FILL supports exactly one value column, got ${valueCols.toSeq}")
-        res = FillOps.fillInterval(res, "_wstart", valueCols.head,
-          groupKeys.filterNot(_ == "_wstart"), iv, t0, t1 - 1, mode,
-          offsetUs = off)
+        if (t1 > t0)
+          res = FillOps.fillIntervalMulti(res, "_wstart",
+            valueCols.zip(modes),
+            groupKeys.filterNot(_ == "_wstart"), iv, t0, t1 - 1,
+            offsetUs = off)
       case (Some(_), None) =>
         throw new IllegalArgumentException("FILL requires INTERVAL")
       case _ =>
@@ -1737,7 +1790,12 @@ object GraftSql {
         .orderBy(partCols.map(col): _*).offset(sOff).limit(sN)
       res = res.join(broadcast(slices), partCols, "left_semi")
     }
-    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+    // select-item expr -> alias map lets ORDER BY name an aggregate
+    // expression verbatim (e.g. ORDER BY count(*) after GROUP BY)
+    val orderAliases = selectItems
+      .map { case (e, a) => normExprKey(e) -> a }.toMap
+    c.get("ORDER BY").foreach(o =>
+      res = res.orderBy(orderCols(o, orderAliases): _*))
     c.get("LIMIT").foreach { n =>
       if (partCols.nonEmpty) {
         // under PARTITION BY, LIMIT caps rows WITHIN each slice
@@ -1759,7 +1817,8 @@ object GraftSql {
         res = res.withColumn("_srn", row_number().over(w))
           .filter(col("_srn") > off && col("_srn") <= off + n.trim.toInt)
           .drop("_srn")
-        c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+        c.get("ORDER BY").foreach(o =>
+          res = res.orderBy(orderCols(o, orderAliases): _*))
       } else {
         c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
         res = res.limit(n.trim.toInt)

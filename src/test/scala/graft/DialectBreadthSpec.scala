@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.GraftSql
+
+/** Breadth net over query shapes the reference's own test suites use
+  * constantly (test/cases/09-DataQuerying, 10-Operators, 11-Functions):
+  * every form here must at least parse, lower, and execute. Value-level
+  * correctness for the interesting ones is oracle-gated in Dialect
+  * (dialect_fill_multi / dialect_interp_multi / dialect_order_agg …);
+  * this spec keeps the long tail from silently regressing.
+  */
+class DialectBreadthSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def resolve(name: String): DataFrame = Tables(spark, sf, name)
+  private def q(sql: String): DataFrame =
+    GraftSql.query(spark, resolve, sql)
+
+  private val forms: Seq[(String, String)] = Seq(
+    ("count distinct",
+      "SELECT count(DISTINCT event_type) AS n FROM events"),
+    ("positional order by",
+      "SELECT user_id, event_id FROM events ORDER BY 1, 2 LIMIT 5"),
+    ("== equality",
+      "SELECT count(*) AS n FROM events WHERE event_type == 'click'"),
+    ("between",
+      "SELECT event_id FROM events WHERE value BETWEEN 10 AND 20 " +
+        "ORDER BY event_id LIMIT 5"),
+    ("case when",
+      "SELECT event_id, CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END " +
+        "AS b FROM events ORDER BY event_id LIMIT 5"),
+    ("MATCH regex op",
+      "SELECT count(*) AS n FROM customer WHERE c_name MATCH '3'"),
+    ("NMATCH regex op",
+      "SELECT count(*) AS n FROM customer WHERE c_name NMATCH '3'"),
+    ("NOT IN",
+      "SELECT count(*) AS n FROM events " +
+        "WHERE event_type NOT IN ('click', 'view')"),
+    ("IS NOT NULL",
+      "SELECT count(*) AS n FROM events WHERE value IS NOT NULL"),
+    ("multi-column interp",
+      "SELECT _irowts, interp(value), interp(user_id) FROM events " +
+        "RANGE(1704067200000000, 1704067300000000) EVERY(10s) FILL(PREV)"),
+    ("multi-column fill value list",
+      "SELECT _wstart, first(value), first(user_id) FROM events " +
+        "INTERVAL(1d) FILL(VALUE, 1, 2)"),
+    ("order by aggregate expr",
+      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id " +
+        "ORDER BY count(*) DESC, user_id LIMIT 5"),
+    ("having without alias",
+      "SELECT user_id, avg(value) FROM events GROUP BY user_id " +
+        "HAVING avg(value) > 50 ORDER BY user_id"),
+    ("count(1)", "SELECT count(1) AS n FROM events"),
+    ("select distinct col",
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type"),
+    ("<> inequality",
+      "SELECT count(*) AS n FROM events WHERE event_type <> 'click'"),
+    ("% modulo",
+      "SELECT count(*) AS n FROM events WHERE user_id % 2 = 0"),
+    ("|| concat",
+      "SELECT c_custkey, c_name || '!' AS nm FROM customer " +
+        "ORDER BY c_custkey LIMIT 5"),
+    ("apercentile under interval",
+      "SELECT _wstart, apercentile(value, 50) FROM events INTERVAL(7d)"),
+    ("interval without _wstart select",
+      "SELECT count(*) FROM events INTERVAL(7d)"),
+    ("aggregate over subquery",
+      "SELECT avg(n) AS a FROM (SELECT user_id, count(*) AS n " +
+        "FROM events GROUP BY user_id)"),
+    ("limit inside subquery",
+      "SELECT count(*) AS n FROM (SELECT event_id FROM events LIMIT 100)"))
+
+  forms.foreach { case (tag, sql) =>
+    test(s"dialect executes: $tag") {
+      val rows = q(sql).collect()
+      assert(rows != null) // shape net: lowering + execution must succeed
+    }
+  }
+
+  test("fill with no WHERE range spans the result's window extent") {
+    val out = q("""SELECT _wstart, max(value) AS mx FROM events
+        WHERE user_id = 3 AND event_type = 'purchase' AND value > 90
+        INTERVAL(1d) FILL(PREV) ORDER BY _wstart""").collect()
+    val real = q("""SELECT _wstart, max(value) AS mx FROM events
+        WHERE user_id = 3 AND event_type = 'purchase' AND value > 90
+        INTERVAL(1d) ORDER BY _wstart""").collect()
+    assert(out.length >= real.length)
+    // span = first..last real window, step 1d
+    assert(out.head.getLong(0) == real.head.getLong(0))
+    assert(out.last.getLong(0) == real.last.getLong(0))
+    // PREV-filled rows carry the previous real value, no nulls after
+    // the first real window
+    assert(out.forall(r => !r.isNullAt(1)))
+  }
+
+  test("multi-column interp returns each column's own interpolation") {
+    val out = q("""SELECT user_id, _irowts, interp(value) AS v1,
+          interp(event_id) AS v2
+        FROM events PARTITION BY user_id
+        RANGE(1704067200000000, 1704153600000000) EVERY(6h) FILL(LINEAR)""")
+    val a = q("""SELECT user_id, _irowts, interp(value) AS v1
+        FROM events PARTITION BY user_id
+        RANGE(1704067200000000, 1704153600000000) EVERY(6h) FILL(LINEAR)""")
+    val b = q("""SELECT user_id, _irowts, interp(event_id) AS v2
+        FROM events PARTITION BY user_id
+        RANGE(1704067200000000, 1704153600000000) EVERY(6h) FILL(LINEAR)""")
+    val byKey = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.get(2), r.get(3))).toMap
+    a.collect().foreach { r =>
+      assert(byKey((r.getLong(0), r.getLong(1)))._1 == r.get(2)) }
+    b.collect().foreach { r =>
+      assert(byKey((r.getLong(0), r.getLong(1)))._2 == r.get(2)) }
+  }
+}
