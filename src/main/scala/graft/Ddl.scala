@@ -164,6 +164,18 @@ object Ddl {
     "ddl_describe_gate" -> { (s, dir) =>
       demo(s, dir).sql("DESCRIBE nat").orderBy("field")
     },
+    // SELECT … >> export_file (20-select.md:1010): the shell's CSV
+    // export suffix; the gate proves the written file round-trips
+    "ddl_export_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_export")
+        .toString + "/nat.csv"
+      cat.sql(s"SELECT tbname, ts, v FROM nat ORDER BY ts >> '$out'")
+      s.read.option("header", "true").csv(out)
+        .select(col("tbname"), col("ts").cast("long").as("ts"),
+          col("v").cast("double").as("v"))
+        .orderBy(col("ts"))
+    },
     // CREATE VIEW: saved dialect query, re-planned per read
     "ddl_view_gate" -> { (s, dir) =>
       val cat = demo(s, dir)
@@ -375,6 +387,10 @@ object Ddl {
             $T0 + n_nationkey * $H AS ts, n_nationkey * 1.5 AS v
           FROM nation WHERE n_nationkey < 12 AND n_nationkey <> 3
           ORDER BY ts""",
+    "ddl_export_gate" ->
+      s"""SELECT 'nat_' || n_nationkey AS tbname,
+            $T0 + n_nationkey * $H AS ts, n_nationkey * 1.5 AS v
+          FROM nation ORDER BY ts""",
     "ddl_describe_gate" ->
       """SELECT * FROM (VALUES
            ('n_name', 'VARCHAR', 32, 'TAG'),

@@ -1571,13 +1571,29 @@ class GraftCatalog(val spark: SparkSession) {
   def sql(stmt0: String): DataFrame = {
     val stmt = normalizeWs(stmt0).trim.stripSuffix(";").trim
     val up = stmt.toUpperCase
-    if (up.startsWith("SELECT"))
+    if (up.startsWith("SELECT")) {
+      // `SELECT … >> export_file` (sql grammar 20-select.md:20,1010):
+      // run the query and dump the result as a headered CSV, returning
+      // the rows as the shell does. Bare and quoted paths both parse.
+      val (body, exportPath) =
+        "(?s)^(.*?)\\s*>>\\s*('?)([A-Za-z0-9_./-]+)\\2\\s*$".r
+          .findFirstMatchIn(stmt) match {
+            // an odd quote count before `>>` means it sits inside a
+            // string literal, not at the statement tail
+            case Some(m) if m.group(1).count(_ == '\'') % 2 == 0 =>
+              (m.group(1), Some(m.group(3)))
+            case _ => (stmt, None)
+          }
       // database() reflects this session's USE state; substitute before
       // the dialect's static 'default' fallback can see it
-      GraftSql.query(spark, table,
-        stmt.replaceAll("(?i)(?<![A-Za-z0-9_])database\\s*\\(\\s*\\)",
+      val df = GraftSql.query(spark, table,
+        body.replaceAll("(?i)(?<![A-Za-z0-9_])database\\s*\\(\\s*\\)",
           s"'$currentDb'"),
         perSecond = perSecond)
+      exportPath.foreach(p => df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(p))
+      df
+    }
     else if (up.startsWith("EXPLAIN ")) {
       // EXPLAIN <select> (sql.y:1738): the physical plan, one row per
       // line — Spark's plan is the honest answer here

@@ -472,6 +472,22 @@ object GraftSql {
       s"concat(date_format($t, 'yyyy-MM-dd'), 'T', " +
         s"date_format($t, 'HH:mm:ss.SSSSSS'), '$suffix')"
     })
+    // timetruncate(ts, dur[, use_current_timezone]) (sclfunc.c
+    // timeTruncateFunction): floor to a duration multiple. Session is
+    // UTC so the timezone flag is a no-op; week truncation anchors to
+    // the Sunday before epoch (1969-12-28, firstDayOfWeek default 0 —
+    // sclfunc.c:4839).
+    r = rewriteCall(r, "timetruncate", a => {
+      val p = splitArgs(a)
+      require(p.length >= 2, s"timetruncate needs (ts, duration): $a")
+      val t = tsUs(p(0))
+      val unit = p(1).trim
+      val du = durUs(unit)
+      if (unit.toLowerCase.endsWith("w")) {
+        val anchor = -4L * 86400000000L
+        s"(($t) - pmod(($t) - ($anchor), $du))"
+      } else s"(($t) - pmod(($t), $du))"
+    })
     r = rewriteCall(r, "today", _ =>
       "unix_micros(date_trunc('DAY', current_timestamp()))")
     r = rewriteCall(r, "now", _ => "unix_micros(current_timestamp())")
@@ -542,6 +558,20 @@ object GraftSql {
     // before delegating (GraftCatalog.sql); the bare dialect runs with
     // no USE state, where the reference returns the unset default
     r = rewriteCall(r, "database", _ => "'default'")
+    // bare `now` / `today` keywords (sql.y NOW/TODAY tokens work with
+    // and without parens)
+    r = r.replaceAll("(?i)(?<![A-Za-z0-9_'])now(?![A-Za-z0-9_('])",
+      "unix_micros(current_timestamp())")
+    r = r.replaceAll("(?i)(?<![A-Za-z0-9_'])today(?![A-Za-z0-9_('])",
+      "unix_micros(date_trunc('DAY', current_timestamp()))")
+    // duration literals in ± timestamp arithmetic: `now - 10d`,
+    // `ts + 1h` (parser NK_VARIABLE durations). Only fixed-size units;
+    // rewritten to their µs value so the arithmetic stays integral.
+    // Without this, Spark would read `10d` as the DOUBLE 10.0 — a
+    // silently-wrong 10-microsecond bound instead of 10 days.
+    r = "(?i)([+-]\\s*)(\\d+)([uasmhdw])(?![A-Za-z0-9_'])".r
+      .replaceAllIn(r, m => java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + durUs(m.group(2) + m.group(3).toLowerCase)))
     r
   }
 
@@ -806,7 +836,7 @@ object GraftSql {
       case e => expr(e).as(e)
     }: _*)
     c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
-    c.get("LIMIT").foreach(n => res = res.limit(n.trim.toInt))
+    c.get("LIMIT").foreach(n => res = applyLimit(res, n))
     res
   }
 
@@ -860,7 +890,7 @@ object GraftSql {
       case e => expr(e).as(e)
     }: _*)
     c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
-    c.get("LIMIT").foreach(n => res = res.limit(n.trim.toInt))
+    c.get("LIMIT").foreach(n => res = applyLimit(res, n))
     res
   }
 
@@ -989,10 +1019,76 @@ object GraftSql {
     }
   }
 
+  /** LIMIT n | LIMIT off, n (sql.y limit_clause_opt: the comma form
+    * abbreviates OFFSET off LIMIT n). */
+  private def limitParts(raw: String): (Int, Option[Int]) =
+    splitArgs(raw) match {
+      case Seq(n) => (n.trim.toInt, None)
+      case Seq(o, n) => (n.trim.toInt, Some(o.trim.toInt))
+      case other =>
+        throw new IllegalArgumentException(s"bad LIMIT: $other")
+    }
+
+  private def applyLimit(df: DataFrame, raw: String): DataFrame = {
+    val (n, off) = limitParts(raw)
+    off.map(df.offset).getOrElse(df).limit(n)
+  }
+
   /** Whitespace-and-case-insensitive key for matching an ORDER BY
     * expression against a select item's expression text. */
   private def normExprKey(e: String): String =
     e.toLowerCase.replaceAll("\\s+", "")
+
+  /** Parse a datetime literal ('2024-01-05', '2024-01-05 12:30:00.25',
+    * ISO T/Z forms) to native ticks in UTC — the reference accepts
+    * quoted datetimes anywhere a primary-ts value appears
+    * (parTranslater.c translateTimeRange; taos shell docs). Returns
+    * None for strings that are not datetime-shaped. */
+  private[sql] def tsLitTicks(lit0: String, perSecond: Long): Option[Long] = {
+    val s = lit0.stripPrefix("'").stripSuffix("'").trim
+    val re = ("^(\\d{4})-(\\d{2})-(\\d{2})" +
+      "(?:[ T](\\d{2}):(\\d{2}):(\\d{2})(\\.\\d+)?)?Z?$").r
+    s match {
+      case re(y, mo, d, h, mi, se, fr) =>
+        try {
+          val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
+            if (h == null) 0 else h.toInt,
+            if (mi == null) 0 else mi.toInt,
+            if (se == null) 0 else se.toInt)
+          val sec = ldt.toEpochSecond(java.time.ZoneOffset.UTC)
+          val frac = Option(fr).map(f =>
+            math.round(f.toDouble * perSecond)).getOrElse(0L)
+          Some(Math.addExact(Math.multiplyExact(sec, perSecond), frac))
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+  }
+
+  /** Rewrite `ts <op> 'datetime'` / `'datetime' <op> ts` /
+    * `ts BETWEEN 'a' AND 'b'` to native-tick literals so both the
+    * Spark filter and the query-range extraction see plain integers. */
+  private def rewriteTsLiterals(e: String, tsCol: String,
+      perSecond: Long): String = {
+    import java.util.regex.Matcher.quoteReplacement
+    val q = java.util.regex.Pattern.quote(tsCol)
+    def ticks(m: String): Option[Long] = tsLitTicks(m, perSecond)
+    var r = e
+    r = ("(?i)(?<![A-Za-z0-9_])(" + q +
+      "\\s*(?:>=|<=|<>|!=|==|=|<|>)\\s*)'([^']*)'").r.replaceAllIn(r,
+      m => quoteReplacement(ticks(m.group(2))
+        .map(t => m.group(1) + t).getOrElse(m.matched)))
+    r = ("(?i)'([^']*)'(\\s*(?:>=|<=|<>|!=|==|=|<|>)\\s*" + q +
+      ")(?![A-Za-z0-9_])").r.replaceAllIn(r,
+      m => quoteReplacement(ticks(m.group(1))
+        .map(t => t + m.group(2)).getOrElse(m.matched)))
+    r = ("(?i)(?<![A-Za-z0-9_])(" + q +
+      "\\s+BETWEEN\\s+)'([^']*)'(\\s+AND\\s+)'([^']*)'").r.replaceAllIn(r,
+      m => quoteReplacement((ticks(m.group(2)), ticks(m.group(4))) match {
+        case (Some(a), Some(b)) => m.group(1) + a + m.group(3) + b
+        case _ => m.matched
+      }))
+    r
+  }
 
   // ------------------------------------------------------------------ main
 
@@ -1052,7 +1148,7 @@ object GraftSql {
     tailAt.foreach { i =>
       val tc = clauses("SELECT _ FROM _ " + lastRaw.substring(i).trim)
       tc.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
-      tc.get("LIMIT").foreach(n => res = res.limit(n.trim.toInt))
+      tc.get("LIMIT").foreach(n => res = applyLimit(res, n))
     }
     res
   }
@@ -1202,7 +1298,10 @@ object GraftSql {
       val (plain0, subs) = whereInSubqueries(w)
       val plain = plain0
         .map(rewriteRegexOps)
-        .map(rewriteTimeScalars)
+        .map(p => rewriteTsLiterals(p, tsCol, perSecond))
+        // the full scalar-function surface applies in WHERE too
+        // (timetruncate, week, sign, … — same rewrites as select items)
+        .map(p => rewriteFuncs(p, tsCol, perSecond))
         .map(p => inlineScalarSubqueries(spark, resolve, p, tsCol, perSecond))
       val tsCmp = ("(?i)^\\s*" + java.util.regex.Pattern.quote(tsCol) +
         "\\s*(>=|<=|<|>|=)\\s*(-?\\d+)L?\\s*$").r
@@ -1291,7 +1390,7 @@ object GraftSql {
     // the expansion is comma-joined text at the item level
     val selectBody = rewriteCall(selectBody0, "cols",
       a => expandColsArgs(a, tsCol))
-    val selectItems = splitArgs(selectBody).map { item =>
+    var selectItems = splitArgs(selectBody).map { item =>
       val m = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
       item match {
         case m(e, a) => (e.trim, a)
@@ -1299,19 +1398,40 @@ object GraftSql {
       }
     }
 
-    // ---- INTERP: SELECT interp(col)[, interp(col2) …] … RANGE(t0,t1)
+    // ---- INTERP: SELECT interp(col)[, interp(col2) …] … RANGE(…)
     // EVERY(step) FILL(m) — every interp column resamples at the same
-    // grid points (timesliceoperator.c fills all slice columns per row)
-    if (c.contains("RANGE") && c.contains("EVERY")) {
+    // grid points (timesliceoperator.c fills all slice columns per row).
+    // RANGE forms (sql.y:3016-3023): RANGE(t0,t1) span; RANGE(p) single
+    // point (EVERY optional); RANGE(p,dur) / RANGE(t0,t1,dur) carry an
+    // around-interval that acts as the SURROUND bound.
+    if (c.contains("RANGE")) {
       val interpPat = "(?i)^interp\\((\\w+)\\)$".r
       val interpCols = selectItems.collect {
         case (interpPat(v), _) => v
       }.distinct
       require(interpCols.nonEmpty,
-        "RANGE/EVERY needs an interp(col) select item")
+        "RANGE needs an interp(col) select item")
       val valueCol = interpCols.head
-      val Seq(t0, t1) = splitArgs(stripOuterParens(c("RANGE"))).map(_.toLong)
-      val step = dur(stripOuterParens(c("EVERY")))
+      val rawRange = splitArgs(stripOuterParens(c("RANGE"))).map(_.trim)
+      def tsArg(a: String): Long =
+        if (a.startsWith("'"))
+          tsLitTicks(a, perSecond).getOrElse(throw
+            new IllegalArgumentException(s"bad RANGE timestamp: $a"))
+        else a.toLong
+      val durArg = "(?i)^\\d+[uasmhdw]$".r
+      val (t0, t1, aroundUs) = rawRange match {
+        case Seq(p) => (tsArg(p), tsArg(p), 0L)
+        case Seq(p, d) if durArg.matches(d) => (tsArg(p), tsArg(p), dur(d))
+        case Seq(a, b) => (tsArg(a), tsArg(b), 0L)
+        case Seq(a, b, d) => (tsArg(a), tsArg(b), dur(d))
+        case other => throw new IllegalArgumentException(
+          s"RANGE takes 1-3 args, got $other")
+      }
+      val step = c.get("EVERY").map(e => dur(stripOuterParens(e)))
+        .getOrElse {
+          require(t0 == t1, "RANGE(t0, t1) needs EVERY(step)")
+          1L
+        }
       val mode = c.get("FILL").map(f =>
         splitArgs(stripOuterParens(f)) match {
           case Seq(m0) => m0.toUpperCase match {
@@ -1336,9 +1456,16 @@ object GraftSql {
         val a = splitArgs(stripOuterParens(sr))
         (dur(a.head), a.lift(1).map(_.toDouble))
       }
+      // parTranslater.c:14758: RANGE around-interval and SURROUND are
+      // the same bound through two spellings — never both
+      require(aroundUs == 0L || surround.isEmpty,
+        "Surrounding time and range interval cannot be provided together")
+      require(aroundUs == 0L || mode == FillOps.FillPrev ||
+        mode == FillOps.FillNext || mode == FillOps.FillNear,
+        "Only PREV/NEXT/NEAR mode is supported with surrounding time")
       var res = FillOps.interp(df, col(tsCol), valueCol, partCols,
         step, t0, t1, mode,
-        surroundUs = surround.map(_._1).getOrElse(0L),
+        surroundUs = surround.map(_._1).getOrElse(aroundUs),
         surroundVal = surround.flatMap(_._2))
       // further interp columns resample independently and join back on
       // the (keys, grid-point) identity — the grids are identical by
@@ -1349,7 +1476,7 @@ object GraftSql {
       interpCols.tail.foreach { vc =>
         val extra = FillOps.interp(df, col(tsCol), vc, partCols,
             step, t0, t1, mode,
-            surroundUs = surround.map(_._1).getOrElse(0L),
+            surroundUs = surround.map(_._1).getOrElse(aroundUs),
             surroundVal = surround.flatMap(_._2))
           .select((partCols :+ "_irowts").map(col) :+ col(vc): _*)
         res = res.join(extra, partCols :+ "_irowts")
@@ -1410,7 +1537,7 @@ object GraftSql {
         expr(rewriteSeries(e)).as(a) }: _*)
       c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
       c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
-      c.get("LIMIT").foreach(n => res = res.limit(n.trim.toInt))
+      c.get("LIMIT").foreach(n => res = applyLimit(res, n))
       return res
     }
 
@@ -1652,7 +1779,26 @@ object GraftSql {
           "EVENT_WINDOW needs START WITH … END WITH …")
       }
     } else if (c.contains("GROUP BY")) {
-      groupKeys = partCols ++ splitArgs(c("GROUP BY"))
+      // expression group keys (GROUP BY timetruncate(ts, 1d), …):
+      // materialize as hidden columns, re-point matching select items
+      // (sql.y group_by_clause takes arbitrary group_by_expr)
+      val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+      val mapped = splitArgs(c("GROUP BY")).zipWithIndex.map {
+        case (k0, i) =>
+          val k = k0.trim
+          if (ident.matches(k)) k
+          else {
+            val nm = s"_gk$i"
+            df = df.withColumn(nm, expr(rewriteFuncs(k, tsCol, perSecond)))
+            selectItems = selectItems.map { case (e, a) =>
+              if (normExprKey(e) == normExprKey(k))
+                (nm, if (a == e) nm else a)
+              else (e, a)
+            }
+            nm
+          }
+      }
+      groupKeys = partCols ++ mapped
     }
 
     // ---- aggregation ----
@@ -1796,7 +1942,8 @@ object GraftSql {
       .map { case (e, a) => normExprKey(e) -> a }.toMap
     c.get("ORDER BY").foreach(o =>
       res = res.orderBy(orderCols(o, orderAliases): _*))
-    c.get("LIMIT").foreach { n =>
+    c.get("LIMIT").foreach { nRaw =>
+      val (nLim, commaOff) = limitParts(nRaw)
       if (partCols.nonEmpty) {
         // under PARTITION BY, LIMIT caps rows WITHIN each slice
         // (20-select.md:141,660: "LIMIT controls the output within each
@@ -1812,16 +1959,18 @@ object GraftSql {
           else if (fallback.nonEmpty) fallback
           else Seq(lit(1))
         }
-        val off = c.get("OFFSET").map(_.trim.toInt).getOrElse(0)
+        val off = commaOff
+          .orElse(c.get("OFFSET").map(_.trim.toInt)).getOrElse(0)
         val w = Window.partitionBy(partCols.map(col): _*).orderBy(ord: _*)
         res = res.withColumn("_srn", row_number().over(w))
-          .filter(col("_srn") > off && col("_srn") <= off + n.trim.toInt)
+          .filter(col("_srn") > off && col("_srn") <= off + nLim)
           .drop("_srn")
         c.get("ORDER BY").foreach(o =>
           res = res.orderBy(orderCols(o, orderAliases): _*))
       } else {
-        c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
-        res = res.limit(n.trim.toInt)
+        commaOff.orElse(c.get("OFFSET").map(_.trim.toInt))
+          .foreach(m => res = res.offset(m))
+        res = res.limit(nLim)
       }
     }
     res

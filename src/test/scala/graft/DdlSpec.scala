@@ -492,6 +492,23 @@ class DdlSpec extends AnyFunSuite {
     assert(cat.table("c").head.getAs[Long]("ts") == 1704067200000000000L)
   }
 
+  test("SELECT >> file exports a headered CSV that round-trips") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE expdb")
+    cat.exec("CREATE TABLE t1 (ts TIMESTAMP, v DOUBLE)")
+    cat.exec("INSERT INTO t1 VALUES (1000, 1.5) (2000, 2.5)")
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp")
+      .toString + "/out.csv"
+    val df = cat.sql(s"SELECT ts, v FROM t1 ORDER BY ts >> '$dir'")
+    assert(df.count() == 2)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("ts", "v"))
+    // a >> inside a string literal is NOT an export
+    val lit = cat.sql("SELECT count(*) AS n FROM t1 WHERE 'a>>b' = 'a>>b'")
+    assert(lit.head.getLong(0) == 2)
+  }
+
   test("database() tracks the catalog's USE state") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE DATABASE mixdb")

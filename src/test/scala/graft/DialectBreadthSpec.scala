@@ -71,7 +71,49 @@ class DialectBreadthSpec extends AnyFunSuite {
       "SELECT avg(n) AS a FROM (SELECT user_id, count(*) AS n " +
         "FROM events GROUP BY user_id)"),
     ("limit inside subquery",
-      "SELECT count(*) AS n FROM (SELECT event_id FROM events LIMIT 100)"))
+      "SELECT count(*) AS n FROM (SELECT event_id FROM events LIMIT 100)"),
+    ("quoted datetime ts bound",
+      "SELECT count(*) AS n FROM events " +
+        "WHERE ts >= '2024-01-05 00:00:00' AND ts < '2024-01-10 00:00:00'"),
+    ("ISO datetime ts bound",
+      "SELECT count(*) AS n FROM events WHERE ts >= '2024-01-05T00:00:00Z'"),
+    ("RANGE with quoted timestamps",
+      "SELECT _irowts, interp(value) FROM events " +
+        "RANGE('2024-01-01 00:00:00', '2024-01-02 00:00:00') " +
+        "EVERY(6h) FILL(PREV)"),
+    ("RANGE single point",
+      "SELECT _irowts, interp(value) FROM events " +
+        "RANGE('2024-01-01 12:00:00') FILL(PREV)"),
+    ("RANGE point with around-interval",
+      "SELECT _irowts, interp(value) FROM events " +
+        "RANGE('2024-01-01 12:00:00', 1h) FILL(PREV)"),
+    ("now() arithmetic",
+      "SELECT count(*) AS n FROM events WHERE ts > now() - 10d"),
+    ("bare now keyword",
+      "SELECT count(*) AS n FROM events WHERE ts > now - 10d"),
+    ("today()",
+      "SELECT count(*) AS n FROM events WHERE ts >= today()"),
+    ("window over subquery",
+      "SELECT _wstart, count(*) AS n FROM " +
+        "(SELECT ts, value FROM events WHERE value > 50) INTERVAL(7d)"),
+    ("partitioned interval fill",
+      "SELECT user_id, _wstart, count(*) AS n FROM events " +
+        "WHERE ts >= 1704067200000000 AND ts < 1704672000000000 " +
+        "PARTITION BY user_id INTERVAL(1d) FILL(NULL)"),
+    ("timetruncate in WHERE",
+      "SELECT count(*) AS n FROM events " +
+        "WHERE timetruncate(ts, 1d) = 1704067200000000"),
+    ("BETWEEN quoted datetimes",
+      "SELECT count(*) AS n FROM events WHERE ts BETWEEN " +
+        "'2024-01-05 00:00:00' AND '2024-01-06 00:00:00'"),
+    ("LIMIT offset, rows comma form",
+      "SELECT event_id FROM events ORDER BY event_id LIMIT 5, 10"),
+    ("SLIMIT comma form",
+      "SELECT user_id, count(*) AS n FROM events " +
+        "PARTITION BY user_id SLIMIT 1, 2"),
+    ("GROUP BY scalar expression",
+      "SELECT timetruncate(ts, 1d) AS d, count(*) AS n FROM events " +
+        "GROUP BY timetruncate(ts, 1d) ORDER BY d LIMIT 5"))
 
   forms.foreach { case (tag, sql) =>
     test(s"dialect executes: $tag") {
@@ -94,6 +136,53 @@ class DialectBreadthSpec extends AnyFunSuite {
     // PREV-filled rows carry the previous real value, no nulls after
     // the first real window
     assert(out.forall(r => !r.isNullAt(1)))
+  }
+
+  test("quoted datetime bounds equal their numeric-epoch spelling") {
+    val a = q("""SELECT count(*) AS n FROM events
+        WHERE ts >= '2024-01-05 00:00:00' AND ts < '2024-01-10 00:00:00'""")
+      .head.getLong(0)
+    val b = q("""SELECT count(*) AS n FROM events
+        WHERE ts >= 1704412800000000 AND ts < 1704844800000000""")
+      .head.getLong(0)
+    assert(a == b && a > 0)
+  }
+
+  test("LIMIT o, n equals LIMIT n OFFSET o") {
+    val a = q("SELECT event_id FROM events ORDER BY event_id LIMIT 5, 10")
+      .collect().map(_.getLong(0)).toSeq
+    val b = q(
+      "SELECT event_id FROM events ORDER BY event_id LIMIT 10 OFFSET 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.length == 10)
+  }
+
+  test("GROUP BY timetruncate(1d) equals the INTERVAL(1d) buckets") {
+    val a = q("""SELECT timetruncate(ts, 1d) AS d, count(*) AS n
+        FROM events GROUP BY timetruncate(ts, 1d) ORDER BY d""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = q("""SELECT _wstart AS d, count(*) AS n FROM events
+        INTERVAL(1d) ORDER BY d""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("single-point RANGE yields exactly one grid row") {
+    val rows = q("""SELECT _irowts, interp(value) AS v FROM events
+        RANGE('2024-01-01 12:00:00') FILL(PREV)""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1704067200000000L + 12L * 3600000000L)
+    assert(!rows.head.isNullAt(1))
+  }
+
+  test("duration literals in ts arithmetic are day-scaled, not doubles") {
+    // ts > max(ts) - 2d must keep only the last 2 days of data; if the
+    // dialect misread `2d` as the DOUBLE 2.0, the filter would keep
+    // everything
+    val n = q("""SELECT count(*) AS n FROM events
+        WHERE ts > 1706659200000000 - 2d""").head.getLong(0)
+    val all = q("SELECT count(*) AS n FROM events").head.getLong(0)
+    assert(n > 0 && n < all / 5)
   }
 
   test("multi-column interp returns each column's own interpolation") {
