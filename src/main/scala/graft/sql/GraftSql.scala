@@ -211,6 +211,43 @@ object GraftSql {
     * broadcast-sized value, so inlining it as a literal is the same
     * plan the reference builds, with Catalyst then free to push the
     * folded predicate into the scan. */
+  /** `[NOT] EXISTS (SELECT …)` (21-operators.md rows 17-18, 3.4.1.0):
+    * uncorrelated existence test — the subquery evaluates once
+    * (limit 1) and the predicate folds to a boolean literal, the same
+    * one-row-subplan shape as the scalar-subquery inlining below. */
+  private def inlineExistsSubqueries(spark: SparkSession,
+      resolve: String => DataFrame, pred: String, tsCol: String,
+      perSecond: Long): String = {
+    val ex = "(?i)\\b(NOT\\s+)?EXISTS\\s*\\(\\s*SELECT\\b".r
+    var p = pred
+    var m = ex.findFirstMatchIn(p)
+    while (m.isDefined) {
+      val at = m.get.start
+      val negated = m.get.group(1) != null
+      val parenAt = p.indexOf('(', at)
+      var depth = 0; var inStr = false; var close = -1; var i = parenAt
+      while (close < 0 && i < p.length) {
+        val ch = p(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(close > 0, s"unbalanced EXISTS subquery in: $pred")
+      val sub = p.substring(parenAt + 1, close).trim
+      val nonEmpty =
+        query(spark, resolve, sub, tsCol, perSecond).limit(1).count() > 0
+      val lit = if (nonEmpty != negated) "true" else "false"
+      p = p.substring(0, at) + lit + p.substring(close + 1)
+      m = ex.findFirstMatchIn(p)
+    }
+    p
+  }
+
   private def inlineScalarSubqueries(spark: SparkSession,
       resolve: String => DataFrame, pred: String, tsCol: String,
       perSecond: Long): String = {
@@ -1302,6 +1339,7 @@ object GraftSql {
         // the full scalar-function surface applies in WHERE too
         // (timetruncate, week, sign, … — same rewrites as select items)
         .map(p => rewriteFuncs(p, tsCol, perSecond))
+        .map(p => inlineExistsSubqueries(spark, resolve, p, tsCol, perSecond))
         .map(p => inlineScalarSubqueries(spark, resolve, p, tsCol, perSecond))
       val tsCmp = ("(?i)^\\s*" + java.util.regex.Pattern.quote(tsCol) +
         "\\s*(>=|<=|<|>|=)\\s*(-?\\d+)L?\\s*$").r

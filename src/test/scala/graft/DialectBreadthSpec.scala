@@ -113,7 +113,29 @@ class DialectBreadthSpec extends AnyFunSuite {
         "PARTITION BY user_id SLIMIT 1, 2"),
     ("GROUP BY scalar expression",
       "SELECT timetruncate(ts, 1d) AS d, count(*) AS n FROM events " +
-        "GROUP BY timetruncate(ts, 1d) ORDER BY d LIMIT 5"))
+        "GROUP BY timetruncate(ts, 1d) ORDER BY d LIMIT 5"),
+    ("bitwise AND",
+      "SELECT count(*) AS n FROM events WHERE user_id & 3 = 1"),
+    ("bitwise OR",
+      "SELECT event_id, user_id | 8 AS m FROM events " +
+        "ORDER BY event_id LIMIT 5"),
+    ("REGEXP operator",
+      "SELECT count(*) AS n FROM customer WHERE c_name REGEXP '3'"),
+    ("NOT REGEXP operator",
+      "SELECT count(*) AS n FROM customer WHERE c_name NOT REGEXP '3'"),
+    ("ISNULL()/ISNOTNULL() functions",
+      "SELECT count(*) AS n FROM events " +
+        "WHERE ISNOTNULL(value) AND NOT ISNULL(event_type)"),
+    ("COALESCE",
+      "SELECT event_id, COALESCE(value, 0) AS v FROM events " +
+        "ORDER BY event_id LIMIT 5"),
+    ("EXISTS subquery",
+      "SELECT count(*) AS n FROM customer WHERE EXISTS " +
+        "(SELECT o_orderkey FROM orders WHERE o_custkey = 1)"),
+    ("NOT LIKE",
+      "SELECT count(*) AS n FROM customer WHERE c_name NOT LIKE '%3%'"),
+    ("NOT BETWEEN",
+      "SELECT count(*) AS n FROM events WHERE value NOT BETWEEN 10 AND 90"))
 
   forms.foreach { case (tag, sql) =>
     test(s"dialect executes: $tag") {
@@ -136,6 +158,20 @@ class DialectBreadthSpec extends AnyFunSuite {
     // PREV-filled rows carry the previous real value, no nulls after
     // the first real window
     assert(out.forall(r => !r.isNullAt(1)))
+  }
+
+  test("EXISTS folds to the subquery's emptiness, NOT EXISTS inverts") {
+    val all = q("SELECT count(*) AS n FROM customer").head.getLong(0)
+    val hit = q("""SELECT count(*) AS n FROM customer WHERE EXISTS
+        (SELECT o_orderkey FROM orders WHERE o_custkey = 1)""")
+      .head.getLong(0)
+    val miss = q("""SELECT count(*) AS n FROM customer WHERE EXISTS
+        (SELECT o_orderkey FROM orders WHERE o_custkey = -42)""")
+      .head.getLong(0)
+    val notMiss = q("""SELECT count(*) AS n FROM customer WHERE NOT EXISTS
+        (SELECT o_orderkey FROM orders WHERE o_custkey = -42)""")
+      .head.getLong(0)
+    assert(hit == all && miss == 0L && notMiss == all)
   }
 
   test("quoted datetime bounds equal their numeric-epoch spelling") {
