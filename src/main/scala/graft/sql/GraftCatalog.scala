@@ -964,6 +964,21 @@ class GraftCatalog(val spark: SparkSession) {
     * rows resolve last-writer-wins on read. */
   private def insert(stmt: String): Unit = {
     var rest = stmt.substring("INSERT INTO".length).trim
+    // `now`/`today` in VALUES (parInsertSql.c NOW/TODAY tokens, with
+    // ± duration arithmetic): one instant per STATEMENT, as the
+    // reference evaluates it
+    val nowTicks = System.currentTimeMillis() * (perSecond / 1000L)
+    val todayTicks = nowTicks - Math.floorMod(nowTicks, perSecond * 86400L)
+    val nowRe =
+      "(?i)^(now|today)(?:\\(\\))?(?:\\s*([+-])\\s*(\\d+[a-z]))?$".r
+    def resolveNow(v: String): String = v.trim match {
+      case nowRe(base, sgn, d) =>
+        val b = if (base.equalsIgnoreCase("today")) todayTicks else nowTicks
+        val delta = Option(d)
+          .map(x => GraftSql.durNative(x, perSecond)).getOrElse(0L)
+        (if (sgn == "-") b - delta else b + delta).toString
+      case other => other
+    }
     while (rest.nonEmpty) {
       val tok = rest.split("[\\s(]")(0)
       val name = bare(tok)
@@ -985,18 +1000,28 @@ class GraftCatalog(val spark: SparkSession) {
           makeChild(name, stName, tagPartStart.substring(0, consumed))
         rest = tagPartStart.substring(consumed).trim
       }
+      // optional bound-column list BEFORE resolving the target kind —
+      // INSERT … SELECT may target a stable by tbname routing
+      var boundCols: Option[Seq[String]] = None
+      if (rest.startsWith("(")) {
+        val (body, after) = parenGroup(rest, 0)
+        boundCols = Some(GraftSql.splitArgs(body).map(_.trim))
+        rest = rest.substring(after).trim
+      }
+      if (rest.toUpperCase.startsWith("SELECT")) {
+        // INSERT INTO dst [(cols)] SELECT … (parInsertSql.c insert-
+        // from-query): the rest of the statement is the select
+        insertSelect(name, boundCols, rest)
+        rest = ""
+        return
+      }
       val c = children.getOrElse(name,
         throw new IllegalArgumentException(
           s"unknown table $name (add USING st TAGS(…) to auto-create)"))
       val st = stables(c.stableName)
-      // optional bound-column list, then VALUES
-      var cols: Seq[String] = st.colDefs.map(_._1)
-      if (rest.startsWith("(")) {
-        val (body, after) = parenGroup(rest, 0)
-        cols = GraftSql.splitArgs(body).map(_.trim)
-        rest = rest.substring(after).trim
-      }
-      def addRow(vals: Seq[String], what: String): Unit = {
+      val cols: Seq[String] = boundCols.getOrElse(st.colDefs.map(_._1))
+      def addRow(vals0: Seq[String], what: String): Unit = {
+        val vals = vals0.map(resolveNow)
         require(vals.length == cols.length,
           s"$what arity ${vals.length} != columns ${cols.length}")
         val byName = cols.zip(vals).toMap
@@ -1026,6 +1051,52 @@ class GraftCatalog(val spark: SparkSession) {
           rest = rest.substring(after).trim
           addRow(GraftSql.splitArgs(tuple), "VALUES")
         }
+      }
+    }
+  }
+
+  /** INSERT INTO dst [(cols)] SELECT … — rows from a dialect select
+    * append to the target, columns matched positionally against the
+    * bound list (or the target's full column set). A STABLE target
+    * routes per row by a `tbname` output column, auto-creating unknown
+    * children with NULL tags (parInsertSql.c insert-from-query;
+    * 10-insert.md). Catalog tables are driver-resident buffers, so the
+    * collect here is the storage write, not a scale path. */
+  private def insertSelect(target: String, boundCols: Option[Seq[String]],
+      select: String): Unit = {
+    val out = sql(select)
+    val data = out.collect()
+    if (children.contains(target)) {
+      val c = children(target)
+      val st = stables(c.stableName)
+      val cols = boundCols.getOrElse(st.colDefs.map(_._1))
+      require(out.columns.length == cols.length,
+        s"INSERT SELECT arity ${out.columns.length} != ${cols.length}")
+      data.foreach { r =>
+        val byName = cols.zip(r.toSeq).toMap
+        val row = st.colDefs.map { case (n, _) => byName.get(n).orNull }
+        seqCounter += 1
+        c.rows += ((row, seqCounter))
+      }
+    } else {
+      val st = stables.getOrElse(target,
+        throw new IllegalArgumentException(s"unknown table $target"))
+      val cols = boundCols.getOrElse("tbname" +: st.colDefs.map(_._1))
+      require(cols.contains("tbname"),
+        "INSERT INTO stable … SELECT needs a tbname column")
+      require(out.columns.length == cols.length,
+        s"INSERT SELECT arity ${out.columns.length} != ${cols.length}")
+      val tbIdx = cols.indexOf("tbname")
+      data.foreach { r =>
+        val tb = String.valueOf(r.get(tbIdx))
+        if (!children.contains(tb))
+          children(tb) = Child(tb, target,
+            st.tagDefs.map(_ => null), mutable.ArrayBuffer())
+        val c = children(tb)
+        val byName = cols.zip(r.toSeq).toMap - "tbname"
+        val row = st.colDefs.map { case (n, _) => byName.get(n).orNull }
+        seqCounter += 1
+        c.rows += ((row, seqCounter))
       }
     }
   }
@@ -1632,6 +1703,35 @@ class GraftCatalog(val spark: SparkSession) {
           s"CREATE STABLE `$name` ($cols)$tags"
         }
       Seq((name, ddl)).toDF("table_name", "create_sql")
+    }
+    else if (up.startsWith("SHOW CREATE DATABASE ")) {
+      // SHOW CREATE DATABASE db (sql.y:1407): round-trippable DDL
+      val name = bare(stmt.split("\\s+").last)
+      val db = databases.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown database: $name"))
+      val prec = db.perSecond match {
+        case 1000L => "ms"
+        case 1000000000L => "ns"
+        case _ => "us"
+      }
+      val dayTicks = db.perSecond * 86400L
+      val keep = db.keepTicks.map { k =>
+        if (k % dayTicks == 0) s" KEEP ${k / dayTicks}d"
+        else if (k % db.perSecond == 0) s" KEEP ${k / db.perSecond}s"
+        else s" KEEP ${k * 1000L / db.perSecond}a"
+      }.getOrElse("")
+      val ddl = s"CREATE DATABASE `$name` PRECISION '$prec'$keep"
+      Seq((name, ddl)).toDF("database_name", "create_sql")
+    }
+    else if (up.startsWith("SHOW CONNECTIONS")) {
+      // SHOW CONNECTIONS (sql.y:1385): this session is the one client
+      Seq((1L, "root", spark.sparkContext.appName))
+        .toDF("conn_id", "user", "app")
+    }
+    else if (up.startsWith("SHOW APPS")) {
+      // SHOW APPS (sql.y:1384): the driver application
+      Seq((spark.sparkContext.applicationId, spark.sparkContext.appName))
+        .toDF("app_id", "name")
     }
     else if (up.startsWith("SHOW CREATE TSMA ")) {
       val name = bare(stmt.split("\\s+").last)

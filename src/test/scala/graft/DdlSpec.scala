@@ -509,6 +509,55 @@ class DdlSpec extends AnyFunSuite {
     assert(lit.head.getLong(0) == 2)
   }
 
+  test("INSERT VALUES accepts now/today arithmetic, one instant per stmt") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE nowdb PRECISION 'us'")
+    cat.exec("CREATE TABLE nt (ts TIMESTAMP, v DOUBLE)")
+    val before = System.currentTimeMillis() * 1000L
+    cat.exec("INSERT INTO nt VALUES (now-1s, 1.0)(now, 2.0)(now+1s, 3.0)")
+    val after = System.currentTimeMillis() * 1000L
+    val rows = cat.table("nt").orderBy("ts").collect()
+    assert(rows.length == 3)
+    val ts = rows.map(_.getAs[Long]("ts"))
+    // one statement instant: the three rows sit exactly 1s apart
+    assert(ts(1) - ts(0) == 1000000L && ts(2) - ts(1) == 1000000L)
+    assert(ts(1) >= before && ts(1) <= after)
+  }
+
+  test("INSERT ... SELECT appends rows; stable target routes by tbname") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE seldb PRECISION 'us'")
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE, w INT) " +
+      "TAGS (g INT)")
+    cat.exec("CREATE TABLE c1 USING st TAGS (1)")
+    cat.exec("INSERT INTO c1 VALUES (1000, 1.5, 2)(2000, 2.5, 3)")
+    // child target, bound column list, positional match
+    cat.exec("CREATE TABLE c2 USING st TAGS (2)")
+    cat.exec("INSERT INTO c2 (ts, v, w) SELECT ts, v, w FROM c1")
+    val c2 = cat.table("c2").orderBy("ts").collect()
+    assert(c2.map(r => (r.getAs[Long]("ts"), r.getAs[Double]("v"))).toSeq ==
+      Seq((1000L, 1.5), (2000L, 2.5)))
+    // stable target: tbname column routes rows (auto-creating c9)
+    cat.exec("INSERT INTO st (tbname, ts, v, w) " +
+      "SELECT 'c9' AS tbname, ts, v, w FROM c1")
+    val c9 = cat.table("c9").orderBy("ts").collect()
+    assert(c9.length == 2 && c9.head.getAs[Double]("v") == 1.5)
+  }
+
+  test("SHOW CREATE DATABASE / CONNECTIONS / APPS serve and round-trip") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE rdb PRECISION 'ms' KEEP 30")
+    val ddl = cat.sql("SHOW CREATE DATABASE rdb")
+      .head.getAs[String]("create_sql")
+    assert(ddl.contains("PRECISION 'ms'") && ddl.contains("KEEP 30d"))
+    val cat2 = new GraftCatalog(spark)
+    cat2.exec(ddl.replace("`rdb`", "`rdb2`"))
+    assert(cat2.sql("SHOW CREATE DATABASE rdb2")
+      .head.getAs[String]("create_sql").contains("KEEP 30d"))
+    assert(cat.sql("SHOW CONNECTIONS").count() == 1)
+    assert(cat.sql("SHOW APPS").count() == 1)
+  }
+
   test("database() tracks the catalog's USE state") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE DATABASE mixdb")
