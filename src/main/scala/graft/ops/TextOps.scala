@@ -50,11 +50,15 @@ object TextOps {
   /** Per-document repetition metrics over `text`. Returns
     * (idCol, n_words, dup_word_frac, top2gram_frac, dup3gram_frac).
     *
-    * Shape at scale: the word-level fraction is map-side; the n-gram
-    * frequency tables are per-(doc, gram) partial-agg'd groupBys keyed
-    * by the doc id — linear in corpus size, map-side combined, no
-    * skew (the key carries the doc id). The top-1 2-gram is a single
-    * `min(struct(-cnt, gram))` agg — no window, one shuffle per n. */
+    * Shape at scale: ONE corpus scan — the 2- and 3-grams ride a single
+    * tagged explode, so the normalize+split work runs once per document
+    * (a per-branch scan would re-run it 3×). Frequency counting is a
+    * per-(doc, n, gram) partial-agg'd groupBy — linear, map-side
+    * combined, keys carry the doc id so no skew. The per-doc reduction
+    * is conditional aggregation in one more groupBy: top-1 2-gram via
+    * `min(struct(-cnt, gram))` (no window), duplicated-3-gram chars via
+    * a filtered sum. A sentinel element keeps sub-2-word documents in
+    * the output. */
   def repetitionMetrics(df: DataFrame, idCol: String,
       text: Column): DataFrame = {
     val id = col(idCol)
@@ -64,26 +68,32 @@ object TextOps {
       .select(id, col("_nc"),
         size(col("_w")).cast("long").as("n_words"),
         size(array_distinct(col("_w"))).cast("double").as("_ndw"),
-        ngrams2(col("_w")).as("_g2"), ngrams3(col("_w")).as("_g3"))
-    val g2 = base.select(id, explode(col("_g2")).as("_g"))
-      .groupBy(id, col("_g")).agg(count(lit(1)).as("_c"))
-      .groupBy(id).agg(min(struct((-col("_c")).as("nc"),
-        col("_g").as("g"))).as("_top"))
-      .select(id, ((-col("_top.nc")) * length(col("_top.g")))
-        .cast("double").as("_top2_chars"))
-    val g3 = base.select(id, explode(col("_g3")).as("_g"))
-      .groupBy(id, col("_g")).agg(count(lit(1)).as("_c"))
-      .filter(col("_c") > 1)
-      .groupBy(id).agg(sum(col("_c") * length(col("_g")))
-        .cast("double").as("_dup3_chars"))
-    base.join(g2, Seq(idCol), "left").join(g3, Seq(idCol), "left")
+        concat(
+          array(struct(lit(0).as("n"), lit("").as("g"))),
+          transform(ngrams2(col("_w")),
+            g => struct(lit(2).as("n"), g.as("g"))),
+          transform(ngrams3(col("_w")),
+            g => struct(lit(3).as("n"), g.as("g")))).as("_tagged"))
+    val counts = base
+      .select(id, col("_nc"), col("n_words"), col("_ndw"),
+        explode(col("_tagged")).as("_e"))
+      .groupBy(id, col("_nc"), col("n_words"), col("_ndw"),
+        col("_e.n").as("_n"), col("_e.g").as("_g"))
+      .agg(count(lit(1)).as("_c"))
+    counts.groupBy(id, col("_nc"), col("n_words"), col("_ndw"))
+      .agg(
+        min(when(col("_n") === 2,
+          struct((-col("_c")).as("nc"), col("_g").as("g")))).as("_top"),
+        sum(when(col("_n") === 3 && col("_c") > 1,
+          col("_c") * length(col("_g")))).cast("double").as("_dup3"))
       .select(id, col("n_words"),
         round(lit(1.0) - col("_ndw") /
           greatest(col("n_words").cast("double"), lit(1.0)), 6)
           .as("dup_word_frac"),
-        round(coalesce(col("_top2_chars"), lit(0.0)) /
+        round(coalesce((-col("_top.nc")) * length(col("_top.g")),
+          lit(0)).cast("double") /
           greatest(col("_nc"), lit(1.0)), 6).as("top2gram_frac"),
-        round(coalesce(col("_dup3_chars"), lit(0.0)) /
+        round(coalesce(col("_dup3"), lit(0.0)) /
           greatest(col("_nc"), lit(1.0)), 6).as("dup3gram_frac"))
   }
 

@@ -56,7 +56,12 @@ class PlanGoldenSpec extends AnyFunSuite {
     "dedup_simhash",       // one-pass native expression
     "sim_topk",            // broadcast-query ANN
     "slimit_per_group",    // per-group limit
-    "window_over")         // OVER window functions
+    "window_over",         // OVER window functions
+    "text_repetition",     // single-scan tagged-explode gram counting
+    "pack_sequences",      // secondary-sort streaming pack
+    "mix_exact",           // broadcast-k rank draw
+    "vocab_topk",          // partial-agg'd global top-k
+    "text_pii_redact")     // shuffle-free scrub (1 exchange = ORDER BY)
 
   /** explain line → operator token, or None if not load-bearing.
     * Lines look like `   :- *(3) HashAggregate(keys=[...` — strip tree
