@@ -66,6 +66,34 @@ object Pipeline {
           0.45, 500L)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // ---- SemDeDup-style semantic dedup: shared k-means codebook,
+    // multi-probe cell assignment, within-cell exact verify. The gate
+    // scores precision (must be 1 — every pair verifies exactly) and
+    // recall vs the quadratic baseline, plus the keeper count the
+    // connected-components pass would drop ----
+    "dedup_semantic" -> { (s, dir) =>
+      val e = emb(s, dir).filter(col("vec_id") < 500)
+      val exact = DedupOps.embeddingCosinePairs(e, "vec_id", "embedding",
+          0.45, 500L)
+        .select(col("id_a"), col("id_b"))
+      val sem = DedupOps.semanticPairs(e, "vec_id", "embedding",
+          0.45, nlist = 8, nprobe = 3)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hits = exact.join(sem, Seq("id_a", "id_b"), "left_semi")
+      val extra = sem.join(exact, Seq("id_a", "id_b"), "left_anti")
+      val drops = DedupOps.dupClusters(sem)
+        .filter(col("doc_id") =!= col("keep_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+        .crossJoin(drops.agg(count(lit(1)).as("n_drop")))
+        .select(col("n_exact"),
+          (col("n_extra") === 0).as("precision_ok"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.7)
+            .as("recall_ok"),
+          col("n_drop"))
+    },
     // ---- embedding near-dup pairs via LSH (the sub-quadratic scale
     // route; precision 1 — every emitted pair verifies exactly — so
     // the gate row is recall vs the exact quadratic baseline) ----
@@ -429,6 +457,11 @@ object Pipeline {
     // vectors again the adversarial case — measured 0.5, deterministic)
     "dedup_embedding_lsh" ->
       """SELECT CAST(14 AS BIGINT) AS n_exact, true AS recall_ok""",
+    // nlist=8/nprobe=3 recovers every exact pair on this corpus
+    // (recall 1.0, gate floor 0.7); 14 pairs → 14 dropped members
+    "dedup_semantic" ->
+      """SELECT CAST(14 AS BIGINT) AS n_exact, true AS precision_ok,
+           true AS recall_ok, CAST(14 AS BIGINT) AS n_drop""",
     "sim_topk" ->
       s"""WITH $embExplode,
           dots AS (SELECT q.id AS q_id, c.id AS cand_id,

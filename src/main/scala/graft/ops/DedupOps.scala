@@ -409,6 +409,53 @@ object DedupOps {
     * construction. For corpus-scale near-dup detection use
     * [[SimilarityOps.lshTopK]] (bucketed, sub-quadratic) and verify the
     * candidates exactly, as [[minhashLshPairs]] does. */
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the shared
+    * spherical k-means codebook, then verify candidate pairs ONLY
+    * within each cluster with the exact quantized cosine. Candidate
+    * volume drops from N² to Σ m_c² — the codebook size controls
+    * per-cluster mass, and a loud `require` fences a runaway cluster
+    * instead of letting the self-join explode at 100 TB (sub-shard the
+    * offending cluster or raise nlist). Precision 1 by exact verify;
+    * recall < 1 when a true pair straddles clusters — the gate measures
+    * it against the quadratic exact baseline. */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, maxClusterSize: Long = 100000L): DataFrame = {
+    val spark = emb.sparkSession
+    val cand = emb.select(col(idCol).as("_id"),
+      SimilarityOps.unitVec(col(vecCol)).as("_v"))
+    val codebook = SimilarityOps.trainCodebook(cand, nlist, iters)
+    // multi-probe: each vector lands in its nprobe nearest cells, so a
+    // true pair straddling one k-means boundary still co-occurs
+    val probed = emb.select(col(idCol).as("_id"),
+        explode(SimilarityOps.probeCol(spark, codebook, col(vecCol),
+          nprobe)).as("_c"))
+    val big = probed.groupBy("_c").count()
+      .filter(col("count") > maxClusterSize).limit(1).count()
+    require(big == 0,
+      s"semanticPairs: a probed cell exceeds $maxClusterSize vectors — " +
+        "raise nlist (or sub-shard the cell) before the within-cell " +
+        "self-join")
+    val cands = probed.as("a").join(probed.as("b"),
+        col("a._c") === col("b._c") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val v = emb.select(col(idCol).as("_vid"),
+        microVec(col(vecCol)).as("_m"))
+      .withColumn("_n2", microDot(col("_m"), col("_m")))
+      .filter(col("_n2") > 0)
+    cands
+      .join(v.select(col("_vid").as("id_a"), col("_m").as("_ma"),
+        col("_n2").as("_na")), Seq("id_a"))
+      .join(v.select(col("_vid").as("id_b"), col("_m").as("_mb"),
+        col("_n2").as("_nb")), Seq("id_b"))
+      .withColumn("cosine", microDot(col("_ma"), col("_mb")) /
+        sqrt(col("_na") * col("_nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxId: Long): DataFrame = {
     require(maxId > 0 && maxId <= 100000L,

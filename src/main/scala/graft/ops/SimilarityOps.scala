@@ -132,7 +132,45 @@ object SimilarityOps {
     }
     val cand = candidates.select(col(idCol).as("_id"),
       unit(col(vecCol).cast("array<double>")).as("_v"))
-    // ---- train ----
+    val codebook = trainCodebook(cand, nlist, iters)
+    val bc = spark.sparkContext.broadcast(codebook)
+    // ---- index + probe ----
+    val assign = udf((v: Seq[Double]) => nearestList(bc.value, v))
+    val probe = udf((v: Seq[Double]) => nearestLists(bc.value, v, nprobe))
+    // scoring stays on the ORIGINAL vectors (same micro-quantized basis
+    // as bruteForceTopK/lshTopK); only list assignment is normalized
+    val c = candidates
+      .select(col(idCol).as("_id"),
+        DedupOps.microVec(col(vecCol)).as("_m"),
+        assign(unit(col(vecCol).cast("array<double>"))).as("_list"))
+      .withColumn("_n2", DedupOps.microDot(col("_m"), col("_m")))
+    val q = queries.select(col(idCol).as("q_id"),
+        DedupOps.microVec(col(vecCol)).as("_qm"),
+        explode(probe(unit(col(vecCol).cast("array<double>"))))
+          .as("_list"))
+      .withColumn("_qn2", DedupOps.microDot(col("_qm"), col("_qm")))
+    rankTopK(c.join(broadcast(q), Seq("_list")).drop("_list"), k)
+  }
+
+  /** Unit-normalized copy of a vector column (zero vectors pass
+    * through, filtered by norm guards downstream). */
+  private[ops] def unitVec(vecCol: Column): Column = {
+    val unit = udf { v: Seq[Double] =>
+      val n = math.sqrt(v.iterator.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    unit(vecCol.cast("array<double>"))
+  }
+
+  /** Spherical k-means codebook over ("_id", unit "_v") rows — shared
+    * by the IVF index and SemDeDup clustering. Deterministic by
+    * construction: the seed draw orders by (xxhash64(id), id), the
+    * centroid means accumulate in exact DECIMAL, and empty clusters
+    * keep their previous centroid. The codebook is nlist×dim — a
+    * driver-side constant, broadcast back, never data-sized. */
+  private[ops] def trainCodebook(cand: DataFrame, nlist: Int,
+      iters: Int): Array[Array[Double]] = {
+    val spark = cand.sparkSession
     var codebook: Array[Array[Double]] = cand
       .withColumn("_h", xxhash64(col("_id")))
       .orderBy(col("_h"), col("_id")).limit(nlist)
@@ -153,23 +191,34 @@ object SimilarityOps {
       } // clusters with no members keep their previous centroid
       codebook = next
     }
+    codebook
+  }
+
+  /** Cluster assignment column for `vecCol` against a trained codebook
+    * (unit-normalized, nearest centroid, tie -> lowest index). */
+  private[ops] def assignCol(spark: org.apache.spark.sql.SparkSession,
+      codebook: Array[Array[Double]], vecCol: Column): Column = {
     val bc = spark.sparkContext.broadcast(codebook)
-    // ---- index + probe ----
+    val unit = udf { v: Seq[Double] =>
+      val n = math.sqrt(v.iterator.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
     val assign = udf((v: Seq[Double]) => nearestList(bc.value, v))
+    assign(unit(vecCol.cast("array<double>")))
+  }
+
+  /** Multi-probe assignment column: the `nprobe` nearest centroids
+    * (the IVF probe rule, reused as SemDeDup's boundary-pair net). */
+  private[ops] def probeCol(spark: org.apache.spark.sql.SparkSession,
+      codebook: Array[Array[Double]], vecCol: Column,
+      nprobe: Int): Column = {
+    val bc = spark.sparkContext.broadcast(codebook)
+    val unit = udf { v: Seq[Double] =>
+      val n = math.sqrt(v.iterator.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
     val probe = udf((v: Seq[Double]) => nearestLists(bc.value, v, nprobe))
-    // scoring stays on the ORIGINAL vectors (same micro-quantized basis
-    // as bruteForceTopK/lshTopK); only list assignment is normalized
-    val c = candidates
-      .select(col(idCol).as("_id"),
-        DedupOps.microVec(col(vecCol)).as("_m"),
-        assign(unit(col(vecCol).cast("array<double>"))).as("_list"))
-      .withColumn("_n2", DedupOps.microDot(col("_m"), col("_m")))
-    val q = queries.select(col(idCol).as("q_id"),
-        DedupOps.microVec(col(vecCol)).as("_qm"),
-        explode(probe(unit(col(vecCol).cast("array<double>"))))
-          .as("_list"))
-      .withColumn("_qn2", DedupOps.microDot(col("_qm"), col("_qm")))
-    rankTopK(c.join(broadcast(q), Seq("_list")).drop("_list"), k)
+    probe(unit(vecCol.cast("array<double>")))
   }
 
   /** Index of the L2-nearest codebook centroid (tie -> lowest index). */

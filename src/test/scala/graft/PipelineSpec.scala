@@ -263,6 +263,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(m(1).getDouble(4) - 10.0 / 7) < 1e-6)
   }
 
+  test("semantic pairs: exact-verified subset, probed recall, loud fence") {
+    val e = emb.filter(col("vec_id") < 500)
+    val exact = DedupOps.embeddingCosinePairs(e, "vec_id", "embedding",
+        0.45, 500L).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = DedupOps.semanticPairs(e, "vec_id", "embedding",
+        0.45, nlist = 8, nprobe = 3).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((sem -- exact).isEmpty, "every semantic pair must verify")
+    assert(exact.nonEmpty &&
+      (sem & exact).size.toDouble / exact.size >= 0.7)
+    val again = DedupOps.semanticPairs(e, "vec_id", "embedding",
+        0.45, nlist = 8, nprobe = 3).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == sem, "codebook + probe must be deterministic")
+    intercept[IllegalArgumentException] {
+      DedupOps.semanticPairs(e, "vec_id", "embedding", 0.45,
+        nlist = 2, nprobe = 1, maxClusterSize = 10L)
+    }
+  }
+
   test("next-fit packing: budget boundary, oversized doc, group reset") {
     import spark.implicits._
     // budget 200: (100,100) fill bin 0 exactly (cum+tok > b is strict);
