@@ -622,8 +622,22 @@ object GraftSql {
   private def fromClause(resolve: String => DataFrame, from: String,
       tsCol: String, perSecond: Long = 1000000L): DataFrame = {
     val up = from.toUpperCase
-    val asofAt = up.indexOf(" ASOF JOIN ")
-    val winAt = up.indexOf(" WINDOW JOIN ")
+    // LEFT|RIGHT prefixes (25-join.md: the reference spells its asof /
+    // window joins `LEFT ASOF JOIN`, `RIGHT WINDOW JOIN`; bare spelling
+    // = LEFT). RIGHT mirrors the roles: the preserved side swaps, and
+    // the main-condition operator meanings mirror with it — which the
+    // preserved-side-first normalization below yields for free.
+    def joinSplit(kw: String): Option[(String, String, Boolean)] =
+      Seq(s" RIGHT $kw ", s" LEFT $kw ", s" $kw ").view.flatMap { sep =>
+        val i = up.indexOf(sep)
+        if (i < 0) None
+        else Some((from.substring(0, i).trim,
+          from.substring(i + sep.length).trim, sep.startsWith(" RIGHT")))
+      }.headOption
+    val asofSplit = joinSplit("ASOF JOIN")
+    val winSplit = joinSplit("WINDOW JOIN")
+    val asofAt = if (asofSplit.isDefined) 0 else -1
+    val winAt = if (winSplit.isDefined) 0 else -1
     val plainAt = up.indexOf(" JOIN ")
     if (asofAt < 0 && winAt < 0 && plainAt < 0)
       return resolve(from.split(" ")(0))
@@ -638,20 +652,30 @@ object GraftSql {
     }
 
     if (asofAt >= 0) {
-      // "events e" — token 0 is the table, an optional token 1 its
-      // alias; the ts-condition qualifier may use either
-      val leftToks = from.substring(0, asofAt).trim.split("\\s+")
+      val (lTxt, rest0, isRight) = asofSplit.get
+      // optional ON: the reference's ASOF default condition is
+      // `left.ts >= right.ts` with no grouping keys (25-join.md:15)
+      val onAt = rest0.toUpperCase.indexOf(" ON ")
+      val rTxt = (if (onAt >= 0) rest0.substring(0, onAt) else {
+        // strip a trailing JLIMIT from the table tokens when ON absent
+        "(?i)\\s+JLIMIT\\s+\\d+$".r.replaceAllIn(rest0, "")
+      }).trim
+      // preserved side first — RIGHT swaps the roles; "events e":
+      // token 0 is the table, an optional token 1 its alias; the
+      // ts-condition qualifier may use either
+      val (presTxt, probeTxt) = if (isRight) (rTxt, lTxt) else (lTxt, rTxt)
+      val leftToks = presTxt.split("\\s+")
       val leftNames = leftToks.map(_.toLowerCase).toSet
       val left = resolve(leftToks(0))
-      val rest = from.substring(asofAt + " ASOF JOIN ".length).trim
-      val onAt = rest.toUpperCase.indexOf(" ON ")
-      require(onAt >= 0, "ASOF JOIN needs ON")
-      val right = resolve(rest.substring(0, onAt).trim.split(" ")(0))
-      var tail = rest.substring(onAt + 4).trim
+      val right = resolve(probeTxt.split("\\s+")(0))
+      var tail =
+        if (onAt >= 0) rest0.substring(onAt + 4).trim
+        else s"${leftToks(0)}.$tsCol >= ${probeTxt.split("\\s+")(0)}.$tsCol"
+      val jlimitSrc = if (onAt >= 0) tail else rest0
       val jlimit = {
         val m = "(?i)^(.*?)\\s+JLIMIT\\s+(\\d+)$".r
-        tail match {
-          case m(t, n) => tail = t; n.toInt
+        jlimitSrc match {
+          case m(t, n) => if (onAt >= 0) tail = t; n.toInt
           case _ => 1
         }
       }
@@ -660,8 +684,10 @@ object GraftSql {
       val (tsConds, eqConds) = conds.partition(tsPat.findFirstIn(_).isDefined)
       require(tsConds.length == 1, s"ASOF JOIN needs one ts condition")
       val tm = tsPat.findFirstMatchIn(tsConds.head).get
-      // normalize to left.ts <op> right.ts — a condition written
-      // right-side-first flips the operator, not the join direction
+      // normalize to preserved.ts <op> probe.ts — a condition written
+      // probe-side-first flips the operator, not the join direction;
+      // for RIGHT joins this same flip realizes the reference's
+      // "operator meanings are the opposite" rule
       val op0 = tm.group(3)
       val op =
         if (leftNames.contains(tm.group(1).toLowerCase)) op0
@@ -683,12 +709,17 @@ object GraftSql {
         graft.ops.JoinOps.asofJoinN(left, right, keys, tsCol, tsCol, op,
           jlimit, rightCols, rightTieBreak = tie)
     } else if (winAt >= 0) {
-      val left = resolve(from.substring(0, winAt).trim.split(" ")(0))
-      val rest = from.substring(winAt + " WINDOW JOIN ".length).trim
-      val m = "(?i)^(\\w+)\\s+WINDOW_OFFSET\\s*\\(([^)]*)\\)(?:\\s+ON\\s+(.*))?$".r
+      val (lTxt, rest, isRight) = winSplit.get
+      val m = "(?i)^(\\w+)(?:\\s+\\w+)?\\s+WINDOW_OFFSET\\s*\\(([^)]*)\\)(?:\\s+ON\\s+(.*))?$".r
       rest match {
         case m(rightName, offs, onOrNull) =>
-          val right = resolve(rightName)
+          // RIGHT WINDOW JOIN anchors the window on the other side;
+          // WINDOW_OFFSET stays relative to the preserved row's ts
+          val (presName, probeName) =
+            if (isRight) (rightName, lTxt.split("\\s+")(0))
+            else (lTxt.split("\\s+")(0), rightName)
+          val left = resolve(presName)
+          val right = resolve(probeName)
           val bounds = splitArgs(offs).map(s => signedDurNative(s, perSecond))
           val keys = Option(onOrNull).toSeq
             .flatMap(o => equiKeys(o.split("(?i)\\s+AND\\s+").toSeq))

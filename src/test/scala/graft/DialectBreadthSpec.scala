@@ -160,6 +160,39 @@ class DialectBreadthSpec extends AnyFunSuite {
     assert(out.forall(r => !r.isNullAt(1)))
   }
 
+  test("LEFT/RIGHT ASOF and WINDOW join spellings route and mirror") {
+    // LEFT ASOF == bare ASOF (the reference's examples spell LEFT)
+    val bare = q("""SELECT ts, user_id, r_value FROM purchasesL
+        ASOF JOIN clicksL ON purchasesL.ts >= clicksL.ts
+        AND purchasesL.user_id = clicksL.user_id
+        ORDER BY user_id, ts""".replace("purchasesL", "events")
+      .replace("clicksL", "events"))
+    val leftSp = q("""SELECT ts, user_id, r_value FROM events
+        LEFT ASOF JOIN events ON events.ts >= events.ts
+        AND events.user_id = events.user_id
+        ORDER BY user_id, ts""")
+    assert(bare.collect().length == leftSp.collect().length)
+    // RIGHT ASOF with the operator mirrored equals LEFT with sides
+    // swapped: both preserve the same side with the same match rule
+    val r = q("""SELECT ts, user_id, r_value FROM events a
+        RIGHT ASOF JOIN events b ON a.ts <= b.ts
+        AND a.user_id = b.user_id ORDER BY user_id, ts""")
+    val l = q("""SELECT ts, user_id, r_value FROM events b
+        LEFT ASOF JOIN events a ON b.ts >= a.ts
+        AND b.user_id = a.user_id ORDER BY user_id, ts""")
+    assert(r.collect().map(_.toSeq).toSeq == l.collect().map(_.toSeq).toSeq)
+    // RIGHT WINDOW JOIN anchors on the right side
+    val rw = q("""SELECT ts, user_id, count(*) AS n FROM events a
+        RIGHT WINDOW JOIN events b WINDOW_OFFSET(-1h, 1h)
+        ON a.user_id = b.user_id
+        GROUP BY ts, user_id ORDER BY user_id, ts LIMIT 20""")
+    assert(rw.collect().nonEmpty)
+    // ASOF without ON: the reference's implicit default condition
+    val noOn = q("""SELECT ts, user_id, r_value FROM events
+        ASOF JOIN events ORDER BY user_id, ts LIMIT 10""")
+    assert(noOn.collect().length == 10)
+  }
+
   test("EXISTS folds to the subquery's emptiness, NOT EXISTS inverts") {
     val all = q("SELECT count(*) AS n FROM customer").head.getLong(0)
     val hit = q("""SELECT count(*) AS n FROM customer WHERE EXISTS
