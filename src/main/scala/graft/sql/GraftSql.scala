@@ -43,7 +43,9 @@ object GraftSql {
     * precision can represent ("500u" on a ms table) fails loudly
     * rather than silently truncating. */
   def durNative(s: String, perSecond: Long): Long = {
-    val t = s.trim.toLowerCase
+    // quoted form: INTERVAL('1s') etc. (24-distinguished.md — "time
+    // units in string form")
+    val t = s.trim.stripPrefix("'").stripSuffix("'").trim.toLowerCase
     val m = "^(\\d+)([uasmhdw]?)$".r
     t match {
       case m(n, "") => n.toLong
@@ -1046,7 +1048,7 @@ object GraftSql {
   }
 
   private def signedDurNative(s: String, perSecond: Long): Long = {
-    val t = s.trim
+    val t = s.trim.stripPrefix("'").stripSuffix("'").trim
     if (t.startsWith("-")) -durNative(t.substring(1), perSecond)
     else durNative(t, perSecond)
   }
@@ -1449,7 +1451,21 @@ object GraftSql {
       return anomalycheckSelect(df, c, tsCol)
     seriesSelect(df, c, tsCol).foreach(r => return r)
 
+    // expression partition keys (24-distinguished.md: part_list takes
+    // any scalar expression) materialize as hidden columns, the same
+    // treatment GROUP BY expressions get below
+    val partExprRemap = Seq.newBuilder[(String, String)]
     val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
+      .zipWithIndex.map { case (k0, i) =>
+        val k = k0.trim
+        if ("^[A-Za-z_][A-Za-z0-9_]*$".r.matches(k)) k
+        else {
+          val nm = s"_pk$i"
+          df = df.withColumn(nm, expr(rewriteFuncs(k, tsCol, perSecond)))
+          partExprRemap += (normExprKey(k) -> nm)
+          nm
+        }
+      }
     // SELECT DISTINCT: flag + strip, applied after the projection
     val selectRaw = c("SELECT").trim
     val isDistinct = selectRaw.toUpperCase.startsWith("DISTINCT ")
@@ -1464,6 +1480,11 @@ object GraftSql {
       item match {
         case m(e, a) => (e.trim, a)
         case e => (e.trim, e.trim)
+      }
+    }
+    partExprRemap.result().foreach { case (key, nm) =>
+      selectItems = selectItems.map { case (e, a) =>
+        if (normExprKey(e) == key) (nm, if (a == e) nm else a) else (e, a)
       }
     }
 

@@ -135,7 +135,23 @@ class DialectBreadthSpec extends AnyFunSuite {
     ("NOT LIKE",
       "SELECT count(*) AS n FROM customer WHERE c_name NOT LIKE '%3%'"),
     ("NOT BETWEEN",
-      "SELECT count(*) AS n FROM events WHERE value NOT BETWEEN 10 AND 90"))
+      "SELECT count(*) AS n FROM events WHERE value NOT BETWEEN 10 AND 90"),
+    ("quoted duration INTERVAL",
+      "SELECT _wstart, count(*) AS n FROM events INTERVAL('7d') " +
+        "ORDER BY _wstart"),
+    ("quoted duration INTERVAL offset + SLIDING",
+      "SELECT _wstart, count(*) AS n FROM events " +
+        "INTERVAL('1d', '6h') SLIDING('12h') ORDER BY _wstart LIMIT 5"),
+    ("quoted duration SESSION",
+      "SELECT user_id, _wstart, count(*) AS n FROM events " +
+        "PARTITION BY user_id SESSION(ts, '30m') " +
+        "ORDER BY user_id, _wstart LIMIT 5"),
+    ("PARTITION BY scalar expression",
+      "SELECT count(*) AS n FROM events PARTITION BY user_id % 2"),
+    ("quoted duration EVERY",
+      "SELECT _irowts, interp(value) FROM events " +
+        "RANGE(1704067200000000, 1704070000000000) " +
+        "EVERY('10m') FILL(PREV)"))
 
   forms.foreach { case (tag, sql) =>
     test(s"dialect executes: $tag") {
