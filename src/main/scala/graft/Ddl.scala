@@ -266,6 +266,30 @@ object Ddl {
         "count(*) AS n FROM events WHERE gcd64(event_id, 6) = 6 " +
         "GROUP BY user_id ORDER BY user_id")
     },
+    // user / role / privilege DDL (sql.y:359-419) + the
+    // ins_user_privileges introspection rows (systable.c:507)
+    "ddl_user_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE USER analyst PASS 'an4lyst' SYSINFO 0")
+      cat.exec("CREATE USER etl PASS 'p1pe' CREATEDB 1")
+      cat.exec("ALTER USER analyst ENABLE 0")
+      cat.exec("CREATE ROLE readers")
+      cat.exec("GRANT ROLE readers TO analyst")
+      cat.exec("GRANT READ ON graftdb.events TO analyst")
+      cat.exec("GRANT READ, WRITE ON graftdb.* TO etl")
+      cat.exec(
+        "GRANT SUBSCRIBE ON graftdb.events WITH user_id > 100 TO analyst")
+      cat.exec("GRANT CREATE TABLE, DROP TABLE TO etl")
+      cat.exec("REVOKE WRITE ON graftdb.* FROM etl")
+      // a dropped user's grants go with it — no temp rows survive
+      cat.exec("CREATE USER temp PASS 'x'")
+      cat.exec("GRANT ALL ON *.* TO temp")
+      cat.exec("DROP USER temp")
+      cat.sql("SELECT user_name, priv_type, priv_scope, db_name, " +
+        "table_name, condition " +
+        "FROM information_schema.ins_user_privileges " +
+        "ORDER BY user_name, priv_type, db_name, table_name")
+    },
     // CREATE ANODE text + SHOW ANODES FULL / ins_anodes_full through
     // the dialect FROM (sql.y:689-692, systable.h:32-33)
     "ins_anodes_gate" -> { (s, dir) =>
@@ -473,6 +497,17 @@ object Ddl {
       """SELECT user_id, bit_or(event_id) AS bits, count(*) AS n
          FROM events WHERE gcd(event_id, 6) = 6
          GROUP BY user_id ORDER BY user_id""",
+    "ddl_user_gate" ->
+      """SELECT * FROM (VALUES
+           ('analyst', 'read', 'table', 'graftdb', 'events', ''),
+           ('analyst', 'subscribe', 'table', 'graftdb', 'events',
+            'user_id > 100'),
+           ('etl', 'create table', 'all', '*', '*', ''),
+           ('etl', 'drop table', 'all', '*', '*', ''),
+           ('etl', 'read', 'db', 'graftdb', '*', ''))
+         AS t(user_name, priv_type, priv_scope, db_name, table_name,
+           condition)
+         ORDER BY user_name, priv_type, db_name, table_name""",
     "ins_anodes_gate" ->
       """SELECT * FROM (VALUES
            (1, 'anomaly-detection', 'zscore'),

@@ -725,6 +725,27 @@ object Dialect {
       run(s, dir,
         """SELECT user_id, UNIQUE(event_type) AS et, ts FROM events
            PARTITION BY user_id ORDER BY user_id, et""")
+    },
+    // HISTOGRAM text forms (builtins.c:4032): all three bin-spec
+    // modes — user_input edges, linear_bin width grid (±inf-padded),
+    // log_bin geometric grid with normalized percentages
+    "dialect_histogram" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT HISTOGRAM(value, 'user_input', '[0,10,50,100,500]', 0)
+           FROM events PARTITION BY user_id
+           ORDER BY user_id, lower_bin""")
+    },
+    "dialect_histogram_linear" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT HISTOGRAM(value, 'linear_bin',
+             '{"start":0, "width":100, "count":4, "infinity":true}', 0)
+           FROM events ORDER BY lower_bin""")
+    },
+    "dialect_histogram_log" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT HISTOGRAM(value, 'log_bin',
+             '{"start":1, "factor":4, "count":5, "infinity":false}', 1)
+           FROM events ORDER BY lower_bin""")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1348,5 +1369,40 @@ object Dialect {
            row_number() OVER (PARTITION BY user_id, event_type
              ORDER BY ts, event_id) AS rn FROM events)
          SELECT user_id, et, ts FROM r WHERE rn = 1
-         ORDER BY user_id, et""")
+         ORDER BY user_id, et""",
+    "dialect_histogram" ->
+      """WITH bins(lower_bin, upper_bin) AS
+           (VALUES (0.0,10.0),(10.0,50.0),(50.0,100.0),(100.0,500.0)),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id, CAST(b.lower_bin AS DOUBLE) AS lower_bin,
+           CAST(b.upper_bin AS DOUBLE) AS upper_bin,
+           (SELECT count(*) FROM events e WHERE e.user_id = u.user_id
+              AND e.value > b.lower_bin AND e.value <= b.upper_bin)
+             AS cnt
+         FROM u CROSS JOIN bins b ORDER BY user_id, lower_bin""",
+    "dialect_histogram_linear" ->
+      """WITH bins(lower_bin, upper_bin) AS (VALUES
+           (CAST('-infinity' AS DOUBLE), 0.0), (0.0,100.0),
+           (100.0,200.0), (200.0,300.0), (300.0,400.0),
+           (400.0, CAST('infinity' AS DOUBLE)))
+         SELECT CAST(lower_bin AS DOUBLE) AS lower_bin,
+           CAST(upper_bin AS DOUBLE) AS upper_bin,
+           (SELECT count(*) FROM events e
+              WHERE e.value > b.lower_bin AND e.value <= b.upper_bin)
+             AS cnt
+         FROM bins b ORDER BY lower_bin""",
+    "dialect_histogram_log" ->
+      """WITH bins(lower_bin, upper_bin) AS (VALUES
+           (1.0,4.0),(4.0,16.0),(16.0,64.0),(64.0,256.0),(256.0,1024.0)),
+         c AS (SELECT CAST(b.lower_bin AS DOUBLE) AS lower_bin,
+           CAST(b.upper_bin AS DOUBLE) AS upper_bin,
+           (SELECT count(*) FROM events e
+              WHERE e.value > b.lower_bin AND e.value <= b.upper_bin)
+             AS n
+           FROM bins b)
+         SELECT lower_bin, upper_bin,
+           CASE WHEN sum(n) OVER () = 0 THEN 0.0
+                ELSE CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+           END AS percentage
+         FROM c ORDER BY lower_bin""")
 }

@@ -34,6 +34,14 @@ object Pipeline {
       DedupOps.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, 0.9)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // ---- winnowing (MOSS) fingerprint pairs: shared >= 2 of the
+    // windowed-min 4-gram md5s — guaranteed to catch any shared
+    // passage of >= 7 words ----
+    "dedup_winnowing" -> { (s, dir) =>
+      DedupOps.winnowingPairs(docs(s, dir), "doc_id", "text",
+        k = 4, w = 4, minShared = 2, maxFpDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // ---- train/eval decontamination: 3-gram containment of a held-
     // out eval slice (doc_id % 7 = 0, wide enough that the corpus's
     // planted near-dups straddle the split) inside the rest of the
@@ -363,6 +371,30 @@ object Pipeline {
           FROM common WHERE n_common * 1.0 / en >= 0.8
           ORDER BY eval_id, train_id""",
     "dedup_minhash_lsh" -> jaccardSql(0.9),
+    // winnowing: positional 4-gram md5s, 4-hash window minima,
+    // distinct per doc, bucket-capped at 50, pairs sharing >= 2
+    "dedup_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w
+            FROM documents),
+          g AS (SELECT doc_id, i,
+              md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                AS h
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                  FROM t) s),
+          wm AS (SELECT doc_id, i,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+              max(i) OVER (PARTITION BY doc_id) AS mi
+            FROM g),
+          f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= mi - 3),
+          ok AS (SELECT fp FROM f GROUP BY fp
+                 HAVING count(*) BETWEEN 2 AND 50),
+          ff AS (SELECT f.doc_id, f.fp FROM f JOIN ok USING (fp))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            count(*) AS shared
+          FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY id_a, id_b""",
     // transitive closure of the >= 0.8 pair graph: min reachable id
     // per node (DuckDB's recursive UNION dedups states, so the walk
     // terminates on the finite (id, label) space)

@@ -106,6 +106,52 @@ object DedupOps {
     verifyJaccard(cands, sets, threshold)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003
+    * §4 — the MOSS local fingerprinting algorithm): hash every
+    * positional word k-gram, slide a window of `w` consecutive
+    * hashes, keep each window's minimum — any shared passage of
+    * `w + k - 1` or more words is GUARANTEED to share a fingerprint,
+    * with ~2/(w+1) of the grams retained. The hash is md5 compared
+    * lexicographically (order is all winnowing needs, and md5 exists
+    * verbatim in the oracle engine). Map-side per document: the gram
+    * hashes materialize once per row, windows slice that array —
+    * zero shuffles until the fingerprint index aggregates. Documents
+    * shorter than w+k-1 words fingerprint to the empty set. */
+  def winnowFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 4): DataFrame = {
+    val gh = transform(TextOps.ngrams(col(textCol), k),
+      g => md5(g.cast("binary")))
+    val hashed = docs.select(col(idCol).as("_id"), gh.as("_gh"))
+    val m = size(col("_gh")) - (w - 1)
+    // sequence() descends when start > stop — guard short documents
+    val fps = when(m >= 1, array_distinct(
+      transform(sequence(lit(1), m),
+        i => array_min(slice(col("_gh"), i, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+    hashed.select(col("_id"), fps.as("_fps"))
+  }
+
+  /** Document pairs sharing at least `minShared` winnowing
+    * fingerprints — the copy/plagiarism-detection join. One groupBy
+    * on the fingerprint expands each bucket's sorted id list into
+    * pairs; buckets larger than `maxFpDf` are boilerplate
+    * fingerprints (present in ~every doc) and are dropped BEFORE
+    * pair expansion, bounding any bucket's output at maxFpDf² — the
+    * hot-key fence the 100 TB path needs. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 2,
+      maxFpDf: Int = 50): DataFrame = {
+    val idx = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("_id"), explode(col("_fps")).as("_fp"))
+    idx.groupBy("_fp")
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxFpDf))
+      .select(explode(pairCombos(col("_ids"))).as("_p"))
+      .groupBy(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** MinHash signatures as a map-side native expression (see
     * [[graft.functions.MinHashSignature]]): one pass over the word
     * array per document, zero shuffles, null when the document has

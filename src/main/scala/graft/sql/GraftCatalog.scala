@@ -109,6 +109,25 @@ class GraftCatalog(val spark: SparkSession) {
     mutable.LinkedHashMap[String, (String, String, String)]()
   private var anodeSeq = 0
   private var seqCounter = 0L
+  // users / roles / privileges (sql.y:359-419, systable.c:507
+  // userUserPrivilegesSchema). Authn itself is the platform's job
+  // (Spark delegates to the cluster manager); the catalog keeps the
+  // reference's DDL surface + introspection rows so GRANT/REVOKE
+  // round-trip. Passwords are stored as an opaque SHA-256, never raw.
+  private case class UserDef(name: String, var passHash: String,
+    superUser: Int, var enable: Int, var sysinfo: Int, var createdb: Int)
+  private val userDefs = mutable.LinkedHashMap[String, UserDef](
+    "root" -> UserDef("root", shaHex("taosdata"), 1, 1, 1, 1))
+  private val roleDefs = mutable.LinkedHashSet[String]()
+  // (grantee-user -> roles); GRANT ROLE r TO u
+  private val userRoles = mutable.LinkedHashMap[String, mutable.LinkedHashSet[String]]()
+  private case class PrivDef(user: String, privType: String,
+    scope: String, db: String, table: String, condition: String)
+  private val privDefs = mutable.ArrayBuffer[PrivDef]()
+
+  private def shaHex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Ticks/second of the current database (PRECISION 'ms'|'us'|'ns'). */
   def perSecond: Long = databases(currentDb).perSecond
@@ -473,6 +492,22 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("DROP VTABLE")) {
       vtableDefs.remove(bare(stmt.split("\\s+").last)); ()
     }
+    else if (up.startsWith("CREATE USER")) createUser(stmt)
+    else if (up.startsWith("ALTER USER")) alterUser(stmt)
+    else if (up.startsWith("DROP USER")) dropUser(stmt)
+    else if (up.startsWith("CREATE ROLE")) {
+      val r = bare(stmt.split("\\s+").last)
+      require(stmt.toUpperCase.contains("IF NOT EXISTS") ||
+        !roleDefs.contains(r), s"role exists: $r")
+      roleDefs += r; ()
+    }
+    else if (up.startsWith("DROP ROLE")) {
+      roleDefs -= bare(stmt.split("\\s+").last); ()
+    }
+    else if (up.startsWith("GRANT ROLE")) grantRole(stmt, grant = true)
+    else if (up.startsWith("REVOKE ROLE")) grantRole(stmt, grant = false)
+    else if (up.startsWith("GRANT ")) grantPriv(stmt, grant = true)
+    else if (up.startsWith("REVOKE ")) grantPriv(stmt, grant = false)
     else if (fnCreateRe.findFirstIn(stmt).isDefined) createFunction(stmt)
     else if (up.startsWith("DROP FUNCTION")) {
       // the Spark function registry has no unregister; dropping removes
@@ -481,6 +516,113 @@ class GraftCatalog(val spark: SparkSession) {
       udfDefs.remove(bare(stmt.split("\\s+").last)); ()
     }
     else throw new IllegalArgumentException(s"unsupported statement: $stmt")
+  }
+
+  // ------------------------------------------------- users / privileges
+
+  /** CREATE USER [IF NOT EXISTS] u PASS 'p' [SYSINFO n] [CREATEDB n]
+    * [ENABLE n] (sql.y:359; user_option list :330). */
+  private def createUser(stmt: String): Unit = {
+    val re = ("(?i)^CREATE USER (?:IF NOT EXISTS )?" +
+      "([A-Za-z_][A-Za-z0-9_]*) PASS '([^']*)'(.*)$").r
+    stmt match {
+      case re(name, pass, rest) =>
+        if (userDefs.contains(name)) {
+          require(stmt.toUpperCase.contains("IF NOT EXISTS"),
+            s"user exists: $name")
+          return
+        }
+        val u = UserDef(name, shaHex(pass), 0, 1, 1, 0)
+        def opt(k: String): Option[Int] =
+          s"(?i)\\b$k (\\d)".r.findFirstMatchIn(rest)
+            .map(_.group(1).toInt)
+        opt("SYSINFO").foreach(u.sysinfo = _)
+        opt("CREATEDB").foreach(u.createdb = _)
+        opt("ENABLE").foreach(u.enable = _)
+        userDefs(name) = u
+      case _ => sys.error(s"cannot parse CREATE USER: $stmt")
+    }
+  }
+
+  /** ALTER USER u PASS 'p' | ENABLE n | SYSINFO n | CREATEDB n
+    * (sql.y:364). */
+  private def alterUser(stmt: String): Unit = {
+    val re = "(?i)^ALTER USER ([A-Za-z_][A-Za-z0-9_]*) (.+)$".r
+    stmt match {
+      case re(name, opts) =>
+        val u = userDefs.getOrElse(name,
+          sys.error(s"unknown user: $name"))
+        "(?i)PASS '([^']*)'".r.findFirstMatchIn(opts)
+          .foreach(m => u.passHash = shaHex(m.group(1)))
+        def opt(k: String): Option[Int] =
+          s"(?i)\\b$k (\\d)".r.findFirstMatchIn(opts)
+            .map(_.group(1).toInt)
+        opt("SYSINFO").foreach(u.sysinfo = _)
+        opt("CREATEDB").foreach(u.createdb = _)
+        opt("ENABLE").foreach(u.enable = _)
+      case _ => sys.error(s"cannot parse ALTER USER: $stmt")
+    }
+  }
+
+  /** DROP USER [IF EXISTS] u (sql.y:365): root is not droppable, and
+    * the user's grants go with the user. */
+  private def dropUser(stmt: String): Unit = {
+    val name = bare(stmt.split("\\s+").last)
+    require(name != "root", "cannot drop the root superuser")
+    if (userDefs.remove(name).isEmpty)
+      require(stmt.toUpperCase.contains("IF EXISTS"),
+        s"unknown user: $name")
+    privDefs.filterInPlace(_.user != name)
+    userRoles.remove(name); ()
+  }
+
+  /** GRANT ROLE r TO u / REVOKE ROLE r FROM u (sql.y:415-416). */
+  private def grantRole(stmt: String, grant: Boolean): Unit = {
+    val re = ("(?i)^(?:GRANT|REVOKE) ROLE ([A-Za-z_][A-Za-z0-9_]*) " +
+      "(?:TO|FROM) ([A-Za-z_][A-Za-z0-9_]*)$").r
+    stmt match {
+      case re(role, user) =>
+        require(roleDefs.contains(role), s"unknown role: $role")
+        val rs = userRoles.getOrElseUpdate(user,
+          mutable.LinkedHashSet[String]())
+        if (grant) rs += role else rs -= role
+        ()
+      case _ => sys.error(s"cannot parse role grant: $stmt")
+    }
+  }
+
+  /** GRANT privs [ON level] [WITH cond] TO u / REVOKE … FROM u
+    * (sql.y:418-419; priv_type verbs :450-600). level `*.*` = all,
+    * `db`/`db.*` = database scope, `db.tbl` = table scope — the same
+    * three scopes mndUser reports in ins_user_privileges. */
+  private def grantPriv(stmt: String, grant: Boolean): Unit = {
+    val kw = if (grant) "TO" else "FROM"
+    val re = ("(?i)^(?:GRANT|REVOKE) (.+?)" +
+      "(?: ON ([A-Za-z_*][A-Za-z0-9_.*]*))?(?: WITH (.+?))? " +
+      kw + " ([A-Za-z_][A-Za-z0-9_]*)$").r
+    stmt match {
+      case re(privList, levelOrNull, condOrNull, user) =>
+        require(userDefs.contains(user), s"unknown user: $user")
+        val privs = privList.split(",").map(_.trim.toLowerCase)
+          .filter(_.nonEmpty).toSeq
+        val (scope, db, tbl) =
+          Option(levelOrNull).getOrElse("*.*").split("\\.") match {
+            case Array("*", "*") => ("all", "*", "*")
+            case Array(d, "*") => ("db", d, "*")
+            case Array(d, t) => ("table", d, t)
+            case Array(d) => ("db", d, "*")
+            case _ => sys.error(s"bad privilege level: $levelOrNull")
+          }
+        val cond = Option(condOrNull).getOrElse("")
+        if (grant) privs.foreach { p =>
+          val row = PrivDef(user, p, scope, db, tbl, cond)
+          if (!privDefs.contains(row)) privDefs += row
+        }
+        else privDefs.filterInPlace(r => !(r.user == user &&
+          privs.contains(r.privType) && r.db == db && r.table == tbl))
+        ()
+      case _ => sys.error(s"cannot parse privilege grant: $stmt")
+    }
   }
 
   // ------------------------------------------------- TSMA / VTABLE / UDF
@@ -1364,6 +1506,7 @@ class GraftCatalog(val spark: SparkSession) {
     else if (name == "ins_anodes_full") insAnodesFull
     else if (name == "ins_dnodes") insDnodes
     else if (name == "ins_users") insUsers
+    else if (name == "ins_user_privileges") insUserPrivileges
     else if (name == "ins_cluster") insCluster
     else throw new IllegalArgumentException(s"unknown table: $name")
   }
@@ -1544,12 +1687,29 @@ class GraftCatalog(val spark: SparkSession) {
     }.toDF("id", "endpoint", "vnodes", "support_vnodes", "status")
   }
 
-  /** information_schema.ins_users (systable.h usersSchema): single
-    * root superuser — Spark delegates real authn/authz to the cluster
-    * manager, so the catalog reports the reference's default. */
+  /** information_schema.ins_users (systable.h usersSchema): the root
+    * superuser plus CREATE USER registrations. Real authn/authz is
+    * the platform's job (Spark delegates to the cluster manager); the
+    * catalog keeps the reference's introspection surface. */
   def insUsers: DataFrame =
-    Seq(("root", 1, 1, 1, 1)).toDF(
-      "name", "super", "enable", "sysinfo", "createdb")
+    userDefs.values.toSeq.map(u =>
+      (u.name, u.superUser, u.enable, u.sysinfo, u.createdb))
+      .toDF("name", "super", "enable", "sysinfo", "createdb")
+
+  /** information_schema.ins_user_privileges (systable.c:507
+    * userUserPrivilegesSchema; update_time omitted — wall-clock). */
+  def insUserPrivileges: DataFrame =
+    privDefs.toSeq.map(p => (p.user, p.privType, p.scope, p.db,
+      p.table, p.condition, "", ""))
+      .toDF("user_name", "priv_type", "priv_scope", "db_name",
+        "table_name", "condition", "notes", "columns")
+
+  /** SHOW ROLES (sql.y role surface): declared roles with their
+    * grantee users. */
+  def insRoles: DataFrame =
+    roleDefs.toSeq.map { r =>
+      (r, userRoles.filter(_._2.contains(r)).keys.mkString(","))
+    }.toDF("role_name", "granted_to")
 
   /** information_schema.ins_cluster (systable.h clusterSchema). */
   def insCluster: DataFrame =
@@ -1845,6 +2005,7 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW ANODES")) insAnodes
     else if (up.startsWith("SHOW DNODES")) insDnodes
     else if (up.startsWith("SHOW USERS")) insUsers
+    else if (up.startsWith("SHOW ROLES")) insRoles
     else if (up.startsWith("SHOW CLUSTER")) insCluster
     else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
       describe(stmt.split("\\s+").last)

@@ -1047,6 +1047,126 @@ object GraftSql {
     }
   }
 
+  /** Bin boundaries for the HISTOGRAM text form
+    * (builtinsimpl.c:5948 getHistogramBinDesc): `user_input` takes an
+    * ascending JSON array of edges; `linear_bin`/`log_bin` take
+    * `{"start","width"|"factor","count","infinity"}` and generate
+    * `count` edges arithmetically / geometrically, ±∞-padded when
+    * `infinity` is true (:6041). Descending generations (negative
+    * width, factor<1) normalize to ascending — the reference builds
+    * the same bin set via per-bin lower/upper min/max (:6099). */
+  private def histogramBounds(binType: String, desc: String)
+      : Seq[Double] = {
+    val t = desc.trim
+    if (binType == "user_input") {
+      require(t.startsWith("[") && t.endsWith("]"),
+        s"user_input bins must be a JSON array: $desc")
+      val bs = t.substring(1, t.length - 1).split(",")
+        .map(_.trim.toDouble).toSeq
+      require(bs.size >= 2 &&
+        bs.sliding(2).forall(p => p(0) < p(1)),
+        s"user_input bins must be strictly ascending: $desc")
+      bs
+    } else {
+      def field(k: String): Option[String] =
+        ("\"" + k + "\"\\s*:\\s*([^,}\\s\"]+)").r
+          .findFirstMatchIn(t).map(_.group(1))
+      def need(k: String): String = field(k).getOrElse(
+        sys.error(s"histogram $binType desc needs \"$k\": $desc"))
+      val start = need("start").toDouble
+      val count = need("count").toDouble.toInt
+      require(count > 0 && count <= 1000,
+        s"histogram bin count out of range (1..1000): $desc")
+      val inf = field("infinity").exists(_.toBoolean)
+      val core: Seq[Double] = binType match {
+        case "linear_bin" =>
+          val width = need("width").toDouble
+          require(width != 0, s"linear_bin width must be non-zero")
+          (0 to count).map(i => start + i * width)
+        case "log_bin" =>
+          val factor = need("factor").toDouble
+          require(start != 0 && factor > 0 && factor != 1,
+            s"log_bin needs start!=0 and factor>0, !=1: $desc")
+          (0 to count).map(i => start * math.pow(factor, i))
+        case other => sys.error(s"invalid histogram bin type: $other")
+      }
+      val asc = if (core.head <= core.last) core else core.reverse
+      val all = if (inf)
+        (Double.NegativeInfinity +: asc) :+ Double.PositiveInfinity
+      else asc
+      require(all.sliding(2).forall(p => p(0) < p(1)),
+        s"histogram bins must be strictly monotonic: $desc")
+      all
+    }
+  }
+
+  /** `SELECT HISTOGRAM(col, 'user_input'|'linear_bin'|'log_bin',
+    * 'desc', normalized) FROM t [PARTITION BY keys]` (builtins.c:4032;
+    * membership is first-match "lower < v <= upper"
+    * builtinsimpl.c:6170, every bin is emitted including zero counts
+    * :6244, normalized percentages divide by the binned total only
+    * :6236). Spark-first: the boundaries are plan-time literals, so
+    * bin assignment is one codegen'd boundary scan per row (no UDF),
+    * counts are a single hash aggregate on (keys, bin), and a tiny
+    * broadcast bins frame restores empty bins — one shuffle total at
+    * any scale. The reference prints each bin as a JSON varchar; we
+    * emit typed (lower_bin, upper_bin, cnt|percentage) columns — the
+    * same information, columnar. */
+  private def histogramSelect(df: DataFrame, c: Map[String, String],
+      tsCol: String): Option[DataFrame] = {
+    val sel = c("SELECT").trim
+    if ("(?i)^HISTOGRAM\\s*\\(".r.findFirstIn(sel).isEmpty) return None
+    val windowed = Seq("INTERVAL", "SESSION", "STATE_WINDOW",
+      "COUNT_WINDOW", "EVENT_WINDOW", "ANOMALY_WINDOW", "GROUP BY")
+      .exists(c.contains)
+    require(!windowed, "HISTOGRAM composes with PARTITION BY only")
+    val (_, args, close) = analyticCallSpan(sel, "HISTOGRAM")
+    require(sel.substring(close + 1).trim.isEmpty,
+      s"HISTOGRAM must be the whole select list: $sel")
+    require(args.length == 4,
+      s"HISTOGRAM needs (col, bin_type, bin_desc, normalized): $sel")
+    val binType = unquote(args(1).trim).toLowerCase
+    val normalized = args(3).trim.toInt == 1
+    val bounds = histogramBounds(binType, unquote(args(2).trim))
+    val nb = bounds.size - 1
+    val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
+      .map(_.trim)
+    val v = expr(args(0).trim).cast("double")
+    // ascending disjoint bins ⇒ first-match == #boundaries below v;
+    // out-of-range rows get a NULL bin, keeping their group alive in
+    // the aggregate without contributing to any bin (or the total)
+    val bArr = array(bounds.map(lit(_)): _*)
+    val idx = (size(filter(bArr, b => v > b)) - 1).cast("int")
+    val binned = when(v.isNotNull && v > lit(bounds.head) &&
+      v <= lit(bounds.last), idx)
+    val counts = df.withColumn("_bin", binned)
+      .groupBy((partCols :+ "_bin").map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val bins = df.sparkSession.createDataFrame(
+      (0 until nb).map(i => (i, bounds(i), bounds(i + 1))))
+      .toDF("_bin", "lower_bin", "upper_bin")
+    val joined =
+      if (partCols.isEmpty)
+        broadcast(bins).join(counts, Seq("_bin"), "left")
+      else counts.select(partCols.map(col): _*).distinct()
+        .crossJoin(broadcast(bins))
+        .join(counts, partCols :+ "_bin", "left")
+    val cnt = coalesce(col("_n"), lit(0L))
+    val valued =
+      if (!normalized) joined.withColumn("cnt", cnt)
+      else {
+        val w = Window.partitionBy(partCols.map(col): _*)
+        joined.withColumn("percentage",
+          when(sum(cnt).over(w) === 0, lit(0d))
+            .otherwise(cnt.cast("double") / sum(cnt).over(w)))
+      }
+    var res = valued.select((partCols ++ Seq("lower_bin", "upper_bin") :+
+      (if (normalized) "percentage" else "cnt")).map(col): _*)
+    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+    c.get("LIMIT").foreach(n => res = applyLimit(res, n))
+    Some(res)
+  }
+
   private def signedDurNative(s: String, perSecond: Long): Long = {
     val t = s.trim.stripPrefix("'").stripSuffix("'").trim
     if (t.startsWith("-")) -durNative(t.substring(1), perSecond)
@@ -1450,6 +1570,7 @@ object GraftSql {
     if ("(?i)\\bANOMALYCHECK\\s*\\(".r.findFirstIn(c("SELECT")).isDefined)
       return anomalycheckSelect(df, c, tsCol)
     seriesSelect(df, c, tsCol).foreach(r => return r)
+    histogramSelect(df, c, tsCol).foreach(r => return r)
 
     // expression partition keys (24-distinguished.md: part_list takes
     // any scalar expression) materialize as hidden columns, the same

@@ -27,6 +27,34 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(GraftSql.durUs("42") == 42L)
   }
 
+  test("HISTOGRAM bin generation: descending + infinity forms") {
+    import spark.implicits._
+    val df = Seq(1L -> -5.0, 2L -> 0.0, 3L -> 3.0, 4L -> 12.0,
+      5L -> 30.0, 6L -> 120.0).map { case (id, v) => (id, 0L, v) }
+      .toDF("event_id", "ts", "value")
+    def rows(sql: String): Seq[(Double, Double, Long)] =
+      GraftSql.query(spark, _ => df, sql).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    // negative width generates descending edges; the engine serves the
+    // same bin set ascending (builtinsimpl.c:6099 lower/upper min-max)
+    val desc = rows("""SELECT HISTOGRAM(value, 'linear_bin',
+      '{"start":20, "width":-10, "count":2, "infinity":true}', 0)
+      FROM t ORDER BY lower_bin""")
+    assert(desc.map(t => (t._1, t._2)) == Seq(
+      (Double.NegativeInfinity, 0.0), (0.0, 10.0), (10.0, 20.0),
+      (20.0, Double.PositiveInfinity)))
+    // membership is lower < v <= upper: 0.0 lands in (-inf,0], empty
+    // (0,10] bin still emitted with its zero count
+    assert(desc.map(_._3) == Seq(2L, 1L, 1L, 2L))
+    // factor < 1 descends too: start*f^i = 16,8,4,2 → (2,4],(4,8],(8,16]
+    val logd = rows("""SELECT HISTOGRAM(value, 'log_bin',
+      '{"start":16, "factor":0.5, "count":3, "infinity":false}', 0)
+      FROM t ORDER BY lower_bin""")
+    assert(logd.map(t => (t._1, t._2)) ==
+      Seq((2.0, 4.0), (4.0, 8.0), (8.0, 16.0)))
+    assert(logd.map(_._3) == Seq(1L, 0L, 1L))
+  }
+
   test("TRUE_FOR COUNT / AND / OR limit forms filter windows") {
     // reference executor.c isTrueForSatisfied: duration = span >= d,
     // count = rows >= n, AND/OR combine them

@@ -23,6 +23,37 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH missed ${(exact -- lsh).size} / extra ${(lsh -- exact).size}")
   }
 
+  test("winnowing: shared >= w+k-1 word passage guarantees a match") {
+    import spark.implicits._
+    // SIGMOD'03 §4 detection guarantee: with k=4, w=4 any common
+    // passage of >= 7 words must share a selected fingerprint
+    val passage = "the quick brown fox jumps over seven lazy dogs"
+    val d = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"$passage unrelated trailing words here entirely"),
+      (3L, "completely different text with no overlap at all " +
+        "whatsoever in any window of words")).toDF("doc_id", "text")
+    val fps = DedupOps.winnowFingerprints(d, "doc_id", "text", 4, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "docs sharing a 9-word passage must share a fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // density: winnowing keeps a strict subset of the gram hashes
+    val grams1 = d.filter($"doc_id" === 1L)
+      .select(graft.ops.TextOps.ngrams(col("text"), 4)).head.getSeq[String](0)
+    assert(fps(1L).size < grams1.size)
+    // pair join surfaces exactly the overlapping pair
+    val pairs = DedupOps.winnowingPairs(d, "doc_id", "text", 4, 4,
+      minShared = 1, maxFpDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // short documents (< w+k-1 words) fingerprint to the empty set
+    val short = Seq((9L, "only five words right here")).toDF("doc_id", "text")
+    val sfp = DedupOps.winnowFingerprints(short, "doc_id", "text", 4, 4)
+      .head.getSeq[String](1)
+    assert(sfp.isEmpty)
+  }
+
   test("simhash: near-dup docs land closer in hamming space than random") {
     val fp = TextOps.simhash(docs, "doc_id", col("text"))
     val nearDups = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
