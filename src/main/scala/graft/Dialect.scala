@@ -657,6 +657,24 @@ object Dialect {
              md5(c_name) AS h
            FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""")
     },
+    // string scalars the reference routes through sclfunc.c
+    // (substring_index, find_in_set, repeat, replace, ltrim/rtrim) —
+    // Spark shares every spelling natively; the oracle re-expresses
+    // the MySQL-isms DuckDB spells differently
+    "dialect_string_fns" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT c_custkey,
+             substring_index(c_name, '#', 1) AS si_head,
+             substring_index(c_name, '#', -1) AS si_tail,
+             find_in_set(c_mktsegment,
+               'BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE')
+               AS fis,
+             repeat(substr(c_name, 1, 2), 3) AS rep,
+             replace(c_name, 'Customer', 'Cust') AS repl,
+             ltrim(concat('  ', c_name)) AS lt,
+             rtrim(concat(c_name, '  ')) AS rt
+           FROM customer WHERE c_custkey <= 40 ORDER BY c_custkey""")
+    },
     // multi-column FILL: one VALUE literal per aggregate column
     // (sql.y fill_mode; tfill.c fills every result column)
     "dialect_fill_multi" -> { (s, dir) =>
@@ -725,6 +743,93 @@ object Dialect {
       run(s, dir,
         """SELECT user_id, UNIQUE(event_type) AS et, ts FROM events
            PARTITION BY user_id ORDER BY user_id, et""")
+    },
+    // std = POPULATION stddev alias (builtins.c:7389) — Spark's std
+    // is sample, the same silent trap as bare stddev
+    "dialect_std" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, round(std(value), 6) AS sd FROM events
+           GROUP BY user_id ORDER BY user_id""")
+    },
+    // comma-join: FROM t1, t2 WHERE t1.k = t2.k (sql.y
+    // table_reference_list) rewrites to the JOIN … ON path
+    "dialect_comma_join" -> { (s, dir) =>
+      GraftSql.query(s, views(s, dir),
+        """SELECT custkey, o_orderkey, r_c_name AS c_name
+           FROM ords o, cust c
+           WHERE o.custkey = c.custkey AND o_totalprice > 260000
+           ORDER BY custkey, o_orderkey""")
+    },
+    // calendar INTERVAL + fixed SLIDING (ttime.c:1640): epoch-aligned
+    // 15d grid starts, each window spanning one calendar month
+    "dialect_interval_cal_sliding" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart, count(*) AS n, sum(value) AS sv
+           FROM events INTERVAL(1n) SLIDING(15d) ORDER BY _wstart""")
+    },
+    // multi-p percentile returns ONE "[v1, v2, …]" varchar with %.6lf
+    // formatting (builtinsimpl.c:2106)
+    "dialect_percentile_multi" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, percentile(value, 50, 90, 99) AS p
+           FROM events GROUP BY user_id ORDER BY user_id""")
+    },
+    // statecount/stateduration text forms (builtins.c:4256/:4296)
+    "dialect_statecount" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, user_id, statecount(value, 'GT', 50) AS sc
+           FROM events PARTITION BY user_id ORDER BY user_id, ts""")
+    },
+    "dialect_stateduration" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, user_id, stateduration(value, 'LE', 50, 1h) AS sd
+           FROM events PARTITION BY user_id ORDER BY user_id, ts""")
+    },
+    // first(*)/last(*) expand to one call per source column
+    // (parTranslater star expansion)
+    "dialect_first_star" -> { (s, dir) =>
+      run(s, dir, "SELECT first(*) FROM events")
+    },
+    // tbname on a regular table = the table's own name, grouping key
+    "dialect_tbname" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT tbname, count(*) AS n FROM events GROUP BY tbname
+           ORDER BY tbname""")
+    },
+    // loose datetime literal widths ('2024-1-5 6:3:2', taosParseTime)
+    "dialect_datetime_loose" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT count(*) AS n, min(ts) AS mn FROM events
+           WHERE ts >= '2024-1-5 6:3:2' AND ts < '2024-1-9 18:4:5.250'""")
+    },
+    // SELECT * over a derived table
+    "dialect_star_subquery" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT * FROM (SELECT user_id, avg(value) AS a FROM events
+           GROUP BY user_id) WHERE a > 20 ORDER BY user_id""")
+    },
+    // _rowts pseudo-column = the row's primary timestamp
+    "dialect_rowts" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _rowts AS rts, value FROM events WHERE user_id = 1
+           ORDER BY rts LIMIT 50""")
+    },
+    // TOP under GROUP BY groups the selection (20-select.md)
+    "dialect_top_groupby" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, user_id, event_id, TOP(value, 2) AS v FROM events
+           GROUP BY user_id ORDER BY user_id, v DESC, ts, event_id""")
+    },
+    // apercentile's algo literal (builtins.c:3250): 'default' and
+    // 't-digest' both serve the estimator contract
+    "dialect_apercentile_algo" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id,
+             (abs(apercentile(value, 50, 't-digest') -
+                percentile(value, 50)) <=
+               (max(value) - min(value)) * 0.05) AS ok50,
+             count(*) AS n
+           FROM events GROUP BY user_id ORDER BY user_id""")
     },
     // HISTOGRAM text forms (builtins.c:4032): all three bin-spec
     // modes — user_input edges, linear_bin width grid (±inf-padded),
@@ -1347,6 +1452,19 @@ object Dialect {
       """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
          ORDER BY count(*) DESC, user_id LIMIT 5""",
     "dialect_scalar_hash" -> graft.PinnedOracles.scalarHash,
+    "dialect_string_fns" ->
+      """SELECT c_custkey,
+           split_part(c_name, '#', 1) AS si_head,
+           string_split(c_name, '#')[-1] AS si_tail,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 1
+             WHEN 'AUTOMOBILE' THEN 2 WHEN 'MACHINERY' THEN 3
+             WHEN 'HOUSEHOLD' THEN 4 WHEN 'FURNITURE' THEN 5
+             ELSE 0 END AS fis,
+           repeat(substr(c_name, 1, 2), 3) AS rep,
+           replace(c_name, 'Customer', 'Cust') AS repl,
+           ltrim('  ' || c_name) AS lt,
+           rtrim(c_name || '  ') AS rt
+         FROM customer WHERE c_custkey <= 40 ORDER BY c_custkey""",
     "dialect_sysinfo" ->
       """SELECT r_regionkey, '3.3.6.0' AS sv, '3.3.6.0' AS cv,
            'root' AS cu, 'root' AS usr, 'default' AS db,
@@ -1370,6 +1488,90 @@ object Dialect {
              ORDER BY ts, event_id) AS rn FROM events)
          SELECT user_id, et, ts FROM r WHERE rn = 1
          ORDER BY user_id, et""",
+    "dialect_std" ->
+      """SELECT user_id, round(stddev_pop(value), 6) AS sd FROM events
+         GROUP BY user_id ORDER BY user_id""",
+    "dialect_comma_join" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey, c.c_name
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > 260000
+         ORDER BY custkey, o_orderkey""",
+    "dialect_interval_cal_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
+         c AS (SELECT t, value,
+             (t // 1296000000000 - 3 + x) * 1296000000000 AS ws
+           FROM (SELECT t, value, unnest(range(0, 4)) AS x FROM e)),
+         k AS (SELECT t, value, ws,
+             epoch_us(to_timestamp(ws // 1000000) + INTERVAL 1 MONTH)
+               AS we
+           FROM c)
+         SELECT ws AS _wstart, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+         FROM k WHERE ws <= t AND we > t GROUP BY ws ORDER BY _wstart""",
+    "dialect_percentile_multi" ->
+      """SELECT user_id,
+           '[' || printf('%.6f', quantile_cont(value, 0.5)) || ', ' ||
+           printf('%.6f', quantile_cont(value, 0.9)) || ', ' ||
+           printf('%.6f', quantile_cont(value, 0.99)) || ']' AS p
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "dialect_statecount" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts2, value > 50 AS p,
+           sum(CASE WHEN value > 50 THEN 0 ELSE 1 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS run FROM events),
+         r AS (SELECT user_id, ts2, p, run,
+           row_number() OVER (PARTITION BY user_id, run ORDER BY ts2)
+             AS rn FROM t)
+         SELECT ts2 AS ts, user_id,
+           CASE WHEN NOT p THEN -1 WHEN run = 0 THEN rn
+                ELSE rn - 1 END AS sc
+         FROM r ORDER BY user_id, ts""",
+    "dialect_stateduration" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts2, value <= 50 AS p,
+           sum(CASE WHEN value <= 50 THEN 0 ELSE 1 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS run FROM events),
+         r AS (SELECT user_id, ts2, p, run,
+           min(CASE WHEN p THEN ts2 END)
+             OVER (PARTITION BY user_id, run ORDER BY ts2
+                   ROWS UNBOUNDED PRECEDING) AS ft FROM t)
+         SELECT ts2 AS ts, user_id,
+           CASE WHEN NOT p THEN -1
+                ELSE (ts2 - ft) // 3600000000 END AS sd
+         FROM r ORDER BY user_id, ts""",
+    "dialect_first_star" ->
+      """SELECT arg_min(event_id, ts) AS first_event_id,
+           epoch_us(arg_min(ts, ts)) AS first_ts,
+           arg_min(user_id, ts) AS first_user_id,
+           arg_min(event_type, ts) AS first_event_type,
+           arg_min(value, ts) AS first_value,
+           arg_min(props, ts) AS first_props
+         FROM events""",
+    "dialect_tbname" ->
+      """SELECT 'events' AS tbname, count(*) AS n FROM events
+         ORDER BY tbname""",
+    "dialect_datetime_loose" ->
+      """SELECT count(*) AS n, min(epoch_us(ts)) AS mn FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 06:03:02'
+           AND ts < TIMESTAMP '2024-01-09 18:04:05.250'""",
+    "dialect_star_subquery" ->
+      """WITH s AS (SELECT user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+             count(value) AS a FROM events GROUP BY user_id)
+         SELECT * FROM s WHERE a > 20 ORDER BY user_id""",
+    "dialect_rowts" ->
+      """SELECT epoch_us(ts) AS rts, value FROM events WHERE user_id = 1
+         ORDER BY rts LIMIT 50""",
+    "dialect_top_groupby" ->
+      """WITH r AS (SELECT epoch_us(ts) AS ts, user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, ts ASC, event_id ASC) AS rn
+           FROM events)
+         SELECT ts, user_id, event_id, value AS v FROM r WHERE rn <= 2
+         ORDER BY user_id, v DESC, ts, event_id""",
+    "dialect_apercentile_algo" ->
+      """SELECT user_id, true AS ok50, count(*) AS n FROM events
+         GROUP BY user_id ORDER BY user_id""",
     "dialect_histogram" ->
       """WITH bins(lower_bin, upper_bin) AS
            (VALUES (0.0,10.0),(10.0,50.0),(50.0,100.0),(100.0,500.0)),

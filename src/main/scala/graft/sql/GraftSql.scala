@@ -424,10 +424,32 @@ object GraftSql {
     // percentile(c, p) takes p in 0..100 (builtins.c:3216
     // percentileFunction; Spark's percentile takes a 0..1 fraction);
     // exact, linear interpolation in both engines
+    // apercentile(col, p[, 'default'|'t-digest']) (builtins.c:3250):
+    // both algo spellings serve the same estimator contract here (the
+    // registered mergeable t-digest UDAF) — strip the literal
+    r = rewriteCall(r, "apercentile", a => {
+      val p = splitArgs(a)
+      p.lift(2).map(unquote(_).toLowerCase).foreach(alg =>
+        require(alg == "default" || alg == "t-digest",
+          s"unknown apercentile algo: $alg"))
+      s"apercentile(${p(0)}, ${p(1)})"
+    })
     r = rewriteCall(r, "percentile", a => {
       val p = splitArgs(a)
-      require(p.length == 2, s"percentile needs (col, p): $a")
-      s"percentile(${p(0)}, (${p(1)}) / 100.0)"
+      require(p.length >= 2 && p.length <= 11,
+        s"percentile needs (col, p[, p2 …]): $a")
+      if (p.length == 2) s"percentile(${p(0)}, (${p(1)}) / 100.0)"
+      else {
+        // multi-p form returns ONE varchar "[v1, v2, …]" with %.6lf
+        // formatting (builtinsimpl.c:2106 percentileFinalize); the
+        // fractions must be FOLDABLE for Spark's percentile, so the
+        // /100 scaling happens here (the reference requires literal
+        // p values too)
+        val arr = p.tail.map(x => (x.trim.toDouble / 100.0).toString)
+          .mkString("array(", ", ", ")")
+        s"concat('[', array_join(transform(percentile(${p(0)}, $arr), " +
+          "v -> format_string('%.6f', v)), ', '), ']')"
+      }
     })
     // hyperloglog (builtins.c HLL) ≈ Spark's HLL++ estimator — the
     // distinct-count contract, not a bit-identical register layout
@@ -437,6 +459,10 @@ object GraftSql {
     // through — `stddev(` cannot match inside `stddev_samp(`) —
     // Spark's bare stddev is SAMPLE, the silent-wrong-answer trap
     r = rewriteCall(r, "stddev", a => s"stddev_pop($a)")
+    // std is an alias of the same POPULATION stddev (builtins.c:7389
+    // FUNCTION_TYPE_STDDEV) — Spark's std is SAMPLE, the same silent
+    // trap as bare stddev
+    r = rewriteCall(r, "std", a => s"stddev_pop($a)")
     // elapsed(ts[, unit]) (builtins.c elapsedFunction): window/group
     // time span in NATIVE ticks, scaled to `unit` ticks (default: db
     // precision). The divisor must be the unit's length in the
@@ -1013,17 +1039,22 @@ object GraftSql {
   private def seriesSelect(df: DataFrame, c: Map[String, String],
       tsCol: String): Option[DataFrame] = {
     val windowed = Seq("INTERVAL", "SESSION", "STATE_WINDOW",
-      "COUNT_WINDOW", "EVENT_WINDOW", "ANOMALY_WINDOW", "GROUP BY")
+      "COUNT_WINDOW", "EVENT_WINDOW", "ANOMALY_WINDOW")
       .exists(c.contains)
     if (windowed) return None
     val sel = c("SELECT").trim
-    val fname = Seq("top", "bottom", "tail", "unique").find(f =>
+    val fname = Seq("top", "bottom", "tail", "unique", "statecount",
+      "stateduration").find(f =>
       s"(?i)\\b$f\\s*\\(".r.findFirstIn(sel).isDefined)
+    if (fname.isEmpty && c.contains("GROUP BY")) return None
     fname.map { f =>
       val (start, args, close) = analyticCallSpan(sel, f)
       val valueCol = args.head.trim
-      val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
-        .map(_.trim)
+      // GROUP BY on a selection function groups the SELECTION, i.e.
+      // behaves exactly like PARTITION BY (20-select.md top/bottom
+      // examples group by tbname)
+      val partCols = (c.get("PARTITION BY").toSeq ++
+        c.get("GROUP BY").toSeq).flatMap(splitArgs).map(_.trim)
       val keys = partCols.map(col)
       import graft.ops.SeriesOps
       // a row-id tiebreaker keeps the selection total when ts collides
@@ -1031,19 +1062,46 @@ object GraftSql {
       // layout would otherwise flake the oracle hash)
       val tie = if (df.columns.contains("event_id"))
         Seq(col("event_id")) else Nil
-      val out = f match {
-        case "top" => SeriesOps.topK(df, col(valueCol), col(tsCol),
-          keys, args(1).trim.toInt, tie = tie)
-        case "bottom" => SeriesOps.topK(df, col(valueCol), col(tsCol),
-          keys, args(1).trim.toInt, bottom = true, tie = tie)
-        case "tail" => SeriesOps.tail(df, col(tsCol), keys,
-          args(1).trim.toInt,
-          args.lift(2).map(_.trim.toInt).getOrElse(0), tie = tie)
-        case "unique" => SeriesOps.unique(df, col(valueCol),
-          col(tsCol), keys, tie = tie)
+      f match {
+        // statecount/stateduration(col, 'op', val[, unit])
+        // (builtins.c:4256/:4296): every row back with the running
+        // true-streak count / duration, -1 on non-matching rows
+        case "statecount" | "stateduration" =>
+          val opName = unquote(args(1).trim).toUpperCase
+          val v = args(2).trim.toDouble
+          val x = col(valueCol)
+          val pred = opName match {
+            case "LT" => x < v
+            case "GT" => x > v
+            case "LE" => x <= v
+            case "GE" => x >= v
+            case "EQ" => x === v
+            case "NE" => x =!= v
+            case other =>
+              throw new IllegalArgumentException(s"state op: $other")
+          }
+          val outCol = if (f == "statecount")
+            SeriesOps.statecount(pred, col(tsCol), keys)
+          else SeriesOps.stateduration(pred, col(tsCol), keys,
+            args.lift(3).map(u => durUs(u.trim)).getOrElse(1L))
+          analyticProject(df.withColumn("_state", outCol), c, sel,
+            start, close, "_state", Map.empty)
+        case _ =>
+          val out = f match {
+            case "top" => SeriesOps.topK(df, col(valueCol), col(tsCol),
+              keys, args(1).trim.toInt, tie = tie)
+            case "bottom" => SeriesOps.topK(df, col(valueCol),
+              col(tsCol), keys, args(1).trim.toInt, bottom = true,
+              tie = tie)
+            case "tail" => SeriesOps.tail(df, col(tsCol), keys,
+              args(1).trim.toInt,
+              args.lift(2).map(_.trim.toInt).getOrElse(0), tie = tie)
+            case "unique" => SeriesOps.unique(df, col(valueCol),
+              col(tsCol), keys, tie = tie)
+          }
+          analyticProject(out.drop("_rank"), c, sel, start, close,
+            valueCol, Map.empty)
       }
-      analyticProject(out.drop("_rank"), c, sel, start, close, valueCol,
-        Map.empty)
     }
   }
 
@@ -1318,7 +1376,8 @@ object GraftSql {
     // advisory on the reference, and Catalyst does its own planning —
     // strip them rather than fail the statement
     val deHinted = sql.replaceAll("/\\*\\+.*?\\*/", " ")
-    val norm = rewriteJsonArrow(deHinted.replaceAll("\\s+", " ").trim)
+    val norm = padDatetimeLiterals(
+      rewriteJsonArrow(deHinted.replaceAll("\\s+", " ").trim))
     val segments = splitUnion(norm)
     if (segments.length == 1)
       return single(spark, resolve, norm, tsCol, perSecond)
@@ -1341,6 +1400,25 @@ object GraftSql {
       tc.get("LIMIT").foreach(n => res = applyLimit(res, n))
     }
     res
+  }
+
+  /** The reference's datetime parser accepts loose field widths
+    * ('2024-1-1 8:1:40.5', taosParseTime) — Spark's to_timestamp does
+    * not. Literals are static, so pad YY-M-D H:M[:S[.f]] quoted
+    * literals to the canonical two-digit form at rewrite time. */
+  private[sql] def padDatetimeLiterals(s: String): String = {
+    val re = ("'(\\d{4})-(\\d{1,2})-(\\d{1,2})" +
+      "(?:([ T])(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(\\.\\d+)?)?)?'").r
+    re.replaceAllIn(s, m => {
+      def p(x: String) = f"${x.toInt}%02d"
+      val d = s"${m.group(1)}-${p(m.group(2))}-${p(m.group(3))}"
+      val t = if (m.group(4) == null) "" else {
+        val sec = if (m.group(7) == null) "00" else p(m.group(7))
+        val frac = Option(m.group(8)).getOrElse("")
+        s" ${p(m.group(5))}:${p(m.group(6))}:$sec$frac"
+      }
+      java.util.regex.Matcher.quoteReplacement(s"'$d$t'")
+    })
   }
 
   /** Split on top-level UNION [ALL]; returns (branchSql, isUnionAll)
@@ -1474,10 +1552,73 @@ object GraftSql {
   private def single(spark: SparkSession, resolve: String => DataFrame,
       sql: String, tsCol: String, perSecond: Long): DataFrame = {
     def dur(t: String): Long = durNative(t, perSecond)
-    val c = clauses(inlineNamedWindows(sql))
+    // _rowts (builtins.c pseudo-column family): the row's primary ts
+    val sqlR = sql.replaceAll(
+      "(?i)(?<![A-Za-z0-9_])_rowts(?![A-Za-z0-9_])", tsCol)
+    var c = clauses(inlineNamedWindows(sqlR))
     require(c.contains("SELECT") && c.contains("FROM"), "need SELECT/FROM")
+    // comma-join (sql.y table_reference_list): FROM t1 [a], t2 [b]
+    // WHERE a.k = b.k … — the classic inner-join spelling. Rewritten
+    // to JOIN … ON by hoisting the cross-table equality conjuncts out
+    // of the WHERE clause; everything else about the join (aliases,
+    // residuals) then flows through the normal JOIN path.
+    val fromParts = splitArgs(c("FROM"))
+    if (fromParts.length > 1 &&
+        fromParts.forall(p =>
+          "^[A-Za-z_][A-Za-z0-9_.]*( [A-Za-z_][A-Za-z0-9_]*)?$".r
+            .matches(p.trim))) {
+      require(fromParts.length == 2,
+        "comma-join supports two tables (chain JOIN … ON for more)")
+      require(c.contains("WHERE"),
+        "comma-join needs WHERE join conditions")
+      def quals(p: String): Set[String] =
+        p.trim.split("\\s+").map(_.toLowerCase)
+          .map(_.split("\\.").last).toSet
+      val (q1, q2) = (quals(fromParts(0)), quals(fromParts(1)))
+      val conj = c("WHERE").split("(?i)\\s+AND\\s+").map(_.trim).toSeq
+      val eqRe = "(?i)^(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)$".r
+      val (joinConds, residual) = conj.partition {
+        case eqRe(a, _, b, _) =>
+          val (al, bl) = (a.toLowerCase, b.toLowerCase)
+          (q1.contains(al) && q2.contains(bl)) ||
+            (q2.contains(al) && q1.contains(bl))
+        case _ => false
+      }
+      require(joinConds.nonEmpty,
+        s"comma-join needs a cross-table equality in WHERE: ${c("FROM")}")
+      c = c.updated("FROM", s"${fromParts(0).trim} JOIN " +
+        s"${fromParts(1).trim} ON ${joinConds.mkString(" AND ")}")
+      // residual conjuncts keep their qualifiers in the source text;
+      // the join output namespace is flat, so strip known ones
+      val qualRe = ("(?i)\\b(" + (q1 ++ q2).mkString("|") +
+        ")\\.(\\w+)").r
+      val bareResidual = residual.map(r =>
+        qualRe.replaceAllIn(r, m => m.group(2)))
+      c = if (bareResidual.isEmpty) c - "WHERE"
+        else c.updated("WHERE", bareResidual.mkString(" AND "))
+    }
     var df = subqueryFrom(spark, resolve, c("FROM"), tsCol, perSecond)
       .getOrElse(fromClause(resolve, c("FROM"), tsCol, perSecond))
+    // tbname on a regular (non-stable) read is that table's own name,
+    // constant per row (parTranslater tbname rewrite; stable reads
+    // already expose a real tbname column)
+    if ("(?i)(?<![A-Za-z0-9_])tbname(?![A-Za-z0-9_])".r
+        .findFirstIn(sqlR).isDefined && !df.columns.contains("tbname")) {
+      val bare = c("FROM").trim
+      if ("^[A-Za-z_][A-Za-z0-9_.]*$".r.matches(bare))
+        df = df.withColumn("tbname", lit(bare.split("\\.").last))
+    }
+    // first(*) / last(*) / last_row(*) (parTranslater createAllColumns
+    // path): one call per source column, named <fn>_<col>
+    val starFn = "(?i)\\b(first|last_row|last)\\s*\\(\\s*\\*\\s*\\)".r
+    if (starFn.findFirstIn(c("SELECT")).isDefined) {
+      val sel2 = starFn.replaceAllIn(c("SELECT"), m => {
+        val f = m.group(1).toLowerCase
+        java.util.regex.Matcher.quoteReplacement(
+          df.columns.map(cn => s"$f($cn) AS ${f}_$cn").mkString(", "))
+      })
+      c = c.updated("SELECT", sel2)
+    }
     // _qstart/_qend/_qduration (builtins.c:5211-5249; 20-select.md:292):
     // the WHERE clause's primary-ts range as INCLUSIVE bounds —
     // `ts < Y` contributes qend = Y-1 — defaulting to the full int64
@@ -1841,32 +1982,71 @@ object GraftSql {
       // tumbling: SLIDING/offset over variable-length months have no
       // fixed grid and fail loudly.
       val args = splitArgs(stripOuterParens(c("INTERVAL"))).map(_.trim)
-      require(args.length == 1 && !c.contains("SLIDING"),
-        "calendar INTERVAL units support only the tumbling form " +
-          "(no SLIDING, no offset)")
+      require(args.length == 1,
+        "calendar INTERVAL units take no offset")
       val calRe(numTxt, unit) = args.head
       val k = numTxt.toLong * (unit.toLowerCase match {
         case "n" => 1L
         case "q" => 3L
         case _ => 12L
       })
-      // ticks → seconds → calendar fields (UTC session); sub-second
-      // digits cannot move a month boundary for the positive epoch
-      val t = s"timestamp_seconds(($tsCol) DIV ${perSecond}L)"
-      val ms = s"((year($t) - 1970) * 12 + month($t) - 1)"
-      def bucketStart(b: String): String =
-        s"(unix_timestamp(make_timestamp(1970 + CAST(($b) / 12 AS INT)," +
-          s" CAST(($b) % 12 AS INT) + 1, 1, 0, 0, 0)) * ${perSecond}L)"
-      val bucket = s"($ms - ($ms % $k))"
-      df = df.withColumn("_wstart", expr(bucketStart(bucket)))
-      groupKeys = partCols :+ "_wstart"
-      // _wend/_wduration must derive from the GROUP KEY (_wstart), not
-      // raw row columns — re-read the bucket from the key
-      val tW = s"timestamp_seconds((_wstart) DIV ${perSecond}L)"
-      val msW = s"((year($tW) - 1970) * 12 + month($tW) - 1)"
-      val wend = bucketStart(s"($msW + $k)")
-      pseudo = qPseudo ++
-        Map("_wend" -> wend, "_wduration" -> s"($wend - _wstart)")
+      val slideTicks = c.get("SLIDING").map { s0 =>
+        val s = stripOuterParens(s0).trim
+        require(!calRe.matches(s),
+          "SLIDING cannot use calendar units (parTranslater.c:13304)")
+        dur(s)
+      }
+      slideTicks match {
+        case None =>
+          // ticks → seconds → calendar fields (UTC session);
+          // sub-second digits cannot move a month boundary
+          val t = s"timestamp_seconds(($tsCol) DIV ${perSecond}L)"
+          val ms = s"((year($t) - 1970) * 12 + month($t) - 1)"
+          def bucketStart(b: String): String =
+            s"(unix_timestamp(make_timestamp(1970 + " +
+              s"CAST(($b) / 12 AS INT)," +
+              s" CAST(($b) % 12 AS INT) + 1, 1, 0, 0, 0)) * ${perSecond}L)"
+          val bucket = s"($ms - ($ms % $k))"
+          df = df.withColumn("_wstart", expr(bucketStart(bucket)))
+          groupKeys = partCols :+ "_wstart"
+          // _wend/_wduration must derive from the GROUP KEY (_wstart),
+          // not raw row columns — re-read the bucket from the key
+          val tW = s"timestamp_seconds((_wstart) DIV ${perSecond}L)"
+          val msW = s"((year($tW) - 1970) * 12 + month($tW) - 1)"
+          val wend = bucketStart(s"($msW + $k)")
+          pseudo = qPseudo ++
+            Map("_wend" -> wend, "_wduration" -> s"($wend - _wstart)")
+        case Some(sl) =>
+          // calendar INTERVAL + fixed SLIDING (ttime.c:1640 branch of
+          // taosTimeTruncate): window starts sit on the EPOCH-ALIGNED
+          // sliding grid; each spans k calendar months from its own
+          // start, with mktime's day-overflow normalization (Jan 31
+          // + 1n rolls into March) — reproduced via date_add from the
+          // month's 1st. A row joins every grid window whose span
+          // covers it, so the explode is ceil(span/sliding) wide.
+          def calEnd(st: String): String = {
+            val tsec = s"(($st) DIV ${perSecond}L)"
+            val rem = s"(($st) % ${perSecond}L)"
+            val t = s"timestamp_seconds($tsec)"
+            val mon = s"((year($t) - 1970) * 12 + month($t) - 1 + $k)"
+            val base = s"date_add(make_date(1970 + " +
+              s"CAST(($mon) DIV 12 AS INT), " +
+              s"CAST(($mon) % 12 AS INT) + 1, 1), day($t) - 1)"
+            s"((unix_timestamp(CAST($base AS TIMESTAMP)) + " +
+              s"hour($t) * 3600 + minute($t) * 60 + second($t)) * " +
+              s"${perSecond}L + $rem)"
+          }
+          // widest possible span in ticks bounds the candidate count
+          val nWin = (k * 31L * 86400L * perSecond) / sl + 2
+          val j0 = s"(($tsCol) DIV ${sl}L)"
+          val starts = s"filter(transform(sequence($j0 - ${nWin}L + 1, " +
+            s"$j0), j -> j * ${sl}L), " +
+            s"st -> st <= $tsCol AND ${calEnd("st")} > $tsCol)"
+          df = df.withColumn("_wstart", explode(expr(starts)))
+          groupKeys = partCols :+ "_wstart"
+          pseudo = qPseudo ++ Map("_wend" -> calEnd("_wstart"),
+            "_wduration" -> s"(${calEnd("_wstart")} - _wstart)")
+      }
     } else if (c.contains("INTERVAL")) {
       val args = splitArgs(stripOuterParens(c("INTERVAL"))).map(dur)
       val iv = args.head
@@ -2038,8 +2218,9 @@ object GraftSql {
     }
     val out: DataFrame =
       if (!isAgg) {
-        val cols = selectItems.map { case (e, a) =>
-          expr(rewritten(e)).as(a) }
+        val cols = selectItems.map {
+          case ("*", _) => col("*")
+          case (e, a) => expr(rewritten(e)).as(a) }
         val proj = df.select(cols: _*)
         if (isDistinct) proj.distinct() else proj
       } else {

@@ -27,6 +27,40 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(GraftSql.durUs("42") == 42L)
   }
 
+  test("calendar INTERVAL + fixed SLIDING: grid starts, mktime ends") {
+    import spark.implicits._
+    val us = 1000000L
+    def ts(s: String): Long =
+      java.time.Instant.parse(s).toEpochMilli * 1000L
+    // one row on 2024-02-25: grid = epoch-aligned 10d steps
+    val df = Seq((1L, ts("2024-02-25T12:00:00Z"), 1.0))
+      .toDF("event_id", "ts", "value")
+    val rows = graft.sql.GraftSql.query(spark, _ => df,
+      "SELECT _wstart, _wend, count(*) AS n FROM t " +
+        "INTERVAL(1n) SLIDING(10d) ORDER BY _wstart")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every window start is a 10d-grid multiple covering the row
+    val tenD = 10L * 86400 * us
+    assert(rows.nonEmpty && rows.forall(_._1 % tenD == 0))
+    assert(rows.forall { case (s0, e0, _) =>
+      s0 <= ts("2024-02-25T12:00:00Z") && e0 > ts("2024-02-25T12:00:00Z") })
+    // ttime.c taosTimeAdd normalizes day overflow via mktime: a grid
+    // start on Jan 31 + 1 month rolls to Mar 2 (2024 is a leap year),
+    // NOT a clamped Feb 29 — grid day 19753 = 2024-01-31
+    val jan31 = 19753L * 86400 * us
+    assert(jan31 % tenD != 0 || true) // grid membership irrelevant here
+    val df2 = Seq((1L, ts("2024-03-01T00:00:00Z"), 1.0))
+      .toDF("event_id", "ts", "value")
+    val r2 = graft.sql.GraftSql.query(spark, _ => df2,
+      "SELECT _wstart, _wend, count(*) AS n FROM t " +
+        "INTERVAL(1n) SLIDING(1d) ORDER BY _wstart")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val w31 = r2.find(_._1 == jan31)
+    assert(w31.isDefined, "the Jan 31 window must cover Mar 1")
+    assert(w31.get._2 == ts("2024-03-02T00:00:00Z"),
+      "Jan 31 + 1n must mktime-normalize to Mar 2 (leap Feb has 29)")
+  }
+
   test("HISTOGRAM bin generation: descending + infinity forms") {
     import spark.implicits._
     val df = Seq(1L -> -5.0, 2L -> 0.0, 3L -> 3.0, 4L -> 12.0,
@@ -116,10 +150,12 @@ class GraftSqlSpec extends AnyFunSuite {
     val feb24 = java.time.LocalDateTime.of(2024, 2, 1, 0, 0)
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     assert(we.contains((jan24, feb24))) // January is 31 days
-    // SLIDING over calendar units has no fixed grid -> loud
+    // a CALENDAR-unit SLIDING is rejected (parTranslater.c:13304);
+    // fixed-duration SLIDING over a calendar interval is supported
+    // (see the dedicated sliding test)
     intercept[IllegalArgumentException] {
       GraftSql.query(spark, _ => df,
-        "SELECT _wstart, count(*) AS n FROM t INTERVAL(1n) SLIDING(10d)")
+        "SELECT _wstart, count(*) AS n FROM t INTERVAL(1y) SLIDING(1n)")
     }
   }
 
