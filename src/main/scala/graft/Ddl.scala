@@ -281,12 +281,16 @@ object Ddl {
         "GRANT SUBSCRIBE ON graftdb.events WITH user_id > 100 TO analyst")
       cat.exec("GRANT CREATE TABLE, DROP TABLE TO etl")
       cat.exec("REVOKE WRITE ON graftdb.* FROM etl")
+      // column-subset privilege + quoted WITH + built-in-role grantee
+      cat.exec("GRANT SELECT(c3, c4) ON graftdb.st1 TO analyst")
+      cat.exec(
+        "GRANT READ ON graftdb.nat WITH 'n_regionkey in (1,2)' TO SYSDBA")
       // a dropped user's grants go with it — no temp rows survive
       cat.exec("CREATE USER temp PASS 'x'")
       cat.exec("GRANT ALL ON *.* TO temp")
       cat.exec("DROP USER temp")
       cat.sql("SELECT user_name, priv_type, priv_scope, db_name, " +
-        "table_name, condition " +
+        "table_name, condition, columns " +
         "FROM information_schema.ins_user_privileges " +
         "ORDER BY user_name, priv_type, db_name, table_name")
     },
@@ -499,14 +503,18 @@ object Ddl {
          GROUP BY user_id ORDER BY user_id""",
     "ddl_user_gate" ->
       """SELECT * FROM (VALUES
-           ('analyst', 'read', 'table', 'graftdb', 'events', ''),
+           ('SYSDBA', 'read', 'table', 'graftdb', 'nat',
+            'n_regionkey in (1,2)', ''),
+           ('analyst', 'read', 'table', 'graftdb', 'events', '', ''),
+           ('analyst', 'select', 'table', 'graftdb', 'st1', '',
+            'c3,c4'),
            ('analyst', 'subscribe', 'table', 'graftdb', 'events',
-            'user_id > 100'),
-           ('etl', 'create table', 'all', '*', '*', ''),
-           ('etl', 'drop table', 'all', '*', '*', ''),
-           ('etl', 'read', 'db', 'graftdb', '*', ''))
+            'user_id > 100', ''),
+           ('etl', 'create table', 'all', '*', '*', '', ''),
+           ('etl', 'drop table', 'all', '*', '*', '', ''),
+           ('etl', 'read', 'db', 'graftdb', '*', '', ''))
          AS t(user_name, priv_type, priv_scope, db_name, table_name,
-           condition)
+           condition, columns)
          ORDER BY user_name, priv_type, db_name, table_name""",
     "ins_anodes_gate" ->
       """SELECT * FROM (VALUES

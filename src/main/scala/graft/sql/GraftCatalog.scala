@@ -118,11 +118,14 @@ class GraftCatalog(val spark: SparkSession) {
     superUser: Int, var enable: Int, var sysinfo: Int, var createdb: Int)
   private val userDefs = mutable.LinkedHashMap[String, UserDef](
     "root" -> UserDef("root", shaHex("taosdata"), 1, 1, 1, 1))
-  private val roleDefs = mutable.LinkedHashSet[String]()
+  // built-in roles ship with the server (mndRole defaults)
+  private val roleDefs =
+    mutable.LinkedHashSet[String]("SYSDBA", "SYSSEC", "SYSAUDIT")
   // (grantee-user -> roles); GRANT ROLE r TO u
   private val userRoles = mutable.LinkedHashMap[String, mutable.LinkedHashSet[String]]()
   private case class PrivDef(user: String, privType: String,
-    scope: String, db: String, table: String, condition: String)
+    scope: String, db: String, table: String, condition: String,
+    columns: String = "")
   private val privDefs = mutable.ArrayBuffer[PrivDef]()
 
   private def shaHex(s: String): String =
@@ -602,9 +605,17 @@ class GraftCatalog(val spark: SparkSession) {
       kw + " ([A-Za-z_][A-Za-z0-9_]*)$").r
     stmt match {
       case re(privList, levelOrNull, condOrNull, user) =>
-        require(userDefs.contains(user), s"unknown user: $user")
-        val privs = privList.split(",").map(_.trim.toLowerCase)
-          .filter(_.nonEmpty).toSeq
+        require(userDefs.contains(user) || roleDefs.contains(user),
+          s"unknown user or role: $user")
+        // paren-aware split: SELECT(c3,c4) carries a column subset
+        val colRe = "^(\\w[\\w ]*?)\\s*\\(([^)]*)\\)$".r
+        val privs = GraftSql.splitArgs(privList)
+          .map(_.trim).filter(_.nonEmpty).map {
+            case colRe(p, cols) =>
+              (p.trim.toLowerCase,
+                cols.split(",").map(_.trim).mkString(","))
+            case p => (p.toLowerCase, "")
+          }
         val (scope, db, tbl) =
           Option(levelOrNull).getOrElse("*.*").split("\\.") match {
             case Array("*", "*") => ("all", "*", "*")
@@ -613,13 +624,18 @@ class GraftCatalog(val spark: SparkSession) {
             case Array(d) => ("db", d, "*")
             case _ => sys.error(s"bad privilege level: $levelOrNull")
           }
-        val cond = Option(condOrNull).getOrElse("")
-        if (grant) privs.foreach { p =>
-          val row = PrivDef(user, p, scope, db, tbl, cond)
+        // a quoted condition literal arrives with its quotes
+        val cond = Option(condOrNull).map(_.trim)
+          .map(c0 => if (c0.startsWith("'") && c0.endsWith("'"))
+            c0.substring(1, c0.length - 1) else c0)
+          .getOrElse("")
+        if (grant) privs.foreach { case (p, cols) =>
+          val row = PrivDef(user, p, scope, db, tbl, cond, cols)
           if (!privDefs.contains(row)) privDefs += row
         }
         else privDefs.filterInPlace(r => !(r.user == user &&
-          privs.contains(r.privType) && r.db == db && r.table == tbl))
+          privs.exists(_._1 == r.privType) && r.db == db &&
+          r.table == tbl))
         ()
       case _ => sys.error(s"cannot parse privilege grant: $stmt")
     }
@@ -1700,7 +1716,7 @@ class GraftCatalog(val spark: SparkSession) {
     * userUserPrivilegesSchema; update_time omitted — wall-clock). */
   def insUserPrivileges: DataFrame =
     privDefs.toSeq.map(p => (p.user, p.privType, p.scope, p.db,
-      p.table, p.condition, "", ""))
+      p.table, p.condition, "", p.columns))
       .toDF("user_name", "priv_type", "priv_scope", "db_name",
         "table_name", "condition", "notes", "columns")
 
