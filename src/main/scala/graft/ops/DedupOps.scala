@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -118,17 +119,34 @@ object DedupOps {
     * zero shuffles until the fingerprint index aggregates. Documents
     * shorter than w+k-1 words fingerprint to the empty set. */
   def winnowFingerprints(docs: DataFrame, idCol: String,
-      textCol: String, k: Int = 4, w: Int = 4): DataFrame = {
-    val gh = transform(TextOps.ngrams(col(textCol), k),
-      g => md5(g.cast("binary")))
-    val hashed = docs.select(col(idCol).as("_id"), gh.as("_gh"))
-    val m = size(col("_gh")) - (w - 1)
-    // sequence() descends when start > stop — guard short documents
-    val fps = when(m >= 1, array_distinct(
-      transform(sequence(lit(1), m),
-        i => array_min(slice(col("_gh"), i, lit(w))))))
-      .otherwise(array().cast("array<string>"))
-    hashed.select(col("_id"), fps.as("_fps"))
+      textCol: String, k: Int = 4, w: Int = 4): DataFrame =
+    winnowingIndex(docs, idCol, textCol, k, w)
+      .groupBy("_id").agg(collect_set(col("_fp")).as("_fps"))
+      .join(docs.select(col(idCol).as("_id")), Seq("_id"), "right")
+      .select(col("_id"),
+        coalesce(col("_fps"), array().cast("array<string>")).as("_fps"))
+
+  /** Distinct (doc, fingerprint) rows. The gram hashes explode to a
+    * positional stream FIRST, then a codegen'd sliding-frame window
+    * min selects each w-window's minimum — NOT a per-window array
+    * slice: Catalyst's projection collapse would inline the whole
+    * normalize→split→gram→md5 pipeline into every window element of
+    * an array-lambda form, going quadratic in document length (the
+    * r13 bench caught exactly that at 87 s on 5k docs). One shuffle
+    * on the doc id, linear work per gram. */
+  def winnowingIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    val grams = docs.select(col(idCol).as("_id"),
+      posexplode(TextOps.ngrams(col(textCol), k)).as(Seq("_i", "_g")))
+    val h = grams.select(col("_id"), col("_i"),
+      md5(col("_g").cast("binary")).as("_h"))
+    val sw = Window.partitionBy("_id").orderBy("_i")
+      .rowsBetween(Window.currentRow, w - 1)
+    val per = Window.partitionBy("_id")
+    h.withColumn("_fp", min(col("_h")).over(sw))
+      .withColumn("_mi", max(col("_i")).over(per))
+      .filter(col("_i") <= col("_mi") - (w - 1))
+      .select(col("_id"), col("_fp")).distinct()
   }
 
   /** Document pairs sharing at least `minShared` winnowing
@@ -141,8 +159,7 @@ object DedupOps {
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4, minShared: Int = 2,
       maxFpDf: Int = 50): DataFrame = {
-    val idx = winnowFingerprints(docs, idCol, textCol, k, w)
-      .select(col("_id"), explode(col("_fps")).as("_fp"))
+    val idx = winnowingIndex(docs, idCol, textCol, k, w)
     idx.groupBy("_fp")
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")).between(2, maxFpDf))
