@@ -61,27 +61,37 @@ object TextOps {
     * the output. */
   def repetitionMetrics(df: DataFrame, idCol: String,
       text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
-    val base = df.select(id, text.as("_t"))
-      .select(id, words(col("_t")).as("_w"),
-        length(normalize(col("_t"))).cast("double").as("_nc"))
-      .select(id, col("_nc"),
-        size(col("_w")).cast("long").as("n_words"),
-        size(array_distinct(col("_w"))).cast("double").as("_ndw"),
-        concat(
-          array(struct(lit(0).as("n"), lit("").as("g"))),
-          transform(ngrams2(col("_w")),
-            g => struct(lit(2).as("n"), g.as("g"))),
-          transform(ngrams3(col("_w")),
-            g => struct(lit(3).as("n"), g.as("g")))).as("_tagged"))
-    val counts = base
-      .select(id, col("_nc"), col("n_words"), col("_ndw"),
-        explode(col("_tagged")).as("_e"))
-      .groupBy(id, col("_nc"), col("n_words"), col("_ndw"),
-        col("_e.n").as("_n"), col("_e.g").as("_g"))
-      .agg(count(lit(1)).as("_c"))
-    counts.groupBy(id, col("_nc"), col("n_words"), col("_ndw"))
+    // word-positional stream + codegen'd lead() grams, NOT per-element
+    // array lambdas: the interpreted struct-transform form cost 3-5 s
+    // on 5k docs (see PERFNOTES r13 projection-collapse trap)
+    val tok = df
+      .select(id, words(text).as("_w"),
+        length(normalize(text)).cast("double").as("_nc"))
+      .select(id, col("_nc"), posexplode(col("_w")).as(Seq("_i", "_g1")))
+    val seqw = Window.partitionBy(id).orderBy("_i")
+    val w2 = lead(col("_g1"), 1).over(seqw)
+    val w3 = lead(col("_g1"), 2).over(seqw)
+    val tagged = tok
+      .withColumn("_g2",
+        when(w2.isNotNull, concat_ws(" ", col("_g1"), w2)))
+      .withColumn("_g3",
+        when(w3.isNotNull, concat_ws(" ", col("_g1"), w2, w3)))
+      .select(id, col("_nc"), explode(array(
+        struct(lit(1).as("n"), col("_g1").as("g")),
+        struct(lit(2).as("n"), col("_g2").as("g")),
+        struct(lit(3).as("n"), col("_g3").as("g")))).as("_e"))
+      .filter(col("_e.g").isNotNull)
+    val counts = tagged
+      .groupBy(id, col("_e.n").as("_n"), col("_e.g").as("_g"))
+      .agg(count(lit(1)).as("_c"), min(col("_nc")).as("_ncg"))
+    counts.groupBy(id)
       .agg(
+        min(col("_ncg")).as("_nc"),
+        sum(when(col("_n") === 1, col("_c"))).cast("long")
+          .as("n_words"),
+        sum(when(col("_n") === 1, 1L)).cast("double").as("_ndw"),
         min(when(col("_n") === 2,
           struct((-col("_c")).as("nc"), col("_g").as("g")))).as("_top"),
         sum(when(col("_n") === 3 && col("_c") > 1,

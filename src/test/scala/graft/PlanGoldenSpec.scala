@@ -57,7 +57,7 @@ class PlanGoldenSpec extends AnyFunSuite {
     "sim_topk",            // broadcast-query ANN
     "slimit_per_group",    // per-group limit
     "window_over",         // OVER window functions
-    "text_repetition",     // single-scan tagged-explode gram counting
+    "text_repetition",     // positional-stream lead() gram counting
     "pack_sequences",      // secondary-sort streaming pack
     "mix_exact",           // broadcast-k rank draw
     "vocab_topk",          // partial-agg'd global top-k
