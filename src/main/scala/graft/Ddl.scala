@@ -266,6 +266,30 @@ object Ddl {
         "count(*) AS n FROM events WHERE gcd64(event_id, 6) = 6 " +
         "GROUP BY user_id ORDER BY user_id")
     },
+    // admin SHOW surfaces (sql.y:1336-1430): compacts log, table-kind
+    // filters with LIKE, cluster alive/machines, vgroups, node lists,
+    // transactions, license grants — each surface's row count (or
+    // status value) pinned
+    "ddl_show_misc_gate" -> { (s, dir) =>
+      import s.implicits._
+      val cat = demo(s, dir)
+      cat.exec("COMPACT DATABASE graftdb")
+      cat.exec("COMPACT DATABASE graftdb")
+      Seq(
+        ("alive", cat.sql("SHOW CLUSTER ALIVE").head.getInt(0).toLong),
+        ("child_tables",
+          cat.sql("SHOW CHILD TABLES LIKE 'nat_1%'").count()),
+        ("compact_2", cat.sql("SHOW COMPACT 2").count()),
+        ("compacts", cat.sql("SHOW COMPACTS").count()),
+        ("grants", cat.sql("SHOW GRANTS").count()),
+        ("machines", cat.sql("SHOW CLUSTER MACHINES").count()),
+        ("mnodes", cat.sql("SHOW MNODES").count()),
+        ("normal_tables", cat.sql("SHOW NORMAL TABLES").count()),
+        ("qnodes", cat.sql("SHOW QNODES").count()),
+        ("transactions", cat.sql("SHOW TRANSACTIONS").count()),
+        ("vgroups", cat.sql("SHOW VGROUPS").count()))
+        .toDF("surface", "n").orderBy("surface")
+    },
     // user / role / privilege DDL (sql.y:359-419) + the
     // ins_user_privileges introspection rows (systable.c:507)
     "ddl_user_gate" -> { (s, dir) =>
@@ -501,6 +525,13 @@ object Ddl {
       """SELECT user_id, bit_or(event_id) AS bits, count(*) AS n
          FROM events WHERE gcd(event_id, 6) = 6
          GROUP BY user_id ORDER BY user_id""",
+    "ddl_show_misc_gate" ->
+      """SELECT * FROM (VALUES
+           ('alive', CAST(1 AS BIGINT)), ('child_tables', 11),
+           ('compact_2', 1), ('compacts', 2), ('grants', 1),
+           ('machines', 1), ('mnodes', 1), ('normal_tables', 0),
+           ('qnodes', 0), ('transactions', 0), ('vgroups', 2))
+         AS t(surface, n) ORDER BY surface""",
     "ddl_user_gate" ->
       """SELECT * FROM (VALUES
            ('SYSDBA', 'read', 'table', 'graftdb', 'nat',

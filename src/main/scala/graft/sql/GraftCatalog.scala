@@ -109,6 +109,9 @@ class GraftCatalog(val spark: SparkSession) {
     mutable.LinkedHashMap[String, (String, String, String)]()
   private var anodeSeq = 0
   private var seqCounter = 0L
+  // COMPACT DATABASE history for SHOW COMPACTS / SHOW COMPACT id
+  private val compactLog = mutable.ArrayBuffer[(Int, String, String)]()
+  private var compactSeq = 0
   // users / roles / privileges (sql.y:359-419, systable.c:507
   // userUserPrivilegesSchema). Authn itself is the platform's job
   // (Spark delegates to the cluster manager); the catalog keeps the
@@ -435,6 +438,9 @@ class GraftCatalog(val spark: SparkSession) {
       }
     }
     else if (up.startsWith("COMPACT DATABASE")) {
+      compactSeq += 1
+      compactLog += ((compactSeq, bare(stmt.split("\\s+").last),
+        "finished"))
       // COMPACT DATABASE db (sql.y:880): apply the upsert resolution
       // physically — keep only the last-writer row per (child, ts),
       // so dedup-on-read stops paying for superseded versions (the
@@ -1943,7 +1949,7 @@ class GraftCatalog(val spark: SparkSession) {
     }
     else if (up.startsWith("SHOW DATABASES")) insDatabases
     else if (up.startsWith("SHOW STABLES")) insStables
-    else if (up.startsWith("SHOW TABLES")) insTables
+    else if (up == "SHOW TABLES") insTables
     else if (up.startsWith("SHOW STREAMS")) insStreams
     else if (up.startsWith("SHOW TOPICS")) insTopics
     else if (up.startsWith("SHOW TSMAS")) insTsmas
@@ -2022,7 +2028,70 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW DNODES")) insDnodes
     else if (up.startsWith("SHOW USERS")) insUsers
     else if (up.startsWith("SHOW ROLES")) insRoles
+    // SHOW CLUSTER sub-forms must match before the bare SHOW CLUSTER
+    else if (up.startsWith("SHOW CLUSTER VARIABLES") ||
+        "(?i)^SHOW DNODE \\d+ VARIABLES$".r.matches(stmt))
+      sql("SHOW VARIABLES")
+    else if (up.startsWith("SHOW CLUSTER MACHINES"))
+      // license/machine listing (sql.y SHOW CLUSTER MACHINES): one
+      // machine — the Spark driver
+      Seq((spark.sparkContext.applicationId, 1)).toDF("id", "machines")
+    else if (up.startsWith("SHOW CLUSTER ALIVE") ||
+        "(?i)^SHOW (?:[A-Za-z_][A-Za-z0-9_]*\\.)?ALIVE$".r.matches(stmt))
+      // 1 = all vgroups reachable (mndShowClusterAlive semantics)
+      Seq(Tuple1(1)).toDF("status")
+    else if (up.startsWith("SHOW VGROUPS") ||
+        "(?i)^SHOW [A-Za-z_][A-Za-z0-9_]*\\.VGROUPS$".r.matches(stmt))
+      // vgroup ≈ the engine's partition unit: one row per database
+      // with its table count (local mode has a single virtual group)
+      databases.keys.toSeq.zipWithIndex.map { case (db, i) =>
+        (i + 2, db,
+          children.values.count(c => stables(c.stableName).db == db)
+            .toLong, "ready")
+      }.toDF("vgroup_id", "db_name", "tables", "status")
+    else if (up.startsWith("SHOW MNODES"))
+      Seq((1, "localhost:6030", "leader", "ready"))
+        .toDF("id", "endpoint", "role", "status")
+    else if (up.startsWith("SHOW QNODES") || up.startsWith("SHOW SNODES")
+        || up.startsWith("SHOW BNODES"))
+      // none deployed in the single-process engine — empty listing
+      Seq.empty[(Int, String)].toDF("id", "endpoint")
+    else if (up.startsWith("SHOW COMPACTS"))
+      compactLog.toSeq.toDF("compact_id", "db_name", "status")
+    else if ("(?i)^SHOW COMPACT \\d+$".r.matches(stmt)) {
+      val cid = stmt.split("\\s+").last.toInt
+      compactLog.toSeq.filter(_._1 == cid)
+        .toDF("compact_id", "db_name", "status")
+    }
+    else if (up.startsWith("SHOW TRANSACTIONS"))
+      Seq.empty[(Int, String, String)]
+        .toDF("id", "created_time", "stage")
+    else if (up.startsWith("SHOW GRANTS"))
+      // license introspection (sql.y:1382 SHOW GRANTS → licences)
+      Seq(("community", "unlimited", "unlimited"))
+        .toDF("version", "expire_time", "storage")
     else if (up.startsWith("SHOW CLUSTER")) insCluster
+    // SHOW [NORMAL|CHILD] [db.]TABLES [LIKE 'pat'] (sql.y:1336-1345)
+    else if ("(?i)^SHOW (?:(NORMAL|CHILD) )?(?:([A-Za-z_][A-Za-z0-9_]*)\\.)?TABLES(?: LIKE '([^']*)')?$"
+        .r.matches(stmt)) {
+      val m = ("(?i)^SHOW (?:(NORMAL|CHILD) )?" +
+        "(?:([A-Za-z_][A-Za-z0-9_]*)\\.)?TABLES(?: LIKE '([^']*)')?$")
+        .r.findFirstMatchIn(stmt).get
+      var t = insTables
+      Option(m.group(1)).map(_.toUpperCase).foreach {
+        // a regular table is its own degenerate stable; a child's
+        // stable is a different table
+        case "NORMAL" =>
+          t = t.filter(col("table_name") === col("stable_name"))
+        case _ =>
+          t = t.filter(col("table_name") =!= col("stable_name"))
+      }
+      Option(m.group(2)).foreach(db =>
+        t = t.filter(col("db_name") === db))
+      Option(m.group(3)).foreach(pat =>
+        t = t.filter(col("table_name").like(pat)))
+      t
+    }
     else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
       describe(stmt.split("\\s+").last)
     else { exec(stmt); spark.emptyDataFrame }
