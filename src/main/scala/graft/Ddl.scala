@@ -266,6 +266,22 @@ object Ddl {
         "count(*) AS n FROM events WHERE gcd64(event_id, 6) = 6 " +
         "GROUP BY user_id ORDER BY user_id")
     },
+    // new-stream calc text (sql.y:1623, 18-StreamProcessing): trigger
+    // window + FROM trigger table + %%trows calc with placeholder
+    // spellings (%%1, _twrownum), STREAM_OPTIONS and OUTPUT_SUBTABLE
+    // in the INTO segment
+    "ddl_stream_trows_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("""CREATE STREAM trows_s INTERVAL(1d) SLIDING(1d)
+        FROM events PARTITION BY user_id
+        STREAM_OPTIONS(MAX_DELAY(3s) | IGNORE_DISORDER)
+        INTO trows_out OUTPUT_SUBTABLE(CONCAT('u_', user_id))
+        AS SELECT _twstart AS ws, %%1 AS uid, count(*) AS n,
+          _twrownum AS rn, sum(value) AS sv
+        FROM %%trows WHERE value > 20""")
+      cat.fillHistory("trows_s")
+      cat.table("trows_out").orderBy(col("uid"), col("ws"))
+    },
     // admin SHOW surfaces (sql.y:1336-1430): compacts log, table-kind
     // filters with LIKE, cluster alive/machines, vgroups, node lists,
     // transactions, license grants — each surface's row count (or
@@ -525,6 +541,12 @@ object Ddl {
       """SELECT user_id, bit_or(event_id) AS bits, count(*) AS n
          FROM events WHERE gcd(event_id, 6) = 6
          GROUP BY user_id ORDER BY user_id""",
+    "ddl_stream_trows_gate" ->
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) AS ws,
+           user_id AS uid, count(*) AS n, count(*) AS rn,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+         FROM events WHERE value > 20
+         GROUP BY 1, 2 ORDER BY uid, ws""",
     "ddl_show_misc_gate" ->
       """SELECT * FROM (VALUES
            ('alive', CAST(1 AS BIGINT)), ('child_tables', 11),

@@ -52,7 +52,8 @@ class GraftCatalog(val spark: SparkSession) {
     def tsCol: String = colDefs.head._1
   }
   case class StreamDef(name: String, options: String, into: String,
-      select: String, status: String = "running")
+      select: String, status: String = "running",
+      outputSubtable: Option[String] = None)
   case class TopicDef(name: String, db: String, subject: String)
   /** CREATE TSMA … FUNCTION(f(c),…) INTERVAL(d) (sql.y:1503-1507);
     * `baseTsma` set = the RECURSIVE form (sql.y:1506) — funcs/table
@@ -1278,9 +1279,68 @@ class GraftCatalog(val spark: SparkSession) {
     val asAt = up.indexOf(" AS ", intoAt)
     require(asAt > 0, s"CREATE STREAM needs AS <select>: $stmt")
     val options = rest.substring(tok.length, intoAt).trim
-    val into = bare(rest.substring(intoAt + " INTO ".length, asAt).trim)
+    val intoSeg = rest.substring(intoAt + " INTO ".length, asAt).trim
+    // OUTPUT_SUBTABLE(expr) names each partition's result child table
+    // (sql.y stream_into_opt); it sits between INTO tbl and AS
+    val subRe = "(?i)\\bOUTPUT_SUBTABLE\\s*\\((.*)\\)\\s*$".r
+    val outputSubtable = subRe.findFirstMatchIn(intoSeg).map(_.group(1))
+    val into = bare(subRe.replaceAllIn(intoSeg, "").trim)
     val select = rest.substring(asAt + " AS ".length).trim
-    streamDefs(name) = StreamDef(name, options, into, select)
+    streamDefs(name) =
+      StreamDef(name, options, into, select,
+        outputSubtable = outputSubtable)
+  }
+
+  /** New-stream calc form (sql.y:1623; 18-StreamProcessing cases):
+    * `CREATE STREAM s <trigger-window> FROM ttbl [PARTITION BY keys]
+    * [STREAM_OPTIONS(…)] INTO out AS SELECT … FROM %%trows [WHERE …]`.
+    * For batch materialization the trigger window IS the calc
+    * grouping — %%trows holds exactly the trigger window's rows — so
+    * the calc lowers to ONE windowed query over the trigger table
+    * with the placeholder spellings mapped: `_twstart`/`_twend` →
+    * `_wstart`/`_wend`, `_twrownum` → count(1), `%%tbname` → tbname,
+    * `%%n` → the n-th PARTITION BY key. */
+  private def trowsSelect(sd: StreamDef): String = {
+    if (!sd.select.toLowerCase.contains("%%trows")) return sd.select
+    val om = "(?i)^(.*?)\\bFROM\\s+([A-Za-z0-9_.`]+)(.*)$".r
+      .findFirstMatchIn(sd.options).getOrElse(
+        throw new IllegalArgumentException(
+          s"stream ${sd.name}: %%trows needs FROM <trigger table>"))
+    // the trigger-window clause precedes FROM; STREAM_OPTIONS and
+    // PARTITION BY trail it
+    val winClause = om.group(1).trim
+    val trig = bare(om.group(2)).split('.').last
+    val tail = om.group(3)
+    val partKeys = "(?i)PARTITION BY\\s+([A-Za-z_][A-Za-z0-9_,\\s]*)".r
+      .findFirstMatchIn(tail).map(m => GraftSql.splitArgs(m.group(1))
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val sm = "(?i)^SELECT\\s+(.*?)\\s+FROM\\s+%%trows\\b(.*)$".r
+      .findFirstMatchIn(sd.select).getOrElse(
+        throw new IllegalArgumentException(
+          s"stream ${sd.name}: calc must be SELECT … FROM %%trows"))
+    def mapPlaceholders(s: String): String = {
+      var r = s
+      r = r.replaceAll("(?i)(?<![A-Za-z0-9_])_twstart(?![A-Za-z0-9_])",
+        "_wstart")
+      r = r.replaceAll("(?i)(?<![A-Za-z0-9_])_twend(?![A-Za-z0-9_])",
+        "_wend")
+      r = r.replaceAll("(?i)(?<![A-Za-z0-9_])_twrownum(?![A-Za-z0-9_])",
+        "count(1)")
+      r = r.replaceAll("(?i)%%tbname", "tbname")
+      "%%(\\d+)".r.replaceAllIn(r, m => {
+        val i = m.group(1).toInt
+        require(i >= 1 && i <= partKeys.length,
+          s"%%$i exceeds the PARTITION BY key list")
+        partKeys(i - 1)
+      })
+    }
+    val list = mapPlaceholders(sm.group(1))
+    val calcTail = mapPlaceholders(sm.group(2).trim)
+    val part = if (partKeys.isEmpty) ""
+      else s" PARTITION BY ${partKeys.mkString(", ")}"
+    s"SELECT $list FROM $trig" +
+      (if (calcTail.nonEmpty) s" $calcTail" else "") +
+      part + " " + winClause
   }
 
   /** RECALCULATE STREAM [db.]name FROM start [TO end] (sql.y:1628;
@@ -1308,8 +1368,9 @@ class GraftCatalog(val spark: SparkSession) {
       else s.toLong
     var t0 = ticks(t0Raw)
     var t1 = t1Raw.map(ticks).getOrElse(Long.MaxValue)
+    val effSelect = trowsSelect(sd)
     "(?i)INTERVAL\\s*\\(\\s*([^),]+)\\s*\\)".r
-      .findFirstMatchIn(sd.select).foreach { m =>
+      .findFirstMatchIn(effSelect).foreach { m =>
         val iv = GraftSql.durNative(m.group(1).trim, perSecond)
         t0 = Math.floorDiv(t0, iv) * iv
         if (t1 != Long.MaxValue)
@@ -1321,7 +1382,7 @@ class GraftCatalog(val spark: SparkSession) {
     // second table that happens to carry a ts column must stay
     // unrestricted, or the recomputed windows see truncated inputs
     val sourceTable = "(?i)\\bFROM\\s+([A-Za-z0-9_.`]+)".r
-      .findFirstMatchIn(sd.select)
+      .findFirstMatchIn(effSelect)
       .map(m => bare(m.group(1)).split('.').last.toLowerCase)
     val bounded: String => DataFrame = n => {
       val df = table(n)
@@ -1331,7 +1392,7 @@ class GraftCatalog(val spark: SparkSession) {
         df.filter(col("ts") >= lo && col("ts") < hi)
       else df
     }
-    val fresh = GraftSql.query(spark, bounded, sd.select,
+    val fresh = GraftSql.query(spark, bounded, effSelect,
       perSecond = perSecond)
     val outTs =
       if (fresh.columns.contains("_wstart")) "_wstart"
@@ -1588,7 +1649,7 @@ class GraftCatalog(val spark: SparkSession) {
   def fillHistory(streamName: String): DataFrame = {
     val sd = streamDefs.getOrElse(streamName,
       throw new IllegalArgumentException(s"unknown stream: $streamName"))
-    val out = GraftSql.query(spark, table, sd.select,
+    val out = GraftSql.query(spark, table, trowsSelect(sd),
       perSecond = perSecond)
     materialized(sd.into) = out
     out
