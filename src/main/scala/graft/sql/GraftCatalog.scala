@@ -1307,8 +1307,14 @@ class GraftCatalog(val spark: SparkSession) {
         throw new IllegalArgumentException(
           s"stream ${sd.name}: %%trows needs FROM <trigger table>"))
     // the trigger-window clause precedes FROM; STREAM_OPTIONS and
-    // PARTITION BY trail it
-    val winClause = om.group(1).trim
+    // PARTITION BY trail it. A bare SLIDING(x) trigger (no INTERVAL)
+    // fires every x with %%trows = the rows since the last fire —
+    // batch-equivalent to tumbling INTERVAL(x) windows.
+    val winClause0 = om.group(1).trim
+    val winClause =
+      if ("(?i)^SLIDING\\s*\\(([^,)]+)\\)$".r.matches(winClause0))
+        winClause0.replaceAll("(?i)^SLIDING", "INTERVAL")
+      else winClause0
     val trig = bare(om.group(2)).split('.').last
     val tail = om.group(3)
     val partKeys = "(?i)PARTITION BY\\s+([A-Za-z_][A-Za-z0-9_,\\s]*)".r
