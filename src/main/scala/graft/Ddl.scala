@@ -266,6 +266,20 @@ object Ddl {
         "count(*) AS n FROM events WHERE gcd64(event_id, 6) = 6 " +
         "GROUP BY user_id ORDER BY user_id")
     },
+    // the reference's published sample UDF library (docs/examples/udf/
+    // l2norm.c aggregate, bit_and.c scalar) bound through the same
+    // CREATE FUNCTION DDL, plus server_status() (system-info family)
+    "ddl_udf_sample_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE AGGREGATE FUNCTION l2norm AS " +
+        "'graft.udf.L2Norm' OUTPUTTYPE DOUBLE BUFSIZE 8")
+      cat.exec("CREATE FUNCTION bit_and AS 'graft.udf.BitAnd64' " +
+        "OUTPUTTYPE BIGINT")
+      cat.sql("SELECT user_id, round(l2norm(value), 4) AS l2, " +
+        "count(*) AS n, server_status() AS alive FROM events " +
+        "WHERE bit_and(event_id, 1) = 1 " +
+        "GROUP BY user_id ORDER BY user_id")
+    },
     // new-stream calc text (sql.y:1623, 18-StreamProcessing): trigger
     // window + FROM trigger table + %%trows calc with placeholder
     // spellings (%%1, _twrownum), STREAM_OPTIONS and OUTPUT_SUBTABLE
@@ -540,6 +554,11 @@ object Ddl {
     "ddl_udf_gate" ->
       """SELECT user_id, bit_or(event_id) AS bits, count(*) AS n
          FROM events WHERE gcd(event_id, 6) = 6
+         GROUP BY user_id ORDER BY user_id""",
+    "ddl_udf_sample_gate" ->
+      """SELECT user_id, round(sqrt(sum(value * value)), 4) AS l2, count(*) AS n,
+           CAST(1 AS INT) AS alive
+         FROM events WHERE (event_id & 1) = 1
          GROUP BY user_id ORDER BY user_id""",
     "ddl_stream_trows_gate" ->
       """SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) AS ws,

@@ -42,6 +42,22 @@ object UdfRegistry {
     x
   }
 
+  /** sqrt-of-sum-of-squares aggregate — the reference's canonical
+    * sample UDAF (docs/examples/udf/l2norm.c: null rows skipped,
+    * DOUBLE out; udf2.c is the same shape). The sum-of-squares buffer
+    * merges associatively, so map-side partials combine exactly like
+    * l2norm_merge. */
+  private object L2Norm extends Aggregator[java.lang.Double, Double,
+      java.lang.Double] {
+    def zero: Double = 0.0
+    def reduce(b: Double, a: java.lang.Double): Double =
+      if (a == null) b else b + a.doubleValue() * a.doubleValue()
+    def merge(b1: Double, b2: Double): Double = b1 + b2
+    def finish(r: Double): java.lang.Double = math.sqrt(r)
+    def bufferEncoder = Encoders.scalaDouble
+    def outputEncoder = Encoders.DOUBLE
+  }
+
   /** impl key → (aggregate?, bind). Spark null-guards primitive-typed
     * Scala UDFs (null in → null out), matching the reference's
     * NULL-propagating scalar UDF default. */
@@ -49,6 +65,12 @@ object UdfRegistry {
     Map(
       "graft.udf.Gcd64" -> ((false, (s, n) =>
         s.udf.register(n, (a: Long, b: Long) => gcd(a, b)))),
+      // the reference's sample scalar UDF (docs/examples/udf/
+      // bit_and.c: >= 2 int columns ANDed; any-null → null row)
+      "graft.udf.BitAnd64" -> ((false, (s, n) =>
+        s.udf.register(n, (a: Long, b: Long) => a & b))),
+      "graft.udf.L2Norm" -> ((true, (s, n) =>
+        s.udf.register(n, functions.udaf(L2Norm, Encoders.DOUBLE)))),
       "graft.udf.BitOr64" -> ((true, (s, n) =>
         s.udf.register(n, functions.udaf(BitOr64, Encoders.LONG)))))
 

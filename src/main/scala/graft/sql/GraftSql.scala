@@ -617,6 +617,9 @@ object GraftSql {
     r = rewriteCall(r, "first_day_of_week", _ => "CAST(0 AS BIGINT)")
     r = rewriteCall(r, "server_version", _ => "'3.3.6.0'")
     r = rewriteCall(r, "client_version", _ => "'3.3.6.0'")
+    // server_status() returns 1 while the server answers at all
+    // (qPlan.c SERVER_STATUS; a dead server never returns a row)
+    r = rewriteCall(r, "server_status", _ => "CAST(1 AS INT)")
     r = rewriteCall(r, "current_user", _ => "'root'")
     r = rewriteCall(r, "user", _ => "'root'")
     // database(): the catalog front end substitutes its current db
