@@ -320,6 +320,37 @@ object Ddl {
         ("vgroups", cat.sql("SHOW VGROUPS").count()))
         .toDF("surface", "n").orderBy("surface")
     },
+    // second admin SHOW sweep (sql.y:1350-1427): view listing +
+    // SHOW CREATE VIEW round-trip, privilege listings, TMQ
+    // introspection, deployment surfaces (vnodes/arbgroups/mounts/
+    // encryption), LICENCES alias
+    "ddl_show_misc2_gate" -> { (s, dir) =>
+      import s.implicits._
+      val cat = demo(s, dir)
+      cat.exec("CREATE VIEW busy_days AS SELECT _wstart AS d, " +
+        "count(*) AS n FROM events INTERVAL(1d)")
+      cat.exec("CREATE VIEW quiet AS SELECT 1 AS one FROM events")
+      cat.exec("GRANT READ ON graftdb.events TO root")
+      // the rendered CREATE VIEW text must re-execute losslessly
+      val ddlTxt = cat.sql("SHOW CREATE VIEW busy_days")
+        .head.getString(1)
+      cat.exec("DROP VIEW busy_days")
+      cat.exec(ddlTxt)
+      Seq(
+        ("arbgroups", cat.sql("SHOW ARBGROUPS").count()),
+        ("consumers", cat.sql("SHOW CONSUMERS").count()),
+        ("encrypt_status", cat.sql("SHOW ENCRYPT_STATUS").count()),
+        ("licences", cat.sql("SHOW LICENCES").count()),
+        ("mounts", cat.sql("SHOW MOUNTS").count()),
+        ("scores", cat.sql("SHOW SCORES").count()),
+        ("subscriptions", cat.sql("SHOW SUBSCRIPTIONS").count()),
+        ("user_privileges", cat.sql("SHOW USER PRIVILEGES").count()),
+        ("views", cat.sql("SHOW VIEWS").count()),
+        ("views_like", cat.sql("SHOW VIEWS LIKE 'busy%'").count()),
+        ("view_rows", cat.sql("SELECT * FROM busy_days").count()),
+        ("vnodes", cat.sql("SHOW VNODES").count()))
+        .toDF("surface", "n").orderBy("surface")
+    },
     // user / role / privilege DDL (sql.y:359-419) + the
     // ins_user_privileges introspection rows (systable.c:507)
     "ddl_user_gate" -> { (s, dir) =>
@@ -572,6 +603,15 @@ object Ddl {
            ('compact_2', 1), ('compacts', 2), ('grants', 1),
            ('machines', 1), ('mnodes', 1), ('normal_tables', 0),
            ('qnodes', 0), ('transactions', 0), ('vgroups', 2))
+         AS t(surface, n) ORDER BY surface""",
+    "ddl_show_misc2_gate" ->
+      """SELECT * FROM (VALUES
+           ('arbgroups', CAST(0 AS BIGINT)), ('consumers', 0),
+           ('encrypt_status', 1), ('licences', 1), ('mounts', 0),
+           ('scores', 0), ('subscriptions', 0), ('user_privileges', 1),
+           ('view_rows', (SELECT count(DISTINCT date_trunc('day', ts))
+              FROM events)),
+           ('views', 2), ('views_like', 1), ('vnodes', 2))
          AS t(surface, n) ORDER BY surface""",
     "ddl_user_gate" ->
       """SELECT * FROM (VALUES

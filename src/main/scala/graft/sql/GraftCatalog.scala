@@ -2090,6 +2090,68 @@ class GraftCatalog(val spark: SparkSession) {
     }
     else if (up.startsWith("SHOW VTABLES")) insVtables
     else if (up.startsWith("SHOW FUNCTIONS")) insFunctions
+    // SHOW USER PRIVILEGES / SHOW ROLE [COLUMN] PRIVILEGES
+    // (sql.y:1350-1353): both read the same grant ledger the GRANT
+    // DDL writes (systable.c:507 userUserPrivilegesSchema); the ROLE
+    // forms restrict to role grantees
+    else if (up.startsWith("SHOW USER PRIVILEGES")) insUserPrivileges
+    else if (up.startsWith("SHOW ROLE COLUMN PRIVILEGES"))
+      insUserPrivileges.filter(col("columns") =!= "")
+    else if (up.startsWith("SHOW ROLE PRIVILEGES")) {
+      val roles = roleDefs.toSeq
+      insUserPrivileges.filter(col("user_name").isin(roles: _*))
+    }
+    // SHOW [db.]VIEWS [LIKE 'pat'] (sql.y:1426) over the saved-query
+    // registry CREATE VIEW writes
+    else if ("(?i)^SHOW (?:[A-Za-z_][A-Za-z0-9_]*\\.)?VIEWS( LIKE '[^']*')?$"
+        .r.matches(stmt)) {
+      val pat = "(?i)LIKE\\s+'([^']*)'".r.findFirstMatchIn(stmt)
+        .map(_.group(1))
+      var t = viewDefs.keys.toSeq.map(v => (v, currentDb))
+        .toDF("view_name", "db_name")
+      pat.foreach(p => t = t.filter(col("view_name").like(p)))
+      t
+    }
+    // SHOW CREATE VIEW v (sql.y:1427): round-trippable DDL
+    else if (up.startsWith("SHOW CREATE VIEW ")) {
+      val name = bare(stmt.split("\\s+").last)
+      val q = viewDefs.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown view: $name"))
+      Seq((name, s"CREATE VIEW `$name` AS $q")).toDF(
+        "view_name", "create_sql")
+    }
+    // TMQ introspection (sql.y:1414-1415; systable.c consumerSchema /
+    // subscriptionSchema). The consume path is Structured Streaming
+    // (tmq_subscribe_gate), so the catalog reports the subscribable
+    // topics; live consumer sessions are the platform's stream runs
+    else if (up.startsWith("SHOW CONSUMERS"))
+      Seq.empty[(Long, String, String, String)].toDF(
+        "consumer_id", "consumer_group", "client_id", "status")
+    else if (up.startsWith("SHOW SUBSCRIPTIONS"))
+      Seq.empty[(String, String, Int)].toDF(
+        "topic_name", "consumer_group", "vgroup_id")
+    // single-process deployment surfaces (sql.y:1373,1387,1393-1398):
+    // no arbitration groups, mounts, or at-rest encryption configured
+    else if (up.startsWith("SHOW ARBGROUPS"))
+      Seq.empty[(Int, String, Int)].toDF(
+        "vgroup_id", "db_name", "is_sync")
+    else if (up.startsWith("SHOW MOUNTS"))
+      Seq.empty[(String, Int, String)].toDF(
+        "mount_name", "dnode_id", "path")
+    else if (up.startsWith("SHOW ENCRYPT_ALGORITHMS"))
+      Seq(Tuple1("sm4")).toDF("algorithm")
+    else if (up.startsWith("SHOW ENCRYPT_STATUS") ||
+        up.startsWith("SHOW ENCRYPTIONS"))
+      Seq((1, "unset")).toDF("dnode_id", "key_status")
+    else if (up.startsWith("SHOW SCORES"))
+      Seq.empty[(Int, String)].toDF("id", "score")
+    // SHOW VNODES [ON DNODE n] (sql.y:1420-1421): one row per vgroup
+    // replica on the (single) dnode
+    else if (up.startsWith("SHOW VNODES"))
+      sql("SHOW VGROUPS").select(
+        lit(1).as("dnode_id"), col("vgroup_id"), col("db_name"),
+        lit("leader").as("role"), col("status"))
+    else if (up.startsWith("SHOW LICENCES")) sql("SHOW GRANTS")
     else if (up.startsWith("SHOW ANODES FULL")) insAnodesFull
     else if (up.startsWith("SHOW ANODES")) insAnodes
     else if (up.startsWith("SHOW DNODES")) insDnodes
