@@ -504,6 +504,29 @@ class GraftCatalog(val spark: SparkSession) {
     }
     else if (up.startsWith("CREATE USER")) createUser(stmt)
     else if (up.startsWith("ALTER USER")) alterUser(stmt)
+    // ALTER DATABASE db opts (sql.y:931): re-parse the mutable options
+    // the engine models — KEEP updates the retention horizon the RSMA
+    // router consults; the cluster knobs are accepted like CREATE's
+    else if (up.startsWith("ALTER DATABASE ")) {
+      val rest = stmt.substring("ALTER DATABASE".length).trim
+      val name = bare(rest.split("\\s+")(0))
+      val db = databases.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown database: $name"))
+      val keep = "(?i)KEEP\\s+(\\d+[uasmhdw]?)".r.findFirstMatchIn(rest)
+        .map { m =>
+          val t = m.group(1)
+          if (t.last.isDigit) GraftSql.durNative(t + "d", db.perSecond)
+          else GraftSql.durNative(t, db.perSecond)
+        }
+      if (keep.isDefined) databases(name) = db.copy(keepTicks = keep)
+    }
+    // dnode/cluster/session config text (sql.y:845-861 ALTER DNODE n
+    // 'key' ['value'], ALTER ALL DNODES …, ALTER LOCAL …, ALTER
+    // CLUSTER …): Spark owns process config, so the statements are
+    // validated and accepted — the reference applies them to tsdbCfg,
+    // the analogue here is SparkConf the session was built with
+    else if ("(?i)^ALTER (?:DNODE \\d+|ALL DNODES|LOCAL|CLUSTER)\\s+'[^']+'(?:\\s+(?:'[^']*'|\\S+))?$"
+        .r.matches(stmt)) ()
     else if (up.startsWith("DROP USER")) dropUser(stmt)
     else if (up.startsWith("CREATE ROLE")) {
       val r = bare(stmt.split("\\s+").last)

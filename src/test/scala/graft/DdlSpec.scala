@@ -125,6 +125,30 @@ class DdlSpec extends AnyFunSuite {
     assert(cat2.table("c1").count() == 1)
   }
 
+  test("ALTER DATABASE KEEP moves the TRIM horizon; dnode/local/" +
+      "cluster config text accepted") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE mutk PRECISION 'us'")
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, v DOUBLE) TAGS (t INT)")
+    val recent = System.currentTimeMillis() * 1000L
+    cat.exec("INSERT INTO c1 USING st TAGS (1) " +
+      s"VALUES (1704067200000000, 1.0) ($recent, 2.0)")
+    // no KEEP yet: trim is a no-op
+    cat.exec("TRIM DATABASE mutk")
+    assert(cat.table("c1").count() == 2)
+    // ALTER in a 1-day horizon: the 2024 row now falls outside it
+    cat.exec("ALTER DATABASE mutk KEEP 1")
+    cat.exec("TRIM DATABASE mutk")
+    val left = cat.table("c1").collect()
+    assert(left.length == 1 && left(0).getAs[Double]("v") == 2.0)
+    // config spellings (sql.y:845-861) are validated + accepted
+    cat.exec("ALTER DNODE 1 'debugFlag' '135'")
+    cat.exec("ALTER ALL DNODES 'resetlog'")
+    cat.exec("ALTER LOCAL 'timezone' 'UTC'")
+    cat.exec("ALTER CLUSTER 'encrypt_algorithm' 'sm4'")
+    intercept[Exception] { cat.exec("ALTER DNODE x 'k'") }
+  }
+
   test("STOP/START STREAM lifecycle; SHOW VARIABLES/QUERIES") {
     val cat = new GraftCatalog(spark)
     cat.register("events", Tables(spark, sf, "events"))
