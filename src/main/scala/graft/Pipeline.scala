@@ -470,7 +470,8 @@ object Pipeline {
               CASE WHEN p.cum + d.tok > 256 THEN d.tok
                    ELSE p.cum + d.tok END
             FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
-          SELECT source, bin, count(*) AS n_docs, sum(tok) AS n_toks
+          SELECT source, bin, count(*) AS n_docs,
+            CAST(sum(tok) AS BIGINT) AS n_toks
           FROM p GROUP BY 1, 2 ORDER BY source, bin""",
     // ANN contract-by-recall: 5 query vectors × top-10 = 50 exact pairs,
     // and the LSH index must recover >= 70% of them

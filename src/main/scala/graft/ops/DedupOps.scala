@@ -375,36 +375,44 @@ object DedupOps {
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(lvl)
+    // Eager localCheckpoint per round, NOT persist: persist caches
+    // blocks but the logical plan still accumulates one join+agg layer
+    // per iteration, so analysis/AQE overhead grows superlinearly with
+    // rounds. Checkpointing truncates lineage — every round plans
+    // against a constant-size tree. Superseded checkpoint blocks are
+    // reclaimed by the ContextCleaner once the frame is unreferenced.
     var labels = edges.select(col("src").as("_id")).distinct()
       .withColumn("_lab", col("_id"))
-      .persist(lvl)
+      .localCheckpoint()
     try {
+      val labType = labels.schema("_lab").dataType
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
         val msgs = edges
           .join(labels.withColumnRenamed("_id", "src"), Seq("src"))
           .select(col("dst").as("_id"), col("_lab"))
-        val next = labels.union(msgs)
-          .groupBy("_id").agg(min(col("_lab")).as("_lab"))
-          .persist(lvl)
-        val changed = next
-          .join(labels.withColumnRenamed("_lab", "_old"), Seq("_id"))
-          .filter(col("_lab") =!= col("_old")).count()
-        labels.unpersist()
-        labels = next
+        // one aggregation yields BOTH the new label (min over self and
+        // neighbours) and the previous one (each id contributes exactly
+        // one non-null _cur row), so convergence needs no second join:
+        // the round is a single materializing job, and the changed
+        // count is a scan of the just-checkpointed blocks.
+        val next = labels
+          .select(col("_id"), col("_lab"), col("_lab").as("_cur"))
+          .union(msgs.select(col("_id"), col("_lab"),
+            lit(null).cast(labType).as("_cur")))
+          .groupBy("_id")
+          .agg(min(col("_lab")).as("_lab"), max(col("_cur")).as("_old"))
+          .localCheckpoint()
+        val changed = next.filter(col("_lab") =!= col("_old")).count()
+        labels = next.select(col("_id"), col("_lab"))
         converged = changed == 0
         iter += 1
       }
-      if (!converged) {
-        // release the cached blocks BEFORE failing — a long-lived
-        // session retrying with a larger maxIter must not strand a
-        // generation of persisted frames per attempt
-        labels.unpersist()
+      if (!converged)
         throw new IllegalArgumentException(
           s"dupClusters did not converge in $maxIter rounds — " +
             "component diameter exceeds the bound; raise maxIter")
-      }
       labels.select(col("_id").as("doc_id"), col("_lab").as("keep_id"))
     } finally edges.unpersist()
   }
@@ -486,14 +494,23 @@ object DedupOps {
       threshold: Double, nlist: Int = 8, iters: Int = 2,
       nprobe: Int = 2, maxClusterSize: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // trainCodebook consumes cand iters+1 times (seed draw + one scan
+    // per Lloyd round) — persist so the unit-normalization UDF runs
+    // over the corpus once, not per round
     val cand = emb.select(col(idCol).as("_id"),
-      SimilarityOps.unitVec(col(vecCol)).as("_v"))
+        SimilarityOps.unitVec(col(vecCol)).as("_v"))
+      .persist(lvl)
     val codebook = SimilarityOps.trainCodebook(cand, nlist, iters)
     // multi-probe: each vector lands in its nprobe nearest cells, so a
-    // true pair straddling one k-means boundary still co-occurs
+    // true pair straddling one k-means boundary still co-occurs.
+    // probed feeds THREE consumers (the mass fence and both sides of
+    // the within-cell self-join) — unpersisted, the probe UDF re-runs
+    // the corpus ~4x (the r13 1.9x-floor regression).
     val probed = emb.select(col(idCol).as("_id"),
         explode(SimilarityOps.probeCol(spark, codebook, col(vecCol),
           nprobe)).as("_c"))
+      .persist(lvl)
     val big = probed.groupBy("_c").count()
       .filter(col("count") > maxClusterSize).limit(1).count()
     require(big == 0,

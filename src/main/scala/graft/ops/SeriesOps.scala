@@ -51,31 +51,42 @@ object SeriesOps {
   }
 
   /** statecount(pred): consecutive count of rows satisfying `pred`; rows
-    * failing it yield -1 (builtins.c:4256). */
+    * failing it yield -1; NULL-input rows are SKIPPED — they emit NULL
+    * and do not reset the streak (builtins.c:4256; 22-function.md
+    * STATECOUNT: "adding 1 if the condition is true, resetting to -1 if
+    * false, and skipping the data if it is NULL"). A NULL `pred` (NULL
+    * input vs a non-NULL literal) contributes 0 to the run id, so the
+    * run survives across it. */
   def statecount(pred: Column, ts: Column, keys: Seq[Column]): Column = {
     val ww = w(keys, ts)
-    val runId = sum(when(pred, 0L).otherwise(1L))
+    // only FALSE rows break a run: when(not(pred),..) sends both true
+    // and null pred to the 0 branch
+    val runId = sum(when(not(pred), 1L).otherwise(0L))
       .over(ww.rowsBetween(Window.unboundedPreceding, 0))
-    val rnInRun = row_number().over(
-      Window.partitionBy(keys :+ runId: _*).orderBy(ts))
-    when(!pred, lit(-1L))
-      .otherwise(when(runId === 0, rnInRun.cast(LongType))
-        .otherwise((rnInRun - 1).cast(LongType)))
+    val runW = Window.partitionBy(keys :+ runId: _*).orderBy(ts)
+    val nTrue = sum(when(pred, 1L).otherwise(0L))
+      .over(runW.rowsBetween(Window.unboundedPreceding, 0))
+    when(pred.isNull, lit(null).cast(LongType))
+      .otherwise(when(!pred, lit(-1L)).otherwise(nTrue))
   }
 
-  /** stateduration(pred, unitUs): elapsed µs (scaled) since the current
-    * true-run began; first row of a run yields 0, non-matching rows -1
-    * (builtins.c:4296). */
+  /** stateduration(pred, unitTicks): elapsed time (in `unitTicks` of
+    * the ts column's native precision) since the current true-run
+    * began; first row of a run yields 0, non-matching rows -1,
+    * NULL-input rows emit NULL without resetting the run
+    * (builtins.c:4296; 22-function.md STATEDURATION — the unit
+    * defaults to the database precision, i.e. 1 tick). */
   def stateduration(pred: Column, ts: Column, keys: Seq[Column],
-      unitUs: Long): Column = {
+      unitTicks: Long): Column = {
     val ww = w(keys, ts)
-    val runId = sum(when(pred, 0L).otherwise(1L))
+    val runId = sum(when(not(pred), 1L).otherwise(0L))
       .over(ww.rowsBetween(Window.unboundedPreceding, 0))
     val runW = Window.partitionBy(keys :+ runId: _*).orderBy(ts)
     val firstTrueTs = min(when(pred, ts)).over(
       runW.rowsBetween(Window.unboundedPreceding, 0))
-    when(!pred, lit(-1L))
-      .otherwise(((ts - firstTrueTs) / lit(unitUs)).cast(LongType))
+    when(pred.isNull, lit(null).cast(LongType))
+      .otherwise(when(!pred, lit(-1L))
+        .otherwise(((ts - firstTrueTs) / lit(unitTicks)).cast(LongType)))
   }
 
   /** top/bottom(col, k): the k extreme rows per key (builtins.c:3371).

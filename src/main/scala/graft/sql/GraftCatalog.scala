@@ -1340,7 +1340,11 @@ class GraftCatalog(val spark: SparkSession) {
       else winClause0
     val trig = bare(om.group(2)).split('.').last
     val tail = om.group(3)
-    val partKeys = "(?i)PARTITION BY\\s+([A-Za-z_][A-Za-z0-9_,\\s]*)".r
+    // keys are comma-joined identifiers; requiring a comma between
+    // them stops the capture BEFORE a trailing keyword (a \s in the
+    // char class would greedily swallow e.g. " STREAM_OPTIONS")
+    val partKeys = ("(?i)PARTITION BY\\s+([A-Za-z_][A-Za-z0-9_]*" +
+      "(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)").r
       .findFirstMatchIn(tail).map(m => GraftSql.splitArgs(m.group(1))
         .map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
     val sm = "(?i)^SELECT\\s+(.*?)\\s+FROM\\s+%%trows\\b(.*)$".r

@@ -1040,7 +1040,7 @@ object GraftSql {
     * directly. Skipped when a window/group clause is present — those
     * compose differently and are not routed here. */
   private def seriesSelect(df: DataFrame, c: Map[String, String],
-      tsCol: String): Option[DataFrame] = {
+      tsCol: String, perSecond: Long): Option[DataFrame] = {
     val windowed = Seq("INTERVAL", "SESSION", "STATE_WINDOW",
       "COUNT_WINDOW", "EVENT_WINDOW", "ANOMALY_WINDOW")
       .exists(c.contains)
@@ -1085,8 +1085,12 @@ object GraftSql {
           }
           val outCol = if (f == "statecount")
             SeriesOps.statecount(pred, col(tsCol), keys)
+          // unit converts to ticks of the surface's native precision
+          // (22-function.md: omitted unit = the database precision);
+          // durUs here would be 1000x off for a PRECISION 'ms'/'ns' db
           else SeriesOps.stateduration(pred, col(tsCol), keys,
-            args.lift(3).map(u => durUs(u.trim)).getOrElse(1L))
+            args.lift(3).map(u => durNative(u.trim, perSecond))
+              .getOrElse(1L))
           analyticProject(df.withColumn("_state", outCol), c, sel,
             start, close, "_state", Map.empty)
         case _ =>
@@ -1380,7 +1384,7 @@ object GraftSql {
     // strip them rather than fail the statement
     val deHinted = sql.replaceAll("/\\*\\+.*?\\*/", " ")
     val norm = padDatetimeLiterals(
-      rewriteJsonArrow(deHinted.replaceAll("\\s+", " ").trim))
+      rewriteJsonArrow(deHinted.replaceAll("\\s+", " ").trim), tsCol)
     val segments = splitUnion(norm)
     if (segments.length == 1)
       return single(spark, resolve, norm, tsCol, perSecond)
@@ -1408,10 +1412,22 @@ object GraftSql {
   /** The reference's datetime parser accepts loose field widths
     * ('2024-1-1 8:1:40.5', taosParseTime) — Spark's to_timestamp does
     * not. Literals are static, so pad YY-M-D H:M[:S[.f]] quoted
-    * literals to the canonical two-digit form at rewrite time. */
-  private[sql] def padDatetimeLiterals(s: String): String = {
+    * literals to the canonical two-digit form at rewrite time — but
+    * ONLY when the literal sits in a temporal position: a date-shaped
+    * VARCHAR value ('2024-1-5' compared to a string column, or in an
+    * INSERT value list) must keep its exact text, so the rewrite
+    * requires the ts column / a window pseudo-column / a temporal
+    * function in the literal's immediate context. */
+  private[sql] def padDatetimeLiterals(s: String,
+      tsCol: String = "ts"): String = {
+    if (s.toUpperCase.startsWith("INSERT")) return s
     val re = ("'(\\d{4})-(\\d{1,2})-(\\d{1,2})" +
       "(?:([ T])(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(\\.\\d+)?)?)?'").r
+    val temporal = ("(?i)(?<![A-Za-z0-9_])(" +
+      java.util.regex.Pattern.quote(tsCol) +
+      "|_wstart|_wend|_rowts|_irowts|_qstart|_qend|range|every" +
+      "|between|timetruncate|timediff|to_timestamp|timestamp" +
+      "|cast)(?![A-Za-z0-9_])").r
     re.replaceAllIn(s, m => {
       def p(x: String) = f"${x.toInt}%02d"
       val d = s"${m.group(1)}-${p(m.group(2))}-${p(m.group(3))}"
@@ -1420,7 +1436,17 @@ object GraftSql {
         val frac = Option(m.group(8)).getOrElse("")
         s" ${p(m.group(5))}:${p(m.group(6))}:$sec$frac"
       }
-      java.util.regex.Matcher.quoteReplacement(s"'$d$t'")
+      val padded = s"'$d$t'"
+      val keep = java.util.regex.Matcher.quoteReplacement(m.matched)
+      if (padded == m.matched)
+        keep // already canonical: no semantic question to answer
+      else {
+        val lo = math.max(0, m.start - 48)
+        val hi = math.min(s.length, m.end + 48)
+        if (temporal.findFirstIn(s.substring(lo, hi)).isDefined)
+          java.util.regex.Matcher.quoteReplacement(padded)
+        else keep
+      }
     })
   }
 
@@ -1713,7 +1739,7 @@ object GraftSql {
       return imputationSelect(df, c, tsCol)
     if ("(?i)\\bANOMALYCHECK\\s*\\(".r.findFirstIn(c("SELECT")).isDefined)
       return anomalycheckSelect(df, c, tsCol)
-    seriesSelect(df, c, tsCol).foreach(r => return r)
+    seriesSelect(df, c, tsCol, perSecond).foreach(r => return r)
     histogramSelect(df, c, tsCol).foreach(r => return r)
 
     // expression partition keys (24-distinguished.md: part_list takes
@@ -2039,8 +2065,17 @@ object GraftSql {
               s"hour($t) * 3600 + minute($t) * 60 + second($t)) * " +
               s"${perSecond}L + $rem)"
           }
-          // widest possible span in ticks bounds the candidate count
+          // widest possible span in ticks bounds the candidate count.
+          // The reference caps SLIDING at 1%..100% of INTERVAL
+          // (sliding cannot be smaller than interval/100); without the
+          // fence an INTERVAL(100n) SLIDING(1s) query would build
+          // multi-million-element candidate arrays per row and OOM
+          // instead of failing loudly.
           val nWin = (k * 31L * 86400L * perSecond) / sl + 2
+          require(nWin <= 128,
+            s"SLIDING is too small for INTERVAL(${k}n): up to $nWin " +
+              "candidate windows per row (reference bounds SLIDING to " +
+              ">= 1% of INTERVAL); raise SLIDING")
           val j0 = s"(($tsCol) DIV ${sl}L)"
           val starts = s"filter(transform(sequence($j0 - ${nWin}L + 1, " +
             s"$j0), j -> j * ${sl}L), " +

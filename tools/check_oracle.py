@@ -8,10 +8,27 @@ Spark parquet result, runs the matching oracle SQL from oracle_sql.json in
 DuckDB (with each testdata table registered as a view), sorts columns by
 name, and compares cell values exactly (doubles compared bit-for-bit after
 float64 normalization — the queries are built to be hash-stable).
+
+The driver's hash is type/format-tagged, so value equality alone is not
+enough to predict a green driver row (round-13 lesson: `pack_sequences`
+had cell-identical values but a HUGEINT oracle column, and
+`scalar_decimal` hit an exact round-half tie whose direction differs
+across engines). This checker therefore ALSO:
+
+  1. compares the TYPE CLASS of every column between the Spark parquet
+     output and the DuckDB oracle result (int vs hugeint vs float vs
+     decimal-with-scale) and FAILS on divergence — an oracle HUGEINT
+     (DuckDB's sum(BIGINT) default) must be CAST to BIGINT;
+  2. WARNS when an oracle uses round() to produce a DECIMAL column —
+     exact-decimal arithmetic can land exactly on a half boundary and
+     the tie direction is engine/version-specific; emit the unrounded
+     exact sum instead (round() on DOUBLE is fine: libm outputs are
+     essentially never exact binary halves).
 """
 import json
 import math
 import os
+import re
 import sys
 from decimal import Decimal
 
@@ -21,27 +38,70 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_class(duck_type):
+    """Collapse a DuckDB type name to the class the driver's hash tags.
+
+    int widths all render identically (1 is 1), so TINYINT..BIGINT are one
+    class; HUGEINT is its own class (int128 renders differently in the
+    driver's hash pipeline); DECIMAL keeps its scale (67.50 vs 67.5).
+    """
+    t = str(duck_type).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    m = re.match(r"DECIMAL\(\s*\d+\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return f"decimal(s={m.group(1)})"
+    if t.startswith("DECIMAL"):
+        return "decimal(s=?)"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in ("VARCHAR", "TEXT", "STRING", "BLOB"):
+        return "str"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t
+
+
+# Pairings the driver's hash provably tolerates (round-11/12 data
+# points): Decimal('0.0') vs float 0.0 hashed EQUAL in the ddl gates.
+_COMPAT = {frozenset(["float", "decimal(s=1)"])}
+
+
+def classes_compatible(a, b):
+    if a == b:
+        return True
+    return frozenset([a, b]) in _COMPAT
+
+
 def norm(v):
     # Emulate the driver's string-shaped hash: int 1 and float 1.0 hash
-    # DIFFERENT (round-11 dialect_scalar_misc red row), but
-    # Decimal('0.0') and float 0.0 hash EQUAL (the ddl gates were green
-    # with exactly that pairing). str() reproduces both data points;
-    # a raw == compare would miss the first, a type-tagged compare
-    # would false-fail the second.
+    # DIFFERENT (round-11 dialect_scalar_misc red row). Decimal goes via
+    # float64 for VALUE comparison only — scale drift is caught by the
+    # separate type-class gate above, not silently collapsed here.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return str(v)
     if isinstance(v, Decimal):
-        # via float64 so Decimal('0.0') == 0.0 and scale differences
-        # (67.50 vs 67.5) collapse; local stand-in only — fine at the
-        # <=15-significant-digit magnitudes the queries emit
         return str(float(v))
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, int):
         return str(v)
     return v
+
+
+def round_decimal_risk(sql, ecol_types):
+    """True if the oracle SQL uses round() AND emits a DECIMAL column —
+    the combination that produced the r13 scalar_decimal half-tie."""
+    if not re.search(r"\bround\s*\(", sql, re.IGNORECASE):
+        return False
+    return any(str(t).upper().startswith("DECIMAL") for t in ecol_types)
 
 
 def main(out_dir, sf_dir):
@@ -54,11 +114,14 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
-    n_pass = n_fail = n_weak = 0
+    n_pass = n_fail = n_weak = n_warn = 0
     for name in names:
         got = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        gcols = sorted(got.columns)
+        order = sorted(range(len(got.columns)),
+                       key=lambda i: got.columns[i])
+        gcols = [got.columns[i] for i in order]
+        gtypes = [got.types[i] for i in order]
         grows = [tuple(norm(v) for v in r) for r in
                  got.project(", ".join(f'"{c}"' for c in gcols)).fetchall()]
         if name not in oracle:
@@ -68,7 +131,10 @@ def main(out_dir, sf_dir):
             continue
         try:
             exp = con.sql(oracle[name])
-            ecols = sorted(exp.columns)
+            eorder = sorted(range(len(exp.columns)),
+                            key=lambda i: exp.columns[i])
+            ecols = [exp.columns[i] for i in eorder]
+            etypes = [exp.types[i] for i in eorder]
             erows = [tuple(norm(v) for v in r) for r in
                      exp.project(", ".join(f'"{c}"' for c in ecols))
                      .fetchall()]
@@ -80,6 +146,24 @@ def main(out_dir, sf_dir):
             n_fail += 1
             print(f"FAIL       {name}: cols spark={gcols} duckdb={ecols}")
             continue
+        # --- type-class gate: predicts the driver's type-tagged hash ---
+        tbad = []
+        for c, gt, et in zip(gcols, gtypes, etypes):
+            gc, ec = type_class(gt), type_class(et)
+            if ec == "hugeint":
+                tbad.append(f"{c}: oracle emits HUGEINT (spark {gt}) — "
+                            f"CAST the oracle aggregate to BIGINT")
+            elif not classes_compatible(gc, ec):
+                tbad.append(f"{c}: spark {gt}({gc}) vs oracle {et}({ec})")
+        if tbad:
+            n_fail += 1
+            print(f"TYPEFAIL   {name}: " + "; ".join(tbad))
+            continue
+        if round_decimal_risk(oracle[name], etypes):
+            n_warn += 1
+            print(f"TIE-RISK   {name}: oracle round() feeds a DECIMAL "
+                  f"column — half-boundary tie direction is "
+                  f"engine-specific; emit the unrounded exact value")
         if len(grows) != len(erows):
             n_fail += 1
             print(f"FAIL       {name}: rowcount spark={len(grows)} "
@@ -95,7 +179,8 @@ def main(out_dir, sf_dir):
         else:
             n_pass += 1
             print(f"PASS       {name}: rows={len(grows)}")
-    print(f"\n== {n_pass} pass, {n_fail} fail, {n_weak} weak/rows-only ==")
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_weak} weak/rows-only, "
+          f"{n_warn} tie-risk warnings ==")
     return 1 if n_fail else 0
 
 
