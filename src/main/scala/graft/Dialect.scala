@@ -785,6 +785,16 @@ object Dialect {
         """SELECT ts, user_id, stateduration(value, 'LE', 50, 1h) AS sd
            FROM events PARTITION BY user_id ORDER BY user_id, ts""")
     },
+    // keyless per-row series functions — NO partition key, the whole
+    // scan is one ts-ordered series (projectoperator.c:676 keyless
+    // IndefRowsFunc); routed through GlobalScan.twoPass, never a
+    // single-partition window
+    "dialect_keyless_series" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, diff(value) AS d, csum(value) AS cs,
+             mavg(value, 4) AS ma, fill_forward(value) AS ff
+           FROM events WHERE user_id = 3 ORDER BY ts""")
+    },
     // first(*)/last(*) expand to one call per source column
     // (parTranslater star expansion)
     "dialect_first_star" -> { (s, dir) =>
@@ -1539,6 +1549,22 @@ object Dialect {
            CASE WHEN NOT p THEN -1
                 ELSE (ts2 - ft) // 3600000000 END AS sd
          FROM r ORDER BY user_id, ts""",
+    "dialect_keyless_series" ->
+      """WITH t AS (SELECT epoch_us(ts) AS ts2, event_id, value
+           FROM events WHERE user_id = 3),
+         w AS (SELECT ts2, value,
+           value - lag(value) OVER o AS d,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+             (o ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cs,
+           CASE WHEN count(value) OVER
+               (o ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) = 4
+             THEN round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+               (o ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / 4, 6) END AS ma,
+           last_value(value IGNORE NULLS) OVER
+             (o ROWS UNBOUNDED PRECEDING) AS ff
+           FROM t WINDOW o AS (ORDER BY ts2, event_id))
+         SELECT ts2 AS ts, d, cs, ma, ff FROM w ORDER BY ts""",
     "dialect_first_star" ->
       """SELECT arg_min(event_id, ts) AS first_event_id,
            epoch_us(arg_min(ts, ts)) AS first_ts,

@@ -509,6 +509,54 @@ object Sources {
       consume() // resume from committed offsets: chunk 2 only
       s.read.parquet(log).orderBy(col("event_id"))
     },
+    // ---- TMQ consumer-GROUP independence (clientTmq.c:989 subscribe
+    // binds a consumer to its GROUP's offsets; :1770 poll advances and
+    // :2500+ commit persists them PER GROUP): two groups over the same
+    // topic each keep their own committed position — group ≙ Spark
+    // checkpoint location. The ledger proves (1) a fresh group replays
+    // from the topic start even after another group advanced, and (2)
+    // each group resumes from ITS OWN offset: chunk 2 lands and only A
+    // polls it; when B polls later it must receive BOTH 2 and the
+    // newer 3 — A's commit never moves B. ----
+    "tmq_groups_gate" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType,
+        StructField, StructType}
+      import s.implicits._
+      val run = streamGateRuns.incrementAndGet()
+      val base = freshGateDir("/tmp/graft_tmqg_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + run)
+      val topic = s"$base/topic"
+      val slice = ev(s, dir).filter(col("event_id") % 5 === 2)
+        .select(col("event_id"), col("ts").as("ts_us"), col("value"))
+      val schema = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts_us", LongType), StructField("value", DoubleType)))
+      def land(m: Int): Unit = slice.filter(col("event_id") % 4 === m)
+        .write.mode("append").parquet(topic)
+      // one poll for `grp`: drain whatever the group's committed
+      // offsets haven't seen, append to the group's log, return the
+      // log's total row count (the consumer's cumulative position)
+      def poll(grp: String): Long = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(topic)
+          .writeStream.format("parquet")
+          .option("path", s"$base/log_$grp")
+          .option("checkpointLocation", s"$base/ckpt_$grp")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$base/log_$grp").count()
+      }
+      land(0); land(1)
+      val ledger = Seq.newBuilder[(String, Int, Long)]
+      ledger += (("a", 1, poll("a"))) // A: chunks 0-1
+      ledger += (("b", 1, poll("b"))) // B fresh: replays 0-1 from start
+      land(2)
+      ledger += (("a", 2, poll("a"))) // A alone advances over 2
+      land(3)
+      ledger += (("b", 2, poll("b"))) // B gets BOTH 2 and 3
+      ledger += (("a", 3, poll("a"))) // A catches up with 3
+      ledger.result().toDF("grp", "poll", "n_rows")
+        .orderBy(col("grp"), col("poll"))
+    },
     // ---- TagScan (tagscanoperator.c): enumerate the tag dimension
     // WITHOUT touching data columns. Tags are denormalized columns here
     // (SURVEY §1.1), so this is a 2-column pruned scan + distinct — the
@@ -761,6 +809,25 @@ object Sources {
     "tmq_subscribe_gate" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
          FROM events WHERE event_id % 4 = 1 ORDER BY event_id""",
+    // per-group cumulative positions after each poll: group B's counts
+    // are independent of group A's commits (and vice versa)
+    "tmq_groups_gate" ->
+      """WITH s AS (SELECT event_id FROM events WHERE event_id % 5 = 2),
+         c AS (SELECT
+           CAST(count(CASE WHEN event_id % 4 <= 1 THEN 1 END)
+             AS BIGINT) AS c01,
+           CAST(count(CASE WHEN event_id % 4 <= 2 THEN 1 END)
+             AS BIGINT) AS c012,
+           CAST(count(*) AS BIGINT) AS call FROM s)
+         SELECT grp, poll,
+           CASE WHEN grp = 'a' AND poll = 1 THEN c01
+                WHEN grp = 'a' AND poll = 2 THEN c012
+                WHEN grp = 'a' AND poll = 3 THEN call
+                WHEN grp = 'b' AND poll = 1 THEN c01
+                ELSE call END AS n_rows
+         FROM c CROSS JOIN (VALUES ('a', 1), ('a', 2), ('a', 3),
+           ('b', 1), ('b', 2)) AS t(grp, poll)
+         ORDER BY grp, poll""",
     "tag_scan" ->
       """WITH t AS (SELECT DISTINCT user_id, event_type FROM events)
          SELECT user_id, count(*) AS n_types,

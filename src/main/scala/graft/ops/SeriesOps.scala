@@ -138,4 +138,120 @@ object SeriesOps {
     df.withColumn("_rank", row_number().over(ww))
       .filter(col("_rank") <= k).drop("_rank")
   }
+
+  /** Keyless per-row series functions (diff / csum / mavg /
+    * fill_forward with NO partition key): the whole frame is one
+    * series, so a total ts order is inherent — but an unpartitioned
+    * `Window.orderBy` would collapse to a single partition. Lowered to
+    * [[GlobalScan.twoPass]] instead: one range-partitioned sort, a
+    * per-partition effect record, and a parallel seeded replay — the
+    * reference's single merged-vnode stream semantics at cluster
+    * parallelism (projectoperator.c:676 IndefRowsFunc, keyless form).
+    *
+    * `specs`: (fn, argColumn, k, outName) — k only meaningful for
+    * mavg. All functions share ONE two-pass scan. Arithmetic matches
+    * the keyed SQL lowering bit-for-bit: csum/mavg accumulate in
+    * DECIMAL(18,2) (HALF_UP cast) and emit DOUBLE; mavg rounds to 6
+    * via the same HALF_UP-on-decimal rule Spark's round() applies. */
+  def keylessSeries(df: DataFrame, ts: Column, tie: Seq[Column],
+      specs: Seq[(String, Column, Int, String)]): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val argNames = specs.indices.map(i => s"_karg$i")
+    var withArgs = df
+    specs.zip(argNames).foreach { case ((_, c, _, _), n) =>
+      withArgs = withArgs.withColumn(n, c.cast("double")) }
+    val inSchema = withArgs.schema
+    val argIdx = argNames.map(inSchema.fieldIndex).toArray
+    val fns = specs.map(_._1).toArray
+    val ks = specs.map(_._3).toArray
+    val outSchema = StructType(inSchema.fields ++
+      specs.map(s => StructField(s._4, DoubleType)))
+    def dec(v: Double) = new JBD(v).setScale(2, RoundingMode.HALF_UP)
+    // per-spec partition effect:
+    //   diff -> Option[(v, isNull)] of the LAST row
+    //   csum -> Option[JBD] partition sum of non-null values
+    //   mavg -> Vector[Option[JBD]] of the last <= k rows
+    //   fill_forward -> Option[Double] last non-null
+    type S = Array[Any]
+    def zero: S = fns.map {
+      case "mavg" => Vector.empty[Option[JBD]]
+      case _ => None
+    }.toArray[Any]
+    def step(s: S, r: Row): Unit = fns.indices.foreach { i =>
+      val isNull = r.isNullAt(argIdx(i))
+      val v = if (isNull) 0.0 else r.getDouble(argIdx(i))
+      fns(i) match {
+        case "diff" => s(i) = Some((v, isNull))
+        case "csum" => if (!isNull)
+          s(i) = Some(s(i).asInstanceOf[Option[JBD]]
+            .map(_.add(dec(v))).getOrElse(dec(v)))
+        case "mavg" =>
+          s(i) = (s(i).asInstanceOf[Vector[Option[JBD]]] :+
+            (if (isNull) None else Some(dec(v)))).takeRight(ks(i))
+        case _ => if (!isNull) s(i) = Some(v)
+      }
+    }
+    def summary(it: Iterator[Row]): S = {
+      val s = zero; it.foreach(r => step(s, r)); s
+    }
+    def combine(a: S, b: S): S = fns.indices.map { i =>
+      fns(i) match {
+        case "diff" => b(i).asInstanceOf[Option[(Double, Boolean)]]
+          .orElse(a(i).asInstanceOf[Option[(Double, Boolean)]])
+        case "csum" =>
+          (a(i).asInstanceOf[Option[JBD]],
+            b(i).asInstanceOf[Option[JBD]]) match {
+            case (Some(p), Some(q)) => Some(p.add(q))
+            case (p, q) => q.orElse(p)
+          }
+        case "mavg" => (a(i).asInstanceOf[Vector[Option[JBD]]] ++
+          b(i).asInstanceOf[Vector[Option[JBD]]]).takeRight(ks(i))
+        case _ => b(i).asInstanceOf[Option[Double]]
+          .orElse(a(i).asInstanceOf[Option[Double]])
+      }
+    }.toArray[Any]
+    def emit(prefix: S, it: Iterator[Row]): Iterator[Row] = {
+      val s: S = prefix.clone()
+      it.map { r =>
+        val outs = fns.indices.map { i =>
+          val isNull = r.isNullAt(argIdx(i))
+          val v = if (isNull) 0.0 else r.getDouble(argIdx(i))
+          fns(i) match {
+            case "diff" =>
+              val out = s(i).asInstanceOf[Option[(Double, Boolean)]] match {
+                case Some((pv, pNull)) if !pNull && !isNull =>
+                  java.lang.Double.valueOf(v - pv)
+                case _ => null
+              }
+              s(i) = Some((v, isNull)); out
+            case "csum" =>
+              if (!isNull) s(i) = Some(s(i).asInstanceOf[Option[JBD]]
+                .map(_.add(dec(v))).getOrElse(dec(v)))
+              s(i).asInstanceOf[Option[JBD]]
+                .map(d => java.lang.Double.valueOf(d.doubleValue)).orNull
+            case "mavg" =>
+              val q = (s(i).asInstanceOf[Vector[Option[JBD]]] :+
+                (if (isNull) None else Some(dec(v)))).takeRight(ks(i))
+              s(i) = q
+              if (q.length == ks(i) && q.forall(_.isDefined)) {
+                val sum = q.flatten.reduce(_.add(_))
+                java.lang.Double.valueOf(JBD
+                  .valueOf(sum.doubleValue / ks(i))
+                  .setScale(6, RoundingMode.HALF_UP).doubleValue)
+              } else null
+            case _ =>
+              if (!isNull) s(i) = Some(v)
+              s(i).asInstanceOf[Option[Double]]
+                .map(java.lang.Double.valueOf(_)).orNull
+          }
+        }
+        Row.fromSeq(r.toSeq ++ outs)
+      }
+    }
+    GlobalScan.twoPass[S](withArgs, ts +: tie, zero, summary, combine,
+        emit, outSchema)
+      .drop(argNames: _*)
+  }
 }

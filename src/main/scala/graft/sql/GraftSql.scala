@@ -314,29 +314,40 @@ object GraftSql {
   // -------------------------------------------------- function rewrites
 
   /** Rewrite one TDengine call `name(args)` everywhere in `e` via
-    * `build(args)` — with real paren matching, not regex. */
+    * `build(args)` — with real paren matching, not regex. Whitespace
+    * between the name and `(` is legal SQL (`sum ( value )`); missing
+    * it here would silently skip the rewrite and change semantics
+    * (caught by DialectFuzzSpec's ws mutations). */
   private def rewriteCall(e: String, name: String,
       build: String => String): String = {
     val lower = e.toLowerCase
-    val at = lower.indexOf(name.toLowerCase + "(")
-    if (at < 0 ||
-        (at > 0 && (lower(at - 1).isLetterOrDigit || lower(at - 1) == '_')))
-      return if (at < 0) e
-        else e.substring(0, at + 1) +
-          rewriteCall(e.substring(at + 1), name, build)
-    var depth = 0; var i = at + name.length
-    var end = -1
-    while (end < 0 && i < e.length) {
-      e(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) end = i
-        case _ =>
+    val n = name.toLowerCase
+    var at = lower.indexOf(n)
+    while (at >= 0) {
+      val boundary = at == 0 ||
+        (!lower(at - 1).isLetterOrDigit && lower(at - 1) != '_')
+      var open = at + n.length
+      while (open < e.length && e(open) == ' ') open += 1
+      if (boundary && open < e.length && e(open) == '(') {
+        var depth = 0; var i = open
+        var end = -1
+        while (end < 0 && i < e.length) {
+          e(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(end >= 0,
+          s"unbalanced parentheses in call to $name: ${e.substring(at)}")
+        val args = e.substring(open + 1, end)
+        return e.substring(0, at) + build(args) +
+          rewriteCall(e.substring(end + 1), name, build)
       }
-      i += 1
+      at = lower.indexOf(n, at + 1)
     }
-    val args = e.substring(at + name.length + 1, end)
-    e.substring(0, at) + build(args) +
-      rewriteCall(e.substring(end + 1), name, build)
+    e
   }
 
   /** `'fmt'` argument literal → raw string. */
@@ -1375,10 +1386,21 @@ object GraftSql {
       spark.udf.register("apercentile", org.apache.spark.sql.functions
         .udaf(new graft.functions.Aggregators.TDigestPAgg))
 
-  def query(spark: SparkSession, resolve: String => DataFrame,
+  def query(spark: SparkSession, resolve0: String => DataFrame,
       sql: String, tsCol: String = "ts",
       perSecond: Long = 1000000L): DataFrame = {
     ensureCustomAggs(spark)
+    // unquoted identifiers are case-insensitive in the reference
+    // (converted to lower case at parse time); a backtick-quoted name
+    // reaches resolve0 verbatim first, so case-significant tables
+    // still win when they exist
+    val resolve: String => DataFrame = n =>
+      try resolve0(n)
+      catch {
+        case e: Exception if n != n.toLowerCase =>
+          try resolve0(n.toLowerCase)
+          catch { case _: Exception => throw e }
+      }
     // planner hints (/*+ SORT_FOR_GROUP() */ etc., sql.y hint_list):
     // advisory on the reference, and Catalyst does its own planning —
     // strip them rather than fail the statement
@@ -1418,7 +1440,7 @@ object GraftSql {
     * INSERT value list) must keep its exact text, so the rewrite
     * requires the ts column / a window pseudo-column / a temporal
     * function in the literal's immediate context. */
-  private[sql] def padDatetimeLiterals(s: String,
+  private[graft] def padDatetimeLiterals(s: String,
       tsCol: String = "ts"): String = {
     if (s.toUpperCase.startsWith("INSERT")) return s
     val re = ("'(\\d{4})-(\\d{1,2})-(\\d{1,2})" +
@@ -1634,8 +1656,11 @@ object GraftSql {
     if ("(?i)(?<![A-Za-z0-9_])tbname(?![A-Za-z0-9_])".r
         .findFirstIn(sqlR).isDefined && !df.columns.contains("tbname")) {
       val bare = c("FROM").trim
+      // an UNQUOTED name lowercases at parse time in the reference, so
+      // tbname for `FROM EvEnTs` is 'events', not the as-written text
       if ("^[A-Za-z_][A-Za-z0-9_.]*$".r.matches(bare))
-        df = df.withColumn("tbname", lit(bare.split("\\.").last))
+        df = df.withColumn("tbname",
+          lit(bare.split("\\.").last.toLowerCase))
     }
     // first(*) / last(*) / last_row(*) (parTranslater createAllColumns
     // path): one call per source column, named <fn>_<col>
@@ -1786,9 +1811,10 @@ object GraftSql {
     // point (EVERY optional); RANGE(p,dur) / RANGE(t0,t1,dur) carry an
     // around-interval that acts as the SURROUND bound.
     if (c.contains("RANGE")) {
-      val interpPat = "(?i)^interp\\((\\w+)\\)$".r
+      val interpPat = "(?i)^interp\\s*\\(\\s*(\\w+)\\s*\\)$".r
       val interpCols = selectItems.collect {
-        case (interpPat(v), _) => v
+        case (e, _) if interpPat.matches(e.trim) =>
+          interpPat.findFirstMatchIn(e.trim).get.group(1)
       }.distinct
       require(interpCols.nonEmpty,
         "RANGE needs an interp(col) select item")
@@ -1864,7 +1890,8 @@ object GraftSql {
       }
       // project to the select list: interp(col) → that column's value
       val cols = selectItems.map {
-        case (interpPat(v), a) => col(v).as(a)
+        case (e, a) if interpPat.matches(e.trim) =>
+          col(interpPat.findFirstMatchIn(e.trim).get.group(1)).as(a)
         case (e, a) => expr(e).as(a)
       }
       res = res.select(cols: _*)
@@ -1885,9 +1912,42 @@ object GraftSql {
     if (!hasWindowClause && !c.contains("GROUP BY") &&
         selectItems.exists { case (e, _) =>
           indefPat.findFirstIn(e).isDefined }) {
-      require(partCols.nonEmpty,
-        "per-row series functions need PARTITION BY " +
-          "(keyless form: SeriesOps over GlobalScan)")
+      if (partCols.isEmpty) {
+        // keyless: the whole table is ONE series — an unpartitioned
+        // window would collapse to a single partition, so route
+        // through the two-pass GlobalScan fold instead (sorted
+        // partitions stay parallel; only effect records serialize)
+        val calls = scala.collection.mutable
+          .LinkedHashMap[(String, String), String]()
+        def collectCalls(e: String): String = {
+          var r = e
+          Seq("diff", "csum", "mavg", "fill_forward").foreach { fn =>
+            r = rewriteCall(r, fn, a =>
+              calls.getOrElseUpdate((fn, a.trim), s"_ks${calls.size}"))
+          }
+          r
+        }
+        val items = selectItems.map { case (e, a) => (collectCalls(e), a) }
+        val specs = calls.toSeq.map { case ((fn, argTxt), name) =>
+          if (fn == "mavg") {
+            val parts = splitArgs(argTxt)
+            require(parts.length == 2, s"mavg needs (col, k): $argTxt")
+            (fn, expr(parts(0)), parts(1).trim.toInt, name)
+          } else (fn, expr(argTxt), 0, name)
+        }
+        // a row-id tiebreaker totalizes the order when ts collides
+        // across the (merged) series — same contract as seriesSelect
+        val tie = if (df.columns.contains("event_id"))
+          Seq(col("event_id")) else Nil
+        val withSeries = graft.ops.SeriesOps.keylessSeries(
+          df, col(tsCol), tie, specs)
+        var res = withSeries.select(items.map { case (e, a) =>
+          expr(e).as(a) }: _*)
+        c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+        c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
+        c.get("LIMIT").foreach(n => res = applyLimit(res, n))
+        return res
+      }
       val partTxt = s"PARTITION BY ${partCols.mkString(", ")} "
       def over(frame: String) = s"OVER (${partTxt}ORDER BY $tsCol$frame)"
       def rewriteSeries(e: String): String = {
@@ -2098,6 +2158,8 @@ object GraftSql {
         "_wend" -> s"(_wstart + $iv)")
     } else if (c.contains("SESSION")) {
       val args = splitArgs(stripOuterParens(c("SESSION")))
+      require(args.length == 2,
+        s"SESSION needs (ts_col, gap): SESSION${c("SESSION")}")
       df = TimeOps.sessionize(df, col(args(0)), dur(args(1)),
         partCols.map(col))
       groupKeys = partCols :+ "_session"
@@ -2179,6 +2241,8 @@ object GraftSql {
       // ANOMALY_WINDOW(col[, 'algo=zscore[,z=k]']) (sql.y:2887): the
       // z-score Detector; the algo literal may override the threshold
       val args = splitArgs(stripOuterParens(c("ANOMALY_WINDOW")))
+      require(args.nonEmpty,
+        s"ANOMALY_WINDOW needs (col[, 'opts']): ${c("ANOMALY_WINDOW")}")
       val z = args.lift(1).map(unquote)
         .flatMap("z=([0-9.]+)".r.findFirstMatchIn(_))
         .map(_.group(1).toDouble).getOrElse(2.0)
@@ -2213,8 +2277,17 @@ object GraftSql {
       // (sql.y group_by_clause takes arbitrary group_by_expr)
       val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
       val mapped = splitArgs(c("GROUP BY")).zipWithIndex.map {
-        case (k0, i) =>
-          val k = k0.trim
+        case (k00, i) =>
+          // GROUP BY <ordinal> names the n-th select item (sql.y
+          // group_by_expr positions), NOT an integer literal key
+          val k = k00.trim match {
+            case ord if ord.matches("\\d+") =>
+              val n = ord.toInt
+              require(n >= 1 && n <= selectItems.length,
+                s"GROUP BY $n exceeds the select list")
+              selectItems(n - 1)._1.trim
+            case t => t
+          }
           if (ident.matches(k)) k
           else {
             val nm = s"_gk$i"
@@ -2262,15 +2335,18 @@ object GraftSql {
         val proj = df.select(cols: _*)
         if (isDistinct) proj.distinct() else proj
       } else {
-        val keyItems = selectItems.filter { case (e, _) =>
-          groupKeys.contains(e) }
-        val aggItems = selectItems.filterNot { case (e, _) =>
-          groupKeys.contains(e) }
+        // identifier matching is case-insensitive (unquoted identifiers
+        // lowercase in the reference), so SELECT/GROUP BY/STATE_WINDOW
+        // spellings may differ in case
+        def isKey(e: String) = groupKeys.exists(_.equalsIgnoreCase(e))
+        val keyItems = selectItems.filter { case (e, _) => isKey(e) }
+        val aggItems = selectItems.filterNot { case (e, _) => isKey(e) }
         require(aggItems.nonEmpty,
           "grouped query needs at least one aggregate select item")
         val aggCols = aggItems.map { case (e, a) =>
           // a bare state expression is constant within its window
-          val e2 = if (stateTexts.contains(e.trim)) s"first($e)" else e
+          val e2 = if (stateTexts.exists(_.equalsIgnoreCase(e.trim)))
+            s"first($e)" else e
           expr(rewritten(e2)).as(a) } ++
           havingAgg.map(h => expr(rewritten(h)).as("__having")).toSeq ++
           trueFor.map(p => expr(p).as("__truefor")).toSeq

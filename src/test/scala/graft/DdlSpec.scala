@@ -582,6 +582,32 @@ class DdlSpec extends AnyFunSuite {
     assert(cat.sql("SHOW APPS").count() == 1)
   }
 
+  test("%%n placeholders expand inside expressions and multi-key " +
+      "PARTITION BY lists") {
+    // ADVICE r13: the old key-list capture swallowed the trailing
+    // STREAM_OPTIONS keyword, so %%1 only worked as a bare projection
+    // (Spark read the junk as an implicit alias); %%n inside a WHERE
+    // expression or a 2-key list produced invalid SQL
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE pctdb PRECISION 'us'")
+    cat.exec("CREATE TABLE pct_ev (ts TIMESTAMP, user_id INT, " +
+      "region INT, value DOUBLE)")
+    cat.exec("INSERT INTO pct_ev VALUES " +
+      "(1000000, 1, 7, 5.0) (2000000, 1, 7, 6.0) " +
+      "(3000000, 2, 8, 7.0) (4000000, 2, 8, -1.0)")
+    cat.exec("""CREATE STREAM pct_s INTERVAL(10s) SLIDING(10s)
+      FROM pct_ev PARTITION BY user_id, region
+      STREAM_OPTIONS(MAX_DELAY(3s))
+      INTO pct_out
+      AS SELECT _twstart AS ws, %%1 AS uid, %%2 AS reg,
+        count(*) AS n
+      FROM %%trows WHERE %%2 > 0 AND value > 0""")
+    cat.fillHistory("pct_s")
+    val rows = cat.table("pct_out").orderBy("uid").collect()
+    assert(rows.map(r => (r.getAs[Int]("uid"), r.getAs[Int]("reg"),
+      r.getAs[Long]("n"))).toSeq == Seq((1, 7, 2L), (2, 8, 1L)))
+  }
+
   test("database() tracks the catalog's USE state") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE DATABASE mixdb")

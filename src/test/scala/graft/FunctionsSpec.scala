@@ -58,6 +58,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.sameElements(Array(1L, 2L, -1L, 1L, 2L, 3L)))
   }
 
+  test("statecount skips NULL rows: NULL out, streak not reset") {
+    // 22-function.md STATECOUNT: "adding 1 if the condition is true,
+    // resetting to -1 if false, and skipping the data if it is NULL"
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, Some(60.0)), (1L, 2L, None), (1L, 3L, Some(70.0)),
+      (1L, 4L, Some(10.0)), (1L, 5L, None), (1L, 6L, Some(80.0))
+    ).toDF("user_id", "ts", "value")
+    val got = df.withColumn("sc",
+      graft.ops.SeriesOps.statecount(col("value") > 50, col("ts"),
+        Seq(col("user_id"))))
+      .orderBy("ts").select("sc").collect()
+      .map(r => if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    // ts2 NULL: emits NULL, run survives -> ts3 counts 2; ts4 false
+    // resets; ts5 NULL emits NULL without consuming the reset; ts6
+    // starts a new run at 1
+    assert(got.sameElements(Array[java.lang.Long](1L, null, 2L, -1L, null, 1L)))
+  }
+
+  test("stateduration skips NULL rows and measures from the run's first true") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1000000L, Some(60.0)), (1L, 2000000L, None),
+      (1L, 3000000L, Some(70.0)), (1L, 4000000L, Some(10.0)),
+      (1L, 5000000L, Some(80.0))
+    ).toDF("user_id", "ts", "value")
+    val got = df.withColumn("sd",
+      graft.ops.SeriesOps.stateduration(col("value") > 50, col("ts"),
+        Seq(col("user_id")), 1000000L))
+      .orderBy("ts").select("sd").collect()
+      .map(r => if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    // run starts at ts=1s; NULL at 2s skipped; at 3s elapsed 2s;
+    // false at 4s resets (-1); new run at 5s starts at 0
+    assert(got.sameElements(Array[java.lang.Long](0L, null, 2L, -1L, 0L)))
+  }
+
   test("twa of a constant series equals the constant") {
     import spark.implicits._
     val df = (1 to 100).map(i => (7L, i.toLong * 1000000L, 42.0))

@@ -436,10 +436,19 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (1L, None, 1.0), (1L, Some(3.0), 5.0), (1L, Some(5.0), 14.0),
       (2L, None, 5.0)))
-    // keyless row-stream form must refuse (would single-partition)
-    intercept[IllegalArgumentException] {
-      GraftSql.query(spark, res, "SELECT k, diff(v) AS d FROM T")
-    }
+    // keyless row-stream form: the whole frame is ONE ts-ordered
+    // series, routed through GlobalScan.twoPass (never a
+    // single-partition window) — diff crosses the k=1/k=2 boundary
+    // because there is no key
+    val t2 = Seq((1L, 10L, 1.0), (2L, 15L, 5.0), (1L, 20L, 4.0),
+      (1L, 30L, 9.0)).toDF("k", "ts", "v")
+    def res2(n: String) = n match { case "T" => t2 }
+    val keyless = GraftSql.query(spark, res2,
+      """SELECT ts, diff(v) AS d, csum(v) AS c FROM T ORDER BY ts""")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getDouble(2)))
+    assert(keyless.toSeq == Seq(
+      (10L, None, 1.0), (15L, Some(4.0), 6.0), (20L, Some(-1.0), 10.0),
+      (30L, Some(5.0), 19.0)))
   }
 
   test("top-level UNION ALL / UNION with a union-level ORDER BY") {
@@ -679,5 +688,42 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.length == 51)
     assert(r.forall(x => x >= 0.0 && x < 1.0))
     assert(r.distinct.length > 1, "rand() must vary per row")
+  }
+
+  test("datetime padding applies only in temporal contexts") {
+    import graft.sql.GraftSql.padDatetimeLiterals
+    // loose literal next to the ts column: padded
+    assert(padDatetimeLiterals("SELECT * FROM t WHERE ts > '2024-1-5'")
+      .contains("'2024-01-05'"))
+    // loose literal on the LEFT of the ts comparison: padded too
+    assert(padDatetimeLiterals("SELECT * FROM t WHERE '2024-1-5' < ts")
+      .contains("'2024-01-05'"))
+    // VARCHAR comparison with no temporal neighbour: untouched
+    val vc = "SELECT * FROM t WHERE name = '2024-1-5'"
+    assert(padDatetimeLiterals(vc) == vc)
+    // INSERT value lists never rewrite string payloads
+    val ins = "INSERT INTO t VALUES ('2024-1-5', 7)"
+    assert(padDatetimeLiterals(ins) == ins)
+    // already-canonical literals are untouched byte-for-byte anywhere
+    val canon = "SELECT * FROM t WHERE name = '2024-01-05'"
+    assert(padDatetimeLiterals(canon) == canon)
+    // loose time fields pad in BETWEEN ranges
+    assert(padDatetimeLiterals(
+      "SELECT * FROM t WHERE ts BETWEEN '2024-1-1 8:1:40.5' AND '2024-2-1'")
+      .contains("'2024-01-01 08:01:40.5'"))
+  }
+
+  test("calendar INTERVAL with a too-small SLIDING fails loudly") {
+    // INTERVAL(2n) SLIDING(1h) would be ~1500 candidate windows/row —
+    // the reference bounds SLIDING at >= 1% of INTERVAL; we must fail,
+    // not OOM building per-row candidate arrays
+    val e = intercept[IllegalArgumentException] {
+      q("""SELECT _wstart, count(*) AS n FROM events
+           INTERVAL(2n) SLIDING(1h) ORDER BY _wstart""").collect()
+    }
+    assert(e.getMessage.contains("SLIDING"))
+    // the legal ratio still plans and runs
+    assert(q("""SELECT _wstart, count(*) AS n FROM events
+      INTERVAL(1n) SLIDING(15d) ORDER BY _wstart""").count() > 0)
   }
 }

@@ -61,7 +61,16 @@ class PlanGoldenSpec extends AnyFunSuite {
     "pack_sequences",      // secondary-sort streaming pack
     "mix_exact",           // broadcast-k rank draw
     "vocab_topk",          // partial-agg'd global top-k
-    "text_pii_redact")     // shuffle-free scrub (1 exchange = ORDER BY)
+    "text_pii_redact",     // shuffle-free scrub (1 exchange = ORDER BY)
+    // dedup plan families (r13 verdict: these regressed via plan
+    // erosion — lost persists, projection collapse — caught only by
+    // bench timing; pin their shapes so the spec fails first)
+    "dedup_ngram_jaccard", // PPJoin prefix filter + verify
+    "dedup_minhash_lsh",   // banded buckets + broadcast id prune
+    "dedup_winnowing",     // codegen window-min fingerprints (the 87s
+                           // projection-collapse class)
+    "dedup_contamination", // eval-side prefix fence, broadcast guard
+    "dedup_semantic")      // codebook probe + persisted fan-out
 
   /** explain line → operator token, or None if not load-bearing.
     * Lines look like `   :- *(3) HashAggregate(keys=[...` — strip tree
@@ -89,6 +98,7 @@ class PlanGoldenSpec extends AnyFunSuite {
       case "Expand" | "Generate" | "Window" | "WindowGroupLimit" =>
         Some(word)
       case "FileScan" => Some("FileScan")
+      case "InMemoryTableScan" => Some("InMemoryTableScan")
       case "Scan" => Some("ScanRDD")
       case _ => None
     }
@@ -97,12 +107,25 @@ class PlanGoldenSpec extends AnyFunSuite {
   private def signature(name: String): String = {
     val p = SparkEntry.queries(name)(spark, sf)
       .queryExecution.explainString(SimpleMode)
-    p.linesIterator.flatMap(opToken).toSeq
-      .groupBy(identity).toSeq.sortBy(_._1)
-      .map { case (op, xs) => s"$op=${xs.size}" }.mkString(",")
+    val ops = p.linesIterator.flatMap(opToken).toSeq
+    // interpreted higher-order lambdas are the hot-path poison the
+    // r12/r13 regressions traced to (a codegen'd native Expression
+    // silently replaced by transform()/aggregate() re-evaluation):
+    // pin their count so a swap shows up as a diff, and a cache miss
+    // (lost persist) shows as an InMemoryTableScan count drop
+    val hofs = "lambdafunction\\(".r.findAllIn(p).size
+    (ops.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (op, xs) => s"$op=${xs.size}" } ++
+      (if (hofs > 0) Seq(s"LambdaHOF=$hofs") else Nil)).mkString(",")
   }
 
   test("physical plan shapes match the golden corpus") {
+    // other suites sharing this session may have left frames cached;
+    // CacheManager substitutes InMemoryTableScan for matching plan
+    // fragments, which would make the signatures order-dependent.
+    // Clear first: each query's OWN persist() calls re-mark during
+    // construction, so intra-query cache reads still count.
+    spark.catalog.clearCache()
     val actual = signatureQueries.map(n => n -> signature(n))
     if (sys.env.get("GRAFT_REGEN_PLAN_GOLDEN").contains("1")) {
       Files.write(Paths.get(goldenPath),
