@@ -795,6 +795,42 @@ object Dialect {
              mavg(value, 4) AS ma, fill_forward(value) AS ff
            FROM events WHERE user_id = 3 ORDER BY ts""")
     },
+    // keyless TOP: global top-k lowers to sort-limit (TakeOrdered —
+    // parallel partial top-k per partition), not a one-partition window
+    "dialect_keyless_top" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, top(value, 5) AS v FROM events
+           ORDER BY v DESC, ts""")
+    },
+    // keyless statecount: one global run-length series via the
+    // two-pass fold
+    "dialect_keyless_statecount" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, statecount(value, 'GT', 50) AS sc FROM events
+           WHERE user_id = 5 ORDER BY ts""")
+    },
+    // LAG/LEAD pipeline set functions (22-function.md): positional
+    // carry along ts, optional default
+    "dialect_lag_lead" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, user_id, lag(value, 2, -1.5) AS lv,
+             lead(value) AS nv
+           FROM events PARTITION BY user_id ORDER BY user_id, ts""")
+    },
+    // keyless LEAD = lag over the reversed order: a second two-pass
+    // scan, still no single-partition window
+    "dialect_keyless_lag_lead" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, lead(value) AS nv, lag(value, 1) AS pv
+           FROM events WHERE user_id = 7 ORDER BY ts""")
+    },
+    // DERIVATIVE(col, interval, ignore_negative) (builtins.c:3603):
+    // slope per `interval`; ignore_negative=1 drops negative-slope rows
+    "dialect_derivative" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, user_id, derivative(value, 1s, 1) AS dv
+           FROM events PARTITION BY user_id ORDER BY user_id, ts""")
+    },
     // first(*)/last(*) expand to one call per source column
     // (parTranslater star expansion)
     "dialect_first_star" -> { (s, dir) =>
@@ -1565,6 +1601,40 @@ object Dialect {
              (o ROWS UNBOUNDED PRECEDING) AS ff
            FROM t WINDOW o AS (ORDER BY ts2, event_id))
          SELECT ts2 AS ts, d, cs, ma, ff FROM w ORDER BY ts""",
+    "dialect_keyless_top" ->
+      """SELECT epoch_us(ts) AS ts, value AS v FROM events
+         ORDER BY value DESC, ts, event_id LIMIT 5""",
+    "dialect_keyless_statecount" ->
+      """WITH t AS (SELECT epoch_us(ts) AS ts2, value > 50 AS p,
+           sum(CASE WHEN value > 50 THEN 0 ELSE 1 END)
+             OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+             AS run
+           FROM events WHERE user_id = 5),
+         r AS (SELECT ts2, p, run,
+           row_number() OVER (PARTITION BY run ORDER BY ts2) AS rn
+           FROM t)
+         SELECT ts2 AS ts,
+           CASE WHEN NOT p THEN -1 WHEN run = 0 THEN rn
+                ELSE rn - 1 END AS sc
+         FROM r ORDER BY ts""",
+    "dialect_lag_lead" ->
+      """SELECT epoch_us(ts) AS ts, user_id,
+           lag(value, 2, -1.5) OVER
+             (PARTITION BY user_id ORDER BY ts) AS lv,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS nv
+         FROM events ORDER BY user_id, ts""",
+    "dialect_keyless_lag_lead" ->
+      """SELECT epoch_us(ts) AS ts,
+           lead(value) OVER (ORDER BY ts, event_id) AS nv,
+           lag(value, 1) OVER (ORDER BY ts, event_id) AS pv
+         FROM events WHERE user_id = 7 ORDER BY ts""",
+    "dialect_derivative" ->
+      """WITH w AS (SELECT epoch_us(ts) AS ts2, user_id,
+           (value - lag(value) OVER o) * 1000000 /
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER o) AS dv
+           FROM events WINDOW o AS (PARTITION BY user_id ORDER BY ts))
+         SELECT ts2 AS ts, user_id, dv FROM w
+         WHERE dv IS NULL OR dv >= 0 ORDER BY user_id, ts""",
     "dialect_first_star" ->
       """SELECT arg_min(event_id, ts) AS first_event_id,
            epoch_us(arg_min(ts, ts)) AS first_ts,

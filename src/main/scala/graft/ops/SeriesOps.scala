@@ -96,8 +96,18 @@ object SeriesOps {
       tie: Seq[Column] = Nil): DataFrame = {
     val ord = (if (bottom) Seq(value.asc, ts.asc)
       else Seq(value.desc, ts.asc)) ++ tie.map(_.asc)
-    val ww = Window.partitionBy(keys: _*).orderBy(ord: _*)
-    df.withColumn("_rank", row_number().over(ww)).filter(col("_rank") <= k)
+    if (keys.isEmpty) {
+      // global top-k: sort-limit lowers to TakeOrdered — every
+      // partition contributes its local k in parallel, no
+      // single-partition window over the full table. Ranking the k
+      // survivors is a constant-k window, not a scale path.
+      df.orderBy(ord: _*).limit(k)
+        .withColumn("_rank", row_number().over(Window.orderBy(ord: _*)))
+    } else {
+      val ww = Window.partitionBy(keys: _*).orderBy(ord: _*)
+      df.withColumn("_rank", row_number().over(ww))
+        .filter(col("_rank") <= k)
+    }
   }
 
   /** tail(k, offset): the last k rows by ts per key, skipping `offset`
@@ -107,10 +117,18 @@ object SeriesOps {
     * picked rows (and the oracle hash) nondeterministic. */
   def tail(df: DataFrame, ts: Column, keys: Seq[Column], k: Int,
       offset: Int = 0, tie: Seq[Column] = Nil): DataFrame = {
-    val ww = Window.partitionBy(keys: _*)
-      .orderBy(ts.desc +: tie.map(_.desc): _*)
-    df.withColumn("_rank", row_number().over(ww))
-      .filter(col("_rank") > offset && col("_rank") <= offset + k)
+    val ord = ts.desc +: tie.map(_.desc)
+    if (keys.isEmpty) {
+      // keyless tail = global top-(k+offset) by ts desc (TakeOrdered,
+      // parallel), then the offset filter over the k+offset survivors
+      df.orderBy(ord: _*).limit(offset + k)
+        .withColumn("_rank", row_number().over(Window.orderBy(ord: _*)))
+        .filter(col("_rank") > offset && col("_rank") <= offset + k)
+    } else {
+      val ww = Window.partitionBy(keys: _*).orderBy(ord: _*)
+      df.withColumn("_rank", row_number().over(ww))
+        .filter(col("_rank") > offset && col("_rank") <= offset + k)
+    }
   }
 
   /** unique(col): the first-occurrence row of each distinct value
@@ -139,6 +157,72 @@ object SeriesOps {
       .filter(col("_rank") <= k).drop("_rank")
   }
 
+  /** Keyless statecount/stateduration: run-length state over the WHOLE
+    * frame in ts order, no partition key — via [[GlobalScan.twoPass]],
+    * not a single-partition window. The partition effect is the state
+    * of the TRAILING run: `sawFalse` marks whether the partition
+    * resets the run (making its effect absolute), otherwise it extends
+    * the incoming run. NULL rows emit NULL and neither count nor reset
+    * (22-function.md STATECOUNT/STATEDURATION skip semantics).
+    *
+    * `mode` "count" appends the running true-streak count;
+    * "duration" appends (ts - first true ts of the run) / unitTicks.
+    * The appended column is `outCol` (LongType, nullable). */
+  def keylessState(df: DataFrame, pred: Column, ts: Column,
+      tie: Seq[Column], mode: String, unitTicks: Long,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val withP = df.withColumn("_kp", pred.cast(BooleanType))
+    val inSchema = withP.schema
+    val pIdx = inSchema.fieldIndex("_kp")
+    val tsIdx = inSchema.fieldIndex(df.select(ts).schema.head.name)
+    val isDur = mode == "duration"
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outCol, LongType))
+    // effect: (sawFalse, trailingTrueCount, firstTrueTsOfTrailingRun)
+    type S = (Boolean, Long, Option[Long])
+    val zero: S = (false, 0L, None)
+    def stepS(s: S, isNull: Boolean, p: Boolean, t: Long): S =
+      if (isNull) s
+      else if (!p) (true, 0L, None)
+      else (s._1, s._2 + 1, s._3.orElse(Some(t)))
+    def summary(it: Iterator[Row]): S = {
+      var s = zero
+      it.foreach { r =>
+        val isNull = r.isNullAt(pIdx)
+        s = stepS(s, isNull, !isNull && r.getBoolean(pIdx),
+          r.getLong(tsIdx))
+      }
+      s
+    }
+    def combine(a: S, b: S): S =
+      if (b._1) b
+      else (a._1, a._2 + b._2, a._3.orElse(b._3))
+    def emit(prefix: S, it: Iterator[Row]): Iterator[Row] = {
+      var count = prefix._2
+      var firstTs = prefix._3
+      it.map { r =>
+        val isNull = r.isNullAt(pIdx)
+        val out: Any =
+          if (isNull) null
+          else if (!r.getBoolean(pIdx)) {
+            count = 0L; firstTs = None; java.lang.Long.valueOf(-1L)
+          } else {
+            val t = r.getLong(tsIdx)
+            count += 1
+            if (firstTs.isEmpty) firstTs = Some(t)
+            java.lang.Long.valueOf(
+              if (isDur) (t - firstTs.get) / unitTicks else count)
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+    GlobalScan.twoPass[S](withP, ts +: tie, zero, summary, combine,
+        emit, outSchema)
+      .drop("_kp")
+  }
+
   /** Keyless per-row series functions (diff / csum / mavg /
     * fill_forward with NO partition key): the whole frame is one
     * series, so a total ts order is inherent — but an unpartitioned
@@ -148,13 +232,17 @@ object SeriesOps {
     * reference's single merged-vnode stream semantics at cluster
     * parallelism (projectoperator.c:676 IndefRowsFunc, keyless form).
     *
-    * `specs`: (fn, argColumn, k, outName) — k only meaningful for
-    * mavg. All functions share ONE two-pass scan. Arithmetic matches
-    * the keyed SQL lowering bit-for-bit: csum/mavg accumulate in
-    * DECIMAL(18,2) (HALF_UP cast) and emit DOUBLE; mavg rounds to 6
-    * via the same HALF_UP-on-decimal rule Spark's round() applies. */
+    * `specs`: (fn, argColumn, k, outName) — k is the window length for
+    * mavg, the row offset for lag/lead, the unit tick count for
+    * derivative. All functions share ONE two-pass scan ("lead" runs as
+    * lag over the REVERSED order — pass `descending = true` with lag
+    * specs only). Arithmetic matches the keyed SQL lowering
+    * bit-for-bit: csum/mavg accumulate in DECIMAL(18,2) (HALF_UP cast)
+    * and emit DOUBLE; mavg rounds to 6 via the same HALF_UP-on-decimal
+    * rule Spark's round() applies. */
   def keylessSeries(df: DataFrame, ts: Column, tie: Seq[Column],
-      specs: Seq[(String, Column, Int, String)]): DataFrame = {
+      specs: Seq[(String, Column, Long, String)],
+      descending: Boolean = false): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -164,32 +252,38 @@ object SeriesOps {
       withArgs = withArgs.withColumn(n, c.cast("double")) }
     val inSchema = withArgs.schema
     val argIdx = argNames.map(inSchema.fieldIndex).toArray
+    val tsIdx = inSchema.fieldIndex(df.select(ts).schema.head.name)
     val fns = specs.map(_._1).toArray
     val ks = specs.map(_._3).toArray
     val outSchema = StructType(inSchema.fields ++
       specs.map(s => StructField(s._4, DoubleType)))
     def dec(v: Double) = new JBD(v).setScale(2, RoundingMode.HALF_UP)
     // per-spec partition effect:
-    //   diff -> Option[(v, isNull)] of the LAST row
+    //   diff / derivative -> Option[(v, isNull, ts)] of the LAST row
     //   csum -> Option[JBD] partition sum of non-null values
-    //   mavg -> Vector[Option[JBD]] of the last <= k rows
+    //   mavg / lag -> Vector[Option[JBD]] of the last <= k rows
     //   fill_forward -> Option[Double] last non-null
     type S = Array[Any]
     def zero: S = fns.map {
-      case "mavg" => Vector.empty[Option[JBD]]
+      case "mavg" | "lag" => Vector.empty[Option[JBD]]
       case _ => None
     }.toArray[Any]
     def step(s: S, r: Row): Unit = fns.indices.foreach { i =>
       val isNull = r.isNullAt(argIdx(i))
       val v = if (isNull) 0.0 else r.getDouble(argIdx(i))
       fns(i) match {
-        case "diff" => s(i) = Some((v, isNull))
+        case "diff" | "derivative" =>
+          s(i) = Some((v, isNull, r.getLong(tsIdx)))
         case "csum" => if (!isNull)
           s(i) = Some(s(i).asInstanceOf[Option[JBD]]
             .map(_.add(dec(v))).getOrElse(dec(v)))
         case "mavg" =>
           s(i) = (s(i).asInstanceOf[Vector[Option[JBD]]] :+
-            (if (isNull) None else Some(dec(v)))).takeRight(ks(i))
+            (if (isNull) None else Some(dec(v)))).takeRight(ks(i).toInt)
+        case "lag" => // raw values — lag never re-rounds its input
+          s(i) = (s(i).asInstanceOf[Vector[Option[JBD]]] :+
+            (if (isNull) None else Some(JBD.valueOf(v))))
+            .takeRight(ks(i).toInt)
         case _ => if (!isNull) s(i) = Some(v)
       }
     }
@@ -198,16 +292,18 @@ object SeriesOps {
     }
     def combine(a: S, b: S): S = fns.indices.map { i =>
       fns(i) match {
-        case "diff" => b(i).asInstanceOf[Option[(Double, Boolean)]]
-          .orElse(a(i).asInstanceOf[Option[(Double, Boolean)]])
+        case "diff" | "derivative" =>
+          b(i).asInstanceOf[Option[(Double, Boolean, Long)]]
+            .orElse(a(i).asInstanceOf[Option[(Double, Boolean, Long)]])
         case "csum" =>
           (a(i).asInstanceOf[Option[JBD]],
             b(i).asInstanceOf[Option[JBD]]) match {
             case (Some(p), Some(q)) => Some(p.add(q))
             case (p, q) => q.orElse(p)
           }
-        case "mavg" => (a(i).asInstanceOf[Vector[Option[JBD]]] ++
-          b(i).asInstanceOf[Vector[Option[JBD]]]).takeRight(ks(i))
+        case "mavg" | "lag" =>
+          (a(i).asInstanceOf[Vector[Option[JBD]]] ++
+            b(i).asInstanceOf[Vector[Option[JBD]]]).takeRight(ks(i).toInt)
         case _ => b(i).asInstanceOf[Option[Double]]
           .orElse(a(i).asInstanceOf[Option[Double]])
       }
@@ -220,12 +316,23 @@ object SeriesOps {
           val v = if (isNull) 0.0 else r.getDouble(argIdx(i))
           fns(i) match {
             case "diff" =>
-              val out = s(i).asInstanceOf[Option[(Double, Boolean)]] match {
-                case Some((pv, pNull)) if !pNull && !isNull =>
+              val out = s(i)
+                .asInstanceOf[Option[(Double, Boolean, Long)]] match {
+                case Some((pv, pNull, _)) if !pNull && !isNull =>
                   java.lang.Double.valueOf(v - pv)
                 case _ => null
               }
-              s(i) = Some((v, isNull)); out
+              s(i) = Some((v, isNull, r.getLong(tsIdx))); out
+            case "derivative" =>
+              val t = r.getLong(tsIdx)
+              val out = s(i)
+                .asInstanceOf[Option[(Double, Boolean, Long)]] match {
+                case Some((pv, pNull, pt))
+                    if !pNull && !isNull && t != pt =>
+                  java.lang.Double.valueOf((v - pv) * ks(i) / (t - pt))
+                case _ => null
+              }
+              s(i) = Some((v, isNull, t)); out
             case "csum" =>
               if (!isNull) s(i) = Some(s(i).asInstanceOf[Option[JBD]]
                 .map(_.add(dec(v))).getOrElse(dec(v)))
@@ -233,7 +340,7 @@ object SeriesOps {
                 .map(d => java.lang.Double.valueOf(d.doubleValue)).orNull
             case "mavg" =>
               val q = (s(i).asInstanceOf[Vector[Option[JBD]]] :+
-                (if (isNull) None else Some(dec(v)))).takeRight(ks(i))
+                (if (isNull) None else Some(dec(v)))).takeRight(ks(i).toInt)
               s(i) = q
               if (q.length == ks(i) && q.forall(_.isDefined)) {
                 val sum = q.flatten.reduce(_.add(_))
@@ -241,6 +348,18 @@ object SeriesOps {
                   .valueOf(sum.doubleValue / ks(i))
                   .setScale(6, RoundingMode.HALF_UP).doubleValue)
               } else null
+            case "lag" =>
+              // value k ROWS back (22-function.md LAG): the queue holds
+              // the previous <= k rows' values; full queue => its head
+              // is the k-back row. NULL rows participate positionally.
+              val q0 = s(i).asInstanceOf[Vector[Option[JBD]]]
+              val out = if (q0.length == ks(i))
+                q0.head.map(d =>
+                  java.lang.Double.valueOf(d.doubleValue)).orNull
+              else null
+              s(i) = (q0 :+ (if (isNull) None else Some(JBD.valueOf(v))))
+                .takeRight(ks(i).toInt)
+              out
             case _ =>
               if (!isNull) s(i) = Some(v)
               s(i).asInstanceOf[Option[Double]]
@@ -250,7 +369,8 @@ object SeriesOps {
         Row.fromSeq(r.toSeq ++ outs)
       }
     }
-    GlobalScan.twoPass[S](withArgs, ts +: tie, zero, summary, combine,
+    val ord = if (descending) (ts +: tie).map(_.desc) else ts +: tie
+    GlobalScan.twoPass[S](withArgs, ord, zero, summary, combine,
         emit, outSchema)
       .drop(argNames: _*)
   }

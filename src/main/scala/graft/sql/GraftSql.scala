@@ -945,7 +945,8 @@ object GraftSql {
       case asRe(e, a) => expr(e.trim).as(a)
       case e => expr(e).as(e)
     }: _*)
-    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,
+        positional = res.columns.toSeq): _*))
     c.get("LIMIT").foreach(n => res = applyLimit(res, n))
     res
   }
@@ -999,7 +1000,8 @@ object GraftSql {
       case asRe(e, a) => expr(e.trim).as(a)
       case e => expr(e).as(e)
     }: _*)
-    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,
+        positional = res.columns.toSeq): _*))
     c.get("LIMIT").foreach(n => res = applyLimit(res, n))
     res
   }
@@ -1094,16 +1096,24 @@ object GraftSql {
             case other =>
               throw new IllegalArgumentException(s"state op: $other")
           }
-          val outCol = if (f == "statecount")
-            SeriesOps.statecount(pred, col(tsCol), keys)
           // unit converts to ticks of the surface's native precision
           // (22-function.md: omitted unit = the database precision);
           // durUs here would be 1000x off for a PRECISION 'ms'/'ns' db
-          else SeriesOps.stateduration(pred, col(tsCol), keys,
-            args.lift(3).map(u => durNative(u.trim, perSecond))
-              .getOrElse(1L))
-          analyticProject(df.withColumn("_state", outCol), c, sel,
-            start, close, "_state", Map.empty)
+          val unit = args.lift(3)
+            .map(u => durNative(u.trim, perSecond)).getOrElse(1L)
+          val stated =
+            if (keys.isEmpty)
+              // keyless: one global run-length series — two-pass fold,
+              // never an unpartitioned (single-partition) window
+              SeriesOps.keylessState(df, pred, col(tsCol), tie,
+                if (f == "statecount") "count" else "duration",
+                unit, "_state")
+            else df.withColumn("_state",
+              if (f == "statecount")
+                SeriesOps.statecount(pred, col(tsCol), keys)
+              else SeriesOps.stateduration(pred, col(tsCol), keys, unit))
+          analyticProject(stated, c, sel, start, close, "_state",
+            Map.empty)
         case _ =>
           val out = f match {
             case "top" => SeriesOps.topK(df, col(valueCol), col(tsCol),
@@ -1238,7 +1248,8 @@ object GraftSql {
       }
     var res = valued.select((partCols ++ Seq("lower_bin", "upper_bin") :+
       (if (normalized) "percentage" else "cnt")).map(col): _*)
-    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+    c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,
+        positional = res.columns.toSeq): _*))
     c.get("LIMIT").foreach(n => res = applyLimit(res, n))
     Some(res)
   }
@@ -1254,17 +1265,24 @@ object GraftSql {
     * ordering_specification_opt / null_ordering_opt; defaults match
     * the reference: ASC, and NULLS LAST for ASC / NULLS FIRST for
     * DESC — the same defaults Spark uses). */
-  private def orderCols(o: String): Seq[Column] =
-    orderCols(o, Map.empty)
-
   /** `aliases` maps a NORMALIZED select-item expression text to its
     * output alias, so `ORDER BY count(*)` after GROUP BY resolves to
     * the projected aggregate column instead of asking Spark to sort a
-    * projection by an aggregate it no longer contains. */
+    * projection by an aggregate it no longer contains. `positional`
+    * (the ordered output columns) resolves `ORDER BY <n>` ordinals —
+    * without it a bare integer would sort by a constant, silently. */
   private def orderCols(o: String,
-      aliases: Map[String, String]): Seq[Column] = {
-    def resolved(e: String): Column =
-      aliases.get(normExprKey(e)).map(col).getOrElse(expr(e))
+      aliases: Map[String, String] = Map.empty,
+      positional: Seq[String] = Nil): Seq[Column] = {
+    def resolved(e: String): Column = {
+      val t = e.trim
+      if (t.matches("\\d+") && positional.nonEmpty) {
+        val n = t.toInt
+        require(n >= 1 && n <= positional.length,
+          s"ORDER BY $n exceeds the select list")
+        col(positional(n - 1))
+      } else aliases.get(normExprKey(t)).map(col).getOrElse(expr(t))
+    }
     splitArgs(o).map { s =>
       val m = ("(?i)^(.*?)(?:\\s+(ASC|DESC))?" +
         "(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$").r
@@ -1425,7 +1443,8 @@ object GraftSql {
     }
     tailAt.foreach { i =>
       val tc = clauses("SELECT _ FROM _ " + lastRaw.substring(i).trim)
-      tc.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+      tc.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,
+        positional = res.columns.toSeq): _*))
       tc.get("LIMIT").foreach(n => res = applyLimit(res, n))
     }
     res
@@ -1895,7 +1914,8 @@ object GraftSql {
         case (e, a) => expr(e).as(a)
       }
       res = res.select(cols: _*)
-      c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+      c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,
+        positional = res.columns.toSeq): _*))
       return res
     }
 
@@ -1906,44 +1926,88 @@ object GraftSql {
     // decimal csum/mavg accumulation). Keyless input would collapse an
     // unpartitioned window to one partition, so the keyless form stays
     // on the DataFrame API (SeriesOps + GlobalScan).
-    val indefPat = "(?i)\\b(diff|csum|mavg|fill_forward)\\s*\\(".r
+    val indefPat =
+      "(?i)\\b(diff|csum|mavg|fill_forward|lag|lead|derivative)\\s*\\(".r
     val hasWindowClause = Seq("INTERVAL", "SESSION", "STATE_WINDOW",
       "COUNT_WINDOW", "EVENT_WINDOW", "ANOMALY_WINDOW").exists(c.contains)
     if (!hasWindowClause && !c.contains("GROUP BY") &&
+        // an explicit OVER means the analytic-window surface owns the
+        // call (lag(x) OVER w) — the pipeline rewrite would orphan the
+        // OVER clause
+        "(?i)\\bOVER\\b".r.findFirstIn(c("SELECT")).isEmpty &&
         selectItems.exists { case (e, _) =>
           indefPat.findFirstIn(e).isDefined }) {
+      // derivative(x, interval, 1) drops the negative-slope ROWS
+      // (22-function.md DERIVATIVE ignore_negative); collect the
+      // output aliases to post-filter in either route
+      val ignoreNegAliases = Seq.newBuilder[String]
       if (partCols.isEmpty) {
         // keyless: the whole table is ONE series — an unpartitioned
         // window would collapse to a single partition, so route
         // through the two-pass GlobalScan fold instead (sorted
-        // partitions stay parallel; only effect records serialize)
+        // partitions stay parallel; only effect records serialize).
+        // "lead" is lag over the REVERSED order: a second scan pass.
         val calls = scala.collection.mutable
           .LinkedHashMap[(String, String), String]()
         def collectCalls(e: String): String = {
           var r = e
-          Seq("diff", "csum", "mavg", "fill_forward").foreach { fn =>
-            r = rewriteCall(r, fn, a =>
-              calls.getOrElseUpdate((fn, a.trim), s"_ks${calls.size}"))
+          Seq("diff", "csum", "mavg", "fill_forward", "lag", "lead",
+            "derivative").foreach { fn =>
+            r = rewriteCall(r, fn, a => {
+              val name =
+                calls.getOrElseUpdate((fn, a.trim), s"_ks${calls.size}")
+              // lag/lead carry an optional default: coalesce on top
+              if (fn == "lag" || fn == "lead")
+                splitArgs(a).lift(2).map(d => s"coalesce($name, $d)")
+                  .getOrElse(name)
+              else name
+            })
           }
           r
         }
         val items = selectItems.map { case (e, a) => (collectCalls(e), a) }
-        val specs = calls.toSeq.map { case ((fn, argTxt), name) =>
-          if (fn == "mavg") {
-            val parts = splitArgs(argTxt)
-            require(parts.length == 2, s"mavg needs (col, k): $argTxt")
-            (fn, expr(parts(0)), parts(1).trim.toInt, name)
-          } else (fn, expr(argTxt), 0, name)
-        }
+        def mkSpec(fn: String, argTxt: String, name: String)
+            : (String, org.apache.spark.sql.Column, Long, String) =
+          fn match {
+            case "mavg" =>
+              val parts = splitArgs(argTxt)
+              require(parts.length == 2, s"mavg needs (col, k): $argTxt")
+              (fn, expr(parts(0)), parts(1).trim.toLong, name)
+            case "lag" | "lead" =>
+              val parts = splitArgs(argTxt)
+              ("lag", expr(parts(0)),
+                parts.lift(1).map(_.trim.toLong).getOrElse(1L), name)
+            case "derivative" =>
+              val parts = splitArgs(argTxt)
+              require(parts.length >= 2,
+                s"derivative needs (col, interval[, ignore_neg]): $argTxt")
+              if (parts.lift(2).exists(_.trim == "1"))
+                ignoreNegAliases += name
+              (fn, expr(parts(0)),
+                durNative(parts(1).trim, perSecond), name)
+            case _ => (fn, expr(argTxt), 0L, name)
+          }
+        val (fwd, rev) = calls.toSeq.partition(_._1._1 != "lead")
         // a row-id tiebreaker totalizes the order when ts collides
         // across the (merged) series — same contract as seriesSelect
         val tie = if (df.columns.contains("event_id"))
           Seq(col("event_id")) else Nil
-        val withSeries = graft.ops.SeriesOps.keylessSeries(
-          df, col(tsCol), tie, specs)
+        var withSeries = df
+        if (fwd.nonEmpty)
+          withSeries = graft.ops.SeriesOps.keylessSeries(withSeries,
+            col(tsCol), tie,
+            fwd.map { case ((fn, a), n) => mkSpec(fn, a, n) })
+        if (rev.nonEmpty)
+          withSeries = graft.ops.SeriesOps.keylessSeries(withSeries,
+            col(tsCol), tie,
+            rev.map { case ((fn, a), n) => mkSpec(fn, a, n) },
+            descending = true)
         var res = withSeries.select(items.map { case (e, a) =>
           expr(e).as(a) }: _*)
-        c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+        ignoreNegAliases.result().foreach(a =>
+          res = res.filter(col(a).isNull || col(a) >= 0))
+        c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,
+          positional = res.columns.toSeq): _*))
         c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
         c.get("LIMIT").foreach(n => res = applyLimit(res, n))
         return res
@@ -1952,6 +2016,28 @@ object GraftSql {
       def over(frame: String) = s"OVER (${partTxt}ORDER BY $tsCol$frame)"
       def rewriteSeries(e: String): String = {
         var r = e
+        // lag/lead/derivative FIRST: the diff/derivative lowerings
+        // below generate `lag(...)` text themselves, which a later
+        // lag rewrite would wrap a second time
+        Seq("lag", "lead").foreach { fn =>
+          r = rewriteCall(r, fn, a => {
+            val p = splitArgs(a)
+            val off = p.lift(1).map(_.trim).getOrElse("1")
+            val dft = p.lift(2).map(d => s", $d").getOrElse("")
+            s"$fn(${p(0)}, $off$dft) ${over("")}"
+          })
+        }
+        // derivative(x, interval, ignore_negative) (builtins.c:3603):
+        // slope scaled to `interval` ticks of the surface precision
+        r = rewriteCall(r, "derivative", a => {
+          val p = splitArgs(a)
+          require(p.length >= 2,
+            s"derivative needs (col, interval[, ignore_neg]): $a")
+          val x = p(0)
+          val unit = durNative(p(1).trim, perSecond)
+          s"(CAST(($x) - LAG($x) ${over("")} AS DOUBLE) * ${unit}L / " +
+            s"CAST(($tsCol) - LAG($tsCol) ${over("")} AS DOUBLE))"
+        })
         r = rewriteCall(r, "diff", a => s"(($a) - lag($a) ${over("")})")
         r = rewriteCall(r, "csum", a =>
           s"CAST(sum(CAST(($a) AS DECIMAL(18,2))) " +
@@ -1974,9 +2060,23 @@ object GraftSql {
         // mangle the window expressions just generated
         r
       }
+      val ignoreNeg = Seq.newBuilder[String]
+      selectItems.foreach { case (e, a) =>
+        val m = "(?i)^derivative\\s*\\(".r.findFirstIn(e.trim)
+        if (m.isDefined) {
+          val (_, args, close) = analyticCallSpan(e.trim, "derivative")
+          if (close == e.trim.length - 1 &&
+              args.lift(2).exists(_.trim == "1")) ignoreNeg += a
+        }
+      }
       var res = df.select(selectItems.map { case (e, a) =>
         expr(rewriteSeries(e)).as(a) }: _*)
-      c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o): _*))
+      // ignore_negative=1 drops the negative-slope ROWS (first-row
+      // null kept — the engine's diff-family convention)
+      ignoreNeg.result().foreach(a =>
+        res = res.filter(col(a).isNull || col(a) >= 0))
+      c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,
+        positional = res.columns.toSeq): _*))
       c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
       c.get("LIMIT").foreach(n => res = applyLimit(res, n))
       return res
@@ -2369,8 +2469,11 @@ object GraftSql {
     (c.get("FILL"), intervalSpec) match {
       case (Some(f), Some((iv, off))) =>
         val args = splitArgs(stripOuterParens(f))
+        // case-insensitive: a select item spelled `_WSTART` is still
+        // the group key, not a fillable value column
         val valueCols = res.columns
-          .filterNot(groupKeys.contains).filterNot(_ == "_isfilled").toSeq
+          .filterNot(cn => groupKeys.exists(_.equalsIgnoreCase(cn)))
+          .filterNot(_.equalsIgnoreCase("_isfilled")).toSeq
         // FILL(VALUE, v1[, v2 …]): one literal per value column; a
         // single literal (or none — the grammar permits bare
         // FILL(VALUE), filling 0) broadcasts to every column
@@ -2447,7 +2550,8 @@ object GraftSql {
     val orderAliases = selectItems
       .map { case (e, a) => normExprKey(e) -> a }.toMap
     c.get("ORDER BY").foreach(o =>
-      res = res.orderBy(orderCols(o, orderAliases): _*))
+      res = res.orderBy(orderCols(o, orderAliases,
+        res.columns.toSeq): _*))
     c.get("LIMIT").foreach { nRaw =>
       val (nLim, commaOff) = limitParts(nRaw)
       if (partCols.nonEmpty) {
@@ -2472,7 +2576,8 @@ object GraftSql {
           .filter(col("_srn") > off && col("_srn") <= off + nLim)
           .drop("_srn")
         c.get("ORDER BY").foreach(o =>
-          res = res.orderBy(orderCols(o, orderAliases): _*))
+          res = res.orderBy(orderCols(o, orderAliases,
+        res.columns.toSeq): _*))
       } else {
         commaOff.orElse(c.get("OFFSET").map(_.trim.toInt))
           .foreach(m => res = res.offset(m))

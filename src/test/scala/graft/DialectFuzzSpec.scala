@@ -63,7 +63,12 @@ class DialectFuzzSpec extends AnyFunSuite {
     "select diff(value) as d from events where user_id = 2 order by ts limit 5",
     "select timetruncate(ts, 1d) as t, count(*) as n from events group by 1 order by t limit 5",
     "select last(ts) as lt, spread(value) as sp from events group by user_id order by user_id",
-    "select mode(event_type) as m from events where user_id = 3")
+    "select mode(event_type) as m from events where user_id = 3",
+    "select event_type, count(*) as n from events group by 1 order by 2 desc, 1 limit 3",
+    "select event_id, user_id, r_value from events a join events b on a.event_id = b.event_id order by event_id limit 10",
+    "select _wstart, max(value) as mx from events where user_id = 3 interval(1d) fill(value, 1.5) order by _wstart limit 20",
+    "select top(value, 4) as t, ts from events order by t desc, ts limit 4",
+    "select ts, statecount(value, 'GT', 50) as sc from events where user_id = 5 order by ts limit 10")
 
   private val nowSeeds = Seq(
     "select value / event_id as r from events where ts > now - 900d and ts < now limit 5",
