@@ -831,6 +831,110 @@ object Dialect {
         """SELECT ts, user_id, derivative(value, 1s, 1) AS dv
            FROM events PARTITION BY user_id ORDER BY user_id, ts""")
     },
+    // calendar INTERVAL with a fixed-duration offset (taosTimeTruncate
+    // offset step): every month boundary shifts by 7d
+    "dialect_cal_interval_offset" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart, count(*) AS n FROM events
+           INTERVAL(1n, 1w) ORDER BY _wstart""")
+    },
+    // PARTITION BY with a key-only select list: rows pass through;
+    // SLIMIT caps slices (ordered by key), LIMIT caps rows per slice
+    "dialect_partition_rows_slimit" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id FROM events PARTITION BY user_id
+           HAVING user_id > 5 SLIMIT 2 LIMIT 3 ORDER BY user_id""")
+    },
+    // GROUP BY key-only select collapses to one row per group;
+    // SLIMIT o,n slices the ordered group list
+    "dialect_group_slimit" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_type AS tn FROM events GROUP BY event_type
+           SLIMIT 1,2 ORDER BY tn""")
+    },
+    // a window clause under a plain projection returns the raw rows
+    // (test_session.py `select * from dev_001 session(ts,1w)`)
+    "dialect_session_raw" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, event_id, value FROM events WHERE user_id = 5
+           SESSION(ts, 10m) ORDER BY event_id""")
+    },
+    // INTERP FILL(VALUE, v1, v2): positional per-column literals
+    "dialect_interp_value_multi" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _irowts, interp(value) AS v1, interp(user_id) AS v2
+           FROM events
+           RANGE(1704067200000000, 1704070200000000) EVERY(10m)
+           FILL(VALUE, 10, 20) ORDER BY _irowts""")
+    },
+    // ns-unit durations (`b`, taosParseTime TIME_UNIT_NANO) in SLIDING
+    "dialect_sliding_ns_unit" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart, count(*) AS n FROM events
+           WHERE user_id = 3 INTERVAL(1d) SLIDING(43200000000000b)
+           ORDER BY _wstart""")
+    },
+    // outer join with non-equi ON residuals (test_join_boundary.py):
+    // residuals join as MATCH conditions, never post-filters
+    "dialect_join_residual" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT t1.ts, t1.event_id, t2.value AS v2
+           FROM events t1 LEFT JOIN events t2
+             ON t1.event_id = t2.event_id AND t2.value > 50
+           WHERE t1.user_id = 3 ORDER BY t1.event_id""")
+    },
+    // ANTI JOIN residual: a right-side conjunct shrinks the match set,
+    // KEEPING more left rows
+    "dialect_anti_residual" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT count(*) AS n
+           FROM events t1 LEFT ANTI JOIN events t2
+             ON t1.event_id = t2.event_id AND t2.value > 50""")
+    },
+    // FULL JOIN with residual: right-qualified refs read NULL on
+    // unmatched rows (r_-side fidelity), matched pairs obey the
+    // residual
+    "dialect_full_join_residual" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT t2.event_id AS id2, t2.value AS v2, t1.value AS v1
+           FROM events t1 FULL JOIN events t2
+             ON t1.event_id = t2.event_id
+               AND t2.value > 50 AND t1.value > 50
+           WHERE t1.user_id = 6 OR t2.user_id = 6
+           ORDER BY id2 NULLS FIRST, v1 NULLS FIRST""")
+    },
+    // derived-table join + qualified star (test_join.py nested forms)
+    "dialect_subquery_join" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT a.*, b.n2 AS n2
+           FROM (SELECT event_type, count(*) AS n1 FROM events
+                 WHERE user_id = 1 GROUP BY event_type) a
+           JOIN (SELECT event_type, count(*) AS n2 FROM events
+                 WHERE user_id = 2 GROUP BY event_type) b
+             ON a.event_type = b.event_type
+           ORDER BY a.event_type""")
+    },
+    // WINDOW JOIN canonical clause order (sql.y:2775): ON before
+    // WINDOW_OFFSET, JLIMIT capping matches per left row
+    "dialect_window_join_onfirst" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, event_id, b.value AS v2
+           FROM events a LEFT WINDOW JOIN events b ON a.user_id = b.user_id
+           WINDOW_OFFSET(-5s, 5s) JLIMIT 2
+           WHERE user_id = 4
+           ORDER BY event_id, v2 NULLS FIRST""")
+    },
+    // FROM-less SELECT (11-Functions/09-NoFrom/test_fun_no_from_all
+    // .py): scalar + one-row-aggregate items, one output row
+    "dialect_fromless" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT server_version() AS sv, database() AS db,
+             1+1 AS s, char(65) AS c, mod(10, 3) AS m,
+             CAST(position('b' in 'abc') AS BIGINT) AS p,
+             round(pi(), 6) AS pie, CAST(abs(-3.5) AS DOUBLE) AS a,
+             count(*) AS n, avg(2) AS av,
+             CAST(greatest(1, 5, 3) AS BIGINT) AS g""")
+    },
     // first(*)/last(*) expand to one call per source column
     // (parTranslater star expansion)
     "dialect_first_star" -> { (s, dir) =>
@@ -1635,6 +1739,82 @@ object Dialect {
            FROM events WINDOW o AS (PARTITION BY user_id ORDER BY ts))
          SELECT ts2 AS ts, user_id, dv FROM w
          WHERE dv IS NULL OR dv >= 0 ORDER BY user_id, ts""",
+    "dialect_cal_interval_offset" ->
+      """WITH t AS (SELECT date_trunc('month', ts - INTERVAL 7 DAY)
+             AS m FROM events)
+         SELECT epoch_us(m + INTERVAL 7 DAY) AS _wstart,
+           count(*) AS n
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "dialect_partition_rows_slimit" ->
+      """WITH s AS (SELECT DISTINCT user_id FROM events
+             WHERE user_id > 5 ORDER BY user_id LIMIT 2),
+         r AS (SELECT e.user_id,
+             row_number() OVER (PARTITION BY e.user_id
+               ORDER BY e.user_id) AS rn
+           FROM events e JOIN s ON e.user_id = s.user_id)
+         SELECT user_id FROM r WHERE rn <= 3 ORDER BY user_id""",
+    "dialect_group_slimit" ->
+      """SELECT DISTINCT event_type AS tn FROM events
+         ORDER BY tn LIMIT 2 OFFSET 1""",
+    "dialect_session_raw" ->
+      """SELECT epoch_us(ts) AS ts, event_id, value FROM events
+         WHERE user_id = 5 ORDER BY event_id""",
+    "dialect_interp_value_multi" ->
+      """SELECT unnest(range(1704067200000000, 1704070200000001,
+             600000000)) AS _irowts,
+           10.0 AS v1, 20.0 AS v2 ORDER BY _irowts""",
+    "dialect_sliding_ns_unit" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tsu FROM events
+             WHERE user_id = 3),
+         c AS (SELECT tsu,
+             (tsu - tsu % 43200000000 - k * 43200000000) AS ws
+           FROM e, (SELECT unnest([0, 1]) AS k) u)
+         SELECT ws AS _wstart, count(*) AS n FROM c
+         WHERE ws <= tsu AND tsu < ws + 86400000000
+         GROUP BY ws ORDER BY ws""",
+    "dialect_join_residual" ->
+      """SELECT epoch_us(t1.ts) AS ts, t1.event_id, t2.value AS v2
+         FROM events t1 LEFT JOIN events t2
+           ON t1.event_id = t2.event_id AND t2.value > 50
+         WHERE t1.user_id = 3 ORDER BY t1.event_id""",
+    "dialect_anti_residual" ->
+      """SELECT count(*) AS n
+         FROM events t1 ANTI JOIN events t2
+           ON t1.event_id = t2.event_id AND t2.value > 50""",
+    "dialect_full_join_residual" ->
+      """SELECT t2.event_id AS id2, t2.value AS v2, t1.value AS v1
+         FROM events t1 FULL JOIN events t2
+           ON t1.event_id = t2.event_id
+             AND t2.value > 50 AND t1.value > 50
+         WHERE t1.user_id = 6 OR t2.user_id = 6
+         ORDER BY id2 NULLS FIRST, v1 NULLS FIRST""",
+    "dialect_subquery_join" ->
+      """SELECT a.event_type, a.n1, b.n2 AS n2
+         FROM (SELECT event_type, count(*) AS n1 FROM events
+               WHERE user_id = 1 GROUP BY event_type) a
+         JOIN (SELECT event_type, count(*) AS n2 FROM events
+               WHERE user_id = 2 GROUP BY event_type) b
+           ON a.event_type = b.event_type
+         ORDER BY a.event_type""",
+    "dialect_window_join_onfirst" ->
+      """WITH l AS (SELECT * FROM events WHERE user_id = 4),
+         j AS (SELECT l.ts, l.event_id, r.value AS v2, r.ts AS rts,
+                 row_number() OVER (PARTITION BY l.event_id
+                   ORDER BY r.ts, r.event_id, r.event_type, r.value,
+                     r.props) AS rn
+               FROM l LEFT JOIN events r ON l.user_id = r.user_id
+                 AND r.ts >= l.ts - INTERVAL 5 SECOND
+                 AND r.ts <= l.ts + INTERVAL 5 SECOND)
+         SELECT epoch_us(ts) AS ts, event_id, v2 FROM j
+         WHERE rn <= 2 OR rts IS NULL
+         ORDER BY event_id, v2 NULLS FIRST""",
+    "dialect_fromless" ->
+      """SELECT '3.3.6.0' AS sv, 'default' AS db, 1+1 AS s,
+           'A' AS c, mod(10, 3) AS m,
+           CAST(position('b' in 'abc') AS BIGINT) AS p,
+           round(pi(), 6) AS pie, CAST(abs(-3.5) AS DOUBLE) AS a,
+           count(*) AS n, avg(2) AS av,
+           CAST(greatest(1, 5, 3) AS BIGINT) AS g""",
     "dialect_first_star" ->
       """SELECT arg_min(event_id, ts) AS first_event_id,
            epoch_us(arg_min(ts, ts)) AS first_ts,

@@ -33,7 +33,8 @@ import graft.ops.{FillOps, TimeOps}
 object GraftSql {
 
   // ---------------------------------------------------------------- durations
-  private val unitNs = Map("u" -> 1000L, "a" -> 1000000L,
+  // b = nanoseconds (taosParseTime unit table; ttime.c TIME_UNIT_NANO)
+  private val unitNs = Map("b" -> 1L, "u" -> 1000L, "a" -> 1000000L,
     "s" -> 1000000000L, "m" -> 60000000000L, "h" -> 3600000000000L,
     "d" -> 86400000000000L, "w" -> 604800000000000L)
 
@@ -46,7 +47,7 @@ object GraftSql {
     // quoted form: INTERVAL('1s') etc. (24-distinguished.md — "time
     // units in string form")
     val t = s.trim.stripPrefix("'").stripSuffix("'").trim.toLowerCase
-    val m = "^(\\d+)([uasmhdw]?)$".r
+    val m = "^(\\d+)([buasmhdw]?)$".r
     t match {
       case m(n, "") => n.toLong
       case m(n, u) =>
@@ -648,7 +649,7 @@ object GraftSql {
     // rewritten to their µs value so the arithmetic stays integral.
     // Without this, Spark would read `10d` as the DOUBLE 10.0 — a
     // silently-wrong 10-microsecond bound instead of 10 days.
-    r = "(?i)([+-]\\s*)(\\d+)([uasmhdw])(?![A-Za-z0-9_'])".r
+    r = "(?i)([+-]\\s*)(\\d+)([buasmhdw])(?![A-Za-z0-9_'])".r
       .replaceAllIn(r, m => java.util.regex.Matcher.quoteReplacement(
         m.group(1) + durUs(m.group(2) + m.group(3).toLowerCase)))
     r
@@ -752,24 +753,59 @@ object GraftSql {
           jlimit, rightCols, rightTieBreak = tie)
     } else if (winAt >= 0) {
       val (lTxt, rest, isRight) = winSplit.get
-      val m = "(?i)^(\\w+)(?:\\s+\\w+)?\\s+WINDOW_OFFSET\\s*\\(([^)]*)\\)(?:\\s+ON\\s+(.*))?$".r
-      rest match {
-        case m(rightName, offs, onOrNull) =>
-          // RIGHT WINDOW JOIN anchors the window on the other side;
-          // WINDOW_OFFSET stays relative to the preserved row's ts
-          val (presName, probeName) =
-            if (isRight) (rightName, lTxt.split("\\s+")(0))
-            else (lTxt.split("\\s+")(0), rightName)
-          val left = resolve(presName)
-          val right = resolve(probeName)
-          val bounds = splitArgs(offs).map(s => signedDurNative(s, perSecond))
-          val keys = Option(onOrNull).toSeq
-            .flatMap(o => equiKeys(o.split("(?i)\\s+AND\\s+").toSeq))
-          val rightCols = right.columns.toSeq.filterNot(keys.contains)
+      // accepted orders (sql.y:2775 spells ON before WINDOW_OFFSET;
+      // examples also write it after): `tbl [alias] [ON cond]
+      // WINDOW_OFFSET(lo, hi) [ON cond] [JLIMIT n]`
+      var restTxt = rest.trim
+      var jlimit: Option[Int] = None
+      "(?i)\\s+JLIMIT\\s+(\\d+)\\s*$".r.findFirstMatchIn(restTxt)
+        .foreach { jm =>
+          jlimit = Some(jm.group(1).toInt)
+          restTxt = restTxt.substring(0, jm.start).trim
+        }
+      val wom = "(?i)\\bWINDOW_OFFSET\\s*\\(([^)]*)\\)".r
+        .findFirstMatchIn(restTxt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"WINDOW JOIN needs `tbl [ON …] WINDOW_OFFSET(lo, hi)`: $rest"))
+      val segB = restTxt.substring(0, wom.start).trim
+      val segA = restTxt.substring(wom.end).trim
+      val onAtB = segB.toUpperCase.indexOf(" ON ")
+      val (tblTxt, onTxt) =
+        if (onAtB >= 0)
+          (segB.substring(0, onAtB).trim,
+            Some(segB.substring(onAtB + 4).trim))
+        else if (segA.toUpperCase.startsWith("ON "))
+          (segB, Some(segA.substring(3).trim))
+        else {
+          require(segA.isEmpty,
+            s"WINDOW JOIN: unexpected trailing clause: $segA")
+          (segB, None)
+        }
+      val rightName = tblTxt.split("\\s+")(0)
+      // RIGHT WINDOW JOIN anchors the window on the other side;
+      // WINDOW_OFFSET stays relative to the preserved row's ts
+      val (presName, probeName) =
+        if (isRight) (rightName, lTxt.split("\\s+")(0))
+        else (lTxt.split("\\s+")(0), rightName)
+      val left = resolve(presName)
+      val right = resolve(probeName)
+      val bounds = splitArgs(wom.group(1))
+        .map(s => signedDurNative(s, perSecond))
+      val keys = onTxt.toSeq
+        .flatMap(o => equiKeys(o.split("(?i)\\s+AND\\s+").toSeq))
+      val rightCols = right.columns.toSeq.filterNot(keys.contains)
+      jlimit match {
+        case Some(n) =>
+          // JLIMIT caps matches per left row; a synthetic row id keys
+          // the per-row rank (the dialect has no unique-left contract)
+          val lid = left.withColumn("_lid", monotonically_increasing_id())
+          graft.ops.JoinOps.windowJoinLimited(lid, right, keys, tsCol,
+              tsCol, bounds(0), bounds(1), rightCols, n, Seq("_lid"),
+              rightTieBreak = rightCols.filterNot(_ == tsCol))
+            .drop("_lid", "jrank")
+        case None =>
           graft.ops.JoinOps.windowJoin(left, right, keys, tsCol, tsCol,
             bounds(0), bounds(1), rightCols)
-        case _ => throw new IllegalArgumentException(
-          s"WINDOW JOIN needs `tbl WINDOW_OFFSET(lo, hi) [ON …]`: $rest")
       }
     } else {
       // plain [INNER|LEFT|RIGHT|FULL|LEFT/RIGHT SEMI|LEFT/RIGHT ANTI]
@@ -814,43 +850,33 @@ object GraftSql {
         case _ => false
       }
       val keys = equiKeys(eqConds)
-      // which side(s) a residual conjunct references
-      def sidesOf(cnd: String): (Boolean, Boolean) = {
-        var l = false; var r = false
-        "(?i)\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(cnd).foreach { m =>
-          val q = m.group(1).toLowerCase
-          if (leftQuals.contains(q)) l = true
-          else if (rightQuals.contains(q)) r = true
-        }
-        (l, r)
-      }
-      def bare(cnd: String): String =
-        "(?i)\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(cnd, m =>
-          if (leftQuals.contains(m.group(1).toLowerCase) ||
-            rightQuals.contains(m.group(1).toLowerCase)) m.group(2)
-          else m.matched)
+      // residual conjunct with right-side refs `r_`-renamed (keys
+      // included) and left-side refs bared, for a condition join;
+      // time scalars (`now`, duration arithmetic) lower first
+      def condSide(cnd: String): String =
+        "(?i)\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(
+          rewriteTimeScalars(cnd), m => {
+          val q = m.group(1).toLowerCase; val c = m.group(2)
+          if (rightQuals.contains(q)) s"r_$c"
+          else if (leftQuals.contains(q)) c
+          else m.matched
+        })
       joinType match {
+        case "left_semi" | "left_anti" if residual.nonEmpty =>
+          // ON residuals participate in MATCHING (standard ON
+          // semantics — for anti, a residual is NOT a pre-filter: a
+          // left-side-false conjunct makes every right row a non-match
+          // and KEEPS the row). A condition join states exactly that;
+          // Catalyst still pushes side-local conjuncts down where
+          // equivalent and extracts the equi keys for hash joins.
+          val r = right.select(right.columns.toSeq
+            .map(c => col(c).as(s"r_$c")): _*)
+          val condTxt = (keys.map(k => s"$k = r_$k") ++
+            residual.map(condSide)).mkString(" AND ")
+          left.join(r, expr(condTxt), joinType)
         case "left_semi" | "left_anti" =>
-          // ON residuals: a side-local conjunct pre-filters its side —
-          // exact for semi on both sides and for anti on the RIGHT
-          // (an anti LEFT-side ON-cond makes every right row a
-          // non-match, KEEPING the row — not a pre-filter; loud)
-          var l = left; var r0 = right
-          residual.foreach { cnd =>
-            sidesOf(cnd) match {
-              case (true, false) if joinType == "left_semi" =>
-                l = l.filter(expr(bare(cnd)))
-              case (false, true) =>
-                r0 = r0.filter(expr(bare(cnd)))
-              case _ => throw new IllegalArgumentException(
-                s"unsupported ON condition for $kw: $cnd")
-            }
-          }
-          l.join(r0.select(keys.map(col): _*), keys, joinType)
-        case _ =>
-          require(residual.isEmpty || joinType == "inner",
-            s"non-equi ON condition only supported for INNER JOIN " +
-              s"(outer-join match semantics differ): ${residual.head}")
+          left.join(right.select(keys.map(col): _*), keys, joinType)
+        case _ if residual.isEmpty || joinType == "inner" =>
           val rightCols = right.columns.toSeq.filterNot(keys.contains)
           val r = right.select(keys.map(col) ++
             rightCols.map(c => col(c).as(s"r_$c")): _*)
@@ -860,7 +886,7 @@ object GraftSql {
           // except the shared equi keys
           residual.foreach { cnd =>
             val rewritten = "(?i)\\b(\\w+)\\.(\\w+)\\b".r
-              .replaceAllIn(cnd, m => {
+              .replaceAllIn(rewriteTimeScalars(cnd), m => {
                 val q = m.group(1).toLowerCase; val c = m.group(2)
                 if (rightQuals.contains(q))
                   if (keys.contains(c)) c else s"r_$c"
@@ -868,6 +894,30 @@ object GraftSql {
                 else m.matched
               })
             joined = joined.filter(expr(rewritten))
+          }
+          joined
+        case _ =>
+          // outer join with ON residuals (test_join_boundary.py forms
+          // like `full join … on t1.ts = t2.ts and t2.ts <= now`):
+          // residuals are MATCH conditions, so they join as part of
+          // the condition — never a post-filter, which would drop
+          // unmatched outer rows. The merged key column of the
+          // residual-free using-join shape is reconstructed (left keys
+          // for LEFT, right for RIGHT, coalesce for FULL) while the
+          // right side's own keys stay addressable as `r_<key>` — a
+          // right-qualified key ref must read NULL on unmatched rows,
+          // not the merged value.
+          val r = right.select(right.columns.toSeq
+            .map(c => col(c).as(s"r_$c")): _*)
+          val condTxt = (keys.map(k => s"$k = r_$k") ++
+            residual.map(condSide)).mkString(" AND ")
+          var joined = left.join(r, expr(condTxt), joinType)
+          joined = joinType match {
+            case "right" => keys.foldLeft(joined)((d, k) =>
+              d.withColumn(k, col(s"r_$k")))
+            case "full" => keys.foldLeft(joined)((d, k) =>
+              d.withColumn(k, coalesce(col(k), col(s"r_$k"))))
+            case _ => joined
           }
           joined
       }
@@ -1423,8 +1473,12 @@ object GraftSql {
     // advisory on the reference, and Catalyst does its own planning —
     // strip them rather than fail the statement
     val deHinted = sql.replaceAll("/\\*\\+.*?\\*/", " ")
+    // statement terminator (taos shell / test scripts end every
+    // statement with `;`): strip before clause parsing, where a
+    // trailing `;` would otherwise glue onto a LIMIT count or duration
     val norm = padDatetimeLiterals(
-      rewriteJsonArrow(deHinted.replaceAll("\\s+", " ").trim), tsCol)
+      rewriteJsonArrow(deHinted.replaceAll("\\s+", " ").trim
+        .replaceAll(";+\\s*$", "")), tsCol)
     val segments = splitUnion(norm)
     if (segments.length == 1)
       return single(spark, resolve, norm, tsCol, perSecond)
@@ -1556,6 +1610,100 @@ object GraftSql {
     Some(query(spark, resolve, t.substring(1, close), tsCol, perSecond))
   }
 
+  /** Alias sets of the two join sides of a FROM clause — (bare-output
+    * side, `r_`-prefixed side) per the join lowerings' column naming.
+    * RIGHT SEMI/ANTI/ASOF/WINDOW forms mirror the preserved side, so
+    * their sets swap; a single `tbl alias` FROM yields (aliases, ∅).
+    * None when the FROM names no alias to resolve. */
+  private def joinQualSides(from: String)
+      : Option[(Set[String], Set[String])] = {
+    val up = from.toUpperCase
+    val kws = Seq(" LEFT SEMI JOIN ", " RIGHT SEMI JOIN ",
+      " LEFT ANTI JOIN ", " RIGHT ANTI JOIN ", " LEFT ASOF JOIN ",
+      " RIGHT ASOF JOIN ", " ASOF JOIN ", " LEFT WINDOW JOIN ",
+      " RIGHT WINDOW JOIN ", " WINDOW JOIN ", " LEFT JOIN ",
+      " RIGHT JOIN ", " FULL JOIN ", " INNER JOIN ", " JOIN ")
+    def sideToks(txt: String): Set[String] =
+      txt.trim.split("\\s+").take(2).map(_.toLowerCase)
+        .filterNot(_ == "as").filter(_.matches("[a-z_][a-z0-9_.]*"))
+        .map(_.split("\\.").last).toSet
+    kws.flatMap { k =>
+      val i = up.indexOf(k); if (i >= 0) Some((i, k)) else None
+    }.sortBy(_._1).headOption match {
+      case Some((i, k)) =>
+        val rAll = from.substring(i + k.length)
+        val stop = Seq(" ON ", " WINDOW_OFFSET", " JLIMIT")
+          .map { s =>
+            val j = rAll.toUpperCase.indexOf(s)
+            if (j < 0) rAll.length else j
+          }.min
+        val l = sideToks(from.substring(0, i))
+        val r = sideToks(rAll.substring(0, stop))
+        val mirrored = k.startsWith(" RIGHT") && !k.contains("RIGHT JOIN")
+        Some(if (mirrored) (r, l) else (l, r))
+      case None =>
+        val toks = from.trim.split("\\s+")
+        // single table, with or without alias: its (unqualified) name
+        // and alias both qualify the bare columns
+        if (toks.length <= 2 && toks.nonEmpty &&
+            toks.forall(_.matches("(?i)[A-Za-z_][A-Za-z0-9_.]*")))
+          Some((sideToks(from), Set.empty[String]))
+        else None
+    }
+  }
+
+  /** Joins over derived tables (`FROM (SELECT …) a JOIN (SELECT …) b
+    * ON …`, `(SELECT …) a, tbl b WHERE …`, subquery on either side of
+    * ASOF/WINDOW joins — test_join.py leans on all of these): every
+    * top-level `(SELECT …)` group is planned via [[query]] and
+    * replaced by a synthetic name resolving to its DataFrame, so the
+    * normal table-join paths apply unchanged. Returns None for the
+    * single bare `(SELECT …) [alias]` form (the dedicated
+    * [[subqueryFrom]] path) and for subquery-free FROMs. */
+  private def inlineFromSubqueries(spark: SparkSession,
+      resolve: String => DataFrame, from: String, tsCol: String,
+      perSecond: Long): Option[(String, String => DataFrame)] = {
+    val t = from.trim
+    var groups = Vector.empty[(Int, Int)]
+    var depth = 0; var inStr = false; var i = 0; var start = -1
+    while (i < t.length) {
+      val ch = t(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => if (depth == 0) start = i; depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) { groups :+= ((start, i)); start = -1 }
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0) return None // unbalanced: let subqueryFrom report
+    val selGroups = groups.filter { case (s, e) =>
+      t.substring(s + 1, e).trim.toUpperCase.startsWith("SELECT") }
+    if (selGroups.isEmpty) return None
+    if (selGroups.length == 1 && selGroups.head._1 == 0 &&
+        t.substring(selGroups.head._2 + 1).trim
+          .matches("([A-Za-z_][A-Za-z0-9_]*)?")) return None
+    val out = new StringBuilder; var pos = 0
+    val sub = scala.collection.mutable.Map.empty[String, DataFrame]
+    selGroups.zipWithIndex.foreach { case ((s, e), idx) =>
+      out.append(t.substring(pos, s))
+      val name = s"_sq$idx"
+      sub(name) = query(spark, resolve, t.substring(s + 1, e), tsCol,
+        perSecond)
+      out.append(name)
+      pos = e + 1
+    }
+    out.append(t.substring(pos))
+    // `AS alias` after a group: AS is not part of a table token
+    val newFrom = "(?i)\\b(_sq\\d+)\\s+AS\\s+".r
+      .replaceAllIn(out.toString, m => m.group(1) + " ")
+    Some((newFrom,
+      (n: String) => sub.getOrElse(n.toLowerCase, resolve(n))))
+  }
+
   /** Inline `WINDOW w AS (spec)[, w2 AS (spec2)…]` (sql.y:3002-3015):
     * each `rank() OVER w` becomes `rank() OVER (spec)` before the
     * `expr()` leaf hand-off — the same named-spec resolution
@@ -1619,14 +1767,46 @@ object GraftSql {
     out
   }
 
-  private def single(spark: SparkSession, resolve: String => DataFrame,
+  private def single(spark: SparkSession, resolve0: String => DataFrame,
       sql: String, tsCol: String, perSecond: Long): DataFrame = {
+    var resolve: String => DataFrame = resolve0
     def dur(t: String): Long = durNative(t, perSecond)
     // _rowts (builtins.c pseudo-column family): the row's primary ts
     val sqlR = sql.replaceAll(
       "(?i)(?<![A-Za-z0-9_])_rowts(?![A-Za-z0-9_])", tsCol)
     var c = clauses(inlineNamedWindows(sqlR))
-    require(c.contains("SELECT") && c.contains("FROM"), "need SELECT/FROM")
+    require(c.contains("SELECT"), "need SELECT")
+    // FROM-less SELECT (parTranslater translateSelect without a
+    // from_clause; the reference suite leans on `SELECT
+    // server_version()`, `SELECT database()`, `SELECT 1+1`): one
+    // output row of scalar expressions — a one-row local scan, no
+    // table resolution, no shuffle
+    if (!c.contains("FROM")) {
+      require(
+        !Seq("WHERE", "GROUP BY", "PARTITION BY", "INTERVAL", "HAVING")
+          .exists(c.contains),
+        s"FROM-less SELECT takes only scalar items: $sql")
+      val asRe = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+      val cols = splitArgs(c("SELECT")).map(_.trim).map { it =>
+        val (e0, al) = it match {
+          case asRe(e, a) => (e.trim, a)
+          case e => (e, e)
+        }
+        expr(rewriteFuncs(e0, tsCol, perSecond)).as(al)
+      }
+      var res = spark.range(1).select(cols: _*)
+      c.get("LIMIT").foreach(n => res = applyLimit(res, n))
+      return res
+    }
+    require(c.contains("FROM"), "need SELECT/FROM")
+    // derived-table joins: plan each top-level (SELECT …) group and
+    // swap in a synthetic resolvable name, so the comma-join and JOIN
+    // paths below see plain table tokens
+    inlineFromSubqueries(spark, resolve0, c("FROM"), tsCol, perSecond)
+      .foreach { case (nf, r2) =>
+        c = c.updated("FROM", nf)
+        resolve = r2
+      }
     // comma-join (sql.y table_reference_list): FROM t1 [a], t2 [b]
     // WHERE a.k = b.k … — the classic inner-join spelling. Rewritten
     // to JOIN … ON by hoisting the cross-table equality conjuncts out
@@ -1669,6 +1849,59 @@ object GraftSql {
     }
     var df = subqueryFrom(spark, resolve, c("FROM"), tsCol, perSecond)
       .getOrElse(fromClause(resolve, c("FROM"), tsCol, perSecond))
+    // qualified references (`a.ts`, `b.col`, `b.*`) in the remaining
+    // clauses resolve against the flattened join output: preserved
+    // side bare, probe side `r_`-prefixed (equi keys stay bare), star
+    // by side expansion. The FROM text itself keeps its qualifiers —
+    // the join paths consumed them already.
+    joinQualSides(c("FROM")).foreach { case (lq, rq) =>
+      val dfCols = df.columns.toSet
+      val leftStar = df.columns.filterNot(_.startsWith("r_"))
+      val rightStar = df.columns.filter(cn =>
+        cn.startsWith("r_") && dfCols.contains(cn))
+      def rw(txt0: String): String = {
+        // count(q.*) counts the rows of q's side (parTranslater
+        // count-star rewrite) — BEFORE the general rule would expand
+        // it to a null-sensitive multi-arg count
+        val txt = "(?i)\\bcount\\s*\\(\\s*([A-Za-z_]\\w*)\\.\\*\\s*\\)".r
+          .replaceAllIn(txt0, m => {
+            val q = m.group(1).toLowerCase
+            if (lq.contains(q)) "count(*)"
+            else if (rq.contains(q))
+              rightStar.headOption.map(cn => s"count($cn)")
+                .getOrElse("count(*)")
+            else m.matched
+          })
+        "(?i)\\b([A-Za-z_]\\w*)\\.(\\*|[A-Za-z_]\\w*)".r
+          .replaceAllIn(txt, m => {
+            val q = m.group(1).toLowerCase; val cc = m.group(2)
+            val rep =
+              if (lq.contains(q)) {
+                if (cc == "*") leftStar.mkString(", ")
+                else cc
+              } else if (rq.contains(q)) {
+                if (cc == "*") rightStar.mkString(", ")
+                else if (dfCols.contains(s"r_$cc")) s"r_$cc" else cc
+              } else m.matched
+            java.util.regex.Matcher.quoteReplacement(rep)
+          })
+      }
+      c = c.map { case (k, v) =>
+        if (k == "FROM") (k, v) else (k, rw(v)) }
+    }
+    // a window clause under a plain row projection (test_session.py:
+    // `SELECT * FROM dev_001 SESSION(ts,1w)` returns the raw rows) has
+    // no aggregates to window — drop the clause and project
+    locally {
+      val rawWindowKws = Seq("INTERVAL", "SLIDING", "SESSION",
+        "STATE_WINDOW", "COUNT_WINDOW", "EVENT_WINDOW")
+      if (rawWindowKws.exists(c.contains)) {
+        val items = splitArgs(c("SELECT")).map(_.trim)
+        val plain = items.nonEmpty && items.forall(it =>
+          it == "*" || df.columns.contains(it))
+        if (plain) c = c -- rawWindowKws
+      }
+    }
     // tbname on a regular (non-stable) read is that table's own name,
     // constant per row (parTranslater tbname rewrite; stable reads
     // already expose a real tbname column)
@@ -1844,7 +2077,7 @@ object GraftSql {
           tsLitTicks(a, perSecond).getOrElse(throw
             new IllegalArgumentException(s"bad RANGE timestamp: $a"))
         else a.toLong
-      val durArg = "(?i)^\\d+[uasmhdw]$".r
+      val durArg = "(?i)^\\d+[buasmhdw]$".r
       val (t0, t1, aroundUs) = rawRange match {
         case Seq(p) => (tsArg(p), tsArg(p), 0L)
         case Seq(p, d) if durArg.matches(d) => (tsArg(p), tsArg(p), dur(d))
@@ -1858,7 +2091,10 @@ object GraftSql {
           require(t0 == t1, "RANGE(t0, t1) needs EVERY(step)")
           1L
         }
-      val mode = c.get("FILL").map(f =>
+      // FILL(VALUE, v1[, v2 …]): one literal per interp column (a
+      // single literal broadcasts — the same contract as windowed
+      // FILL below); positional per-column modes
+      def modeFor(i: Int): FillOps.FillMode = c.get("FILL").map(f =>
         splitArgs(stripOuterParens(f)) match {
           case Seq(m0) => m0.toUpperCase match {
             case "NONE" => FillOps.FillNone
@@ -1871,8 +2107,17 @@ object GraftSql {
             case "LINEAR" => FillOps.FillLinear
             case other => throw new IllegalArgumentException(s"FILL $other")
           }
-          case Seq(_, v) => FillOps.FillValue(v.toDouble)
+          case s if s.head.matches("(?i)VALUE(_F)?") =>
+            val vals = s.tail
+            require(vals.length == 1 || vals.length == interpCols.length,
+              s"FILL(VALUE…) takes 1 or ${interpCols.length} values, " +
+                s"got ${vals.length}")
+            FillOps.FillValue(
+              (if (vals.length == 1) vals.head else vals(i)).trim.toDouble)
+          case other => throw new IllegalArgumentException(
+            s"FILL ${other.mkString(",")}")
         }).getOrElse(FillOps.FillLinear)
+      val mode = modeFor(0)
       // FILL(PREV|NEXT|NEAR) SURROUND(d [, v]) (sql.y:2954-2982): bound
       // how far the fill reference may sit from the grid point
       val surround = c.get("SURROUND").map { sr =>
@@ -1899,9 +2144,9 @@ object GraftSql {
       // per key), not data-sized. _isfilled/_irowts_origin come from
       // the first run: exact-hit-ness is a property of the row's ts,
       // the same for every column.
-      interpCols.tail.foreach { vc =>
+      interpCols.zipWithIndex.tail.foreach { case (vc, i) =>
         val extra = FillOps.interp(df, col(tsCol), vc, partCols,
-            step, t0, t1, mode,
+            step, t0, t1, modeFor(i),
             surroundUs = surround.map(_._1).getOrElse(aroundUs),
             surroundVal = surround.flatMap(_._2))
           .select((partCols :+ "_irowts").map(col) :+ col(vc): _*)
@@ -2167,42 +2412,61 @@ object GraftSql {
       // calendar INTERVAL units (20-select.md v3.4.2: n = months,
       // q = quarters, y = years): buckets are CALENDAR-aligned, not
       // fixed-duration — _wstart = the 1st 00:00 UTC of the bucket's
-      // opening month, computed from months-since-epoch DIV k. Only
-      // tumbling: SLIDING/offset over variable-length months have no
-      // fixed grid and fail loudly.
+      // opening month, computed from months-since-epoch DIV k. An
+      // offset (taosTimeTruncate's offset step) shifts every boundary:
+      // fixed-duration offsets shift the tick axis, calendar offsets
+      // shift the month index. SLIDING+offset has no fixed grid and
+      // stays loud.
       val args = splitArgs(stripOuterParens(c("INTERVAL"))).map(_.trim)
-      require(args.length == 1,
-        "calendar INTERVAL units take no offset")
+      require(args.length <= 2,
+        s"INTERVAL takes (duration[, offset]): ${c("INTERVAL")}")
       val calRe(numTxt, unit) = args.head
-      val k = numTxt.toLong * (unit.toLowerCase match {
-        case "n" => 1L
-        case "q" => 3L
-        case _ => 12L
-      })
+      def calMonths(n: String, u: String): Long =
+        n.toLong * (u.toLowerCase match {
+          case "n" => 1L
+          case "q" => 3L
+          case _ => 12L
+        })
+      val k = calMonths(numTxt, unit)
+      val offMonths = args.lift(1).collect {
+        case calRe(n2, u2) => calMonths(n2, u2) }.getOrElse(0L)
+      val offTicks = args.lift(1) match {
+        case Some(a) if !calRe.matches(a) => dur(a)
+        case _ => 0L
+      }
       val slideTicks = c.get("SLIDING").map { s0 =>
         val s = stripOuterParens(s0).trim
         require(!calRe.matches(s),
           "SLIDING cannot use calendar units (parTranslater.c:13304)")
+        require(offMonths == 0 && offTicks == 0,
+          "calendar INTERVAL with SLIDING takes no offset")
         dur(s)
       }
       slideTicks match {
         case None =>
           // ticks → seconds → calendar fields (UTC session);
-          // sub-second digits cannot move a month boundary
-          val t = s"timestamp_seconds(($tsCol) DIV ${perSecond}L)"
-          val ms = s"((year($t) - 1970) * 12 + month($t) - 1)"
+          // sub-second digits cannot move a month boundary. The
+          // window containing t satisfies monthStart(m)+off <= t <
+          // monthStart(m+k)+off ⟺ m = monthBucket(t - off) — bucket
+          // on the shifted axis, emit boundaries shifted back.
+          val t =
+            s"timestamp_seconds((($tsCol) - ${offTicks}L) DIV ${perSecond}L)"
+          val ms =
+            s"((year($t) - 1970) * 12 + month($t) - 1 - ${offMonths}L)"
           def bucketStart(b: String): String =
             s"(unix_timestamp(make_timestamp(1970 + " +
               s"CAST(($b) / 12 AS INT)," +
               s" CAST(($b) % 12 AS INT) + 1, 1, 0, 0, 0)) * ${perSecond}L)"
           val bucket = s"($ms - ($ms % $k))"
-          df = df.withColumn("_wstart", expr(bucketStart(bucket)))
+          df = df.withColumn("_wstart", expr(
+            s"(${bucketStart(s"$bucket + ${offMonths}L")} + ${offTicks}L)"))
           groupKeys = partCols :+ "_wstart"
           // _wend/_wduration must derive from the GROUP KEY (_wstart),
           // not raw row columns — re-read the bucket from the key
-          val tW = s"timestamp_seconds((_wstart) DIV ${perSecond}L)"
+          val tW = s"timestamp_seconds(((_wstart) - ${offTicks}L) " +
+            s"DIV ${perSecond}L)"
           val msW = s"((year($tW) - 1970) * 12 + month($tW) - 1)"
-          val wend = bucketStart(s"($msW + $k)")
+          val wend = s"(${bucketStart(s"($msW + $k)")} + ${offTicks}L)"
           pseudo = qPseudo ++
             Map("_wend" -> wend, "_wduration" -> s"($wend - _wstart)")
         case Some(sl) =>
@@ -2441,6 +2705,57 @@ object GraftSql {
         def isKey(e: String) = groupKeys.exists(_.equalsIgnoreCase(e))
         val keyItems = selectItems.filter { case (e, _) => isKey(e) }
         val aggItems = selectItems.filterNot { case (e, _) => isKey(e) }
+        if (aggItems.isEmpty && groupKeys.forall(!_.startsWith("_"))) {
+          // key-only select list (test_partition.py `SELECT c1 FROM
+          // meters PARTITION BY c1 SLIMIT 2`): GROUP BY collapses to
+          // one row per group; PARTITION BY passes the rows through —
+          // the partitions exist as SLIMIT/LIMIT context only
+          val proj =
+            if (c.contains("GROUP BY")) {
+              var g = df.select(groupKeys.map(col): _*).distinct()
+              keyItems.foreach { case (e, a) =>
+                if (e != a) g = g.withColumnRenamed(e, a) }
+              g.select(selectItems.map { case (_, a) => col(a) }: _*)
+            } else df.select(selectItems.map {
+              case (e, a) => expr(rewritten(e)).as(a) }: _*)
+          var res2 = proj
+          c.get("HAVING").foreach(h => res2 = res2.filter(expr(h)))
+          c.get("SLIMIT").foreach { raw =>
+            val (sOff, sN) = splitArgs(raw) match {
+              case Seq(o, n) => (o.trim.toInt, n.trim.toInt)
+              case Seq(n) => (c.get("SOFFSET").map(_.trim.toInt)
+                .getOrElse(0), n.trim.toInt)
+              case other =>
+                throw new IllegalArgumentException(s"bad SLIMIT: $other")
+            }
+            val sliceKeys = selectItems.collect {
+              case (e, a) if isKey(e) => a }
+            require(sliceKeys.nonEmpty, "SLIMIT needs the partition " +
+              "key in the select list here")
+            val slices = res2.select(sliceKeys.map(col): _*).distinct()
+              .orderBy(sliceKeys.map(col): _*).offset(sOff).limit(sN)
+            res2 = res2.join(broadcast(slices), sliceKeys, "left_semi")
+          }
+          c.get("ORDER BY").foreach(o => res2 = res2.orderBy(orderCols(o,
+            positional = res2.columns.toSeq): _*))
+          c.get("LIMIT").foreach { nRaw =>
+            if (partCols.nonEmpty && !c.contains("GROUP BY")) {
+              // LIMIT under PARTITION BY caps rows PER SHARD
+              // (20-select.md:141); all output columns are keys here,
+              // so shard rows are identical — rank within the key
+              // tuple
+              val (nLim, commaOff) = limitParts(nRaw)
+              val off = commaOff
+                .orElse(c.get("OFFSET").map(_.trim.toInt)).getOrElse(0)
+              val w = Window.partitionBy(res2.columns.map(col): _*)
+                .orderBy(res2.columns.map(col): _*)
+              res2 = res2.withColumn("_srn", row_number().over(w))
+                .filter(col("_srn") > off && col("_srn") <= off + nLim)
+                .drop("_srn")
+            } else res2 = applyLimit(res2, nRaw)
+          }
+          return res2
+        }
         require(aggItems.nonEmpty,
           "grouped query needs at least one aggregate select item")
         val aggCols = aggItems.map { case (e, a) =>

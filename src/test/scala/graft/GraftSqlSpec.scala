@@ -215,11 +215,18 @@ class GraftSqlSpec extends AnyFunSuite {
     val wantAnti = e.join(hotUsers, Seq("user_id"), "left_anti")
       .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
     assert(anti.toSeq == wantAnti.toSeq)
-    // an anti LEFT-side ON residual is a semantics trap -> loud
-    intercept[IllegalArgumentException] {
-      q("""SELECT event_id FROM events a LEFT ANTI JOIN events b
-          ON a.user_id = b.user_id AND a.value > 95""")
-    }
+    // an anti LEFT-side ON residual is a semantics trap: it is NOT a
+    // pre-filter — a false left conjunct voids every match and KEEPS
+    // the row. The condition join realizes exactly that: every user
+    // matches itself, so the anti keeps precisely the NOT(value > 95)
+    // rows.
+    val antiL = q("""SELECT event_id FROM events a
+        LEFT ANTI JOIN events b
+        ON a.user_id = b.user_id AND a.value > 95
+        ORDER BY event_id""").collect().map(_.getLong(0))
+    val wantAntiL = e.filter(!coalesce(col("value") > 95, lit(false)))
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    assert(antiL.toSeq == wantAntiL.toSeq)
     // INNER residual = post-join filter; hints strip cleanly
     val inner = q("""SELECT /*+ PARTITION_FIRST() */ count(*) AS n
         FROM events a JOIN events b
@@ -559,10 +566,15 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(nested.count() > 0)
   }
 
-  test("FROM subquery rejects trailing text that is not an alias") {
+  test("FROM subquery: join continuation works; unbalanced parens " +
+      "fail loudly") {
+    // `(SELECT …) a JOIN tbl b ON …` inlines the derived table
+    val j = q("""SELECT n FROM (SELECT user_id, count(*) AS n
+          FROM events GROUP BY user_id) a JOIN events b
+        ON a.user_id = b.user_id ORDER BY n LIMIT 3""")
+    assert(j.count() == 3)
     intercept[IllegalArgumentException] {
-      q("""SELECT user_id FROM (SELECT user_id FROM events) a JOIN b
-        ON a.user_id = b.user_id""").collect()
+      q("SELECT user_id FROM (SELECT user_id FROM events").collect()
     }
   }
 

@@ -1,18 +1,32 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sql.GraftSql
-/** Scratch parse-coverage probe (test scope, not shipped). */
+/** Scratch parse-coverage probe (test scope, not shipped).
+  *
+  * No args: the historical hand-picked list. With a file arg: one
+  * query per line (the reference-test corpus extract); every table
+  * name resolves to `events`, so column-resolution failures are
+  * expected noise — the signal is GraftSql-side parse/lowering
+  * failures, tallied by exception class + message shape.
+  */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    def resolve(n: String): DataFrame = Tables(spark, dir, n)
+    val events = Tables(spark, dir, "events")
+    def resolve(n: String): DataFrame = events
+    if (args.nonEmpty) { probeFile(spark, resolve, args(0)); return }
     val qs = Seq(
       "select 16-6 from events",
+      "select server_version()",
+      "select 1+1 as s, database() as db",
+      "select timezone()",
+      "select count(*) as n, avg(2) as av",
+      "select position('b' in 'abc') as p",
       "select _wstart, _wend, count(*), sum(value) from events count_window(4) having sum(value) > 57",
       "select ts from events where ts>='2024-1-1 8:1:40' and ts<='2024-1-2 8:1:40.500' order by ts limit 10",
       "select value / event_id from events where ts > now - 900d and ts < now limit 5",
@@ -53,6 +67,58 @@ object ProbeMain {
       }
     }
     println(s"OK $ok/${qs.size}")
+    spark.stop()
+  }
+
+  /** Column-resolution / type noise from the blanket events mapping —
+    * not dialect gaps. */
+  private val noise = Seq(
+    "UNRESOLVED_COLUMN", "UNRESOLVED_ROUTINE", "cannot resolve",
+    "AMBIGUOUS_REFERENCE", "DATATYPE_MISMATCH", "WRONG_NUM_ARGS",
+    "Column not found", "UNRESOLVED_STAR", "FIELD_NOT_FOUND",
+    "NESTED_AGGREGATE_FUNCTION", "UNRESOLVED_MAP_KEY",
+    "GROUP_BY_AGGREGATE", "MISSING_AGGREGATION", "UNBOUND_SQL",
+    "INVALID_FORMAT", "SECONDS_PRECISION", "NON_FOLDABLE",
+    "PARSE_SYNTAX_ERROR", "INVALID_ORDINAL")
+
+  private def probeFile(spark: SparkSession,
+      resolve: String => DataFrame, path: String): Unit = {
+    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    var ok = 0; var noisy = 0
+    val byShape =
+      scala.collection.mutable.Map.empty[String, (Int, String, String)]
+    lines.foreach { q =>
+      try {
+        GraftSql.query(spark, resolve, q).queryExecution.analyzed
+        ok += 1
+      } catch {
+        case e: Throwable =>
+          val m = String.valueOf(e.getMessage)
+          if (noise.exists(m.contains)) {
+            noisy += 1
+            if (lines.size < 50)
+              println(s"NOISE: $q\n  -> ${m.take(200)}")
+          }
+          else {
+            // shape = class + first 60 chars with numbers/quoted
+            // strings blanked, so the tally groups recurring gaps
+            val shape = e.getClass.getSimpleName + ": " + m
+              .replaceAll("'[^']*'", "'_'").replaceAll("\\d+", "N")
+              .replaceAll("`[^`]*`", "`_`").take(90)
+            val (c, q0, _) =
+              byShape.getOrElse(shape, (0, q, ""))
+            byShape(shape) = (c + 1, q0, m.take(160))
+          }
+      }
+    }
+    println(s"== probed ${lines.size}: ok=$ok noise=$noisy " +
+      s"signal-fail=${lines.size - ok - noisy} ==")
+    byShape.toSeq.sortBy(-_._2._1).take(60).foreach {
+      case (shape, (c, exq, msg)) =>
+        println(f"$c%6d  $shape")
+        println(s"        e.g. ${exq.take(160)}")
+        println(s"        msg: $msg")
+    }
     spark.stop()
   }
 }
