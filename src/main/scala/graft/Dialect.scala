@@ -831,6 +831,14 @@ object Dialect {
         """SELECT ts, user_id, derivative(value, 1s, 1) AS dv
            FROM events PARTITION BY user_id ORDER BY user_id, ts""")
     },
+    // selection function + bare accompanying columns
+    // (test_orderby_basic.py `SELECT last(ts), ts FROM t1`): the bare
+    // columns read from the selected row
+    "dialect_select_accompany" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT max(event_id) AS me, user_id, value
+           FROM events WHERE user_id = 2""")
+    },
     // calendar INTERVAL with a fixed-duration offset (taosTimeTruncate
     // offset step): every month boundary shifts by 7d
     "dialect_cal_interval_offset" -> { (s, dir) =>
@@ -1739,6 +1747,11 @@ object Dialect {
            FROM events WINDOW o AS (PARTITION BY user_id ORDER BY ts))
          SELECT ts2 AS ts, user_id, dv FROM w
          WHERE dv IS NULL OR dv >= 0 ORDER BY user_id, ts""",
+    "dialect_select_accompany" ->
+      """SELECT max(event_id) AS me,
+           arg_max(user_id, event_id) AS user_id,
+           arg_max(value, event_id) AS value
+         FROM events WHERE user_id = 2""",
     "dialect_cal_interval_offset" ->
       """WITH t AS (SELECT date_trunc('month', ts - INTERVAL 7 DAY)
              AS m FROM events)

@@ -2693,9 +2693,37 @@ object GraftSql {
     }
     val out: DataFrame =
       if (!isAgg) {
-        val cols = selectItems.map {
-          case ("*", _) => col("*")
-          case (e, a) => expr(rewritten(e)).as(a) }
+        // selection functions accompanied by bare columns
+        // (test_orderby_basic.py `SELECT last(ts), ts FROM t1` = one
+        // row; the bare column reads from the SELECTED row). Exactly
+        // one distinct anchor may govern — the reference rejects
+        // mixed-anchor accompaniment (`first(ts), ts … last(ts)`).
+        val selAnchor =
+          "(?i)^(first|last_row|last|min|max)\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\)$".r
+        val anchors = selectItems.flatMap { case (e, _) =>
+          selAnchor.findFirstMatchIn(e.trim).map(m =>
+            (m.group(1).toLowerCase, m.group(2))) }.distinct
+        def isBare(e: String) = df.columns.exists(_.equalsIgnoreCase(e.trim))
+        val cols =
+          if (anchors.nonEmpty && selectItems.exists { case (e, _) =>
+              isBare(e) }) {
+            require(anchors.length == 1,
+              s"bare columns accompany exactly one selection function," +
+                s" got: ${anchors.map(_._1).mkString(", ")}")
+            val (fn, arg) = anchors.head
+            // same row choice as the rewriteFuncs anchor lowerings
+            def acc(cT: String): String = fn match {
+              case "first" => s"min_by($cT, $tsCol)"
+              case "last" | "last_row" => s"max_by($cT, $tsCol)"
+              case "min" => s"min_by($cT, $arg)"
+              case _ => s"max_by($cT, $arg)"
+            }
+            selectItems.map { case (e, a) =>
+              if (isBare(e)) expr(acc(e.trim)).as(a)
+              else expr(rewritten(e)).as(a) }
+          } else selectItems.map {
+            case ("*", _) => col("*")
+            case (e, a) => expr(rewritten(e)).as(a) }
         val proj = df.select(cols: _*)
         if (isDistinct) proj.distinct() else proj
       } else {
