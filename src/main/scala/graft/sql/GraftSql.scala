@@ -688,7 +688,9 @@ object GraftSql {
     def equiKeys(conds: Seq[String]): Seq[String] = conds.map { c =>
       val m = "(?i)^\\s*\\w+\\.(\\w+)\\s*=\\s*\\w+\\.(\\w+)\\s*$".r
       c match {
-        case m(k1, k2) if k1 == k2 => k1
+        // unquoted identifiers are case-insensitive (fuzz-found: a
+        // case-mutated `ON T1.Id = t2.id` must stay an equi key)
+        case m(k1, k2) if k1.equalsIgnoreCase(k2) => k1
         case other => throw new IllegalArgumentException(
           s"only same-name equi keys supported in join ON: $other")
       }
@@ -846,10 +848,13 @@ object GraftSql {
         .split("(?i)\\s+AND\\s+").toSeq
       val eqRe = "(?i)^\\s*\\w+\\.(\\w+)\\s*=\\s*\\w+\\.(\\w+)\\s*$".r
       val (eqConds, residual) = conds.partition {
-        case eqRe(k1, k2) => k1 == k2
+        case eqRe(k1, k2) => k1.equalsIgnoreCase(k2)
         case _ => false
       }
-      val keys = equiKeys(eqConds)
+      // normalize key spelling to the frame's own column case —
+      // downstream filterNot(keys.contains) comparisons are exact
+      val keys = equiKeys(eqConds).map(k =>
+        left.columns.find(_.equalsIgnoreCase(k)).getOrElse(k))
       // residual conjunct with right-side refs `r_`-renamed (keys
       // included) and left-side refs bared, for a condition join;
       // time scalars (`now`, duration arithmetic) lower first
@@ -889,7 +894,7 @@ object GraftSql {
               .replaceAllIn(rewriteTimeScalars(cnd), m => {
                 val q = m.group(1).toLowerCase; val c = m.group(2)
                 if (rightQuals.contains(q))
-                  if (keys.contains(c)) c else s"r_$c"
+                  if (keys.exists(_.equalsIgnoreCase(c))) c else s"r_$c"
                 else if (leftQuals.contains(q)) c
                 else m.matched
               })
@@ -1855,10 +1860,12 @@ object GraftSql {
     // by side expansion. The FROM text itself keeps its qualifiers —
     // the join paths consumed them already.
     joinQualSides(c("FROM")).foreach { case (lq, rq) =>
-      val dfCols = df.columns.toSet
       val leftStar = df.columns.filterNot(_.startsWith("r_"))
-      val rightStar = df.columns.filter(cn =>
-        cn.startsWith("r_") && dfCols.contains(cn))
+      val rightStar = df.columns.filter(_.startsWith("r_"))
+      // case-insensitive: a case-mutated `T2.Value` must still find
+      // r_value (fuzz-found silent-wrong-side resolution)
+      def rCol(cc: String): Option[String] =
+        df.columns.find(_.equalsIgnoreCase(s"r_$cc"))
       def rw(txt0: String): String = {
         // count(q.*) counts the rows of q's side (parTranslater
         // count-star rewrite) — BEFORE the general rule would expand
@@ -1881,7 +1888,7 @@ object GraftSql {
                 else cc
               } else if (rq.contains(q)) {
                 if (cc == "*") rightStar.mkString(", ")
-                else if (dfCols.contains(s"r_$cc")) s"r_$cc" else cc
+                else rCol(cc).getOrElse(cc)
               } else m.matched
             java.util.regex.Matcher.quoteReplacement(rep)
           })

@@ -68,7 +68,12 @@ class DialectFuzzSpec extends AnyFunSuite {
     "select event_id, user_id, r_value from events a join events b on a.event_id = b.event_id order by event_id limit 10",
     "select _wstart, max(value) as mx from events where user_id = 3 interval(1d) fill(value, 1.5) order by _wstart limit 20",
     "select top(value, 4) as t, ts from events order by t desc, ts limit 4",
-    "select ts, statecount(value, 'GT', 50) as sc from events where user_id = 5 order by ts limit 10")
+    "select ts, statecount(value, 'GT', 50) as sc from events where user_id = 5 order by ts limit 10",
+    "select t1.ts, t2.value from events t1 left join events t2 on t1.event_id = t2.event_id and t2.value > 50 order by t1.event_id limit 10",
+    "select a.event_type, b.n2 from (select event_type, count(*) as n1 from events group by event_type) a join (select event_type, count(*) as n2 from events group by event_type) b on a.event_type = b.event_type order by a.event_type",
+    "select ts, event_id from events a left window join events b on a.user_id = b.user_id window_offset(-1s, 1s) jlimit 1 order by event_id limit 5",
+    "select max(event_id) as me, user_id from events where user_id = 3",
+    "select server_version() as v, 1+1 as s")
 
   private val nowSeeds = Seq(
     "select value / event_id as r from events where ts > now - 900d and ts < now limit 5",

@@ -81,6 +81,26 @@ class PlanSpec extends AnyFunSuite {
       s"keyless range join must lower to a time-bucket equi-join:\n$p")
   }
 
+  test("outer-join ON residuals keep the equi keys as join keys") {
+    // the condition join must extract event_id for a hash/sort-merge
+    // join — a residual that demotes the join to a nested loop would
+    // be quadratic at scale
+    for (q <- Seq("dialect_join_residual", "dialect_full_join_residual",
+        "dialect_anti_residual")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q residual ON must not demote the equi join:\n$p")
+    }
+  }
+
+  test("derived-table join keeps both aggregations partial") {
+    val p = plan("dialect_subquery_join")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"subquery aggregates should map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ANN and fingerprint paths stay map-side native expressions") {
     // LSH: buckets from the native one-pass expression, queries
     // broadcast onto candidates — no sort-merge on the bucket join
