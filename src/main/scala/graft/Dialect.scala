@@ -831,6 +831,24 @@ object Dialect {
         """SELECT ts, user_id, derivative(value, 1s, 1) AS dv
            FROM events PARTITION BY user_id ORDER BY user_id, ts""")
     },
+    // chained 3-table join (TPC-H-shaped reference tests): whole
+    // statement delegates to Spark SQL over temp views
+    "dialect_chain_join" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT a.event_id AS id, b.value AS v2, c.value AS v3
+           FROM events a JOIN events b ON a.event_id = b.event_id
+             JOIN events c ON b.event_id = c.event_id
+           WHERE a.user_id = 8 ORDER BY id""")
+    },
+    // 3-table comma join with WHERE equi conditions
+    "dialect_comma_join3" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT a.event_id AS id, b.value AS v2, c.value AS v3
+           FROM events a, events b, events c
+           WHERE a.event_id = b.event_id AND b.event_id = c.event_id
+             AND a.user_id = 9
+           ORDER BY id""")
+    },
     // selection function + bare accompanying columns
     // (test_orderby_basic.py `SELECT last(ts), ts FROM t1`): the bare
     // columns read from the selected row
@@ -1747,6 +1765,17 @@ object Dialect {
            FROM events WINDOW o AS (PARTITION BY user_id ORDER BY ts))
          SELECT ts2 AS ts, user_id, dv FROM w
          WHERE dv IS NULL OR dv >= 0 ORDER BY user_id, ts""",
+    "dialect_chain_join" ->
+      """SELECT a.event_id AS id, b.value AS v2, c.value AS v3
+         FROM events a JOIN events b ON a.event_id = b.event_id
+           JOIN events c ON b.event_id = c.event_id
+         WHERE a.user_id = 8 ORDER BY id""",
+    "dialect_comma_join3" ->
+      """SELECT a.event_id AS id, b.value AS v2, c.value AS v3
+         FROM events a, events b, events c
+         WHERE a.event_id = b.event_id AND b.event_id = c.event_id
+           AND a.user_id = 9
+         ORDER BY id""",
     "dialect_select_accompany" ->
       """SELECT max(event_id) AS me,
            arg_max(user_id, event_id) AS user_id,

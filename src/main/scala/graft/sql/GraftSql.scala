@@ -410,6 +410,13 @@ object GraftSql {
   def rewriteFuncs(e: String, tsCol: String,
       perSecond: Long = 1000000L): String = {
     var r = e
+    // TDengine string types in CAST positions: NCHAR(n)/NCHAR are
+    // unicode strings; BINARY(n) is a byte-string the tests treat as
+    // text — both lower to Spark varchar/string (Spark's BINARY is
+    // raw bytes, a different thing)
+    r = r.replaceAll("(?i)\\bnchar\\s*\\(", "varchar(")
+    r = r.replaceAll("(?i)\\bAS\\s+nchar\\b", "AS string")
+    r = r.replaceAll("(?i)\\bAS\\s+binary\\s*\\(", "AS varchar(")
     // PG-token timestamp formatting (ttime.c:2032): the format is a
     // literal, so the whole call lowers to built-ins at plan time
     r = rewriteCall(r, "to_char", a => {
@@ -1494,10 +1501,16 @@ object GraftSql {
     val lastSql = tailAt.fold(lastRaw)(i => lastRaw.substring(0, i).trim)
     val frames = (segments.init.map(_._1) :+ lastSql)
       .map(s0 => single(spark, resolve, s0, tsCol, perSecond))
-    // fold left-to-right; dedup binds to its own UNION per SQL rules
+    // fold left-to-right; dedup binds to its own UNION per SQL rules.
+    // UNION is POSITIONAL (sql.y set_quantifier — branch column names
+    // may differ, e.g. `a.ts` union `b.ts`; output names come from
+    // the first branch)
     var res = frames.head
     segments.tail.zip(frames.tail).foreach { case ((_, all), f) =>
-      res = res.unionByName(f)
+      require(f.columns.length == res.columns.length,
+        s"UNION branches have ${res.columns.length} vs " +
+          s"${f.columns.length} columns")
+      res = res.union(f)
       if (!all) res = res.dropDuplicates()
     }
     tailAt.foreach { i =>
@@ -1615,6 +1628,73 @@ object GraftSql {
     Some(query(spark, resolve, t.substring(1, close), tsCol, perSecond))
   }
 
+  /** Chained multi-table joins (`t1 JOIN t2 ON … JOIN t3 ON …`, or a
+    * 3+-table comma list — TPC-H-shaped reference tests): the two-side
+    * `r_` flattening cannot name three payloads, and Spark SQL resolves
+    * qualified refs natively, so the whole statement delegates: each
+    * table registers as a temp view, the dialect rewrites
+    * (sum/avg-DECIMAL, time scalars) apply per clause, Spark plans the
+    * join tree (+AQE). Views drop after the plan resolves. Returns None
+    * for anything with dialect-specific clauses or <3 tables. */
+  private def chainedJoinSql(spark: SparkSession,
+      resolve: String => DataFrame, c: Map[String, String],
+      tsCol: String, perSecond: Long,
+      force: Boolean = false): Option[DataFrame] = {
+    val from = c("FROM")
+    val up = from.toUpperCase
+    if (Seq("ASOF", "WINDOW_OFFSET").exists(up.contains)) return None
+    val dialectKws = Seq("PARTITION BY", "INTERVAL", "SLIDING",
+      "SESSION", "STATE_WINDOW", "COUNT_WINDOW", "EVENT_WINDOW",
+      "ANOMALY_WINDOW", "EXTERNAL_WINDOW", "FILL", "RANGE", "EVERY",
+      "SLIMIT", "SOFFSET", "SURROUND", "EXTEND", "ZEROTH_STATE",
+      "TRUE_FOR")
+    if (dialectKws.exists(c.contains)) return None
+    val joinCount = "(?i)\\bJOIN\\b".r.findAllIn(up).length
+    val commaTables =
+      if (joinCount == 0 &&
+          splitArgs(from).length >= (if (force) 2 else 3) &&
+          splitArgs(from).forall(p =>
+            "^[A-Za-z_][A-Za-z0-9_.]*( +[A-Za-z_][A-Za-z0-9_]*)?$".r
+              .matches(p.trim))) splitArgs(from).map(_.trim)
+      else Nil
+    if (!force && joinCount < 2 && commaTables.isEmpty) return None
+    if (force && commaTables.isEmpty && joinCount == 0) return None
+    // table tokens: the leading token plus the token after every JOIN
+    val tbls: Seq[String] =
+      if (commaTables.nonEmpty) commaTables.map(_.split("\\s+")(0))
+      else {
+        val afterJoin = "(?i)\\bJOIN\\s+([A-Za-z_][A-Za-z0-9_.]*)".r
+          .findAllMatchIn(from).map(_.group(1)).toSeq
+        from.trim.split("\\s+").headOption.toSeq ++ afterJoin
+      }
+    if (tbls.exists(!_.matches("[A-Za-z_][A-Za-z0-9_.]*"))) return None
+    val views = tbls.distinct.map { t =>
+      val vn = t.split("\\.").last
+      resolve(t).createOrReplaceTempView(vn)
+      vn
+    }
+    try {
+      def rw(k: String): Option[String] =
+        c.get(k).map(v => rewriteFuncs(v, tsCol, perSecond))
+      // db-prefixed FROM tokens resolve by their registered last
+      // segment
+      val fromTxt = tbls.foldLeft(from)((f, t) =>
+        if (t.contains(".")) f.replace(t, t.split("\\.").last) else f)
+      val stmt = Seq(
+        Some(s"SELECT ${rw("SELECT").get}"),
+        Some(s"FROM $fromTxt"),
+        rw("WHERE").map(w => s"WHERE $w"),
+        c.get("GROUP BY").map(g => s"GROUP BY $g"),
+        rw("HAVING").map(h => s"HAVING $h"),
+        rw("ORDER BY").map(o => s"ORDER BY $o")
+      ).flatten.mkString(" ")
+      var res = spark.sql(stmt)
+      c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
+      c.get("LIMIT").foreach(n => res = applyLimit(res, n))
+      Some(res)
+    } finally views.foreach(spark.catalog.dropTempView(_))
+  }
+
   /** Alias sets of the two join sides of a FROM clause — (bare-output
     * side, `r_`-prefixed side) per the join lowerings' column naming.
     * RIGHT SEMI/ANTI/ASOF/WINDOW forms mirror the preserved side, so
@@ -1686,7 +1766,9 @@ object GraftSql {
     }
     if (depth != 0) return None // unbalanced: let subqueryFrom report
     val selGroups = groups.filter { case (s, e) =>
-      t.substring(s + 1, e).trim.toUpperCase.startsWith("SELECT") }
+      // `(SELECT …)` or a parenthesized union `((SELECT …) UNION …)`
+      t.substring(s + 1, e).trim.toUpperCase
+        .dropWhile(ch => ch == '(' || ch == ' ').startsWith("SELECT") }
     if (selGroups.isEmpty) return None
     if (selGroups.length == 1 && selGroups.head._1 == 0 &&
         t.substring(selGroups.head._2 + 1).trim
@@ -1773,8 +1855,26 @@ object GraftSql {
   }
 
   private def single(spark: SparkSession, resolve0: String => DataFrame,
-      sql: String, tsCol: String, perSecond: Long): DataFrame = {
+      sql0: String, tsCol: String, perSecond: Long): DataFrame = {
     var resolve: String => DataFrame = resolve0
+    // a UNION branch may arrive fully parenthesized
+    // (`(SELECT …) UNION (SELECT …)`): unwrap before clause parsing
+    var sql = sql0.trim
+    while (sql.startsWith("(") && {
+        var depth = 0; var inStr = false; var close = -1; var i = 0
+        while (close < 0 && i < sql.length) {
+          val ch = sql(i)
+          if (inStr) { if (ch == '\'') inStr = false }
+          else ch match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        close == sql.length - 1
+      }) sql = sql.substring(1, sql.length - 1).trim
     def dur(t: String): Long = durNative(t, perSecond)
     // _rowts (builtins.c pseudo-column family): the row's primary ts
     val sqlR = sql.replaceAll(
@@ -1812,6 +1912,9 @@ object GraftSql {
         c = c.updated("FROM", nf)
         resolve = r2
       }
+    // 3+-table join chains delegate whole statements to Spark SQL
+    chainedJoinSql(spark, resolve, c, tsCol, perSecond)
+      .foreach(return _)
     // comma-join (sql.y table_reference_list): FROM t1 [a], t2 [b]
     // WHERE a.k = b.k … — the classic inner-join spelling. Rewritten
     // to JOIN … ON by hoisting the cross-table equality conjuncts out
@@ -1839,6 +1942,12 @@ object GraftSql {
             (q2.contains(al) && q1.contains(bl))
         case _ => false
       }
+      if (joinConds.isEmpty)
+        // non-plain join condition (`t1.ts = timetruncate(t2.ts, 1a)`):
+        // delegate the whole statement to Spark SQL over temp views
+        chainedJoinSql(spark, resolve, c, tsCol, perSecond,
+            force = true)
+          .foreach(return _)
       require(joinConds.nonEmpty,
         s"comma-join needs a cross-table equality in WHERE: ${c("FROM")}")
       c = c.updated("FROM", s"${fromParts(0).trim} JOIN " +
@@ -1894,7 +2003,22 @@ object GraftSql {
           })
       }
       c = c.map { case (k, v) =>
-        if (k == "FROM") (k, v) else (k, rw(v)) }
+        if (k == "FROM") (k, v)
+        else if (k == "SELECT")
+          // a bare `q.c` item keeps `c` as its OUTPUT name (the
+          // reference labels by column, not by the rewritten r_ name)
+          (k, splitArgs(v).map { item =>
+            val t = item.trim
+            val qRef = "^([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)$".r
+            t match {
+              case qRef(q, cc)
+                  if lq.contains(q.toLowerCase) ||
+                    rq.contains(q.toLowerCase) =>
+                s"${rw(t)} AS $cc"
+              case _ => rw(item)
+            }
+          }.mkString(", "))
+        else (k, rw(v)) }
     }
     // a window clause under a plain row projection (test_session.py:
     // `SELECT * FROM dev_001 SESSION(ts,1w)` returns the raw rows) has
@@ -2321,8 +2445,22 @@ object GraftSql {
               args.lift(2).exists(_.trim == "1")) ignoreNeg += a
         }
       }
-      var res = df.select(selectItems.map { case (e, a) =>
-        expr(rewriteSeries(e)).as(a) }: _*)
+      // window items compute via withColumn, NOT in the same select as
+      // a bare `c1` item — Spark's lateral-column-alias rule would
+      // otherwise resolve the OVER's partition key against the alias
+      // (`SELECT c1, csum(c1) … PARTITION BY c1` failed before)
+      var work = df
+      val finalItems = selectItems.zipWithIndex.map { case ((e, a), i) =>
+        val r = rewriteSeries(e)
+        if (r == e) (e, a)
+        else {
+          val tmp = s"_sr$i"
+          work = work.withColumn(tmp, expr(r))
+          (tmp, a)
+        }
+      }
+      var res = work.select(finalItems.map { case (e, a) =>
+        expr(e).as(a) }: _*)
       // ignore_negative=1 drops the negative-slope ROWS (first-row
       // null kept — the engine's diff-family convention)
       ignoreNeg.result().foreach(a =>
