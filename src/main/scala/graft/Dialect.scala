@@ -831,6 +831,21 @@ object Dialect {
         """SELECT ts, user_id, derivative(value, 1s, 1) AS dv
            FROM events PARTITION BY user_id ORDER BY user_id, ts""")
     },
+    // star select under PARTITION BY: rows pass through, LIMIT caps
+    // rows PER SHARD in ts order (20-select.md:141)
+    "dialect_partition_star_limit" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT * FROM events PARTITION BY user_id LIMIT 2
+           ORDER BY user_id, event_id""")
+    },
+    // COUNT_WINDOW(n, sliding) text form: overlapping row windows
+    // every `sliding` rows
+    "dialect_count_window_sliding" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _wstart, _wend, count(*) AS n FROM events
+           PARTITION BY user_id COUNT_WINDOW(50, 25)
+           ORDER BY user_id, _wstart, _wend""")
+    },
     // chained 3-table join (TPC-H-shaped reference tests): whole
     // statement delegates to Spark SQL over temp views
     "dialect_chain_join" -> { (s, dir) =>
@@ -1765,6 +1780,23 @@ object Dialect {
            FROM events WINDOW o AS (PARTITION BY user_id ORDER BY ts))
          SELECT ts2 AS ts, user_id, dv FROM w
          WHERE dv IS NULL OR dv >= 0 ORDER BY user_id, ts""",
+    "dialect_partition_star_limit" ->
+      """WITH r AS (SELECT *, row_number() OVER
+             (PARTITION BY user_id ORDER BY ts) AS rn FROM events)
+         SELECT epoch_us(ts) AS ts, event_id, user_id, event_type,
+           value, props
+         FROM r WHERE rn <= 2 ORDER BY user_id, event_id""",
+    "dialect_count_window_sliding" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM events),
+        e AS (SELECT user_id, t, unnest(range(
+            CASE WHEN rn <= 50 THEN 0 ELSE (rn - 50 + 24) // 25 END,
+            (rn - 1) // 25 + 1)) AS wid FROM t)
+        SELECT user_id, min(t) AS _wstart, max(t) AS _wend,
+          count(*) AS n
+        FROM e GROUP BY user_id, wid
+        ORDER BY user_id, _wstart, _wend""",
     "dialect_chain_join" ->
       """SELECT a.event_id AS id, b.value AS v2, c.value AS v3
          FROM events a JOIN events b ON a.event_id = b.event_id

@@ -2760,8 +2760,29 @@ object GraftSql {
       groupKeys = partCols :+ "_wgrp"
       pseudo = qPseudo ++ Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
     } else if (c.contains("COUNT_WINDOW")) {
-      val n = stripOuterParens(c("COUNT_WINDOW")).trim.toInt
-      df = TimeOps.countWindows(df, n, col(tsCol), partCols.map(col))
+      // COUNT_WINDOW(n[, sliding][, col1, col2 …]) (sql.y:2893): an
+      // integer second arg is the row-slide; trailing column args
+      // restrict counted rows to those with any col non-null
+      val args = splitArgs(stripOuterParens(c("COUNT_WINDOW")))
+        .map(_.trim)
+      val n = args.head.toInt
+      val slide = args.lift(1).filter(_.matches("\\d+")).map(_.toInt)
+      val colArgs = args.drop(if (slide.isDefined) 2 else 1)
+      df =
+        if (colArgs.nonEmpty) {
+          require(slide.forall(_ == n),
+            "COUNT_WINDOW with both sliding and cols is unsupported")
+          TimeOps.countWindowsCols(df, n, col(tsCol),
+            partCols.map(col), colArgs.map(a => expr(a)))
+        } else slide match {
+          case Some(s) if s != n =>
+            require(s >= 1 && s <= n,
+              s"COUNT_WINDOW sliding must be in [1, $n], got $s")
+            TimeOps.slidingCountWindows(df, n, s, col(tsCol),
+              partCols.map(col))
+          case _ =>
+            TimeOps.countWindows(df, n, col(tsCol), partCols.map(col))
+        }
       groupKeys = partCols :+ "_wid"
       pseudo = qPseudo ++ Map("_wstart" -> s"min($tsCol)", "_wend" -> s"max($tsCol)")
     } else if (c.contains("EVENT_WINDOW")) {
@@ -2878,7 +2899,14 @@ object GraftSql {
         def isKey(e: String) = groupKeys.exists(_.equalsIgnoreCase(e))
         val keyItems = selectItems.filter { case (e, _) => isKey(e) }
         val aggItems = selectItems.filterNot { case (e, _) => isKey(e) }
-        if (aggItems.isEmpty && groupKeys.forall(!_.startsWith("_"))) {
+        // plain columns / `*` under bare PARTITION BY also pass rows
+        // through (test_partition.py `SELECT * FROM meters PARTITION
+        // BY c1`) — partitions only scope SLIMIT / per-shard LIMIT
+        val plainRows = !c.contains("GROUP BY") &&
+          selectItems.forall { case (e, _) =>
+            e.trim == "*" || df.columns.exists(_.equalsIgnoreCase(e.trim)) }
+        if ((aggItems.isEmpty || plainRows) &&
+            groupKeys.forall(!_.startsWith("_"))) {
           // key-only select list (test_partition.py `SELECT c1 FROM
           // meters PARTITION BY c1 SLIMIT 2`): GROUP BY collapses to
           // one row per group; PARTITION BY passes the rows through —
@@ -2890,9 +2918,16 @@ object GraftSql {
                 if (e != a) g = g.withColumnRenamed(e, a) }
               g.select(selectItems.map { case (_, a) => col(a) }: _*)
             } else df.select(selectItems.map {
+              case ("*", _) => col("*")
               case (e, a) => expr(rewritten(e)).as(a) }: _*)
           var res2 = proj
           c.get("HAVING").foreach(h => res2 = res2.filter(expr(h)))
+          // the partition keys as they appear in the output (via `*`
+          // every key column survives) — the SLIMIT slice identity and
+          // the per-shard LIMIT partition
+          val sliceKeys =
+            if (selectItems.exists(_._1.trim == "*")) groupKeys
+            else selectItems.collect { case (e, a) if isKey(e) => a }
           c.get("SLIMIT").foreach { raw =>
             val (sOff, sN) = splitArgs(raw) match {
               case Seq(o, n) => (o.trim.toInt, n.trim.toInt)
@@ -2901,8 +2936,6 @@ object GraftSql {
               case other =>
                 throw new IllegalArgumentException(s"bad SLIMIT: $other")
             }
-            val sliceKeys = selectItems.collect {
-              case (e, a) if isKey(e) => a }
             require(sliceKeys.nonEmpty, "SLIMIT needs the partition " +
               "key in the select list here")
             val slices = res2.select(sliceKeys.map(col): _*).distinct()
@@ -2912,16 +2945,19 @@ object GraftSql {
           c.get("ORDER BY").foreach(o => res2 = res2.orderBy(orderCols(o,
             positional = res2.columns.toSeq): _*))
           c.get("LIMIT").foreach { nRaw =>
-            if (partCols.nonEmpty && !c.contains("GROUP BY")) {
+            if (partCols.nonEmpty && !c.contains("GROUP BY") &&
+                sliceKeys.nonEmpty) {
               // LIMIT under PARTITION BY caps rows PER SHARD
-              // (20-select.md:141); all output columns are keys here,
-              // so shard rows are identical — rank within the key
-              // tuple
+              // (20-select.md:141); rank within the shard, ts-ordered
+              // when the row stream carries ts
               val (nLim, commaOff) = limitParts(nRaw)
               val off = commaOff
                 .orElse(c.get("OFFSET").map(_.trim.toInt)).getOrElse(0)
-              val w = Window.partitionBy(res2.columns.map(col): _*)
-                .orderBy(res2.columns.map(col): _*)
+              val ord =
+                if (res2.columns.contains(tsCol)) Seq(col(tsCol))
+                else res2.columns.toSeq.map(col)
+              val w = Window.partitionBy(sliceKeys.map(col): _*)
+                .orderBy(ord: _*)
               res2 = res2.withColumn("_srn", row_number().over(w))
                 .filter(col("_srn") > off && col("_srn") <= off + nLim)
                 .drop("_srn")
