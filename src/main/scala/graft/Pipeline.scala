@@ -245,6 +245,15 @@ object Pipeline {
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(50)
     },
+    // ---- document chunking: fixed-size overlapping character
+    //      windows with provenance (context-window corpus prep) ----
+    "pipeline_chunk_docs" -> { (s, dir) =>
+      TextOps.chunkDocs(docs(s, dir).select("doc_id", "text"),
+          "text", 256, 64)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+          length(col("chunk_text")).as("n_chunk_chars"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
     // ---- end-to-end corpus cleaning: langid -> quality -> exact
     //      dedup -> near-dup removal; emits the surviving doc ids ----
     "pipeline_clean_corpus" -> { (s, dir) =>
@@ -652,6 +661,18 @@ object Pipeline {
             FROM documents)
           SELECT word, count(*) AS cnt FROM w
           GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""",
+    "pipeline_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+             FROM documents),
+         c AS (SELECT doc_id, text, unnest(range(0,
+             greatest(1, (len - 64 + 191) // 192))) AS chunk_id
+           FROM d)
+         SELECT doc_id, chunk_id,
+           substr(text, CAST(chunk_id * 192 + 1 AS INT), 256)
+             AS chunk_text,
+           length(substr(text, CAST(chunk_id * 192 + 1 AS INT), 256))
+             AS n_chunk_chars
+         FROM c ORDER BY doc_id, chunk_id""",
     // same md5-derived 48 bits as TextOps.simhash: nibble 12 - b/4 of the
     // hex digest holds bit b, extracted arithmetically (no engine-specific
     // bit ops), so DuckDB reproduces the fingerprint exactly

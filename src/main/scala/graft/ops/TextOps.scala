@@ -15,6 +15,30 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Fixed-size character chunking with overlap (training-data prep:
+    * context-window corpora feed on uniform chunks; `doc_id` + the
+    * chunk index keep provenance). Chunk i covers
+    * [i·step, i·step + size) with step = size − overlap;
+    * nChunks = max(1, ⌈(len − overlap) / step⌉), so the tail is
+    * always covered and a short document yields exactly one chunk.
+    * Pure per-row explode — shuffle-free, codegen'd, linear at any
+    * corpus scale; chunk width bounds per-row memory.
+    * Appends `chunk_id` (LONG) and `chunk_text`. */
+  def chunkDocs(df: DataFrame, textCol: String, size: Int,
+      overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"chunkDocs needs size > overlap >= 0, got ($size, $overlap)")
+    val step = size - overlap
+    val starts = s"sequence(0L, greatest(1L, " +
+      s"CAST(length($textCol) - $overlap + ${step - 1} AS BIGINT) " +
+      s"DIV $step) - 1L)"
+    df.select(col("*"), posexplode(expr(
+        s"transform($starts, i -> " +
+          s"substring($textCol, CAST(i * $step AS INT) + 1, $size))"))
+      .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("chunk_id", col("chunk_id").cast(LongType))
+  }
+
   def words(text: Column): Column = split(normalize(text), " ")
 
   /** Word k-shingles (distinct), the dedup unit. Built by zipping k

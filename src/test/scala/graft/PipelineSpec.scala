@@ -11,6 +11,40 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val docs = Tables(spark, sf, "documents")
   private lazy val emb = Tables(spark, sf, "embeddings")
 
+  test("chunkDocs: full coverage, exact overlap, tail preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a" * 1000), // multi-chunk
+      (2L, "b" * 256),  // exactly one chunk
+      (3L, "c" * 10),   // shorter than overlap
+      (4L, ""),         // empty
+      (5L, "d" * 257)   // one char past a chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, "text", 256, 64)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(_.getString(2)).toSeq }
+    val texts = Map(1L -> "a" * 1000, 2L -> "b" * 256, 3L -> "c" * 10,
+      4L -> "", 5L -> "d" * 257)
+    texts.foreach { case (id, t) =>
+      val chunks = out(id)
+      // reconstruction: first chunk + each later chunk minus overlap
+      val rebuilt = chunks.head +
+        chunks.tail.map(_.drop(64)).mkString
+      assert(rebuilt == t, s"doc $id reconstruction")
+      // every chunk but the last is full-width
+      chunks.dropRight(1).foreach(c => assert(c.length == 256))
+      // consecutive chunks share exactly `overlap` characters
+      chunks.sliding(2).foreach {
+        case Seq(a, b) => assert(a.takeRight(64) == b.take(64))
+        case _ =>
+      }
+    }
+    assert(out(2L).length == 1 && out(4L).length == 1 &&
+      out(5L).length == 2)
+  }
+
   test("minhash LSH finds every exact-jaccard pair >= 0.9") {
     val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .select("id_a", "id_b").collect()
