@@ -831,6 +831,23 @@ object Dialect {
         """SELECT ts, user_id, derivative(value, 1s, 1) AS dv
            FROM events PARTITION BY user_id ORDER BY user_id, ts""")
     },
+    // OVER windows next to bare columns (docs 10-function.md example
+    // shape): the window must not resolve against the projected alias
+    "dialect_over_bare_cols" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, value, row_number() OVER
+             (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+           FROM events WHERE user_id <= 2 ORDER BY user_id, rn""")
+    },
+    // FORECAST with no start=/every= (the documented default): cadence
+    // inferred from the series — every = mean spacing floored to whole
+    // seconds, start = last ts + every
+    "dialect_forecast_default" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _frowts, ROUND(FORECAST(value, 'algo=linear'), 6)
+             AS fc
+           FROM events WHERE user_id = 2 ORDER BY _frowts""")
+    },
     // star select under PARTITION BY: rows pass through, LIMIT caps
     // rows PER SHARD in ts order (20-select.md:141)
     "dialect_partition_star_limit" -> { (s, dir) =>
@@ -1780,6 +1797,43 @@ object Dialect {
            FROM events WINDOW o AS (PARTITION BY user_id ORDER BY ts))
          SELECT ts2 AS ts, user_id, dv FROM w
          WHERE dv IS NULL OR dv >= 0 ORDER BY user_id, ts""",
+    "dialect_over_bare_cols" ->
+      """SELECT user_id, value, row_number() OVER
+           (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+         FROM events WHERE user_id <= 2 ORDER BY user_id, rn""",
+    "dialect_forecast_default" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tsu, value FROM events
+             WHERE user_id = 2),
+         c AS (SELECT min(tsu) AS mn, max(tsu) AS mx, count(*) AS n
+           FROM e),
+         c2 AS (SELECT mx,
+             greatest(1000000, ((mx - mn) // (n - 1)) -
+               (((mx - mn) // (n - 1)) % 1000000)) AS ev
+           FROM c),
+         c3 AS (SELECT mx + ev AS t0, ev // 1000000 AS step FROM c2),
+         xm AS (SELECT tsu - (SELECT t0 FROM c3) AS d, value FROM e),
+         -- FLOOR division (x is negative here; DuckDB // truncates
+         -- toward zero, the engine's floorDiv floors)
+         x AS (SELECT
+             (d - (((d % 1000000) + 1000000) % 1000000)) // 1000000
+               AS x, value
+           FROM xm),
+         st AS (SELECT count(*) AS n, max(x) AS xmax,
+             CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) *
+               CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) *
+               CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           FROM x),
+         p AS (SELECT *, (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b
+           FROM st),
+         q AS (SELECT *, (sy - b*sx) / n AS a FROM p),
+         f AS (SELECT a, b, xmax, unnest(range(1, 11)) AS j FROM q)
+         SELECT (SELECT t0 FROM c3) +
+             (xmax + j * (SELECT step FROM c3)) * 1000000 AS _frowts,
+           round(a + b * (xmax + j * (SELECT step FROM c3)), 6) AS fc
+         FROM f ORDER BY _frowts""",
     "dialect_partition_star_limit" ->
       """WITH r AS (SELECT *, row_number() OVER
              (PARTITION BY user_id ORDER BY ts) AS rn FROM events)

@@ -979,26 +979,56 @@ object GraftSql {
     val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
       .map(_.trim)
     val rows = om.getOrElse("rows", "10").toInt
-    val every = durNative(om.getOrElse("every", "1d"), perSecond)
-    val start = om.get("start").map(_.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        "FORECAST needs start=<native ticks> in its option string"))
+    // start/every omitted (the documented default — fc infers the
+    // cadence from the series): every = the series' mean tick spacing
+    // (span / (n-1), deterministic), start = last ts + every. Keyed
+    // forecasts must spell them out — per-key cadences differ.
+    val inferred: Option[(Long, Long)] =
+      if (om.contains("start")) None
+      else {
+        require(partCols.isEmpty,
+          "FORECAST with PARTITION BY needs explicit start=/every= " +
+            "(per-key cadences differ)")
+        val r = df.agg(min(col(tsCol)).cast("long"),
+          max(col(tsCol)).cast("long"), count(lit(1))).head
+        require(!r.isNullAt(0) && r.getLong(2) >= 2,
+          "FORECAST needs >= 2 rows to infer start/every")
+        // mean spacing, floored to whole seconds (the forecast grid
+        // contract) — deterministic for any input
+        val raw = math.max(1L,
+          (r.getLong(1) - r.getLong(0)) / (r.getLong(2) - 1))
+        val ev = math.max(perSecond, raw - raw % perSecond)
+        Some((r.getLong(1) + ev, ev))
+      }
+    val every = om.get("every").map(durNative(_, perSecond))
+      .orElse(inferred.map(_._2))
+      .getOrElse(durNative("1d", perSecond))
+    val start = om.get("start").map(_.toLong)
+      .orElse(inferred.map(_._1)).get
     // tiebreak=col1;col2 orders duplicate timestamps inside a series
     // deterministically — without it the sequential Holt fold's result
     // depends on shuffle arrival order when ts ties exist
     val tieBreak = om.get("tiebreak").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
-    val out = om.getOrElse("algo", "linear") match {
+    // a keyless holt/arima forecast is ONE series: a constant key
+    // satisfies the per-key fold, then drops from the output
+    val algo = om.getOrElse("algo", "linear")
+    val (dfF, keysF, synthKey) =
+      if (partCols.isEmpty && (algo == "holtwinters" || algo == "arima"))
+        (df.withColumn("_fg", lit(1)), Seq("_fg"), true)
+      else (df, partCols, false)
+    val out0 = algo match {
       case "holtwinters" => graft.ops.AnalyticsOps.forecastHolt(
-        df, col(tsCol), valueCol, partCols, rows, every, start,
+        dfF, col(tsCol), valueCol, keysF, rows, every, start,
         tieBreak = tieBreak)
       case "arima" => graft.ops.AnalyticsOps.forecastAr1(
-        df, col(tsCol), valueCol, partCols, rows, every, start)
+        dfF, col(tsCol), valueCol, keysF, rows, every, start)
       case "linear" => graft.ops.AnalyticsOps.forecast(
         df, col(tsCol), valueCol, partCols, rows, every, start)
       case other =>
         throw new IllegalArgumentException(s"unknown forecast algo: $other")
     }
+    val out = if (synthKey) out0.drop("_fg") else out0
     // project: the FORECAST span collapses to the op's output column
     val sel2 = sel.substring(0, m.start) + "forecast" +
       sel.substring(close + 1)
@@ -2890,7 +2920,27 @@ object GraftSql {
           } else selectItems.map {
             case ("*", _) => col("*")
             case (e, a) => expr(rewritten(e)).as(a) }
-        val proj = df.select(cols: _*)
+        // OVER items compute via withColumn: a bare `voltage` item
+        // followed by `rank() OVER (ORDER BY voltage)` would otherwise
+        // hit Spark's lateral-column-alias restriction (the window
+        // would resolve `voltage` against the projected alias)
+        val hasOver = selectItems.exists { case (e, _) =>
+          "(?i)\\bOVER\\b".r.findFirstIn(e).isDefined }
+        val proj =
+          if (hasOver && anchors.isEmpty) {
+            var work = df
+            val colSeqs = selectItems.zipWithIndex.map {
+              case (("*", _), _) => df.columns.toSeq.map(col)
+              case ((e, a), i) =>
+                val r = rewritten(e)
+                if ("(?i)\\bOVER\\b".r.findFirstIn(r).isDefined) {
+                  val tmp = s"_ov$i"
+                  work = work.withColumn(tmp, expr(r))
+                  Seq(col(tmp).as(a))
+                } else Seq(expr(r).as(a))
+            }
+            work.select(colSeqs.flatten: _*)
+          } else df.select(cols: _*)
         if (isDistinct) proj.distinct() else proj
       } else {
         // identifier matching is case-insensitive (unquoted identifiers
