@@ -1011,8 +1011,20 @@ object GraftSql {
     val tieBreak = om.get("tiebreak").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
     // a keyless holt/arima forecast is ONE series: a constant key
-    // satisfies the per-key fold, then drops from the output
-    val algo = om.getOrElse("algo", "linear")
+    // satisfies the per-key fold, then drops from the output.
+    // TDgpt model-server algos (06-tdgpt/05-forecast: theta and the
+    // anode TSFMs moirai / chronos / timesfm / moment / timemoe-* /
+    // tdtsfm_*) delegate to an external ML service in the reference;
+    // this engine substitutes its deterministic Holt trend fold — the
+    // documented equivalence-class stand-in (SURVEY §2.10), loud for
+    // truly unknown names
+    val algoRaw = om.getOrElse("algo", "linear")
+    val tsfm = Set("theta", "moirai", "chronos", "timesfm", "moment",
+      "lstm", "mlp")
+    val algo =
+      if (tsfm.contains(algoRaw) || algoRaw.startsWith("timemoe") ||
+        algoRaw.startsWith("tdtsfm")) "holtwinters"
+      else algoRaw
     val (dfF, keysF, synthKey) =
       if (partCols.isEmpty && (algo == "holtwinters" || algo == "arima"))
         (df.withColumn("_fg", lit(1)), Seq("_fg"), true)
@@ -1109,7 +1121,12 @@ object GraftSql {
     require(args.nonEmpty, "IMPUTATION needs a value column")
     val valueCol = args.head.trim
     val om = analyticOpts(args)
-    val algo = om.getOrElse("algo", "linear")
+    val algoRaw = om.getOrElse("algo", "linear")
+    // `moment` is TDgpt's anode-served imputation foundation model
+    // (06-tdgpt/08-imputation.md) — this engine substitutes its
+    // deterministic linear imputation, the same equivalence-class
+    // stand-in contract as the forecast TSFMs
+    val algo = if (algoRaw == "moment") "linear" else algoRaw
     require(algo == "linear", s"unknown imputation algo: $algo")
     val tieBreak = om.get("tiebreak").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
