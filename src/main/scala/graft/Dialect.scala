@@ -831,6 +831,15 @@ object Dialect {
         """SELECT ts, user_id, derivative(value, 1s, 1) AS dv
            FROM events PARTITION BY user_id ORDER BY user_id, ts""")
     },
+    // ORDER BY a partition key that is NOT in the select list
+    // (pervasive in the reference suite: `… PARTITION BY tbname …
+    // ORDER BY tbname`): the key rides hidden through the projection
+    "dialect_order_hidden_key" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart, count(*) AS n FROM events
+           PARTITION BY user_id INTERVAL(1d)
+           ORDER BY user_id, _wstart""")
+    },
     // OVER windows next to bare columns (docs 10-function.md example
     // shape): the window must not resolve against the projected alias
     "dialect_over_bare_cols" -> { (s, dir) =>
@@ -1797,6 +1806,12 @@ object Dialect {
            FROM events WINDOW o AS (PARTITION BY user_id ORDER BY ts))
          SELECT ts2 AS ts, user_id, dv FROM w
          WHERE dv IS NULL OR dv >= 0 ORDER BY user_id, ts""",
+    "dialect_order_hidden_key" ->
+      """WITH b AS (SELECT user_id,
+             epoch_us(ts) - epoch_us(ts) % 86400000000 AS ws
+           FROM events)
+         SELECT ws AS _wstart, count(*) AS n FROM b
+         GROUP BY user_id, ws ORDER BY user_id, ws""",
     "dialect_over_bare_cols" ->
       """SELECT user_id, value, row_number() OVER
            (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn

@@ -2904,6 +2904,7 @@ object GraftSql {
       }
       rewriteFuncs(r, tsCol, perSecond)
     }
+    var hiddenKeys: Seq[String] = Nil
     val out: DataFrame =
       if (!isAgg) {
         // selection functions accompanied by bare columns
@@ -3046,10 +3047,19 @@ object GraftSql {
         havingAgg.foreach(_ => g = g.filter(col("__having")))
         trueFor.foreach(_ => g = g.filter(col("__truefor")))
         // expose key aliases, then project to the select list (drops
-        // internal group ids like _session/_wid and __having)
+        // internal group ids like _session/_wid and __having) — but
+        // RETAIN unselected plain group keys: the reference lets
+        // ORDER BY / SLIMIT name a partition key that is not in the
+        // select list (`SELECT _wstart, count(*) … PARTITION BY
+        // tbname … ORDER BY tbname`); they drop again after the tail
+        // clauses have sorted/sliced
         keyItems.foreach { case (e, a) =>
           if (e != a) g = g.withColumnRenamed(e, a) }
-        g.select(selectItems.map { case (_, a) => col(a) }: _*)
+        hiddenKeys = groupKeys.filter(k => !k.startsWith("_") &&
+          !selectItems.exists { case (_, a) => a.equalsIgnoreCase(k) } &&
+          g.columns.contains(k))
+        g.select((selectItems.map { case (_, a) => col(a) } ++
+          hiddenKeys.map(col)): _*)
       }
 
     var res = out
@@ -3175,6 +3185,9 @@ object GraftSql {
         res = res.limit(nLim)
       }
     }
+    // retained-but-unselected group keys leave the output now that
+    // ORDER BY / SLIMIT / per-slice LIMIT have used them
+    if (hiddenKeys.nonEmpty) res = res.drop(hiddenKeys: _*)
     res
   }
 }
