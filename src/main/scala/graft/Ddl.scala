@@ -176,6 +176,23 @@ object Ddl {
           col("v").cast("double").as("v"))
         .orderBy(col("ts"))
     },
+    // db-qualified SHOW listings (SHOW db.STABLES scoped to the named
+    // db), the xnode admin surface with WHERE, and VTABLE VALIDATE
+    "ddl_show_scoped_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE DATABASE scdb")
+      cat.exec("USE scdb")
+      cat.exec(
+        "CREATE STABLE sc_meters (ts TIMESTAMP, v DOUBLE) TAGS (t1 INT)")
+      cat.exec("CREATE TABLE sc_d0 USING sc_meters TAGS (1)")
+      cat.exec("CREATE TABLE sc_d1 USING sc_meters TAGS (2)")
+      cat.exec("USE graftdb")
+      val st = cat.sql("SHOW scdb.STABLES")
+        .select(col("stable_name"), col("db_name"), col("child_tables"))
+      val xn = cat.sql("SHOW XNODES WHERE update_time <= now()")
+        .agg(count(lit(1)).as("n_xnodes"))
+      st.crossJoin(xn).orderBy("stable_name")
+    },
     // CREATE VIEW: saved dialect query, re-planned per read
     "ddl_view_gate" -> { (s, dir) =>
       val cat = demo(s, dir)
@@ -520,6 +537,9 @@ object Ddl {
            ('db_topic', 'graftdb', 'DATABASE graftdb'),
            ('nat_topic', 'graftdb', 'SELECT ts, v FROM nat'))
          AS t(topic_name, db_name, subject) ORDER BY topic_name""",
+    "ddl_show_scoped_gate" ->
+      """SELECT 'sc_meters' AS stable_name, 'scdb' AS db_name,
+           2 AS child_tables, CAST(0 AS BIGINT) AS n_xnodes""",
     "ddl_roundtrip_gate" ->
       s"""SELECT 'nat_' || n_nationkey AS tbname, n_name, n_regionkey,
             $T0 + n_nationkey * $H AS ts, n_nationkey * 1.5 AS v

@@ -1847,6 +1847,42 @@ class GraftCatalog(val spark: SparkSession) {
       (a.id, "anomaly-detection", "zscore")))
       .toDF("id", "type", "algo")
 
+  /** information_schema ins_xnodes / ins_xnode_tasks /
+    * ins_xnode_agents / ins_xnode_jobs (systable.h:34-38): the xnode
+    * (taosx data-mover) admin surfaces. This engine runs no xnode
+    * registry, so the listings are empty with the reference schemas;
+    * SHOW XNODE … WHERE conditions filter with full expression
+    * support (vacuously). Timestamps are epoch-tick BIGINTs, the
+    * catalog's convention. */
+  def insXnodes: DataFrame =
+    Seq.empty[(Int, String, String, Long, Long)]
+      .toDF("id", "url", "status", "create_time", "update_time")
+
+  def insXnodeTasks: DataFrame =
+    Seq.empty[(Int, String, String, String, String, Int, Int, String,
+        String, String, String, Long, Long)]
+      .toDF("id", "name", "from", "to", "parser", "via", "xnode_id",
+        "status", "reason", "created_by", "labels", "create_time",
+        "update_time")
+
+  def insXnodeAgents: DataFrame =
+    Seq.empty[(Int, String, String, String, Long, Long)]
+      .toDF("id", "name", "token", "status", "create_time",
+        "update_time")
+
+  def insXnodeJobs: DataFrame =
+    Seq.empty[(Int, Int, String, Int, Int, String)]
+      .toDF("id", "task_id", "config", "via", "xnode_id", "status")
+
+  /** information_schema.ins_external_sources (systable.h
+    * TSDB_INS_TABLE_EXT_SOURCES): registered federated sources —
+    * none by default. */
+  def insExtSources: DataFrame =
+    Seq.empty[(String, String, String, Int, String, String, String,
+        String, String, Long)]
+      .toDF("source_name", "type", "host", "port", "user", "password",
+        "database", "schema", "options", "create_time")
+
   /** information_schema.ins_functions (systable.h; SHOW FUNCTIONS
     * sql.y:1374). */
   def insFunctions: DataFrame =
@@ -1918,6 +1954,31 @@ class GraftCatalog(val spark: SparkSession) {
   def sql(stmt0: String): DataFrame = {
     val stmt = normalizeWs(stmt0).trim.stripSuffix(";").trim
     val up = stmt.toUpperCase
+    // db-qualified SHOW lists (`SHOW d0.STABLES`, `SHOW NORMAL
+    // db.VTABLES` — sql.y db_name_cond_opt): run the unqualified form
+    // under a temporary USE of the named database
+    val dbShow = ("(?i)^SHOW ((?:NORMAL |CHILD )?)([A-Za-z_]\\w*)\\." +
+      "(TABLES|STABLES|STREAMS|TOPICS|TSMAS|RSMAS|VTABLES|VGROUPS|" +
+      "VIEWS|RETENTIONS)((?: .*)?)$").r
+    dbShow.findFirstMatchIn(stmt).foreach { m =>
+      val db = m.group(2).toLowerCase
+      require(databases.contains(db), s"database not found: $db")
+      val saved = currentDb
+      currentDb = db
+      // NORMAL/CHILD prefixes only refine TABLES listings; on the
+      // other kinds they are vacuous qualifiers (a vtable/stable IS
+      // its kind) — drop them rather than fail the statement
+      val pre = if (m.group(3).equalsIgnoreCase("TABLES")) m.group(1)
+        else ""
+      try {
+        val out = sql(s"SHOW $pre${m.group(3)}${m.group(4)}")
+        // listings that carry a db_name column scope to the named db
+        return if (out.columns.contains("db_name"))
+          out.filter(org.apache.spark.sql.functions.col("db_name")
+            === db)
+        else out
+      } finally currentDb = saved
+    }
     if (up.startsWith("SELECT")) {
       // `SELECT … >> export_file` (sql grammar 20-select.md:20,1010):
       // run the query and dump the result as a headered CSV, returning
@@ -2181,6 +2242,48 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW LICENCES")) sql("SHOW GRANTS")
     else if (up.startsWith("SHOW ANODES FULL")) insAnodesFull
     else if (up.startsWith("SHOW ANODES")) insAnodes
+    // SHOW XNODES / XNODE {TASKS|AGENTS|JOBS} [WHERE cond]
+    // (sql.y:791-795); SHOW EXTERNAL SOURCES (sql.y:3182)
+    else if (up.startsWith("SHOW XNODE") ||
+        up.startsWith("SHOW EXTERNAL SOURCES")) {
+      val m = ("(?i)^SHOW (XNODES|XNODE TASKS|XNODE AGENTS|" +
+        "XNODE JOBS|EXTERNAL SOURCES)(?:\\s+WHERE\\s+(.+))?$").r
+      stmt match {
+        case m(kind, cond) =>
+          val base = kind.toUpperCase match {
+            case "XNODES" => insXnodes
+            case "XNODE TASKS" => insXnodeTasks
+            case "XNODE AGENTS" => insXnodeAgents
+            case "XNODE JOBS" => insXnodeJobs
+            case _ => insExtSources
+          }
+          Option(cond).map(w => base.filter(
+              org.apache.spark.sql.functions.expr(
+                GraftSql.rewriteTimeScalars(w))))
+            .getOrElse(base)
+        case _ => throw new IllegalArgumentException(
+          s"unsupported statement: $stmt")
+      }
+    }
+    // NORMAL/CHILD qualifiers are vacuous on non-TABLES kinds
+    else if ("(?i)^SHOW (NORMAL|CHILD) (VTABLES|STABLES)\\b.*$".r
+        .matches(stmt))
+      sql(stmt.replaceAll("(?i)^SHOW (NORMAL|CHILD) ", "SHOW "))
+    // SHOW VTABLE VALIDATE FOR tbl (sql.y:1434): one row per column
+    // reference, valid iff the origin table still carries the column
+    else if (up.startsWith("SHOW VTABLE VALIDATE FOR ")) {
+      val name = bare(
+        stmt.substring("SHOW VTABLE VALIDATE FOR ".length).trim)
+      val v = vtableDefs.getOrElse(name,
+        throw new IllegalArgumentException(s"vtable not found: $name"))
+      v.cols.map { case (cn, _, tbl, sc) =>
+        val ok =
+          try table(tbl).columns.contains(sc)
+          catch { case _: Exception => false }
+        (v.name, cn, s"$tbl.$sc", if (ok) "valid" else "invalid")
+      }.toDF("vtable_name", "column_name", "ref", "status")
+    }
+    else if (up == "SHOW DEBUG VARIABLES") sql("SHOW VARIABLES")
     else if (up.startsWith("SHOW DNODES")) insDnodes
     else if (up.startsWith("SHOW USERS")) insUsers
     else if (up.startsWith("SHOW ROLES")) insRoles

@@ -19,6 +19,9 @@ object ProbeMain {
     val dir = "/root/testdata/sf0.001"
     val events = Tables(spark, dir, "events")
     def resolve(n: String): DataFrame = events
+    if (args.length == 2 && args(0) == "--catalog") {
+      probeCatalog(spark, args(1)); return
+    }
     if (args.nonEmpty) { probeFile(spark, resolve, args(0)); return }
     val qs = Seq(
       "select 16-6 from events",
@@ -67,6 +70,52 @@ object ProbeMain {
       }
     }
     println(s"OK $ok/${qs.size}")
+    spark.stop()
+  }
+
+  /** SHOW/DESCRIBE statements against a seeded catalog: the signal is
+    * parse-level failures, not missing-object errors. */
+  private def probeCatalog(spark: SparkSession, path: String): Unit = {
+    val cat = new graft.sql.GraftCatalog(spark)
+    // seed a plausible universe so object-named SHOWs have targets
+    Seq(
+      "CREATE DATABASE db1",
+      "USE db1",
+      "CREATE STABLE meters (ts TIMESTAMP, c1 INT, c2 DOUBLE) " +
+        "TAGS (t1 INT, location VARCHAR(24))",
+      "CREATE TABLE d0 USING meters TAGS (1, 'sj')",
+      "CREATE TABLE ntb (ts TIMESTAMP, v DOUBLE)"
+    ).foreach(cat.sql)
+    val missing = Seq("not found", "no such", "unknown", "Unknown",
+      "does not exist", "cannot be found", "Undefined", "no database",
+      "missing")
+    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    var ok = 0; var noisy = 0
+    val byShape =
+      scala.collection.mutable.Map.empty[String, (Int, String, String)]
+    lines.foreach { q =>
+      try { cat.sql(q); ok += 1 }
+      catch {
+        case e: Throwable =>
+          val m = String.valueOf(e.getMessage)
+          if (missing.exists(m.contains)) noisy += 1
+          else {
+            val shape = e.getClass.getSimpleName + ": " + m
+              .replaceAll("'[^']*'", "'_'").replaceAll("\\d+", "N")
+              .replaceAll("`[^`]*`", "`_`").take(90)
+            val (cnt, q0, _) = byShape.getOrElse(shape, (0, q, ""))
+            byShape(shape) = (cnt + 1, q0, m.take(160))
+          }
+      }
+    }
+    println(s"== probed ${lines.size}: ok=$ok missing-obj=$noisy " +
+      s"signal-fail=${lines.size - ok - noisy} ==")
+    byShape.toSeq.sortBy(-_._2._1).take(50).foreach {
+      case (shape, (cnt, exq, msg)) =>
+        println(f"$cnt%6d  $shape")
+        println(s"        e.g. ${exq.take(140)}")
+        println(s"        msg: $msg")
+    }
     spark.stop()
   }
 
