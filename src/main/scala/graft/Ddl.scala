@@ -193,6 +193,32 @@ object Ddl {
         .agg(count(lit(1)).as("n_xnodes"))
       st.crossJoin(xn).orderBy("stable_name")
     },
+    // EXTERNAL SOURCE CRUD (sql.y:3151-3190, federated-query admin):
+    // create (mysql/influx token form), IF NOT EXISTS keeps the
+    // original, ALTER patch-merges OPTIONS, drop, refresh, listing
+    // with masked secrets
+    "ddl_ext_source_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE EXTERNAL SOURCE srcm TYPE='mysql' HOST='mh' " +
+        "PORT=3306 USER='u1' PASSWORD='p1' DATABASE='d1'")
+      cat.exec("CREATE EXTERNAL SOURCE srci TYPE='influxdb' " +
+        "HOST='ih' PORT=8086 USER='admin' DATABASE='metrics' " +
+        "SCHEMA='autogen' " +
+        "OPTIONS('api_token'='tok', 'protocol'='flight_sql')")
+      cat.exec("CREATE EXTERNAL SOURCE IF NOT EXISTS srcm " +
+        "TYPE='mysql' HOST='other' PORT=9999 USER='x'")
+      cat.exec("ALTER EXTERNAL SOURCE srcm SET host='mh2' " +
+        "OPTIONS('ssl_mode'='required')")
+      cat.exec("CREATE EXTERNAL SOURCE tmp TYPE='postgresql' " +
+        "HOST='ph' PORT=5432 USER='pu' SCHEMA='public'")
+      cat.exec("DROP EXTERNAL SOURCE tmp")
+      cat.exec("REFRESH EXTERNAL SOURCE srci")
+      cat.sql("SHOW EXTERNAL SOURCES")
+        .select(col("source_name"), col("type"), col("host"),
+          col("port"), col("user"), col("password"), col("database"),
+          col("schema"), col("options"))
+        .orderBy("source_name")
+    },
     // CREATE VIEW: saved dialect query, re-planned per read
     "ddl_view_gate" -> { (s, dir) =>
       val cat = demo(s, dir)
@@ -540,6 +566,16 @@ object Ddl {
     "ddl_show_scoped_gate" ->
       """SELECT 'sc_meters' AS stable_name, 'scdb' AS db_name,
            2 AS child_tables, CAST(0 AS BIGINT) AS n_xnodes""",
+    "ddl_ext_source_gate" ->
+      """SELECT * FROM (VALUES
+           ('srci', 'influxdb', 'ih', 8086, 'admin', '********',
+            'metrics', 'autogen',
+            'api_token=********,protocol=flight_sql'),
+           ('srcm', 'mysql', 'mh2', 3306, 'u1', '********', 'd1',
+            CAST(NULL AS VARCHAR), 'ssl_mode=required'))
+         AS t(source_name, type, host, port, user, password,
+           database, schema, options)
+         ORDER BY source_name""",
     "ddl_roundtrip_gate" ->
       s"""SELECT 'nat_' || n_nationkey AS tbname, n_name, n_regionkey,
             $T0 + n_nationkey * $H AS ts, n_nationkey * 1.5 AS v

@@ -502,6 +502,28 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("DROP VTABLE")) {
       vtableDefs.remove(bare(stmt.split("\\s+").last)); ()
     }
+    else if (up.startsWith("CREATE EXTERNAL SOURCE"))
+      createExtSource(stmt)
+    else if (up.startsWith("ALTER EXTERNAL SOURCE"))
+      alterExtSource(stmt)
+    else if (up.startsWith("DROP EXTERNAL SOURCE")) {
+      val m = "(?i)^DROP EXTERNAL SOURCE (IF EXISTS )?([A-Za-z_]\\w*)$".r
+      stmt match {
+        case m(ife, n) =>
+          if (extSourceDefs.remove(n.toLowerCase).isEmpty && ife == null)
+            throw new IllegalArgumentException(
+              s"external source not found: ${n.toLowerCase}")
+        case _ => throw new IllegalArgumentException(
+          s"bad DROP EXTERNAL SOURCE: $stmt")
+      }
+    }
+    // REFRESH re-pulls remote metadata in the reference; the registry
+    // here is self-contained, so existence is the whole contract
+    else if (up.startsWith("REFRESH EXTERNAL SOURCE")) {
+      val name = bare(stmt.split("\\s+").last).toLowerCase
+      require(extSourceDefs.contains(name),
+        s"external source not found: $name")
+    }
     else if (up.startsWith("CREATE USER")) createUser(stmt)
     else if (up.startsWith("ALTER USER")) alterUser(stmt)
     // ALTER DATABASE db opts (sql.y:931): re-parse the mutable options
@@ -1874,12 +1896,112 @@ class GraftCatalog(val spark: SparkSession) {
     Seq.empty[(Int, Int, String, Int, Int, String)]
       .toDF("id", "task_id", "config", "via", "xnode_id", "status")
 
+  /** CREATE EXTERNAL SOURCE name TYPE='mysql' HOST='h' PORT=n
+    * USER='u' [PASSWORD='p'|API_TOKEN='t'] [DATABASE='d'] [SCHEMA='s']
+    * [OPTIONS('k'='v', …)] (sql.y:3151-3190, federated query DDL).
+    * `createTime` is a logical sequence number — deterministic, and
+    * monotone like the reference's wall clock. */
+  case class ExtSource(name: String, typ: String, host: String,
+      port: Int, user: String, password: Option[String],
+      apiToken: Option[String], database: Option[String],
+      schema: Option[String], options: Map[String, String],
+      createTime: Long)
+  private val extSourceDefs = mutable.LinkedHashMap[String, ExtSource]()
+  private var extSeq = 0L
+
+  /** (plain key=value fields, OPTIONS('k'='v') map) from a source
+    * clause body. */
+  private def extKvs(body: String): (Map[String, String],
+      Map[String, String]) = {
+    val optRe = "(?i)\\boptions\\s*\\(([^)]*)\\)".r
+    val opts = optRe.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+    val rest = optRe.replaceAllIn(body, " ")
+    val kv = "(?i)([A-Za-z_]+)\\s*=\\s*(?:'([^']*)'|(\\d+))".r
+    val fields = kv.findAllMatchIn(rest).map(m =>
+      m.group(1).toLowerCase ->
+        Option(m.group(2)).getOrElse(m.group(3))).toMap
+    val optMap = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(opts)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    (fields, optMap)
+  }
+
+  private def createExtSource(stmt: String): Unit = {
+    val m =
+      "(?i)^CREATE EXTERNAL SOURCE (IF NOT EXISTS )?([A-Za-z_]\\w*)\\s+(.*)$".r
+    val (ifne, name, body) = stmt match {
+      case m(a, b, c) => (a != null, b.toLowerCase, c)
+      case _ => throw new IllegalArgumentException(
+        s"bad CREATE EXTERNAL SOURCE: $stmt")
+    }
+    if (extSourceDefs.contains(name)) {
+      // IF NOT EXISTS keeps the original definition
+      require(ifne, s"external source already exists: $name")
+      return
+    }
+    val (kvs, opts) = extKvs(body)
+    val typ = kvs.getOrElse("type", throw new IllegalArgumentException(
+      "CREATE EXTERNAL SOURCE needs type="))
+    require(kvs.contains("host") && kvs.contains("port"),
+      "CREATE EXTERNAL SOURCE needs host= and port=")
+    require(kvs.contains("user") || kvs.contains("api_token") ||
+      opts.contains("api_token"),
+      "CREATE EXTERNAL SOURCE needs user= or api_token=")
+    extSeq += 1
+    extSourceDefs(name) = ExtSource(name, typ, kvs("host"),
+      kvs("port").toInt, kvs.getOrElse("user", ""),
+      kvs.get("password"), kvs.get("api_token").orElse(
+        opts.get("api_token")), kvs.get("database"), kvs.get("schema"),
+      opts, extSeq)
+  }
+
+  /** ALTER … SET k='v'[, …] / SET OPTIONS('k'='v'): field updates
+    * replace; OPTIONS patch-merge — new keys add, named keys update,
+    * unnamed keys are retained (test_fq_01 "patch-merge" contract). */
+  private def alterExtSource(stmt: String): Unit = {
+    val m =
+      "(?i)^ALTER EXTERNAL SOURCE (IF EXISTS )?([A-Za-z_]\\w*)\\s+SET\\s+(.*)$".r
+    stmt match {
+      case m(ife, n, body) =>
+        val name = n.toLowerCase
+        extSourceDefs.get(name) match {
+          case None => require(ife != null,
+            s"external source not found: $name")
+          case Some(s0) =>
+            val (kvs, opts) = extKvs(body)
+            var s = s0
+            kvs.get("type").foreach(v => s = s.copy(typ = v))
+            kvs.get("host").foreach(v => s = s.copy(host = v))
+            kvs.get("port").foreach(v => s = s.copy(port = v.toInt))
+            kvs.get("user").foreach(v => s = s.copy(user = v))
+            kvs.get("password").foreach(v =>
+              s = s.copy(password = Some(v)))
+            kvs.get("api_token").foreach(v =>
+              s = s.copy(apiToken = Some(v)))
+            kvs.get("database").foreach(v =>
+              s = s.copy(database = Some(v)))
+            kvs.get("schema").foreach(v => s = s.copy(schema = Some(v)))
+            if (opts.nonEmpty) s = s.copy(options = s.options ++ opts)
+            extSourceDefs(name) = s
+        }
+      case _ => throw new IllegalArgumentException(
+        s"bad ALTER EXTERNAL SOURCE: $stmt")
+    }
+  }
+
   /** information_schema.ins_external_sources (systable.h
-    * TSDB_INS_TABLE_EXT_SOURCES): registered federated sources —
-    * none by default. */
+    * TSDB_INS_TABLE_EXT_SOURCES): the registered federated sources;
+    * passwords/tokens render masked, as the reference's 8-byte
+    * password column does. */
   def insExtSources: DataFrame =
-    Seq.empty[(String, String, String, Int, String, String, String,
-        String, String, Long)]
+    extSourceDefs.values.toSeq.map(s => (s.name, s.typ, s.host, s.port,
+      s.user,
+      s.password.orElse(s.apiToken).map(_ => "********").orNull,
+      s.database.orNull, s.schema.orNull,
+      s.options.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          if (k.contains("token") || k.contains("password"))
+            s"$k=********" else s"$k=$v" }.mkString(","),
+      s.createTime))
       .toDF("source_name", "type", "host", "port", "user", "password",
         "database", "schema", "options", "create_time")
 
@@ -2284,6 +2406,14 @@ class GraftCatalog(val spark: SparkSession) {
       }.toDF("vtable_name", "column_name", "ref", "status")
     }
     else if (up == "SHOW DEBUG VARIABLES") sql("SHOW VARIABLES")
+    // DESCRIBE EXTERNAL SOURCE name (sql.y:3185)
+    else if ("(?i)^DESC(RIBE)? EXTERNAL SOURCE .+$".r.matches(stmt)) {
+      val name = bare(stmt.split("\\s+").last).toLowerCase
+      require(extSourceDefs.contains(name),
+        s"external source not found: $name")
+      insExtSources.filter(
+        org.apache.spark.sql.functions.col("source_name") === name)
+    }
     else if (up.startsWith("SHOW DNODES")) insDnodes
     else if (up.startsWith("SHOW USERS")) insUsers
     else if (up.startsWith("SHOW ROLES")) insRoles

@@ -88,7 +88,8 @@ object ProbeMain {
     ).foreach(cat.sql)
     val missing = Seq("not found", "no such", "unknown", "Unknown",
       "does not exist", "cannot be found", "Undefined", "no database",
-      "missing")
+      "missing", "already exists", "duplicate", "Duplicate",
+      "DUPLICATED", "Invalid value", "out of range")
     val lines = scala.io.Source.fromFile(path).getLines().toVector
     var ok = 0; var noisy = 0
     val byShape =
