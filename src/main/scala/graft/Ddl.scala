@@ -208,7 +208,7 @@ object Ddl {
       cat.exec("CREATE EXTERNAL SOURCE IF NOT EXISTS srcm " +
         "TYPE='mysql' HOST='other' PORT=9999 USER='x'")
       cat.exec("ALTER EXTERNAL SOURCE srcm SET host='mh2' " +
-        "OPTIONS('ssl_mode'='required')")
+        "OPTIONS('ssl_mode'='required', 'access_key'='AK123')")
       cat.exec("CREATE EXTERNAL SOURCE tmp TYPE='postgresql' " +
         "HOST='ph' PORT=5432 USER='pu' SCHEMA='public'")
       cat.exec("DROP EXTERNAL SOURCE tmp")
@@ -572,7 +572,8 @@ object Ddl {
             'metrics', 'autogen',
             'api_token=********,protocol=flight_sql'),
            ('srcm', 'mysql', 'mh2', 3306, 'u1', '********', 'd1',
-            CAST(NULL AS VARCHAR), 'ssl_mode=required'))
+            CAST(NULL AS VARCHAR),
+            'access_key=********,ssl_mode=required'))
          AS t(source_name, type, host, port, user, password,
            database, schema, options)
          ORDER BY source_name""",

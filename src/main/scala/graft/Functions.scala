@@ -391,11 +391,15 @@ object Functions {
           // direction differs across engines — the exact sum is the
           // hash-stable comparison
           sum(gross).cast(DecimalType(38, 6)).as("sum_gross"),
-          // no round(): the exact-decimal sum casts to the same
-          // binary64 on both engines and the division is then
-          // bit-identical — rounding would re-introduce a
-          // string-vs-binary half-boundary
-          (sum(gross).cast("double") / count(lit(1))).as("avg_gross"))
+          // avg via an int64 path: gross has exactly 6 decimals, so
+          // gross*1e6 is an integral value that CASTs to BIGINT
+          // exactly; the int64 sum (< 2^53) converts to binary64
+          // exactly and the two divisions are single correctly-rounded
+          // IEEE ops — no decimal(p>18)->double conversion anywhere,
+          // which is version-sensitive in DuckDB (int128-backed
+          // decimals convert differently across releases)
+          (sum((gross * lit(1000000L)).cast("long")).cast("double") /
+            count(lit(1)) / lit(1e6)).as("avg_gross"))
         .orderBy(col("l_orderkey"))
     },
     // ---- math family 2: trig/degrees/cbrt (round(6) absorbs libm ulps) --
@@ -869,7 +873,8 @@ object Functions {
            CAST(sum(net) AS DECIMAL(38,6)) AS sum_net,
            max(net) AS max_net,
            CAST(sum(gross) AS DECIMAL(38,6)) AS sum_gross,
-           CAST(sum(gross) AS DOUBLE) / count(*) AS avg_gross
+           CAST(CAST(sum(CAST(gross * 1000000 AS BIGINT)) AS BIGINT)
+             AS DOUBLE) / count(*) / 1000000.0 AS avg_gross
          FROM d GROUP BY l_orderkey ORDER BY l_orderkey""",
     "scalar_math2" ->
       """SELECT l_orderkey, l_linenumber,

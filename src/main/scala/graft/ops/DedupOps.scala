@@ -361,19 +361,29 @@ object DedupOps {
     * the cluster's smallest id (`keep_id`). A doc in no pair keeps
     * itself and is not emitted.
     *
-    * Hash-to-min label propagation: each round every node adopts the
-    * minimum label among itself and its neighbours; converges in
-    * O(component diameter) rounds (near-dup clusters are shallow —
-    * a verbatim-copy cluster has diameter 1-2). Scale shape: the edge
-    * list is the PAIR set, orders of magnitude smaller than the
-    * corpus; each round is one partial-agg'd shuffle join on it; the
-    * driver sees one changed-count per round, never rows. Bounded by
-    * `maxIter` with a loud error, not a silent partial answer. */
+    * Hash-to-min label propagation, TWO hops per materialized round:
+    * each round every node adopts the minimum label within distance 2
+    * (self, neighbours, neighbours-of-neighbours) — ceil(diameter/2)+1
+    * materializations instead of diameter+1, and near-dup clusters are
+    * shallow (a verbatim-copy cluster has diameter 1-2, so the common
+    * case is 2 rounds total). Scale shape: the edge list is the PAIR
+    * set, orders of magnitude smaller than the corpus; each round is
+    * two partial-agg'd shuffle joins on it fused into ONE materializing
+    * job; the driver sees one changed-count per round, never rows.
+    * Bounded by `maxIter` with a loud error, not a silent partial
+    * answer. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // ONE scan of the pair lineage: a union of (fwd, reversed) branches
+    // would evaluate the upstream pair GENERATION twice per
+    // materialization — for ngramJaccardPairs input that is the whole
+    // PPJoin candidate+verify stage re-run (r14 driver flagged exactly
+    // this as the dedup_clusters regression). explode emits both
+    // directions from a single pass instead.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .persist(lvl)
     // Eager localCheckpoint per round, NOT persist: persist caches
     // blocks but the logical plan still accumulates one join+agg layer
@@ -386,20 +396,30 @@ object DedupOps {
       .localCheckpoint()
     try {
       val labType = labels.schema("_lab").dataType
+      // one UNMATERIALIZED min-propagation hop: min(self, neighbours)
+      def hop(l: DataFrame): DataFrame = l.union(edges
+          .join(l.withColumnRenamed("_id", "src"), Seq("src"))
+          .select(col("dst").as("_id"), col("_lab")))
+        .groupBy("_id").agg(min(col("_lab")).as("_lab"))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        val msgs = edges
-          .join(labels.withColumnRenamed("_id", "src"), Seq("src"))
+        // two hops fuse into one job: `mid` is never checkpointed, its
+        // plan is constant-size (built from the checkpointed `labels`)
+        val mid = hop(labels.select(col("_id"), col("_lab")))
+        val msgs2 = edges
+          .join(mid.withColumnRenamed("_id", "src"), Seq("src"))
           .select(col("dst").as("_id"), col("_lab"))
-        // one aggregation yields BOTH the new label (min over self and
-        // neighbours) and the previous one (each id contributes exactly
-        // one non-null _cur row), so convergence needs no second join:
-        // the round is a single materializing job, and the changed
-        // count is a scan of the just-checkpointed blocks.
+        // one aggregation yields BOTH the new label (two-hop min) and
+        // the previous one (each id contributes exactly one non-null
+        // _cur row), so convergence needs no second join: the round is
+        // a single materializing job, and the changed count is a scan
+        // of the just-checkpointed blocks.
         val next = labels
           .select(col("_id"), col("_lab"), col("_lab").as("_cur"))
-          .union(msgs.select(col("_id"), col("_lab"),
+          .union(mid.select(col("_id"), col("_lab"),
+            lit(null).cast(labType).as("_cur")))
+          .union(msgs2.select(col("_id"), col("_lab"),
             lit(null).cast(labType).as("_cur")))
           .groupBy("_id")
           .agg(min(col("_lab")).as("_lab"), max(col("_cur")).as("_old"))

@@ -43,8 +43,16 @@ class GraftCatalog(val spark: SparkSession) {
     * None = keep forever; TRIM DATABASE enforces it. */
   case class Database(name: String, perSecond: Long,
       keepTicks: Option[Long] = None)
+  /** `parents` = BASE ON inheritance edges (virtual-stable model,
+    * sql.y:1069-1071 + ALTER ADD/DROP BASE ON sql.y:1124-1128);
+    * `virtualN` = the VIRTUAL n table option; `uid`/`createSeq` are
+    * deterministic logical ids (registration order) standing in for
+    * the reference's wall-clock uid/createdTime — monotone like the
+    * original, stable across runs so listings oracle-compare. */
   case class Stable(name: String, db: String,
-      colDefs: Seq[(String, String)], tagDefs: Seq[(String, String)]) {
+      colDefs: Seq[(String, String)], tagDefs: Seq[(String, String)],
+      parents: Seq[String] = Nil, virtualN: Int = 0,
+      uid: Long = 0L, createSeq: Long = 0L) {
     val cols: StructType =
       StructType(colDefs.map { case (n, t) => StructField(n, sparkType(t)) })
     val tags: StructType =
@@ -70,7 +78,13 @@ class GraftCatalog(val spark: SparkSession) {
   /** CREATE VTABLE … (ts TIMESTAMP, c t FROM tbl.col, …)
     * (sql.y:1074-1076; column_options FROM column_ref sql.y:3253). */
   case class VtableDef(name: String, tsCol: String,
-      cols: Seq[(String, String, String, String)]) // (name,type,srcTbl,srcCol)
+      cols: Seq[(String, String, String, String)], // (name,type,srcTbl,srcCol)
+      // set = virtual CHILD table (CREATE VTABLE … USING vstable TAGS
+      // (…), sql.y:1077-1086 createCreateVSubTableStmt): schema comes
+      // from the named virtual stable, tag values live in the shared
+      // `children` registry (so ins_tags / ALTER VTABLE SET TAG reuse
+      // the normal child-table paths)
+      using: Option[String] = None)
   /** CREATE [AGGREGATE] FUNCTION … AS '<impl>' OUTPUTTYPE t
     * (sql.y:1589; runtime taosudf.h via [[graft.functions.UdfRegistry]]). */
   case class UdfDef(name: String, impl: String, aggregate: Boolean,
@@ -110,6 +124,12 @@ class GraftCatalog(val spark: SparkSession) {
     mutable.LinkedHashMap[String, (String, String, String)]()
   private var anodeSeq = 0
   private var seqCounter = 0L
+  // logical stable uid/create clock (see [[Stable]] scaladoc)
+  private var stableSeq = 0L
+  private def nextStableIds(): (Long, Long) = {
+    stableSeq += 1
+    (7700000000000L + stableSeq, stableSeq)
+  }
   // COMPACT DATABASE history for SHOW COMPACTS / SHOW COMPACT id
   private val compactLog = mutable.ArrayBuffer[(Int, String, String)]()
   private var compactSeq = 0
@@ -1999,7 +2019,10 @@ class GraftCatalog(val spark: SparkSession) {
       s.database.orNull, s.schema.orNull,
       s.options.toSeq.sortBy(_._1)
         .map { case (k, v) =>
-          if (k.contains("token") || k.contains("password"))
+          // any credential-shaped key masks, not just token/password
+          // (secret, api_key, access_key, credential, …)
+          if ("(?i)token|password|secret|key|credential|passwd|auth"
+              .r.findFirstIn(k).isDefined)
             s"$k=********" else s"$k=$v" }.mkString(","),
       s.createTime))
       .toDF("source_name", "type", "host", "port", "user", "password",

@@ -32,6 +32,10 @@ import graft.ops.{FillOps, TimeOps}
   */
 object GraftSql {
 
+  // monotone id for chainedJoinSql's synthetic temp-view names — keeps
+  // concurrent chained-join queries on one session from colliding
+  private val chainSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   // ---------------------------------------------------------------- durations
   // b = nanoseconds (taosParseTime unit table; ttime.c TIME_UNIT_NANO)
   private val unitNs = Map("b" -> 1L, "u" -> 1000L, "a" -> 1000000L,
@@ -893,6 +897,25 @@ object GraftSql {
           val r = right.select(keys.map(col) ++
             rightCols.map(c => col(c).as(s"r_$c")): _*)
           var joined = left.join(r, keys, joinType)
+          // on outer joins the using-join keeps only the preserved
+          // side's key value — a key ref qualified by the NULL-
+          // producing side is NOT representable in this flattened
+          // output (it must read NULL on unmatched rows). Mark the
+          // merged keys so the qualified-ref rewrite fails loudly on
+          // such refs instead of silently reading the preserved value.
+          val lostSide = joinType match {
+            case "left" => Some("right")
+            case "right" => Some("left")
+            case "full" => Some("both")
+            case _ => None
+          }
+          lostSide.foreach { side =>
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.merged_key_lost", side).build()
+            joined = joined.select(joined.columns.toSeq.map(cn =>
+              if (keys.contains(cn)) col(cn).as(cn, md)
+              else col(cn)): _*)
+          }
           // inner residuals: post-join filters (equivalent for inner);
           // `q.c` resolves by q's side — right columns are r_-prefixed
           // except the shared equi keys
@@ -930,6 +953,17 @@ object GraftSql {
             case "full" => keys.foldLeft(joined)((d, k) =>
               d.withColumn(k, coalesce(col(k), col(s"r_$k"))))
             case _ => joined
+          }
+          // the right/full overwrite above discards the LEFT side's
+          // own key value (right refs stay addressable via r_<key>);
+          // mark it so a left-qualified key ref fails loudly rather
+          // than reading the merged value on unmatched rows
+          if (joinType == "right" || joinType == "full") {
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.merged_key_lost", "left").build()
+            joined = joined.select(joined.columns.toSeq.map(cn =>
+              if (keys.contains(cn)) col(cn).as(cn, md)
+              else col(cn)): _*)
           }
           joined
       }
@@ -1155,6 +1189,20 @@ object GraftSql {
     analyticProject(out, c, sel, start, close, valueCol, Map.empty)
   }
 
+  /** Deterministic tiebreaker for series/selection order when ts
+    * collides: the row-id column when the table has one, else EVERY
+    * remaining sortable column — shuffle arrival order must never
+    * decide diff/csum/lag/top results on tables without an event_id
+    * (ADVICE r14: the old event_id-only rule left other tables
+    * nondeterministic under duplicate ts). */
+  private def seriesTie(df: DataFrame, tsCol: String): Seq[Column] =
+    df.columns.find(_.equalsIgnoreCase("event_id"))
+      .map(c => Seq(col(c)))
+      .getOrElse(df.schema.fields.toSeq
+        .filter(f => !f.name.equalsIgnoreCase(tsCol) &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(f => col(f.name)))
+
   /** Row-producing selection functions `TOP/BOTTOM(col, k)`,
     * `TAIL(col, k[, offset])`, `UNIQUE(col)` (builtins.c:4431 tail,
     * :4471 unique; topbotoperator semantics): each keeps a subset of
@@ -1185,8 +1233,7 @@ object GraftSql {
       // a row-id tiebreaker keeps the selection total when ts collides
       // within a key (ADVICE r11: µs-level collisions in a future
       // layout would otherwise flake the oracle hash)
-      val tie = if (df.columns.contains("event_id"))
-        Seq(col("event_id")) else Nil
+      val tie = seriesTie(df, tsCol)
       f match {
         // statecount/stateduration(col, 'op', val[, unit])
         // (builtins.c:4256/:4296): every row back with the running
@@ -1715,18 +1762,38 @@ object GraftSql {
         from.trim.split("\\s+").headOption.toSeq ++ afterJoin
       }
     if (tbls.exists(!_.matches("[A-Za-z_][A-Za-z0-9_.]*"))) return None
-    val views = tbls.distinct.map { t =>
-      val vn = t.split("\\.").last
-      resolve(t).createOrReplaceTempView(vn)
-      vn
+    // register under UNIQUE synthetic view names (never the bare table
+    // names, which could silently shadow-and-drop a user's session temp
+    // view, and race between concurrent chained-join queries); the
+    // FROM text is rewritten to `<synthetic> <alias>`, keeping the
+    // original bare name as the alias when none was written so that
+    // qualified refs in ON/SELECT/WHERE still resolve
+    val uniq = chainSeq.incrementAndGet()
+    val viewOf = tbls.distinct.map { t =>
+      val syn = s"_cj${uniq}_${t.split("\\.").last}"
+      resolve(t).createOrReplaceTempView(syn)
+      t -> syn
     }
+    val views = viewOf.map(_._2)
     try {
       def rw(k: String): Option[String] =
         c.get(k).map(v => rewriteFuncs(v, tsCol, perSecond))
-      // db-prefixed FROM tokens resolve by their registered last
-      // segment
-      val fromTxt = tbls.foldLeft(from)((f, t) =>
-        if (t.contains(".")) f.replace(t, t.split("\\.").last) else f)
+      val fromTxt = viewOf.foldLeft(from) { case (f, (t, syn)) =>
+        val q = java.util.regex.Pattern.quote(t)
+        val lead = "(?i)(^|,\\s*|\\bJOIN\\s+)"
+        // occurrence WITH an explicit alias keeps that alias
+        val withAlias = (lead + q +
+          "\\s+(?:(?i:AS)\\s+)?(?!(?i:JOIN|INNER|LEFT|RIGHT|FULL|" +
+          "CROSS|SEMI|ANTI|ON)\\b)([A-Za-z_]\\w*)").r
+        val f2 = withAlias.replaceAllIn(f, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"${m.group(1)}$syn ${m.group(2)}"))
+        // bare occurrence gains the original name as its alias
+        val bare = (lead + q + "(?![\\w.])").r
+        bare.replaceAllIn(f2, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"${m.group(1)}$syn ${t.split("\\.").last}"))
+      }
       val stmt = Seq(
         Some(s"SELECT ${rw("SELECT").get}"),
         Some(s"FROM $fromTxt"),
@@ -2022,6 +2089,19 @@ object GraftSql {
       // r_value (fuzz-found silent-wrong-side resolution)
       def rCol(cc: String): Option[String] =
         df.columns.find(_.equalsIgnoreCase(s"r_$cc"))
+      // merged equi keys of outer joins carry metadata naming which
+      // side's value the flattened output LOST — a ref qualified by
+      // that side must not silently read the preserved side's value
+      def mergedLost(cc: String): Option[String] =
+        df.schema.fields.find(_.name.equalsIgnoreCase(cc))
+          .filter(_.metadata.contains("graft.merged_key_lost"))
+          .map(_.metadata.getString("graft.merged_key_lost"))
+      def failLost(q: String, cc: String): Nothing =
+        throw new IllegalArgumentException(
+          s"unsupported: $q.$cc refers to an outer-join equi key from " +
+            "the NULL-producing side — the flattened join output keeps " +
+            "only the preserved side's key value; select the key " +
+            "unqualified (merged) or from the preserved side")
       def rw(txt0: String): String = {
         // count(q.*) counts the rows of q's side (parTranslater
         // count-star rewrite) — BEFORE the general rule would expand
@@ -2041,10 +2121,16 @@ object GraftSql {
             val rep =
               if (lq.contains(q)) {
                 if (cc == "*") leftStar.mkString(", ")
+                else if (mergedLost(cc).exists(s =>
+                    s == "left" || s == "both")) failLost(q, cc)
                 else cc
               } else if (rq.contains(q)) {
                 if (cc == "*") rightStar.mkString(", ")
-                else rCol(cc).getOrElse(cc)
+                else rCol(cc).getOrElse {
+                  if (mergedLost(cc).exists(s =>
+                      s == "right" || s == "both")) failLost(q, cc)
+                  cc
+                }
               } else m.matched
             java.util.regex.Matcher.quoteReplacement(rep)
           })
@@ -2413,8 +2499,7 @@ object GraftSql {
         val (fwd, rev) = calls.toSeq.partition(_._1._1 != "lead")
         // a row-id tiebreaker totalizes the order when ts collides
         // across the (merged) series — same contract as seriesSelect
-        val tie = if (df.columns.contains("event_id"))
-          Seq(col("event_id")) else Nil
+        val tie = seriesTie(df, tsCol)
         var withSeries = df
         if (fwd.nonEmpty)
           withSeries = graft.ops.SeriesOps.keylessSeries(withSeries,
@@ -3029,6 +3114,11 @@ object GraftSql {
               res2 = res2.withColumn("_srn", row_number().over(w))
                 .filter(col("_srn") > off && col("_srn") <= off + nLim)
                 .drop("_srn")
+              // the window shuffle above destroys the global sort —
+              // re-apply ORDER BY after the per-shard slice (same as
+              // the agg-path branch below)
+              c.get("ORDER BY").foreach(o => res2 = res2.orderBy(
+                orderCols(o, positional = res2.columns.toSeq): _*))
             } else res2 = applyLimit(res2, nRaw)
           }
           return res2

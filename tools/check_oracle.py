@@ -96,6 +96,75 @@ def norm(v):
     return v
 
 
+def _cast_inners(sql):
+    """Yield (inner_expr, target_type) for every CAST(expr AS type)."""
+    up = sql.upper()
+    out = []
+    i = 0
+    while True:
+        j = up.find("CAST", i)
+        if j < 0:
+            break
+        k = sql.find("(", j)
+        if k < 0:
+            break
+        depth, m = 1, k + 1
+        while m < len(sql) and depth:
+            if sql[m] == "(":
+                depth += 1
+            elif sql[m] == ")":
+                depth -= 1
+            m += 1
+        body = sql[k + 1:m - 1]
+        # split on the LAST top-level " AS "
+        depth, asat = 0, -1
+        for x in range(len(body) - 3):
+            ch = body[x]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and body[x:x + 4].upper() == " AS ":
+                asat = x
+        if asat >= 0:
+            out.append((body[:asat].strip(), body[asat + 4:].strip()))
+        i = j + 4
+    return out
+
+
+def decimal_double_risk(sql):
+    """Static version-risk rule (round-14 scalar_decimal lesson).
+
+    DuckDB backs DECIMAL(p>18) by int128, and sum() promotes both
+    integer and decimal inputs to int128 (HUGEINT / DECIMAL(38,s)).
+    The int128->binary64 conversion routine CHANGED across DuckDB
+    releases, so a cell that is bit-identical on the local DuckDB can
+    hash-differ on the driver's. Flag every CAST(expr AS DOUBLE/FLOAT)
+    whose expr is int128-backed, unless the expr is first narrowed to
+    an int64-backed type (CAST(... AS BIGINT) / DECIMAL(p<=18)), whose
+    double conversion is exact and version-independent.
+    """
+    hits = []
+    for inner, target in _cast_inners(sql):
+        t = target.upper()
+        if not (t.startswith("DOUBLE") or t.startswith("FLOAT")
+                or t.startswith("REAL")):
+            continue
+        iu = inner.upper()
+        if re.match(r"^CAST\s*\(.*\sAS\s+(BIGINT|INTEGER|SMALLINT|"
+                    r"TINYINT)\s*\)$", iu, re.DOTALL):
+            continue
+        m = re.match(r"^CAST\s*\(.*\sAS\s+DECIMAL\s*\(\s*(\d+)", iu,
+                     re.DOTALL)
+        if m and int(m.group(1)) <= 18:
+            continue
+        wide = any(int(p) > 18
+                   for p in re.findall(r"DECIMAL\s*\(\s*(\d+)", iu))
+        if wide or re.search(r"\bSUM\s*\(", iu):
+            hits.append(f"CAST({inner[:60]} AS {target})")
+    return hits
+
+
 def round_decimal_risk(sql, ecol_types):
     """True if the oracle SQL uses round() AND emits a DECIMAL column —
     the combination that produced the r13 scalar_decimal half-tie."""
@@ -164,6 +233,13 @@ def main(out_dir, sf_dir):
             print(f"TIE-RISK   {name}: oracle round() feeds a DECIMAL "
                   f"column — half-boundary tie direction is "
                   f"engine-specific; emit the unrounded exact value")
+        vrisk = decimal_double_risk(oracle[name])
+        if vrisk:
+            n_warn += 1
+            print(f"VER-RISK   {name}: int128-backed expr cast to "
+                  f"DOUBLE/FLOAT (DuckDB int128->double conversion is "
+                  f"version-dependent) — narrow to BIGINT/DECIMAL(<=18) "
+                  f"first: {vrisk[0]}")
         if len(grows) != len(erows):
             n_fail += 1
             print(f"FAIL       {name}: rowcount spark={len(grows)} "
