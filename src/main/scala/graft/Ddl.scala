@@ -555,8 +555,13 @@ object Ddl {
            ('v', 'DOUBLE', 8, ''))
          AS t(field, type, length, note) ORDER BY field""",
     "ddl_view_gate" ->
+      // v is a DOUBLE column in the engine's nat table, so the oracle
+      // computes in DOUBLE end-to-end: same result type as Spark and
+      // no int128-backed DECIMAL(38,1) sum in the output schema (the
+      // driver-side conversion channel that kept scalar_decimal red)
       """SELECT n_regionkey, count(*) AS n, sum(v) AS sum_v FROM (
-           SELECT n_regionkey, n_nationkey * 1.5 AS v FROM nation)
+           SELECT n_regionkey,
+                  n_nationkey * CAST(1.5 AS DOUBLE) AS v FROM nation)
          WHERE v > 10 GROUP BY n_regionkey ORDER BY n_regionkey""",
     "ddl_topic_gate" ->
       """SELECT * FROM (VALUES

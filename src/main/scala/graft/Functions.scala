@@ -384,13 +384,19 @@ object Functions {
       Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n"),
-          sum(net).cast(DecimalType(38, 6)).as("sum_net"),
-          max(net).as("max_net"),
+          // OUTPUT columns stay at precision<=18 (int64-backed in
+          // DuckDB): per-group sums here are < 10^7 so DECIMAL(18,6)
+          // holds them exactly, and int128-backed DECIMAL(p>18)
+          // values travel through driver-side decimal conversion
+          // paths that have proven version-sensitive — only the
+          // intermediates are wide
+          sum(net).cast(DecimalType(18, 6)).as("sum_net"),
+          max(net).cast(DecimalType(18, 6)).as("max_net"),
           // unrounded exact-decimal sum: round(.,2) hit an exact
           // half boundary (l_orderkey=1885, 54917.805000) whose tie
           // direction differs across engines — the exact sum is the
           // hash-stable comparison
-          sum(gross).cast(DecimalType(38, 6)).as("sum_gross"),
+          sum(gross).cast(DecimalType(18, 6)).as("sum_gross"),
           // avg via an int64 path: gross has exactly 6 decimals, so
           // gross*1e6 is an integral value that CASTs to BIGINT
           // exactly; the int64 sum (< 2^53) converts to binary64
@@ -870,9 +876,9 @@ object Functions {
              AS DECIMAL(38,6)) AS gross
          FROM lineitem WHERE l_orderkey <= 2000)
          SELECT l_orderkey, count(*) AS n,
-           CAST(sum(net) AS DECIMAL(38,6)) AS sum_net,
-           max(net) AS max_net,
-           CAST(sum(gross) AS DECIMAL(38,6)) AS sum_gross,
+           CAST(sum(net) AS DECIMAL(18,6)) AS sum_net,
+           CAST(max(net) AS DECIMAL(18,6)) AS max_net,
+           CAST(sum(gross) AS DECIMAL(18,6)) AS sum_gross,
            CAST(CAST(sum(CAST(gross * 1000000 AS BIGINT)) AS BIGINT)
              AS DOUBLE) / count(*) / 1000000.0 AS avg_gross
          FROM d GROUP BY l_orderkey ORDER BY l_orderkey""",

@@ -361,17 +361,19 @@ object DedupOps {
     * the cluster's smallest id (`keep_id`). A doc in no pair keeps
     * itself and is not emitted.
     *
-    * Hash-to-min label propagation, TWO hops per materialized round:
-    * each round every node adopts the minimum label within distance 2
-    * (self, neighbours, neighbours-of-neighbours) — ceil(diameter/2)+1
-    * materializations instead of diameter+1, and near-dup clusters are
-    * shallow (a verbatim-copy cluster has diameter 1-2, so the common
-    * case is 2 rounds total). Scale shape: the edge list is the PAIR
-    * set, orders of magnitude smaller than the corpus; each round is
-    * two partial-agg'd shuffle joins on it fused into ONE materializing
-    * job; the driver sees one changed-count per round, never rows.
-    * Bounded by `maxIter` with a loud error, not a silent partial
-    * answer. */
+    * Hash-to-min label propagation, ONE hop per materialized round:
+    * each round every node adopts the minimum label among (self,
+    * neighbours), so diameter+1 rounds — and near-dup clusters are
+    * shallow (a verbatim-copy cluster has diameter 1-2, so 2-3 rounds
+    * total). A two-hop variant was tried and reverted: its
+    * intermediate frame is referenced twice in the round's plan, so
+    * without an extra materialization the edges join+agg subtree
+    * evaluates ~3x per round — costlier than the extra shallow round
+    * it saves. Scale shape: the edge list is the PAIR set, orders of
+    * magnitude smaller than the corpus; each round is one partial-
+    * agg'd shuffle join on it, a single materializing job; the driver
+    * sees one changed-count per round, never rows. Bounded by
+    * `maxIter` with a loud error, not a silent partial answer. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // ONE scan of the pair lineage: a union of (fwd, reversed) branches
@@ -396,30 +398,24 @@ object DedupOps {
       .localCheckpoint()
     try {
       val labType = labels.schema("_lab").dataType
-      // one UNMATERIALIZED min-propagation hop: min(self, neighbours)
-      def hop(l: DataFrame): DataFrame = l.union(edges
-          .join(l.withColumnRenamed("_id", "src"), Seq("src"))
-          .select(col("dst").as("_id"), col("_lab")))
-        .groupBy("_id").agg(min(col("_lab")).as("_lab"))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        // two hops fuse into one job: `mid` is never checkpointed, its
-        // plan is constant-size (built from the checkpointed `labels`)
-        val mid = hop(labels.select(col("_id"), col("_lab")))
-        val msgs2 = edges
-          .join(mid.withColumnRenamed("_id", "src"), Seq("src"))
+        // one min-propagation hop: neighbour messages from a single
+        // edges join against the checkpointed labels (constant-size
+        // plan every round)
+        val msgs = edges
+          .join(labels.withColumnRenamed("_id", "src"), Seq("src"))
           .select(col("dst").as("_id"), col("_lab"))
-        // one aggregation yields BOTH the new label (two-hop min) and
-        // the previous one (each id contributes exactly one non-null
-        // _cur row), so convergence needs no second join: the round is
-        // a single materializing job, and the changed count is a scan
-        // of the just-checkpointed blocks.
+        // one aggregation yields BOTH the new label (min of self and
+        // neighbour messages) and the previous one (each id
+        // contributes exactly one non-null _cur row), so convergence
+        // needs no second join: the round is a single materializing
+        // job, and the changed count is a scan of the
+        // just-checkpointed blocks.
         val next = labels
           .select(col("_id"), col("_lab"), col("_lab").as("_cur"))
-          .union(mid.select(col("_id"), col("_lab"),
-            lit(null).cast(labType).as("_cur")))
-          .union(msgs2.select(col("_id"), col("_lab"),
+          .union(msgs.select(col("_id"), col("_lab"),
             lit(null).cast(labType).as("_cur")))
           .groupBy("_id")
           .agg(min(col("_lab")).as("_lab"), max(col("_cur")).as("_old"))

@@ -165,6 +165,70 @@ def decimal_double_risk(sql):
     return hits
 
 
+def wide_decimal_output_risk(ecols, ecol_types):
+    """Static version-risk rule (round-15 scalar_decimal lesson).
+
+    Three rounds of CAST-side fixes were bit-identical on local DuckDB
+    yet red at the driver — the surviving channel was the OUTPUT
+    columns themselves: DECIMAL(p>18) is int128-backed and the value
+    travels through driver-side decimal conversion that changed across
+    DuckDB releases, even when every CAST inside the query is
+    version-safe. Flag every p>18 decimal RESULT column; narrow the
+    final schema to DECIMAL(p<=18) on both sides.
+    """
+    hits = []
+    for c, t in zip(ecols, ecol_types):
+        m = re.match(r"DECIMAL\s*\(\s*(\d+)", str(t).upper())
+        if m and int(m.group(1)) > 18:
+            hits.append(f"{c}: {t}")
+    return hits
+
+
+def _split_top(expr, seps):
+    """Split expr on top-level (depth-0) single-char separators."""
+    parts, depth, cur = [], 0, []
+    for ch in expr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and ch in seps:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def wide_decimal_multiply_risk(sql):
+    """Flag decimal multiply chains whose inferred result precision
+    exceeds 38 — the territory where each engine applies its OWN
+    overflow adjustment (precision clamp / scale reduction) with
+    engine-specific rounding. Approximate inference per CAST inner:
+    split on top-level '*'; a factor's precision is the max DECIMAL
+    precision inside it, +1 if the factor itself adds/subtracts
+    (DuckDB add = max(p)+1); product precision = sum(factors)+(n-1).
+    """
+    hits = []
+    for inner, _target in _cast_inners(sql):
+        factors = _split_top(inner, "*")
+        if len(factors) < 2:
+            continue
+        total, ok = len(factors) - 1, True
+        for f in factors:
+            ps = [int(p) for p in re.findall(r"DECIMAL\s*\(\s*(\d+)", f,
+                                             re.IGNORECASE)]
+            if not ps:
+                ok = False
+                break
+            total += max(ps) + (1 if any(
+                s.strip() for s in _split_top(f, "+-")[1:]) else 0)
+        if ok and total > 38:
+            hits.append(f"precision~{total}: {inner[:60]}")
+    return hits
+
+
 def round_decimal_risk(sql, ecol_types):
     """True if the oracle SQL uses round() AND emits a DECIMAL column —
     the combination that produced the r13 scalar_decimal half-tie."""
@@ -240,6 +304,19 @@ def main(out_dir, sf_dir):
                   f"DOUBLE/FLOAT (DuckDB int128->double conversion is "
                   f"version-dependent) — narrow to BIGINT/DECIMAL(<=18) "
                   f"first: {vrisk[0]}")
+        wrisk = wide_decimal_output_risk(ecols, etypes)
+        if wrisk:
+            n_warn += 1
+            print(f"VER-RISK   {name}: DECIMAL(p>18) OUTPUT column "
+                  f"(int128-backed; driver-side decimal conversion is "
+                  f"version-dependent) — CAST the final column to "
+                  f"DECIMAL(<=18) on both sides: {wrisk[0]}")
+        mrisk = wide_decimal_multiply_risk(oracle[name])
+        if mrisk:
+            n_warn += 1
+            print(f"VER-RISK   {name}: decimal multiply exceeds "
+                  f"precision 38 (engine-specific overflow adjustment) "
+                  f"— pre-narrow the operands: {mrisk[0]}")
         if len(grows) != len(erows):
             n_fail += 1
             print(f"FAIL       {name}: rowcount spark={len(grows)} "
