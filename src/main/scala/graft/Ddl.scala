@@ -295,6 +295,51 @@ object Ddl {
       cat.sql("SELECT ts AS ts_us, click_v, view_v, purchase_v " +
         "FROM vt7 ORDER BY ts_us")
     },
+    // the vstable tag model (sql.y:1077-1086 createCreateVSubTableStmt
+    // + sql.y:1121 createAlterTableAlterTagRef; reference
+    // test/cases/05-VirtualTables/01-DDL/02-Tag): CREATE VTABLE …
+    // USING vstb TAGS(…) with literal AND dynamic tag-ref values,
+    // literal<->ref conversion via ALTER VTABLE SET TAG, and an ALTER
+    // on the SOURCE child reflected through the refs at read time —
+    // the result is read through the virtual STABLE (union of virtual
+    // children, tags + tbname attached)
+    "ddl_vtable_tag_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("""CREATE STABLE vsrc (ts TIMESTAMP, val INT)
+        TAGS (city VARCHAR(20), code INT)""")
+      cat.exec("CREATE TABLE vs0 USING vsrc TAGS ('beijing', 100)")
+      cat.exec("CREATE TABLE vs1 USING vsrc TAGS ('shanghai', 200)")
+      cat.exec(s"INSERT INTO vs0 VALUES ($T0, 1) (${T0 + H}, 2) " +
+        s"(${T0 + 2 * H}, 3) vs1 VALUES (${T0 + 5 * H}, 10) " +
+        s"(${T0 + 6 * H}, 11)")
+      cat.exec("""CREATE STABLE vstb (ts TIMESTAMP, val INT)
+        TAGS (local_tag VARCHAR(20), ref_city VARCHAR(20),
+        ref_code INT) VIRTUAL 1""")
+      cat.exec("CREATE VTABLE v0 (val FROM vs0.val) USING vstb " +
+        "TAGS ('local0', ref_city FROM vs0.city, ref_code FROM vs1.code)")
+      cat.exec("CREATE VTABLE v1 (val FROM vs1.val) USING vstb " +
+        "TAGS ('local1', ref_city FROM vs1.city, ref_code FROM vs0.code)")
+      // local literal -> dynamic ref
+      cat.exec("ALTER VTABLE v0 SET TAG local_tag = vs0.city")
+      // dynamic ref -> static literal
+      cat.exec("ALTER VTABLE v1 SET TAG ref_city='static_city'")
+      // the refs must see this source-side change on the next read
+      cat.exec("ALTER TABLE vs0 SET TAG city='nanjing'")
+      cat.sql("SELECT tbname, ts, val, local_tag, ref_city, ref_code " +
+        "FROM vstb ORDER BY tbname, ts")
+    },
+    // ins_vstable_inherits (systable.h:93 vstableInheritsSchema): one
+    // row per BASE ON inheritance edge, with the catalog's
+    // deterministic logical uids/create clock
+    "ins_vstable_inherits" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE STABLE base1 (ts TIMESTAMP, a INT) TAGS (t1 INT)")
+      cat.exec("CREATE STABLE base2 (ts TIMESTAMP, b INT) TAGS (t2 INT)")
+      cat.exec("CREATE STABLE derived (ts TIMESTAMP, c INT) " +
+        "TAGS (t3 INT) BASE ON base1, base2")
+      cat.sql("SELECT * FROM information_schema.ins_vstable_inherits " +
+        "ORDER BY parent_stable_name")
+    },
     // CREATE [AGGREGATE] FUNCTION text (sql.y:1589; taosudf.h runtime
     // contract through UdfRegistry): a scalar UDF in WHERE and a
     // partial/merge UDAF in the aggregate list, both bound by DDL and
@@ -644,6 +689,27 @@ object Ddl {
          WHERE user_id = 7
            AND event_type IN ('click', 'view', 'purchase')
          GROUP BY epoch_us(ts) ORDER BY ts_us""",
+    "ddl_vtable_tag_gate" ->
+      """SELECT * FROM (VALUES
+           ('v0', CAST(1704067200000000 AS BIGINT), CAST(1 AS INT),
+            'nanjing', 'nanjing', CAST(200 AS INT)),
+           ('v0', 1704070800000000, 2, 'nanjing', 'nanjing', 200),
+           ('v0', 1704074400000000, 3, 'nanjing', 'nanjing', 200),
+           ('v1', 1704085200000000, 10, 'local1', 'static_city', 100),
+           ('v1', 1704088800000000, 11, 'local1', 'static_city', 100))
+         AS t(tbname, ts, val, local_tag, ref_city, ref_code)
+         ORDER BY tbname, ts""",
+    "ins_vstable_inherits" ->
+      """SELECT * FROM (VALUES
+           ('graftdb', 'base1', CAST(7700000000003 AS BIGINT),
+            'derived', CAST(7700000000005 AS BIGINT),
+            CAST(1700000005000 AS BIGINT)),
+           ('graftdb', 'base2', CAST(7700000000004 AS BIGINT),
+            'derived', CAST(7700000000005 AS BIGINT),
+            CAST(1700000005000 AS BIGINT)))
+         AS t(db_name, parent_stable_name, parent_uid,
+           child_stable_name, child_uid, create_time)
+         ORDER BY parent_stable_name""",
     "ddl_udf_gate" ->
       """SELECT user_id, bit_or(event_id) AS bits, count(*) AS n
          FROM events WHERE gcd(event_id, 6) = 6

@@ -97,6 +97,30 @@ class GraftCatalog(val spark: SparkSession) {
   private case class Child(name: String, stableName: String,
       tagVals: Seq[Any], rows: mutable.ArrayBuffer[(Seq[Any], Long)])
 
+  /** Tag-ref marker inside a virtual child's `tagVals`: the tag
+    * resolves DYNAMICALLY to the CURRENT tag value of another child
+    * table (`CREATE VTABLE … TAGS (t FROM tbl.tag)` sql.y vtags
+    * literal list; `ALTER VTABLE … SET TAG t = tbl.tag`
+    * createAlterTableAlterTagRef — reference
+    * test/cases/05-VirtualTables/01-DDL/02-Tag). Resolution happens at
+    * read time, so an ALTER on the source child is reflected in the
+    * virtual table's next query. */
+  private case class TagRef(tbl: String, tag: String)
+
+  /** Resolve a stored tag value: literals pass through, [[TagRef]]s
+    * chase the source child's current value (chains allowed). */
+  private def resolveTagVal(v: Any): Any = v match {
+    case TagRef(tbl, tag) =>
+      val src = children.getOrElse(tbl,
+        throw new IllegalArgumentException(
+          s"tag ref source table not found: $tbl"))
+      val st = stables(src.stableName)
+      val i = st.tagDefs.indexWhere(_._1.equalsIgnoreCase(tag))
+      require(i >= 0, s"tag ref source tag not found: $tbl.$tag")
+      resolveTagVal(src.tagVals(i))
+    case x => x
+  }
+
   private val databases = mutable.LinkedHashMap[String, Database](
     "default" -> Database("default", 1000000L))
   private var currentDb = "default"
@@ -328,7 +352,8 @@ class GraftCatalog(val spark: SparkSession) {
       viewDefs.remove(bare(stmt.split("\\s+").last)); ()
     }
     else if (up.startsWith("INSERT INTO")) insert(stmt)
-    else if (up.startsWith("ALTER STABLE") || up.startsWith("ALTER TABLE"))
+    else if (up.startsWith("ALTER STABLE") || up.startsWith("ALTER TABLE")
+        || up.startsWith("ALTER VTABLE"))
       alter(stmt)
     else if (up.startsWith("DELETE FROM")) delete(stmt)
     else if (up.startsWith("DROP TOPIC")) {
@@ -520,7 +545,10 @@ class GraftCatalog(val spark: SparkSession) {
     }
     else if (up.startsWith("CREATE VTABLE")) createVtable(stmt)
     else if (up.startsWith("DROP VTABLE")) {
-      vtableDefs.remove(bare(stmt.split("\\s+").last)); ()
+      val n = bare(stmt.split("\\s+").last)
+      // a virtual CHILD also occupies a row in the children registry
+      if (vtableDefs.get(n).exists(_.using.isDefined)) children.remove(n)
+      vtableDefs.remove(n); ()
     }
     else if (up.startsWith("CREATE EXTERNAL SOURCE"))
       createExtSource(stmt)
@@ -917,8 +945,31 @@ class GraftCatalog(val spark: SparkSession) {
   private def createVtable(stmt: String): Unit = {
     val rest = stripIfNotExists(
       stmt.substring("CREATE VTABLE".length).trim)
-    val tok = rest.split("\\s+")(0)
+    val tok = rest.split("[\\s(]")(0)
     val name = bare(tok)
+    // the virtual CHILD form carries a top-level USING (sql.y:1077-1086
+    // createCreateVSubTableStmt) — paren-depth-aware scan so a FROM
+    // ref inside the column list cannot fool the router
+    val tail0 = rest.substring(tok.length).trim
+    var depth = 0
+    var usingAt = -1
+    val upTail = tail0.toUpperCase
+    var i = 0
+    while (i < upTail.length && usingAt < 0) {
+      upTail(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'U' if depth == 0 && upTail.startsWith("USING ", i) &&
+          (i == 0 || !upTail(i - 1).isLetterOrDigit) => usingAt = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (usingAt >= 0) {
+      createVSubTable(name, tail0.substring(0, usingAt).trim,
+        tail0.substring(usingAt + "USING ".length).trim)
+      return
+    }
     val at = rest.indexOf('(', tok.length)
     require(at > 0, s"CREATE VTABLE needs a column list: $stmt")
     val (body, _) = parenGroup(rest, at)
@@ -949,6 +1000,86 @@ class GraftCatalog(val spark: SparkSession) {
     vtableDefs(name) = VtableDef(name, tsCol, cs)
   }
 
+  /** CREATE VTABLE child [(c FROM tbl.col, …)] USING vstb [(tagNames)]
+    * TAGS (v | t FROM tbl.tag, …) (sql.y:1077-1086
+    * createCreateVSubTableStmt; 05-VirtualTables/01-DDL): a virtual
+    * CHILD of a `VIRTUAL 1` super table. Column types come from the
+    * vstable's schema; a TAGS item without FROM is a positional
+    * literal, one with FROM is a [[TagRef]] that resolves dynamically
+    * at read time. The child lands in the shared `children` registry
+    * so SET TAG / ins_tags / SHOW TABLE TAGS reuse the normal paths. */
+  private def createVSubTable(name: String, colPart: String,
+      usingPart: String): Unit = {
+    val refRe =
+      "(?i)^([A-Za-z_]\\w*)\\s+FROM\\s+([A-Za-z0-9_.]+)$".r
+    val colRefs: Seq[(String, String, String)] =
+      if (colPart.isEmpty) Nil
+      else {
+        val (body, _) = parenGroup(colPart, 0)
+        GraftSql.splitArgs(body).map(_.trim).map {
+          case refRe(cn, ref) =>
+            val ps = ref.split("\\.")
+            require(ps.length >= 2,
+              s"VTABLE column $cn needs FROM table.column: $ref")
+            (cn, ps(ps.length - 2), ps.last)
+          case other => throw new IllegalArgumentException(
+            s"cannot parse VTABLE column ref: $other")
+        }
+      }
+    var rest = usingPart.trim
+    val stTok = rest.split("[\\s(]")(0)
+    val st = stables.getOrElse(bare(stTok),
+      throw new IllegalArgumentException(
+        s"unknown virtual stable: $stTok"))
+    require(st.virtualN > 0,
+      s"USING target of CREATE VTABLE must be a VIRTUAL stable: ${st.name}")
+    rest = rest.substring(stTok.length).trim
+    val tagNames: Seq[String] =
+      if (rest.startsWith("(")) {
+        val (body, after) = parenGroup(rest, 0)
+        rest = rest.substring(after).trim
+        GraftSql.splitArgs(body).map(_.trim)
+      } else st.tagDefs.map(_._1)
+    require(rest.toUpperCase.startsWith("TAGS"),
+      s"CREATE VTABLE … USING needs TAGS(…): $usingPart")
+    val (tagsBody, _) = parenGroup(rest, rest.indexOf('('))
+    def tagIdx(tn: String): Int = {
+      val i = st.tagDefs.indexWhere(_._1.equalsIgnoreCase(tn))
+      require(i >= 0, s"unknown tag $tn on ${st.name}")
+      i
+    }
+    var vals: Seq[Any] = st.tagDefs.map(_ => null: Any)
+    GraftSql.splitArgs(tagsBody).map(_.trim).zipWithIndex.foreach {
+      case (refRe(tn, ref), _) =>
+        val ps = ref.split("\\.")
+        require(ps.length == 2,
+          s"tag ref needs table.tag: $tn FROM $ref")
+        val srcC = children.getOrElse(ps(0),
+          throw new IllegalArgumentException(
+            s"tag ref source table not found: ${ps(0)}"))
+        require(stables(srcC.stableName).tagDefs
+            .exists(_._1.equalsIgnoreCase(ps(1))),
+          s"tag ref source tag not found: $ref")
+        vals = vals.updated(tagIdx(tn), TagRef(ps(0), ps(1)))
+      case (litTxt, k) =>
+        require(k < tagNames.length,
+          s"TAGS arity exceeds ${tagNames.length} for $name")
+        val i = tagIdx(tagNames(k))
+        vals = vals.updated(i,
+          literal(litTxt, sparkType(st.tagDefs(i)._2)))
+    }
+    val cols = colRefs.map { case (cn, tbl, sc) =>
+      val d = st.colDefs.find(_._1.equalsIgnoreCase(cn)).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown column $cn on virtual stable ${st.name}"))
+      table(tbl) // validate the source exists
+      (cn, d._2, tbl, sc)
+    }
+    vtableDefs(name) =
+      VtableDef(name, st.tsCol, cols, using = Some(st.name))
+    children(name) = Child(name, st.name, vals, mutable.ArrayBuffer())
+  }
+
   /** Virtual-table read (virtualtablescanoperator.c:702 ts-aligned
     * column merge). Scale shape: columns of one declared type fold
     * into a single union+pivot hash aggregate (one shuffle regardless
@@ -970,9 +1101,32 @@ class GraftCatalog(val spark: SparkSession) {
           cs.tail.map { case (cn, _, _, _) =>
             max(when(col("_vsrc") === cn, col("_vv"))).as(cn) }: _*)
       }
-    frames.reduce((a, b) => a.join(b, Seq("_vts"), "full_outer"))
+    val base = frames.reduce((a, b) => a.join(b, Seq("_vts"), "full_outer"))
       .withColumnRenamed("_vts", v.tsCol)
       .select((v.tsCol +: v.cols.map(_._1)).map(col): _*)
+    // a virtual CHILD (USING vstb) also exposes its inherited tags and
+    // tbname, exactly like a regular child table — tag refs resolve to
+    // the source child's CURRENT value here, at read time
+    v.using match {
+      case Some(stName) =>
+        val st = stables(stName)
+        val c = children(v.name)
+        // unmapped vstable columns read as typed NULLs, so every
+        // child exposes the FULL inherited schema (union-safe for the
+        // virtual-stable read)
+        val full = st.colDefs
+          .filter { case (n, _) => !n.equalsIgnoreCase(st.tsCol) &&
+            !v.cols.exists(_._1.equalsIgnoreCase(n)) }
+          .foldLeft(base) { case (d, (n, t)) =>
+            d.withColumn(n, lit(null).cast(sparkType(t))) }
+        st.tags.fields.zip(c.tagVals).foldLeft(full) {
+          case (d, (f, tv)) =>
+            d.withColumn(f.name, lit(resolveTagVal(tv)).cast(f.dataType))
+        }.withColumn("tbname", lit(v.name))
+          .select((st.colDefs.map(_._1) ++ st.tagDefs.map(_._1) :+
+            "tbname").map(col): _*)
+      case None => base
+    }
   }
 
   private val fnCreateRe =
@@ -1049,13 +1203,20 @@ class GraftCatalog(val spark: SparkSession) {
       s"CREATE STABLE needs TAGS(…): $stmt")
     val (tagsBody, afterTags) = parenGroup(tail, tail.indexOf('('))
     var own = Stable(name, currentDb, colDefs(colsBody), colDefs(tagsBody))
+    // VIRTUAL n table option (sql.y table_options; 05-VirtualTables):
+    // marks a virtual super table — children are CREATE VTABLE … USING
+    // subtables whose columns are sourced from other tables
+    var post = tail.substring(afterTags).trim
+    val vm = "(?i)\\bVIRTUAL\\s+(\\d+)".r.findFirstMatchIn(post)
+    val virtualN = vm.map(_.group(1).toInt).getOrElse(0)
+    vm.foreach(m => post =
+      (post.substring(0, m.start) + post.substring(m.end)).trim)
     // BASE ON parent[, parent]… (sql.y:1069-1071
     // createCreateInheritedStableStmt; 05-virtualtable.md:7-35): the
     // child inherits every parent column and tag, its own appended
     // after the inherited ones, duplicates-by-name collapsing to the
     // first (parent-order) definition
-    val post = tail.substring(afterTags).trim
-    val baseRe = "(?i)^BASE ON\\s+(.+?)(?:\\s+VIRTUAL\\s+\\d+)?$".r
+    val baseRe = "(?i)^BASE ON\\s+(.+?)$".r
     post match {
       case baseRe(parentsTxt) =>
         val parents = GraftSql.splitArgs(parentsTxt).map(_.trim)
@@ -1070,12 +1231,15 @@ class GraftCatalog(val spark: SparkSession) {
               else acc :+ d }
         own = Stable(name, currentDb,
           mergeDefs(parents.map(_.colDefs), own.colDefs),
-          mergeDefs(parents.map(_.tagDefs), own.tagDefs))
+          mergeDefs(parents.map(_.tagDefs), own.tagDefs),
+          parents = parents.map(_.name))
       case _ =>
     }
     require(own.cols.fields.head.dataType == LongType,
       "first column must be the TIMESTAMP primary key")
-    stables(name) = own
+    val (uid, seq) = nextStableIds()
+    stables(name) = own.copy(virtualN = virtualN, uid = uid,
+      createSeq = seq)
   }
 
   /** CREATE TABLE child USING st [(tagNames)] TAGS (v, …)
@@ -1101,7 +1265,9 @@ class GraftCatalog(val spark: SparkSession) {
       case None =>
         val name = bare(rest.split("[\\s(]")(0))
         val (body, _) = parenGroup(rest, rest.indexOf('('))
-        stables(name) = Stable(name, currentDb, colDefs(body), Nil)
+        val (uid, seq) = nextStableIds()
+        stables(name) = Stable(name, currentDb, colDefs(body), Nil,
+          uid = uid, createSeq = seq)
         children(name) = Child(name, name, Nil, mutable.ArrayBuffer())
     }
   }
@@ -1501,8 +1667,11 @@ class GraftCatalog(val spark: SparkSession) {
     * stored values are discarded — the reference's schema-evolution
     * contract (schema version bump, old blocks padded on read). */
   private def alter(stmt: String): Unit = {
-    val onStable = stmt.toUpperCase.startsWith("ALTER STABLE")
-    val kw = if (onStable) "ALTER STABLE" else "ALTER TABLE"
+    val stmtUp = stmt.toUpperCase
+    val onStable = stmtUp.startsWith("ALTER STABLE")
+    val kw = if (onStable) "ALTER STABLE"
+      else if (stmtUp.startsWith("ALTER VTABLE")) "ALTER VTABLE"
+      else "ALTER TABLE"
     val rest = stmt.substring(kw.length).trim
     val tok = rest.split("\\s+")(0)
     val name = bare(tok)
@@ -1570,11 +1739,17 @@ class GraftCatalog(val spark: SparkSession) {
       s"unsupported ALTER action: $action")
   }
 
-  /** ALTER TABLE child SET TAG t1=v1 [, t2=v2 …] (sql.y:1160). */
+  /** ALTER TABLE child SET TAG t1=v1 [, t2=v2 …] (sql.y:1160). On a
+    * virtual child, `SET TAG t = tbl.tag` (an UNQUOTED table.tag
+    * reference — sql.y:1121 createAlterTableAlterTagRef) converts the
+    * tag to a dynamic [[TagRef]]; a literal value converts it back to
+    * a static tag (02-Tag/test_vtable_alter_tag_ref.py). */
   private def setTags(childName: String, action: String): Unit = {
     val c = children.getOrElse(childName,
       throw new IllegalArgumentException(s"unknown table: $childName"))
     val st = stables(c.stableName)
+    val isVirtual = vtableDefs.get(childName).exists(_.using.isDefined)
+    val refRe = "^([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)$".r
     var vals = c.tagVals
     GraftSql.splitArgs(action.substring("SET TAG ".length)).foreach { kv =>
       val eq = kv.indexOf('=')
@@ -1582,8 +1757,19 @@ class GraftCatalog(val spark: SparkSession) {
       val tn = kv.substring(0, eq).trim
       val i = st.tagDefs.indexWhere(_._1.equalsIgnoreCase(tn))
       require(i >= 0, s"unknown tag $tn on ${st.name}")
-      vals = vals.updated(i,
-        literal(kv.substring(eq + 1), sparkType(st.tagDefs(i)._2)))
+      val vTxt = kv.substring(eq + 1).trim
+      val v: Any = vTxt match {
+        case refRe(tbl, tag) if isVirtual =>
+          val srcC = children.getOrElse(tbl,
+            throw new IllegalArgumentException(
+              s"tag ref source table not found: $tbl"))
+          require(stables(srcC.stableName).tagDefs
+              .exists(_._1.equalsIgnoreCase(tag)),
+            s"tag ref source tag not found: $tbl.$tag")
+          TagRef(tbl, tag)
+        case _ => literal(vTxt, sparkType(st.tagDefs(i)._2))
+      }
+      vals = vals.updated(i, v)
     }
     children(childName) = c.copy(tagVals = vals)
   }
@@ -1654,6 +1840,7 @@ class GraftCatalog(val spark: SparkSession) {
     else if (name == "ins_stables") insStables
     else if (name == "ins_tables") insTables
     else if (name == "ins_tags") insTags
+    else if (name == "ins_vstable_inherits") insVstableInherits
     else if (name == "ins_columns") insColumns
     else if (name == "ins_streams") insStreams
     else if (name == "ins_topics") insTopics
@@ -1678,8 +1865,18 @@ class GraftCatalog(val spark: SparkSession) {
     * keyed by tbname (SURVEY §1.1). */
   private def stableDf(name: String): DataFrame = {
     val st = stables(name)
-    val kids = children.values.filter(_.stableName == name).toSeq
-    require(kids.nonEmpty, s"stable $name has no child tables")
+    val allKids = children.values.filter(_.stableName == name).toSeq
+    require(allKids.nonEmpty, s"stable $name has no child tables")
+    // VIRTUAL children read through their source-aligned vtable frames
+    // (tags + tbname already attached); regular children — a VIRTUAL
+    // stable can carry both (05-VirtualTables inheritance tests insert
+    // into plain children of a VIRTUAL parent) — take the buffer path
+    // below, and the two unions merge by name
+    val (vkids, kids) = allKids.partition(c => vtableDefs.contains(c.name))
+    val vdf = if (vkids.isEmpty) None
+      else Some(vkids.map(c => vtableDf(vtableDefs(c.name)))
+        .reduce(_ unionByName _))
+    if (kids.isEmpty) return vdf.get
     val rowSchema = StructType(st.cols.fields :+
       StructField("_seq", LongType) :+ StructField("tbname", StringType))
     val rows = new java.util.ArrayList[Row]()
@@ -1688,18 +1885,20 @@ class GraftCatalog(val spark: SparkSession) {
     val latest = graft.ops.SourceOps
       .upsertLatest(spark.createDataFrame(rows, rowSchema),
         Seq("tbname", st.tsCol), "_seq").drop("_seq")
-    if (st.tags.fields.isEmpty)
+    val reg = if (st.tags.fields.isEmpty)
       latest.select((st.cols.fieldNames :+ "tbname").map(col): _*)
     else {
       val tagSchema = StructType(
         StructField("tbname", StringType) +: st.tags.fields)
       val tagRows = new java.util.ArrayList[Row](kids.length)
-      kids.foreach(c => tagRows.add(Row.fromSeq(c.name +: c.tagVals)))
+      kids.foreach(c => tagRows.add(
+        Row.fromSeq(c.name +: c.tagVals.map(resolveTagVal))))
       val dim = spark.createDataFrame(tagRows, tagSchema)
       latest.join(broadcast(dim), "tbname")
         .select((st.cols.fieldNames ++ st.tags.fieldNames :+
           "tbname").map(col): _*)
     }
+    vdf.map(reg.unionByName(_)).getOrElse(reg)
   }
 
   private def childDf(c: Child): DataFrame = {
@@ -1712,7 +1911,7 @@ class GraftCatalog(val spark: SparkSession) {
       .upsertLatest(base, Seq(st.tsCol), "_seq").drop("_seq")
     val tagged = st.tags.fields.zip(c.tagVals).foldLeft(latest) {
       case (d, (f, v)) =>
-        d.withColumn(f.name, lit(v).cast(f.dataType))
+        d.withColumn(f.name, lit(resolveTagVal(v)).cast(f.dataType))
     }
     tagged.withColumn("tbname", lit(c.name))
   }
@@ -1791,13 +1990,30 @@ class GraftCatalog(val spark: SparkSession) {
         children.values.count(_.stableName == st.name))
     }.toDF("stable_name", "db_name", "columns", "tags", "child_tables")
 
+  /** information_schema.ins_vstable_inherits (systable.h:93
+    * vstableInheritsSchema): one row per BASE ON inheritance edge
+    * between stables. uids/create_time are the catalog's deterministic
+    * logical ids (see [[Stable]]) so listings oracle-compare: uid =
+    * 7700000000000+seq, create_time = 2023-11-14T22:13:20Z + seq
+    * seconds, in ms. */
+  def insVstableInherits: DataFrame =
+    stables.values.filter(_.parents.nonEmpty).toSeq.flatMap { st =>
+      st.parents.map { p =>
+        val ps = stables(p)
+        (st.db, ps.name, ps.uid, st.name, st.uid,
+          1700000000000L + st.createSeq * 1000L)
+      }
+    }.toDF("db_name", "parent_stable_name", "parent_uid",
+      "child_stable_name", "child_uid", "create_time")
+
   /** information_schema.ins_tags: every (child, tag) value, rendered
     * as text exactly as the reference does (sysscanoperator.c tag
     * scan). */
   def insTags: DataFrame =
     children.values.toSeq.flatMap { c =>
       val st = stables(c.stableName)
-      st.tagDefs.zip(c.tagVals).map { case ((tn, tt), v) =>
+      st.tagDefs.zip(c.tagVals).map { case ((tn, tt), v0) =>
+        val v = resolveTagVal(v0)
         (c.name, st.db, st.name, tn, tt.toUpperCase,
           Option(v).map(_.toString).orNull)
       }
@@ -2166,7 +2382,8 @@ class GraftCatalog(val spark: SparkSession) {
             children(name).stableName != name) {
           val c = children(name)
           val st = stables(c.stableName)
-          val tags = st.tagDefs.zip(c.tagVals).map { case ((_, t), v) =>
+          val tags = st.tagDefs.zip(c.tagVals.map(resolveTagVal))
+            .map { case ((_, t), v) =>
             if (v == null) "NULL"
             else if (sparkType(t) == StringType)
               "'" + v.toString.replace("'", "''") + "'"
@@ -2294,7 +2511,8 @@ class GraftCatalog(val spark: SparkSession) {
       val st = stables.getOrElse(stName,
         throw new IllegalArgumentException(s"unknown stable: $stName"))
       val kids = children.values.filter(_.stableName == stName).toSeq
-      val rows = kids.map(c => Row.fromSeq(c.name +: c.tagVals))
+      val rows = kids.map(c =>
+        Row.fromSeq(c.name +: c.tagVals.map(resolveTagVal)))
       val schema = StructType(StructField("tbname", StringType) +:
         st.tags.fields.toSeq)
       spark.createDataFrame(

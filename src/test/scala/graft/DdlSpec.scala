@@ -608,6 +608,82 @@ class DdlSpec extends AnyFunSuite {
       r.getAs[Long]("n"))).toSeq == Seq((1, 7, 2L), (2, 8, 1L)))
   }
 
+  test("vstable tag model: CREATE VTABLE … USING with literal + ref " +
+      "tags, SET TAG conversions, dynamic source-tag visibility") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE vdb PRECISION 'ms'")
+    cat.exec("CREATE STABLE src (ts TIMESTAMP, val INT) " +
+      "TAGS (city VARCHAR(20), code INT)")
+    cat.exec("CREATE TABLE s0 USING src TAGS ('beijing', 100)")
+    cat.exec("CREATE TABLE s1 USING src TAGS ('shanghai', 200)")
+    cat.exec("INSERT INTO s0 VALUES (1000, 1) (2000, 2)")
+    cat.exec("INSERT INTO s1 VALUES (5000, 10)")
+    cat.exec("CREATE STABLE vstb (ts TIMESTAMP, val INT) TAGS " +
+      "(local_tag VARCHAR(20), ref_city VARCHAR(20), ref_code INT) " +
+      "VIRTUAL 1")
+    cat.exec("CREATE VTABLE v0 (val FROM s0.val) USING vstb TAGS " +
+      "('local0', ref_city FROM s0.city, ref_code FROM s1.code)")
+    def tagsOf(t: String): (String, String, Int) = {
+      val r = cat.table(t).head
+      (r.getAs[String]("local_tag"), r.getAs[String]("ref_city"),
+        r.getAs[Int]("ref_code"))
+    }
+    assert(tagsOf("v0") == ("local0", "beijing", 200))
+    // literal -> ref conversion; then the source change is visible
+    cat.exec("ALTER VTABLE v0 SET TAG local_tag = s0.city")
+    cat.exec("ALTER TABLE s0 SET TAG city='nanjing'")
+    assert(tagsOf("v0") == ("nanjing", "nanjing", 200))
+    // ref -> static literal conversion sticks
+    cat.exec("ALTER VTABLE v0 SET TAG ref_city='static'")
+    cat.exec("ALTER TABLE s0 SET TAG city='wuhan'")
+    assert(tagsOf("v0") == ("wuhan", "static", 200))
+    // virtual STABLE read = union of virtual children with tags
+    cat.exec("CREATE VTABLE v1 (val FROM s1.val) USING vstb TAGS " +
+      "('local1', 'c1', 7)")
+    val rows = cat.sql("SELECT tbname, ts, val, ref_code FROM vstb " +
+      "ORDER BY tbname, ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(rows.toSeq == Seq(("v0", 1000L, 1, 200), ("v0", 2000L, 2, 200),
+      ("v1", 5000L, 10, 7)))
+    // DROP removes the child registry row too
+    cat.exec("DROP VTABLE v1")
+    assert(cat.sql("SHOW VTABLES").count() == 1)
+    assert(cat.sql("SELECT count(*) AS n FROM information_schema." +
+      "ins_tags WHERE table_name = 'v1'").head.getLong(0) == 0L)
+    // loud error paths: non-virtual USING target, unknown ref source
+    intercept[IllegalArgumentException] {
+      cat.exec("CREATE VTABLE bad (val FROM s0.val) USING src " +
+        "TAGS ('x', 'y')")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec("CREATE VTABLE bad (val FROM s0.val) USING vstb " +
+        "TAGS ('x', ref_city FROM nosuch.city, 1)")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec("ALTER VTABLE v0 SET TAG ref_code = s0.nosuch")
+    }
+  }
+
+  test("ins_vstable_inherits lists BASE ON edges with deterministic " +
+      "uids") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE idb")
+    cat.exec("CREATE STABLE p1 (ts TIMESTAMP, a INT) TAGS (t1 INT)")
+    cat.exec("CREATE STABLE p2 (ts TIMESTAMP, b INT) TAGS (t2 INT)")
+    cat.exec("CREATE STABLE kid (ts TIMESTAMP, c INT) TAGS (t3 INT) " +
+      "BASE ON p1, p2")
+    val rows = cat.sql("SELECT * FROM information_schema." +
+      "ins_vstable_inherits ORDER BY parent_stable_name").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getString(3), r.getLong(4), r.getLong(5))).toSeq == Seq(
+      ("idb", "p1", 7700000000001L, "kid", 7700000000003L, 1700000003000L),
+      ("idb", "p2", 7700000000002L, "kid", 7700000000003L, 1700000003000L)))
+    // an inheritance-free catalog lists nothing
+    assert(cat.sql("SELECT count(*) AS n FROM information_schema." +
+      "ins_vstable_inherits WHERE child_stable_name = 'p1'")
+      .head.getLong(0) == 0L)
+  }
+
   test("database() tracks the catalog's USE state") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE DATABASE mixdb")
