@@ -354,6 +354,28 @@ object Ddl {
         "count(*) AS n FROM events WHERE gcd64(event_id, 6) = 6 " +
         "GROUP BY user_id ORDER BY user_id")
     },
+    // USER-SUPPLIED UDF bodies (udfd.c / taospyudf.cpp analog: the
+    // reference compiles a user script out-of-process; here the AS
+    // clause IS the user's body — a SQL expression over args a0..aN,
+    // compiled once at CREATE FUNCTION into a codegen-friendly
+    // expression template). A scalar body runs in WHERE and inside
+    // sum(); an AGGREGATE body (decimal-exact rms) runs in agg
+    // position — both resolved by name through the dialect
+    "ddl_udf_user_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE FUNCTION absdiff AS " +
+        "'CASE WHEN a0 > a1 THEN a0 - a1 ELSE a1 - a0 END' " +
+        "OUTPUTTYPE BIGINT LANGUAGE 'sql'")
+      cat.exec("CREATE AGGREGATE FUNCTION rms AS " +
+        "'sqrt(cast(cast(sum(cast(a0 * a0 as decimal(18,4))) " +
+        "as decimal(18,4)) as double))' " +
+        "OUTPUTTYPE DOUBLE BUFSIZE 8 LANGUAGE 'sql'")
+      cat.sql("SELECT user_id, round(rms(value), 6) AS rms_v, " +
+        "cast(sum(absdiff(event_id, user_id)) as bigint) AS sd, " +
+        "count(*) AS n " +
+        "FROM events WHERE absdiff(user_id, 5) <= 3 " +
+        "GROUP BY user_id ORDER BY user_id")
+    },
     // the reference's published sample UDF library (docs/examples/udf/
     // l2norm.c aggregate, bit_and.c scalar) bound through the same
     // CREATE FUNCTION DDL, plus server_status() (system-info family)
@@ -713,6 +735,17 @@ object Ddl {
     "ddl_udf_gate" ->
       """SELECT user_id, bit_or(event_id) AS bits, count(*) AS n
          FROM events WHERE gcd(event_id, 6) = 6
+         GROUP BY user_id ORDER BY user_id""",
+    "ddl_udf_user_gate" ->
+      """SELECT user_id,
+           round(sqrt(CAST(CAST(sum(CAST(value * value AS DECIMAL(18,4)))
+             AS DECIMAL(18,4)) AS DOUBLE)), 6) AS rms_v,
+           CAST(sum(CASE WHEN event_id > user_id THEN event_id - user_id
+             ELSE user_id - event_id END) AS BIGINT) AS sd,
+           count(*) AS n
+         FROM events
+         WHERE (CASE WHEN user_id > 5 THEN user_id - 5
+           ELSE 5 - user_id END) <= 3
          GROUP BY user_id ORDER BY user_id""",
     "ddl_udf_sample_gate" ->
       """SELECT user_id, round(sqrt(sum(value * value)), 4) AS l2, count(*) AS n,

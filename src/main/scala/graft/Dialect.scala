@@ -890,6 +890,30 @@ object Dialect {
              AND a.user_id = 9
            ORDER BY id""")
     },
+    // ON-less INNER JOIN keyed through WHERE (parTranslater treats
+    // `a JOIN b WHERE a.k = b.k` exactly like the comma form)
+    "dialect_join_noon" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT a.event_id AS id, b.value AS v2
+           FROM events a JOIN events b
+           WHERE a.event_id = b.event_id AND a.user_id = 7
+           ORDER BY id""")
+    },
+    // INTERVAL(d, AUTO) (sql.y:2883, ttime.c:1732 v3.3.5+): the
+    // window grid aligns to the WHERE clause's ts lower bound
+    "dialect_interval_auto" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart, count(*) AS n FROM events
+           WHERE ts >= 1704070000000000 INTERVAL(1h, AUTO)
+           ORDER BY _wstart""")
+    },
+    // star accompaniment: `SELECT *, max(k)` expands * to the
+    // selected row's columns (20-select.md selection-function
+    // accompaniment; the anchor row is the max-event_id row)
+    "dialect_star_accompany" -> { (s, dir) =>
+      run(s, dir,
+        "SELECT *, max(event_id) AS me FROM events WHERE user_id = 3")
+    },
     // selection function + bare accompanying columns
     // (test_orderby_basic.py `SELECT last(ts), ts FROM t1`): the bare
     // columns read from the selected row
@@ -1877,6 +1901,25 @@ object Dialect {
          WHERE a.event_id = b.event_id AND b.event_id = c.event_id
            AND a.user_id = 9
          ORDER BY id""",
+    "dialect_join_noon" ->
+      """SELECT a.event_id AS id, b.value AS v2
+         FROM events a JOIN events b ON a.event_id = b.event_id
+         WHERE a.user_id = 7 ORDER BY id""",
+    "dialect_interval_auto" ->
+      """SELECT 1704070000000000 + 3600000000 *
+           ((epoch_us(ts) - 1704070000000000) // 3600000000)
+           AS _wstart, count(*) AS n
+         FROM events WHERE epoch_us(ts) >= 1704070000000000
+         GROUP BY 1 ORDER BY 1""",
+    "dialect_star_accompany" ->
+      """SELECT arg_max(event_id, event_id) AS event_id,
+           arg_max(epoch_us(ts), event_id) AS ts,
+           arg_max(user_id, event_id) AS user_id,
+           arg_max(event_type, event_id) AS event_type,
+           arg_max(value, event_id) AS value,
+           arg_max(props, event_id) AS props,
+           max(event_id) AS me
+         FROM events WHERE user_id = 3""",
     "dialect_select_accompany" ->
       """SELECT max(event_id) AS me,
            arg_max(user_id, event_id) AS user_id,

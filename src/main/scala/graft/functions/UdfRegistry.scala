@@ -76,6 +76,51 @@ object UdfRegistry {
 
   def knownImpls: Seq[String] = impls.keys.toSeq.sorted
 
+  /** Bind a USER-SUPPLIED function body (the udfd.c / taospyudf.cpp
+    * analog: the reference ships the user's script to a daemon that
+    * compiles and runs it; here the user's body is a SQL expression
+    * over positional args `a0..aN`, compiled ONCE at CREATE FUNCTION
+    * time into a Catalyst expression template). Calls substitute the
+    * argument expressions into the template, so the bound function
+    * stays inside whole-stage codegen — no row-at-a-time closure. An
+    * AGGREGATE body (e.g. `sqrt(sum(a0*a0))`) lands in agg position
+    * through the same substitution; Spark's analyzer enforces
+    * aggregate-vs-scalar placement. */
+  def bindBody(spark: SparkSession, fnName: String, body: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val template = spark.sessionState.sqlParser.parseExpression(body)
+    val argRe = "(?i)^a(\\d+)$".r
+    def argIdx(e: Expression): Option[Int] = e match {
+      case UnresolvedAttribute(Seq(n)) => n match {
+        case argRe(i) => Some(i.toInt)
+        case _ => None
+      }
+      case _ => None
+    }
+    val idxs = template.collect(Function.unlift(argIdx))
+    val arity = if (idxs.isEmpty) 0 else idxs.max + 1
+    require(idxs.toSet == (0 until arity).toSet,
+      s"user UDF body must reference args a0..a${arity - 1} " +
+        s"contiguously: $body")
+    val stray = template.collect {
+      case ua: UnresolvedAttribute if argIdx(ua).isEmpty => ua.name
+    }
+    require(stray.isEmpty,
+      s"user UDF body may only reference its args a0..aN, found: " +
+        stray.mkString(", "))
+    val builder: Seq[Expression] => Expression = args => {
+      require(args.length == arity,
+        s"$fnName expects $arity argument(s), got ${args.length}")
+      template.transformUp {
+        case ua: UnresolvedAttribute if argIdx(ua).isDefined =>
+          args(argIdx(ua).get)
+      }
+    }
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(fnName, builder, "scala_udf")
+  }
+
   /** Bind `impl` under `fnName`. The DDL's AGGREGATE keyword must match
     * the implementation's kind — the reference rejects a scalar lib
     * declared AGGREGATE at create time, not first call. */

@@ -157,6 +157,12 @@ class GraftCatalog(val spark: SparkSession) {
   // COMPACT DATABASE history for SHOW COMPACTS / SHOW COMPACT id
   private val compactLog = mutable.ArrayBuffer[(Int, String, String)]()
   private var compactSeq = 0
+  // SCAN DATABASE history for SHOW SCANS / SHOW SCAN id (sql.y:885,
+  // 1430-1431; systable.c:554 userScansSchema) — a scan only reads, so
+  // the log row is the whole effect; start_time is the deterministic
+  // create clock
+  private val scanLog = mutable.ArrayBuffer[(Int, String, Long)]()
+  private var scanSeq = 0
   // users / roles / privileges (sql.y:359-419, systable.c:507
   // userUserPrivilegesSchema). Authn itself is the platform's job
   // (Spark delegates to the cluster manager); the catalog keeps the
@@ -483,6 +489,12 @@ class GraftCatalog(val spark: SparkSession) {
         }
       }
     }
+    else if (up.startsWith("SCAN DATABASE")) {
+      val name = bare(stmt.split("\\s+")(2))
+      require(databases.contains(name), s"unknown database: $name")
+      scanSeq += 1
+      scanLog += ((scanSeq, name, 1700000000000L + scanSeq * 1000L))
+    }
     else if (up.startsWith("COMPACT DATABASE")) {
       compactSeq += 1
       compactLog += ((compactSeq, bare(stmt.split("\\s+").last),
@@ -595,7 +607,8 @@ class GraftCatalog(val spark: SparkSession) {
     // CLUSTER …): Spark owns process config, so the statements are
     // validated and accepted — the reference applies them to tsdbCfg,
     // the analogue here is SparkConf the session was built with
-    else if ("(?i)^ALTER (?:DNODE \\d+|ALL DNODES|LOCAL|CLUSTER)\\s+'[^']+'(?:\\s+(?:'[^']*'|\\S+))?$"
+    else if (("(?i)^ALTER (?:DNODE \\d+|ALL DNODES|LOCAL|CLUSTER)\\s+" +
+      "(?:'[^']+'(?:\\s+(?:'[^']*'|\\S+))?|\"[^\"]+\")$")
         .r.matches(stmt)) ()
     else if (up.startsWith("DROP USER")) dropUser(stmt)
     else if (up.startsWith("CREATE ROLE")) {
@@ -1133,16 +1146,22 @@ class GraftCatalog(val spark: SparkSession) {
     ("(?i)^CREATE (?:OR REPLACE )?(AGGREGATE )?FUNCTION " +
       "(?:IF NOT EXISTS )?([A-Za-z_][A-Za-z0-9_]*) AS '([^']+)' " +
       "OUTPUTTYPE ([A-Za-z0-9()]+)(?: BUFSIZE (\\d+))?" +
-      "(?: LANGUAGE '[^']*')?$").r
+      "(?: LANGUAGE '([^']*)')?$").r
 
   /** CREATE [AGGREGATE] FUNCTION name AS '<impl>' OUTPUTTYPE t
-    * (sql.y:1589): binds a [[graft.functions.UdfRegistry]]
-    * implementation into the Spark function registry under `name`, so
-    * dialect expressions resolve it like any built-in. */
+    * [LANGUAGE 'lang'] (sql.y:1589): binds a
+    * [[graft.functions.UdfRegistry]] implementation into the Spark
+    * function registry under `name`, so dialect expressions resolve it
+    * like any built-in. LANGUAGE 'sql' marks the AS clause as a
+    * USER-SUPPLIED expression body over args a0..aN (the udfd.c /
+    * taospyudf.cpp user-script path), compiled at create time. */
   private def createFunction(stmt: String): Unit = stmt match {
-    case fnCreateRe(agg, name0, impl, outType, bufSize) =>
+    case fnCreateRe(agg, name0, impl, outType, bufSize, lang) =>
       val name = bare(name0)
-      graft.functions.UdfRegistry.bind(spark, name, impl, agg != null)
+      if (Option(lang).exists(_.equalsIgnoreCase("sql")))
+        graft.functions.UdfRegistry.bindBody(spark, name, impl)
+      else
+        graft.functions.UdfRegistry.bind(spark, name, impl, agg != null)
       udfDefs(name) = UdfDef(name, impl, agg != null,
         outType.toUpperCase,
         Option(bufSize).map(_.toInt).getOrElse(0))
@@ -2129,8 +2148,9 @@ class GraftCatalog(val spark: SparkSession) {
         "update_time")
 
   def insXnodeJobs: DataFrame =
-    Seq.empty[(Int, Int, String, Int, Int, String)]
-      .toDF("id", "task_id", "config", "via", "xnode_id", "status")
+    Seq.empty[(Int, Int, String, Int, Int, String, Long, Long)]
+      .toDF("id", "task_id", "config", "via", "xnode_id", "status",
+        "create_time", "update_time")
 
   /** CREATE EXTERNAL SOURCE name TYPE='mysql' HOST='h' PORT=n
     * USER='u' [PASSWORD='p'|API_TOKEN='t'] [DATABASE='d'] [SCHEMA='s']
@@ -2465,6 +2485,12 @@ class GraftCatalog(val spark: SparkSession) {
       Seq((v.name, ddl)).toDF("vtable_name", "create_sql")
     }
     else if (up.startsWith("SHOW DATABASES")) insDatabases
+    // SHOW USER|SYSTEM DATABASES (sql.y:1354,1477-1478 db_kind_opt):
+    // USER = the catalog's databases; SYSTEM = the two schema dbs
+    else if (up == "SHOW USER DATABASES") insDatabases
+    else if (up == "SHOW SYSTEM DATABASES")
+      Seq("information_schema", "performance_schema").map(Tuple1(_))
+        .toDF("name")
     else if (up.startsWith("SHOW STABLES")) insStables
     else if (up == "SHOW TABLES") insTables
     else if (up.startsWith("SHOW STREAMS")) insStreams
@@ -2473,15 +2499,20 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW RSMAS")) insRsmas
     else if (up.startsWith("SHOW VARIABLES") ||
         up.startsWith("SHOW LOCAL VARIABLES")) {
-      // SHOW [LOCAL] VARIABLES (sql.y:1397-1399): the engine-relevant
-      // session settings a TDengine client would inspect
-      Seq(
+      // SHOW [LOCAL] VARIABLES [LIKE 'pat'] (sql.y:1397-1399): the
+      // engine-relevant session settings a TDengine client would
+      // inspect; LIKE filters on the variable name
+      val vars = Seq(
         ("timezone", spark.conf.get("spark.sql.session.timeZone")),
         ("shuffle_partitions",
           spark.conf.get("spark.sql.shuffle.partitions")),
         ("current_database", currentDb),
         ("precision_ticks_per_second", perSecond.toString))
         .toDF("name", "value")
+      "(?i)\\bLIKE\\s+'([^']*)'".r.findFirstMatchIn(stmt) match {
+        case Some(m) => vars.filter(col("name").like(m.group(1)))
+        case None => vars
+      }
     }
     else if (up.startsWith("SHOW QUERIES")) {
       // SHOW QUERIES (sql.y:1390): live query listing — the Spark
@@ -2540,6 +2571,8 @@ class GraftCatalog(val spark: SparkSession) {
         .toDF("rsma_name", "table_name", "level", "interval")
     }
     else if (up.startsWith("SHOW VTABLES")) insVtables
+    // SHOW VTABLE INHERITS (sql.y:1436) = ins_vstable_inherits
+    else if (up == "SHOW VTABLE INHERITS") insVstableInherits
     else if (up.startsWith("SHOW FUNCTIONS")) insFunctions
     // SHOW USER PRIVILEGES / SHOW ROLE [COLUMN] PRIVILEGES
     // (sql.y:1350-1353): both read the same grant ledger the GRANT
@@ -2609,14 +2642,14 @@ class GraftCatalog(val spark: SparkSession) {
     // (sql.y:791-795); SHOW EXTERNAL SOURCES (sql.y:3182)
     else if (up.startsWith("SHOW XNODE") ||
         up.startsWith("SHOW EXTERNAL SOURCES")) {
-      val m = ("(?i)^SHOW (XNODES|XNODE TASKS|XNODE AGENTS|" +
+      val m = ("(?i)^SHOW (XNODES|XNODE TASKS|XNODE AGENTS?|" +
         "XNODE JOBS|EXTERNAL SOURCES)(?:\\s+WHERE\\s+(.+))?$").r
       stmt match {
         case m(kind, cond) =>
           val base = kind.toUpperCase match {
             case "XNODES" => insXnodes
             case "XNODE TASKS" => insXnodeTasks
-            case "XNODE AGENTS" => insXnodeAgents
+            case "XNODE AGENTS" | "XNODE AGENT" => insXnodeAgents
             case "XNODE JOBS" => insXnodeJobs
             case _ => insExtSources
           }
@@ -2660,8 +2693,15 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW ROLES")) insRoles
     // SHOW CLUSTER sub-forms must match before the bare SHOW CLUSTER
     else if (up.startsWith("SHOW CLUSTER VARIABLES") ||
-        "(?i)^SHOW DNODE \\d+ VARIABLES$".r.matches(stmt))
-      sql("SHOW VARIABLES")
+        "(?i)^SHOW (?:DNODE )?\\d+ VARIABLES(?: LIKE '[^']*')?$".r
+          .matches(stmt)) {
+      val like = "(?i)\\bLIKE\\s+'([^']*)'".r.findFirstMatchIn(stmt)
+      like match {
+        case Some(m) =>
+          sql("SHOW VARIABLES").filter(col("name").like(m.group(1)))
+        case None => sql("SHOW VARIABLES")
+      }
+    }
     else if (up.startsWith("SHOW CLUSTER MACHINES"))
       // license/machine listing (sql.y SHOW CLUSTER MACHINES): one
       // machine — the Spark driver
@@ -2686,6 +2726,13 @@ class GraftCatalog(val spark: SparkSession) {
         || up.startsWith("SHOW BNODES"))
       // none deployed in the single-process engine — empty listing
       Seq.empty[(Int, String)].toDF("id", "endpoint")
+    else if (up.startsWith("SHOW SCANS"))
+      scanLog.toSeq.toDF("scan_id", "db_name", "start_time")
+    else if ("(?i)^SHOW SCAN \\d+$".r.matches(stmt)) {
+      val sid = stmt.split("\\s+").last.toInt
+      scanLog.toSeq.filter(_._1 == sid)
+        .toDF("scan_id", "db_name", "start_time")
+    }
     else if (up.startsWith("SHOW COMPACTS"))
       compactLog.toSeq.toDF("compact_id", "db_name", "status")
     else if ("(?i)^SHOW COMPACT \\d+$".r.matches(stmt)) {
@@ -2696,6 +2743,27 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW TRANSACTIONS"))
       Seq.empty[(Int, String, String)]
         .toDF("id", "created_time", "stage")
+    // SHOW TRANSACTION LOGS / ORPHANS / n (sql.y:1410-1412;
+    // systable.h ins_transaction_*): the single-process engine commits
+    // synchronously, so the logs are empty by construction
+    else if (up == "SHOW TRANSACTION LOGS")
+      Seq.empty[(Int, Long, String, String)]
+        .toDF("id", "created_time", "action", "detail")
+    else if (up == "SHOW TRANSACTION ORPHANS")
+      Seq.empty[(Int, Long, String)]
+        .toDF("id", "created_time", "stage")
+    else if ("(?i)^SHOW TRANSACTION \\d+$".r.matches(stmt))
+      Seq.empty[(Int, Long, String, String)]
+        .toDF("id", "created_time", "stage", "detail")
+    // SHOW CREATE STREAM s (sql.y:1486): round-trippable DDL text
+    else if (up.startsWith("SHOW CREATE STREAM ")) {
+      val name = bare(stmt.split("\\s+").last)
+      val sd = streamDefs.getOrElse(name,
+        throw new IllegalArgumentException(s"stream not found: $name"))
+      Seq((name, s"CREATE STREAM `$name` ${sd.options} " +
+        s"INTO `${sd.into}` AS ${sd.select}".replaceAll("\\s+", " ")))
+        .toDF("stream_name", "create_sql")
+    }
     else if (up.startsWith("SHOW GRANTS"))
       // license introspection (sql.y:1382 SHOW GRANTS → licences)
       Seq(("community", "unlimited", "unlimited"))

@@ -355,12 +355,17 @@ object GraftSql {
     e
   }
 
-  /** `'fmt'` argument literal → raw string. */
+  /** `'fmt'` argument literal → raw string. TDengine also accepts
+    * DOUBLE-quoted string literals (identifiers use backticks), so
+    * `statecount(v, "GT", 0)` is legal text. */
   private def unquote(s: String): String = {
     val t = s.trim
-    require(t.length >= 2 && t.head == '\'' && t.last == '\'',
+    require(t.length >= 2 &&
+      ((t.head == '\'' && t.last == '\'') ||
+        (t.head == '"' && t.last == '"')),
       s"expected a string literal, got: $s")
-    t.substring(1, t.length - 1).replace("''", "'")
+    if (t.head == '"') t.substring(1, t.length - 1).replace("\"\"", "\"")
+    else t.substring(1, t.length - 1).replace("''", "'")
   }
 
   /** `cols(selectFunc(x), out1 [AS a1], out2…)` (builtins.c:6831;
@@ -382,9 +387,13 @@ object GraftSql {
         s"cols() selector must be max/min/first/last/last_row: $other")
     }
     val asPat = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    // bare-space alias form (`c0 cc`, sql.y column_alias without AS):
+    // the trailing token aliases when what precedes is a bare column
+    val spacePat = "^([A-Za-z_]\\w*)\\s+([A-Za-z_]\\w*)$".r
     parts.tail.map { out =>
       val (e, alias) = out.trim match {
         case asPat(e0, al) => (e0.trim, Some(al))
+        case spacePat(e0, al) => (e0, Some(al))
         case e0 => (e0.trim, None)
       }
       val agg = fn match {
@@ -421,6 +430,20 @@ object GraftSql {
     r = r.replaceAll("(?i)\\bnchar\\s*\\(", "varchar(")
     r = r.replaceAll("(?i)\\bAS\\s+nchar\\b", "AS string")
     r = r.replaceAll("(?i)\\bAS\\s+binary\\s*\\(", "AS varchar(")
+    // TDengine's BOOL type name in CASTs (tdataformat.h) is BOOLEAN
+    // in Spark's parser
+    r = r.replaceAll("(?i)\\bAS\\s+bool\\b", "AS boolean")
+    // BLOB/MEDIUMBLOB (tdataformat.h blob types) are raw bytes
+    r = r.replaceAll("(?i)\\bAS\\s+(?:medium)?blob\\b", "AS binary")
+    // length-less VARCHAR in a CAST (legal in the reference, where it
+    // defaults) — Spark requires a length, STRING is the same thing
+    r = r.replaceAll("(?i)\\bAS\\s+varchar\\b(?!\\s*\\()", "AS string")
+    // an integer literal wider than 19 digits overflows DECIMAL(38)
+    // in Spark's parser; the reference reads it as a DOUBLE — append
+    // an exponent so Spark does too (timestamps max out at 19 digits,
+    // so no ts literal can match)
+    r = r.replaceAll(
+      "(?<![\\w.'\"])(\\d{20,}(?:\\.\\d+)?)(?![\\w.])", "$1E0")
     // PG-token timestamp formatting (ttime.c:2032): the format is a
     // literal, so the whole call lowers to built-ins at plan time
     r = rewriteCall(r, "to_char", a => {
@@ -1195,13 +1218,29 @@ object GraftSql {
     * decide diff/csum/lag/top results on tables without an event_id
     * (ADVICE r14: the old event_id-only rule left other tables
     * nondeterministic under duplicate ts). */
-  private def seriesTie(df: DataFrame, tsCol: String): Seq[Column] =
+  private def seriesTie(df: DataFrame, tsCol: String): Seq[Column] = {
+    // orderable = no MapType anywhere in the type tree (Spark's
+    // orderBy throws on maps, including maps nested in structs/arrays)
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => orderable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          orderable(a.elementType)
+        case _ => true
+      }
     df.columns.find(_.equalsIgnoreCase("event_id"))
       .map(c => Seq(col(c)))
       .getOrElse(df.schema.fields.toSeq
         .filter(f => !f.name.equalsIgnoreCase(tsCol) &&
-          !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          orderable(f.dataType))
+        // stable schema-order prefix bounds the sort cost on wide
+        // tables; rows identical across 16 columns AND ts are
+        // interchangeable for every series function routed here
+        .take(16)
         .map(f => col(f.name)))
+  }
 
   /** Row-producing selection functions `TOP/BOTTOM(col, k)`,
     * `TAIL(col, k[, offset])`, `UNIQUE(col)` (builtins.c:4431 tail,
@@ -1240,6 +1279,8 @@ object GraftSql {
         // true-streak count / duration, -1 on non-matching rows
         case "statecount" | "stateduration" =>
           val opName = unquote(args(1).trim).toUpperCase
+          require(args(2).trim.matches("[-+]?\\d+(\\.\\d+)?"),
+            s"$f threshold must be a numeric literal: ${args(2).trim}")
           val v = args(2).trim.toDouble
           val x = col(valueCol)
           val pred = opName match {
@@ -1271,15 +1312,31 @@ object GraftSql {
           analyticProject(stated, c, sel, start, close, "_state",
             Map.empty)
         case _ =>
+          // loud arity/shape errors (the reference rejects at parse
+          // time — builtins.c translateTopBot/translateTail): k (and
+          // tail's offset) must be integer LITERALS
+          def kArg(fn: String): Int = {
+            require(args.length >= 2,
+              s"$fn(col, k) needs a row-count argument")
+            val t = args(1).trim
+            require(t.matches("-?\\d+"),
+              s"$fn(col, k): k must be an integer literal, got: $t")
+            t.toInt
+          }
           val out = f match {
             case "top" => SeriesOps.topK(df, col(valueCol), col(tsCol),
-              keys, args(1).trim.toInt, tie = tie)
+              keys, kArg("top"), tie = tie)
             case "bottom" => SeriesOps.topK(df, col(valueCol),
-              col(tsCol), keys, args(1).trim.toInt, bottom = true,
+              col(tsCol), keys, kArg("bottom"), bottom = true,
               tie = tie)
             case "tail" => SeriesOps.tail(df, col(tsCol), keys,
-              args(1).trim.toInt,
-              args.lift(2).map(_.trim.toInt).getOrElse(0), tie = tie)
+              kArg("tail"),
+              args.lift(2).map { o =>
+                require(o.trim.matches("-?\\d+"),
+                  s"tail(col, k, offset): offset must be an integer " +
+                    s"literal, got: ${o.trim}")
+                o.trim.toInt
+              }.getOrElse(0), tie = tie)
             case "unique" => SeriesOps.unique(df, col(valueCol),
               col(tsCol), keys, tie = tie)
           }
@@ -1368,6 +1425,11 @@ object GraftSql {
     require(args.length == 4,
       s"HISTOGRAM needs (col, bin_type, bin_desc, normalized): $sel")
     val binType = unquote(args(1).trim).toLowerCase
+    require(Seq("user_input", "linear_bin", "log_bin").contains(binType),
+      s"HISTOGRAM bin_type must be user_input|linear_bin|log_bin: " +
+        s"$binType")
+    require(args(3).trim.matches("[01]"),
+      s"HISTOGRAM normalized flag must be 0 or 1: ${args(3).trim}")
     val normalized = args(3).trim.toInt == 1
     val bounds = histogramBounds(binType, unquote(args(2).trim))
     val nb = bounds.size - 1
@@ -1486,16 +1548,29 @@ object GraftSql {
     * None for strings that are not datetime-shaped. */
   private[sql] def tsLitTicks(lit0: String, perSecond: Long): Option[Long] = {
     val s = lit0.stripPrefix("'").stripSuffix("'").trim
+    // ISO-8601 zone suffix (taosParseTime accepts ±hh[:mm] and Z):
+    // shift the wall-clock fields back to UTC by the offset
     val re = ("^(\\d{4})-(\\d{2})-(\\d{2})" +
-      "(?:[ T](\\d{2}):(\\d{2}):(\\d{2})(\\.\\d+)?)?Z?$").r
+      "(?:[ T](\\d{2}):(\\d{2}):(\\d{2})(\\.\\d+)?)?" +
+      "(Z|[+-]\\d{2}(?::?\\d{2})?)?$").r
     s match {
-      case re(y, mo, d, h, mi, se, fr) =>
+      case re(y, mo, d, h, mi, se, fr, zone) =>
         try {
           val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
             if (h == null) 0 else h.toInt,
             if (mi == null) 0 else mi.toInt,
             if (se == null) 0 else se.toInt)
-          val sec = ldt.toEpochSecond(java.time.ZoneOffset.UTC)
+          val offSec = zone match {
+            case null | "Z" => 0L
+            case z =>
+              val sign = if (z.head == '-') -1L else 1L
+              val body = z.tail.replace(":", "")
+              val hh = body.substring(0, 2).toLong
+              val mm = if (body.length >= 4)
+                body.substring(2, 4).toLong else 0L
+              sign * (hh * 3600 + mm * 60)
+          }
+          val sec = ldt.toEpochSecond(java.time.ZoneOffset.UTC) - offSec
           val frac = Option(fr).map(f =>
             math.round(f.toDouble * perSecond)).getOrElse(0L)
           Some(Math.addExact(Math.multiplyExact(sec, perSecond), frac))
@@ -1776,8 +1851,20 @@ object GraftSql {
     }
     val views = viewOf.map(_._2)
     try {
+      // a db-qualified table (db.tbl in FROM) may be referenced as
+      // `db.tbl.col` in ON/SELECT/WHERE/…; the synthetic view only
+      // resolves via the bare alias, so every `db.tbl.` column
+      // qualifier rewrites to `tbl.` across ALL clauses (the pre-r15
+      // replace-everywhere behavior, scoped to qualifiers)
+      val dbQual = viewOf.map(_._1).filter(_.contains("."))
+      def fixQuals(s: String): String = dbQual.foldLeft(s) { (acc, t) =>
+        val q = java.util.regex.Pattern.quote(t + ".")
+        val alias = t.split("\\.").last + "."
+        ("(?i)(?<![\\w.])" + q).r.replaceAllIn(acc,
+          java.util.regex.Matcher.quoteReplacement(alias))
+      }
       def rw(k: String): Option[String] =
-        c.get(k).map(v => rewriteFuncs(v, tsCol, perSecond))
+        c.get(k).map(v => rewriteFuncs(fixQuals(v), tsCol, perSecond))
       val fromTxt = viewOf.foldLeft(from) { case (f, (t, syn)) =>
         val q = java.util.regex.Pattern.quote(t)
         val lead = "(?i)(^|,\\s*|\\bJOIN\\s+)"
@@ -1796,9 +1883,9 @@ object GraftSql {
       }
       val stmt = Seq(
         Some(s"SELECT ${rw("SELECT").get}"),
-        Some(s"FROM $fromTxt"),
+        Some(s"FROM ${fixQuals(fromTxt)}"),
         rw("WHERE").map(w => s"WHERE $w"),
-        c.get("GROUP BY").map(g => s"GROUP BY $g"),
+        c.get("GROUP BY").map(g => s"GROUP BY ${fixQuals(g)}"),
         rw("HAVING").map(h => s"HAVING $h"),
         rw("ORDER BY").map(o => s"ORDER BY $o")
       ).flatten.mkString(" ")
@@ -2029,6 +2116,20 @@ object GraftSql {
     // 3+-table join chains delegate whole statements to Spark SQL
     chainedJoinSql(spark, resolve, c, tsCol, perSecond)
       .foreach(return _)
+    // ON-less INNER JOIN (`t1 a JOIN t2 b WHERE a.k = b.k` — the
+    // reference translates it exactly like the comma form): rewrite to
+    // the comma spelling so the WHERE hoisting below keys it. The
+    // alias token must not be a join-direction keyword, so LEFT/RIGHT/
+    // FULL/… JOINs never match (those keep their ON requirement).
+    val noOnRe = ("(?i)^\\s*([A-Za-z_][\\w.]*(?:\\s+(?!(?i:LEFT|RIGHT|" +
+      "FULL|INNER|CROSS|SEMI|ANTI|ASOF|WINDOW)\\b)[A-Za-z_]\\w*)?)\\s+" +
+      "(?:INNER\\s+)?JOIN\\s+([A-Za-z_][\\w.]*" +
+      "(?:\\s+[A-Za-z_]\\w*)?)\\s*$").r
+    c("FROM") match {
+      case noOnRe(l, r) if c.contains("WHERE") =>
+        c = c.updated("FROM", s"$l, $r")
+      case _ =>
+    }
     // comma-join (sql.y table_reference_list): FROM t1 [a], t2 [b]
     // WHERE a.k = b.k … — the classic inner-join spelling. Rewritten
     // to JOIN … ON by hoisting the cross-table equality conjuncts out
@@ -2328,7 +2429,33 @@ object GraftSql {
     // around-interval that acts as the SURROUND bound.
     if (c.contains("RANGE")) {
       val interpPat = "(?i)^interp\\s*\\(\\s*(\\w+)\\s*\\)$".r
-      val interpCols = selectItems.collect {
+      // interp(EXPR) over a non-bare-column expression (legal in the
+      // reference — translateInterp takes any scalar expr): project
+      // the expression as a synthetic column first, then the bare-col
+      // path below applies unchanged
+      val interpAny = "(?i)^interp\\s*\\((.+)\\)$".r
+      val exprSyn =
+        scala.collection.mutable.LinkedHashMap[String, String]()
+      val rItems = selectItems.map { case (e, a) =>
+        val t = e.trim
+        interpAny.findFirstMatchIn(t) match {
+          case Some(m) =>
+            val arg = m.group(1).trim
+            val balancedArg =
+              arg.count(_ == '(') == arg.count(_ == ')')
+            if (!balancedArg || interpPat.matches(t)) (e, a)
+            else {
+              val syn = exprSyn.getOrElseUpdate(arg,
+                s"_interp_e${exprSyn.size}")
+              (s"interp($syn)", a)
+            }
+          case None => (e, a)
+        }
+      }
+      val df0 = exprSyn.foldLeft(df) { case (d, (argTxt, syn)) =>
+        d.withColumn(syn, expr(rewriteFuncs(argTxt, tsCol, perSecond)))
+      }
+      val interpCols = rItems.collect {
         case (e, _) if interpPat.matches(e.trim) =>
           interpPat.findFirstMatchIn(e.trim).get.group(1)
       }.distinct
@@ -2337,10 +2464,14 @@ object GraftSql {
       val valueCol = interpCols.head
       val rawRange = splitArgs(stripOuterParens(c("RANGE"))).map(_.trim)
       def tsArg(a: String): Long =
-        if (a.startsWith("'"))
-          tsLitTicks(a, perSecond).getOrElse(throw
+        if (a.startsWith("'")) {
+          // quoted digit strings are epoch ticks, same as unquoted
+          // (the reference's ts literals accept both spellings)
+          val inner = a.stripPrefix("'").stripSuffix("'").trim
+          if (inner.matches("-?\\d+")) inner.toLong
+          else tsLitTicks(a, perSecond).getOrElse(throw
             new IllegalArgumentException(s"bad RANGE timestamp: $a"))
-        else a.toLong
+        } else a.toLong
       val durArg = "(?i)^\\d+[buasmhdw]$".r
       val (t0, t1, aroundUs) = rawRange match {
         case Seq(p) => (tsArg(p), tsArg(p), 0L)
@@ -2376,8 +2507,15 @@ object GraftSql {
             require(vals.length == 1 || vals.length == interpCols.length,
               s"FILL(VALUE…) takes 1 or ${interpCols.length} values, " +
                 s"got ${vals.length}")
-            FillOps.FillValue(
-              (if (vals.length == 1) vals.head else vals(i)).trim.toDouble)
+            val v0 = (if (vals.length == 1) vals.head else vals(i)).trim
+            val v = if (v0.startsWith("'") || v0.startsWith("\""))
+              v0.substring(1, v0.length - 1).trim else v0
+            if (v.equalsIgnoreCase("NULL")) FillOps.FillNull
+            else {
+              require(v.matches("[-+]?\\d+(\\.\\d+)?([eE][-+]?\\d+)?"),
+                s"FILL(VALUE…) literals must be numeric or NULL: $v0")
+              FillOps.FillValue(v.toDouble)
+            }
           case other => throw new IllegalArgumentException(
             s"FILL ${other.mkString(",")}")
         }).getOrElse(FillOps.FillLinear)
@@ -2398,7 +2536,7 @@ object GraftSql {
       require(aroundUs == 0L || mode == FillOps.FillPrev ||
         mode == FillOps.FillNext || mode == FillOps.FillNear,
         "Only PREV/NEXT/NEAR mode is supported with surrounding time")
-      var res = FillOps.interp(df, col(tsCol), valueCol, partCols,
+      var res = FillOps.interp(df0, col(tsCol), valueCol, partCols,
         step, t0, t1, mode,
         surroundUs = surround.map(_._1).getOrElse(aroundUs),
         surroundVal = surround.flatMap(_._2))
@@ -2409,7 +2547,7 @@ object GraftSql {
       // the first run: exact-hit-ness is a property of the row's ts,
       // the same for every column.
       interpCols.zipWithIndex.tail.foreach { case (vc, i) =>
-        val extra = FillOps.interp(df, col(tsCol), vc, partCols,
+        val extra = FillOps.interp(df0, col(tsCol), vc, partCols,
             step, t0, t1, modeFor(i),
             surroundUs = surround.map(_._1).getOrElse(aroundUs),
             surroundVal = surround.flatMap(_._2))
@@ -2417,7 +2555,7 @@ object GraftSql {
         res = res.join(extra, partCols :+ "_irowts")
       }
       // project to the select list: interp(col) → that column's value
-      val cols = selectItems.map {
+      val cols = rItems.map {
         case (e, a) if interpPat.matches(e.trim) =>
           col(interpPat.findFirstMatchIn(e.trim).get.group(1)).as(a)
         case (e, a) => expr(e).as(a)
@@ -2708,6 +2846,25 @@ object GraftSql {
       val offMonths = args.lift(1).collect {
         case calRe(n2, u2) => calMonths(n2, u2) }.getOrElse(0L)
       val offTicks = args.lift(1) match {
+        case Some(a) if a.equalsIgnoreCase("AUTO") =>
+          // calendar INTERVAL(kn, AUTO): the reference computes a
+          // FIXED tick offset skey - taosTimeTruncate(skey) with the
+          // calendar-aware truncation (ttime.c:1746-1768), so the
+          // shifted-axis lowering below applies unchanged
+          if (qStart == Long.MinValue) 0L
+          else {
+            val secs = java.lang.Math.floorDiv(qStart, perSecond)
+            val z = java.time.Instant.ofEpochSecond(secs)
+              .atZone(java.time.ZoneOffset.UTC)
+            val m = (z.getYear - 1970) * 12 + z.getMonthValue - 1
+            val b = m - java.lang.Math.floorMod(m.toLong, k)
+            val start = java.time.ZonedDateTime.of(
+              1970 + java.lang.Math.floorDiv(b, 12L).toInt,
+              java.lang.Math.floorMod(b, 12L).toInt + 1,
+              1, 0, 0, 0, 0, java.time.ZoneOffset.UTC)
+              .toEpochSecond * perSecond
+            qStart - start
+          }
         case Some(a) if !calRe.matches(a) => dur(a)
         case _ => 0L
       }
@@ -2787,11 +2944,28 @@ object GraftSql {
             "_wduration" -> s"(${calEnd("_wstart")} - _wstart)")
       }
     } else if (c.contains("INTERVAL")) {
-      val args = splitArgs(stripOuterParens(c("INTERVAL"))).map(dur)
-      val iv = args.head
-      val off = if (args.length > 1) args(1) else 0L
+      val rawArgs = splitArgs(stripOuterParens(c("INTERVAL"))).map(_.trim)
+      val iv = dur(rawArgs.head)
       val slide = c.get("SLIDING")
         .map(s => dur(stripOuterParens(s))).getOrElse(iv)
+      val off = rawArgs.lift(1) match {
+        case Some(a) if a.equalsIgnoreCase("AUTO") =>
+          // INTERVAL(d, AUTO) (sql.y:2883; ttime.c:1732
+          // calcIntervalAutoOffset, v3.3.5+): align the window grid to
+          // the WHERE clause's primary-ts lower bound when one exists —
+          // offset = skey - (largest sliding-grid start <= skey), grid
+          // anchored at the epoch-aligned interval truncation of skey;
+          // no clear lower bound -> offset 0
+          if (qStart == Long.MinValue) 0L
+          else {
+            val base = qStart - java.lang.Math.floorMod(qStart, iv)
+            val start =
+              base + java.lang.Math.floorDiv(qStart - base, slide) * slide
+            qStart - start
+          }
+        case Some(a) => dur(a)
+        case None => 0L
+      }
       df = TimeOps.assignIntervals(df, col(tsCol), iv, slide, off)
       groupKeys = partCols :+ "_wstart"
       intervalSpec = Some((iv, off))
@@ -2869,10 +3043,28 @@ object GraftSql {
       }
       require(close > 0, s"unbalanced EXTERNAL_WINDOW subquery: $body")
       val sub = body.substring(1, close).trim
-      val wins = query(spark, resolve, sub, tsCol, perSecond)
-      require(wins.columns.contains("_wstart") &&
-        wins.columns.contains("_wend"),
-        "the EXTERNAL_WINDOW subquery must yield _wstart and _wend")
+      var wins = query(spark, resolve, sub, tsCol, perSecond)
+      // positional form (13-TimeSeriesExt/08-ExternalWindow
+      // test_external.py `(select ts, endtime, mark …)`): when the
+      // subquery doesn't NAME the bounds, its first two columns are
+      // (start, end) — but never a single-column or agg-only result
+      // (those are the reference's own error cases)
+      if (!wins.columns.contains("_wstart") ||
+          !wins.columns.contains("_wend")) {
+        require(wins.columns.length >= 2 &&
+          !wins.columns.take(2).exists(c =>
+            c.startsWith("first(") || c.startsWith("last(")),
+          "the EXTERNAL_WINDOW subquery must yield _wstart and _wend " +
+            "(or lead with two plain bound columns)")
+        // positional rename via toDF — the bounds may share a name
+        // (`select ts, ts, first(c1) …`), which withColumnRenamed
+        // would rename together
+        wins = wins.toDF(wins.columns.zipWithIndex.map {
+          case (_, 0) => "_wstart"
+          case (_, 1) => "_wend"
+          case (n, _) => n
+        }.toIndexedSeq: _*)
+      }
       df = TimeOps.externalWindows(df,
         wins.select(col("_wstart"), col("_wend")).dropDuplicates(),
         col(tsCol))
@@ -2998,28 +3190,75 @@ object GraftSql {
         // one distinct anchor may govern — the reference rejects
         // mixed-anchor accompaniment (`first(ts), ts … last(ts)`).
         val selAnchor =
-          "(?i)^(first|last_row|last|min|max)\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\)$".r
-        val anchors = selectItems.flatMap { case (e, _) =>
-          selAnchor.findFirstMatchIn(e.trim).map(m =>
-            (m.group(1).toLowerCase, m.group(2))) }.distinct
-        def isBare(e: String) = df.columns.exists(_.equalsIgnoreCase(e.trim))
+          "(?i)^(first|last_row|last|min|max)\\s*\\((.+)\\)$".r
+        // the anchor call must span the WHOLE item — `last(v) + 1` or
+        // `last(v), first(w)` fragments must not match
+        def wholeCall(e: String): Boolean = {
+          val i = e.indexOf('(')
+          var d = 0
+          var j = i
+          while (i >= 0 && j < e.length) {
+            if (e(j) == '(') d += 1
+            else if (e(j) == ')') { d -= 1; if (d == 0) return j == e.length - 1 }
+            j += 1
+          }
+          false
+        }
+        val wholeAnchors = selectItems.flatMap { case (e, _) =>
+          selAnchor.findFirstMatchIn(e.trim)
+            .filter(_ => wholeCall(e.trim))
+            .map(m => (m.group(1).toLowerCase, m.group(2).trim)) }
+          .distinct
+        // an anchor EMBEDDED in arithmetic (`2 + last(ts)`) also
+        // governs accompaniment — extract via the call-span walker so
+        // nested parens can't fool the arg capture
+        val looseAnchors =
+          if (wholeAnchors.nonEmpty) wholeAnchors
+          else selectItems.flatMap { case (e, _) =>
+            "(?i)\\b(first|last_row|last|min|max)\\s*\\(".r
+              .findFirstMatchIn(e).map { m =>
+                val (_, argsA, _) = analyticCallSpan(e, m.group(1))
+                (m.group(1).toLowerCase,
+                  argsA.headOption.getOrElse(tsCol).trim)
+              }
+          }.distinct
+        val anchors = wholeAnchors
+        // a parenthesized bare column `(ts)` accompanies like `ts`
+        def stripP(e: String): String = {
+          val t = e.trim
+          if (t.startsWith("(") && t.endsWith(")") &&
+            wholeCall(t)) stripP(t.substring(1, t.length - 1))
+          else t
+        }
+        def isBare(e: String) =
+          df.columns.exists(_.equalsIgnoreCase(stripP(e)))
+        val hasStar = selectItems.exists(_._1.trim == "*")
+        val accAnchors =
+          if (anchors.nonEmpty) anchors
+          else if (hasStar) looseAnchors
+          else Nil
         val cols =
-          if (anchors.nonEmpty && selectItems.exists { case (e, _) =>
-              isBare(e) }) {
-            require(anchors.length == 1,
+          if (accAnchors.nonEmpty && selectItems.exists { case (e, _) =>
+              isBare(e) || e.trim == "*" }) {
+            require(accAnchors.length == 1,
               s"bare columns accompany exactly one selection function," +
-                s" got: ${anchors.map(_._1).mkString(", ")}")
-            val (fn, arg) = anchors.head
-            // same row choice as the rewriteFuncs anchor lowerings
+                s" got: ${accAnchors.map(_._1).mkString(", ")}")
+            val (fn, arg) = accAnchors.head
+            // same row choice as the rewriteFuncs anchor lowerings;
+            // min/max anchors may carry an expression arg
+            // (`max(cast(ts as bigint))`) — rewrite it like any item
             def acc(cT: String): String = fn match {
               case "first" => s"min_by($cT, $tsCol)"
               case "last" | "last_row" => s"max_by($cT, $tsCol)"
-              case "min" => s"min_by($cT, $arg)"
-              case _ => s"max_by($cT, $arg)"
+              case "min" => s"min_by($cT, ${rewritten(arg)})"
+              case _ => s"max_by($cT, ${rewritten(arg)})"
             }
-            selectItems.map { case (e, a) =>
-              if (isBare(e)) expr(acc(e.trim)).as(a)
-              else expr(rewritten(e)).as(a) }
+            selectItems.flatMap { case (e, a) =>
+              // `*` expands to every column, each accompanying
+              if (e.trim == "*") df.columns.toSeq.map(cn =>
+                expr(acc(cn)).as(cn))
+              else if (isBare(e)) Seq(expr(acc(stripP(e))).as(a))
+              else Seq(expr(rewritten(e)).as(a)) }
           } else selectItems.map {
             case ("*", _) => col("*")
             case (e, a) => expr(rewritten(e)).as(a) }
@@ -3169,17 +3408,28 @@ object GraftSql {
         // single literal (or none — the grammar permits bare
         // FILL(VALUE), filling 0) broadcasts to every column
         def valueList(forced: Boolean): Seq[FillOps.FillMode] = {
-          val vs = args.tail.map(_.trim.toDouble)
-          val per = vs match {
-            case Seq() => Seq.fill(valueCols.length)(0.0)
-            case Seq(one) => Seq.fill(valueCols.length)(one)
+          // a NULL literal in the VALUE list fills NULL for that
+          // column (fill.c fillGenerateData NULL branch)
+          def one(t0: String): FillOps.FillMode = {
+            val t = if (t0.startsWith("'") || t0.startsWith("\""))
+              t0.substring(1, t0.length - 1).trim else t0
+            if (t.equalsIgnoreCase("NULL")) FillOps.FillNull
+            else {
+              require(t.matches("[-+]?\\d+(\\.\\d+)?([eE][-+]?\\d+)?"),
+                s"FILL(VALUE…) literals must be numeric or NULL: $t0")
+              if (forced) FillOps.FillValueF(t.toDouble)
+              else FillOps.FillValue(t.toDouble)
+            }
+          }
+          args.tail.map(_.trim) match {
+            case Seq() => Seq.fill(valueCols.length)(one("0"))
+            case Seq(x) => Seq.fill(valueCols.length)(one(x))
             case many =>
               require(many.length == valueCols.length,
                 s"FILL(VALUE …) carries ${many.length} literals for " +
                   s"${valueCols.length} value columns")
-              many
+              many.map(one)
           }
-          if (forced) per.map(FillOps.FillValueF) else per.map(FillOps.FillValue)
         }
         val modes: Seq[FillOps.FillMode] = args.head.toUpperCase match {
           case "NONE" => Seq.fill(valueCols.length)(FillOps.FillNone)

@@ -684,6 +684,42 @@ class DdlSpec extends AnyFunSuite {
       .head.getLong(0) == 0L)
   }
 
+  test("user-supplied UDF bodies: scalar + aggregate compile from DDL " +
+      "text, loud rejects for strays and arity") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE udb")
+    cat.exec("CREATE TABLE m (ts TIMESTAMP, v DOUBLE, k INT)")
+    cat.exec("INSERT INTO m VALUES (1000, 3.0, 1) (2000, 4.0, 1) " +
+      "(3000, 12.0, 2)")
+    cat.exec("CREATE FUNCTION hyp AS 'sqrt(a0 * a0 + a1 * a1)' " +
+      "OUTPUTTYPE DOUBLE LANGUAGE 'sql'")
+    cat.exec("CREATE AGGREGATE FUNCTION sumsq AS 'sum(a0 * a0)' " +
+      "OUTPUTTYPE DOUBLE BUFSIZE 8 LANGUAGE 'sql'")
+    val r = cat.sql("SELECT k, sumsq(v) AS ss FROM m GROUP BY k " +
+      "ORDER BY k").collect().map(x => (x.getInt(0), x.getDouble(1)))
+    assert(r.toSeq == Seq((1, 25.0), (2, 144.0)))
+    val h = cat.sql("SELECT hyp(v, v) AS h FROM m WHERE k = 2")
+      .head.getDouble(0)
+    assert(math.abs(h - 12.0 * math.sqrt(2)) < 1e-9)
+    // the function listing records the user body
+    assert(cat.sql("SHOW FUNCTIONS").collect()
+      .exists(_.toSeq.exists(v => String.valueOf(v).contains("sqrt"))))
+    // stray column reference (not a0..aN) is rejected at CREATE time
+    intercept[IllegalArgumentException] {
+      cat.exec("CREATE FUNCTION bad1 AS 'v + 1' OUTPUTTYPE DOUBLE " +
+        "LANGUAGE 'sql'")
+    }
+    // non-contiguous args rejected at CREATE time
+    intercept[IllegalArgumentException] {
+      cat.exec("CREATE FUNCTION bad2 AS 'a0 + a2' OUTPUTTYPE DOUBLE " +
+        "LANGUAGE 'sql'")
+    }
+    // wrong arity at CALL time
+    intercept[Exception] {
+      cat.sql("SELECT hyp(v) AS h FROM m").collect()
+    }
+  }
+
   test("database() tracks the catalog's USE state") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE DATABASE mixdb")

@@ -235,6 +235,33 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(inner == e.filter(col("value") > 95).count())
   }
 
+  test("chained join resolves db-qualified table AND column refs " +
+      "(db.tbl.col in SELECT/ON/WHERE rewrites to the view alias)") {
+    // a catalog-style resolve: strips the db prefix like
+    // GraftCatalog.bare does
+    val res: String => DataFrame =
+      n => Tables(spark, sf, n.substring(n.indexOf('.') + 1))
+    val got = GraftSql.query(spark, res,
+      """SELECT testdb.orders.o_orderkey AS ok,
+           testdb.customer.c_custkey AS ck, testdb.lineitem.l_linenumber AS ln
+         FROM testdb.orders JOIN testdb.customer
+           ON testdb.orders.o_custkey = testdb.customer.c_custkey
+           JOIN testdb.lineitem
+           ON testdb.lineitem.l_orderkey = testdb.orders.o_orderkey
+         WHERE testdb.orders.o_orderkey <= 100
+         ORDER BY ok, ln""")
+    val want = q(
+      """SELECT orders.o_orderkey AS ok, customer.c_custkey AS ck,
+           lineitem.l_linenumber AS ln
+         FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey
+           JOIN lineitem ON lineitem.l_orderkey = orders.o_orderkey
+         WHERE orders.o_orderkey <= 100
+         ORDER BY ok, ln""")
+    assert(got.collect().map(_.toSeq).toSeq ==
+      want.collect().map(_.toSeq).toSeq)
+    assert(got.count() > 0)
+  }
+
   test("fill_forward inside a windowed aggregate is rejected loudly") {
     intercept[IllegalArgumentException] {
       q("SELECT _wstart, fill_forward(value) AS ff FROM events " +

@@ -70,7 +70,12 @@ class PlanGoldenSpec extends AnyFunSuite {
     "dedup_winnowing",     // codegen window-min fingerprints (the 87s
                            // projection-collapse class)
     "dedup_contamination", // eval-side prefix fence, broadcast guard
-    "dedup_semantic")      // codebook probe + persisted fan-out
+    "dedup_semantic",      // codebook probe + persisted fan-out
+    // chainedJoinSql delegation (r15 moved it to a regex FROM-rewrite;
+    // pin both routes so a rewrite slip shows as a plan diff, not a
+    // silent wrong-join)
+    "dialect_chain_join",  // explicit 3-table JOIN … ON chain
+    "dialect_comma_join3") // 3-table comma-list fallback
 
   /** explain line → operator token, or None if not load-bearing.
     * Lines look like `   :- *(3) HashAggregate(keys=[...` — strip tree

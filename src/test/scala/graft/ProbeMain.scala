@@ -90,7 +90,8 @@ object ProbeMain {
       "does not exist", "cannot be found", "Undefined", "no database",
       "missing", "already exists", "duplicate", "Duplicate",
       "DUPLICATED", "Invalid value", "out of range")
-    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    val lines = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
+      .getLines().toVector
     var ok = 0; var noisy = 0
     val byShape =
       scala.collection.mutable.Map.empty[String, (Int, String, String)]
@@ -129,12 +130,27 @@ object ProbeMain {
     "NESTED_AGGREGATE_FUNCTION", "UNRESOLVED_MAP_KEY",
     "GROUP_BY_AGGREGATE", "MISSING_AGGREGATION", "UNBOUND_SQL",
     "INVALID_FORMAT", "SECONDS_PRECISION", "NON_FOLDABLE",
-    "PARSE_SYNTAX_ERROR", "INVALID_ORDINAL")
+    "PARSE_SYNTAX_ERROR", "INVALID_ORDINAL",
+    // blanket-events mapping artifacts: a self-join duplicates every
+    // column so qualified-star expansion fails; `?` placeholders are
+    // prepared-statement API tests, not SQL text
+    "CANNOT_RESOLVE_STAR_EXPAND", "INVALID_IDENTIFIER")
+
+  /** DOCUMENTED loud rejects (SURVEY §2.3) and probe-mapping
+    * artifacts — failures here are the intended behavior, not gaps:
+    * NULL-producing-side key refs reject by design; ASOF/ts-condition
+    * shapes fail because the probe maps every table to `events`, whose
+    * primary ts column is `ts`, while the test's real table names its
+    * ts column differently (`time`, `w_ts`, …). */
+  private val intended = Seq(
+    "NULL-producing side",
+    "needs one ts condition")
 
   private def probeFile(spark: SparkSession,
       resolve: String => DataFrame, path: String): Unit = {
-    val lines = scala.io.Source.fromFile(path).getLines().toVector
-    var ok = 0; var noisy = 0
+    val lines = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
+      .getLines().toVector
+    var ok = 0; var noisy = 0; var intend = 0
     val byShape =
       scala.collection.mutable.Map.empty[String, (Int, String, String)]
     lines.foreach { q =>
@@ -144,7 +160,8 @@ object ProbeMain {
       } catch {
         case e: Throwable =>
           val m = String.valueOf(e.getMessage)
-          if (noise.exists(m.contains)) {
+          if (intended.exists(m.contains)) intend += 1
+          else if (noise.exists(m.contains)) {
             noisy += 1
             if (lines.size < 50)
               println(s"NOISE: $q\n  -> ${m.take(200)}")
@@ -162,7 +179,8 @@ object ProbeMain {
       }
     }
     println(s"== probed ${lines.size}: ok=$ok noise=$noisy " +
-      s"signal-fail=${lines.size - ok - noisy} ==")
+      s"intended-reject=$intend " +
+      s"signal-fail=${lines.size - ok - noisy - intend} ==")
     byShape.toSeq.sortBy(-_._2._1).take(60).foreach {
       case (shape, (c, exq, msg)) =>
         println(f"$c%6d  $shape")

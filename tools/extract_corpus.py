@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""Extract SQL statements from the reference's python test corpus.
+
+AST-based (not regex-over-one-line): walks every string literal in
+every test file, so triple-quoted strings, implicit concatenation and
+MULTI-LINE f-strings all come out whole — the r15 corpus' ~1.2k
+truncated SELECTs were exactly the strings a line-regex cannot see.
+
+f-string holes ({expr}) are filled with deterministic placeholders
+chosen by the expression text: name-ish holes (db/tb/col/tag/...)
+become identifiers, time-ish holes become an epoch literal, everything
+else becomes 1 — so the probe exercises the GRAMMAR; placeholder
+column/table resolution failures are expected noise downstream
+(ProbeMain maps all tables to events and tallies only parse/lowering
+failures).
+
+Usage: python3 tools/extract_corpus.py OUTDIR [select|show|alter|...]
+Writes OUTDIR/corpus_<kind>.txt, one statement per line (newlines
+inside a statement collapse to spaces).
+"""
+import ast
+import os
+import re
+import sys
+
+ROOT = "/root/reference/test/cases"
+KINDS = ("select", "show", "alter", "create", "insert", "describe",
+         "delete", "drop", "explain")
+
+NAMEISH = ("db", "tb", "table", "stb", "ctb", "ntb", "vtb", "name",
+           "col", "tag", "func", "view", "topic", "stream", "user",
+           "alias", "field", "src", "source", "dnode", "token")
+TIMEISH = ("ts", "time", "start", "end", "date", "now")
+
+
+def fv_placeholder(expr_src):
+    s = re.sub(r"\W", "_", expr_src.lower())
+    if any(k in s for k in NAMEISH):
+        return "ph_" + (s[:12].strip("_") or "x")
+    if any(k in s for k in TIMEISH):
+        return "1704067200000"
+    return "1"
+
+
+def string_of(node):
+    """Literal text of a Constant-str / JoinedStr / implicit-concat
+    BinOp(+) tree, or None if any part is not string-like."""
+    if isinstance(node, ast.Constant) and isinstance(node.value, str):
+        return node.value
+    if isinstance(node, ast.JoinedStr):
+        out = []
+        for part in node.values:
+            if isinstance(part, ast.Constant):
+                out.append(str(part.value))
+            elif isinstance(part, ast.FormattedValue):
+                try:
+                    out.append(fv_placeholder(ast.unparse(part.value)))
+                except Exception:
+                    out.append("1")
+        return "".join(out)
+    if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
+        a, b = string_of(node.left), string_of(node.right)
+        if a is not None and b is not None:
+            return a + b
+    return None
+
+
+def fill_templates(txt):
+    """%-format and str.format holes get the same placeholder
+    treatment as f-string holes."""
+    txt = re.sub(r"%[0-9.]*[duif]", "1", txt)
+    txt = re.sub(r"%[0-9.]*s", "ph_s", txt)
+    txt = re.sub(r"\{([^{}]*)\}", lambda m: fv_placeholder(m.group(1))
+                 if m.group(1) else "ph", txt)
+    return txt
+
+
+def balanced(txt):
+    """False for source FRAGMENTS (tests concatenate SQL across
+    statements): unbalanced single quotes or parens."""
+    if txt.count("'") % 2 == 1:
+        return False
+    depth = 0
+    in_str = False
+    for ch in txt:
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+class _ErrScan(ast.NodeVisitor):
+    """Strings EXPECTED to fail in the reference: arguments of
+    tdSql.error(...)-style calls, both inline literals and the common
+    `sql = "…"; tdSql.error(sql)` variable indirection (visited in
+    source order, so the nearest preceding assignment wins)."""
+
+    def __init__(self):
+        self.env = {}
+        self.err_nodes = set()
+        self.err_texts = set()
+
+    def visit_Assign(self, node):
+        s = string_of(node.value)
+        if s is not None:
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    self.env[t.id] = s
+        self.generic_visit(node)
+
+    def visit_Call(self, node):
+        if (isinstance(node.func, ast.Attribute)
+                and "error" in node.func.attr.lower() and node.args):
+            a = node.args[0]
+            for sub in ast.walk(a):
+                self.err_nodes.add(id(sub))
+            s = string_of(a)
+            if s is None and isinstance(a, ast.Name):
+                s = self.env.get(a.id)
+            if s is not None:
+                self.err_texts.add(s)
+        self.generic_visit(node)
+
+
+def harvest(path, sink, neg):
+    try:
+        tree = ast.parse(open(path, encoding="utf-8",
+                              errors="replace").read())
+    except SyntaxError:
+        return
+    # statements inside tdSql.error(...)-style calls are EXPECTED to
+    # fail in the reference — a loud reject on them is correct
+    # behavior, not a dialect gap, so they must not count as signal
+    scan = _ErrScan()
+    scan.visit(tree)
+    for node in ast.walk(tree):
+        s = string_of(node)
+        if s is None:
+            continue
+        txt = fill_templates(" ".join(s.split()))
+        low = txt.lower()
+        # fragments a statement-level scan can still catch: trailing
+        # connective keywords mean the SQL continues in another string
+        if re.search(r"(?:\b(?:from|where|and|or|on|in|as|by|join|"
+                     r"select|union|all)|,|\()\s*$", low):
+            continue
+        # docstring PROSE that happens to start with a SQL keyword
+        # ("SHOW TAGS returns all rows …") — English function words
+        # never appear in the dialect's grammar
+        if re.search(r"\b(?:the|that|should|verify|verifies|returns|"
+                     r"subsequent|correctly)\b", low):
+            continue
+        for kind in KINDS:
+            if (low.startswith(kind + " ") and len(txt) > len(kind) + 3
+                    and balanced(txt)):
+                is_err = (id(node) in scan.err_nodes
+                          or s in scan.err_texts)
+                (neg if is_err else sink).setdefault(kind, set()).add(txt)
+                break
+
+
+def main():
+    outdir = sys.argv[1]
+    only = set(sys.argv[2:]) or set(KINDS)
+    os.makedirs(outdir, exist_ok=True)
+    sink, neg = {}, {}
+    n_files = 0
+    for dirpath, _dirs, files in os.walk(ROOT):
+        for f in files:
+            if f.endswith(".py"):
+                harvest(os.path.join(dirpath, f), sink, neg)
+                n_files += 1
+    for kind in sorted(only & set(sink)):
+        bad = neg.get(kind, set())
+        stmts = sorted(sink[kind] - bad)
+        p = os.path.join(outdir, f"corpus_{kind}.txt")
+        with open(p, "w") as fh:
+            fh.write("\n".join(stmts) + "\n")
+        if bad:
+            with open(os.path.join(
+                    outdir, f"corpus_{kind}_err.txt"), "w") as fh:
+                fh.write("\n".join(sorted(bad)) + "\n")
+        print(f"{kind:10s} {len(stmts):6d} (+{len(bad)} expected-error)"
+              f" -> {p}")
+    print(f"scanned {n_files} files")
+
+
+if __name__ == "__main__":
+    main()
