@@ -409,6 +409,20 @@ object Dialect {
            ON purchases.user_id = clicks.user_id
            ORDER BY user_id, ts_ms, event_id, click_event_id""")
     },
+    // WINDOW JOIN implicit aggregation (25-join.md: aggregates in the
+    // select list aggregate EACH preserved row's window set, no GROUP
+    // BY written; count(*) counts window rows, so an empty window
+    // yields 0)
+    "dialect_window_join_agg" -> { (s, dir) =>
+      GraftSql.query(s, views(s, dir),
+        """SELECT user_id, ts DIV 1000 AS ts_ms, event_id,
+             count(*) AS n, count(r_value) AS nv,
+             CAST(CAST(sum(CAST(r_value AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS DOUBLE) AS sv
+           FROM purchases WINDOW JOIN clicks WINDOW_OFFSET(-30m, 30m)
+           ON purchases.user_id = clicks.user_id
+           ORDER BY user_id, ts_ms, event_id""")
+    },
     // plain equi JOIN in SQL text: orders enriched with their customer
     "dialect_inner_join" -> { (s, dir) =>
       GraftSql.query(s, views(s, dir),
@@ -1416,6 +1430,20 @@ object Dialect {
             AND epoch_us(b.ts) >= epoch_us(a.ts) - ${30 * 60000000L}
             AND epoch_us(b.ts) <= epoch_us(a.ts) + ${30 * 60000000L}
           ORDER BY a.user_id, ts_ms, a.event_id, click_event_id""",
+    "dialect_window_join_agg" ->
+      s"""SELECT a.user_id, epoch_us(a.ts) // 1000 AS ts_ms, a.event_id,
+            count(b.user_id) AS n, count(b.value) AS nv,
+            CAST(CAST(sum(CAST(b.value AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS DOUBLE) AS sv
+          FROM (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase') a
+          LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'click') b
+            ON a.user_id = b.user_id
+            AND epoch_us(b.ts) >= epoch_us(a.ts) - ${30 * 60000000L}
+            AND epoch_us(b.ts) <= epoch_us(a.ts) + ${30 * 60000000L}
+          GROUP BY a.user_id, a.ts, a.event_id
+          ORDER BY a.user_id, ts_ms, a.event_id""",
     "dialect_inner_join" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
            c_name, c_mktsegment

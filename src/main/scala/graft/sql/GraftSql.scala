@@ -830,17 +830,22 @@ object GraftSql {
       val keys = onTxt.toSeq
         .flatMap(o => equiKeys(o.split("(?i)\\s+AND\\s+").toSeq))
       val rightCols = right.columns.toSeq.filterNot(keys.contains)
+      // `_wjlid` identifies the preserved ROW for the implicit
+      // per-window aggregation route (25-join.md: aggregates in a
+      // window-join select aggregate EACH left row's window set);
+      // query() drops it unused, so plans without aggregation only
+      // carry a pruned-away column
+      val lid0 = left.withColumn("_wjlid", monotonically_increasing_id())
       jlimit match {
         case Some(n) =>
           // JLIMIT caps matches per left row; a synthetic row id keys
           // the per-row rank (the dialect has no unique-left contract)
-          val lid = left.withColumn("_lid", monotonically_increasing_id())
-          graft.ops.JoinOps.windowJoinLimited(lid, right, keys, tsCol,
-              tsCol, bounds(0), bounds(1), rightCols, n, Seq("_lid"),
+          graft.ops.JoinOps.windowJoinLimited(lid0, right, keys, tsCol,
+              tsCol, bounds(0), bounds(1), rightCols, n, Seq("_wjlid"),
               rightTieBreak = rightCols.filterNot(_ == tsCol))
-            .drop("_lid", "jrank")
+            .drop("jrank")
         case None =>
-          graft.ops.JoinOps.windowJoin(left, right, keys, tsCol, tsCol,
+          graft.ops.JoinOps.windowJoin(lid0, right, keys, tsCol, tsCol,
             bounds(0), bounds(1), rightCols)
       }
     } else {
@@ -2820,6 +2825,33 @@ object GraftSql {
       }
 
     val calRe = "(?i)^(\\d+)([nqy])$".r
+    // WINDOW JOIN implicit aggregation (25-join.md: aggregate
+    // functions in a window-join select aggregate EACH preserved
+    // row's window set — no GROUP BY required): synthesize a GROUP BY
+    // over the preserved row id (_wjlid, attached by fromClause) plus
+    // every non-aggregate select item, then reuse the normal grouping
+    // machinery below
+    if (df.columns.contains("_wjlid") && !c.contains("GROUP BY") &&
+        !Seq("INTERVAL", "SESSION", "STATE_WINDOW", "COUNT_WINDOW",
+          "EVENT_WINDOW", "ANOMALY_WINDOW", "EXTERNAL_WINDOW")
+          .exists(c.contains)) {
+      val aggRe = ("(?i)\\b(count|sum|avg|min|max|first|last|last_row|" +
+        "stddev|stdvar|spread|mode|twa|irate|elapsed|hyperloglog|" +
+        "percentile|apercentile|histogram|leastsquares)\\s*\\(").r
+      def isAggItem(e: String) = aggRe.findFirstIn(e).isDefined
+      if (selectItems.exists { case (e, _) => isAggItem(e) }) {
+        // count(*) must count WINDOW rows — the left join's
+        // null-extension row for an empty window carries a null right
+        // ts, so count(_rts) gives the reference's 0
+        selectItems = selectItems.map { case (e, a) =>
+          ("(?i)\\bcount\\s*\\(\\s*\\*\\s*\\)".r
+            .replaceAllIn(e, "count(_rts)"), a)
+        }
+        val keyTxt = "_wjlid" +: selectItems.collect {
+          case (e, _) if !isAggItem(e) && e.trim != "*" => e }
+        c = c.updated("GROUP BY", keyTxt.mkString(", "))
+      }
+    }
     if (c.contains("INTERVAL") &&
         calRe.findFirstIn(
           splitArgs(stripOuterParens(c("INTERVAL"))).head.trim)
@@ -3156,6 +3188,11 @@ object GraftSql {
       }
       groupKeys = partCols ++ mapped
     }
+
+    // the window-join row id only survives as an implicit group key;
+    // ungrouped reads drop it here (Catalyst prunes the unused id)
+    if (df.columns.contains("_wjlid") && !groupKeys.contains("_wjlid"))
+      df = df.drop("_wjlid")
 
     // ---- aggregation ----
     val isAgg = groupKeys.nonEmpty

@@ -262,6 +262,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("WINDOW JOIN implicit aggregation: per-left-row window aggs " +
+      "without GROUP BY; empty window counts 0") {
+    import spark.implicits._
+    val l = Seq((1L, 1000000L), (1L, 9000000L), (2L, 1000000L))
+      .toDF("k", "ts")
+    val r = Seq((1L, 1500000L, 10.0), (1L, 2000000L, 20.0),
+      (2L, 8000000L, 5.0)).toDF("k", "ts", "v")
+    val res = GraftSql.query(spark,
+      n => if (n == "L") l else r,
+      """SELECT k, ts, count(*) AS n, count(r_v) AS nv
+         FROM L WINDOW JOIN R WINDOW_OFFSET(-1s, 1s) ON L.k = R.k
+         ORDER BY k, ts""")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    // row (1, 1s): window [0s,2s] catches both right rows; (1, 9s)
+    // and (2, 1s): empty windows -> count(*) = 0, not 1
+    assert(res.toSeq == Seq((1L, 1000000L, 2L, 2L),
+      (1L, 9000000L, 0L, 0L), (2L, 1000000L, 0L, 0L)))
+    // the synthetic row id never leaks into an ungrouped read
+    val plain = GraftSql.query(spark, n => if (n == "L") l else r,
+      """SELECT k, ts, r_v FROM L WINDOW JOIN R
+         WINDOW_OFFSET(-1s, 1s) ON L.k = R.k ORDER BY k, ts, r_v""")
+    assert(!plain.columns.contains("_wjlid"))
+  }
+
   test("fill_forward inside a windowed aggregate is rejected loudly") {
     intercept[IllegalArgumentException] {
       q("SELECT _wstart, fill_forward(value) AS ff FROM events " +
