@@ -904,6 +904,31 @@ object Dialect {
              AND a.user_id = 9
            ORDER BY id""")
     },
+    // window PROJECTION mode (24-distinguished.md v3.4.2): a base
+    // column in the select list makes each window emit ALL its rows,
+    // with _wstart/_wend computed rowwise
+    "dialect_window_projection" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart, _wend, ts AS tsu, event_id,
+             round(value, 6) AS v
+           FROM events WHERE user_id = 5 INTERVAL(1h)
+           ORDER BY event_id""")
+    },
+    // the SCALAR keyword forces projection in the ambiguous
+    // (pseudo/key-only) case; default would be one row per window
+    "dialect_window_mode_scalar" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT SCALAR _wstart, user_id FROM events
+           PARTITION BY user_id INTERVAL(1d)
+           ORDER BY user_id, _wstart""")
+    },
+    // ambiguous case default: aggregation mode, one row per window
+    "dialect_window_mode_agg" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart, user_id FROM events
+           PARTITION BY user_id INTERVAL(1d)
+           ORDER BY user_id, _wstart""")
+    },
     // ON-less INNER JOIN keyed through WHERE (parTranslater treats
     // `a JOIN b WHERE a.k = b.k` exactly like the comma form)
     "dialect_join_noon" -> { (s, dir) =>
@@ -1929,6 +1954,21 @@ object Dialect {
          WHERE a.event_id = b.event_id AND b.event_id = c.event_id
            AND a.user_id = 9
          ORDER BY id""",
+    "dialect_window_projection" ->
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS _wstart,
+           (epoch_us(ts) - epoch_us(ts) % 3600000000) + 3600000000
+             AS _wend,
+           epoch_us(ts) AS tsu, event_id, round(value, 6) AS v
+         FROM events WHERE user_id = 5 ORDER BY event_id""",
+    "dialect_window_mode_scalar" ->
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) AS _wstart,
+           user_id
+         FROM events ORDER BY user_id, _wstart""",
+    "dialect_window_mode_agg" ->
+      """SELECT DISTINCT
+           (epoch_us(ts) - epoch_us(ts) % 86400000000) AS _wstart,
+           user_id
+         FROM events ORDER BY user_id, _wstart""",
     "dialect_join_noon" ->
       """SELECT a.event_id AS id, b.value AS v2
          FROM events a JOIN events b ON a.event_id = b.event_id

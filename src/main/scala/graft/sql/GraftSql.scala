@@ -2407,8 +2407,17 @@ object GraftSql {
     // SELECT DISTINCT: flag + strip, applied after the projection
     val selectRaw = c("SELECT").trim
     val isDistinct = selectRaw.toUpperCase.startsWith("DISTINCT ")
-    val selectBody0 =
+    val afterDistinct =
       if (isDistinct) selectRaw.substring("DISTINCT ".length) else selectRaw
+    // SELECT [SCALAR|AGG] … (sql.y:2832-2834 window_mode_opt, v3.4.2):
+    // explicit window-query mode keyword — consumed here, applied at
+    // the projection-mode decision after the window clause lowers
+    val (winModeKw, selectBody0) =
+      "(?i)^(SCALAR|AGG)\\s+(.+)$".r.findFirstMatchIn(afterDistinct.trim)
+        match {
+          case Some(m) => (Some(m.group(1).toUpperCase), m.group(2).trim)
+          case None => (None, afterDistinct)
+        }
     // cols() expands to several select items BEFORE the item split —
     // the expansion is comma-joined text at the item level
     val selectBody = rewriteCall(selectBody0, "cols",
@@ -3189,6 +3198,75 @@ object GraftSql {
       groupKeys = partCols ++ mapped
     }
 
+    // ---- window projection mode (24-distinguished.md "Window
+    // Projection Mode", v3.4.2; sql.y:2832-2834 window_mode_opt) ----
+    // Aggregation mode (the default) emits one row per window;
+    // projection mode emits every ORIGINAL row, with the window
+    // pseudo-columns computed rowwise — value pseudos directly,
+    // aggregate pseudos as window functions over the window identity.
+    // Detection per the docs: aggregates => aggregation; base-column
+    // expressions => projection; ambiguous select lists (pseudo/tag/
+    // constant only) default to aggregation except EXTERNAL_WINDOW,
+    // with the SCALAR/AGG keywords deciding explicitly.
+    val winClauseKw = Seq("INTERVAL", "SESSION", "STATE_WINDOW",
+      "COUNT_WINDOW", "EVENT_WINDOW", "EXTERNAL_WINDOW").find(c.contains)
+    if (winClauseKw.isDefined && groupKeys.length > partCols.length &&
+        !c.contains("GROUP BY") && !df.columns.contains("_wjlid")) {
+      val aggRe = ("(?i)\\b(count|sum|avg|min|max|first|last|last_row|" +
+        "stddev|stdvar|spread|mode|twa|irate|elapsed|hyperloglog|" +
+        "percentile|apercentile|histogram|leastsquares|sample)\\s*\\(").r
+      val hasAgg = selectItems.exists { case (e, _) =>
+        aggRe.findFirstIn(e).isDefined }
+      val indefRe = ("(?i)\\b(diff|csum|mavg|derivative|statecount|" +
+        "stateduration|tail|unique|fill_forward|lag|lead)\\s*\\(").r
+      val hasIndef = selectItems.exists { case (e, _) =>
+        indefRe.findFirstIn(e).isDefined }
+      val baseCols = df.columns.filterNot(cn => cn.startsWith("_") ||
+        groupKeys.exists(_.equalsIgnoreCase(cn)) ||
+        partCols.exists(_.equalsIgnoreCase(cn)) ||
+        stateTexts.exists(_.equalsIgnoreCase(cn)) ||
+        cn.equalsIgnoreCase("tbname"))
+      def refsBase(e: String): Boolean = {
+        val s = e.replaceAll("'[^']*'", "")
+        baseCols.exists(cn =>
+          ("(?i)(?<![\\w])" + java.util.regex.Pattern.quote(cn) +
+            "(?![\\w])").r.findFirstIn(s).isDefined)
+      }
+      val colExpr = selectItems.exists { case (e, _) =>
+        aggRe.findFirstIn(e).isEmpty && (e.trim == "*" || refsBase(e)) }
+      val projection =
+        if (hasAgg) {
+          require(!winModeKw.contains("SCALAR"),
+            "SCALAR (projection) mode cannot carry aggregate functions")
+          false
+        } else if (hasIndef &&
+            (colExpr || winModeKw.contains("SCALAR")))
+          throw new IllegalArgumentException(
+            "per-window indefinite-rows functions (diff/csum/…) are " +
+              "not supported inside window queries yet")
+        else if (colExpr) true
+        else winModeKw match {
+          case Some("SCALAR") => true
+          case Some("AGG") => false
+          case None => winClauseKw.contains("EXTERNAL_WINDOW")
+        }
+      if (projection) {
+        require(!c.contains("FILL"),
+          "FILL in window projection mode is not supported yet")
+        require(!c.contains("HAVING"),
+          "HAVING needs aggregation mode (one row per window)")
+        val partExpr = groupKeys.map(k => s"`$k`").mkString(", ")
+        pseudo = pseudo.map { case (k, v) =>
+          k -> ("(?i)\\b(min|max|count|sum)\\s*\\(([^()]*)\\)".r
+            .replaceAllIn(v, m =>
+              java.util.regex.Matcher.quoteReplacement(
+                s"${m.group(1)}(${m.group(2)}) OVER " +
+                  s"(PARTITION BY $partExpr)")))
+        }
+        groupKeys = Nil
+      }
+    }
+
     // the window-join row id only survives as an implicit group key;
     // ungrouped reads drop it here (Catalyst prunes the unused id)
     if (df.columns.contains("_wjlid") && !groupKeys.contains("_wjlid"))
@@ -3399,13 +3477,20 @@ object GraftSql {
           }
           return res2
         }
-        require(aggItems.nonEmpty,
+        require(aggItems.nonEmpty || winClauseKw.isDefined,
           "grouped query needs at least one aggregate select item")
-        val aggCols = aggItems.map { case (e, a) =>
-          // a bare state expression is constant within its window
-          val e2 = if (stateTexts.exists(_.equalsIgnoreCase(e.trim)))
-            s"first($e)" else e
-          expr(rewritten(e2)).as(a) } ++
+        // a pseudo-only AGG-mode window select (`SELECT [AGG] _wstart
+        // FROM … INTERVAL(…)`, 24-distinguished.md ambiguous case) has
+        // zero aggregate items — the group identity alone is the row;
+        // a throwaway count keeps the groupBy shape and never reaches
+        // the output projection
+        val aggCols = (if (aggItems.isEmpty)
+            Seq(count(lit(1)).as("__noagg"))
+          else aggItems.map { case (e, a) =>
+            // a bare state expression is constant within its window
+            val e2 = if (stateTexts.exists(_.equalsIgnoreCase(e.trim)))
+              s"first($e)" else e
+            expr(rewritten(e2)).as(a) }) ++
           havingAgg.map(h => expr(rewritten(h)).as("__having")).toSeq ++
           trueFor.map(p => expr(p).as("__truefor")).toSeq
         var g = df.groupBy(groupKeys.map(col): _*)

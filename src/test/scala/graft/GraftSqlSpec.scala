@@ -287,6 +287,45 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(!plain.columns.contains("_wjlid"))
   }
 
+  test("window projection mode: column expressions emit every row " +
+      "with rowwise pseudo-columns; SCALAR/AGG decide ambiguity") {
+    import spark.implicits._
+    val us = 1000000L
+    val t = Seq((1L, 0L * us, 1.0), (2L, 1L * us, 2.0),
+      (3L, 4L * us, 3.0), (4L, 5L * us, 4.0)).toDF("event_id", "ts", "v")
+    def q2(sql: String) = GraftSql.query(spark, _ => t, sql)
+    // auto projection: base column in the select list
+    val proj = q2("SELECT _wstart, _wend, ts, v FROM t INTERVAL(3s) " +
+      "ORDER BY ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(proj.toSeq == Seq(
+      (0L, 3L * us, 0L, 1.0), (0L, 3L * us, 1L * us, 2.0),
+      (3L * us, 6L * us, 4L * us, 3.0), (3L * us, 6L * us, 5L * us, 4.0)))
+    // ambiguous (pseudo-only): default = aggregation, one row/window
+    val agg = q2("SELECT _wstart FROM t INTERVAL(3s) ORDER BY _wstart")
+      .collect().map(_.getLong(0))
+    assert(agg.toSeq == Seq(0L, 3L * us))
+    // SCALAR forces projection in the ambiguous case
+    val sc = q2("SELECT SCALAR _wstart FROM t INTERVAL(3s) " +
+      "ORDER BY _wstart").collect().map(_.getLong(0))
+    assert(sc.toSeq == Seq(0L, 0L, 3L * us, 3L * us))
+    // AGG keyword in the ambiguous case keeps aggregation
+    val ag = q2("SELECT AGG _wstart FROM t INTERVAL(3s) " +
+      "ORDER BY _wstart").collect().map(_.getLong(0))
+    assert(ag.toSeq == Seq(0L, 3L * us))
+    // SESSION projection: aggregate pseudos compute as window
+    // functions over the session identity
+    val se = q2("SELECT _wstart, _wend, event_id FROM t " +
+      "SESSION(ts, 2s) ORDER BY event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(se.toSeq == Seq((0L, 1L * us, 1L), (0L, 1L * us, 2L),
+      (4L * us, 5L * us, 3L), (4L * us, 5L * us, 4L)))
+    // aggregates + SCALAR is contradictory — loud
+    intercept[IllegalArgumentException] {
+      q2("SELECT SCALAR _wstart, count(*) AS n FROM t INTERVAL(3s)")
+    }
+  }
+
   test("fill_forward inside a windowed aggregate is rejected loudly") {
     intercept[IllegalArgumentException] {
       q("SELECT _wstart, fill_forward(value) AS ff FROM events " +
