@@ -328,6 +328,37 @@ object Ddl {
       cat.sql("SELECT tbname, ts, val, local_tag, ref_city, ref_code " +
         "FROM vstb ORDER BY tbname, ts")
     },
+    // VTABLE SERIES pipeline (sql.y:3268-3281 series_decl; reference
+    // test/cases/05-VirtualTables/06-Meta/02-Series): a SERIES clause
+    // names a remote external-source measurement with tag filters;
+    // columns reference it like a table. The remote transport is a
+    // registered frame under the full source path (the reference needs
+    // a live InfluxDB here — the binding IS the federation seam), so
+    // the whole text surface (CREATE + ALTER ADD/REMOVE SERIES +
+    // filtered read) proves out on deterministic data
+    "ddl_vtable_series_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("""CREATE EXTERNAL SOURCE ssrc TYPE='influxdb'
+        HOST='ih' PORT=8086 USER='u' PASSWORD='p' DATABASE=mdb
+        OPTIONS('protocol'='flight_sql')""")
+      val m = Tables(s, dir, "events").filter(col("user_id") <= 2)
+        .select(col("ts"), col("event_id").as("eid"),
+          col("value").as("cpu"), (col("value") * 2).as("mem"),
+          when(col("user_id") === 1, "srv01").otherwise("srv02")
+            .as("host"),
+          when(col("user_id") === 1, "us").otherwise("eu").as("region"))
+      cat.register("ssrc.mdb.cpu_metrics", m)
+      cat.exec("CREATE VTABLE vt_s (ts TIMESTAMP, " +
+        "cpu DOUBLE FROM s1.cpu, mem DOUBLE FROM s1.mem, " +
+        "eid BIGINT FROM s1.eid) " +
+        "SERIES s1 AS ssrc.mdb.cpu_metrics (host='srv01', region='us')")
+      // a second series registers and unregisters without touching
+      // the read (column refs stay on s1)
+      cat.exec("ALTER VTABLE vt_s ADD SERIES s2 AS " +
+        "ssrc.mdb.cpu_metrics (host='srv02')")
+      cat.exec("ALTER VTABLE vt_s REMOVE SERIES s2")
+      cat.sql("SELECT ts, cpu, mem, eid FROM vt_s ORDER BY eid")
+    },
     // ins_vstable_inherits (systable.h:93 vstableInheritsSchema): one
     // row per BASE ON inheritance edge, with the catalog's
     // deterministic logical uids/create clock
@@ -721,6 +752,10 @@ object Ddl {
            ('v1', 1704088800000000, 11, 'local1', 'static_city', 100))
          AS t(tbname, ts, val, local_tag, ref_city, ref_code)
          ORDER BY tbname, ts""",
+    "ddl_vtable_series_gate" ->
+      """SELECT epoch_us(ts) AS ts, value AS cpu, value * 2 AS mem,
+           event_id AS eid
+         FROM events WHERE user_id = 1 ORDER BY eid""",
     "ins_vstable_inherits" ->
       """SELECT * FROM (VALUES
            ('graftdb', 'base1', CAST(7700000000003 AS BIGINT),

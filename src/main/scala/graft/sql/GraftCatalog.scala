@@ -75,6 +75,16 @@ class GraftCatalog(val spark: SparkSession) {
   case class RsmaDef(name: String, table: String,
       funcs: Seq[(String, String)], levels: Seq[Long],
       levelTxts: Seq[String])
+  /** `SERIES id AS source.db.measurement (tag='v', …)` clause of
+    * CREATE VTABLE (sql.y:3268-3281 series_decl; reference tests
+    * 05-VirtualTables/06-Meta/02-Series): names a REMOTE external-
+    * source series; vtable columns reference it like a table
+    * (`cpu DOUBLE FROM s1.cpu`). The read path resolves the series
+    * through a frame registered under the full source path — the
+    * injectable-transport convention the federated surfaces use. */
+  case class SeriesDecl(alias: String, path: String,
+      filters: Seq[(String, String)])
+
   /** CREATE VTABLE … (ts TIMESTAMP, c t FROM tbl.col, …)
     * (sql.y:1074-1076; column_options FROM column_ref sql.y:3253). */
   case class VtableDef(name: String, tsCol: String,
@@ -84,7 +94,8 @@ class GraftCatalog(val spark: SparkSession) {
       // from the named virtual stable, tag values live in the shared
       // `children` registry (so ins_tags / ALTER VTABLE SET TAG reuse
       // the normal child-table paths)
-      using: Option[String] = None)
+      using: Option[String] = None,
+      series: Seq[SeriesDecl] = Nil)
   /** CREATE [AGGREGATE] FUNCTION … AS '<impl>' OUTPUTTYPE t
     * (sql.y:1589; runtime taosudf.h via [[graft.functions.UdfRegistry]]). */
   case class UdfDef(name: String, impl: String, aggregate: Boolean,
@@ -985,7 +996,7 @@ class GraftCatalog(val spark: SparkSession) {
     }
     val at = rest.indexOf('(', tok.length)
     require(at > 0, s"CREATE VTABLE needs a column list: $stmt")
-    val (body, _) = parenGroup(rest, at)
+    val (body, afterCols) = parenGroup(rest, at)
     val defRe = ("(?i)^([A-Za-z_][A-Za-z0-9_]*)\\s+([A-Za-z0-9()]+)" +
       "(?:\\s+FROM\\s+([A-Za-z0-9_.]+))?$").r
     var tsCol: String = null
@@ -1009,8 +1020,49 @@ class GraftCatalog(val spark: SparkSession) {
     require(tsCol != null, s"CREATE VTABLE needs a TIMESTAMP column: $stmt")
     val cs = cols.result()
     require(cs.nonEmpty, s"CREATE VTABLE needs sourced columns: $stmt")
-    cs.foreach { case (_, _, tbl, _) => table(tbl) } // validate sources
-    vtableDefs(name) = VtableDef(name, tsCol, cs)
+    // trailing SERIES clauses (sql.y series_clause_opt)
+    val series = parseSeriesDecls(rest.substring(afterCols).trim)
+    cs.foreach { case (_, _, tbl, _) =>
+      // series aliases resolve at read time through their transport;
+      // plain refs must name an existing table now
+      if (!series.exists(_.alias.equalsIgnoreCase(tbl))) table(tbl)
+    }
+    vtableDefs(name) = VtableDef(name, tsCol, cs, series = series)
+  }
+
+  private val seriesDeclRe =
+    ("(?i)\\bSERIES\\s+([A-Za-z_]\\w*)\\s+AS\\s+([A-Za-z_][\\w.]*)" +
+      "\\s*\\(([^)]*)\\)").r
+
+  /** Parse zero or more `SERIES id AS src.db.measurement (k='v', …)`
+    * declarations (sql.y:3268-3281). */
+  private def parseSeriesDecls(txt: String): Seq[SeriesDecl] =
+    seriesDeclRe.findAllMatchIn(txt).map { m =>
+      val filters = GraftSql.splitArgs(m.group(3))
+        .map(_.trim).filter(_.nonEmpty).map { kv =>
+          val eq = kv.indexOf('=')
+          require(eq > 0, s"SERIES tag filter needs k='v': $kv")
+          val v = kv.substring(eq + 1).trim
+          require(v.length >= 2 && v.head == '\'' && v.last == '\'',
+            s"SERIES tag value must be a string literal: $kv")
+          (kv.substring(0, eq).trim,
+            v.substring(1, v.length - 1).replace("''", "'"))
+        }
+      SeriesDecl(m.group(1), m.group(2), filters)
+    }.toSeq
+
+  /** Resolve a [[SeriesDecl]] to rows: the transport is a frame
+    * registered under the FULL source path (`register("src.db.m", df)`)
+    * with the series' tag filters applied as equality predicates —
+    * absent binding fails loudly, never silently empty. */
+  private def seriesFrame(sd: SeriesDecl): DataFrame = {
+    val df = external.getOrElse(sd.path,
+      throw new IllegalArgumentException(
+        s"external series transport not bound: ${sd.path} — " +
+          s"register(...) a frame under the full source path"))
+    sd.filters.foldLeft(df) { case (d, (k, v)) =>
+      d.filter(col(k) === lit(v))
+    }
   }
 
   /** CREATE VTABLE child [(c FROM tbl.col, …)] USING vstb [(tagNames)]
@@ -1104,8 +1156,17 @@ class GraftCatalog(val spark: SparkSession) {
       .toSeq.sortBy(_._1).map { case (_, cs) =>
         val dt = sparkType(cs.head._2)
         val tagged = cs.map { case (cn, _, tbl, sc) =>
-          val src = table(tbl)
-          src.select(col(tsColOf(tbl)).as("_vts"),
+          // a source token may name a SERIES alias (remote
+          // external-source series) instead of a catalog table
+          val (src, tsc) =
+            v.series.find(_.alias.equalsIgnoreCase(tbl)) match {
+              case Some(sd) =>
+                val f = seriesFrame(sd)
+                (f, if (f.columns.contains("ts")) "ts"
+                    else f.columns.head)
+              case None => (table(tbl), tsColOf(tbl))
+            }
+          src.select(col(tsc).as("_vts"),
             lit(cn).as("_vsrc"), col(sc).cast(dt).as("_vv"))
         }.reduce(_ unionByName _)
         tagged.groupBy(col("_vts")).agg(
@@ -1697,6 +1758,32 @@ class GraftCatalog(val spark: SparkSession) {
     val action = rest.substring(tok.length).trim
     val up = action.toUpperCase
     if (up.startsWith("SET TAG ")) return setTags(name, action)
+    // ALTER VTABLE v ADD SERIES id AS src (…) / REMOVE SERIES id
+    // (sql.y:1131-1134 createAlterTableAddSeries/RemoveSeries)
+    if (up.startsWith("ADD SERIES ")) {
+      val v = vtableDefs.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown VTABLE: $name"))
+      val decls = parseSeriesDecls(action)
+      require(decls.nonEmpty, s"cannot parse SERIES declaration: $action")
+      decls.foreach(d => require(
+        !v.series.exists(_.alias.equalsIgnoreCase(d.alias)),
+        s"series ${d.alias} already declared on $name"))
+      vtableDefs(name) = v.copy(series = v.series ++ decls)
+      return
+    }
+    if (up.startsWith("REMOVE SERIES ")) {
+      val v = vtableDefs.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown VTABLE: $name"))
+      val id = action.substring("REMOVE SERIES ".length).trim
+      require(v.series.exists(_.alias.equalsIgnoreCase(id)),
+        s"series not found on $name: $id")
+      require(!v.cols.exists(_._3.equalsIgnoreCase(id)),
+        s"series $id is referenced by a column of $name — " +
+          s"redirect the column first")
+      vtableDefs(name) = v.copy(series =
+        v.series.filterNot(_.alias.equalsIgnoreCase(id)))
+      return
+    }
     // regular tables are modeled as a tagless stable of the same name,
     // so ALTER TABLE t ADD COLUMN … resolves to its stable
     require(stables.contains(name), s"unknown ${if (onStable) "stable"
@@ -2478,10 +2565,15 @@ class GraftCatalog(val spark: SparkSession) {
       val name = bare(stmt.split("\\s+").last)
       val v = vtableDefs.getOrElse(name,
         throw new IllegalArgumentException(s"unknown VTABLE: $name"))
+      val seriesTxt = v.series.map { sd =>
+        val f = sd.filters.map { case (k, x) =>
+          s"$k='${x.replace("'", "''")}'" }.mkString(", ")
+        s" SERIES ${sd.alias} AS ${sd.path} ($f)"
+      }.mkString
       val ddl = s"CREATE VTABLE `${v.name}` (`${v.tsCol}` TIMESTAMP, " +
         v.cols.map { case (cn, tp, tbl, sc) =>
           s"`$cn` ${tp.toUpperCase} FROM `$tbl`.`$sc`" }.mkString(", ") +
-        ")"
+        ")" + seriesTxt
       Seq((v.name, ddl)).toDF("vtable_name", "create_sql")
     }
     else if (up.startsWith("SHOW DATABASES")) insDatabases

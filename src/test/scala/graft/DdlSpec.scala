@@ -664,6 +664,43 @@ class DdlSpec extends AnyFunSuite {
     }
   }
 
+  test("VTABLE SERIES: declares round-trip through SHOW CREATE, " +
+      "ADD/REMOVE SERIES, filtered transport read, loud unbound") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE sdb PRECISION 'ms'")
+    import spark.implicits._
+    val m = Seq((1000L, 10.0, "srv01"), (2000L, 20.0, "srv01"),
+      (3000L, 99.0, "srv02")).toDF("ts", "cpu", "host")
+    cat.register("src.db.m", m)
+    cat.exec("CREATE VTABLE vs (ts TIMESTAMP, cpu DOUBLE FROM s1.cpu) " +
+      "SERIES s1 AS src.db.m (host='srv01')")
+    def createSql: String =
+      cat.sql("SHOW CREATE VTABLE vs").head.getString(1)
+    assert(createSql.contains("SERIES s1 AS src.db.m (host='srv01')"))
+    // filtered read: only the srv01 rows
+    val rows = cat.table("vs").orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1000L, 10.0), (2000L, 20.0)))
+    // ADD/REMOVE reflect in SHOW CREATE; REMOVE of a referenced
+    // series is loud
+    cat.exec("ALTER VTABLE vs ADD SERIES s2 AS src.db.m (host='srv02')")
+    assert(createSql.contains("s2"))
+    intercept[IllegalArgumentException] {
+      cat.exec("ALTER VTABLE vs REMOVE SERIES s1")
+    }
+    cat.exec("ALTER VTABLE vs REMOVE SERIES s2")
+    assert(!createSql.contains("s2"))
+    intercept[IllegalArgumentException] {
+      cat.exec("ALTER VTABLE vs REMOVE SERIES s2")
+    }
+    // unbound transport fails loudly at read, not silently empty
+    cat.exec("CREATE VTABLE vu (ts TIMESTAMP, cpu DOUBLE FROM sx.cpu) " +
+      "SERIES sx AS nosuch.db.m (host='a')")
+    intercept[IllegalArgumentException] {
+      cat.table("vu").collect()
+    }
+  }
+
   test("ins_vstable_inherits lists BASE ON edges with deterministic " +
       "uids") {
     val cat = new GraftCatalog(spark)
