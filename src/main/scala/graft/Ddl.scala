@@ -461,6 +461,47 @@ object Ddl {
         ("vgroups", cat.sql("SHOW VGROUPS").count()))
         .toDF("surface", "n").orderBy("surface")
     },
+    // cluster-admin text surface (sql.y:368-613 tokens/roles, :845-905
+    // node/vgroup admin, :1338-1339 mounts): management verbs mutate
+    // the catalog's observable registries, read back through one
+    // union of the SHOW surfaces — Spark owns the actual process
+    // placement, the text/listing contract is what the gate pins
+    "ddl_admin_ops_gate" -> { (s, dir) =>
+      val cat = demo(s, dir)
+      cat.exec("CREATE TOKEN tk1 FROM USER root PROVIDER 'oauth' TTL 30")
+      cat.exec("ALTER TOKEN tk1 ENABLE 0 EXTRA_INFO 'ci'")
+      cat.exec("CREATE MOUNT m1 ON DNODE 1 FROM '/data/backup'")
+      cat.exec("CREATE QNODE ON DNODE 1")
+      cat.exec("CREATE SNODE ON DNODE 1")
+      cat.exec("CREATE XNODE 'xh:7000'")
+      cat.exec("STOP XNODE 1")
+      cat.exec("CREATE DNODE 'h2:6030'")
+      cat.exec("BEGIN")
+      cat.exec("KILL QUERY 'q-1'")
+      cat.exec("COMMIT")
+      cat.exec("BALANCE VGROUP LEADER DATABASE graftdb")
+      cat.exec("SCAN DATABASE graftdb")
+      val toks = cat.sql("SHOW TOKENS").select(lit("token").as("kind"),
+        col("name"),
+        concat_ws("|", col("user"), col("provider"), col("enable"),
+          col("extra_info")).as("detail"))
+      val mounts = cat.sql("SHOW MOUNTS").select(lit("mount").as("kind"),
+        col("mount_name").as("name"),
+        concat_ws("|", col("dnode_id"), col("path")).as("detail"))
+      val qn = cat.sql("SHOW QNODES").select(lit("qnode").as("kind"),
+        col("id").cast("string").as("name"), col("endpoint").as("detail"))
+      val xn = cat.sql("SHOW XNODES").select(lit("xnode").as("kind"),
+        col("id").cast("string").as("name"),
+        concat_ws("|", col("url"), col("status")).as("detail"))
+      val dn = cat.sql("SHOW DNODES").select(lit("dnode").as("kind"),
+        col("id").cast("string").as("name"), col("endpoint").as("detail"))
+        .filter(col("name") === "2")
+      val sc = cat.sql("SHOW SCANS").select(lit("scan").as("kind"),
+        col("scan_id").cast("string").as("name"),
+        col("db_name").as("detail"))
+      toks.unionByName(mounts).unionByName(qn).unionByName(xn)
+        .unionByName(dn).unionByName(sc).orderBy("kind", "name")
+    },
     // second admin SHOW sweep (sql.y:1350-1427): view listing +
     // SHOW CREATE VIEW round-trip, privilege listings, TMQ
     // introspection, deployment surfaces (vnodes/arbgroups/mounts/
@@ -752,6 +793,15 @@ object Ddl {
            ('v1', 1704088800000000, 11, 'local1', 'static_city', 100))
          AS t(tbname, ts, val, local_tag, ref_city, ref_code)
          ORDER BY tbname, ts""",
+    "ddl_admin_ops_gate" ->
+      """SELECT * FROM (VALUES
+           ('dnode', '2', 'h2:6030'),
+           ('mount', 'm1', '1|/data/backup'),
+           ('qnode', '1', 'localhost:6030'),
+           ('scan', '1', 'graftdb'),
+           ('token', 'tk1', 'root|oauth|0|ci'),
+           ('xnode', '1', 'xh:7000|stopped'))
+         AS t(kind, name, detail) ORDER BY kind, name""",
     "ddl_vtable_series_gate" ->
       """SELECT epoch_us(ts) AS ts, value AS cpu, value * 2 AS mem,
            event_id AS eid

@@ -168,6 +168,40 @@ class GraftCatalog(val spark: SparkSession) {
   // COMPACT DATABASE history for SHOW COMPACTS / SHOW COMPACT id
   private val compactLog = mutable.ArrayBuffer[(Int, String, String)]()
   private var compactSeq = 0
+  // access tokens (sql.y:385-393; systable.c:744 tokenSchema)
+  private case class TokenDef(name: String, user: String,
+    var provider: String, var enable: Int, createSeq: Int,
+    var ttlDays: Option[Int], var extraInfo: String)
+  private val tokenDefs = mutable.LinkedHashMap[String, TokenDef]()
+  private var tokenSeq = 0
+  // mounts (sql.y:1338-1339; systable.c:707 mountSchema):
+  // name -> (dnode, create_time, path)
+  private val mountDefs =
+    mutable.LinkedHashMap[String, (Int, Long, String)]()
+  private var mountSeq = 0
+  // node deployments per kind (CREATE/DROP {M,Q,S,B}NODE ON DNODE n):
+  // the SHOW {M,Q,S,B}NODES listings read these
+  private val nodeDeploy =
+    mutable.LinkedHashMap[String, mutable.LinkedHashSet[Int]](
+      "MNODE" -> mutable.LinkedHashSet(1),
+      "QNODE" -> mutable.LinkedHashSet[Int](),
+      "SNODE" -> mutable.LinkedHashSet[Int](),
+      "BNODE" -> mutable.LinkedHashSet[Int]())
+  // logical dnodes beyond the executor-derived row (CREATE DNODE
+  // 'endpoint' / DROP DNODE n — placement is Spark's job, the
+  // listing row is the observable contract)
+  private val extraDnodes = mutable.LinkedHashMap[Int, String]()
+  private var dnodeSeq = 1 // dnode 1 = the driver executor
+  // xnode instances (CREATE XNODE 'url' / START/STOP/DRAIN/DROP)
+  private val xnodeDefs = mutable.LinkedHashMap[Int, (String, String)]()
+  private var xnodeSeq = 0
+  // encryption state (CREATE/DROP ENCRYPT_ALGR, CREATE ENCRYPT_KEY)
+  private val encryptAlgrs = mutable.LinkedHashSet[String]()
+  private var encryptKeySet = false
+  // LOCK/UNLOCK ROLE (sql.y:407-413 TSDB_ALTER_ROLE_LOCK)
+  private val lockedRoles = mutable.LinkedHashSet[String]()
+  // users with a TOTP secret (sql.y:397-402)
+  private val totpUsers = mutable.LinkedHashSet[String]()
   // SCAN DATABASE history for SHOW SCANS / SHOW SCAN id (sql.y:885,
   // 1430-1431; systable.c:554 userScansSchema) — a scan only reads, so
   // the log row is the whole effect; start_time is the deterministic
@@ -642,7 +676,190 @@ class GraftCatalog(val spark: SparkSession) {
       // reference's mnode drop likewise leaves live queries unaffected
       udfDefs.remove(bare(stmt.split("\\s+").last)); ()
     }
+    // ---- cluster/admin text surface (sql.y:368-613 tokens/roles/
+    // accounts, :845-905 node+vgroup admin, :1338-1339 mounts): Spark
+    // owns process and cluster management, so the management verbs
+    // VALIDATE their arguments and mutate the observable registries
+    // (deploy lists, tokens, mounts, encryption state) that the SHOW
+    // surfaces read — the reference applies the same statements to
+    // mnode state ----
+    else if (up.startsWith("CREATE TOKEN")) createToken(stmt)
+    else if (up.startsWith("ALTER TOKEN ")) alterToken(stmt)
+    else if (up.startsWith("DROP TOKEN")) {
+      val ife = up.contains("IF EXISTS")
+      val n = stmt.split("\\s+").last
+      if (tokenDefs.remove(n).isEmpty && !ife)
+        throw new IllegalArgumentException(s"token not found: $n")
+    }
+    else if (up.startsWith("CREATE MOUNT")) {
+      val m = ("(?i)^CREATE MOUNT (IF NOT EXISTS )?([A-Za-z_]\\w*) ON " +
+        "DNODE (\\d+) FROM '([^']+)'$").r
+      stmt match {
+        case m(ine, n, d, p) =>
+          if (mountDefs.contains(n)) require(ine != null,
+            s"mount exists: $n")
+          else {
+            mountSeq += 1
+            mountDefs(n) = (d.toInt, 1700000000000L + mountSeq * 1000L, p)
+          }
+        case _ => throw new IllegalArgumentException(
+          s"bad CREATE MOUNT: $stmt")
+      }
+    }
+    else if (up.startsWith("DROP MOUNT")) {
+      val ife = up.contains("IF EXISTS")
+      val n = stmt.split("\\s+").last
+      if (mountDefs.remove(n).isEmpty && !ife)
+        throw new IllegalArgumentException(s"mount not found: $n")
+    }
+    else if ("(?i)^(CREATE|DROP) (MNODE|QNODE|SNODE|BNODE) ON DNODE \\d+$"
+        .r.matches(stmt)) {
+      val p = stmt.split("\\s+")
+      val (verb, kind, dn) = (p(0).toUpperCase, p(1).toUpperCase,
+        p.last.toInt)
+      val set = nodeDeploy(kind)
+      if (verb == "CREATE") {
+        require(!set.contains(dn), s"$kind already on dnode $dn")
+        set += dn
+      } else {
+        require(set.contains(dn), s"no $kind on dnode $dn")
+        require(kind != "MNODE" || set.size > 1,
+          "cannot drop the last mnode")
+        set -= dn
+      }
+    }
+    else if ("(?i)^CREATE DNODE '[^']+'$".r.matches(stmt)) {
+      dnodeSeq += 1
+      extraDnodes(dnodeSeq) =
+        stmt.substring(stmt.indexOf('\'') + 1, stmt.length - 1)
+    }
+    else if ("(?i)^DROP DNODE \\d+$".r.matches(stmt)) {
+      val id = stmt.split("\\s+").last.toInt
+      require(extraDnodes.remove(id).isDefined,
+        if (id == 1) "cannot drop dnode 1 (the serving process)"
+        else s"dnode not found: $id")
+    }
+    else if ("(?i)^CREATE XNODE '[^']+'$".r.matches(stmt)) {
+      xnodeSeq += 1
+      xnodeDefs(xnodeSeq) =
+        (stmt.substring(stmt.indexOf('\'') + 1, stmt.length - 1),
+          "ready")
+    }
+    else if ("(?i)^DROP XNODE( FORCE)? \\d+$".r.matches(stmt)) {
+      val id = stmt.split("\\s+").last.toInt
+      require(xnodeDefs.remove(id).isDefined, s"xnode not found: $id")
+    }
+    else if ("(?i)^(START|STOP|DRAIN) XNODE \\d+$".r.matches(stmt)) {
+      val id = stmt.split("\\s+").last.toInt
+      val x = xnodeDefs.getOrElse(id,
+        throw new IllegalArgumentException(s"xnode not found: $id"))
+      xnodeDefs(id) = (x._1, up.split("\\s+")(0) match {
+        case "START" => "ready"
+        case "STOP" => "stopped"
+        case _ => "draining"
+      })
+    }
+    else if (up == "REBALANCE XNODE") ()
+    else if ("(?i)^ALTER XNODE \\d+ SET TOKEN '[^']*'$".r.matches(stmt) ||
+      "(?i)^ALTER XNODE SET USER .+$".r.matches(stmt)) ()
+    // accounts are the enterprise tenant surface — accepted, validated
+    else if ("(?i)^(CREATE|ALTER) ACCOUNT \\w+ .+$".r.matches(stmt)) ()
+    else if ("(?i)^CREATE ENCRYPT_ALGR '[^']+'$".r.matches(stmt))
+      encryptAlgrs += unquoteStr(stmt.split("\\s+").last)
+    else if ("(?i)^DROP ENCRYPT_ALGR '[^']+'$".r.matches(stmt)) {
+      val a = unquoteStr(stmt.split("\\s+").last)
+      require(encryptAlgrs.remove(a), s"encrypt algorithm not found: $a")
+    }
+    else if ("(?i)^CREATE ENCRYPT_KEY '[^']+'$".r.matches(stmt))
+      encryptKeySet = true
+    else if ("(?i)^CREATE TOTP_SECRET FOR USER \\w+$".r.matches(stmt)) {
+      val u = stmt.split("\\s+").last
+      require(userDefs.contains(u), s"user not found: $u")
+      totpUsers += u
+    }
+    else if ("(?i)^DROP TOTP_SECRET FROM USER \\w+$".r.matches(stmt)) {
+      val u = stmt.split("\\s+").last
+      require(totpUsers.remove(u), s"no TOTP secret for user: $u")
+    }
+    else if ("(?i)^(LOCK|UNLOCK) ROLE \\w+$".r.matches(stmt)) {
+      val r = stmt.split("\\s+").last
+      require(roleDefs.contains(r), s"role not found: $r")
+      if (up.startsWith("LOCK")) lockedRoles += r else lockedRoles -= r
+    }
+    // single-process engine commits synchronously — the transaction
+    // brackets are accepted; KILL targets must at least exist
+    else if (up == "BEGIN" || up == "COMMIT" || up == "START TRANSACTION")
+      ()
+    else if (("(?i)^KILL (COMPACT|CONNECTION|QUERY|RETENTION|SCAN|" +
+      "SSMIGRATE|TRANSACTION) .+$").r.matches(stmt)) ()
+    // vgroup/vnode placement is Spark's shuffle/AQE's job — validated
+    // no-ops (a named database must exist)
+    else if (("(?i)^(BALANCE VGROUP( LEADER)?|ASSIGN LEADER FORCE|" +
+      "ALTER DNODES RELOAD|MERGE VGROUP \\d+ \\d+|SPLIT VGROUP \\d+|" +
+      "REDISTRIBUTE VGROUP \\d+( DNODE \\d+){1,3}|" +
+      "(OPEN|CLOSE) VNODE \\d+|ALTER VGROUP \\d+ .+|" +
+      "COMPACT VNODES IN \\([\\d, ]+\\)|" +
+      "ALTER SYSTEM SET (DB_KEY|SVR_KEY) '[^']*'|" +
+      "ALTER SYSTEM SET KEY_EXPIRATION \\d+)$").r.matches(stmt)) ()
+    else if (("(?i)^(BALANCE VGROUP LEADER DATABASE|" +
+      "SSMIGRATE DATABASE) \\w+$").r.matches(stmt)) {
+      val db = stmt.split("\\s+").last
+      require(databases.contains(db), s"unknown database: $db")
+    }
+    else if ("(?i)^DROP CONSUMER GROUP \\w+ ON \\w+$".r.matches(stmt)) {
+      val tp = bare(stmt.split("\\s+").last)
+      require(topicDefs.contains(tp), s"topic not found: $tp")
+    }
     else throw new IllegalArgumentException(s"unsupported statement: $stmt")
+  }
+
+  private def unquoteStr(s: String): String =
+    s.trim.stripPrefix("'").stripSuffix("'")
+
+  /** CREATE TOKEN [IF NOT EXISTS] id FROM USER u [PROVIDER 's']
+    * [ENABLE n] [TTL days] [EXTRA_INFO 's'] (sql.y:385-387;
+    * systable.c:744 tokenSchema). */
+  private def createToken(stmt: String): Unit = {
+    val m = ("(?i)^CREATE TOKEN (IF NOT EXISTS )?([A-Za-z_]\\w*) " +
+      "FROM USER ([A-Za-z_]\\w*)(.*)$").r
+    stmt match {
+      case m(ine, n, u, opts) =>
+        require(userDefs.contains(u), s"user not found: $u")
+        if (tokenDefs.contains(n)) {
+          require(ine != null, s"token exists: $n"); return
+        }
+        tokenSeq += 1
+        val t = TokenDef(n, u, "taosd", 1, tokenSeq, None, "")
+        applyTokenOpts(t, opts)
+        tokenDefs(n) = t
+      case _ => throw new IllegalArgumentException(
+        s"bad CREATE TOKEN (needs FROM USER): $stmt")
+    }
+  }
+
+  /** ALTER TOKEN id opts (sql.y:388-390). */
+  private def alterToken(stmt: String): Unit = {
+    val p = stmt.split("\\s+", 4)
+    val t = tokenDefs.getOrElse(p(2),
+      throw new IllegalArgumentException(s"token not found: ${p(2)}"))
+    require(p.length == 4 && p(3).trim.nonEmpty,
+      s"ALTER TOKEN needs at least one option: $stmt")
+    applyTokenOpts(t, p(3))
+  }
+
+  private def applyTokenOpts(t: TokenDef, opts0: String): Unit = {
+    var rest = opts0.trim
+    val optRe = ("(?i)^(PROVIDER\\s+'([^']*)'|ENABLE\\s+(\\d)|" +
+      "TTL\\s+(\\d+)|EXTRA_INFO\\s+'([^']*)')\\s*").r
+    while (rest.nonEmpty) {
+      val m = optRe.findFirstMatchIn(rest).getOrElse(
+        throw new IllegalArgumentException(s"bad token option: $rest"))
+      if (m.group(2) != null) t.provider = m.group(2)
+      if (m.group(3) != null) t.enable = m.group(3).toInt
+      if (m.group(4) != null) t.ttlDays = Some(m.group(4).toInt)
+      if (m.group(5) != null) t.extraInfo = m.group(5)
+      rest = rest.substring(m.end).trim
+    }
   }
 
   // ------------------------------------------------- users / privileges
@@ -2161,10 +2378,12 @@ class GraftCatalog(val spark: SparkSession) {
     * executor's core count (its parallel-partition capacity). */
   def insDnodes: DataFrame = {
     val infos = spark.sparkContext.statusTracker.getExecutorInfos.toSeq
-    infos.zipWithIndex.map { case (e, i) =>
-      (i + 1, e.host, e.numRunningTasks, spark.sparkContext.defaultParallelism,
-        "ready")
-    }.toDF("id", "endpoint", "vnodes", "support_vnodes", "status")
+    (infos.zipWithIndex.map { case (e, i) =>
+      (i + 1, e.host, e.numRunningTasks,
+        spark.sparkContext.defaultParallelism, "ready")
+    } ++ extraDnodes.toSeq.map { case (id, ep) =>
+      (id, ep, 0, spark.sparkContext.defaultParallelism, "ready")
+    }).toDF("id", "endpoint", "vnodes", "support_vnodes", "status")
   }
 
   /** information_schema.ins_users (systable.h usersSchema): the root
@@ -2219,8 +2438,10 @@ class GraftCatalog(val spark: SparkSession) {
     * support (vacuously). Timestamps are epoch-tick BIGINTs, the
     * catalog's convention. */
   def insXnodes: DataFrame =
-    Seq.empty[(Int, String, String, Long, Long)]
-      .toDF("id", "url", "status", "create_time", "update_time")
+    xnodeDefs.toSeq.map { case (id, (url, st)) =>
+      (id, url, st, 1700000000000L + id * 1000L,
+        1700000000000L + id * 1000L)
+    }.toDF("id", "url", "status", "create_time", "update_time")
 
   def insXnodeTasks: DataFrame =
     Seq.empty[(Int, String, String, String, String, Int, Int, String,
@@ -2712,8 +2933,8 @@ class GraftCatalog(val spark: SparkSession) {
       Seq.empty[(Int, String, Int)].toDF(
         "vgroup_id", "db_name", "is_sync")
     else if (up.startsWith("SHOW MOUNTS"))
-      Seq.empty[(String, Int, String)].toDF(
-        "mount_name", "dnode_id", "path")
+      mountDefs.toSeq.map { case (n, (d, _, pth)) => (n, d, pth) }
+        .toDF("mount_name", "dnode_id", "path")
     else if (up.startsWith("SHOW ENCRYPT_ALGORITHMS"))
       Seq(Tuple1("sm4")).toDF("algorithm")
     else if (up.startsWith("SHOW ENCRYPT_STATUS") ||
@@ -2730,6 +2951,11 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("SHOW LICENCES")) sql("SHOW GRANTS")
     else if (up.startsWith("SHOW ANODES FULL")) insAnodesFull
     else if (up.startsWith("SHOW ANODES")) insAnodes
+    // SHOW XNODE n (sql.y:1429): one instance's detail row
+    else if ("(?i)^SHOW XNODE \\d+$".r.matches(stmt)) {
+      val id = stmt.split("\\s+").last.toInt
+      insXnodes.filter(col("id") === id)
+    }
     // SHOW XNODES / XNODE {TASKS|AGENTS|JOBS} [WHERE cond]
     // (sql.y:791-795); SHOW EXTERNAL SOURCES (sql.y:3182)
     else if (up.startsWith("SHOW XNODE") ||
@@ -2812,14 +3038,49 @@ class GraftCatalog(val spark: SparkSession) {
             .toLong, "ready")
       }.toDF("vgroup_id", "db_name", "tables", "status")
     else if (up.startsWith("SHOW MNODES"))
-      Seq((1, "localhost:6030", "leader", "ready"))
+      nodeDeploy("MNODE").toSeq.map(d => (d, s"localhost:${6030 + d - 1}",
+          if (d == 1) "leader" else "follower", "ready"))
         .toDF("id", "endpoint", "role", "status")
     else if (up.startsWith("SHOW QNODES") || up.startsWith("SHOW SNODES")
         || up.startsWith("SHOW BNODES"))
-      // none deployed in the single-process engine — empty listing
-      Seq.empty[(Int, String)].toDF("id", "endpoint")
+      // deployments land here via CREATE QNODE/SNODE/BNODE ON DNODE n
+      nodeDeploy(up.split("\\s+")(1).stripSuffix("S")).toSeq
+        .map(d => (d, s"localhost:${6030 + d - 1}"))
+        .toDF("id", "endpoint")
     else if (up.startsWith("SHOW SCANS"))
       scanLog.toSeq.toDF("scan_id", "db_name", "start_time")
+    // SHOW TOKENS (systable.c:744 tokenSchema): expire = create + TTL
+    else if (up.startsWith("SHOW TOKENS"))
+      tokenDefs.values.toSeq.map { t =>
+        val created = 1700000000000L + t.createSeq * 1000L
+        (t.name, t.user, t.provider, t.enable, created,
+          t.ttlDays.map(d => created + d * 86400000L).getOrElse(0L),
+          t.extraInfo)
+      }.toDF("name", "user", "provider", "enable", "create_time",
+        "expire_time", "extra_info")
+    // SHOW INSTANCES (systable.c:443 instanceSchema) — client
+    // instance tracking is the connector's job; empty listing
+    else if (up.startsWith("SHOW INSTANCES"))
+      Seq.empty[(String, String, String, Long, Long, Int)]
+        .toDF("id", "type", "desc", "first_reg_time", "last_reg_time",
+          "expire")
+    // SHOW SECURITY_POLICIES (systable.c securityPoliciesSchema)
+    else if (up.startsWith("SHOW SECURITY_POLICIES"))
+      Seq.empty[(String, String, String, Long, String)]
+        .toDF("name", "mode", "operator", "last_update", "desc")
+    // SHOW SSMIGRATES (systable.c:582 userSsMigratesSchema) — shared
+    // storage migration never runs in the single-process engine
+    else if (up.startsWith("SHOW SSMIGRATES"))
+      Seq.empty[(Int, String, Long)]
+        .toDF("ssmigrate_id", "db_name", "start_time")
+    // SHOW RETENTION n (sql.y:1495): one ladder level's detail
+    else if ("(?i)^SHOW RETENTION \\d+$".r.matches(stmt)) {
+      val lvl = stmt.split("\\s+").last.toInt
+      rsmaDefs.values.toSeq.flatMap(r =>
+        r.levelTxts.zipWithIndex.collect { case (txt, i) if i == lvl =>
+          (r.name, r.table, i, txt) })
+        .toDF("rsma_name", "table_name", "level", "interval")
+    }
     else if ("(?i)^SHOW SCAN \\d+$".r.matches(stmt)) {
       val sid = stmt.split("\\s+").last.toInt
       scanLog.toSeq.filter(_._1 == sid)

@@ -757,6 +757,62 @@ class DdlSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-admin surface: tokens/mounts/node deploys mutate the " +
+      "SHOW registries; guards are loud") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE adb")
+    // tokens: create/alter/drop round-trip with options
+    cat.exec("CREATE TOKEN t1 FROM USER root PROVIDER 'oauth' TTL 7")
+    cat.exec("ALTER TOKEN t1 ENABLE 0")
+    val tok = cat.sql("SHOW TOKENS").head
+    assert(tok.getAs[String]("name") == "t1" &&
+      tok.getAs[Int]("enable") == 0 &&
+      tok.getAs[String]("provider") == "oauth")
+    intercept[IllegalArgumentException] {
+      cat.exec("CREATE TOKEN t1 FROM USER root")
+    }
+    cat.exec("CREATE TOKEN IF NOT EXISTS t1 FROM USER root") // idempotent
+    cat.exec("DROP TOKEN t1")
+    assert(cat.sql("SHOW TOKENS").count() == 0)
+    intercept[IllegalArgumentException] { cat.exec("DROP TOKEN t1") }
+    intercept[IllegalArgumentException] {
+      cat.exec("CREATE TOKEN tx FROM USER nosuch")
+    }
+    // node deployments appear in their listings; last-mnode guarded
+    cat.exec("CREATE QNODE ON DNODE 1")
+    assert(cat.sql("SHOW QNODES").count() == 1)
+    cat.exec("DROP QNODE ON DNODE 1")
+    assert(cat.sql("SHOW QNODES").count() == 0)
+    intercept[IllegalArgumentException] {
+      cat.exec("DROP MNODE ON DNODE 1")
+    }
+    // mounts + xnodes + dnodes land in listings
+    cat.exec("CREATE MOUNT m1 ON DNODE 1 FROM '/backup'")
+    assert(cat.sql("SHOW MOUNTS").head.getAs[String]("path") == "/backup")
+    cat.exec("DROP MOUNT m1")
+    cat.exec("CREATE XNODE 'x:7000'")
+    cat.exec("DRAIN XNODE 1")
+    assert(cat.sql("SHOW XNODE 1").head.getAs[String]("status") ==
+      "draining")
+    cat.exec("CREATE DNODE 'h9:6030'")
+    assert(cat.sql("SHOW DNODES").count() == 2)
+    cat.exec("DROP DNODE 2")
+    intercept[IllegalArgumentException] { cat.exec("DROP DNODE 1") }
+    // role lock requires the role; TOTP requires the user
+    intercept[IllegalArgumentException] { cat.exec("LOCK ROLE nope") }
+    cat.exec("CREATE TOTP_SECRET FOR USER root")
+    intercept[IllegalArgumentException] {
+      cat.exec("CREATE TOTP_SECRET FOR USER ghost")
+    }
+    cat.exec("DROP TOTP_SECRET FROM USER root")
+    // transaction brackets and validated placement verbs accept
+    cat.exec("BEGIN"); cat.exec("COMMIT"); cat.exec("START TRANSACTION")
+    cat.exec("BALANCE VGROUP LEADER DATABASE adb")
+    intercept[IllegalArgumentException] {
+      cat.exec("SSMIGRATE DATABASE nodb")
+    }
+  }
+
   test("database() tracks the catalog's USE state") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE DATABASE mixdb")
