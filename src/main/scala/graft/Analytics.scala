@@ -132,14 +132,11 @@ object Analytics {
       val x = s"(epoch_us(ts) - $T0) // 1000000"
       s"""WITH st AS (
             SELECT user_id, count(*) AS n, max($x) AS xmax,
-              CAST(sum(CAST($x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
-              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-              CAST(sum(CAST($x AS DECIMAL(18,0)) * CAST($x AS DECIMAL(18,0)))
-                AS DOUBLE) AS sxx,
-              CAST(sum(CAST($x AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2)))
-                AS DOUBLE) AS sxy,
-              CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
-                AS DOUBLE) AS syy
+              CAST(CAST(sum(CAST($x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS DOUBLE) AS sx,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
+              CAST(CAST(sum(CAST($x AS DECIMAL(18,0)) * CAST($x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS DOUBLE) AS sxx,
+              CAST(CAST(sum(CAST($x AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sxy,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS syy
             FROM events GROUP BY user_id),
           p AS (SELECT *, (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b FROM st),
           q AS (SELECT *, (sy - b*sx) / n AS a FROM p),
@@ -282,9 +279,8 @@ object Analytics {
         FROM m ORDER BY ts_ms, event_id""",
     "anomaly_window" ->
       """WITH s AS (SELECT user_id,
-            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-            CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
-              AS DOUBLE) AS syy,
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS syy,
             count(*) AS n
           FROM events GROUP BY user_id),
         f AS (SELECT e.user_id, epoch_us(e.ts) AS t,
@@ -301,9 +297,8 @@ object Analytics {
         ORDER BY user_id, _wstart_ms""",
     "anomaly_window_keyless" ->
       """WITH s AS (SELECT
-            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-            CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
-              AS DOUBLE) AS syy,
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS syy,
             count(*) AS n
           FROM events),
         f AS (SELECT epoch_us(e.ts) AS t, e.event_id,

@@ -742,7 +742,7 @@ object Ddl {
                   THEN value + 10 ELSE value END AS v
            FROM events)
          SELECT _wstart, count(*) AS n,
-           CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
          FROM b GROUP BY _wstart ORDER BY _wstart""",
     // the FILE-loaded catalog state is fully determined by the CSV
     // text the gate writes — pin it as literal rows
@@ -766,9 +766,9 @@ object Ddl {
            (epoch_us(ts) - epoch_us(ts) % 86400000000) // 1000
              AS _wstart_ms,
            count(value) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
            min(value) AS min_v, max(value) AS max_v,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
              / count(value), 6) AS avg_v,
            CAST(86400000000 AS BIGINT) AS served_grain
          FROM events GROUP BY user_id, _wstart_ms
@@ -840,7 +840,7 @@ object Ddl {
     "ddl_stream_trows_gate" ->
       """SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) AS ws,
            user_id AS uid, count(*) AS n, count(*) AS rn,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sv
          FROM events WHERE value > 20
          GROUP BY 1, 2 ORDER BY uid, ws""",
     "ddl_show_misc_gate" ->
@@ -892,7 +892,7 @@ object Ddl {
       """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) // 1000
              AS _twstart_ms,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
          FROM events WHERE event_id % 2 = 0 AND event_id < 10000
          GROUP BY _twstart_ms ORDER BY _twstart_ms""",
     "ins_stables_gate" ->

@@ -1137,13 +1137,13 @@ object Dialect {
     "dialect_interval" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS _wstart,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY _wstart""",
     "dialect_partition_fill" ->
       s"""WITH agg AS (
             SELECT user_id,
               epoch_us(ts) - epoch_us(ts) % 86400000000 AS ws,
-              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS v
             FROM events
             WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < $T5
             GROUP BY 1, 2),
@@ -1163,7 +1163,7 @@ object Dialect {
       s"""WITH agg AS (
             SELECT user_id,
               epoch_us(ts) - (epoch_us(ts) - ${6 * H}) % $D AS ws,
-              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS v
             FROM events
             WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < $T5
             GROUP BY 1, 2),
@@ -1247,9 +1247,8 @@ object Dialect {
           ORDER BY user_id, _wstart_ms""",
     "dialect_anomaly" ->
       """WITH s AS (SELECT user_id,
-            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-            CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
-              AS DOUBLE) AS syy,
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS syy,
             count(*) AS n
           FROM events GROUP BY user_id),
         f AS (SELECT e.user_id, epoch_us(e.ts) AS t,
@@ -1536,8 +1535,7 @@ object Dialect {
     "dialect_mavg" ->
       """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
            CASE WHEN count(value) OVER w7 = 7 THEN
-             round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w7
-               AS DOUBLE) / 7, 6) END AS mavg
+             round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w7 AS DECIMAL(18,2)) AS DOUBLE) / 7, 6) END AS mavg
            FROM events
            WINDOW w7 AS (PARTITION BY user_id ORDER BY ts
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
@@ -1629,9 +1627,9 @@ object Dialect {
     "dialect_imputation" -> Analytics.oracleSql("imputation_linear"),
     "dialect_anomalycheck" ->
       """WITH s AS (SELECT user_id,
-            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-            CAST(sum(CAST(value AS DECIMAL(18,2)) *
-              CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) *
+              CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS syy,
             count(*) AS n
           FROM events GROUP BY user_id)
          SELECT e.user_id, epoch_us(e.ts) // 1000 AS ts_ms, e.event_id,
@@ -1800,7 +1798,7 @@ object Dialect {
                AS we
            FROM c)
          SELECT ws AS _wstart, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sv
          FROM k WHERE ws <= t AND we > t GROUP BY ws ORDER BY _wstart""",
     "dialect_percentile_multi" ->
       """SELECT user_id,
@@ -1838,12 +1836,12 @@ object Dialect {
            FROM events WHERE user_id = 3),
          w AS (SELECT ts2, value,
            value - lag(value) OVER o AS d,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
-             (o ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cs,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+             (o ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS DOUBLE) AS cs,
            CASE WHEN count(value) OVER
                (o ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) = 4
-             THEN round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
-               (o ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             THEN round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+               (o ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE)
                / 4, 6) END AS ma,
            last_value(value IGNORE NULLS) OVER
              (o ROWS UNBOUNDED PRECEDING) AS ff
@@ -1911,12 +1909,12 @@ object Dialect {
                AS x, value
            FROM xm),
          st AS (SELECT count(*) AS n, max(x) AS xmax,
-             CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(x AS DECIMAL(18,0)) *
-               CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(x AS DECIMAL(18,0)) *
-               CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             CAST(CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(x AS DECIMAL(18,0)) *
+               CAST(x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(x AS DECIMAL(18,0)) *
+               CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sxy
            FROM x),
          p AS (SELECT *, (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b
            FROM st),
@@ -2086,7 +2084,7 @@ object Dialect {
            AND ts < TIMESTAMP '2024-01-09 18:04:05.250'""",
     "dialect_star_subquery" ->
       """WITH s AS (SELECT user_id,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) /
              count(value) AS a FROM events GROUP BY user_id)
          SELECT * FROM s WHERE a > 20 ORDER BY user_id""",
     "dialect_rowts" ->

@@ -594,14 +594,14 @@ object Functions {
          WHERE deriv IS NOT NULL ORDER BY user_id, ts_ms""",
     "sf_csum" ->
       """SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
-           CAST(sum(CAST(value AS DECIMAL(18,2)))
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
              OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS csum
+                   ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS DOUBLE) AS csum
          FROM events ORDER BY user_id, ts_ms""",
     "sf_mavg" ->
       """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
            CASE WHEN count(value) OVER w7 = 7 THEN
-             round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+             round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w7 AS DECIMAL(18,2)) AS DOUBLE)
                / 7, 6) END AS mavg
            FROM events
            WINDOW w7 AS (PARTITION BY user_id ORDER BY ts
@@ -727,8 +727,8 @@ object Functions {
            lag(value) OVER w AS pv, lag(epoch_us(ts)) OVER w AS pt
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
          SELECT user_id,
-           round(CAST(sum(CAST(value + pv AS DECIMAL(18,2)) *
-             CAST(t - pt AS DECIMAL(18,0))) AS DOUBLE) / 2 /
+           round(CAST(CAST(sum(CAST(value + pv AS DECIMAL(18,2)) *
+             CAST(t - pt AS DECIMAL(18,0))) AS DECIMAL(18,2)) AS DOUBLE) / 2 /
              CAST(max(t) - min(t) AS DOUBLE), 6) AS twa
          FROM t GROUP BY user_id ORDER BY user_id""",
     "sf_irate" ->
@@ -770,11 +770,11 @@ object Functions {
     "sf_tlcc" ->
       s"""WITH hourly AS (
            SELECT epoch_us(ts) - epoch_us(ts) % ${Dur.h} AS bucket,
-             CAST(sum(CASE WHEN event_type = 'view'
-               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) /
+             CAST(CAST(sum(CASE WHEN event_type = 'view'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE) /
                sum(CASE WHEN event_type = 'view' THEN 1 END) AS x,
-             CAST(sum(CASE WHEN event_type = 'purchase'
-               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) /
+             CAST(CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE) /
                sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
            FROM events GROUP BY 1)
          SELECT round(corr(a.x, b.y), 6) AS tlcc_lag1
@@ -923,13 +923,13 @@ object Functions {
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rflag,
            coalesce(l_linestatus, '(all)') AS lstatus, count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY rflag, lstatus""",
     "agg_cube" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
            coalesce(o_orderpriority, '(all)') AS prio, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
              AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY status, prio""",

@@ -276,11 +276,11 @@ object Relational {
     "count_star" -> "SELECT count(*) AS n FROM lineitem",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+           round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 6) AS avg_price,
            count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
@@ -291,14 +291,14 @@ object Relational {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "join_inner" ->
       """SELECT n_name,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
            count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
     "join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-           CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+           CAST(CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
     "join_semi" ->
@@ -320,7 +320,7 @@ object Relational {
          ORDER BY d""",
     "join_multiway" ->
       """SELECT n_name, o_orderpriority,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -345,13 +345,13 @@ object Relational {
          GROUP BY nk ORDER BY nk""",
     "having" ->
       """SELECT o_custkey, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
          FROM orders GROUP BY o_custkey HAVING count(*) >= 15
          ORDER BY o_custkey""",
     "subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice >
-           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
               / count(*) FROM orders) * 1.5
          ORDER BY o_orderkey""",
     "window_over" ->
@@ -384,7 +384,7 @@ object Relational {
            round(cume_dist() OVER wv, 6) AS cd,
            nth_value(value, 2) OVER wo AS nth2,
            last_value(v_n IGNORE NULLS) OVER wo AS ff,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wr AS DOUBLE)
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wr AS DECIMAL(18,2)) AS DOUBLE)
              AS range_sum_1h
          FROM g
          WINDOW wv AS (PARTITION BY user_id ORDER BY value),
@@ -395,8 +395,8 @@ object Relational {
     "tpch_q3" ->
       """SELECT l_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
          FROM customer, orders, lineitem
          WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
            AND o_orderkey = l_orderkey
@@ -406,8 +406,8 @@ object Relational {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "tpch_q5" ->
       """SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
          FROM lineitem, orders, customer, supplier, nation, region
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

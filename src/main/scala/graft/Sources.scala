@@ -779,7 +779,7 @@ object Sources {
            (epoch_us(ts) - epoch_us(ts) % 3600000000) // 1000
              AS _twstart_ms,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
          FROM events WHERE event_id % 2 = 0
          GROUP BY user_id, _twstart_ms
          ORDER BY user_id, _twstart_ms""",

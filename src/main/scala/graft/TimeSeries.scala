@@ -538,7 +538,7 @@ object TimeSeries {
             FROM events)
           SELECT ws // 1000 AS _wstart_ms, (ws + ${Dur.h}) // 1000 AS _wend_ms,
             ${Dur.h / 1000} AS _wduration_ms, count(*) AS n,
-            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
           FROM b GROUP BY ws ORDER BY _wstart_ms""",
     "interval_sliding" ->
       s"""WITH x AS (
@@ -568,7 +568,7 @@ object TimeSeries {
             epoch_us(ts) - epoch_us(ts) % ${6 * Dur.h} AS ws, value
             FROM events)
           SELECT user_id, ws // 1000 AS _wstart_ms, count(*) AS n,
-            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
           FROM b GROUP BY user_id, ws ORDER BY user_id, _wstart_ms""",
     "session_window" ->
       s"""WITH t AS (SELECT user_id, epoch_us(ts) AS t,
@@ -647,7 +647,7 @@ object TimeSeries {
               ON n.user_id = w.user_id AND n.rn = w.rn + 1)
           SELECT user_id, wstart // 1000 AS _wstart_ms,
             max(t) // 1000 AS _wend_ms, count(*) AS n,
-            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
           FROM walk WHERE wstart IS NOT NULL
           GROUP BY user_id, wstart ORDER BY user_id, _wstart_ms""",
     "event_window_truefor" ->
@@ -676,7 +676,7 @@ object TimeSeries {
           HAVING max(t) // 1000 - wstart // 1000 >= ${Dur.h / 1000}
           ORDER BY user_id, _wstart_ms""",
     "fill_prev" -> fillOracle(
-      valueExpr = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+      valueExpr = "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)",
       fillExpr = "last_value(v IGNORE NULLS) OVER " +
         "(PARTITION BY user_id ORDER BY ws ROWS UNBOUNDED PRECEDING)",
       outCol = "v", castOut = ""),
@@ -684,7 +684,7 @@ object TimeSeries {
       valueExpr = "count(*)",
       fillExpr = "coalesce(v, 0)", outCol = "n", castOut = "::BIGINT"),
     "fill_linear" -> fillOracle(
-      valueExpr = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+      valueExpr = "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)",
       fillExpr =
         """CASE WHEN v IS NOT NULL THEN v ELSE
              pv.v + (nv.v - pv.v) * CAST(ws - pv.t AS DOUBLE)
@@ -718,13 +718,13 @@ object TimeSeries {
       valueExpr = "count(*)",
       fillExpr = "v", outCol = "n", castOut = "::BIGINT"),
     "fill_next" -> fillOracle(
-      valueExpr = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+      valueExpr = "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)",
       fillExpr = "first_value(v IGNORE NULLS) OVER " +
         "(PARTITION BY user_id ORDER BY ws " +
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)",
       outCol = "v", castOut = ""),
     "fill_near" -> fillOracle(
-      valueExpr = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+      valueExpr = "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)",
       fillExpr =
         """CASE WHEN v IS NOT NULL THEN v
              WHEN nv IS NULL THEN pv.v
@@ -907,9 +907,9 @@ object TimeSeries {
            (epoch_us(ts) - epoch_us(ts) % 86400000000) // 1000
              AS _wstart_ms,
            count(value) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
            min(value) AS min_v, max(value) AS max_v,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
              / count(value), 6) AS avg_v
          FROM events GROUP BY user_id, _wstart_ms
          ORDER BY user_id, _wstart_ms""",
@@ -918,7 +918,7 @@ object TimeSeries {
              $T0 + k * ${3 * Dur.d} + ${2 * Dur.d} AS we
            FROM (SELECT unnest(range(0, 8)) AS k))
          SELECT w.wid, w.ws // 1000 AS _wstart_ms, count(*) AS n,
-           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
          FROM w JOIN events e
            ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
          GROUP BY w.wid, w.ws ORDER BY w.wid""",
@@ -977,7 +977,7 @@ object TimeSeries {
     "window_join" ->
       s"""SELECT a.user_id, epoch_us(a.ts) // 1000 AS ts_ms, a.event_id,
             count(b.value) AS n_clicks,
-            CAST(sum(CAST(coalesce(b.value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+            CAST(CAST(sum(CAST(coalesce(b.value, 0) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
               AS sum_click_value
           FROM (SELECT * FROM events WHERE event_type = 'purchase') a
           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
@@ -989,7 +989,7 @@ object TimeSeries {
     "window_join_keyless" ->
       s"""SELECT epoch_us(a.ts) // 1000 AS ts_ms, a.event_id,
             count(b.value) AS n_clicks,
-            CAST(sum(CAST(coalesce(b.value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+            CAST(CAST(sum(CAST(coalesce(b.value, 0) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
               AS sum_click_value
           FROM (SELECT * FROM events
                 WHERE event_type = 'purchase' AND event_id % 19 = 0) a

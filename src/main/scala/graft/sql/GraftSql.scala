@@ -523,9 +523,9 @@ object GraftSql {
         .getOrElse(span)
     })
     r = rewriteCall(r, "sum", a =>
-      s"CAST(sum(CAST(($a) AS DECIMAL(18,2))) AS DOUBLE)")
+      s"CAST(CAST(sum(CAST(($a) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)")
     r = rewriteCall(r, "avg", a =>
-      s"(CAST(sum(CAST(($a) AS DECIMAL(18,2))) AS DOUBLE) / count($a))")
+      s"(CAST(CAST(sum(CAST(($a) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count($a))")
     rewriteTimeScalars(r)
   }
 
@@ -2700,15 +2700,15 @@ object GraftSql {
         })
         r = rewriteCall(r, "diff", a => s"(($a) - lag($a) ${over("")})")
         r = rewriteCall(r, "csum", a =>
-          s"CAST(sum(CAST(($a) AS DECIMAL(18,2))) " +
-            s"${over(" ROWS UNBOUNDED PRECEDING")} AS DOUBLE)")
+          s"CAST(CAST(sum(CAST(($a) AS DECIMAL(18,2))) " +
+            s"${over(" ROWS UNBOUNDED PRECEDING")} AS DECIMAL(18,2)) AS DOUBLE)")
         r = rewriteCall(r, "mavg", a => {
           val parts = splitArgs(a)
           val x = parts(0); val n = parts(1).trim.toInt
           val f = s" ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
           s"(CASE WHEN count($x) ${over(f)} = $n THEN " +
-            s"round(CAST(sum(CAST(($x) AS DECIMAL(18,2))) ${over(f)} " +
-            s"AS DOUBLE) / $n, 6) END)"
+            s"round(CAST(CAST(sum(CAST(($x) AS DECIMAL(18,2))) ${over(f)} " +
+            s" AS DECIMAL(18,2)) AS DOUBLE) / $n, 6) END)"
         })
         // fill_forward(x) (builtins.c:8187, window-function family
         // :7996-8239): carry the last non-null value forward along the
