@@ -707,6 +707,19 @@ object Dialect {
            WHERE user_id = 3 AND event_type = 'purchase' AND value > 90
            INTERVAL(1d) FILL(PREV) ORDER BY _wstart""")
     },
+    // FILL(VALUE, …) constant-expression entries: the reference folds
+    // arithmetic at parse time and C-coerces strings/booleans
+    // (taosStr2Double prefix parse; fill suites use `1 + 2`, `'1e1'`,
+    // `true` as fill literals)
+    "dialect_fill_value_expr" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT _wstart, max(value) AS mx, min(value) AS mn,
+              count(value) AS cnt
+            FROM events WHERE ts >= $T0 AND ts < ${T0 + 31 * D}
+              AND user_id = 3 AND event_type = 'purchase' AND value > 90
+            INTERVAL(1d) FILL(VALUE, 1 + 2, '1e1', true)
+            ORDER BY _wstart""")
+    },
     // multi-column INTERP: every interp(col) resamples at the same grid
     "dialect_interp_multi" -> { (s, dir) =>
       run(s, dir,
@@ -1686,6 +1699,20 @@ object Dialect {
         spine AS (SELECT unnest(range($T0, ${T0 + 31 * D}, $D)) AS ws)
         SELECT s.ws AS _wstart, coalesce(a.mx, 1.5) AS mx,
           coalesce(a.mn, 2.5) AS mn, a.ws IS NULL AS _isfilled
+        FROM spine s LEFT JOIN agg a ON s.ws = a.ws
+        ORDER BY _wstart""",
+    "dialect_fill_value_expr" ->
+      s"""WITH agg AS (SELECT epoch_us(ts) - epoch_us(ts) % $D AS ws,
+            max(value) AS mx, min(value) AS mn, count(value) AS cnt
+          FROM events
+          WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < ${T0 + 31 * D}
+            AND user_id = 3 AND event_type = 'purchase' AND value > 90
+          GROUP BY 1),
+        spine AS (SELECT unnest(range($T0, ${T0 + 31 * D}, $D)) AS ws)
+        SELECT s.ws AS _wstart, coalesce(a.mx, 3) AS mx,
+          coalesce(a.mn, 10) AS mn,
+          CAST(coalesce(a.cnt, 1.0) AS DOUBLE) AS cnt,
+          a.ws IS NULL AS _isfilled
         FROM spine s LEFT JOIN agg a ON s.ws = a.ws
         ORDER BY _wstart""",
     "dialect_fill_norange" ->

@@ -466,6 +466,28 @@ object Functions {
             "YYYY-MM-DD HH24:MI:SS")) * 1000).as("rt_ms"))
         .orderBy(col("event_id"))
     },
+    // ---- to_timestamp parse-and-ignore tokens (char2ts sets
+    // tm_wday/tm_yday which taosTm2Ts never reads, ttime.c:2783-2884;
+    // commonTests.cpp:733 pins "DY DDD-DD-D" as a no-op): day names,
+    // day-of-week digits and DDD-next-to-DD are consumed from the
+    // input but contribute nothing; absent date fields default to
+    // year 0 / month 1 / day 1 ----
+    "scalar_totimestamp" -> { (s, dir) =>
+      import graft.functions.TimeFormat
+      val e = ev(s, dir).filter(col("event_id") < 2000)
+        .withColumn("t", timestamp_micros(col("ts")))
+      e.select(col("event_id"),
+          (unix_timestamp(TimeFormat.toTimestamp(
+            TimeFormat.toChar(col("t"), "yyyy/Mon/dd DY HH24:MI:SS"),
+            "yyyy/Mon/dd DY HH24:MI:SS")) * 1000).as("rt_ms"),
+          (unix_timestamp(TimeFormat.toTimestamp(
+            TimeFormat.toChar(col("t"), "yyyy-DY-MM"),
+            "yyyy-Dy-MM")) * 1000).as("month_ms"),
+          TimeFormat.toTimestamp(
+            TimeFormat.toChar(col("t"), "D-DD-DDD DY"), "D-DD-DDD DY")
+            .cast("string").as("wd_rt"))
+        .orderBy(col("event_id"))
+    },
     // ---- crypto scalars (builtins.c:7870 aes / 7940 sm4): round-trip
     // through encrypt→decrypt is oracle-checkable (identity), and the
     // ciphertext lengths pin real CBC+PKCS7 block behavior ----
@@ -839,6 +861,12 @@ object Functions {
              strftime(ts, '%a') AS pg_month,
            strftime(ts, '%Y-%m-%dT%H:%M:%S') AS pg_quoted,
            (epoch_us(ts) // 1000000) * 1000 AS rt_ms
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "scalar_totimestamp" ->
+      """SELECT event_id,
+           (epoch_us(ts) // 1000000) * 1000 AS rt_ms,
+           CAST(epoch_ms(date_trunc('month', ts)) AS BIGINT) AS month_ms,
+           '0000-01-' || strftime(ts, '%d') || ' 00:00:00' AS wd_rt
          FROM events WHERE event_id < 2000 ORDER BY event_id""",
     "scalar_string2" ->
       """SELECT c_custkey,

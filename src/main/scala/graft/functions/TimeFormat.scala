@@ -87,8 +87,108 @@ object TimeFormat {
     case "MS" | "ms" => "SSS"
     case "US" | "us" => "SSSSSS"
     case "AM" | "PM" | "am" | "pm" => "a"
+    case "TZH" | "tzh" => "x"
     case other =>
       throw new IllegalArgumentException(s"to_timestamp token $other")
+  }
+
+  /** Tokens the reference parses-and-IGNORES in char2ts: day-of-week
+    * numbers and names always (ttime.c:2783-2830 set tm_wday, which
+    * taosTm2Ts never reads), and day-of-year when a DD supplies the
+    * month day (with no DD the reference errors "not supported",
+    * ttime.c:2875-2878 — but the plain java `DDD` pattern handles that
+    * shape, so we stay a superset there). */
+  private def isIgnored(kw: String, hasDD: Boolean): Boolean = kw match {
+    case "D" | "d" | "DY" | "Dy" | "dy" | "DAY" | "Day" | "day" => true
+    case "DDD" | "ddd" => hasDD
+    case _ => false
+  }
+
+  /** What one token consumes from the input string, as a regex
+    * fragment (mirrors tsFormatStr2Int32's 1..max digit scan and
+    * strArrayCaseSearch name matching). */
+  private def consumeRe(kw: String): String = kw match {
+    case "YYYY" | "yyyy" => "[0-9]{1,4}"
+    case "YYY" | "yyy" | "DDD" | "ddd" | "MS" | "ms" => "[0-9]{1,3}"
+    case "YY" | "yy" | "MM" | "mm" | "DD" | "dd" | "HH24" | "hh24" |
+         "HH12" | "hh12" | "HH" | "hh" | "MI" | "mi" | "SS" | "ss" =>
+      "[0-9]{1,2}"
+    case "Y" | "y" | "D" | "d" => "[0-9]"
+    case "US" | "us" => "[0-9]{1,6}"
+    case "NS" | "ns" => "[0-9]{1,9}"
+    case "MON" | "Mon" | "mon" | "DY" | "Dy" | "dy" => "[A-Za-z]{3}"
+    case "MONTH" | "Month" | "month" | "DAY" | "Day" | "day" =>
+      "[A-Za-z]+"
+    case "AM" | "PM" | "am" | "pm" => "[AaPp][Mm]"
+    case "A.M." | "P.M." | "a.m." | "p.m." => "[AaPp]\\.[Mm]\\."
+    case "TZH" | "tzh" => "[+-]?[0-9]{1,2}"
+    case other =>
+      throw new IllegalArgumentException(s"to_timestamp token $other")
+  }
+
+  /** Rebuild plan for formats that carry ignore-tokens: one anchored
+    * regex consumes the whole shape; the kept fields re-concatenate
+    * (group extracts + literal text + defaults for absent date parts,
+    * char2ts defaults year=0/mon=1/md=1) into a canonical string
+    * parsed by a plain java pattern. */
+  private case class Rebuild(regex: String,
+      parts: Seq[Either[String, Int]], pattern: String)
+
+  private def rebuildPlan(toks: Seq[Tok]): Option[Rebuild] = {
+    val hasDD = toks.exists {
+      case Kw(k) => k == "DD" || k == "dd"
+      case _ => false
+    }
+    val anyIgnored = toks.exists {
+      case Kw(k) => isIgnored(k, hasDD)
+      case _ => false
+    }
+    if (!anyIgnored) return None
+    val re = new StringBuilder("^")
+    toks.foreach {
+      case Lit(s) => re ++= java.util.regex.Pattern.quote(s)
+      case Kw(k) if isIgnored(k, hasDD) => re ++= consumeRe(k)
+      case Kw(k) => re ++= "(" + consumeRe(k) + ")"
+    }
+    // the kept stream: drop ignored tokens, then MERGE adjacent
+    // literals — separate quoted runs around a dropped token would
+    // otherwise read as an escaped quote in the java pattern
+    val kept = toks.filter {
+      case Kw(k) => !isIgnored(k, hasDD)
+      case _ => true
+    }.foldLeft(Vector.empty[Tok]) {
+      case (acc :+ Lit(a), Lit(b)) => acc :+ Lit(a + b)
+      case (acc, t) => acc :+ t
+    }
+    val parts = Seq.newBuilder[Either[String, Int]]
+    val pat = new StringBuilder
+    var gi = 0
+    kept.foreach {
+      case Lit(s) =>
+        parts += Left(s)
+        pat ++= "'" + s.replace("'", "''") + "'"
+      case Kw(k) =>
+        gi += 1
+        parts += Right(gi)
+        pat ++= parsePiece(k)
+    }
+    def has(kws: String*) = toks.exists {
+      case Kw(k) => kws.contains(k)
+      case _ => false
+    }
+    // inject char2ts defaults for absent date fields so java.time can
+    // resolve a date (it has no field defaults; the reference does)
+    var prefixLit = ""; var prefixPat = ""
+    if (!has("DD", "dd")) { prefixLit = "01 " + prefixLit
+      prefixPat = "dd " + prefixPat }
+    if (!has("MM", "mm", "MON", "Mon", "mon", "MONTH", "Month", "month")) {
+      prefixLit = "01 " + prefixLit; prefixPat = "MM " + prefixPat }
+    if (!has("YYYY", "yyyy", "YYY", "yyy", "YY", "yy", "Y", "y")) {
+      prefixLit = "0000 " + prefixLit; prefixPat = "yyyy " + prefixPat }
+    val body = parts.result()
+    val allParts =
+      if (prefixLit.isEmpty) body else Left(prefixLit) +: body
+    Some(Rebuild(re.toString, allParts, prefixPat + pat.toString))
   }
 
   /** All keywords, longest-first (greedy tokenize). */
@@ -154,17 +254,32 @@ object TimeFormat {
     else parts.mkString("concat(", ", ", ")")
   }
 
-  /** Spark SQL text for `to_timestamp(x, fmt)` (numeric + name tokens;
-    * the exotic print-only tokens — TZ, NS, D, Y/YYY — are format-out
-    * only, as in practice). */
+  /** Spark SQL text for `to_timestamp(x, fmt)`. Formats carrying the
+    * reference's parse-and-ignore tokens (D/DY/DAY, DDD next to DD)
+    * take the rebuild path: consume via one anchored regex, keep only
+    * the real fields. */
   def toTimestampSql(x: String, fmt: String): String = {
-    // literal runs become java.time quoted sections; the whole pattern
-    // is then embedded as a SQL string literal (quotes doubled)
-    val pat = tokenize(fmt).map {
-      case Kw(k) => parsePiece(k)
-      case Lit(s) => "'" + s.replace("'", "''") + "'"
-    }.mkString
-    s"to_timestamp($x, '${pat.replace("'", "''")}')"
+    val toks = tokenize(fmt)
+    rebuildPlan(toks) match {
+      case Some(Rebuild(re, parts, pattern)) =>
+        val reLit = sqlLit(re)
+        val pieces = parts.map {
+          case Left(s) => sqlLit(s)
+          case Right(g) => s"regexp_extract($x, $reLit, $g)"
+        }
+        val cleaned =
+          if (pieces.length == 1) pieces.head
+          else pieces.mkString("concat(", ", ", ")")
+        s"to_timestamp($cleaned, ${sqlLit(pattern)})"
+      case None =>
+        // literal runs become java.time quoted sections; the whole
+        // pattern is then embedded as a SQL string literal
+        val pat = toks.map {
+          case Kw(k) => parsePiece(k)
+          case Lit(s) => "'" + s.replace("'", "''") + "'"
+        }.mkString
+        s"to_timestamp($x, '${pat.replace("'", "''")}')"
+    }
   }
 
   /** Column-API form: same token stream, built with functions._ (the
@@ -219,10 +334,22 @@ object TimeFormat {
   }
 
   def toTimestamp(s: Column, fmt: String): Column = {
-    val pat = tokenize(fmt).map {
-      case Kw(k) => parsePiece(k)
-      case Lit(t) => "'" + t.replace("'", "''") + "'"
-    }.mkString
-    org.apache.spark.sql.functions.to_timestamp(s, pat)
+    val toks = tokenize(fmt)
+    rebuildPlan(toks) match {
+      case Some(Rebuild(re, parts, pattern)) =>
+        val pieces = parts.map {
+          case Left(t) => lit(t)
+          case Right(g) => regexp_extract(s, re, g)
+        }
+        val cleaned =
+          if (pieces.length == 1) pieces.head else concat(pieces: _*)
+        org.apache.spark.sql.functions.to_timestamp(cleaned, pattern)
+      case None =>
+        val pat = toks.map {
+          case Kw(k) => parsePiece(k)
+          case Lit(t) => "'" + t.replace("'", "''") + "'"
+        }.mkString
+        org.apache.spark.sql.functions.to_timestamp(s, pat)
+    }
   }
 }

@@ -316,6 +316,87 @@ object GraftSql {
     else t
   }
 
+  /** Evaluate one FILL(VALUE …) entry to a constant double (None =
+    * NULL). The reference folds constant arithmetic at parse time and
+    * coerces non-numeric operands C-style: booleans → 1/0, strings →
+    * their longest leading numeric prefix, else 0 (taosStr2Double;
+    * exercised by fill suites with `fill(value, 1 + 2)`,
+    * `fill(value, 'abc')`, `fill(value, true)`). Identifiers and any
+    * other non-constant input stay loud rejects, matching the
+    * reference's parse errors. */
+  private[graft] def fillConst(raw: String): Option[Double] = {
+    val s = raw.trim
+    var i = 0
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"FILL(VALUE…) literals must be constant: $msg in '$raw'")
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    val numRe = "(\\d+(\\.\\d*)?|\\.\\d+)([eE][-+]?\\d+)?".r
+    val prefixRe = "[-+]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][-+]?\\d+)?".r
+    def atom(): Option[Double] = {
+      ws()
+      if (i >= s.length) fail("unexpected end")
+      s(i) match {
+        case '(' =>
+          i += 1; val v = expr(); ws()
+          if (i >= s.length || s(i) != ')') fail("missing )")
+          i += 1; v
+        case q @ ('\'' | '"') =>
+          val j = s.indexOf(q, i + 1)
+          if (j < 0) fail("unterminated string")
+          val body = s.substring(i + 1, j).trim; i = j + 1
+          Some(prefixRe.findPrefixOf(body).map(_.toDouble).getOrElse(0.0))
+        case c if c.isDigit || c == '.' =>
+          val m = numRe.findPrefixOf(s.substring(i))
+            .getOrElse(fail("bad number"))
+          i += m.length; Some(m.toDouble)
+        case c if c.isLetter =>
+          val st = i
+          while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_'))
+            i += 1
+          s.substring(st, i).toLowerCase match {
+            case "true" => Some(1.0)
+            case "false" => Some(0.0)
+            case "null" => None
+            case w => fail(s"not a constant: $w")
+          }
+        case c => fail(s"unexpected '$c'")
+      }
+    }
+    def unary(): Option[Double] = {
+      ws()
+      if (i < s.length && (s(i) == '-' || s(i) == '+')) {
+        val neg = s(i) == '-'; i += 1
+        unary().map(v => if (neg) -v else v)
+      } else atom()
+    }
+    def term(): Option[Double] = {
+      var v = unary(); ws()
+      while (i < s.length && "*/%".indexOf(s(i)) >= 0) {
+        val op = s(i); i += 1; val r = unary()
+        v = for (a <- v; b <- r) yield op match {
+          case '*' => a * b
+          case '/' => a / b
+          case _ => a % b
+        }
+        ws()
+      }
+      v
+    }
+    def expr(): Option[Double] = {
+      var v = term(); ws()
+      while (i < s.length && (s(i) == '+' || s(i) == '-')) {
+        val op = s(i); i += 1; val r = term()
+        v = for (a <- v; b <- r)
+          yield if (op == '+') a + b else a - b
+        ws()
+      }
+      v
+    }
+    val v = expr(); ws()
+    if (i < s.length) fail(s"trailing input at '${s.substring(i)}'")
+    v
+  }
+
   // -------------------------------------------------- function rewrites
 
   /** Rewrite one TDengine call `name(args)` everywhere in `e` via
@@ -2522,13 +2603,9 @@ object GraftSql {
               s"FILL(VALUE…) takes 1 or ${interpCols.length} values, " +
                 s"got ${vals.length}")
             val v0 = (if (vals.length == 1) vals.head else vals(i)).trim
-            val v = if (v0.startsWith("'") || v0.startsWith("\""))
-              v0.substring(1, v0.length - 1).trim else v0
-            if (v.equalsIgnoreCase("NULL")) FillOps.FillNull
-            else {
-              require(v.matches("[-+]?\\d+(\\.\\d+)?([eE][-+]?\\d+)?"),
-                s"FILL(VALUE…) literals must be numeric or NULL: $v0")
-              FillOps.FillValue(v.toDouble)
+            fillConst(v0) match {
+              case None => FillOps.FillNull
+              case Some(d) => FillOps.FillValue(d)
             }
           case other => throw new IllegalArgumentException(
             s"FILL ${other.mkString(",")}")
@@ -3531,17 +3608,12 @@ object GraftSql {
         // FILL(VALUE), filling 0) broadcasts to every column
         def valueList(forced: Boolean): Seq[FillOps.FillMode] = {
           // a NULL literal in the VALUE list fills NULL for that
-          // column (fill.c fillGenerateData NULL branch)
-          def one(t0: String): FillOps.FillMode = {
-            val t = if (t0.startsWith("'") || t0.startsWith("\""))
-              t0.substring(1, t0.length - 1).trim else t0
-            if (t.equalsIgnoreCase("NULL")) FillOps.FillNull
-            else {
-              require(t.matches("[-+]?\\d+(\\.\\d+)?([eE][-+]?\\d+)?"),
-                s"FILL(VALUE…) literals must be numeric or NULL: $t0")
-              if (forced) FillOps.FillValueF(t.toDouble)
-              else FillOps.FillValue(t.toDouble)
-            }
+          // column (fill.c fillGenerateData NULL branch); constant
+          // arithmetic and C-style coercions fold via fillConst
+          def one(t0: String): FillOps.FillMode = fillConst(t0) match {
+            case None => FillOps.FillNull
+            case Some(d) =>
+              if (forced) FillOps.FillValueF(d) else FillOps.FillValue(d)
           }
           args.tail.map(_.trim) match {
             case Seq() => Seq.fill(valueCols.length)(one("0"))

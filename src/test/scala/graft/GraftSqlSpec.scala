@@ -19,6 +19,28 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ca == cb, s"dialect result differs: ${ca.take(3)} vs ${cb.take(3)}")
   }
 
+  test("FILL(VALUE…) entries fold constants with C-style coercion") {
+    assert(GraftSql.fillConst("3") == Some(3.0))
+    assert(GraftSql.fillConst("1 + 2") == Some(3.0))
+    assert(GraftSql.fillConst("123 + 123") == Some(246.0))
+    assert(GraftSql.fillConst("2 * (3 - 1)") == Some(4.0))
+    assert(GraftSql.fillConst("-8") == Some(-8.0))
+    assert(GraftSql.fillConst("'-8'") == Some(-8.0))
+    assert(GraftSql.fillConst("'1e'") == Some(1.0))   // strtod prefix
+    assert(GraftSql.fillConst("'1e1'") == Some(10.0))
+    assert(GraftSql.fillConst("'abc'") == Some(0.0))  // no prefix -> 0
+    assert(GraftSql.fillConst("1 + '2.0'") == Some(3.0))
+    assert(GraftSql.fillConst("'2' + '1abc'") == Some(3.0))
+    assert(GraftSql.fillConst("true") == Some(1.0))
+    assert(GraftSql.fillConst("False") == Some(0.0))
+    assert(GraftSql.fillConst("NULL") == None)
+    assert(GraftSql.fillConst("1 + NULL") == None)
+    // identifiers and garbage stay loud rejects (reference parse errors)
+    intercept[IllegalArgumentException](GraftSql.fillConst("abc"))
+    intercept[IllegalArgumentException](GraftSql.fillConst("1 ^ 2"))
+    intercept[IllegalArgumentException](GraftSql.fillConst("1sa"))
+  }
+
   test("durations parse with TDengine units") {
     assert(GraftSql.durUs("90s") == 90000000L)
     assert(GraftSql.durUs("10m") == 600000000L)

@@ -72,6 +72,27 @@ class TimeFormatSpec extends AnyFunSuite {
     assert(named == 1709596800L)
   }
 
+  test("to_timestamp consumes-and-ignores D/DY/DAY (and DDD next to DD)") {
+    def parse(s: String, f: String): Long =
+      spark.range(1).select(unix_timestamp(
+        TimeFormat.toTimestamp(lit(s), f)).as("t")).collect()(0).getLong(0)
+    // ttime.c char2ts sets tm_wday/tm_yday, which taosTm2Ts never
+    // reads (commonTests.cpp:733 "DY DDD-DD-D" leaves ts unchanged)
+    assert(parse("2024/Mar/05 Tue 065-05-3 14:07:09",
+      "yyyy/Mon/dd DY DDD-DD-D HH24:MI:SS") == us / 1000000)
+    // even a wrong weekday name is ignored, as long as it consumes
+    assert(parse("2024/Mar/05 Mon 065-05-3 00:00:00",
+      "yyyy/Mon/dd DY DDD-DD-D HH24:MI:SS") == 1709596800L)
+    // absent date fields take char2ts defaults (mon=1, md=1)
+    assert(parse("2024-TUE-03", "yyyy-Dy-MM") ==
+      java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond)
+    // round-trip of the corpus shape: only DD survives -> year 0
+    val rt = spark.range(1).select(TimeFormat.toTimestamp(
+      TimeFormat.toChar(timestamp_micros(lit(us)), "D-DD-DDD DY"),
+      "D-DD-DDD DY").cast("string").as("t")).collect()(0).getString(0)
+    assert(rt != null && rt.endsWith("-01-05 00:00:00"), rt)
+  }
+
   test("dialect rewrites to_char/to_timestamp textually") {
     val sql = GraftSql.rewriteFuncs(
       "to_char(ts, 'YYYY-MM-DD') AS d", "ts")
