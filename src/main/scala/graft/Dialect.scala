@@ -731,6 +731,32 @@ object Dialect {
           round(col("v1"), 6).as("v1"), round(col("v2"), 6).as("v2"))
         .orderBy(col("user_id"), col("_irowts_ms"))
     },
+    // FILL(NEAR, v1, v2): positional fill mode with per-column
+    // fallback values (sql.y:2956-2957), paired with the
+    // RANGE(point, around) single-point form — the fallback applies
+    // when the nearest row sits farther than the around bound
+    "dialect_interp_near_values" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT user_id, _irowts, interp(value) AS v1,
+              interp(event_id) AS v2, _isfilled
+            FROM events PARTITION BY user_id
+            RANGE(${T0 + 37 * H + H / 2}, 1h) FILL(NEAR, -1, -2)""")
+        .select(col("user_id"), expr("_irowts DIV 1000").as("_irowts_ms"),
+          round(col("v1"), 6).as("v1"), round(col("v2"), 6).as("v2"),
+          col("_isfilled"))
+        .orderBy(col("user_id"))
+    },
+    // WEEK(ts, mode) all 8 MySQL-compatible modes (sclfunc.c:5073
+    // calculateWeekNum; modes 1,2,4-7 lower to the native WeekNum
+    // expression, 0/3 to pure SQL)
+    "dialect_week_modes" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT DISTINCT timetruncate(ts, 1d) AS day_us,
+             week(ts) AS w0, week(ts, 1) AS w1, week(ts, 2) AS w2,
+             week(ts, 3) AS w3, week(ts, 4) AS w4, week(ts, 5) AS w5,
+             week(ts, 6) AS w6, week(ts, 7) AS w7
+           FROM events ORDER BY day_us""")
+    },
     // ORDER BY may name an aggregate expression verbatim after GROUP BY
     "dialect_order_agg" -> { (s, dir) =>
       run(s, dir,
@@ -1766,7 +1792,75 @@ object Dialect {
             round(CASE WHEN p2 IS NOT NULL AND p2.t = t THEN p2.v
               ELSE p2.v + (n2.v - p2.v) * CAST(t - p2.t AS DOUBLE)
                 / CAST(n2.t - p2.t AS DOUBLE) END, 6) AS v2
-          FROM marked WHERE g ORDER BY user_id, _irowts_ms""",
+          FROM marked
+          WHERE g AND ((p1 IS NOT NULL AND p1.t = t)
+            OR (p1 IS NOT NULL AND n1 IS NOT NULL))
+          ORDER BY user_id, _irowts_ms""",
+    "dialect_interp_near_values" ->
+      s"""WITH d AS (SELECT user_id, epoch_us(ts) AS t,
+            CAST(value AS DOUBLE) AS v1d, CAST(event_id AS DOUBLE) AS v2d
+          FROM events),
+        n AS (SELECT user_id,
+            min_by(struct_pack(t := t, v1 := v1d, v2 := v2d),
+              abs(t - ${T0 + 37 * H + H / 2}) * 2
+                + CASE WHEN t <= ${T0 + 37 * H + H / 2}
+                  THEN 0 ELSE 1 END) AS nr
+          FROM d GROUP BY user_id)
+        SELECT user_id,
+          ${(T0 + 37 * H + H / 2) / 1000} AS _irowts_ms,
+          round(CASE WHEN abs(nr.t - ${T0 + 37 * H + H / 2}) <= $H
+            THEN nr.v1 ELSE -1 END, 6) AS v1,
+          round(CASE WHEN abs(nr.t - ${T0 + 37 * H + H / 2}) <= $H
+            THEN nr.v2 ELSE -2 END, 6) AS v2,
+          nr.t <> ${T0 + 37 * H + H / 2} AS _isfilled
+        FROM n ORDER BY user_id""",
+    // pinned week numbers regenerate with tools/gen_week_oracle.py;
+    // the join-to-actual-days shape drops (and so FAILS loudly on) any
+    // day the pin does not cover
+    "dialect_week_modes" ->
+      """WITH days AS (SELECT DISTINCT
+            epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us
+          FROM events),
+        pin AS (SELECT * FROM (VALUES
+            (1704067200000000, 0, 1, 53, 1, 1, 1, 1, 1),
+            (1704153600000000, 0, 1, 53, 1, 1, 1, 1, 1),
+            (1704240000000000, 0, 1, 53, 1, 1, 1, 1, 1),
+            (1704326400000000, 0, 1, 53, 1, 1, 1, 1, 1),
+            (1704412800000000, 0, 1, 53, 1, 1, 1, 1, 1),
+            (1704499200000000, 0, 1, 53, 1, 1, 1, 1, 1),
+            (1704585600000000, 1, 1, 1, 1, 2, 1, 2, 1),
+            (1704672000000000, 1, 2, 1, 2, 2, 2, 2, 2),
+            (1704758400000000, 1, 2, 1, 2, 2, 2, 2, 2),
+            (1704844800000000, 1, 2, 1, 2, 2, 2, 2, 2),
+            (1704931200000000, 1, 2, 1, 2, 2, 2, 2, 2),
+            (1705017600000000, 1, 2, 1, 2, 2, 2, 2, 2),
+            (1705104000000000, 1, 2, 1, 2, 2, 2, 2, 2),
+            (1705190400000000, 2, 2, 2, 2, 3, 2, 3, 2),
+            (1705276800000000, 2, 3, 2, 3, 3, 3, 3, 3),
+            (1705363200000000, 2, 3, 2, 3, 3, 3, 3, 3),
+            (1705449600000000, 2, 3, 2, 3, 3, 3, 3, 3),
+            (1705536000000000, 2, 3, 2, 3, 3, 3, 3, 3),
+            (1705622400000000, 2, 3, 2, 3, 3, 3, 3, 3),
+            (1705708800000000, 2, 3, 2, 3, 3, 3, 3, 3),
+            (1705795200000000, 3, 3, 3, 3, 4, 3, 4, 3),
+            (1705881600000000, 3, 4, 3, 4, 4, 4, 4, 4),
+            (1705968000000000, 3, 4, 3, 4, 4, 4, 4, 4),
+            (1706054400000000, 3, 4, 3, 4, 4, 4, 4, 4),
+            (1706140800000000, 3, 4, 3, 4, 4, 4, 4, 4),
+            (1706227200000000, 3, 4, 3, 4, 4, 4, 4, 4),
+            (1706313600000000, 3, 4, 3, 4, 4, 4, 4, 4),
+            (1706400000000000, 4, 4, 4, 4, 5, 4, 5, 4),
+            (1706486400000000, 4, 5, 4, 5, 5, 5, 5, 5),
+            (1706572800000000, 4, 5, 4, 5, 5, 5, 5, 5),
+            (1706659200000000, 4, 5, 4, 5, 5, 5, 5, 5)
+          ) t(day_us, w0, w1, w2, w3, w4, w5, w6, w7))
+        SELECT d.day_us, CAST(p.w0 AS BIGINT) AS w0,
+          CAST(p.w1 AS BIGINT) AS w1, CAST(p.w2 AS BIGINT) AS w2,
+          CAST(p.w3 AS BIGINT) AS w3, CAST(p.w4 AS BIGINT) AS w4,
+          CAST(p.w5 AS BIGINT) AS w5, CAST(p.w6 AS BIGINT) AS w6,
+          CAST(p.w7 AS BIGINT) AS w7
+        FROM days d JOIN pin p ON d.day_us = p.day_us
+        ORDER BY d.day_us""",
     "dialect_order_agg" ->
       """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
          ORDER BY count(*) DESC, user_id LIMIT 5""",

@@ -485,7 +485,13 @@ object Functions {
             "yyyy-Dy-MM")) * 1000).as("month_ms"),
           TimeFormat.toTimestamp(
             TimeFormat.toChar(col("t"), "D-DD-DDD DY"), "D-DD-DDD DY")
-            .cast("string").as("wd_rt"))
+            .cast("string").as("wd_rt"),
+          // dotted meridiem, ms fraction, yy pivot and full TZ all in
+          // one round-trip (char2ts accepts each form case-insensitively)
+          (unix_micros(TimeFormat.toTimestamp(
+            TimeFormat.toChar(col("t"), "yy-Mon-dd hh12:mi:ss.msa.m.TZ"),
+            "yy-Mon-dd hh12:mi:ss.msa.m.TZ")) / 1000)
+            .cast(LongType).as("rt2_ms"))
         .orderBy(col("event_id"))
     },
     // ---- crypto scalars (builtins.c:7870 aes / 7940 sm4): round-trip
@@ -866,7 +872,8 @@ object Functions {
       """SELECT event_id,
            (epoch_us(ts) // 1000000) * 1000 AS rt_ms,
            CAST(epoch_ms(date_trunc('month', ts)) AS BIGINT) AS month_ms,
-           '0000-01-' || strftime(ts, '%d') || ' 00:00:00' AS wd_rt
+           '0000-01-' || strftime(ts, '%d') || ' 00:00:00' AS wd_rt,
+           epoch_us(ts) // 1000 AS rt2_ms
          FROM events WHERE event_id < 2000 ORDER BY event_id""",
     "scalar_string2" ->
       """SELECT c_custkey,

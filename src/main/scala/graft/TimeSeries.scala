@@ -713,7 +713,10 @@ object TimeSeries {
               ELSE prev.v + (next.v - prev.v) * CAST(t - prev.t AS DOUBLE)
                 / CAST(next.t - prev.t AS DOUBLE) END, 6) AS value,
             NOT (prev IS NOT NULL AND prev.t = t) AS _isfilled
-          FROM marked WHERE g ORDER BY user_id, _irowts_ms""",
+          FROM marked
+          WHERE g AND ((prev IS NOT NULL AND prev.t = t)
+            OR (prev IS NOT NULL AND next IS NOT NULL))
+          ORDER BY user_id, _irowts_ms""",
     "fill_null" -> fillOracle(
       valueExpr = "count(*)",
       fillExpr = "v", outCol = "n", castOut = "::BIGINT"),
@@ -749,7 +752,8 @@ object TimeSeries {
           SELECT user_id, t // 1000 AS _irowts_ms,
             round(prev.v, 6) AS value,
             NOT (prev IS NOT NULL AND prev.t = t) AS _isfilled
-          FROM marked WHERE g ORDER BY user_id, _irowts_ms""",
+          FROM marked WHERE g AND prev IS NOT NULL
+          ORDER BY user_id, _irowts_ms""",
     "state_window_zeroth" ->
       """WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type,
             CASE WHEN lag(event_type) OVER w IS NULL
@@ -806,7 +810,8 @@ object TimeSeries {
             round(prev.v, 6) AS value,
             prev.t // 1000 AS _irowts_origin_ms,
             NOT (prev IS NOT NULL AND prev.t = t) AS _isfilled
-          FROM marked WHERE g ORDER BY user_id, _irowts_ms""",
+          FROM marked WHERE g AND prev IS NOT NULL
+          ORDER BY user_id, _irowts_ms""",
     "interp_near_surround" ->
       s"""WITH data AS (SELECT user_id, epoch_us(ts) AS t,
             CAST(value AS DOUBLE) AS v, false AS g FROM events),

@@ -379,6 +379,95 @@ object NativeExpressions {
       GraftColumnShim.expression(words), bits))
 }
 
+/** MySQL-style WEEK(ts, mode) over an epoch-µs BIGINT — all 8 modes
+  * (sclfunc.c:5073 calculateWeekNum + :5109 weekMode; sclInt.h:89-91
+  * flag bits: 1 = Monday-first, 2 = weeks start at 1, 4 = the week
+  * containing the year's first day-of-week is week 1, else weeks need
+  * 4+ days in the year). Codegen calls the static compute. */
+case class WeekNum(child: Expression, modeExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private val mode: Int = {
+    require(modeExpr.foldable, "week() mode must be a literal")
+    val m = modeExpr.eval().asInstanceOf[Number].intValue
+    require(m >= 0 && m <= 7, s"week() mode must be 0..7, got $m")
+    m
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs bigint epoch-µs, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_week"
+
+  override def nullSafeEval(input: Any): Any =
+    WeekNum.compute(input.asInstanceOf[Long], mode)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WeekNum.compute($c, $mode)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object WeekNum {
+  /** Called from both interpreted eval and generated code. */
+  def compute(us: Long, mode0: Int): Long = {
+    // weekMode(): without the Monday-first bit, toggle the
+    // include-first-day bit (sclfunc.c:5109)
+    val mode = if ((mode0 & 1) != 0) mode0 else mode0 ^ 4
+    val mondayFirst = (mode & 1) != 0
+    var fromOne = (mode & 2) != 0
+    val firstWeekday = (mode & 4) != 0
+    val epochDay = Math.floorDiv(us, 86400000000L)
+    val d = java.time.LocalDate.ofEpochDay(epochDay)
+    var year = d.getYear
+    var firstDayNum = java.time.LocalDate.of(year, 1, 1).toEpochDay
+    // day-of-week of a day number, 0-based on the mode's week start
+    // (epoch day 0 = Thursday: +3 Monday-based, +4 Sunday-based)
+    def wd(daynr: Long): Int =
+      Math.floorMod(daynr + (if (mondayFirst) 3 else 4), 7).toInt
+    var weekday = wd(firstDayNum)
+    def headWeekIsOne(w: Int): Boolean =
+      if (firstWeekday) w == 0 else w < 4
+    if (d.getMonthValue == 1 && d.getDayOfMonth <= 7 - weekday) {
+      if (!fromOne && !headWeekIsOne(weekday)) return 0L
+      fromOne = true
+      year -= 1
+      val daysPrev = if (java.time.Year.isLeap(year)) 366L else 365L
+      firstDayNum -= daysPrev
+      weekday = Math.floorMod(weekday + 53 * 7 - daysPrev, 7).toInt
+    }
+    val days =
+      if (!headWeekIsOne(weekday)) epochDay - (firstDayNum + (7 - weekday))
+      else epochDay - (firstDayNum - weekday)
+    if (fromOne && days >= 52 * 7) {
+      val yearDays = if (java.time.Year.isLeap(year)) 366L else 365L
+      val wd2 = Math.floorMod(weekday + yearDays, 7).toInt
+      if (headWeekIsOne(wd2)) return 1L
+    }
+    days / 7 + 1
+  }
+}
+
+/** Per-session SQL registration for natives the dialect front end
+  * emits in generated SQL text (idempotent; `expr(...)` resolves
+  * lazily against the active session, so GraftSql.query installs
+  * these before parsing). */
+object NativeFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = new FunctionIdentifier("graft_week")
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(id,
+        new ExpressionInfo(classOf[WeekNum].getName, "graft_week"),
+        (children: Seq[Expression]) => WeekNum(children(0), children(1)))
+    }
+  }
+}
+
 /** SparkSessionExtensions entry point: set
   * `spark.sql.extensions=graft.functions.GraftExtensions` and the
   * native functions become callable from SQL (`graft_long_dot(a, b)`).
@@ -390,5 +479,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongDotProduct].getName, "graft_long_dot"),
       (children: Seq[Expression]) =>
         LongDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_week"),
+      new ExpressionInfo(classOf[WeekNum].getName, "graft_week"),
+      (children: Seq[Expression]) => WeekNum(children(0), children(1))))
   }
 }

@@ -63,133 +63,138 @@ object TimeFormat {
       case "a.m." | "p.m." => s"if(${df("a")} = 'AM', 'a.m.', 'p.m.')"
       // signed zone hour, e.g. "+00" (java 'xxx' prints "+00:00")
       case "TZH" | "tzh" => s"substring(${df("xxx")}, 1, 3)"
-      case "TZ" | "tz" => df("zzz")
+      // full offset "±HH:MM" (ttime.c:2418 tm2char TZ)
+      case "TZ" | "tz" => df("xxx")
       case other =>
         throw new IllegalArgumentException(s"to_char token $other")
     }
   }
 
-  /** java.time pattern fragment for the PARSE direction. */
-  private def parsePiece(kw: String): String = kw match {
-    case "YYYY" | "yyyy" => "yyyy"
-    case "YY" | "yy" => "yy"
-    case "MONTH" | "Month" | "month" => "MMMM"
-    case "MON" | "Mon" | "mon" => "MMM"
-    case "MM" | "mm" => "MM"
-    case "DAY" | "Day" | "day" => "EEEE"
-    case "DY" | "Dy" | "dy" => "EEE"
-    case "DDD" | "ddd" => "DDD"
-    case "DD" | "dd" => "dd"
-    case "HH24" | "hh24" => "HH"
-    case "HH12" | "hh12" | "HH" | "hh" => "hh"
-    case "MI" | "mi" => "mm"
-    case "SS" | "ss" => "ss"
-    case "MS" | "ms" => "SSS"
-    case "US" | "us" => "SSSSSS"
-    case "AM" | "PM" | "am" | "pm" => "a"
-    case "TZH" | "tzh" => "x"
-    case other =>
-      throw new IllegalArgumentException(s"to_timestamp token $other")
-  }
-
   /** Tokens the reference parses-and-IGNORES in char2ts: day-of-week
-    * numbers and names always (ttime.c:2783-2830 set tm_wday, which
-    * taosTm2Ts never reads), and day-of-year when a DD supplies the
-    * month day (with no DD the reference errors "not supported",
-    * ttime.c:2875-2878 — but the plain java `DDD` pattern handles that
-    * shape, so we stay a superset there). */
-  private def isIgnored(kw: String, hasDD: Boolean): Boolean = kw match {
+    * numbers and names (ttime.c:2783-2830 set tm_wday, which taosTm2Ts
+    * never reads), and day-of-year (tm_yday — likewise never read when
+    * DD is present; without DD the reference errors "not supported",
+    * ttime.c:2875-2878, and the strict parse of a 000 default yields
+    * the matching error here). */
+  private def isIgnored(kw: String): Boolean = kw match {
     case "D" | "d" | "DY" | "Dy" | "dy" | "DAY" | "Day" | "day" => true
-    case "DDD" | "ddd" => hasDD
     case _ => false
   }
 
-  /** What one token consumes from the input string, as a regex
-    * fragment (mirrors tsFormatStr2Int32's 1..max digit scan and
-    * strArrayCaseSearch name matching). */
-  private def consumeRe(kw: String): String = kw match {
-    case "YYYY" | "yyyy" => "[0-9]{1,4}"
-    case "YYY" | "yyy" | "DDD" | "ddd" | "MS" | "ms" => "[0-9]{1,3}"
-    case "YY" | "yy" | "MM" | "mm" | "DD" | "dd" | "HH24" | "hh24" |
-         "HH12" | "hh12" | "HH" | "hh" | "MI" | "mi" | "SS" | "ss" =>
-      "[0-9]{1,2}"
-    case "Y" | "y" | "D" | "d" => "[0-9]"
-    case "US" | "us" => "[0-9]{1,6}"
-    case "NS" | "ns" => "[0-9]{1,9}"
-    case "MON" | "Mon" | "mon" | "DY" | "Dy" | "dy" => "[A-Za-z]{3}"
-    case "MONTH" | "Month" | "month" | "DAY" | "Day" | "day" =>
-      "[A-Za-z]+"
-    case "AM" | "PM" | "am" | "pm" => "[AaPp][Mm]"
-    case "A.M." | "P.M." | "a.m." | "p.m." => "[AaPp]\\.[Mm]\\."
-    case "TZH" | "tzh" => "[+-]?[0-9]{1,2}"
-    case other =>
-      throw new IllegalArgumentException(s"to_timestamp token $other")
+  /** char2ts (ttime.c:2560-2900) is far looser than java.time: digit
+    * runs may fall short of the token width ("2023-1-1"), separators
+    * match ANY separator characters (ttime.c:2579-2582), leading
+    * input whitespace is skipped per token, an exhausted input leaves
+    * the remaining fields at their defaults (year 0, month 1, day 1,
+    * time 0), a repeated field keeps its LAST value, ms/us/ns
+    * accumulate into one fraction, and 1-3-digit years pivot through
+    * adjustYearTo2020 (ttime.c:2518).
+    *
+    * The parse plan therefore (a) consumes the input with one anchored
+    * regex whose tail degrades gracefully at end-of-input, (b)
+    * computes each FIELD numerically from its last capture, and (c)
+    * reassembles a canonical `yyyy-MM-dd HH:mm:ss.SSSSSSSSSx` string
+    * for one strict java parse — whose range errors then surface
+    * exactly where the reference errors (-2). */
+  private case class FieldPlan(regex: String,
+      yearG: Option[(Int, Boolean)], // (group, pivots through 2020)
+      monthG: Option[(Int, Boolean)], // (group, is a month NAME)
+      dayG: Option[Int], hourG: Option[Int],
+      minG: Option[Int], secG: Option[Int],
+      msG: Option[Int], usG: Option[Int], nsG: Option[Int],
+      merG: Option[Int],
+      tzG: Option[(Int, Boolean)]) // (group, is the full TZ form)
+
+  private def widthOf(kw: String): Int = kw.toUpperCase match {
+    case "YYYY" => 4
+    case "YYY" | "DDD" | "MS" => 3
+    case "Y" | "D" => 1
+    case "US" => 6
+    case "NS" => 9
+    case _ => 2 // YY MM DD HH24 HH12 HH MI SS
   }
 
-  /** Rebuild plan for formats that carry ignore-tokens: one anchored
-    * regex consumes the whole shape; the kept fields re-concatenate
-    * (group extracts + literal text + defaults for absent date parts,
-    * char2ts defaults year=0/mon=1/md=1) into a canonical string
-    * parsed by a plain java pattern. */
-  private case class Rebuild(regex: String,
-      parts: Seq[Either[String, Int]], pattern: String)
-
-  private def rebuildPlan(toks: Seq[Tok]): Option[Rebuild] = {
-    val hasDD = toks.exists {
-      case Kw(k) => k == "DD" || k == "dd"
-      case _ => false
-    }
-    val anyIgnored = toks.exists {
-      case Kw(k) => isIgnored(k, hasDD)
-      case _ => false
-    }
-    if (!anyIgnored) return None
-    val re = new StringBuilder("^")
-    toks.foreach {
-      case Lit(s) => re ++= java.util.regex.Pattern.quote(s)
-      case Kw(k) if isIgnored(k, hasDD) => re ++= consumeRe(k)
-      case Kw(k) => re ++= "(" + consumeRe(k) + ")"
-    }
-    // the kept stream: drop ignored tokens, then MERGE adjacent
-    // literals — separate quoted runs around a dropped token would
-    // otherwise read as an escaped quote in the java pattern
-    val kept = toks.filter {
-      case Kw(k) => !isIgnored(k, hasDD)
-      case _ => true
-    }.foldLeft(Vector.empty[Tok]) {
-      case (acc :+ Lit(a), Lit(b)) => acc :+ Lit(a + b)
-      case (acc, t) => acc :+ t
-    }
-    val parts = Seq.newBuilder[Either[String, Int]]
-    val pat = new StringBuilder
-    var gi = 0
-    kept.foreach {
-      case Lit(s) =>
-        parts += Left(s)
-        pat ++= "'" + s.replace("'", "''") + "'"
-      case Kw(k) =>
-        gi += 1
-        parts += Right(gi)
-        pat ++= parsePiece(k)
-    }
-    def has(kws: String*) = toks.exists {
-      case Kw(k) => kws.contains(k)
-      case _ => false
-    }
-    // inject char2ts defaults for absent date fields so java.time can
-    // resolve a date (it has no field defaults; the reference does)
-    var prefixLit = ""; var prefixPat = ""
-    if (!has("DD", "dd")) { prefixLit = "01 " + prefixLit
-      prefixPat = "dd " + prefixPat }
-    if (!has("MM", "mm", "MON", "Mon", "mon", "MONTH", "Month", "month")) {
-      prefixLit = "01 " + prefixLit; prefixPat = "MM " + prefixPat }
-    if (!has("YYYY", "yyyy", "YYY", "yyy", "YY", "yy", "Y", "y")) {
-      prefixLit = "0000 " + prefixLit; prefixPat = "yyyy " + prefixPat }
-    val body = parts.result()
-    val allParts =
-      if (prefixLit.isEmpty) body else Left(prefixLit) +: body
-    Some(Rebuild(re.toString, allParts, prefixPat + pat.toString))
+  private def isDigitKw(kw: String): Boolean = kw.toUpperCase match {
+    case "YYYY" | "YYY" | "YY" | "Y" | "MM" | "DDD" | "DD" | "D" |
+         "HH24" | "HH12" | "HH" | "MI" | "SS" | "MS" | "US" | "NS" |
+         "TZH" => true
+    case _ => false
   }
+
+  private def fieldPlan(toks: Seq[Tok]): FieldPlan = {
+    // needMoreDigits (ttime.c:2546): a digit token is width-strict only
+    // when the NEXT node also starts with a digit
+    def needMore(i: Int): Boolean = toks.lift(i + 1).exists {
+      case Kw(k) => isDigitKw(k)
+      case Lit(s) => s.headOption.exists(_.isDigit)
+    }
+    var p = FieldPlan("", None, None, None, None, None, None,
+      None, None, None, None, None)
+    val frags = Seq.newBuilder[String]
+    var g = 0
+    toks.zipWithIndex.foreach { case (tok, i) =>
+      tok match {
+        case Lit(s) =>
+          // char2ts literal handling is position-, not content-based:
+          // separator runs match ANY separator characters or none
+          // (ttime.c:2579-2582), and other literal text consumes that
+          // many characters without comparing them (:2584-2594) — so
+          // "yyyyMM1/dd" parses "210001/2" (commonTests.cpp:757)
+          s.foldLeft(Vector.empty[(Boolean, Int)]) { (acc, ch) =>
+            val isSep = !ch.isLetterOrDigit
+            acc match {
+              case init :+ ((`isSep`, n)) => init :+ (isSep, n + 1)
+              case _ => acc :+ (isSep, 1)
+            }
+          }.foreach { case (isSep, n) =>
+            frags +=
+              (if (isSep) s"[^A-Za-z0-9]{0,$n}" else s"[\\s\\S]{0,$n}")
+          }
+        case Kw(k) =>
+          val cap = { g += 1; g }
+          val frag = k.toUpperCase match {
+            case "MON" | "DY" => "([A-Za-z]{3})"
+            case "MONTH" | "DAY" => "([A-Za-z]++)"
+            case "AM" | "PM" => "([AaPp][Mm])"
+            case "A.M." | "P.M." => "([AaPp]\\.[Mm]\\.)"
+            case "TZH" => "([+-]?[0-9]{1,2}+)"
+            // Z, ±HH, ±HH:MM, ±HHMM (ttime.c:2706-2744 char2ts TZ)
+            case "TZ" => "([Zz]|[+-][0-9]{2}(?::[0-9]{2}|[0-9]{2})?)"
+            case _ if isDigitKw(k) =>
+              val w = widthOf(k)
+              if (needMore(i)) s"([0-9]{$w})" else s"([0-9]{1,$w}+)"
+            case other => throw new IllegalArgumentException(
+              s"to_timestamp token $other")
+          }
+          frags += "\\s*+" + frag
+          if (!isIgnored(k)) k.toUpperCase match {
+            case "YYYY" => p = p.copy(yearG = Some((cap, false)))
+            case "YYY" | "YY" | "Y" => p = p.copy(yearG = Some((cap, true)))
+            case "MM" => p = p.copy(monthG = Some((cap, false)))
+            case "MON" | "MONTH" => p = p.copy(monthG = Some((cap, true)))
+            case "DDD" => // consumed; tm_yday is never read (see above)
+            case "DD" => p = p.copy(dayG = Some(cap))
+            case "HH24" | "HH12" | "HH" => p = p.copy(hourG = Some(cap))
+            case "MI" => p = p.copy(minG = Some(cap))
+            case "SS" => p = p.copy(secG = Some(cap))
+            case "MS" => p = p.copy(msG = Some(cap))
+            case "US" => p = p.copy(usG = Some(cap))
+            case "NS" => p = p.copy(nsG = Some(cap))
+            case "AM" | "PM" | "A.M." | "P.M." => p = p.copy(merG = Some(cap))
+            case "TZH" => p = p.copy(tzG = Some((cap, false)))
+            case "TZ" => p = p.copy(tzG = Some((cap, true)))
+            case other => throw new IllegalArgumentException(
+              s"to_timestamp token $other")
+          }
+      }
+    }
+    // nested end-tolerance: past any point, end-of-input is a match
+    // (char2ts's loop stops at '\0' and keeps the field defaults)
+    val re = frags.result().foldRight("")((f, tail) => s"(?:\\z|$f$tail)")
+    p.copy(regex = "^" + re)
+  }
+
+  private val CanonicalPattern = "yyyy-MM-dd HH:mm:ss.SSSSSSSSSxxx"
 
   /** All keywords, longest-first (greedy tokenize). */
   private val keywords: Seq[String] = Seq(
@@ -254,32 +259,74 @@ object TimeFormat {
     else parts.mkString("concat(", ", ", ")")
   }
 
-  /** Spark SQL text for `to_timestamp(x, fmt)`. Formats carrying the
-    * reference's parse-and-ignore tokens (D/DY/DAY, DDD next to DD)
-    * take the rebuild path: consume via one anchored regex, keep only
-    * the real fields. */
+  /** Spark SQL text for `to_timestamp(x, fmt)`: consume the input with
+    * the plan's anchored regex, compute each field numerically from
+    * its last capture (with the char2ts defaults), and parse the
+    * canonical rebuild with one strict java pattern. A shape-level
+    * mismatch yields NULL; a range-invalid field errors, matching the
+    * reference's -1/-2 split as closely as SQL null semantics allow. */
   def toTimestampSql(x: String, fmt: String): String = {
-    val toks = tokenize(fmt)
-    rebuildPlan(toks) match {
-      case Some(Rebuild(re, parts, pattern)) =>
-        val reLit = sqlLit(re)
-        val pieces = parts.map {
-          case Left(s) => sqlLit(s)
-          case Right(g) => s"regexp_extract($x, $reLit, $g)"
-        }
-        val cleaned =
-          if (pieces.length == 1) pieces.head
-          else pieces.mkString("concat(", ", ", ")")
-        s"to_timestamp($cleaned, ${sqlLit(pattern)})"
-      case None =>
-        // literal runs become java.time quoted sections; the whole
-        // pattern is then embedded as a SQL string literal
-        val pat = toks.map {
-          case Kw(k) => parsePiece(k)
-          case Lit(s) => "'" + s.replace("'", "''") + "'"
-        }.mkString
-        s"to_timestamp($x, '${pat.replace("'", "''")}')"
+    val p = fieldPlan(tokenize(fmt))
+    val reLit = sqlLit(p.regex)
+    def gS(g: Int) = s"regexp_extract($x, $reLit, $g)"
+    def num(gOpt: Option[Int], dflt: Int): String = gOpt match {
+      case None => dflt.toString
+      case Some(g) =>
+        s"coalesce(CAST(nullif(${gS(g)}, '') AS BIGINT), $dflt)"
     }
+    val year = p.yearG match {
+      case Some((g, true)) =>
+        val i = s"CAST(nullif(${gS(g)}, '') AS BIGINT)"
+        s"(CASE WHEN $i IS NULL THEN 0 WHEN $i < 70 THEN $i + 2000 " +
+          s"WHEN $i < 100 THEN $i + 1900 WHEN $i < 520 THEN $i + 2000 " +
+          s"ELSE $i + 1000 END)"
+      case g => num(g.map(_._1), 0)
+    }
+    val month = p.monthG match {
+      case Some((g, true)) =>
+        s"(CASE WHEN ${gS(g)} = '' THEN 1 " +
+          s"WHEN length(${gS(g)}) < 3 THEN 0 " +
+          s"ELSE (instr('janfebmaraprmayjunjulaugsepoctnovdec', " +
+          s"lower(substring(${gS(g)}, 1, 3))) + 2) DIV 3 END)"
+      case g => num(g.map(_._1), 1)
+    }
+    val hourRaw = num(p.hourG, 0)
+    val hour = p.merG match {
+      case None => hourRaw
+      case Some(g) =>
+        val m = s"upper(replace(${gS(g)}, '.', ''))"
+        s"(CASE WHEN $m = '' THEN $hourRaw " +
+          s"WHEN $m = 'PM' AND $hourRaw < 12 THEN $hourRaw + 12 " +
+          s"WHEN $m <> 'PM' AND $hourRaw = 12 THEN 0 " +
+          s"ELSE $hourRaw END)"
+    }
+    val fracNs = s"(${num(p.msG, 0)} * 1000000 + " +
+      s"${num(p.usG, 0)} * 1000 + ${num(p.nsG, 0)})"
+    val tz = p.tzG match {
+      case None => "'+00:00'"
+      case Some((g, true)) =>
+        val v = gS(g)
+        s"(CASE WHEN $v = '' OR upper($v) = 'Z' THEN '+00:00' " +
+          s"WHEN length($v) = 3 THEN concat($v, ':00') " +
+          s"WHEN length($v) = 5 THEN concat(substring($v, 1, 3), ':', " +
+          s"substring($v, 4, 2)) ELSE $v END)"
+      case Some((g, false)) =>
+        val v = gS(g)
+        s"(CASE WHEN $v = '' THEN '+00:00' " +
+          s"WHEN $v LIKE '-%' " +
+          s"THEN concat('-', lpad(substring($v, 2), 2, '0'), ':00') " +
+          s"WHEN $v LIKE '+%' " +
+          s"THEN concat('+', lpad(substring($v, 2), 2, '0'), ':00') " +
+          s"ELSE concat('+', lpad($v, 2, '0'), ':00') END)"
+    }
+    def pad(e: String, w: Int) = s"lpad(CAST($e AS STRING), $w, '0')"
+    val cleaned = Seq(
+      pad(year, 4), "'-'", pad(month, 2), "'-'", pad(num(p.dayG, 1), 2),
+      "' '", pad(hour, 2), "':'", pad(num(p.minG, 0), 2), "':'",
+      pad(num(p.secG, 0), 2), "'.'", pad(fracNs, 9), tz)
+      .mkString("concat(", ", ", ")")
+    s"to_timestamp(CASE WHEN ($x) RLIKE $reLit THEN $cleaned END, " +
+      s"'$CanonicalPattern')"
   }
 
   /** Column-API form: same token stream, built with functions._ (the
@@ -325,7 +372,7 @@ object TimeFormat {
         case "A.M." | "P.M." => ampm("A.M.", "P.M.")
         case "a.m." | "p.m." => ampm("a.m.", "p.m.")
         case "TZH" | "tzh" => substring(df("xxx"), 1, 3)
-        case "TZ" | "tz" => df("zzz")
+        case "TZ" | "tz" => df("xxx")
         case other =>
           throw new IllegalArgumentException(s"to_char token $other")
       }
@@ -333,23 +380,71 @@ object TimeFormat {
     if (parts.isEmpty) lit("") else concat(parts: _*)
   }
 
+  /** Column-API twin of [[toTimestampSql]] (same FieldPlan, built with
+    * functions._ since the new Column API cannot render arbitrary
+    * columns back to SQL text). */
   def toTimestamp(s: Column, fmt: String): Column = {
-    val toks = tokenize(fmt)
-    rebuildPlan(toks) match {
-      case Some(Rebuild(re, parts, pattern)) =>
-        val pieces = parts.map {
-          case Left(t) => lit(t)
-          case Right(g) => regexp_extract(s, re, g)
-        }
-        val cleaned =
-          if (pieces.length == 1) pieces.head else concat(pieces: _*)
-        org.apache.spark.sql.functions.to_timestamp(cleaned, pattern)
-      case None =>
-        val pat = toks.map {
-          case Kw(k) => parsePiece(k)
-          case Lit(t) => "'" + t.replace("'", "''") + "'"
-        }.mkString
-        org.apache.spark.sql.functions.to_timestamp(s, pat)
+    val p = fieldPlan(tokenize(fmt))
+    def gS(g: Int): Column = regexp_extract(s, p.regex, g)
+    def num(gOpt: Option[Int], dflt: Int): Column = gOpt match {
+      case None => lit(dflt).cast("bigint")
+      case Some(g) =>
+        coalesce(nullif(gS(g), lit("")).cast("bigint"),
+          lit(dflt).cast("bigint"))
     }
+    val year = p.yearG match {
+      case Some((g, true)) =>
+        val i = nullif(gS(g), lit("")).cast("bigint")
+        when(i.isNull, 0L).when(i < 70, i + 2000)
+          .when(i < 100, i + 1900).when(i < 520, i + 2000)
+          .otherwise(i + 1000)
+      case g => num(g.map(_._1), 0)
+    }
+    val month = p.monthG match {
+      case Some((g, true)) =>
+        when(gS(g) === "", 1L)
+          .when(length(gS(g)) < 3, 0L)
+          .otherwise(((instr(lit("janfebmaraprmayjunjulaugsepoctnovdec"),
+            lower(substring(gS(g), 1, 3))) + 2) / 3).cast("bigint"))
+      case g => num(g.map(_._1), 1)
+    }
+    val hourRaw = num(p.hourG, 0)
+    val hour = p.merG match {
+      case None => hourRaw
+      case Some(g) =>
+        val m = upper(translate(gS(g), ".", ""))
+        when(m === "", hourRaw)
+          .when(m === "PM" && hourRaw < 12, hourRaw + 12)
+          .when(m =!= "PM" && hourRaw === 12, 0L)
+          .otherwise(hourRaw)
+    }
+    val fracNs = num(p.msG, 0) * 1000000L + num(p.usG, 0) * 1000L +
+      num(p.nsG, 0)
+    val tz = p.tzG match {
+      case None => lit("+00:00")
+      case Some((g, true)) =>
+        val v = gS(g)
+        when(v === "" || upper(v) === "Z", "+00:00")
+          .when(length(v) === 3, concat(v, lit(":00")))
+          .when(length(v) === 5, concat(v.substr(lit(1), lit(3)),
+            lit(":"), v.substr(lit(4), lit(2))))
+          .otherwise(v)
+      case Some((g, false)) =>
+        val v = gS(g)
+        when(v === "", "+00:00")
+          .when(v.startsWith("-"), concat(lit("-"),
+            lpad(v.substr(lit(2), lit(2)), 2, "0"), lit(":00")))
+          .when(v.startsWith("+"), concat(lit("+"),
+            lpad(v.substr(lit(2), lit(2)), 2, "0"), lit(":00")))
+          .otherwise(concat(lit("+"), lpad(v, 2, "0"), lit(":00")))
+    }
+    def pad(e: Column, w: Int) = lpad(e.cast("string"), w, "0")
+    val cleaned = concat(
+      pad(year, 4), lit("-"), pad(month, 2), lit("-"),
+      pad(num(p.dayG, 1), 2), lit(" "), pad(hour, 2), lit(":"),
+      pad(num(p.minG, 0), 2), lit(":"), pad(num(p.secG, 0), 2),
+      lit("."), pad(fracNs, 9), tz)
+    org.apache.spark.sql.functions.to_timestamp(
+      when(s.rlike(p.regex), cleaned), CanonicalPattern)
   }
 }

@@ -158,11 +158,12 @@ object FillOps {
   }
 
   /** Keyless prev/next sample carry for [[interp]], distributed via
-    * [[GlobalScan.twoPass]]: ascending scan carries the last non-null
-    * data sample into `outCol`; the descending variant walks the exact
-    * reverse order, yielding the next-sample carry. Grid markers never
-    * update the carry; each row reads the carry before contributing,
-    * which reproduces the exclusive window bounds of the keyed path. */
+    * [[GlobalScan.twoPass]]: ascending scan carries the last data ROW
+    * (null values included — doKeepRows keeps every row) into
+    * `outCol`; the descending variant walks the exact reverse order,
+    * yielding the next-row carry. Grid markers never update the
+    * carry; each row reads the carry before contributing, which
+    * reproduces the exclusive window bounds of the keyed path. */
   private def keylessCarry(frame: DataFrame, ascending: Boolean,
       outCol: String): DataFrame = {
     import org.apache.spark.sql.Row
@@ -178,13 +179,14 @@ object FillOps {
     val sortCols =
       if (ascending) Seq(col("_t"), col("_isgrid"))
       else Seq(col("_t").desc, col("_isgrid").desc)
-    GlobalScan.twoPass[Option[(Long, Double)]](frame, sortCols,
+    GlobalScan.twoPass[Option[(Long, Any)]](frame, sortCols,
       zero = None,
       summary = { it =>
-        var lastP: Option[(Long, Double)] = None
+        var lastP: Option[(Long, Any)] = None
         it.foreach { r =>
-          if (!r.getBoolean(gIdx) && !r.isNullAt(vIdx))
-            lastP = Some((r.getLong(tIdx), r.getDouble(vIdx)))
+          if (!r.getBoolean(gIdx))
+            lastP = Some((r.getLong(tIdx),
+              if (r.isNullAt(vIdx)) null else r.getDouble(vIdx)))
         }
         lastP
       },
@@ -194,8 +196,9 @@ object FillOps {
         it.map { r =>
           val out = Row.fromSeq(r.toSeq :+
             carry.map(p => Row(p._1, p._2)).orNull)
-          if (!r.getBoolean(gIdx) && !r.isNullAt(vIdx))
-            carry = Some((r.getLong(tIdx), r.getDouble(vIdx)))
+          if (!r.getBoolean(gIdx))
+            carry = Some((r.getLong(tIdx),
+              if (r.isNullAt(vIdx)) null else r.getDouble(vIdx)))
           out
         }
       },
@@ -240,11 +243,12 @@ object FillOps {
       else {
         val w = Window.partitionBy(keyCols: _*)
           .orderBy(col("_t"), col("_isgrid"))
-        // null-valued data points must not block the carrier (same
-        // guard as fillInterval's lastNonNull): only non-null samples
-        // ride forward
-        val dataPair = when(!col("_isgrid") && col("_v").isNotNull,
-          struct(col("_t"), col("_v")))
+        // carry EVERY data row, null values included: interp's row
+        // keeper (timesliceoperator.c:73-96 doKeepRows) tracks the
+        // adjacent ROW and fills that row's — possibly NULL — value;
+        // it never reaches back to an older non-null sample (unlike
+        // the windowed-FILL path, which follows tfill.c)
+        val dataPair = when(!col("_isgrid"), struct(col("_t"), col("_v")))
         all
           .withColumn("_prev", last(dataPair, ignoreNulls = true)
             .over(w.rowsBetween(Window.unboundedPreceding, -1)))
@@ -305,9 +309,22 @@ object FillOps {
       .withColumn(valueCol, interpolated)
       .withColumn("_irowts_origin", origin)
       .withColumn("_isfilled", !col("_exacthit"))
+    // grid points with no reference basis AT ALL are dropped, not
+    // NULL-filled (timesliceoperator.c:468-470 hasInterp=false for the
+    // positional modes, :552-555 for LINEAR outside the data span); a
+    // too-far reference inside a SURROUND bound still emits (fallback)
+    val keep: Column = mode match {
+      case FillPrev => col("_prev").isNotNull
+      case FillNext => col("_exacthit") || col("_next").isNotNull
+      case FillNear => col("_prev").isNotNull || col("_next").isNotNull
+      case FillLinear => col("_exacthit") ||
+        (col("_prev").isNotNull && col("_next").isNotNull)
+      case _ => lit(true)
+    }
     // FILL(NONE): only exact hits survive (fillInterval does the same)
     val bounded =
-      if (mode == FillNone) filled.filter(col("_exacthit")) else filled
+      if (mode == FillNone) filled.filter(col("_exacthit"))
+      else filled.filter(keep)
     bounded.select(keyCols :+ col("_t").as("_irowts") :+ col(valueCol) :+
       col("_irowts_origin") :+ col("_isfilled"): _*)
   }

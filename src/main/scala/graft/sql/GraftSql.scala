@@ -705,8 +705,12 @@ object GraftSql {
           val fs = s"(1 + (8 - dayofweek(date_trunc('YEAR', $t))) % 7)"
           s"(CASE WHEN dayofyear($t) < $fs THEN CAST(0 AS BIGINT) " +
             s"ELSE CAST((dayofyear($t) - $fs) DIV 7 + 1 AS BIGINT) END)"
+        case m if m >= 1 && m <= 7 =>
+          // remaining MySQL modes: native WeekNum expression
+          // (registered per session by GraftSql.query)
+          s"graft_week(${tsUs(p(0))}, $m)"
         case other => throw new IllegalArgumentException(
-          s"week(): modes 0 and 3 supported, got $other")
+          s"week(): mode must be 0..7, got $other")
       }
     })
     r = rewriteCall(r, "truncate", truncSql)
@@ -1725,6 +1729,7 @@ object GraftSql {
       sql: String, tsCol: String = "ts",
       perSecond: Long = 1000000L): DataFrame = {
     ensureCustomAggs(spark)
+    graft.functions.NativeFunctions.register(spark)
     // unquoted identifiers are case-insensitive in the reference
     // (converted to lower case at parse time); a backtick-quoted name
     // reaches resolve0 verbatim first, so case-significant tables
@@ -2558,15 +2563,28 @@ object GraftSql {
         "RANGE needs an interp(col) select item")
       val valueCol = interpCols.head
       val rawRange = splitArgs(stripOuterParens(c("RANGE"))).map(_.trim)
+      // now[()] ± duration bounds evaluate once, at plan time (the
+      // reference binds `now` per query — parTranslater folds it to a
+      // constant before execution)
+      val nowRe = "(?i)^now\\s*(?:\\(\\s*\\))?\\s*(?:([-+])\\s*(\\S+))?$".r
       def tsArg(a: String): Long =
-        if (a.startsWith("'")) {
-          // quoted digit strings are epoch ticks, same as unquoted
-          // (the reference's ts literals accept both spellings)
-          val inner = a.stripPrefix("'").stripSuffix("'").trim
-          if (inner.matches("-?\\d+")) inner.toLong
-          else tsLitTicks(a, perSecond).getOrElse(throw
-            new IllegalArgumentException(s"bad RANGE timestamp: $a"))
-        } else a.toLong
+        nowRe.findFirstMatchIn(a) match {
+          case Some(m) =>
+            val base = System.currentTimeMillis() * (perSecond / 1000L)
+            Option(m.group(1)) match {
+              case Some("-") => base - dur(m.group(2))
+              case Some(_) => base + dur(m.group(2))
+              case None => base
+            }
+          case None if a.startsWith("'") =>
+            // quoted digit strings are epoch ticks, same as unquoted
+            // (the reference's ts literals accept both spellings)
+            val inner = a.stripPrefix("'").stripSuffix("'").trim
+            if (inner.matches("-?\\d+")) inner.toLong
+            else tsLitTicks(a, perSecond).getOrElse(throw
+              new IllegalArgumentException(s"bad RANGE timestamp: $a"))
+          case None => a.toLong
+        }
       val durArg = "(?i)^\\d+[buasmhdw]$".r
       val (t0, t1, aroundUs) = rawRange match {
         case Seq(p) => (tsArg(p), tsArg(p), 0L)
@@ -2583,42 +2601,59 @@ object GraftSql {
         }
       // FILL(VALUE, v1[, v2 …]): one literal per interp column (a
       // single literal broadcasts — the same contract as windowed
-      // FILL below); positional per-column modes
-      def modeFor(i: Int): FillOps.FillMode = c.get("FILL").map(f =>
-        splitArgs(stripOuterParens(f)) match {
-          case Seq(m0) => m0.toUpperCase match {
-            case "NONE" => FillOps.FillNone
-            // interp marks every grid point, so forced/non-forced NULL
-            // coincide here (timesliceoperator.c:460 fills both the same)
-            case "NULL" | "NULL_F" => FillOps.FillNull
-            case "PREV" => FillOps.FillPrev
-            case "NEXT" => FillOps.FillNext
-            case "NEAR" => FillOps.FillNear
-            case "LINEAR" => FillOps.FillLinear
-            case other => throw new IllegalArgumentException(s"FILL $other")
-          }
-          case s if s.head.matches("(?i)VALUE(_F)?") =>
-            val vals = s.tail
-            require(vals.length == 1 || vals.length == interpCols.length,
-              s"FILL(VALUE…) takes 1 or ${interpCols.length} values, " +
-                s"got ${vals.length}")
-            val v0 = (if (vals.length == 1) vals.head else vals(i)).trim
-            fillConst(v0) match {
-              case None => FillOps.FillNull
-              case Some(d) => FillOps.FillValue(d)
-            }
-          case other => throw new IllegalArgumentException(
-            s"FILL ${other.mkString(",")}")
-        }).getOrElse(FillOps.FillLinear)
-      val mode = modeFor(0)
-      // FILL(PREV|NEXT|NEAR) SURROUND(d [, v]) (sql.y:2954-2982): bound
-      // how far the fill reference may sit from the grid point
+      // FILL below); positional per-column modes. The positional modes
+      // also take a per-column fallback list — FILL(PREV|NEXT|NEAR,
+      // v1[, v2 …]) (sql.y:2956-2957) — used when the reference row
+      // sits outside the search bound.
+      def pick(vals: Seq[String], i: Int, what: String): Option[Double] = {
+        require(vals.length == 1 || vals.length == interpCols.length,
+          s"FILL($what…) takes 1 or ${interpCols.length} values, " +
+            s"got ${vals.length}")
+        fillConst((if (vals.length == 1) vals.head else vals(i)).trim)
+      }
+      def posMode(m: String): FillOps.FillMode = m.toUpperCase match {
+        case "PREV" => FillOps.FillPrev
+        case "NEXT" => FillOps.FillNext
+        case _ => FillOps.FillNear
+      }
+      def modeFor(i: Int): (FillOps.FillMode, Option[Double]) =
+        c.get("FILL").map(f =>
+          splitArgs(stripOuterParens(f)) match {
+            case Seq(m0) => (m0.toUpperCase match {
+              case "NONE" => FillOps.FillNone
+              // interp marks every grid point, so forced/non-forced NULL
+              // coincide here (timesliceoperator.c:460 fills both the same)
+              case "NULL" | "NULL_F" => FillOps.FillNull
+              case "PREV" => FillOps.FillPrev
+              case "NEXT" => FillOps.FillNext
+              case "NEAR" => FillOps.FillNear
+              case "LINEAR" => FillOps.FillLinear
+              case other => throw new IllegalArgumentException(s"FILL $other")
+            }, None)
+            case s if s.head.matches("(?i)VALUE(_F)?") =>
+              (pick(s.tail, i, "VALUE") match {
+                case None => FillOps.FillNull
+                case Some(d) => FillOps.FillValue(d)
+              }, None)
+            case s if s.head.matches("(?i)(PREV|NEXT|NEAR)") =>
+              (posMode(s.head), pick(s.tail, i, s.head.toUpperCase))
+            case other => throw new IllegalArgumentException(
+              s"FILL ${other.mkString(",")}")
+          }).getOrElse((FillOps.FillLinear, None))
+      val (mode, fillFb0) = modeFor(0)
+      // FILL(PREV|NEXT|NEAR) SURROUND(d [, v1[, v2 …]]) (sql.y:
+      // 2954-2982): bound how far the fill reference may sit from the
+      // grid point, with optional per-column fallback values
       val surround = c.get("SURROUND").map { sr =>
         require(mode == FillOps.FillPrev || mode == FillOps.FillNext ||
           mode == FillOps.FillNear,
           "SURROUND needs FILL(PREV|NEXT|NEAR)")
         val a = splitArgs(stripOuterParens(sr))
-        (dur(a.head), a.lift(1).map(_.toDouble))
+        (dur(a.head), a.tail)
+      }
+      def surroundValFor(i: Int): Option[Double] = surround match {
+        case Some((_, vals)) if vals.nonEmpty => pick(vals, i, "SURROUND")
+        case _ => None
       }
       // parTranslater.c:14758: RANGE around-interval and SURROUND are
       // the same bound through two spellings — never both
@@ -2630,7 +2665,7 @@ object GraftSql {
       var res = FillOps.interp(df0, col(tsCol), valueCol, partCols,
         step, t0, t1, mode,
         surroundUs = surround.map(_._1).getOrElse(aroundUs),
-        surroundVal = surround.flatMap(_._2))
+        surroundVal = surroundValFor(0).orElse(fillFb0))
       // further interp columns resample independently and join back on
       // the (keys, grid-point) identity — the grids are identical by
       // construction, and each joined frame is grid-sized (range/step
@@ -2638,10 +2673,11 @@ object GraftSql {
       // the first run: exact-hit-ness is a property of the row's ts,
       // the same for every column.
       interpCols.zipWithIndex.tail.foreach { case (vc, i) =>
+        val (modeI, fbI) = modeFor(i)
         val extra = FillOps.interp(df0, col(tsCol), vc, partCols,
-            step, t0, t1, modeFor(i),
+            step, t0, t1, modeI,
             surroundUs = surround.map(_._1).getOrElse(aroundUs),
-            surroundVal = surround.flatMap(_._2))
+            surroundVal = surroundValFor(i).orElse(fbI))
           .select((partCols :+ "_irowts").map(col) :+ col(vc): _*)
         res = res.join(extra, partCols :+ "_irowts")
       }

@@ -75,6 +75,38 @@ class NativeExpressionsSpec extends AnyFunSuite {
       s"native/Column bucket mismatch: ${diff.take(3).toSeq}")
   }
 
+  test("WeekNum: mode 3 is ISO everywhere; MySQL WEEK pins; codegen") {
+    import java.time.LocalDate
+    import java.time.temporal.WeekFields
+    import graft.functions.WeekNum
+    var d = LocalDate.of(2019, 12, 20)
+    while (d.isBefore(LocalDate.of(2025, 2, 1))) {
+      val us = d.toEpochDay * 86400000000L
+      assert(WeekNum.compute(us, 3) ==
+        d.get(WeekFields.ISO.weekOfWeekBasedYear()), s"mode3 $d")
+      d = d.plusDays(1)
+    }
+    def w(s: String, m: Int) =
+      WeekNum.compute(LocalDate.parse(s).toEpochDay * 86400000000L, m)
+    // MySQL WEEK() reference values
+    assert(w("2024-01-01", 0) == 0)
+    assert(w("2024-01-01", 1) == 1)
+    assert(w("2024-01-01", 2) == 53)
+    assert(w("2024-01-01", 4) == 1)
+    assert(w("2024-01-01", 5) == 1)
+    assert(w("2024-01-07", 0) == 1)
+    assert(w("2024-01-07", 4) == 2)
+    assert(w("2023-01-01", 0) == 1) // a Sunday
+    assert(w("2023-01-01", 1) == 0) // Monday-first, <4 days
+    assert(w("2022-01-01", 2) == 52) // Saturday -> prior year's count
+    assert(w("2021-12-31", 1) == 52)
+    // SQL registration + codegen path agree with compute
+    graft.functions.NativeFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_week(1704067200000000, 2) AS w").head
+    assert(row.getLong(0) == 53L)
+  }
+
   test("simhash fingerprint matches the exploded md5-vote lowering") {
     val docs = Tables(spark, sf, "documents")
     val native = graft.ops.TextOps.simhash(docs, "doc_id", col("text"))

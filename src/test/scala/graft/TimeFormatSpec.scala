@@ -93,6 +93,47 @@ class TimeFormatSpec extends AnyFunSuite {
     assert(rt != null && rt.endsWith("-01-05 00:00:00"), rt)
   }
 
+  test("to_timestamp matches char2ts looseness (commonTests.cpp pins)") {
+    def us(s: String, f: String): Long =
+      spark.range(1).select(unix_micros(
+        TimeFormat.toTimestamp(lit(s), f)).as("t")).collect()(0).getLong(0)
+    def at(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    // digit runs short of token width (commonTests.cpp:672,676)
+    assert(us("2023-1-1 12:10:10am", "yyyy-mm-dd HH12:MI:SSAM") ==
+      at("2023-01-01T00:10:10Z"))
+    assert(us("23-1-01 9:10:10.123p.m.", "yy-MM-dd HH12:MI:ss.msa.m.") ==
+      at("2023-01-01T21:10:10.123Z"))
+    // undelimited digit runs: width-strict while more digit tokens
+    // follow, remaining fields default on exhausted input
+    // (commonTests.cpp:744 "210012" -> 2100-12-01, :737)
+    assert(us("210012", "yyyyMMdd ") == at("2100-12-01T00:00:00Z"))
+    assert(us("21000101", "yyyyMMdd ") == at("2100-01-01T00:00:00Z"))
+    assert(us("21001/2", "yyyyMM/dd ") == at("2100-01-02T00:00:00Z"))
+    assert(us("210001/2", "yyyyMM1/dd ") == at("2100-01-02T00:00:00Z"))
+    // zone hour offset (commonTests.cpp:708)
+    assert(us("2100-01-01 11:10:10.124456+08",
+      "yyyy-MM-dd HH24:MI:ss.usTZH") == 4102456210124456L)
+    // full TZ forms: Z, ±HH:MM, ±HHMM (ttime.c:2706 char2ts TZ)
+    assert(us("2024-03-05 14:07:09Z", "yyyy-MM-dd HH24:MI:SSTZ") ==
+      at("2024-03-05T14:07:09Z"))
+    assert(us("2024-03-05 14:07:09+05:30", "yyyy-MM-dd HH24:MI:SSTZ") ==
+      at("2024-03-05T08:37:09Z"))
+    assert(us("2024-03-05 14:07:09-0830", "yyyy-MM-dd HH24:MI:SSTZ") ==
+      at("2024-03-05T22:37:09Z"))
+    // adjustYearTo2020 pivots (ttime.c:2518): yy 70..99 -> 19xx
+    assert(us("95-06-01", "yy-MM-dd") == at("1995-06-01T00:00:00Z"))
+    assert(us("21-06-01", "yy-MM-dd") == at("2021-06-01T00:00:00Z"))
+    // month names match case-insensitively (strArrayCaseSearch)
+    assert(us("2024/FEB/01", "yyyy/Mon/dd") == at("2024-02-01T00:00:00Z"))
+    assert(us("2024/february/01", "yyyy/Month/dd") ==
+      at("2024-02-01T00:00:00Z"))
+    // non-matching input -> NULL, not the injected defaults
+    val bad = spark.range(1).select(TimeFormat.toTimestamp(
+      lit("2100/2/1"), "yyyyMMdd ").as("t")).collect()(0)
+    assert(bad.isNullAt(0))
+  }
+
   test("dialect rewrites to_char/to_timestamp textually") {
     val sql = GraftSql.rewriteFuncs(
       "to_char(ts, 'YYYY-MM-DD') AS d", "ts")
@@ -100,7 +141,9 @@ class TimeFormatSpec extends AnyFunSuite {
     assert(!sql.toLowerCase.contains("to_char"), sql)
     val p = GraftSql.rewriteFuncs(
       "to_timestamp(s, 'DD Mon YYYY')", "ts")
-    // literal runs are java-quoted: dd' 'MMM' 'yyyy
-    assert(p.contains("dd") && p.contains("MMM") && p.contains("yyyy"), p)
+    // parse goes through the field-plan rebuild: regex extraction +
+    // one canonical java pattern
+    assert(p.contains("regexp_extract") &&
+      p.contains("yyyy-MM-dd HH:mm:ss.SSSSSSSSSx"), p)
   }
 }

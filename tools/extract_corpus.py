@@ -98,12 +98,15 @@ def balanced(txt):
 
 class _ErrScan(ast.NodeVisitor):
     """Strings EXPECTED to fail in the reference: arguments of
-    tdSql.error(...)-style calls, both inline literals and the common
+    tdSql.error(...)-style calls — inline literals, the common
     `sql = "…"; tdSql.error(sql)` variable indirection (visited in
-    source order, so the nearest preceding assignment wins)."""
+    source order, so the nearest preceding assignment wins), and the
+    list+loop form `sql_list = […]; for sql in sql_list:
+    tdSql.error(sql)` (with or without enumerate)."""
 
     def __init__(self):
         self.env = {}
+        self.list_env = {}
         self.err_nodes = set()
         self.err_texts = set()
 
@@ -113,6 +116,51 @@ class _ErrScan(ast.NodeVisitor):
             for t in node.targets:
                 if isinstance(t, ast.Name):
                     self.env[t.id] = s
+        elif isinstance(node.value, (ast.List, ast.Tuple)):
+            texts = [string_of(e) for e in node.value.elts]
+            if texts and all(t is not None for t in texts):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        self.list_env[t.id] = texts
+        self.generic_visit(node)
+
+    def visit_For(self, node):
+        targets = {n.id for n in ast.walk(node.target)
+                   if isinstance(n, ast.Name)}
+        body_errs_target = any(
+            isinstance(c, ast.Call) and isinstance(c.func, ast.Attribute)
+            and "error" in c.func.attr.lower() and c.args
+            and isinstance(c.args[0], ast.Name)
+            and c.args[0].id in targets
+            for c in ast.walk(node))
+        if body_errs_target:
+            it = node.iter
+            if (isinstance(it, ast.Call) and isinstance(it.func, ast.Name)
+                    and it.func.id == "enumerate" and it.args):
+                it = it.args[0]
+            texts = []
+            if isinstance(it, (ast.List, ast.Tuple)):
+                texts = [string_of(e) for e in it.elts]
+            elif isinstance(it, ast.Name):
+                texts = self.list_env.get(it.id) or []
+            for t in texts:
+                if t is not None:
+                    self.err_texts.add(t)
+        self.generic_visit(node)
+
+    def visit_Dict(self, node):
+        # data-driven test dicts: {"exception": True, "sql": […]} marks
+        # every statement in the entry as an expected error
+        is_exc = any(
+            isinstance(k, ast.Constant) and k.value == "exception"
+            and isinstance(v, ast.Constant) and v.value is True
+            for k, v in zip(node.keys, node.values))
+        if is_exc:
+            for v in node.values:
+                for sub in ast.walk(v):
+                    s = string_of(sub)
+                    if s is not None:
+                        self.err_texts.add(s)
         self.generic_visit(node)
 
     def visit_Call(self, node):
