@@ -537,6 +537,21 @@ object Dialect {
            WHERE event_id < 2000 AND ts < now() AND ts < today()
            ORDER BY event_id""")
     },
+    // to_iso8601 timezone argument (sclfunc.c toISO8601Function):
+    // fixed offsets shift the wall clock and keep the user's spelling
+    // as the suffix; UTC-prefixed forms strip+pad; IANA names are
+    // DST-aware with a computed ±HHMM suffix (events are all January
+    // 2024, so New York is EST year-round here — deterministic)
+    "dialect_iso8601_tz" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id,
+             to_iso8601(ts, 'Asia/Shanghai') AS iso_sh,
+             to_iso8601(ts, 'America/New_York') AS iso_ny,
+             to_iso8601(ts, '-05:30') AS iso_off,
+             to_iso8601(ts, 'UTC+8') AS iso_utc8,
+             to_iso8601(ts, 'z') AS iso_z
+           FROM events WHERE event_id < 2000 ORDER BY event_id""")
+    },
     // window functions through the text front end (builtins.c rank /
     // dense_rank / row_number / lag / lead / nth_value / percent_rank /
     // cume_dist): OVER (…) parses as a parenthesized span, so the
@@ -706,6 +721,15 @@ object Dialect {
         """SELECT _wstart, max(value) AS mx FROM events
            WHERE user_id = 3 AND event_type = 'purchase' AND value > 90
            INTERVAL(1d) FILL(PREV) ORDER BY _wstart""")
+    },
+    // FILL over a CALENDAR interval (INTERVAL 1n): month-boundary grid
+    // enumerated from the query range; empty months fill — events are
+    // all January 2024, so 4 of the 5 months are filled rows
+    "dialect_fill_calendar" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart, count(*) AS n, max(value) AS mx FROM events
+           WHERE ts >= '2023-11-01 00:00:00' AND ts < '2024-04-01 00:00:00'
+           INTERVAL(1n) FILL(VALUE, 0, -1) ORDER BY _wstart""")
     },
     // FILL(VALUE, …) constant-expression entries: the reference folds
     // arithmetic at parse time and C-coerces strings/booleans
@@ -924,6 +948,25 @@ object Dialect {
         """SELECT user_id, _wstart, _wend, count(*) AS n FROM events
            PARTITION BY user_id COUNT_WINDOW(50, 25)
            ORDER BY user_id, _wstart, _wend""")
+    },
+    // COUNT_WINDOW(n, sliding, cols): overlapping row windows over
+    // only the rows whose col-args are non-null (sql.y:2984-2987
+    // count_window_args 4-arg form)
+    "dialect_count_window_slide_cols" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, _wstart, _wend, count(*) AS n FROM events
+           PARTITION BY user_id
+           COUNT_WINDOW(50, 25, nullif(event_type, 'view'))
+           ORDER BY user_id, _wstart, _wend""")
+    },
+    // cols(selector, *) expands the star to every table column, and
+    // un-aliased expression outputs auto-name (parTranslater
+    // rewriteColsFunction)
+    "dialect_cols_star" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT cols(max(event_id), *),
+             cols(max(event_id), length(event_type) + 1)
+           FROM events WHERE event_id < 5000""")
     },
     // chained 3-table join (TPC-H-shaped reference tests): whole
     // statement delegates to Spark SQL over temp views
@@ -1697,6 +1740,18 @@ object Dialect {
            CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
            'UTC (UTC, +0000)' AS tz
          FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "dialect_iso8601_tz" ->
+      """SELECT event_id,
+           strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%dT%H:%M:%S.%f')
+             || '+0800' AS iso_sh,
+           strftime(ts - INTERVAL 5 HOUR, '%Y-%m-%dT%H:%M:%S.%f')
+             || '-0500' AS iso_ny,
+           strftime(ts - INTERVAL 330 MINUTE, '%Y-%m-%dT%H:%M:%S.%f')
+             || '-05:30' AS iso_off,
+           strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%dT%H:%M:%S.%f')
+             || '+08' AS iso_utc8,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'z' AS iso_z
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
     "dialect_scalar_misc" ->
       """SELECT c_custkey,
            trunc(CAST(c_acctbal * 1.7 AS DOUBLE) * 100) / 100 AS tr2,
@@ -1727,6 +1782,18 @@ object Dialect {
           coalesce(a.mn, 2.5) AS mn, a.ws IS NULL AS _isfilled
         FROM spine s LEFT JOIN agg a ON s.ws = a.ws
         ORDER BY _wstart""",
+    "dialect_fill_calendar" ->
+      """WITH agg AS (SELECT epoch_us(date_trunc('month', ts)) AS ws,
+            count(*) AS n, max(value) AS mx
+          FROM events
+          WHERE ts >= TIMESTAMP '2023-11-01' AND ts < TIMESTAMP '2024-04-01'
+          GROUP BY 1),
+        spine AS (SELECT epoch_us(CAST(x AS TIMESTAMP)) AS ws
+          FROM generate_series(TIMESTAMP '2023-11-01',
+            TIMESTAMP '2024-03-01', INTERVAL 1 MONTH) t(x))
+        SELECT s.ws AS _wstart, CAST(coalesce(a.n, 0) AS DOUBLE) AS n,
+          coalesce(a.mx, -1) AS mx, a.ws IS NULL AS _isfilled
+        FROM spine s LEFT JOIN agg a ON s.ws = a.ws ORDER BY _wstart""",
     "dialect_fill_value_expr" ->
       s"""WITH agg AS (SELECT epoch_us(ts) - epoch_us(ts) % $D AS ws,
             max(value) AS mx, min(value) AS mn, count(value) AS cnt
@@ -2062,6 +2129,21 @@ object Dialect {
           count(*) AS n
         FROM e GROUP BY user_id, wid
         ORDER BY user_id, _wstart, _wend""",
+    "dialect_count_window_slide_cols" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM events WHERE event_type <> 'view'),
+        e AS (SELECT user_id, t, unnest(range(
+            CASE WHEN rn <= 50 THEN 0 ELSE (rn - 50 + 24) // 25 END,
+            (rn - 1) // 25 + 1)) AS wid FROM t)
+        SELECT user_id, min(t) AS _wstart, max(t) AS _wend,
+          count(*) AS n
+        FROM e GROUP BY user_id, wid
+        ORDER BY user_id, _wstart, _wend""",
+    "dialect_cols_star" ->
+      """SELECT event_id, epoch_us(ts) AS ts, user_id, event_type,
+           value, props, length(event_type) + 1 AS length_event_type_1
+         FROM events WHERE event_id = 4999""",
     "dialect_chain_join" ->
       """SELECT a.event_id AS id, b.value AS v2, c.value AS v3
          FROM events a JOIN events b ON a.event_id = b.event_id

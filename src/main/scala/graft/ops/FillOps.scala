@@ -61,20 +61,29 @@ object FillOps {
   def fillIntervalMulti(agg: DataFrame, wstartCol: String,
       valueCols: Seq[(String, FillMode)], keys: Seq[String],
       intervalUs: Long, rangeStartUs: Long, rangeEndUs: Long,
-      offsetUs: Long = 0L): DataFrame = {
+      offsetUs: Long = 0L,
+      gridStarts: Option[Seq[Long]] = None): DataFrame = {
     require(valueCols.nonEmpty, "fill needs at least one value column")
     val anyForced = valueCols.exists(vc => isForced(vc._2))
-    val gridStart =
-      rangeStartUs - Math.floorMod(rangeStartUs - offsetUs, intervalUs)
     val keyDf =
       if (keys.nonEmpty) agg.select(keys.map(col): _*).distinct()
       else if (anyForced)
         // forced fill emits the spine even over empty input
         agg.sparkSession.range(1).select(lit(1).as("_one"))
       else agg.limit(1).select(lit(1).as("_one"))
+    // calendar grids (INTERVAL 1n/1q/1y) have no fixed tick step — the
+    // caller precomputes the window starts (month boundaries are
+    // query-ranged and few, so a literal array broadcast beats a join)
+    val spineCol = gridStarts match {
+      case Some(gs) => explode(lit(gs.toArray))
+      case None =>
+        val gridStart = rangeStartUs -
+          Math.floorMod(rangeStartUs - offsetUs, intervalUs)
+        explode(sequence(lit(gridStart), lit(rangeEndUs),
+          lit(intervalUs)))
+    }
     val spine = keyDf
-      .withColumn(wstartCol,
-        explode(sequence(lit(gridStart), lit(rangeEndUs), lit(intervalUs))))
+      .withColumn(wstartCol, spineCol)
       .drop("_one")
     val marked = agg.withColumn("_present", lit(true))
     val joined = spine.join(marked, keys :+ wstartCol, "left")

@@ -458,7 +458,8 @@ object GraftSql {
     * ordering key — one hash aggregate, no self-join. Expands in place
     * to a comma-joined item list, so one `cols()` yields N select
     * items exactly as the reference's projection-bind list does. */
-  private def expandColsArgs(a: String, tsCol: String): String = {
+  private def expandColsArgs(a: String, tsCol: String,
+      tableCols: Seq[String]): String = {
     val parts = splitArgs(a)
     require(parts.length >= 2, s"cols() needs a selector and outputs: $a")
     val selPat = "(?i)^(max|min|first|last|last_row)\\s*\\((.+)\\)$".r
@@ -471,7 +472,13 @@ object GraftSql {
     // bare-space alias form (`c0 cc`, sql.y column_alias without AS):
     // the trailing token aliases when what precedes is a bare column
     val spacePat = "^([A-Za-z_]\\w*)\\s+([A-Za-z_]\\w*)$".r
-    parts.tail.map { out =>
+    // `cols(last(ts), *)` takes every table column from the selected
+    // row, each under its own name (rewriteColsFunction expands the
+    // star before binding)
+    val outs = parts.tail.flatMap { out =>
+      if (out.trim == "*") tableCols else Seq(out)
+    }
+    outs.map { out =>
       val (e, alias) = out.trim match {
         case asPat(e0, al) => (e0.trim, Some(al))
         case spacePat(e0, al) => (e0, Some(al))
@@ -490,10 +497,16 @@ object GraftSql {
       }
       alias match {
         case Some(al) => s"$agg AS $al"
-        case None =>
-          require(e.matches("[A-Za-z_][A-Za-z0-9_]*"),
-            s"cols() output expression needs an AS alias: $out")
+        case None if e.matches("[A-Za-z_][A-Za-z0-9_]*") =>
           s"$agg AS $e"
+        case None =>
+          // un-aliased expression outputs auto-name from the
+          // expression text (the reference defaults aliasName to the
+          // expression's own name; identifier-sanitized here so the
+          // name survives every column-reference path)
+          val nm = e.replaceAll("[^A-Za-z0-9_]+", "_")
+            .replaceAll("^_+|_+$", "")
+          s"$agg AS ${if (nm.isEmpty || nm.head.isDigit) "_c" + nm else nm}"
       }
     }.mkString(", ")
   }
@@ -654,15 +667,52 @@ object GraftSql {
       s"unix_micros(to_timestamp(${splitArgs(a).head}))")
     r = rewriteCall(r, "to_iso8601", a => {
       val p = splitArgs(a)
-      val suffix = p.lift(1).map(unquote).map {
-        case "z" | "Z" => "Z"
-        case "+0000" | "-0000" | "+00:00" | "UTC+0" | "UTC" => "+0000"
-        case other => throw new IllegalArgumentException(
-          s"to_iso8601: session timezone is UTC, got offset $other")
-      }.getOrElse("+0000")
-      val t = asTs(p(0))
-      s"concat(date_format($t, 'yyyy-MM-dd'), 'T', " +
-        s"date_format($t, 'HH:mm:ss.SSSSSS'), '$suffix')"
+      val t0 = tsUs(p(0))
+      def render(tsExpr: String, suffix: String): String = {
+        val t = s"timestamp_micros($tsExpr)"
+        s"concat(date_format($t, 'yyyy-MM-dd'), 'T', " +
+          s"date_format($t, 'HH:mm:ss.SSSSSS'), $suffix)"
+      }
+      p.lift(1).map(unquote) match {
+        case None => render(t0, "'+0000'")
+        // z/Z: zero offset, suffix verbatim (sclfunc.c toISO8601)
+        case Some(z) if z.equalsIgnoreCase("z") => render(t0, s"'$z'")
+        case Some(z0) =>
+          // UTC-prefixed fixed offsets normalize by stripping 'UTC'
+          // and zero-padding a single-digit hour ('UTC+8' → '+08');
+          // bare fixed offsets keep the user's spelling as the suffix
+          val z =
+            if (z0.toUpperCase.startsWith("UTC+") ||
+                z0.toUpperCase.startsWith("UTC-")) {
+              val o = z0.substring(3)
+              if (o.length == 2 && o(1).isDigit) s"${o(0)}0${o(1)}" else o
+            } else if (z0.equalsIgnoreCase("UTC")) "+0000"
+            else z0
+          "^([+-])(\\d{1,2})(?::?(\\d{2}))?$".r.findFirstMatchIn(z) match {
+            case Some(m) =>
+              // fixed offset: shift the wall clock, suffix verbatim —
+              // '+08:00' shows UTC+8h local time (ISO sign convention)
+              val sign = if (m.group(1) == "-") -1L else 1L
+              val offUs = sign * (m.group(2).toLong * 3600L +
+                Option(m.group(3)).map(_.toLong).getOrElse(0L) * 60L) *
+                1000000L
+              render(s"(($t0) + ${offUs}L)", s"'$z'")
+            case None =>
+              // IANA zone: DST-aware local time; suffix = the target
+              // instant's actual offset as ±HHMM (+0000 for zero)
+              val local =
+                s"unix_micros(from_utc_timestamp(timestamp_micros($t0)," +
+                  s" '$z'))"
+              val off = s"(($local) - ($t0)) DIV 1000000"
+              val suffix =
+                s"(CASE WHEN $off = 0 THEN '+0000' ELSE concat(" +
+                  s"CASE WHEN $off > 0 THEN '+' ELSE '-' END, " +
+                  s"lpad(CAST(abs($off) DIV 3600 AS STRING), 2, '0'), " +
+                  s"lpad(CAST((abs($off) % 3600) DIV 60 AS STRING), 2, " +
+                  s"'0')) END)"
+              render(local, suffix)
+          }
+      }
     })
     // timetruncate(ts, dur[, use_current_timezone]) (sclfunc.c
     // timeTruncateFunction): floor to a duration multiple. Session is
@@ -2507,11 +2557,35 @@ object GraftSql {
     // cols() expands to several select items BEFORE the item split —
     // the expansion is comma-joined text at the item level
     val selectBody = rewriteCall(selectBody0, "cols",
-      a => expandColsArgs(a, tsCol))
+      a => expandColsArgs(a, tsCol,
+        df.columns.filterNot(_.startsWith("_")).toSeq))
     var selectItems = splitArgs(selectBody).map { item =>
       val m = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+      // the reference also allows AS-less column aliases (`tbname tn`,
+      // sql.y column_alias) — accept a trailing identifier as an alias
+      // when the preceding text is a complete expression (ends in an
+      // operand, not an operator/keyword) and the word itself can
+      // legally be an alias
+      val bare = "^(.*\\S)\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+      val notAnAlias = Set("null", "true", "false", "end", "asc",
+        "desc", "unknown", "preceding", "following", "row", "rows")
+      val noAliasAfter = Set("and", "or", "not", "in", "like", "is",
+        "between", "then", "else", "when", "case", "div", "mod", "xor",
+        "escape", "match", "nmatch", "regexp", "from", "all",
+        "distinct", "as", "union", "over")
+      def completeExpr(e: String): Boolean = {
+        val t = e.trim
+        "[A-Za-z0-9_)'\"`*\\]]$".r.findFirstIn(t).isDefined &&
+          !t.split("\\s+").lastOption.map(_.toLowerCase)
+            .exists(noAliasAfter.contains) &&
+          t.count(_ == '(') == t.count(_ == ')') &&
+          t.count(_ == '\'') % 2 == 0
+      }
       item match {
         case m(e, a) => (e.trim, a)
+        case bare(e, a)
+            if !notAnAlias(a.toLowerCase) && completeExpr(e) =>
+          (e.trim, a)
         case e => (e.trim, e.trim)
       }
     }
@@ -2890,6 +2964,8 @@ object GraftSql {
       "_qduration" -> s"${qDuration}L")
     var pseudo: Map[String, String] = qPseudo
     var intervalSpec: Option[(Long, Long)] = None // (intervalUs, offsetUs)
+    // calendar INTERVAL grid for FILL: (k months, offsetMonths, offsetTicks)
+    var calFillSpec: Option[(Long, Long, Long)] = None
 
     // TRUE_FOR(d | COUNT n | d AND/OR COUNT n [, START(limit)]
     // [, END(limit)]) (sql.y true_for_opt :3028-3060; executor.c
@@ -3057,6 +3133,7 @@ object GraftSql {
           val wend = s"(${bucketStart(s"($msW + $k)")} + ${offTicks}L)"
           pseudo = qPseudo ++
             Map("_wend" -> wend, "_wduration" -> s"($wend - _wstart)")
+          calFillSpec = Some((k, offMonths, offTicks))
         case Some(sl) =>
           // calendar INTERVAL + fixed SLIDING (ttime.c:1640 branch of
           // taosTimeTruncate): window starts sit on the EPOCH-ALIGNED
@@ -3248,10 +3325,11 @@ object GraftSql {
       val colArgs = args.drop(if (slide.isDefined) 2 else 1)
       df =
         if (colArgs.nonEmpty) {
-          require(slide.forall(_ == n),
-            "COUNT_WINDOW with both sliding and cols is unsupported")
+          slide.foreach(s => require(s >= 1 && s <= n,
+            s"COUNT_WINDOW sliding must be in [1, $n], got $s"))
           TimeOps.countWindowsCols(df, n, col(tsCol),
-            partCols.map(col), colArgs.map(a => expr(a)))
+            partCols.map(col), colArgs.map(a => expr(a)),
+            sliding = slide.filter(_ != n).getOrElse(0))
         } else slide match {
           case Some(s) if s != n =>
             require(s >= 1 && s <= n,
@@ -3690,6 +3768,81 @@ object GraftSql {
             valueCols.zip(modes),
             groupKeys.filterNot(_ == "_wstart"), iv, t0, t1 - 1,
             offsetUs = off)
+      case (Some(f), None) if calFillSpec.isDefined =>
+        // FILL over a CALENDAR interval grid (INTERVAL 1n/1q/1y): the
+        // month-boundary window starts between the query range (or the
+        // result's own extent) enumerate driver-side — a query-ranged,
+        // small list — and feed the spine as a literal array
+        val args = splitArgs(stripOuterParens(f))
+        val valueCols = res.columns
+          .filterNot(cn => groupKeys.exists(_.equalsIgnoreCase(cn)))
+          .filterNot(_.equalsIgnoreCase("_isfilled")).toSeq
+        def valueList(forced: Boolean): Seq[FillOps.FillMode] = {
+          def one(t0: String): FillOps.FillMode = fillConst(t0) match {
+            case None => FillOps.FillNull
+            case Some(d) =>
+              if (forced) FillOps.FillValueF(d) else FillOps.FillValue(d)
+          }
+          args.tail.map(_.trim) match {
+            case Seq() => Seq.fill(valueCols.length)(one("0"))
+            case Seq(x) => Seq.fill(valueCols.length)(one(x))
+            case many =>
+              require(many.length == valueCols.length,
+                s"FILL(VALUE …) carries ${many.length} literals for " +
+                  s"${valueCols.length} value columns")
+              many.map(one)
+          }
+        }
+        val modes: Seq[FillOps.FillMode] = args.head.toUpperCase match {
+          case "NONE" => Seq.fill(valueCols.length)(FillOps.FillNone)
+          case "NULL" => Seq.fill(valueCols.length)(FillOps.FillNull)
+          case "NULL_F" => Seq.fill(valueCols.length)(FillOps.FillNullF)
+          case "VALUE" => valueList(forced = false)
+          case "VALUE_F" => valueList(forced = true)
+          case "PREV" => Seq.fill(valueCols.length)(FillOps.FillPrev)
+          case "NEXT" => Seq.fill(valueCols.length)(FillOps.FillNext)
+          case "NEAR" => Seq.fill(valueCols.length)(FillOps.FillNear)
+          case "LINEAR" => Seq.fill(valueCols.length)(FillOps.FillLinear)
+          case other => throw new IllegalArgumentException(s"FILL $other")
+        }
+        val (k, offM, offT) = calFillSpec.get
+        def bucketOf(t: Long): Long = {
+          val secs = java.lang.Math.floorDiv(t - offT, perSecond)
+          val z = java.time.Instant.ofEpochSecond(secs)
+            .atZone(java.time.ZoneOffset.UTC)
+          val m = (z.getYear - 1970) * 12L + z.getMonthValue - 1 - offM
+          m - java.lang.Math.floorMod(m, k)
+        }
+        def startOf(b: Long): Long = java.time.ZonedDateTime.of(
+          1970 + java.lang.Math.floorDiv(b + offM, 12L).toInt,
+          java.lang.Math.floorMod(b + offM, 12L).toInt + 1,
+          1, 0, 0, 0, 0, java.time.ZoneOffset.UTC)
+          .toEpochSecond * perSecond + offT
+        val range =
+          s"(?i).*\\b$tsCol\\s*>=\\s*(\\d+)\\s*AND\\s*$tsCol\\s*<\\s*(\\d+).*".r
+        val rangeTs =
+          s"(?i).*\\b$tsCol\\s*>=\\s*'([^']+)'\\s*AND\\s*$tsCol\\s*<\\s*'([^']+)'.*".r
+        val (bLo, bHi) = c.get("WHERE") match {
+          case Some(range(a, b)) => (bucketOf(a.toLong), bucketOf(b.toLong - 1))
+          case Some(rangeTs(a, b))
+              if tsLitTicks(s"'$a'", perSecond).isDefined &&
+                 tsLitTicks(s"'$b'", perSecond).isDefined =>
+            (bucketOf(tsLitTicks(s"'$a'", perSecond).get),
+              bucketOf(tsLitTicks(s"'$b'", perSecond).get - 1))
+          case _ =>
+            val mm = res.agg(min(col("_wstart")), max(col("_wstart"))).head
+            if (mm.isNullAt(0)) (0L, -1L)
+            else (bucketOf(mm.getLong(0)), bucketOf(mm.getLong(1)))
+        }
+        val nBuckets = if (bHi < bLo) 0L else (bHi - bLo) / k + 1
+        require(nBuckets <= 200000,
+          s"calendar FILL grid too large: $nBuckets windows")
+        val grid = (bLo to bHi by k).map(startOf)
+        if (grid.nonEmpty)
+          res = FillOps.fillIntervalMulti(res, "_wstart",
+            valueCols.zip(modes),
+            groupKeys.filterNot(_ == "_wstart"), 1L, 0L, 0L,
+            gridStarts = Some(grid))
       case (Some(_), None) =>
         throw new IllegalArgumentException("FILL requires INTERVAL")
       case _ =>
