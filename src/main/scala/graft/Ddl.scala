@@ -461,6 +461,29 @@ object Ddl {
         ("vgroups", cat.sql("SHOW VGROUPS").count()))
         .toDF("surface", "n").orderBy("surface")
     },
+    // SHOW [db.]DISK_INFO / ins_disk_usage (sql.y:1429, systable.c:695
+    // diskUsageSchema) + xnode attribute patches and the two-arg
+    // double-quoted ALTER LOCAL form — the disk sizes are the
+    // catalog's deterministic logical estimates
+    "ddl_disk_info_gate" -> { (s, dir) =>
+      import s.implicits._
+      val cat = demo(s, dir)
+      cat.exec("ALTER LOCAL \"multiResultFunctionStarReturnTags\" \"0\"")
+      cat.exec("ALTER XNODE JOB 1 SET status 'running'")
+      cat.exec("ALTER XNODE TASK \"1\" WITH batch 2048 AND timeout 30" +
+        " labels '1'")
+      val du = cat.sql("SHOW graftdb.DISK_INFO")
+        .select($"db_name", $"vgroup_id".cast("long").as("vgroup_id"),
+          $"wal_size", $"data1", $"cache_rdb", $"table_meta",
+          $"raw_data")
+      val viaIns = cat.sql(
+        "SELECT count(*) AS n FROM information_schema.ins_disk_usage")
+        .head.getLong(0)
+      val stablesInDb = cat.sql("SHOW graftdb.STABLES").count()
+      du.withColumn("ins_rows", lit(viaIns))
+        .withColumn("stables_in_db", lit(stablesInDb))
+        .orderBy("db_name")
+    },
     // cluster-admin text surface (sql.y:368-613 tokens/roles, :845-905
     // node/vgroup admin, :1338-1339 mounts): management verbs mutate
     // the catalog's observable registries, read back through one
@@ -793,6 +816,15 @@ object Ddl {
            ('v1', 1704088800000000, 11, 'local1', 'static_city', 100))
          AS t(tbname, ts, val, local_tag, ref_city, ref_code)
          ORDER BY tbname, ts""",
+    "ddl_disk_info_gate" ->
+      """SELECT 'graftdb' AS db_name, CAST(3 AS BIGINT) AS vgroup_id,
+           CAST(67584 AS BIGINT) AS wal_size,
+           CAST(270336 AS BIGINT) AS data1,
+           CAST(256 AS BIGINT) AS cache_rdb,
+           CAST(8448 AS BIGINT) AS table_meta,
+           CAST(540672 AS BIGINT) AS raw_data,
+           CAST(2 AS BIGINT) AS ins_rows,
+           CAST(2 AS BIGINT) AS stables_in_db""",
     "ddl_admin_ops_gate" ->
       """SELECT * FROM (VALUES
            ('dnode', '2', 'h2:6030'),

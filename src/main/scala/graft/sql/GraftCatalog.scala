@@ -653,7 +653,8 @@ class GraftCatalog(val spark: SparkSession) {
     // validated and accepted — the reference applies them to tsdbCfg,
     // the analogue here is SparkConf the session was built with
     else if (("(?i)^ALTER (?:DNODE \\d+|ALL DNODES|LOCAL|CLUSTER)\\s+" +
-      "(?:'[^']+'(?:\\s+(?:'[^']*'|\\S+))?|\"[^\"]+\")$")
+      "(?:'[^']+'(?:\\s+(?:'[^']*'|\\S+))?|" +
+      "\"[^\"]+\"(?:\\s+\"[^\"]*\")?)\\s*$")
         .r.matches(stmt)) ()
     else if (up.startsWith("DROP USER")) dropUser(stmt)
     else if (up.startsWith("CREATE ROLE")) {
@@ -761,7 +762,11 @@ class GraftCatalog(val spark: SparkSession) {
     }
     else if (up == "REBALANCE XNODE") ()
     else if ("(?i)^ALTER XNODE \\d+ SET TOKEN '[^']*'$".r.matches(stmt) ||
-      "(?i)^ALTER XNODE SET USER .+$".r.matches(stmt)) ()
+      "(?i)^ALTER XNODE SET (USER|TOKEN) .+$".r.matches(stmt)) ()
+    // agent/job/task attribute patches (xnode admin text surface):
+    // validated-accept — WITH/SET carry engine-opaque key/value text
+    else if (("(?i)^ALTER XNODE (AGENT|JOB|TASK) ('[^']*'|\"[^\"]*\"" +
+      "|\\d+)\\s+(WITH|SET)\\s+.+$").r.matches(stmt)) ()
     // accounts are the enterprise tenant surface — accepted, validated
     else if ("(?i)^(CREATE|ALTER) ACCOUNT \\w+ .+$".r.matches(stmt)) ()
     else if ("(?i)^CREATE ENCRYPT_ALGR '[^']+'$".r.matches(stmt))
@@ -2176,7 +2181,24 @@ class GraftCatalog(val spark: SparkSession) {
     else if (name == "ins_users") insUsers
     else if (name == "ins_user_privileges") insUserPrivileges
     else if (name == "ins_cluster") insCluster
+    else if (name == "ins_disk_usage") insDiskUsage
     else throw new IllegalArgumentException(s"unknown table: $name")
+  }
+
+  /** information_schema.ins_disk_usage (systable.c:695-704
+    * diskUsageSchema; SHOW [db.]DISK_INFO, sql.y:1429): one row per
+    * database's virtual group. The local engine has no tsdb file
+    * tree, so the sizes are deterministic logical estimates from the
+    * catalog's table counts — listings oracle-compare. */
+  def insDiskUsage: DataFrame = {
+    import spark.implicits._
+    databases.keys.toSeq.zipWithIndex.map { case (db, i) =>
+      val nTabs =
+        children.values.count(c => stables(c.stableName).db == db).toLong
+      (db, i + 2, nTabs * 1024L, nTabs * 4096L, 0L, 0L,
+        256L, nTabs * 128L, 0L, nTabs * 8192L)
+    }.toDF("db_name", "vgroup_id", "wal_size", "data1", "data2",
+      "data3", "cache_rdb", "table_meta", "ss", "raw_data")
   }
 
   /** Stable read = ONE combined rows frame (upsert keyed on
@@ -2804,6 +2826,18 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up == "SHOW SYSTEM DATABASES")
       Seq("information_schema", "performance_schema").map(Tuple1(_))
         .toDF("name")
+    // db-qualified listings (sql.y:1355 db_name_cond_opt: SHOW
+    // [NORMAL|VIRTUAL] db.STABLES / db.TABLES scope to one database)
+    else if (("(?i)^SHOW (?:(?:NORMAL|VIRTUAL|CHILD) )?" +
+        "[A-Za-z_]\\w*\\.(STABLES|TABLES)\\b.*$").r.matches(stmt)) {
+      val m = ("(?i)^SHOW (?:(?:NORMAL|VIRTUAL|CHILD) )?" +
+        "([A-Za-z_]\\w*)\\.(STABLES|TABLES)\\b.*$").r
+        .findFirstMatchIn(stmt).get
+      val db = m.group(1).toLowerCase
+      if (m.group(2).equalsIgnoreCase("STABLES"))
+        insStables.filter(col("db_name") === db)
+      else insTables.filter(col("db_name") === db)
+    }
     else if (up.startsWith("SHOW STABLES")) insStables
     else if (up == "SHOW TABLES") insTables
     else if (up.startsWith("SHOW STREAMS")) insStreams
@@ -3047,6 +3081,12 @@ class GraftCatalog(val spark: SparkSession) {
       nodeDeploy(up.split("\\s+")(1).stripSuffix("S")).toSeq
         .map(d => (d, s"localhost:${6030 + d - 1}"))
         .toDF("id", "endpoint")
+    // SHOW [db.]DISK_INFO (sql.y:1429 createShowDiskUsageStmt) reads
+    // ins_disk_usage, optionally scoped to one database
+    else if (up == "SHOW DISK_INFO") insDiskUsage
+    else if ("(?i)^SHOW [A-Za-z_]\\w*\\.DISK_INFO$".r.matches(stmt))
+      insDiskUsage.filter(col("db_name") ===
+        stmt.split("\\s+")(1).split("\\.")(0).toLowerCase)
     else if (up.startsWith("SHOW SCANS"))
       scanLog.toSeq.toDF("scan_id", "db_name", "start_time")
     // SHOW TOKENS (systable.c:744 tokenSchema): expire = create + TTL

@@ -201,9 +201,12 @@ def harvest(path, sink, neg):
             continue
         # docstring PROSE that happens to start with a SQL keyword
         # ("SHOW TAGS returns all rows …") — English function words
-        # never appear in the dialect's grammar
+        # and assertion-log phrasing never appear in the dialect's
+        # grammar
         if re.search(r"\b(?:the|that|should|verify|verifies|returns|"
-                     r"subsequent|correctly)\b", low):
+                     r"subsequent|correctly|mismatch|expected|returned|"
+                     r"includes|rewrites|retains|passed|independently|"
+                     r"each)\b", low):
             continue
         for kind in KINDS:
             if (low.startswith(kind + " ") and len(txt) > len(kind) + 3
