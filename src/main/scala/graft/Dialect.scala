@@ -537,6 +537,19 @@ object Dialect {
            WHERE event_id < 2000 AND ts < now() AND ts < today()
            ORDER BY event_id""")
     },
+    // timetruncate calendar units (1n/1q/1y) and the timezone-string
+    // third arg (timeTruncateFunction): truncation happens on that
+    // zone's wall clock, DST-aware — the January 2024 events cross the
+    // NY quarter boundary at 05:00Z Jan 1, where Q4-2023 started under
+    // EDT (-4) but Q1-2024 starts under EST (-5)
+    "dialect_timetruncate_tz" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id,
+             timetruncate(ts, 1n) AS mon_utc,
+             timetruncate(ts, 1q, 'America/New_York') AS q_ny,
+             timetruncate(ts, 1d, 'Asia/Shanghai') AS d_sh
+           FROM events WHERE event_id < 2000 ORDER BY event_id""")
+    },
     // to_iso8601 timezone argument (sclfunc.c toISO8601Function):
     // fixed offsets shift the wall clock and keep the user's spelling
     // as the suffix; UTC-prefixed forms strip+pad; IANA names are
@@ -1739,6 +1752,15 @@ object Dialect {
            CAST(isodow(ts) - 1 AS BIGINT) AS wd,
            CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
            'UTC (UTC, +0000)' AS tz
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "dialect_timetruncate_tz" ->
+      """SELECT event_id,
+           epoch_us(date_trunc('month', ts)) AS mon_utc,
+           CASE WHEN epoch_us(ts) >= 1704085200000000
+             THEN 1704085200000000 ELSE 1696132800000000 END AS q_ny,
+           (epoch_us(ts) + 28800000000)
+             - (epoch_us(ts) + 28800000000) % 86400000000
+             - 28800000000 AS d_sh
          FROM events WHERE event_id < 2000 ORDER BY event_id""",
     "dialect_iso8601_tz" ->
       """SELECT event_id,

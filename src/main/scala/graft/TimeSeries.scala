@@ -349,6 +349,25 @@ object TimeSeries {
           col("r_value").as("click_value"))
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
     },
+    // ---- ASOF JOIN '=' + JLIMIT (sql.y asof op list; jlimit caps the
+    // per-instant multi-matches, ranked by the tiebreak) — hour-floored
+    // join timestamps manufacture many right rows per instant ----
+    "asof_join_eq_jlimit" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("ts") - col("ts") % (3600L * 1000000L)).as("hts"),
+          col("event_id"))
+      val r = e.select(col("user_id"),
+        (col("ts") - col("ts") % (3600L * 1000000L)).as("hts"),
+        col("event_id").as("rid"))
+      JoinOps.asofJoinN(l, r, Seq("user_id"), "hts", "hts", "=", 3,
+          Seq("rid"), rightTieBreak = Seq("rid"))
+        .select(col("user_id"), col("hts"), col("event_id"),
+          col("r_rid"), col("jrank"))
+        .orderBy(col("user_id"), col("hts"), col("event_id"),
+          col("jrank"))
+    },
     // ---- ASOF JOIN (>): strictly-before match ----
     "asof_join_gt" -> { (s, dir) =>
       val e = ev(s, dir)
@@ -844,6 +863,21 @@ object TimeSeries {
             NOT (prev IS NOT NULL AND prev.t = t) AS _isfilled
           FROM sel ORDER BY user_id, _irowts_ms""",
     "asof_join_ge" -> asofOracle("<=", extra = ", b.value AS click_value"),
+    "asof_join_eq_jlimit" ->
+      """WITH l AS (SELECT user_id,
+            epoch_us(ts) - epoch_us(ts) % 3600000000 AS hts, event_id
+          FROM events WHERE event_type = 'purchase'),
+        r AS (SELECT user_id,
+            epoch_us(ts) - epoch_us(ts) % 3600000000 AS hts,
+            event_id AS rid,
+            row_number() OVER (PARTITION BY user_id,
+              epoch_us(ts) - epoch_us(ts) % 3600000000
+              ORDER BY event_id) AS jrank
+          FROM events)
+        SELECT l.user_id, l.hts, l.event_id, r.rid AS r_rid, r.jrank
+        FROM l LEFT JOIN r
+          ON l.user_id = r.user_id AND l.hts = r.hts AND r.jrank <= 3
+        ORDER BY l.user_id, l.hts, l.event_id, r.jrank""",
     "asof_join_gt" -> asofOracle("<", extra = ""),
     "asof_join_le" -> asofOracleForward(">="),
     "asof_join_lt" -> asofOracleForward(">"),

@@ -162,7 +162,24 @@ object JoinOps {
   def asofJoinN(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsUs: String, rightTsUs: String, op: String, jlimit: Int,
       rightCols: Seq[String], rightTieBreak: Seq[String] = Nil): DataFrame = {
-    require(Seq(">=", ">", "<=", "<").contains(op), s"bad JLIMIT op $op")
+    require(Seq(">=", ">", "<=", "<", "=").contains(op),
+      s"bad JLIMIT op $op")
+    if (op == "=") {
+      // ASOF '=' multi-matches at the exact ts; JLIMIT caps the match
+      // count per left row, ranked by the right tiebreak. The rank
+      // window partitions by (keys, ts) — per-instant groups, never a
+      // global collapse, keyless included.
+      val w = Window
+        .partitionBy(keys.map(col) :+ col(rightTsUs): _*)
+        .orderBy((if (rightTieBreak.isEmpty) Seq(col(rightTsUs))
+          else rightTieBreak.map(col)): _*)
+      val r2 = right
+        .withColumn("_jrank", row_number().over(w).cast(LongType))
+        .filter(col("_jrank") <= jlimit)
+      return asofJoin(left, r2, keys, leftTsUs, rightTsUs, "=",
+        rightCols :+ "_jrank", rightTieBreak)
+        .withColumnRenamed("r__jrank", "jrank")
+    }
     val backward = op == ">=" || op == ">"
     val keyCols = keys.map(col)
     val ord = col("_t") +: rightTieBreak.map(col)

@@ -714,21 +714,57 @@ object GraftSql {
           }
       }
     })
-    // timetruncate(ts, dur[, use_current_timezone]) (sclfunc.c
-    // timeTruncateFunction): floor to a duration multiple. Session is
-    // UTC so the timezone flag is a no-op; week truncation anchors to
-    // the Sunday before epoch (1969-12-28, firstDayOfWeek default 0 —
-    // sclfunc.c:4839).
+    // timetruncate(ts, dur[, use_current_timezone | 'tz']) (sclfunc.c
+    // timeTruncateFunction): floor to a duration multiple. The third
+    // arg is either the use-current-timezone flag (session is UTC, so
+    // a no-op) or an explicit timezone string — truncation then
+    // happens on that zone's wall clock, DST-aware (taosLocalTime).
+    // Calendar units n/q/y truncate to month-grid starts. Week
+    // truncation anchors to the Sunday before epoch (1969-12-28,
+    // firstDayOfWeek default 0 — sclfunc.c:4839).
     r = rewriteCall(r, "timetruncate", a => {
       val p = splitArgs(a)
       require(p.length >= 2, s"timetruncate needs (ts, duration): $a")
       val t = tsUs(p(0))
-      val unit = p(1).trim
-      val du = durUs(unit)
-      if (unit.toLowerCase.endsWith("w")) {
-        val anchor = -4L * 86400000000L
-        s"(($t) - pmod(($t) - ($anchor), $du))"
-      } else s"(($t) - pmod(($t), $du))"
+      val unit = p(1).trim.stripPrefix("'").stripSuffix("'")
+      val tzArg = p.lift(2).map(_.trim)
+        .filter(x => x.startsWith("'") || x.startsWith("\""))
+        .map(unquote).filterNot(_.matches("[01]"))
+      val calK = "(?i)^(\\d+)([nqy])$".r.findFirstMatchIn(unit).map(m =>
+        m.group(1).toLong * (m.group(2).toLowerCase match {
+          case "n" => 1L
+          case "q" => 3L
+          case _ => 12L
+        }))
+      (calK, tzArg) match {
+        case (Some(k), tz) =>
+          val lt = tz match {
+            case Some(z) => s"from_utc_timestamp(timestamp_micros($t), '$z')"
+            case None => s"timestamp_micros($t)"
+          }
+          val ms = s"((year($lt) - 1970) * 12 + month($lt) - 1)"
+          val b = s"($ms - ($ms % $k))"
+          val start = s"make_timestamp(1970 + CAST(($b) DIV 12 AS INT), " +
+            s"CAST(($b) % 12 AS INT) + 1, 1, 0, 0, 0)"
+          tz match {
+            case Some(z) => s"unix_micros(to_utc_timestamp($start, '$z'))"
+            case None => s"unix_micros($start)"
+          }
+        case (None, Some(z)) =>
+          val du = durUs(unit)
+          val anchor =
+            if (unit.toLowerCase.endsWith("w")) -4L * 86400000000L else 0L
+          val lt =
+            s"unix_micros(from_utc_timestamp(timestamp_micros($t), '$z'))"
+          val tr = s"(($lt) - pmod(($lt) - (${anchor}L), $du))"
+          s"unix_micros(to_utc_timestamp(timestamp_micros($tr), '$z'))"
+        case (None, None) =>
+          val du = durUs(unit)
+          if (unit.toLowerCase.endsWith("w")) {
+            val anchor = -4L * 86400000000L
+            s"(($t) - pmod(($t) - ($anchor), $du))"
+          } else s"(($t) - pmod(($t), $du))"
+      }
     })
     r = rewriteCall(r, "today", _ =>
       "unix_micros(date_trunc('DAY', current_timestamp()))")
@@ -2230,7 +2266,7 @@ object GraftSql {
     // table resolution, no shuffle
     if (!c.contains("FROM")) {
       require(
-        !Seq("WHERE", "GROUP BY", "PARTITION BY", "INTERVAL", "HAVING")
+        !Seq("GROUP BY", "PARTITION BY", "INTERVAL", "HAVING")
           .exists(c.contains),
         s"FROM-less SELECT takes only scalar items: $sql")
       val asRe = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
@@ -2242,6 +2278,10 @@ object GraftSql {
         expr(rewriteFuncs(e0, tsCol, perSecond)).as(al)
       }
       var res = spark.range(1).select(cols: _*)
+      // `SELECT 1 WHERE 1=2` is legal (a constant filter over the
+      // one-row frame — zero or one output rows)
+      c.get("WHERE").foreach(w =>
+        res = res.filter(expr(rewriteFuncs(w, tsCol, perSecond))))
       c.get("LIMIT").foreach(n => res = applyLimit(res, n))
       return res
     }
