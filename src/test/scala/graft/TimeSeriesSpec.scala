@@ -11,6 +11,40 @@ class TimeSeriesSpec extends AnyFunSuite {
 
   private lazy val events = Tables(spark, sf, "events")
 
+  test("interp positional fills carry the adjacent ROW, nulls included") {
+    import spark.implicits._
+    // doKeepRows (timesliceoperator.c:73-96) tracks the immediately
+    // adjacent row and fills its value even when that value is NULL —
+    // it never reaches back to an older non-null sample
+    val df = Seq(
+      (1L, 0L, Some(10.0)),
+      (1L, 100L, None: Option[Double]), // null-valued sample at t=100
+      (1L, 200L, Some(30.0))
+    ).toDF("k", "t", "v")
+    val prev = graft.ops.FillOps.interp(df, col("t"), "v", Seq("k"),
+      stepUs = 50L, t0Us = 0L, t1Us = 200L, graft.ops.FillOps.FillPrev)
+      .orderBy("_irowts")
+      .select("_irowts", "v", "_isfilled").collect()
+    // grid 0,50,100,150,200: t=50 fills 10.0 (prev row t=0);
+    // t=150 fills NULL (prev ROW is the null-valued t=100 — NOT 10.0)
+    assert(prev.map(_.getLong(0)).toSeq == Seq(0L, 50L, 100L, 150L, 200L))
+    assert(prev(1).getDouble(1) == 10.0)
+    // exact hit at the null-valued row: NULL value, _isfilled = false
+    assert(prev(2).isNullAt(1) && !prev(2).getBoolean(2))
+    assert(prev(3).isNullAt(1), s"t=150 must fill the adjacent NULL")
+    assert(prev(4).getDouble(1) == 30.0)
+    // no-reference grid points DROP (hasInterp=false): grid before the
+    // first row under FILL(PREV) emits nothing
+    val early = graft.ops.FillOps.interp(df.filter(col("t") > 0L),
+      col("t"), "v", Seq("k"), 50L, 0L, 200L, graft.ops.FillOps.FillPrev)
+    assert(early.agg(min(col("_irowts"))).head.getLong(0) == 100L)
+    // LINEAR outside the data span drops too
+    val lin = graft.ops.FillOps.interp(df, col("t"), "v", Seq("k"),
+      50L, -100L, 300L, graft.ops.FillOps.FillLinear)
+      .agg(min(col("_irowts")), max(col("_irowts"))).head
+    assert(lin.getLong(0) == 0L && lin.getLong(1) == 200L)
+  }
+
   test("hopping windows cover each row exactly ceil(interval/sliding) times") {
     val n = events.count()
     val assigned = TimeOps.assignIntervals(events, col("ts"),
