@@ -82,11 +82,14 @@ object Analytics {
       det.anomalyRows(ev(s, dir), col("ts"), "value",
           Seq("user_id"), z = 2.0)
         .groupBy(col("user_id"), col("_wgrp"))
-        .agg(usToMs(min(col("ts"))).as("_wstart_ms"),
+        .agg(min(col("ts")).as("_w_us"),
+          usToMs(min(col("ts"))).as("_wstart_ms"),
           usToMs(max(col("ts"))).as("_wend_ms"),
           count(lit(1)).as("n"))
+        // order on the exact µs start — ms-floored starts can collide
+        // between short dense runs at larger scale factors
+        .orderBy(col("user_id"), col("_w_us"))
         .select(col("user_id"), col("_wstart_ms"), col("_wend_ms"), col("n"))
-        .orderBy(col("user_id"), col("_wstart_ms"))
     },
     // ---- ANOMALY_WINDOW with no partition key: global mean/σ come
     // from a one-row scalar aggregate broadcast onto the rows, and the
@@ -95,11 +98,12 @@ object Analytics {
       AnalyticsOps.anomalyRows(ev(s, dir), col("ts"), "value",
           Nil, z = 2.0, tieBreak = Seq("event_id"))
         .groupBy(col("_wgrp"))
-        .agg(usToMs(min(col("ts"))).as("_wstart_ms"),
+        .agg(min(col("ts")).as("_w_us"),
+          usToMs(min(col("ts"))).as("_wstart_ms"),
           usToMs(max(col("ts"))).as("_wend_ms"),
           count(lit(1)).as("n"))
+        .orderBy(col("_w_us"))
         .select(col("_wstart_ms"), col("_wend_ms"), col("n"))
-        .orderBy(col("_wstart_ms"))
     },
     // ---- dtw_path: warping path of each user's series vs user 0 ----
     "sf_dtw_path" -> { (s, dir) =>
@@ -294,7 +298,7 @@ object Analytics {
         SELECT user_id, min(t) // 1000 AS _wstart_ms,
           max(t) // 1000 AS _wend_ms, count(*) AS n
         FROM a GROUP BY user_id, rn - rna
-        ORDER BY user_id, _wstart_ms""",
+        ORDER BY user_id, min(t)""",
     "anomaly_window_keyless" ->
       """WITH s AS (SELECT
             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
@@ -312,5 +316,5 @@ object Analytics {
         SELECT min(t) // 1000 AS _wstart_ms,
           max(t) // 1000 AS _wend_ms, count(*) AS n
         FROM a GROUP BY rn - rna
-        ORDER BY _wstart_ms""")
+        ORDER BY min(t)""")
 }

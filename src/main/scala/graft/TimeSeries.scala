@@ -146,7 +146,9 @@ object TimeSeries {
           usToMs(max(col("ts"))).as("_wend_ms"),
           count(lit(1)).as("n"))
         .select(col("state"), col("_wstart_ms"), col("_wend_ms"), col("n"))
-        .orderBy(col("_wstart_ms"))
+        // ms-floored window starts can collide (two 1-row windows in
+        // one ms at sf>=0.1) — the state column makes the order total
+        .orderBy(col("_wstart_ms"), col("state"))
     },
     // ---- keyless COUNT_WINDOW(100): global row numbering via
     // GlobalScan, windows of 100 consecutive rows across ALL users ----
@@ -989,7 +991,7 @@ object TimeSeries {
             min(t) // 1000 AS _wstart_ms, max(t) // 1000 AS _wend_ms,
             count(*) AS n
           FROM s GROUP BY wid
-          ORDER BY _wstart_ms""",
+          ORDER BY _wstart_ms, state""",
     "count_window_keyless" ->
       """WITH t AS (SELECT epoch_us(ts) AS t,
             (row_number() OVER (ORDER BY ts, event_id) - 1) // 100 AS wid
