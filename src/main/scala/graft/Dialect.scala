@@ -794,6 +794,14 @@ object Dialect {
              week(ts, 6) AS w6, week(ts, 7) AS w7
            FROM events ORDER BY day_us""")
     },
+    // PARTITION BY with an expression/constant key and a plain column
+    // select: rows pass through — partitions are slice context only
+    // (test_partition.py `partition by f1, (1)`)
+    "dialect_partition_const" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id FROM events WHERE event_id < 100
+           PARTITION BY user_id, (1) ORDER BY event_id""")
+    },
     // ORDER BY may name an aggregate expression verbatim after GROUP BY
     "dialect_order_agg" -> { (s, dir) =>
       run(s, dir,
@@ -1950,6 +1958,9 @@ object Dialect {
           CAST(p.w7 AS BIGINT) AS w7
         FROM days d JOIN pin p ON d.day_us = p.day_us
         ORDER BY d.day_us""",
+    "dialect_partition_const" ->
+      """SELECT event_id FROM events WHERE event_id < 100
+         ORDER BY event_id""",
     "dialect_order_agg" ->
       """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
          ORDER BY count(*) DESC, user_id LIMIT 5""",

@@ -3644,7 +3644,12 @@ object GraftSql {
           selectItems.forall { case (e, _) =>
             e.trim == "*" || df.columns.exists(_.equalsIgnoreCase(e.trim)) }
         if ((aggItems.isEmpty || plainRows) &&
-            groupKeys.forall(!_.startsWith("_"))) {
+            // window pseudo keys (_wstart/_session/…) never pass rows
+            // through, but synthetic PARTITION BY expression keys
+            // (_pk<i>, e.g. `PARTITION BY f1, (1)`) are slice context
+            // only — rows still pass (test_partition.py)
+            groupKeys.forall(k =>
+              !k.startsWith("_") || partCols.contains(k))) {
           // key-only select list (test_partition.py `SELECT c1 FROM
           // meters PARTITION BY c1 SLIMIT 2`): GROUP BY collapses to
           // one row per group; PARTITION BY passes the rows through —
