@@ -200,14 +200,14 @@ object Analytics {
             FROM events),
           st AS (
             SELECT user_id, count(*) AS n,
-              CAST(sum(yd) AS DOUBLE) AS sy,
+              CAST(CAST(sum(yd) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
               CAST(max(CASE WHEN rdesc = 1 THEN yd END) AS DOUBLE)
                 AS last_y,
-              CAST(sum(CASE WHEN pv IS NOT NULL THEN yd END) AS DOUBLE)
-                AS sa,
-              CAST(sum(pv) AS DOUBLE) AS sb,
-              CAST(sum(pv * pv) AS DOUBLE) AS sbb,
-              CAST(sum(yd * pv) AS DOUBLE) AS sab,
+              CAST(CAST(sum(CASE WHEN pv IS NOT NULL THEN yd END)
+                AS DECIMAL(18,2)) AS DOUBLE) AS sa,
+              CAST(CAST(sum(pv) AS DECIMAL(18,2)) AS DOUBLE) AS sb,
+              CAST(CAST(sum(pv * pv) AS DECIMAL(18,4)) AS DOUBLE) AS sbb,
+              CAST(CAST(sum(yd * pv) AS DECIMAL(18,4)) AS DOUBLE) AS sab,
               count(pv) AS m
             FROM p GROUP BY user_id),
           ph AS (

@@ -2368,7 +2368,8 @@ object Dialect {
            FROM bins b)
          SELECT lower_bin, upper_bin,
            CASE WHEN sum(n) OVER () = 0 THEN 0.0
-                ELSE CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+                ELSE CAST(n AS DOUBLE)
+                  / CAST(CAST(sum(n) OVER () AS BIGINT) AS DOUBLE)
            END AS percentage
          FROM c ORDER BY lower_bin""")
 }

@@ -777,8 +777,10 @@ object Functions {
            CAST(value AS DECIMAL(18,2)) AS y
            FROM events),
          a AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
-           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-           CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+           CAST(CAST(sum(x) AS DECIMAL(18,0)) AS DOUBLE) AS sx,
+           CAST(CAST(sum(y) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
+           CAST(CAST(sum(x*x) AS DECIMAL(18,0)) AS DOUBLE) AS sxx,
+           CAST(CAST(sum(x*y) AS DECIMAL(18,2)) AS DOUBLE) AS sxy
            FROM t GROUP BY user_id)
          SELECT user_id,
            round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0 AS slope,

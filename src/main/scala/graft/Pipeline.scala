@@ -354,7 +354,9 @@ object Pipeline {
        FROM (SELECT vec_id, embedding AS e,
                unnest(range(1, len(embedding)+1)) AS i
              FROM embeddings) t),
-       nrm AS (SELECT id, CAST(sum(x*x) AS DOUBLE) AS n2 FROM ex GROUP BY 1)"""
+       nrm AS (SELECT id,
+         CAST(CAST(sum(x*x) AS DECIMAL(18,12)) AS DOUBLE) AS n2
+       FROM ex GROUP BY 1)"""
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -427,7 +429,8 @@ object Pipeline {
     "dedup_embedding" ->
       s"""WITH $embExplode,
           dots AS (SELECT a.id AS id_a, b.id AS id_b,
-              CAST(sum(a.x * b.x) AS DOUBLE) AS dot
+              CAST(CAST(sum(a.x * b.x) AS DECIMAL(18,12)) AS DOUBLE)
+                AS dot
             FROM ex a JOIN ex b ON a.i = b.i AND a.id < b.id
             WHERE a.id < 500 AND b.id < 500 GROUP BY 1, 2)
           SELECT id_a, id_b,
@@ -507,7 +510,8 @@ object Pipeline {
     "sim_topk" ->
       s"""WITH $embExplode,
           dots AS (SELECT q.id AS q_id, c.id AS cand_id,
-              CAST(sum(q.x * c.x) AS DOUBLE) AS dot
+              CAST(CAST(sum(q.x * c.x) AS DECIMAL(18,12)) AS DOUBLE)
+                AS dot
             FROM ex c JOIN ex q ON c.i = q.i AND q.id < 5 AND c.id <> q.id
             GROUP BY 1, 2),
           scored AS (SELECT q_id, cand_id,
