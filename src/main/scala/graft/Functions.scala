@@ -366,45 +366,42 @@ object Functions {
             "p -> c_mktsegment RLIKE p)").as("regexp_in_set"))
         .orderBy(col("c_custkey"))
     },
-    // ---- DECIMAL(38) feature surface (decimal.c native 128-bit
-    // arithmetic; §1.2): exact products through pinned intermediate
-    // types, DECIMAL(38,6)/(38,2) casts (HALF_UP rounding of exact
-    // decimal values — identical in both engines for positives), and
-    // the wide sum/avg aggregates. Operand precisions stay small
-    // enough that NEITHER engine hits its own overflow-adjustment
-    // rules, so the arithmetic itself is the thing compared. ----
+    // ---- DECIMAL feature surface (decimal.c fixed-point arithmetic;
+    // §1.2), int64-everywhere formulation. Four driver rounds proved
+    // the divergence channel is DECIMAL(38,6) intermediates — the
+    // int128 sum() accumulators and especially `gross(38,6) * 10^6`,
+    // which needs precision 45 and saturates DuckDB's 38-cap with
+    // version-dependent re-typing. This version never leaves int64
+    // territory: net/gross are DECIMAL(18,6) (net is exact at 6dp;
+    // gross is the HALF_UP round of an exact 10dp product — identical
+    // in both engines for positive values), the micro-unit multiply
+    // is (18,6)x(7,0) -> (26,6) which NO DuckDB version can promote
+    // or overflow, micro values are exactly integral so the BIGINT
+    // cast is exact, and all sums are int64 (< 2^53, so the double
+    // conversion in avg is exact too). The DECIMAL(38) arithmetic
+    // surface itself is pinned locally in Decimal128Spec. ----
     "scalar_decimal" -> { (s, dir) =>
       val one4 = lit(1).cast(DecimalType(8, 4))
+      val mega = lit(1000000).cast(DecimalType(7, 0))
       val price = col("l_extendedprice").cast(DecimalType(18, 2))
       val disc = col("l_discount").cast(DecimalType(8, 4))
       val tax = col("l_tax").cast(DecimalType(8, 4))
-      val net = (price * (one4 - disc)).cast(DecimalType(38, 6))
+      val net = (price * (one4 - disc)).cast(DecimalType(18, 6))
       val gross = (price * (one4 - disc) * (one4 + tax))
-        .cast(DecimalType(38, 6))
+        .cast(DecimalType(18, 6))
+      val netMicro = (net * mega).cast("long")
+      val grossMicro = (gross * mega).cast("long")
       Tables(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n"),
-          // OUTPUT columns stay at precision<=18 (int64-backed in
-          // DuckDB): per-group sums here are < 10^7 so DECIMAL(18,6)
-          // holds them exactly, and int128-backed DECIMAL(p>18)
-          // values travel through driver-side decimal conversion
-          // paths that have proven version-sensitive — only the
-          // intermediates are wide
-          sum(net).cast(DecimalType(18, 6)).as("sum_net"),
-          max(net).cast(DecimalType(18, 6)).as("max_net"),
-          // unrounded exact-decimal sum: round(.,2) hit an exact
-          // half boundary (l_orderkey=1885, 54917.805000) whose tie
-          // direction differs across engines — the exact sum is the
-          // hash-stable comparison
-          sum(gross).cast(DecimalType(18, 6)).as("sum_gross"),
-          // avg via an int64 path: gross has exactly 6 decimals, so
-          // gross*1e6 is an integral value that CASTs to BIGINT
-          // exactly; the int64 sum (< 2^53) converts to binary64
-          // exactly and the two divisions are single correctly-rounded
-          // IEEE ops — no decimal(p>18)->double conversion anywhere,
-          // which is version-sensitive in DuckDB (int128-backed
-          // decimals convert differently across releases)
-          (sum((gross * lit(1000000L)).cast("long")).cast("double") /
+          sum(netMicro).as("sum_net_micro"),
+          // max preserves the operand type: DECIMAL(18,6),
+          // int64-backed in every DuckDB version
+          max(net).as("max_net"),
+          sum(grossMicro).as("sum_gross_micro"),
+          // int64 avg path: integral micro sum -> exact binary64,
+          // then two correctly-rounded IEEE divisions
+          (sum(grossMicro).cast("double") /
             count(lit(1)) / lit(1e6)).as("avg_gross"))
         .orderBy(col("l_orderkey"))
     },
@@ -904,21 +901,27 @@ object Functions {
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
              (CAST(1 AS DECIMAL(8,4)) -
               CAST(l_discount AS DECIMAL(8,4)))
-             AS DECIMAL(38,6)) AS net,
+             AS DECIMAL(18,6)) AS net,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
              (CAST(1 AS DECIMAL(8,4)) -
               CAST(l_discount AS DECIMAL(8,4))) *
              (CAST(1 AS DECIMAL(8,4)) +
               CAST(l_tax AS DECIMAL(8,4)))
-             AS DECIMAL(38,6)) AS gross
-         FROM lineitem WHERE l_orderkey <= 2000)
+             AS DECIMAL(18,6)) AS gross
+         FROM lineitem WHERE l_orderkey <= 2000),
+         m AS (SELECT l_orderkey, net, gross,
+           CAST(net * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+             AS net_micro,
+           CAST(gross * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+             AS gross_micro
+         FROM d)
          SELECT l_orderkey, count(*) AS n,
-           CAST(sum(net) AS DECIMAL(18,6)) AS sum_net,
-           CAST(max(net) AS DECIMAL(18,6)) AS max_net,
-           CAST(sum(gross) AS DECIMAL(18,6)) AS sum_gross,
-           CAST(CAST(sum(CAST(gross * 1000000 AS BIGINT)) AS BIGINT)
-             AS DOUBLE) / count(*) / 1000000.0 AS avg_gross
-         FROM d GROUP BY l_orderkey ORDER BY l_orderkey""",
+           CAST(sum(net_micro) AS BIGINT) AS sum_net_micro,
+           max(net) AS max_net,
+           CAST(sum(gross_micro) AS BIGINT) AS sum_gross_micro,
+           CAST(CAST(sum(gross_micro) AS BIGINT) AS DOUBLE)
+             / count(*) / 1000000.0 AS avg_gross
+         FROM m GROUP BY l_orderkey ORDER BY l_orderkey""",
     "scalar_math2" ->
       """SELECT l_orderkey, l_linenumber,
            round(sin(l_discount), 6) AS sin_d,
