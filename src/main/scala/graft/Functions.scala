@@ -246,15 +246,28 @@ object Functions {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     },
-    // ---- sample(value, 5): mergeable reservoir Aggregator ----
-    // Scalar-shaped output (csv string): the gate's comparator can't sort
-    // or hash array<double> cells, and this check is rows-only anyway.
+    // ---- sample(value, 5): seeded hash-rank reservoir ----
+    // A uniform 5-per-group sample drawn by the k smallest
+    // md5("s5:" || event_id) — every id is equally likely under the
+    // hash, the draw is independent of the KMV twin below (distinct
+    // salt), and the result is deterministic, so the row carries a
+    // real oracle instead of rows-only. The mergeable RANDOMIZED
+    // reservoir Aggregator (the reference's sample() runtime shape)
+    // stays covered by FunctionsSpec's statistical contract test.
+    // Output = the sorted sample in positional double columns (raw
+    // doubles hash cleanly; formatted strings would re-round).
     "sf_sample" -> { (s, dir) =>
-      ev(s, dir).groupBy(col("user_id"))
-        .agg(graft.functions.Aggregators.sample(col("value"), 5).as("sample"))
+      val salted = concat(lit("s5:"), col("event_id").cast("string"))
+      val picked = SeriesOps.sampleKMV(ev(s, dir), salted,
+        Seq(col("user_id")), 5)
+      picked.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(col("value"))).as("sample"))
         .select(col("user_id"),
-          array_join(transform(array_sort(col("sample")),
-            x => format_string("%.2f", x)), ",").as("sample_csv"),
+          get(col("sample"), lit(0)).as("s1"),
+          get(col("sample"), lit(1)).as("s2"),
+          get(col("sample"), lit(2)).as("s3"),
+          get(col("sample"), lit(3)).as("s4"),
+          get(col("sample"), lit(4)).as("s5"),
           size(col("sample")).as("sample_n"))
         .orderBy(col("user_id"))
     },
@@ -721,6 +734,26 @@ object Functions {
     // DuckDB has no DTW — the query is bit-deterministic, so the oracle
     // is a pinned literal table (tools/gen_dtw_oracle.py)
     "sf_dtw" -> PinnedOracles.sfDtw,
+    // seeded hash-rank sample: both engines take the 5 smallest
+    // md5('s5:' || id) per user, then sort the drawn values
+    "sf_sample" ->
+      """WITH r AS (SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY md5('s5:' || CAST(event_id AS VARCHAR)),
+                       's5:' || CAST(event_id AS VARCHAR)) AS rk
+          FROM events),
+         v AS (SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY value) AS vrk
+          FROM r WHERE rk <= 5)
+         SELECT user_id,
+           max(CASE WHEN vrk = 1 THEN value END) AS s1,
+           max(CASE WHEN vrk = 2 THEN value END) AS s2,
+           max(CASE WHEN vrk = 3 THEN value END) AS s3,
+           max(CASE WHEN vrk = 4 THEN value END) AS s4,
+           max(CASE WHEN vrk = 5 THEN value END) AS s5,
+           CAST(count(*) AS INTEGER) AS sample_n
+         FROM v GROUP BY user_id ORDER BY user_id""",
     // KMV: both engines rank by md5 of the decimal-string id
     "sf_sample_kmv" ->
       """WITH r AS (SELECT user_id, ts, event_id, value,

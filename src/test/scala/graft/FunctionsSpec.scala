@@ -26,7 +26,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Aggregators.tlccAt(x, y, 0) < atLag)
   }
 
-  test("reservoir sample: exact when n<=k, bounded and a subset otherwise") {
+  test("seeded hash-rank sample: deterministic, sorted, drawn from input") {
     val events = Tables(spark, sf, "events")
     val out = SparkEntry.queries("sf_sample")(spark, sf).collect()
     assert(out.length == events.select("user_id").distinct().count())
@@ -35,14 +35,37 @@ class FunctionsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("user_id") ->
         (r.getAs[collection.Seq[Double]]("all").toSet, r.getAs[Long]("n"))).toMap
     out.foreach { r =>
-      val s = r.getAs[String]("sample_csv").split(",").map(_.toDouble).toSeq
+      val s = (1 to 5).flatMap(i =>
+        if (r.isNullAt(r.fieldIndex(s"s$i"))) None
+        else Some(r.getAs[Double](s"s$i")))
       val (all, n) = byUser(r.getAs[Long]("user_id"))
       assert(r.getAs[Int]("sample_n") == math.min(5, n))
       assert(s.length == math.min(5, n))
-      // csv cells are %.2f-rounded; round the inputs identically
-      val all2 = all.map(v => f"$v%.2f".toDouble)
-      assert(s.forall(all2.contains), "sample element not drawn from input")
+      assert(s == s.sorted, "sample columns must be ascending")
+      assert(s.forall(all.contains), "sample element not drawn from input")
     }
+    // deterministic: a re-run over a different partitioning is identical
+    val again = SparkEntry.queries("sf_sample")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("randomized reservoir Aggregator: exact when n<=k, uniform-ish") {
+    import spark.implicits._
+    // n <= k: the reservoir IS the input
+    val small = Seq.tabulate(4)(i => ("g", i.toDouble)).toDF("g", "v")
+    val exact = small.groupBy($"g")
+      .agg(Aggregators.sample($"v", 5).as("s"))
+      .head().getAs[collection.Seq[Double]]("s")
+    assert(exact.sorted == Seq(0.0, 1.0, 2.0, 3.0))
+    // n > k: size k, subset of input, merge across partitions holds
+    val big = (1 to 400).map(i => ("g", i.toDouble)).toDF("g", "v")
+      .repartition(8)
+    val got = big.groupBy($"g")
+      .agg(Aggregators.sample($"v", 5).as("s"))
+      .head().getAs[collection.Seq[Double]]("s")
+    assert(got.length == 5)
+    assert(got.forall(v => v >= 1.0 && v <= 400.0 && v == v.floor))
+    assert(got.distinct.length == 5, "reservoir must sample w/o replacement")
   }
 
   test("statecount resets on failures and counts consecutively") {
