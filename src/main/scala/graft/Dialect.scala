@@ -359,6 +359,18 @@ object Dialect {
            TRUE_FOR(COUNT 2, START(COUNT 2), END(1h OR COUNT 2))
            ORDER BY user_id, _wstart_ms""")
     },
+    // keyless streak limits: ONE global machine over (ts, event_id)
+    // via the two-pass GlobalScan fold — no PARTITION BY, no
+    // single-partition collapse (eventwindowoperator.c:101 keyless)
+    "dialect_event_truefor_keyless" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart DIV 1000 AS _wstart_ms,
+             _wend DIV 1000 AS _wend_ms, count(*) AS n
+           FROM events WHERE user_id < 20
+           EVENT_WINDOW START WITH value > 70 END WITH value < 30
+           TRUE_FOR(COUNT 2, START(COUNT 2), END(1h OR COUNT 2))
+           ORDER BY _wstart_ms, _wend_ms, n""")
+    },
     // COUNT_WINDOW(50) in SQL text
     "dialect_count_window" -> { (s, dir) =>
       run(s, dir,
@@ -1493,6 +1505,8 @@ object Dialect {
     "dialect_count_window" -> TimeSeries.oracleSql("count_window"),
     "dialect_event_truefor_limits" ->
       PinnedOracles.sfEventTrueForLimits,
+    "dialect_event_truefor_keyless" ->
+      PinnedOracles.sfEventTrueForLimitsKeyless,
     // TRUE_FOR compares window duration in the native µs domain
     "dialect_state_truefor" ->
       stateTrueForOracle(s"max(t) - min(t) >= ${2 * H}"),

@@ -523,16 +523,14 @@ object TimeOps {
     * Sequential per key, so one `mapPartitions` pass over key-sorted
     * partitions. Held state is bounded by the ACTIVE streak only —
     * count-mode limits hold at most `count` rows, duration-mode at
-    * most one limit-window of rows — never the partition. Keyed form
-    * only: the keyless two-pass GlobalScan variant would need the
-    * streak state threaded through the effect algebra; a keyless call
-    * fails loudly instead of collapsing to one partition. */
+    * most one limit-window of rows — never the partition. The keyless
+    * form rides the same two-pass GlobalScan fold as the other keyless
+    * windows — see [[eventWindowsLimitsKeyless]]. */
   def eventWindowsLimits(df: DataFrame, startCond: Column,
       endCond: Column, tsUs: Column, keys: Seq[String],
       startLimit: Option[TrueForLimit],
-      endLimit: Option[TrueForLimit]): DataFrame = {
-    require(keys.nonEmpty,
-      "EVENT_WINDOW with START/END limits needs PARTITION BY keys")
+      endLimit: Option[TrueForLimit],
+      tie: Seq[Column] = Nil): DataFrame = {
     if (startLimit.isEmpty && endLimit.isEmpty)
       return eventWindows(df, startCond, endCond, tsUs, keys)
     val sl = startLimit.getOrElse(TrueForLimit(0, 0, "dur"))
@@ -541,6 +539,8 @@ object TimeOps {
       .withColumn("_ts", tsUs.cast(LongType))
       .withColumn("_s", startCond.cast(BooleanType))
       .withColumn("_e", endCond.cast(BooleanType))
+    if (keys.isEmpty)
+      return eventWindowsLimitsKeyless(tagged, sl, el, tie)
     val keyCols = keys.map(col)
     val sorted = tagged.repartition(keyCols: _*)
       .sortWithinPartitions(keyCols :+ col("_ts"): _*)
@@ -730,6 +730,222 @@ object TimeOps {
     out.drop("_ts", "_s", "_e")
   }
 
+  /** Keyless EVENT_WINDOW with TRUE_FOR START/END streak limits
+    * (sql.y:2905-2944 true_for over event windows;
+    * eventwindowoperator.c:101,631-760) — the same machine as the
+    * keyed fold above, WITHOUT collapsing the frame to one partition.
+    *
+    * Scale shape: the machine's state, however rich mid-streak,
+    * collapses at every QUIET row (start and end condition both
+    * false) to one of exactly two control states — closed-idle, or
+    * open with only the window-start µs carried (inherited data, not
+    * control flow). A partition's effect is therefore its leading
+    * non-quiet triples (finite, replayed concretely during the
+    * driver's prefix fold) plus the machine evaluated over the
+    * remainder from both canonical states — the same
+    * fromClosed/fromOpen algebra the basic keyless form uses. Rows a
+    * partition still HOLDS at its right edge (an unresolved streak)
+    * resolve against the suffix effect: the continuation triples up
+    * to the first quiet row of the following partitions, stepped
+    * through the control machine locally. Both passes stream; the
+    * driver fold touches per-partition effect records, never rows. A
+    * frame whose leading run exceeds [[LimMachine.LimHeadCap]] rows with no quiet
+    * row fails loudly — such a condition pair windows essentially the
+    * whole frame and has no parallel decomposition. */
+  private def eventWindowsLimitsKeyless(tagged: DataFrame,
+      sl: TrueForLimit, el: TrueForLimit,
+      tie: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = tagged.schema
+    val outSchema =
+      StructType(schema.fields :+ StructField("_wstart", LongType))
+    val tsIdx = schema.fieldIndex("_ts")
+    val sIdx = schema.fieldIndex("_s")
+    val eIdx = schema.fieldIndex("_e")
+    def flags(r: Row): (Long, Boolean, Boolean) =
+      (r.getLong(tsIdx),
+        !r.isNullAt(sIdx) && r.getBoolean(sIdx),
+        !r.isNullAt(eIdx) && r.getBoolean(eIdx))
+
+    def summarize(it: Iterator[Row]): (LimEffect, LimCont) = {
+      val head = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Boolean, Boolean)]
+      var quiet: Option[(Long, Boolean, Boolean)] = None
+      var mC = LimMachine.LimClosedIdle
+      var mO = LimMachine.LimOpenInherit
+      it.foreach { r =>
+        val t @ (ts, s, e) = flags(r)
+        if (quiet.isEmpty) {
+          if (!s && !e) {
+            quiet = Some(t)
+            mC = LimMachine.limStep(mC, ts, s, e, sl, el)
+            mO = LimMachine.limStep(mO, ts, s, e, sl, el)
+          } else {
+            require(head.length < LimMachine.LimHeadCap,
+              s"keyless EVENT_WINDOW TRUE_FOR: no quiet row (start AND " +
+                s"end false) within $LimMachine.LimHeadCap rows of a partition — " +
+                "this condition pair has no parallel decomposition")
+            head += t
+          }
+        } else {
+          mC = LimMachine.limStep(mC, ts, s, e, sl, el)
+          mO = LimMachine.limStep(mO, ts, s, e, sl, el)
+        }
+      }
+      val headArr = head.toArray
+      (LimEffect(headArr, quiet.isDefined, mC, mO),
+        LimCont(headArr ++ quiet.toArray, complete = quiet.isDefined))
+    }
+
+    def applyEff(st0: LimState, eff: LimEffect): LimState = {
+      var st = st0
+      eff.head.foreach { case (ts, s, e) =>
+        st = LimMachine.limStep(st, ts, s, e, sl, el)
+      }
+      if (!eff.hasBody) st
+      else {
+        val out = if (st.open) eff.fromOpen else eff.fromClosed
+        if (out.open && out.wsInherit)
+          out.copy(ws = st.ws, wsInherit = st.wsInherit)
+        else out
+      }
+    }
+
+    // prefix accumulator: Left of the pair = the concrete fold state
+    // (always present after scanLeft's zero), Right = a partition's
+    // effect awaiting composition
+    type Pre = (Option[LimState], Option[LimEffect])
+    val zeroPre: Pre = (Some(LimMachine.LimClosedIdle), None)
+
+    val out = GlobalScan.twoPassBidir[Pre, LimCont](
+      tagged, col("_ts") +: tie,
+      zeroPre = zeroPre, zeroSuf = LimCont(Array.empty, complete = false),
+      summary = { it =>
+        val (eff, cont) = summarize(it)
+        ((None, Some(eff)): Pre, cont)
+      },
+      combinePre = (a, b) => (Some(applyEff(a._1.get, b._2.get)), None),
+      combineSuf = (q1, q2) =>
+        if (q1.complete) q1
+        else {
+          require(q1.triples.length + q2.triples.length <= 2 * LimMachine.LimHeadCap,
+            "keyless EVENT_WINDOW TRUE_FOR: continuation exceeds the " +
+              "quiet-row fence")
+          LimCont(q1.triples ++ q2.triples, q2.complete)
+        },
+      emit = { (pre, cont, it) =>
+        val s0 = pre._1.get
+        var open = s0.open
+        var wstart = s0.ws
+        var sFirstTs = if (!s0.open) s0.ft else 0L
+        var sCnt = if (!s0.open) s0.cnt else 0L
+        var eFirstTs = if (s0.open) s0.ft else 0L
+        var eCnt = if (s0.open) s0.cnt else 0L
+        val sBuf = scala.collection.mutable.ArrayBuffer[Row]()
+        val eBuf = scala.collection.mutable.ArrayBuffer[Row]()
+        def resetStart(): Unit = { sCnt = 0; sBuf.clear() }
+        def resetEnd(): Unit = { eCnt = 0; eBuf.clear() }
+        def withW(r: Row): Row = Row.fromSeq(r.toSeq :+ wstart)
+        // identical transitions to the keyed fold; buffers hold only
+        // THIS partition's rows (earlier partitions resolve their own
+        // held rows via their continuation)
+        def stepRow(r: Row): Iterator[Row] = {
+          val (ts, s, e) = flags(r)
+          if (!open) {
+            if (!s) { resetStart(); Iterator.empty }
+            else {
+              if (sCnt == 0) sFirstTs = ts
+              sCnt += 1; sBuf += r
+              if (!sl.satisfied(sFirstTs, ts, sCnt)) Iterator.empty
+              else {
+                open = true; wstart = sFirstTs
+                val headRows = sBuf.toArray
+                resetStart(); resetEnd()
+                val outIt = headRows.iterator.map(withW)
+                if (e) {
+                  eFirstTs = ts; eCnt = 1
+                  if (el.satisfied(eFirstTs, ts, eCnt)) {
+                    open = false; resetEnd()
+                  }
+                }
+                outIt
+              }
+            }
+          } else {
+            if (e) {
+              if (eCnt == 0) {
+                eFirstTs = ts; eCnt = 1
+                val outIt = Iterator.single(withW(r))
+                if (el.satisfied(eFirstTs, ts, eCnt)) {
+                  open = false; resetEnd()
+                }
+                outIt
+              } else {
+                eCnt += 1
+                if (el.satisfied(eFirstTs, ts, eCnt)) {
+                  open = false; resetEnd()
+                  Iterator.empty
+                } else { eBuf += r; Iterator.empty }
+              }
+            } else {
+              val held = eBuf.toArray
+              resetEnd()
+              (held.iterator ++ Iterator.single(r)).map(withW)
+            }
+          }
+        }
+        // resolve rows still held at the right edge against the
+        // continuation (end of data ⇒ keyed keyEnd parity: unopened
+        // start-streak rows drop, an open window's held rows flush)
+        def edgeResolve(): Iterator[Row] = {
+          if (!open) {
+            if (sCnt > 0 && sBuf.nonEmpty) {
+              var st = LimState(open = false, wsInherit = false,
+                0L, sFirstTs, sCnt)
+              var opened = false
+              var resolved = false
+              var i = 0
+              while (!resolved && i < cont.triples.length) {
+                val (ts, s, e) = cont.triples(i)
+                st = LimMachine.limStep(st, ts, s, e, sl, el)
+                if (st.open) { opened = true; resolved = true }
+                else if (st.cnt == 0) resolved = true
+                i += 1
+              }
+              if (opened) { wstart = sFirstTs; sBuf.iterator.map(withW) }
+              else Iterator.empty
+            } else Iterator.empty
+          } else if (eCnt > 0 && eBuf.nonEmpty) {
+            var st = LimState(open = true, wsInherit = false,
+              wstart, eFirstTs, eCnt)
+            var completed = false
+            var resolved = false
+            var i = 0
+            while (!resolved && i < cont.triples.length) {
+              val (ts, s, e) = cont.triples(i)
+              st = LimMachine.limStep(st, ts, s, e, sl, el)
+              if (!st.open) { completed = true; resolved = true }
+              else if (st.cnt == 0) resolved = true
+              i += 1
+            }
+            if (completed) Iterator.empty
+            else eBuf.iterator.map(withW)
+          } else Iterator.empty
+        }
+        // edgeResolve must run only after stepRow has consumed the
+        // partition, so it hides behind a lazily-built iterator
+        it.flatMap(stepRow) ++ new Iterator[Row] {
+          private var inner: Iterator[Row] = null
+          private def ensure(): Unit =
+            if (inner == null) inner = edgeResolve()
+          def hasNext: Boolean = { ensure(); inner.hasNext }
+          def next(): Row = { ensure(); inner.next() }
+        }
+      },
+      outSchema = outSchema)
+    out.drop("_ts", "_s", "_e")
+  }
+
   /** EXTERNAL_WINDOW (sql.y:2895-2900, externalwindowoperator.c:4367):
     * windows supplied by an external rowset. `windows` must carry
     * `_wid`, `_wstart`, `_wend` (Long µs, half-open [start, end)); it is
@@ -748,3 +964,64 @@ object TimeOps {
   def ordered(df: DataFrame, cols: String*): DataFrame =
     df.orderBy(cols.map(col): _*)
 }
+
+/** Control state of the TRUE_FOR streak machine. Closed: (ft, cnt) =
+  * the pending start streak (cnt 0 = idle). Open: ws = window start
+  * (`wsInherit` = still the ws the evaluation was entered with) and
+  * (ft, cnt) = the pending end streak. */
+private[ops] case class LimState(open: Boolean, wsInherit: Boolean,
+    ws: Long, ft: Long, cnt: Long)
+
+/** One control transition of the streak machine — the emission-free
+  * twin of the keyed fold in [[eventWindowsLimits]]. Lives in a
+  * serializable holder: executor-side closures call it, and a bare
+  * object-method call would drag the whole (non-serializable)
+  * TimeOps module into the task closure. */
+private[ops] object LimMachine extends Serializable {
+val LimClosedIdle: LimState = LimState(open = false, wsInherit = false,
+  0L, 0L, 0L)
+val LimOpenInherit: LimState = LimState(open = true, wsInherit = true,
+  0L, 0L, 0L)
+val LimHeadCap: Int = 1 << 16
+def limStep(st: LimState, ts: Long, s: Boolean, e: Boolean,
+    sl: TimeOps.TrueForLimit, el: TimeOps.TrueForLimit): LimState =
+  if (!st.open) {
+    if (!s) st.copy(ft = 0L, cnt = 0L)
+    else {
+      val ft = if (st.cnt == 0) ts else st.ft
+      val cnt = st.cnt + 1
+      if (!sl.satisfied(ft, ts, cnt))
+        LimState(open = false, wsInherit = false, 0L, ft, cnt)
+      else if (e) {
+        // overlap: the opening row also starts (maybe ends) the
+        // end streak
+        if (el.satisfied(ts, ts, 1)) LimMachine.LimClosedIdle
+        else LimState(open = true, wsInherit = false, ft, ts, 1L)
+      } else LimState(open = true, wsInherit = false, ft, 0L, 0L)
+    }
+  } else {
+    if (e) {
+      val ft = if (st.cnt == 0) ts else st.ft
+      val cnt = st.cnt + 1
+      if (el.satisfied(ft, ts, cnt)) LimMachine.LimClosedIdle
+      else st.copy(ft = ft, cnt = cnt)
+    } else st.copy(ft = 0L, cnt = 0L)
+  }
+}
+
+/** Per-partition effect of the streak machine. `head` = the (ts, s,
+  * e) triples of the leading non-quiet rows (replayed concretely at
+  * driver fold time); if a quiet row exists (`hasBody`),
+  * `fromClosed`/`fromOpen` are the machine evaluated from the quiet
+  * row to partition end from the two canonical states every
+  * trajectory collapses to there. */
+private[ops] case class LimEffect(head: Array[(Long, Boolean, Boolean)],
+    hasBody: Boolean, fromClosed: LimState, fromOpen: LimState)
+/** Suffix continuation: the following partitions' triples up to and
+  * including the first quiet row — enough to resolve any streak held
+  * at a partition's right edge. `complete` = a quiet row was found
+  * (false only at end of data). */
+private[ops] case class LimCont(triples: Array[(Long, Boolean, Boolean)],
+    complete: Boolean)
+
+

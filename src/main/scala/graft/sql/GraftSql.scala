@@ -3389,7 +3389,9 @@ object GraftSql {
           df =
             if (tfStart.isDefined || tfEnd.isDefined)
               TimeOps.eventWindowsLimits(df, expr(s0), expr(e0),
-                col(tsCol), partCols, tfStart, tfEnd)
+                col(tsCol), partCols, tfStart, tfEnd,
+                tie = if (partCols.isEmpty) seriesTie(df, tsCol)
+                      else Nil)
             else TimeOps.eventWindows(df, expr(s0), expr(e0),
               col(tsCol), partCols)
           groupKeys = partCols :+ "_wstart"

@@ -96,8 +96,22 @@ def windows_for(rows):
     return [(ws, we, n) for ws, we, n in out if n >= WIN_COUNT]
 
 
-def main(sf_dir):
+def main(sf_dir, keyless=False):
     con = duckdb.connect()
+    if keyless:
+        # one GLOBAL series over (ts, event_id) — the keyless route's
+        # machine-input order (GlobalScan sorts by _ts then the tie)
+        rows = con.execute(
+            f"""SELECT epoch_us(ts), value
+                FROM read_parquet('{sf_dir}/events.parquet')
+                WHERE user_id < {MAX_UID}
+                ORDER BY ts, event_id""").fetchall()
+        vals = sorted((ws // 1000, we // 1000, n)
+                      for ws, we, n in windows_for(rows))
+        print(f"-- {len(vals)} keyless windows")
+        print(",\n".join(
+            f"            ({ws}, {we}, {n})" for ws, we, n in vals))
+        return
     rows = con.execute(
         f"""SELECT user_id, epoch_us(ts), value
             FROM read_parquet('{sf_dir}/events.parquet')
@@ -117,4 +131,4 @@ def main(sf_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1], keyless="--keyless" in sys.argv[2:])
