@@ -99,8 +99,13 @@ object Bench {
     }
     val sentinelLast = timeSentinel()
     val sentinelFloor = floor.getOrElse(sentinelName, 0.0)
+    // 1.25x, tightened from 1.5x after r16: a run whose sentinel sat at
+    // 1.32-1.42x its floor (clearly contended — quiet runs reproduce
+    // none of its regressions) still passed the old bar, so the
+    // artifact claimed a clean environment while flagging phantom >2x
+    // regressions. Either reading above 1.25x now stamps the run.
     val environmentSuspect = sentinelFloor > 0 &&
-      math.max(sentinelFirst, sentinelLast) > sentinelFloor * 1.5
+      math.max(sentinelFirst, sentinelLast) > sentinelFloor * 1.25
     // flag only when BOTH the ratio and the absolute excess are real:
     // sub-second floors otherwise flag on scheduler blips
     val regressed = results.collect {

@@ -449,6 +449,35 @@ object GraftSql {
     else t.substring(1, t.length - 1).replace("''", "'")
   }
 
+  /** Runs a textual rewrite with quoted string literals masked out, so
+    * a regex-based rewrite can never fire inside user string data
+    * (e.g. `WHERE note = 'db.tbl.x'` or a 20-digit run inside a quoted
+    * string). Masks both quote styles; placeholders are control-char
+    * delimited so they can't collide with SQL text. */
+  private def maskingLiterals(s: String)(f: String => String): String = {
+    val lits = scala.collection.mutable.ArrayBuffer[String]()
+    val masked = "'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"".r
+      .replaceAllIn(s, m => {
+        lits += m.matched
+        java.util.regex.Matcher
+          .quoteReplacement(s"${lits.length - 1}")
+      })
+    val out = f(masked)
+    "(\\d+)".r.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+  }
+
+  /** Timezone arguments get re-embedded verbatim into generated SQL
+    * string literals; unquote's `''` handling means user text could
+    * smuggle a quote (and thus expression text) into the query.
+    * Whitelist instead of escaping — every legal IANA name or fixed
+    * offset matches, anything else fails loudly. */
+  private def tzSafe(z: String): String = {
+    require(z.matches("[A-Za-z0-9_/+:-]*"),
+      s"unsupported timezone spelling: $z")
+    z
+  }
+
   /** `cols(selectFunc(x), out1 [AS a1], out2…)` (builtins.c:6831;
     * parTranslater.c:11820 rewriteColsFunction): every output
     * expression is evaluated at the single row the selection function
@@ -478,7 +507,8 @@ object GraftSql {
     val outs = parts.tail.flatMap { out =>
       if (out.trim == "*") tableCols else Seq(out)
     }
-    outs.map { out =>
+    val seen = scala.collection.mutable.HashSet[String]()
+    outs.zipWithIndex.map { case (out, oi) =>
       val (e, alias) = out.trim match {
         case asPat(e0, al) => (e0.trim, Some(al))
         case spacePat(e0, al) => (e0, Some(al))
@@ -503,10 +533,18 @@ object GraftSql {
           // un-aliased expression outputs auto-name from the
           // expression text (the reference defaults aliasName to the
           // expression's own name; identifier-sanitized here so the
-          // name survives every column-reference path)
-          val nm = e.replaceAll("[^A-Za-z0-9_]+", "_")
+          // name survives every column-reference path). Sanitizing
+          // can collide distinct expressions (`length(a)+1` and
+          // `length(a)-1` both flatten to `length_a_1`) — a collision
+          // gains a positional `_c<i>` suffix instead of emitting an
+          // ambiguous duplicate column
+          val nm0 = e.replaceAll("[^A-Za-z0-9_]+", "_")
             .replaceAll("^_+|_+$", "")
-          s"$agg AS ${if (nm.isEmpty || nm.head.isDigit) "_c" + nm else nm}"
+          val nm1 = if (nm0.isEmpty || nm0.head.isDigit) "_c" + nm0
+            else nm0
+          val nm = if (seen.add(nm1.toLowerCase)) nm1
+            else s"${nm1}_c$oi"
+          s"$agg AS $nm"
       }
     }.mkString(", ")
   }
@@ -535,9 +573,10 @@ object GraftSql {
     // an integer literal wider than 19 digits overflows DECIMAL(38)
     // in Spark's parser; the reference reads it as a DOUBLE — append
     // an exponent so Spark does too (timestamps max out at 19 digits,
-    // so no ts literal can match)
-    r = r.replaceAll(
-      "(?<![\\w.'\"])(\\d{20,}(?:\\.\\d+)?)(?![\\w.])", "$1E0")
+    // so no ts literal can match); literal-masked so a 20-digit run
+    // INSIDE a quoted string is never touched
+    r = maskingLiterals(r)(_.replaceAll(
+      "(?<![\\w.'\"])(\\d{20,}(?:\\.\\d+)?)(?![\\w.])", "$1E0"))
     // PG-token timestamp formatting (ttime.c:2032): the format is a
     // literal, so the whole call lowers to built-ins at plan time
     r = rewriteCall(r, "to_char", a => {
@@ -616,6 +655,13 @@ object GraftSql {
           durNative(u.trim, perSecond)})")
         .getOrElse(span)
     })
+    // capacity bound, intentional: DECIMAL(18,2) holds |sum| < 10^16.
+    // Inputs here are the dialect's metric doubles (2dp, < 10^6), so a
+    // group needs ~10^10 rows to saturate — far beyond any per-group
+    // cardinality this surface serves. Above it, ANSI-off yields NULL
+    // (not a wrong number); spark.sql.ansi.enabled turns it into a
+    // runtime error. The exactness (order-independent sums, the reason
+    // for the DECIMAL hop) is worth that loud edge.
     r = rewriteCall(r, "sum", a =>
       s"CAST(CAST(sum(CAST(($a) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)")
     r = rewriteCall(r, "avg", a =>
@@ -673,7 +719,7 @@ object GraftSql {
         s"concat(date_format($t, 'yyyy-MM-dd'), 'T', " +
           s"date_format($t, 'HH:mm:ss.SSSSSS'), $suffix)"
       }
-      p.lift(1).map(unquote) match {
+      p.lift(1).map(z => tzSafe(unquote(z))) match {
         case None => render(t0, "'+0000'")
         // z/Z: zero offset, suffix verbatim (sclfunc.c toISO8601)
         case Some(z) if z.equalsIgnoreCase("z") => render(t0, s"'$z'")
@@ -729,7 +775,7 @@ object GraftSql {
       val unit = p(1).trim.stripPrefix("'").stripSuffix("'")
       val tzArg = p.lift(2).map(_.trim)
         .filter(x => x.startsWith("'") || x.startsWith("\""))
-        .map(unquote).filterNot(_.matches("[01]"))
+        .map(z => tzSafe(unquote(z))).filterNot(_.matches("[01]"))
       val calK = "(?i)^(\\d+)([nqy])$".r.findFirstMatchIn(unit).map(m =>
         m.group(1).toLong * (m.group(2).toLowerCase match {
           case "n" => 1L
@@ -743,9 +789,15 @@ object GraftSql {
             case None => s"timestamp_micros($t)"
           }
           val ms = s"((year($lt) - 1970) * 12 + month($lt) - 1)"
-          val b = s"($ms - ($ms % $k))"
-          val start = s"make_timestamp(1970 + CAST(($b) DIV 12 AS INT), " +
-            s"CAST(($b) % 12 AS INT) + 1, 1, 0, 0, 0)"
+          // pmod, not %: pre-epoch months are negative and Spark's %
+          // takes the dividend's sign — `%` would round toward zero
+          // (1969-11 with 1q buckets to 1970-01) and feed a negative
+          // month into make_timestamp; floorMod matches the Scala-side
+          // calendar twins (INTERVAL AUTO, calendar FILL bucketOf)
+          val b = s"($ms - pmod($ms, $k))"
+          val start = s"make_timestamp(1970 + CAST(" +
+            s"($b - pmod($b, 12)) DIV 12 AS INT), " +
+            s"CAST(pmod($b, 12) AS INT) + 1, 1, 0, 0, 0)"
           tz match {
             case Some(z) => s"unix_micros(to_utc_timestamp($start, '$z'))"
             case None => s"unix_micros($start)"
@@ -2034,11 +2086,13 @@ object GraftSql {
       // qualifier rewrites to `tbl.` across ALL clauses (the pre-r15
       // replace-everywhere behavior, scoped to qualifiers)
       val dbQual = viewOf.map(_._1).filter(_.contains("."))
-      def fixQuals(s: String): String = dbQual.foldLeft(s) { (acc, t) =>
-        val q = java.util.regex.Pattern.quote(t + ".")
-        val alias = t.split("\\.").last + "."
-        ("(?i)(?<![\\w.])" + q).r.replaceAllIn(acc,
-          java.util.regex.Matcher.quoteReplacement(alias))
+      def fixQuals(s: String): String = maskingLiterals(s) { s0 =>
+        dbQual.foldLeft(s0) { (acc, t) =>
+          val q = java.util.regex.Pattern.quote(t + ".")
+          val alias = t.split("\\.").last + "."
+          ("(?i)(?<![\\w.])" + q).r.replaceAllIn(acc,
+            java.util.regex.Matcher.quoteReplacement(alias))
+        }
       }
       def rw(k: String): Option[String] =
         c.get(k).map(v => rewriteFuncs(fixQuals(v), tsCol, perSecond))

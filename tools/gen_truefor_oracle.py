@@ -96,22 +96,12 @@ def windows_for(rows):
     return [(ws, we, n) for ws, we, n in out if n >= WIN_COUNT]
 
 
-def main(sf_dir, keyless=False):
-    con = duckdb.connect()
-    if keyless:
-        # one GLOBAL series over (ts, event_id) — the keyless route's
-        # machine-input order (GlobalScan sorts by _ts then the tie)
-        rows = con.execute(
-            f"""SELECT epoch_us(ts), value
-                FROM read_parquet('{sf_dir}/events.parquet')
-                WHERE user_id < {MAX_UID}
-                ORDER BY ts, event_id""").fetchall()
-        vals = sorted((ws // 1000, we // 1000, n)
-                      for ws, we, n in windows_for(rows))
-        print(f"-- {len(vals)} keyless windows")
-        print(",\n".join(
-            f"            ({ws}, {we}, {n})" for ws, we, n in vals))
-        return
+OUT = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..",
+    "src/main/scala/graft/PinnedOracles.scala")
+
+
+def keyed_windows(con, sf_dir):
     rows = con.execute(
         f"""SELECT user_id, epoch_us(ts), value
             FROM read_parquet('{sf_dir}/events.parquet')
@@ -124,11 +114,79 @@ def main(sf_dir, keyless=False):
     for uid in sorted(series):
         for ws, we, n in windows_for(series[uid]):
             vals.append((uid, ws // 1000, we // 1000, n))
-    print(f"-- {len(vals)} windows")
-    body = ",\n".join(
-        f"            ({u}, {ws}, {we}, {n})" for u, ws, we, n in vals)
-    print(body)
+    return vals
+
+
+def keyless_windows(con, sf_dir):
+    # one GLOBAL series over (ts, event_id) — the keyless route's
+    # machine-input order (GlobalScan sorts by _ts then the tie)
+    rows = con.execute(
+        f"""SELECT epoch_us(ts), value
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE user_id < {MAX_UID}
+            ORDER BY ts, event_id""").fetchall()
+    return sorted((ws // 1000, we // 1000, n)
+                  for ws, we, n in windows_for(rows))
+
+
+def splice(src, val_name, sql_block):
+    import re
+    pat = re.compile(
+        r'  val ' + val_name + r': String =\n    """.*?"""', re.DOTALL)
+    assert pat.search(src), f"val {val_name} not found"
+    return pat.sub(f'  val {val_name}: String =\n{sql_block}',
+                   src, count=1)
+
+
+def main(sf_dirs):
+    """Splices scale-aware pinned oracles (discriminated on
+    `count(*) FROM events`) for both the keyed and keyless gates into
+    PinnedOracles.scala. Pass every scale the gate should hold at:
+    `python3 tools/gen_truefor_oracle.py /root/testdata/sf0.01
+    /root/testdata/sf0.1`."""
+    con = duckdb.connect()
+    keyed_b, keyless_b = [], []
+    for sf_dir in sf_dirs:
+        n_events = con.execute(
+            f"SELECT count(*) FROM "
+            f"read_parquet('{sf_dir}/events.parquet')").fetchone()[0]
+        kv = keyed_windows(con, sf_dir)
+        body = ",\n".join(f"            ({u}, {ws}, {we}, {n})"
+                          for u, ws, we, n in kv)
+        keyed_b.append(
+            f"SELECT * FROM (VALUES\n{body})\n"
+            f"          t(user_id, ws, we, n)\n"
+            f"          WHERE (SELECT count(*) FROM events) = {n_events}")
+        klv = keyless_windows(con, sf_dir)
+        kbody = ",\n".join(f"            ({ws}, {we}, {n})"
+                           for ws, we, n in klv)
+        keyless_b.append(
+            f"SELECT * FROM (VALUES\n{kbody})\n"
+            f"          t(ws, we, n)\n"
+            f"          WHERE (SELECT count(*) FROM events) = {n_events}")
+        print(f"{sf_dir}: {len(kv)} keyed, {len(klv)} keyless windows")
+
+    keyed_sql = ('    """SELECT CAST(user_id AS BIGINT) AS user_id,\n'
+                 "            CAST(ws AS BIGINT) AS _wstart_ms,\n"
+                 "            CAST(we AS BIGINT) AS _wend_ms,\n"
+                 "            CAST(n AS BIGINT) AS n\n"
+                 "          FROM (\n          "
+                 + "\n          UNION ALL\n          ".join(keyed_b)
+                 + ") u\n"
+                 '          ORDER BY user_id, _wstart_ms"""')
+    keyless_sql = ('    """SELECT CAST(ws AS BIGINT) AS _wstart_ms,\n'
+                   "            CAST(we AS BIGINT) AS _wend_ms,\n"
+                   "            CAST(n AS BIGINT) AS n\n"
+                   "          FROM (\n          "
+                   + "\n          UNION ALL\n          ".join(keyless_b)
+                   + ") u\n"
+                   '          ORDER BY _wstart_ms, _wend_ms, n"""')
+    src = open(OUT).read()
+    src = splice(src, "sfEventTrueForLimits", keyed_sql)
+    src = splice(src, "sfEventTrueForLimitsKeyless", keyless_sql)
+    open(OUT, "w").write(src)
+    print(f"spliced into {OUT}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], keyless="--keyless" in sys.argv[2:])
+    main(sys.argv[1:])
