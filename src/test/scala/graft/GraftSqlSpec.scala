@@ -851,4 +851,61 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(q("""SELECT _wstart, count(*) AS n FROM events
       INTERVAL(1n) SLIDING(15d) ORDER BY _wstart""").count() > 0)
   }
+
+  test("calendar timetruncate floors pre-epoch timestamps (pmod)") {
+    // 1969-11-15 00:00:00 UTC = -4,060,800 s; 1q buckets must floor to
+    // 1969-10-01, not round toward zero onto 1970-01-01
+    val nov69 = -4060800000000L
+    val r = q(s"SELECT timetruncate(CAST($nov69 AS BIGINT), 1q) AS t")
+      .head().getLong(0)
+    val oct69 = java.time.Instant.parse("1969-10-01T00:00:00Z")
+      .toEpochMilli * 1000L
+    assert(r == oct69, s"got $r, want $oct69")
+    // 1n: 1969-11-15 -> 1969-11-01
+    val r2 = q(s"SELECT timetruncate(CAST($nov69 AS BIGINT), 1n) AS t")
+      .head().getLong(0)
+    val nov1 = java.time.Instant.parse("1969-11-01T00:00:00Z")
+      .toEpochMilli * 1000L
+    assert(r2 == nov1, s"got $r2, want $nov1")
+  }
+
+  test("textual rewrites never fire inside string literals") {
+    // a 20+-digit run inside a quoted string must come through intact
+    val lit20 = "12345678901234567890123"
+    val got = q(s"SELECT '$lit20' AS s").head().getString(0)
+    assert(got == lit20, s"literal corrupted: $got")
+    // and a db.tbl-looking string survives the qualifier rewrite when
+    // a db-qualified table IS in FROM (fixQuals active)
+    val res: String => DataFrame =
+      n => Tables(spark, sf, n.substring(n.indexOf('.') + 1))
+    val got2 = GraftSql.query(spark, res,
+      """SELECT 'testdb.orders.x' AS tag, testdb.orders.o_orderkey AS ok
+         FROM testdb.orders JOIN testdb.customer
+           ON testdb.orders.o_custkey = testdb.customer.c_custkey
+           JOIN testdb.lineitem
+           ON testdb.lineitem.l_orderkey = testdb.orders.o_orderkey
+         WHERE testdb.orders.o_orderkey <= 100
+         ORDER BY ok LIMIT 1""").head()
+    assert(got2.getString(0) == "testdb.orders.x",
+      s"string literal corrupted: ${got2.getString(0)}")
+  }
+
+  test("timezone arguments reject quote smuggling") {
+    val e = intercept[Exception] {
+      q("SELECT to_iso8601(ts, 'x'' || evil') AS s FROM events LIMIT 1")
+        .collect()
+    }
+    assert(e.getMessage.contains("timezone") ||
+      e.getMessage.contains("literal"))
+  }
+
+  test("cols() auto-names disambiguate colliding expressions") {
+    val df = q(
+      """SELECT cols(max(value), length(event_type)+1,
+           length(event_type)-1) FROM events""")
+    assert(df.columns.distinct.length == df.columns.length,
+      s"duplicate output columns: ${df.columns.mkString(",")}")
+    val r = df.head()
+    assert(math.abs(r.getInt(0) - r.getInt(1)) == 2)
+  }
 }
