@@ -1697,13 +1697,25 @@ object Dialect {
              ORDER BY value, event_id), 6) AS cd
          FROM events ORDER BY user_id, ts_ms, event_id""",
     "dialect_approx" ->
-      """SELECT * FROM (VALUES
+      """SELECT * FROM (
+          SELECT * FROM (VALUES
             ('click', CAST(151 AS BIGINT), true, CAST(2006 AS BIGINT)),
             ('error', CAST(151 AS BIGINT), true, CAST(2014 AS BIGINT)),
             ('purchase', CAST(151 AS BIGINT), true, CAST(1981 AS BIGINT)),
             ('signup', CAST(151 AS BIGINT), true, CAST(2017 AS BIGINT)),
             ('view', CAST(151 AS BIGINT), true, CAST(1982 AS BIGINT)))
-          AS t(event_type, approx_users, ok50, n)
+          t(event_type, approx_users, ok50, n)
+          WHERE (SELECT count(*) FROM events) = 10000
+          UNION ALL
+          SELECT * FROM (VALUES
+            ('click', CAST(1400 AS BIGINT), true, CAST(19863 AS BIGINT)),
+            ('error', CAST(1400 AS BIGINT), true, CAST(19810 AS BIGINT)),
+            ('purchase', CAST(1400 AS BIGINT), true,
+              CAST(20084 AS BIGINT)),
+            ('signup', CAST(1400 AS BIGINT), true, CAST(20302 AS BIGINT)),
+            ('view', CAST(1400 AS BIGINT), true, CAST(19941 AS BIGINT)))
+          t(event_type, approx_users, ok50, n)
+          WHERE (SELECT count(*) FROM events) = 100000) u
           ORDER BY event_type""",
     "dialect_agg_misc" ->
       """SELECT user_id,

@@ -767,13 +767,24 @@ object Functions {
     // driver also runs) — pinnable like the dtw rows. DuckDB's own
     // approx_count_distinct uses a different sketch, hence the literal.
     "sf_hyperloglog" ->
-      """SELECT * FROM (VALUES
+      """SELECT * FROM (
+          SELECT * FROM (VALUES
             ('click', CAST(151 AS BIGINT), CAST(2006 AS BIGINT)),
             ('error', CAST(151 AS BIGINT), CAST(2014 AS BIGINT)),
             ('purchase', CAST(151 AS BIGINT), CAST(1981 AS BIGINT)),
             ('signup', CAST(151 AS BIGINT), CAST(2017 AS BIGINT)),
             ('view', CAST(151 AS BIGINT), CAST(1982 AS BIGINT)))
-          AS t(event_type, approx_users, n)
+          t(event_type, approx_users, n)
+          WHERE (SELECT count(*) FROM events) = 10000
+          UNION ALL
+          SELECT * FROM (VALUES
+            ('click', CAST(1400 AS BIGINT), CAST(19863 AS BIGINT)),
+            ('error', CAST(1400 AS BIGINT), CAST(19810 AS BIGINT)),
+            ('purchase', CAST(1400 AS BIGINT), CAST(20084 AS BIGINT)),
+            ('signup', CAST(1400 AS BIGINT), CAST(20302 AS BIGINT)),
+            ('view', CAST(1400 AS BIGINT), CAST(19941 AS BIGINT)))
+          t(event_type, approx_users, n)
+          WHERE (SELECT count(*) FROM events) = 100000) u
           ORDER BY event_type""",
     "sf_histogram" ->
       """SELECT user_id,

