@@ -1191,6 +1191,13 @@ object Dialect {
         """SELECT tbname, count(*) AS n FROM events GROUP BY tbname
            ORDER BY tbname""")
     },
+    // bare tbname accompanying aggregates WITHOUT GROUP BY — legal in
+    // the reference (tbname is per-table constant; probe receipts)
+    "dialect_tbname_agg" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT tbname, count(*) AS n, min(user_id) AS mu
+           FROM events""")
+    },
     // loose datetime literal widths ('2024-1-5 6:3:2', taosParseTime)
     "dialect_datetime_loose" -> { (s, dir) =>
       run(s, dir,
@@ -2340,6 +2347,9 @@ object Dialect {
     "dialect_tbname" ->
       """SELECT 'events' AS tbname, count(*) AS n FROM events
          ORDER BY tbname""",
+    "dialect_tbname_agg" ->
+      """SELECT 'events' AS tbname, count(*) AS n,
+           min(user_id) AS mu FROM events""",
     "dialect_datetime_loose" ->
       """SELECT count(*) AS n, min(epoch_us(ts)) AS mn FROM events
          WHERE ts >= TIMESTAMP '2024-01-05 06:03:02'

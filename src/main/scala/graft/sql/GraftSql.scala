@@ -3583,6 +3583,26 @@ object GraftSql {
       }
       rewriteFuncs(r, tsCol, perSecond)
     }
+    // a CONSTANT pseudo-column may accompany true aggregates without
+    // GROUP BY (`SELECT tbname, count(*) FROM t1` — parTranslater
+    // treats tbname as per-table constant; surfaced by corpus probe
+    // receipts): lower the bare tbname item as min(tbname), making the
+    // query a plain global aggregate
+    if (!isAgg) {
+      val trueAggRe = ("(?i)\\b(count|sum|avg|stddev|stdvar|spread|" +
+        "mode|twa|irate|elapsed|hyperloglog|percentile|apercentile|" +
+        "histogram|leastsquares)\\s*\\(").r
+      def bareTb(e: String) = e.trim.equalsIgnoreCase("tbname") ||
+        e.trim.toLowerCase.matches("[a-z_][a-z0-9_]*\\.tbname")
+      if (selectItems.exists { case (e, _) =>
+            trueAggRe.findFirstIn(e).isDefined } &&
+          selectItems.exists { case (e, _) => bareTb(e) })
+        selectItems = selectItems.map { case (e, a) =>
+          if (bareTb(e))
+            ("min(tbname)", if (a == e) "tbname" else a)
+          else (e, a)
+        }
+    }
     var hiddenKeys: Seq[String] = Nil
     val out: DataFrame =
       if (!isAgg) {

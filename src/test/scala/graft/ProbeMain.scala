@@ -73,6 +73,20 @@ object ProbeMain {
     spark.stop()
   }
 
+  /** Optional per-statement receipts sink: every SIGNAL failure is
+    * appended as `shape \t statement \t message` to
+    * $SPARK_GRAFT_PROBE_RECEIPTS, so the residual taxonomy can be
+    * audited statement-by-statement instead of in aggregate. */
+  private val receiptsPath = sys.env.get("SPARK_GRAFT_PROBE_RECEIPTS")
+  private def receipt(shape: String, q: String, msg: String): Unit =
+    receiptsPath.foreach { p =>
+      val line = Seq(shape, q, msg).map(_.replaceAll("[\\t\\n\\r]", " "))
+        .mkString("", "\t", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
   /** SHOW/DESCRIBE statements against a seeded catalog: the signal is
     * parse-level failures, not missing-object errors. */
   private def probeCatalog(spark: SparkSession, path: String): Unit = {
@@ -107,6 +121,7 @@ object ProbeMain {
               .replaceAll("`[^`]*`", "`_`").take(90)
             val (cnt, q0, _) = byShape.getOrElse(shape, (0, q, ""))
             byShape(shape) = (cnt + 1, q0, m.take(160))
+            receipt(shape, q, m.take(300))
           }
       }
     }
@@ -134,7 +149,11 @@ object ProbeMain {
     // blanket-events mapping artifacts: a self-join duplicates every
     // column so qualified-star expansion fails; `?` placeholders are
     // prepared-statement API tests, not SQL text
-    "CANNOT_RESOLVE_STAR_EXPAND", "INVALID_IDENTIFIER")
+    "CANNOT_RESOLVE_STAR_EXPAND", "INVALID_IDENTIFIER",
+    // lateral-alias fallback only engages when the referenced column
+    // is MISSING from the blanket events mapping — on the test's real
+    // table the name resolves against the child and never laterals
+    "LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC")
 
   /** DOCUMENTED loud rejects (SURVEY §2.3) and probe-mapping
     * artifacts — failures here are the intended behavior, not gaps:
@@ -179,6 +198,7 @@ object ProbeMain {
             val (c, q0, _) =
               byShape.getOrElse(shape, (0, q, ""))
             byShape(shape) = (c + 1, q0, m.take(160))
+            receipt(shape, q, m.take(300))
           }
       }
     }
