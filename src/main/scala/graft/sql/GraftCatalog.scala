@@ -258,12 +258,26 @@ class GraftCatalog(val spark: SparkSession) {
       case x if x.startsWith("BIGINT") => LongType
       case x if x.startsWith("INT UNSIGNED") => LongType
       case x if x.startsWith("INT") => IntegerType
+      case x if x.startsWith("FLOAT8") => DoubleType // PG alias
       case x if x.startsWith("FLOAT") => FloatType
       case x if x.startsWith("DOUBLE") => DoubleType
       case dec(p, s) => DecimalType(p.toInt, s.toInt)
       case x if x.startsWith("BINARY") || x.startsWith("VARCHAR") ||
         x.startsWith("NCHAR") || x.startsWith("JSON") ||
         x.startsWith("VARBINARY") || x.startsWith("GEOMETRY") => StringType
+      // BLOB/MEDIUMBLOB (tdataformat.h blob ids; the dialect front end
+      // already maps CAST … AS BLOB → binary)
+      case x if x.startsWith("BLOB") || x.startsWith("MEDIUMBLOB") =>
+        BinaryType
+      // external-engine DDL passthrough spellings (the federated tests
+      // issue MySQL/PG CREATEs through the same entry point): TEXT,
+      // FLOAT4/FLOAT8/REAL, DATETIME/DATE map onto the native domains
+      case x if x.startsWith("TEXT") => StringType
+      case x if x.startsWith("FLOAT8") || x.startsWith("REAL") =>
+        DoubleType
+      case x if x.startsWith("FLOAT4") => FloatType
+      case x if x.startsWith("DATETIME") || x.startsWith("DATE") =>
+        LongType
       case other =>
         throw new IllegalArgumentException(s"unsupported column type: $other")
     }
@@ -278,19 +292,57 @@ class GraftCatalog(val spark: SparkSession) {
     val unq =
       if (s.startsWith("'") && s.endsWith("'") && s.length >= 2)
         Some(s.substring(1, s.length - 1).replace("''", "'"))
+      else if (s.startsWith("\"") && s.endsWith("\"") && s.length >= 2)
+        Some(s.substring(1, s.length - 1).replace("\"\"", "\""))
       else None
+    // quoted 'NULL' on a NON-string column is the NULL value
+    // (parInsertSql.c treats the token case-insensitively); on a
+    // string column it stays the literal text
+    if (dt != StringType &&
+        unq.exists(_.equalsIgnoreCase("NULL"))) return null
+    // quoted literals coerce C-style onto numeric/bool columns
+    // (parInsertSql.c accepts TAGS(100, '1') for an INT tag): numerics
+    // parse the unquoted text, never the quote characters; 0x-prefixed
+    // integers parse as hex (taosStr2Int64 base auto-detection)
+    val raw = unq.getOrElse(s)
+    val baseRe = "(?i)^([+-]?)0([xb])([0-9a-f]+)$".r
+    val num = raw match {
+      case baseRe(sign, b, digits) =>
+        val v = java.lang.Long.parseLong(digits,
+          if (b.equalsIgnoreCase("x")) 16 else 2)
+        (if (sign == "-") -v else v).toString
+      case _ => raw
+    }
+    // C-style numeric coercion (taosStr2Int64 fallbacks): integer text
+    // direct, float/scientific text truncates, bool text maps 1/0
+    def asDouble: Option[Double] =
+      if (num.equalsIgnoreCase("true")) Some(1.0)
+      else if (num.equalsIgnoreCase("false")) Some(0.0)
+      else try Some(num.toDouble) catch { case _: Exception => None }
+    def coerceLong: Long =
+      if (num.matches("[+-]?\\d+")) num.toLong
+      else asDouble.map(_.toLong).getOrElse(num.toLong)
     dt match {
       case StringType => unq.getOrElse(s)
-      case BooleanType => s.toBoolean
+      // numeric bool coercion (taosStr2Bool: nonzero = true)
+      case BooleanType =>
+        if (num.matches("[+-]?\\d+")) num.toLong != 0
+        else asDouble match {
+          case Some(d) => d != 0.0
+          case None => num.toBoolean
+        }
       case LongType => unq match {
-        // quoted datetime on a ts column: parse as UTC → current-db ticks
-        case Some(txt) => parseTs(txt)
-        case None => s.toLong
+        // quoted datetime on a ts column: parse as UTC → current-db
+        // ticks; quoted plain/hex/binary/scientific numerics coerce
+        case Some(_) if !num.matches("[+-]?\\d+") &&
+          asDouble.isEmpty => parseTs(num)
+        case _ => coerceLong
       }
-      case IntegerType => s.toInt
-      case FloatType => s.toFloat
-      case DoubleType => s.toDouble
-      case d: DecimalType => new java.math.BigDecimal(s)
+      case IntegerType => coerceLong.toInt
+      case FloatType => asDouble.map(_.toFloat).getOrElse(num.toFloat)
+      case DoubleType => asDouble.getOrElse(num.toDouble)
+      case d: DecimalType => new java.math.BigDecimal(num)
+      case BinaryType => unq.getOrElse(s).getBytes("UTF-8")
       case other =>
         throw new IllegalArgumentException(s"cannot coerce $s to $other")
     }
@@ -336,6 +388,29 @@ class GraftCatalog(val spark: SparkSession) {
     * the db name only selects precision via USE). */
   private def bare(name: String): String =
     name.substring(name.indexOf('.') + 1)
+
+  /** Splits `db.tbl.col` on dots OUTSIDE backticks and strips the
+    * backticks — identifiers may be backtick-quoted unicode
+    * (`经度`), or contain dots/dashes inside the quotes. */
+  private def splitQualified(ref: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inBt = false
+    ref.foreach {
+      case '`' => inBt = !inBt
+      case '.' if !inBt => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def unbt(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("`") && t.endsWith("`") && t.length >= 2)
+      t.substring(1, t.length - 1)
+    else t
+  }
 
   // ------------------------------------------------------------- exec
 
@@ -734,6 +809,13 @@ class GraftCatalog(val spark: SparkSession) {
       extraDnodes(dnodeSeq) =
         stmt.substring(stmt.indexOf('\'') + 1, stmt.length - 1)
     }
+    // bare host + PORT form (sql.y dnode_endpoint: CREATE DNODE host
+    // PORT port — the unquoted spelling of 'host:port')
+    else if ("(?i)^CREATE DNODE [\\w.-]+ PORT \\d+$".r.matches(stmt)) {
+      val p = stmt.split("\\s+")
+      dnodeSeq += 1
+      extraDnodes(dnodeSeq) = s"${p(2)}:${p.last}"
+    }
     else if ("(?i)^DROP DNODE \\d+$".r.matches(stmt)) {
       val id = stmt.split("\\s+").last.toInt
       require(extraDnodes.remove(id).isDefined,
@@ -767,6 +849,13 @@ class GraftCatalog(val spark: SparkSession) {
     // validated-accept — WITH/SET carry engine-opaque key/value text
     else if (("(?i)^ALTER XNODE (AGENT|JOB|TASK) ('[^']*'|\"[^\"]*\"" +
       "|\\d+)\\s+(WITH|SET)\\s+.+$").r.matches(stmt)) ()
+    // agent/job creation carries the same engine-opaque WITH text
+    // (CREATE XNODE AGENT '1' WITH regionA 'cn-east-1', ttl '2y' …;
+    // CREATE XNODE JOB ON 1 WITH config '…' xnode_id 2)
+    else if (("(?i)^CREATE XNODE (AGENT|TASK) ('[^']*'|\"[^\"]*\"" +
+      "|\\d+)(\\s+WITH\\s+.+)?$").r.matches(stmt)) ()
+    else if ("(?i)^CREATE XNODE JOB ON \\d+(\\s+WITH\\s+.+)?$"
+      .r.matches(stmt)) ()
     // accounts are the enterprise tenant surface — accepted, validated
     else if ("(?i)^(CREATE|ALTER) ACCOUNT \\w+ .+$".r.matches(stmt)) ()
     else if ("(?i)^CREATE ENCRYPT_ALGR '[^']+'$".r.matches(stmt))
@@ -1219,23 +1308,29 @@ class GraftCatalog(val spark: SparkSession) {
     val at = rest.indexOf('(', tok.length)
     require(at > 0, s"CREATE VTABLE needs a column list: $stmt")
     val (body, afterCols) = parenGroup(rest, at)
-    val defRe = ("(?i)^([A-Za-z_][A-Za-z0-9_]*)\\s+([A-Za-z0-9()]+)" +
-      "(?:\\s+FROM\\s+([A-Za-z0-9_.]+))?$").r
+    val defRe = ("(?i)^(`[^`]+`|[\\p{L}_][\\p{L}\\p{N}_]*)\\s+" +
+      "([A-Za-z0-9()]+(?:\\s+UNSIGNED)?)" +
+      "(?:\\s+FROM\\s+([\\p{L}\\p{N}_.`-]+))?$").r
     var tsCol: String = null
     val cols = Seq.newBuilder[(String, String, String, String)]
     GraftSql.splitArgs(body).map(_.trim).foreach {
-      case defRe(cn, tp, null) =>
-        require(tsCol == null,
-          s"only the first VTABLE column may omit FROM: $cn")
-        require(tp.equalsIgnoreCase("TIMESTAMP"),
-          s"VTABLE first column must be TIMESTAMP: $cn $tp")
-        tsCol = cn
+      case defRe(cn0, tp, null) =>
+        val cn = unbt(cn0)
+        if (tsCol == null) {
+          require(tp.equalsIgnoreCase("TIMESTAMP"),
+            s"VTABLE first column must be TIMESTAMP: $cn $tp")
+          tsCol = cn
+        } else
+          // a later column without FROM is an UNSOURCED vtable column
+          // (05-VirtualTables: unbound columns read NULL until ALTER
+          // binds a source) — empty source table marks it
+          cols += ((cn, tp, "", ""))
       case defRe(cn, tp, ref) =>
-        val parts = ref.split("\\.")
+        val parts = splitQualified(ref)
         require(parts.length >= 2,
           s"VTABLE column $cn needs FROM table.column: $ref")
         // db qualifier (if any) is advisory here — single catalog
-        cols += ((cn, tp, parts(parts.length - 2), parts.last))
+        cols += ((unbt(cn), tp, parts(parts.length - 2), parts.last))
       case other => throw new IllegalArgumentException(
         s"cannot parse VTABLE column def: $other")
     }
@@ -1246,8 +1341,10 @@ class GraftCatalog(val spark: SparkSession) {
     val series = parseSeriesDecls(rest.substring(afterCols).trim)
     cs.foreach { case (_, _, tbl, _) =>
       // series aliases resolve at read time through their transport;
-      // plain refs must name an existing table now
-      if (!series.exists(_.alias.equalsIgnoreCase(tbl))) table(tbl)
+      // plain refs must name an existing table now (unsourced columns
+      // have no table to check)
+      if (tbl.nonEmpty &&
+          !series.exists(_.alias.equalsIgnoreCase(tbl))) table(tbl)
     }
     vtableDefs(name) = VtableDef(name, tsCol, cs, series = series)
   }
@@ -1297,18 +1394,25 @@ class GraftCatalog(val spark: SparkSession) {
     * so SET TAG / ins_tags / SHOW TABLE TAGS reuse the normal paths. */
   private def createVSubTable(name: String, colPart: String,
       usingPart: String): Unit = {
-    val refRe =
-      "(?i)^([A-Za-z_]\\w*)\\s+FROM\\s+([A-Za-z0-9_.]+)$".r
+    // identifiers may be unicode (backticks are stripped before parse:
+    // `经度` arrives bare); a bare qualified ref without `name FROM`
+    // names the column after its source (sql.y vtable_col variants)
+    val refRe = ("(?i)^(`[^`]+`|[\\p{L}_][\\p{L}\\p{N}_]*)" +
+      "\\s+FROM\\s+([\\p{L}\\p{N}_.`-]+)$").r
+    val bareRefRe = "^([\\p{L}\\p{N}_.`-]+\\.[\\p{L}\\p{N}_`-]+)$".r
     val colRefs: Seq[(String, String, String)] =
       if (colPart.isEmpty) Nil
       else {
         val (body, _) = parenGroup(colPart, 0)
         GraftSql.splitArgs(body).map(_.trim).map {
           case refRe(cn, ref) =>
-            val ps = ref.split("\\.")
+            val ps = splitQualified(ref)
             require(ps.length >= 2,
               s"VTABLE column $cn needs FROM table.column: $ref")
-            (cn, ps(ps.length - 2), ps.last)
+            (unbt(cn), ps(ps.length - 2), ps.last)
+          case bareRefRe(ref) =>
+            val ps = splitQualified(ref)
+            (ps.last, ps(ps.length - 2), ps.last)
           case other => throw new IllegalArgumentException(
             s"cannot parse VTABLE column ref: $other")
         }
@@ -1374,7 +1478,10 @@ class GraftCatalog(val spark: SparkSession) {
     * lowering); distinct-type groups then align on ts with full-outer
     * joins, one per extra type, not one per column. */
   private def vtableDf(v: VtableDef): DataFrame = {
-    val frames = v.cols.groupBy { case (_, tp, _, _) => tp.toUpperCase }
+    // unsourced columns (declared without FROM) read typed NULL
+    val (sourced, unsourced) =
+      v.cols.partition { case (_, _, tbl, _) => tbl.nonEmpty }
+    val frames = sourced.groupBy { case (_, tp, _, _) => tp.toUpperCase }
       .toSeq.sortBy(_._1).map { case (_, cs) =>
         val dt = sparkType(cs.head._2)
         val tagged = cs.map { case (cn, _, tbl, sc) =>
@@ -1397,8 +1504,14 @@ class GraftCatalog(val spark: SparkSession) {
           cs.tail.map { case (cn, _, _, _) =>
             max(when(col("_vsrc") === cn, col("_vv"))).as(cn) }: _*)
       }
-    val base = frames.reduce((a, b) => a.join(b, Seq("_vts"), "full_outer"))
+    require(frames.nonEmpty,
+      s"VTABLE ${v.name} has no sourced columns to read")
+    val joined = frames
+      .reduce((a, b) => a.join(b, Seq("_vts"), "full_outer"))
       .withColumnRenamed("_vts", v.tsCol)
+    val base = unsourced
+      .foldLeft(joined) { case (d, (cn, tp, _, _)) =>
+        d.withColumn(cn, lit(null).cast(sparkType(tp))) }
       .select((v.tsCol +: v.cols.map(_._1)).map(col): _*)
     // a virtual CHILD (USING vstb) also exposes its inherited tags and
     // tbname, exactly like a regular child table — tag refs resolve to
@@ -1566,7 +1679,16 @@ class GraftCatalog(val spark: SparkSession) {
         makeChild(child, bare(stTok), tail.substring(stTok.length).trim)
       case None =>
         val name = bare(rest.split("[\\s(]")(0))
-        val (body, _) = parenGroup(rest, rest.indexOf('('))
+        val (body, afterCols) = parenGroup(rest, rest.indexOf('('))
+        // `CREATE TABLE st (cols) TAGS (tags)` IS a super-table
+        // creation — sql.y treats the TABLE and STABLE spellings
+        // identically when a TAGS clause follows (createTableStmt vs
+        // createStableStmt share create_table_args)
+        if (rest.substring(afterCols).trim.toUpperCase
+            .startsWith("TAGS")) {
+          createStable("CREATE STABLE " + rest)
+          return
+        }
         val (uid, seq) = nextStableIds()
         stables(name) = Stable(name, currentDb, colDefs(body), Nil,
           uid = uid, createSeq = seq)
@@ -1808,7 +1930,16 @@ class GraftCatalog(val spark: SparkSession) {
     val name = bare(tok)
     val up = rest.toUpperCase
     val intoAt = up.indexOf(" INTO ")
-    require(intoAt > 0, s"CREATE STREAM needs INTO: $stmt")
+    if (intoAt < 0) {
+      // notification-only stream (sql.y stream_into_opt is OPTIONAL
+      // when a NOTIFY clause is present; 14-stream.md event push):
+      // there is no result table — the trigger fires notifications
+      require("(?i)\\bNOTIFY\\s*\\(".r.findFirstIn(rest).isDefined,
+        s"CREATE STREAM needs INTO (or a NOTIFY sink): $stmt")
+      streamDefs(name) = StreamDef(name,
+        rest.substring(tok.length).trim, into = "", select = "")
+      return
+    }
     val asAt = up.indexOf(" AS ", intoAt)
     require(asAt > 0, s"CREATE STREAM needs AS <select>: $stmt")
     val options = rest.substring(tok.length, intoAt).trim

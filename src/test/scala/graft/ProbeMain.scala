@@ -103,14 +103,47 @@ object ProbeMain {
     val missing = Seq("not found", "no such", "unknown", "Unknown",
       "does not exist", "cannot be found", "Undefined", "no database",
       "missing", "already exists", "duplicate", "Duplicate",
-      "DUPLICATED", "Invalid value", "out of range")
+      "DUPLICATED", "Invalid value", "out of range",
+      // cross-test collisions and blanket-mapping noise, same spirit:
+      // a second test's `create user u1` / `create snode on dnode 1`
+      // collides with the first's; column resolution against the
+      // probe's stand-in schema is noise, not a grammar gap; µs-db
+      // precision guards ARE the intended behavior for the probe db
+      "user exists", "already on dnode", "UNRESOLVED_COLUMN",
+      "is finer than the table's precision")
     val lines = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
       .getLines().toVector
     var ok = 0; var noisy = 0
     val byShape =
       scala.collection.mutable.Map.empty[String, (Int, String, String)]
+    // the corpus is thousands of UNRELATED tests flattened into one
+    // stream: test B's `create stable st0 (…5 tags)` collides with test
+    // A's 3-tag st0, and B's child creates then fail arity — a harness
+    // artifact, not a dialect gap. Model each test's intent by
+    // replacing on redefinition: drop the colliding object and retry.
+    val createRe =
+      ("(?i)^\\s*create\\s+(database|stable|vstable|table|vtable|view)" +
+        "\\s+(?:if\\s+not\\s+exists\\s+)?([A-Za-z_][\\w.]*|`[^`]+`)").r
+    def run1(q: String): Unit =
+      try cat.sql(q)
+      catch {
+        case e: Throwable
+            if String.valueOf(e.getMessage).contains("already exists") =>
+          createRe.findFirstMatchIn(q) match {
+            case Some(m) =>
+              val kind = m.group(1).toUpperCase match {
+                case "VTABLE" => "VTABLE"
+                case "VSTABLE" => "STABLE"
+                case k => k
+              }
+              try cat.sql(s"DROP $kind IF EXISTS ${m.group(2)}")
+              catch { case _: Throwable => () }
+              cat.sql(q)
+            case None => throw e
+          }
+      }
     lines.foreach { q =>
-      try { cat.sql(q); ok += 1 }
+      try { run1(q); ok += 1 }
       catch {
         case e: Throwable =>
           val m = String.valueOf(e.getMessage)
