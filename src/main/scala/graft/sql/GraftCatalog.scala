@@ -455,6 +455,26 @@ class GraftCatalog(val spark: SparkSession) {
     val stmt = stripBackticks(normalizeWs(sql)).trim.stripSuffix(";").trim
     val up = stmt.toUpperCase
     if (up.startsWith("CREATE DATABASE")) createDatabase(stmt)
+    else if ("(?i)^DROP DATABASE (IF EXISTS )?[\\w.]+( FORCE)?$"
+        .r.matches(stmt)) {
+      val name = stmt.split("\\s+")
+        .filterNot(t => Set("DROP", "DATABASE", "IF", "EXISTS", "FORCE")
+          .contains(t.toUpperCase)).head.toLowerCase
+      val ifEx = up.contains("IF EXISTS")
+      if (!databases.contains(name)) {
+        require(ifEx, s"database not found: $name")
+      } else {
+        databases.remove(name)
+        val gone = stables.collect {
+          case (n, st) if st.db == name => n }.toSet
+        gone.foreach(stables.remove)
+        children.keys.filter(c =>
+          gone.contains(children(c).stableName)).toSeq
+          .foreach(children.remove)
+        vtableDefs.keys.filter(v => gone.contains(v)).toSeq
+          .foreach(vtableDefs.remove)
+      }
+    }
     else if (up.startsWith("USE ")) {
       val db = bare(stmt.substring(4).trim)
       require(databases.contains(db), s"unknown database: $db")
@@ -828,6 +848,12 @@ class GraftCatalog(val spark: SparkSession) {
         (stmt.substring(stmt.indexOf('\'') + 1, stmt.length - 1),
           "ready")
     }
+    else if ("(?i)^DROP XNODE TASK ('[^']*'|\\d+)$".r.matches(stmt)) ()
+    else if ("(?i)^DROP XNODE AGENT ('[^']*'|\\d+)$".r.matches(stmt)) ()
+    // job teardown filters on the id (admin text surface: WHERE id
+    // <op> n — engine-opaque, validated accept)
+    else if ("(?i)^DROP XNODE JOB WHERE id\\s*(=|!=|<|<=|>|>=)\\s*\\d+$"
+      .r.matches(stmt)) ()
     else if ("(?i)^DROP XNODE( FORCE)? \\d+$".r.matches(stmt)) {
       val id = stmt.split("\\s+").last.toInt
       require(xnodeDefs.remove(id).isDefined, s"xnode not found: $id")
@@ -2255,11 +2281,16 @@ class GraftCatalog(val spark: SparkSession) {
       else throw new IllegalArgumentException(s"unknown table: $name")
     if (targets.isEmpty) return
     val tsCol = stables(targets.head.stableName).tsCol
-    // conjunction of `ts <op> literal` predicates on the ts primary key
+    // conjunction of `ts <op> literal` predicates on the ts primary
+    // key; `now`/`now()` resolves to the current ticks (sql.y NOW)
+    val nowTicks = System.currentTimeMillis() * (perSecond / 1000L)
     val cmp = s"(?i)\\b$tsCol\\b\\s*(<=|>=|<|>|=)\\s*('[^']*'|\\S+)".r
     val preds = if (condTxt.isEmpty) Seq((">=", Long.MinValue)) else {
       val ps = cmp.findAllMatchIn(condTxt).map { m =>
-        (m.group(1), literal(m.group(2), LongType).asInstanceOf[Long])
+        val v =
+          if (m.group(2).matches("(?i)now(\\(\\))?")) nowTicks
+          else literal(m.group(2), LongType).asInstanceOf[Long]
+        (m.group(1), v)
       }.toSeq
       require(ps.nonEmpty && condTxt.toUpperCase.split("\\bAND\\b")
         .length == ps.length,
@@ -2845,9 +2876,18 @@ class GraftCatalog(val spark: SparkSession) {
       df
     }
     else if (up.startsWith("EXPLAIN ")) {
-      // EXPLAIN <select> (sql.y:1738): the physical plan, one row per
-      // line — Spark's plan is the honest answer here
-      val df = sql(stmt.substring("EXPLAIN ".length))
+      // EXPLAIN [ANALYZE] [VERBOSE true|false] [RATIO f] <select>
+      // (sql.y:1738 + explain_options): the physical plan, one row
+      // per line — Spark's plan is the honest answer here
+      var body = stmt.substring("EXPLAIN ".length).trim
+      body = "(?i)^ANALYZE\\s+".r.replaceFirstIn(body, "")
+      body = "(?i)^VERBOSE\\s+(TRUE|FALSE)\\s+"
+        .r.replaceFirstIn(body, "")
+      body = "(?i)^RATIO\\s+[0-9.]+\\s+".r.replaceFirstIn(body, "")
+      // a parenthesized query body is legal (sql.y query_expression)
+      if (body.startsWith("(") && body.endsWith(")"))
+        body = body.substring(1, body.length - 1).trim
+      val df = sql(body)
       val lines = df.queryExecution
         .explainString(org.apache.spark.sql.execution.SimpleMode)
         .linesIterator.toSeq

@@ -95,9 +95,13 @@ object ProbeMain {
     Seq(
       "CREATE DATABASE db1",
       "USE db1",
-      "CREATE STABLE meters (ts TIMESTAMP, c1 INT, c2 DOUBLE) " +
-        "TAGS (t1 INT, location VARCHAR(24))",
-      "CREATE TABLE d0 USING meters TAGS (1, 'sj')",
+      // the documentation's demo schema — most corpus statements
+      // assume it (INSERT INTO dX USING meters TAGS('loc', n)
+      // VALUES(ts, current, voltage, phase))
+      "CREATE STABLE meters (ts TIMESTAMP, current FLOAT, " +
+        "voltage INT, phase FLOAT) " +
+        "TAGS (location VARCHAR(64), groupid INT)",
+      "CREATE TABLE d0 USING meters TAGS ('sj', 1)",
       "CREATE TABLE ntb (ts TIMESTAMP, v DOUBLE)"
     ).foreach(cat.sql)
     val missing = Seq("not found", "no such", "unknown", "Unknown",
