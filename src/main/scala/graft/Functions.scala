@@ -859,8 +859,9 @@ object Functions {
            round(ln(l_extendedprice), 6) AS ln_p,
            round(exp(l_discount), 6) AS exp_d,
            pow(l_quantity, 2) AS pow_q,
-           CASE WHEN l_discount - 0.05 > 0 THEN 1.0
-                WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sign_d,
+           CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+                WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END
+             AS DOUBLE) AS sign_d,
            CAST(l_quantity AS BIGINT) % 7 AS mod_q,
            greatest(l_quantity, l_tax * 100) AS great_qt,
            least(l_quantity, l_tax * 100) AS least_qt

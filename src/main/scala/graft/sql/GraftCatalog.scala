@@ -2373,7 +2373,13 @@ class GraftCatalog(val spark: SparkSession) {
   private def stableDf(name: String): DataFrame = {
     val st = stables(name)
     val allKids = children.values.filter(_.stableName == name).toSeq
-    require(allKids.nonEmpty, s"stable $name has no child tables")
+    // a stable with no children yet is a legal query target in the
+    // reference (returns the empty result, not an error)
+    if (allKids.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        StructType(st.cols.fields ++ st.tags.fields :+
+          StructField("tbname", StringType)))
     // VIRTUAL children read through their source-aligned vtable frames
     // (tags + tbname already attached); regular children — a VIRTUAL
     // stable can carry both (05-VirtualTables inheritance tests insert

@@ -87,9 +87,7 @@ object ProbeMain {
         java.nio.file.StandardOpenOption.APPEND)
     }
 
-  /** SHOW/DESCRIBE statements against a seeded catalog: the signal is
-    * parse-level failures, not missing-object errors. */
-  private def probeCatalog(spark: SparkSession, path: String): Unit = {
+  private def seededCatalog(spark: SparkSession): graft.sql.GraftCatalog = {
     val cat = new graft.sql.GraftCatalog(spark)
     // seed a plausible universe so object-named SHOWs have targets
     Seq(
@@ -104,6 +102,17 @@ object ProbeMain {
       "CREATE TABLE d0 USING meters TAGS ('sj', 1)",
       "CREATE TABLE ntb (ts TIMESTAMP, v DOUBLE)"
     ).foreach(cat.sql)
+    cat
+  }
+
+  /** SHOW/DESCRIBE statements against a seeded catalog: the signal is
+    * parse-level failures, not missing-object errors. A `##FILE`
+    * marker line (the extractor's --streams mode) RESETS the catalog —
+    * each reference test file runs against fresh state, in its own
+    * statement order, so creates precede the inserts/selects that
+    * target them. */
+  private def probeCatalog(spark: SparkSession, path: String): Unit = {
+    var cat = seededCatalog(spark)
     val missing = Seq("not found", "no such", "unknown", "Unknown",
       "does not exist", "cannot be found", "Undefined", "no database",
       "missing", "already exists", "duplicate", "Duplicate",
@@ -135,23 +144,38 @@ object ProbeMain {
             if String.valueOf(e.getMessage).contains("already exists") =>
           createRe.findFirstMatchIn(q) match {
             case Some(m) =>
-              val kind = m.group(1).toUpperCase match {
-                case "VTABLE" => "VTABLE"
-                case "VSTABLE" => "STABLE"
-                case k => k
-              }
-              try cat.sql(s"DROP $kind IF EXISTS ${m.group(2)}")
-              catch { case _: Throwable => () }
+              // the colliding object's kind is ambiguous from the new
+              // statement alone (CREATE TABLE + TAGS makes a STABLE);
+              // sweep every kind — DROP STABLE cascades children so a
+              // redefinition never leaves stale-typed child rows
+              Seq("STABLE", "TABLE", "VTABLE", "VIEW", "DATABASE")
+                .filter(k => k == m.group(1).toUpperCase ||
+                  Set("TABLE", "STABLE", "VTABLE")(
+                    m.group(1).toUpperCase) &&
+                    Set("STABLE", "TABLE", "VTABLE")(k))
+                .foreach { k =>
+                  try cat.sql(s"DROP $k IF EXISTS ${m.group(2)}")
+                  catch { case _: Throwable => () }
+                }
               cat.sql(q)
             case None => throw e
           }
       }
+    var files = 0
     lines.foreach { q =>
+      if (q.startsWith("##FILE ")) {
+        cat = seededCatalog(spark)
+        files += 1
+      } else
       try { run1(q); ok += 1 }
       catch {
         case e: Throwable =>
           val m = String.valueOf(e.getMessage)
-          if (missing.exists(m.contains)) noisy += 1
+          // streams mode routes SELECTs through cat.sql too — the
+          // column/function-resolution noise and documented intended
+          // rejects classify exactly as in probeFile
+          if (missing.exists(m.contains) || noise.exists(m.contains) ||
+              intended.exists(m.contains)) noisy += 1
           else {
             val shape = e.getClass.getSimpleName + ": " + m
               .replaceAll("'[^']*'", "'_'").replaceAll("\\d+", "N")
@@ -162,8 +186,10 @@ object ProbeMain {
           }
       }
     }
-    println(s"== probed ${lines.size}: ok=$ok missing-obj=$noisy " +
-      s"signal-fail=${lines.size - ok - noisy} ==")
+    val stmtN = lines.size - files
+    println(s"== probed $stmtN: ok=$ok missing-obj=$noisy " +
+      s"signal-fail=${stmtN - ok - noisy}" +
+      (if (files > 0) s" (streams: $files files)" else "") + " ==")
     byShape.toSeq.sortBy(-_._2._1).take(50).foreach {
       case (shape, (cnt, exq, msg)) =>
         println(f"$cnt%6d  $shape")

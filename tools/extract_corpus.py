@@ -222,10 +222,73 @@ def harvest(path, sink, neg):
                 break
 
 
+def harvest_stream(path):
+    """Per-file statement STREAM: statements in source order (line
+    number), expected-error statements excluded — the sequence a test
+    actually runs, so creates precede the inserts/selects that target
+    them. Returns [] when the file has no statements."""
+    try:
+        tree = ast.parse(open(path, encoding="utf-8",
+                              errors="replace").read())
+    except SyntaxError:
+        return []
+    scan = _ErrScan()
+    scan.visit(tree)
+    out = []
+    for node in ast.walk(tree):
+        s = string_of(node)
+        if s is None or "{scalarSql}" in s or "{funcName}" in s:
+            continue
+        txt = fill_templates(" ".join(s.split()))
+        low = txt.lower()
+        if re.search(r"(?:\b(?:from|where|and|or|on|in|as|by|join|"
+                     r"select|union|all)|,|\()\s*$", low):
+            continue
+        if re.search(r"\b(?:the|that|should|verify|verifies|returns|"
+                     r"subsequent|correctly|mismatch|expected|returned|"
+                     r"includes|rewrites|retains|passed|independently|"
+                     r"each)\b", low):
+            continue
+        for kind in KINDS:
+            if (low.startswith(kind + " ") and len(txt) > len(kind) + 3
+                    and balanced(txt)):
+                if not (id(node) in scan.err_nodes
+                        or s in scan.err_texts):
+                    out.append((getattr(node, "lineno", 0), txt))
+                break
+    out.sort()
+    dedup = []
+    for _, t in out:
+        if not dedup or dedup[-1] != t:
+            dedup.append(t)
+    return dedup
+
+
 def main():
     outdir = sys.argv[1]
-    only = set(sys.argv[2:]) or set(KINDS)
+    args = [a for a in sys.argv[2:] if a != "--streams"]
+    streams = "--streams" in sys.argv[2:]
+    only = set(args) or set(KINDS)
     os.makedirs(outdir, exist_ok=True)
+    if streams:
+        n_files, n_stmts = 0, 0
+        with open(os.path.join(outdir, "corpus_streams.txt"), "w") as fh:
+            for dirpath, _dirs, files in os.walk(ROOT):
+                for f in sorted(files):
+                    if not f.endswith(".py"):
+                        continue
+                    path = os.path.join(dirpath, f)
+                    stmts = harvest_stream(path)
+                    if len(stmts) < 2:
+                        continue
+                    rel = os.path.relpath(path, ROOT)
+                    fh.write(f"##FILE {rel}\n")
+                    fh.write("\n".join(stmts) + "\n")
+                    n_files += 1
+                    n_stmts += len(stmts)
+        print(f"streams: {n_stmts} statements across {n_files} files "
+              f"-> {outdir}/corpus_streams.txt")
+        return
     sink, neg = {}, {}
     n_files = 0
     for dirpath, _dirs, files in os.walk(ROOT):
