@@ -2370,6 +2370,35 @@ class GraftCatalog(val spark: SparkSession) {
     * millions of children); the dimension-join form is the same shape
     * the parquet-backed path uses: tags live in a small dim table
     * keyed by tbname (SURVEY §1.1). */
+  /** Schema evolution can leave stored values typed under an OLD
+    * column/tag definition (ALTER … MODIFY TAG/COLUMN changes the def;
+    * the reference reinterprets old blocks on read — schema version
+    * padding). Reads coerce every stored value to the CURRENT schema
+    * type instead of crashing row construction. */
+  private def coerceTo(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case r: TagRef => r // resolved (and cast) at read time
+    case _ => (dt, v) match {
+      case (StringType, x) => String.valueOf(x)
+      case (LongType, n: Number) => n.longValue()
+      case (LongType, s: String) => s.toLong
+      case (IntegerType, n: Number) => n.intValue()
+      case (IntegerType, s: String) => s.toInt
+      case (DoubleType, n: Number) => n.doubleValue()
+      case (DoubleType, s: String) => s.toDouble
+      case (FloatType, n: Number) => n.floatValue()
+      case (FloatType, s: String) => s.toFloat
+      case (BooleanType, b: java.lang.Boolean) => b
+      case (BooleanType, n: Number) => n.doubleValue() != 0.0
+      case (_: DecimalType, n: java.math.BigDecimal) => n
+      case (_: DecimalType, x) => new java.math.BigDecimal(
+        String.valueOf(x))
+      case (BinaryType, b: Array[Byte]) => b
+      case (BinaryType, x) => String.valueOf(x).getBytes("UTF-8")
+      case (_, x) => x
+    }
+  }
+
   private def stableDf(name: String): DataFrame = {
     val st = stables(name)
     val allKids = children.values.filter(_.stableName == name).toSeq
@@ -2393,8 +2422,11 @@ class GraftCatalog(val spark: SparkSession) {
     val rowSchema = StructType(st.cols.fields :+
       StructField("_seq", LongType) :+ StructField("tbname", StringType))
     val rows = new java.util.ArrayList[Row]()
+    val colTypes = st.cols.fields.map(_.dataType)
     kids.foreach(c => c.rows.foreach { case (vals, seq) =>
-      rows.add(Row.fromSeq(vals :+ seq :+ c.name)) })
+      val padded = vals.padTo(colTypes.length, null).take(colTypes.length)
+      rows.add(Row.fromSeq(padded.zip(colTypes)
+        .map { case (v, t) => coerceTo(v, t) } :+ seq :+ c.name)) })
     val latest = graft.ops.SourceOps
       .upsertLatest(spark.createDataFrame(rows, rowSchema),
         Seq("tbname", st.tsCol), "_seq").drop("_seq")
@@ -2404,8 +2436,11 @@ class GraftCatalog(val spark: SparkSession) {
       val tagSchema = StructType(
         StructField("tbname", StringType) +: st.tags.fields)
       val tagRows = new java.util.ArrayList[Row](kids.length)
-      kids.foreach(c => tagRows.add(
-        Row.fromSeq(c.name +: c.tagVals.map(resolveTagVal))))
+      val tagTypes = st.tags.fields.map(_.dataType)
+      kids.foreach(c => tagRows.add(Row.fromSeq(c.name +:
+        c.tagVals.padTo(tagTypes.length, null).take(tagTypes.length)
+          .zip(tagTypes).map { case (v, t) =>
+            coerceTo(resolveTagVal(v), t) })))
       val dim = spark.createDataFrame(tagRows, tagSchema)
       latest.join(broadcast(dim), "tbname")
         .select((st.cols.fieldNames ++ st.tags.fieldNames :+
@@ -2418,7 +2453,11 @@ class GraftCatalog(val spark: SparkSession) {
     val st = stables(c.stableName)
     val schema = StructType(st.cols.fields :+ StructField("_seq", LongType))
     val rows = new java.util.ArrayList[Row](c.rows.length)
-    c.rows.foreach { case (vals, seq) => rows.add(Row.fromSeq(vals :+ seq)) }
+    val colTypes = st.cols.fields.map(_.dataType)
+    c.rows.foreach { case (vals, seq) =>
+      val padded = vals.padTo(colTypes.length, null).take(colTypes.length)
+      rows.add(Row.fromSeq(padded.zip(colTypes)
+        .map { case (v, t) => coerceTo(v, t) } :+ seq)) }
     val base = spark.createDataFrame(rows, schema)
     val latest = graft.ops.SourceOps
       .upsertLatest(base, Seq(st.tsCol), "_seq").drop("_seq")
