@@ -349,7 +349,22 @@ class GraftCatalog(val spark: SparkSession) {
   }
 
   /** 'yyyy-MM-dd HH:mm:ss[.fff]' (UTC) → ticks at the db precision. */
-  private def parseTs(txt: String): Long = {
+  private def parseTs(txt0: String): Long = {
+    // taosParseTime accepts loose field widths ('2018-9-17 9:0:26.5')
+    // and a bare date ('2000-01-01' = midnight); canonicalize first
+    val loose = ("^(\\d{4})-(\\d{1,2})-(\\d{1,2})" +
+      "(?:[ T](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(\\.\\d+)?)?)?$").r
+    val txt = txt0.trim match {
+      case loose(y, mo, d, h, mi, se, fr) =>
+        def p(x: String) = f"${x.toInt}%02d"
+        val time =
+          if (h == null) " 00:00"
+          else s" ${p(h)}:${p(mi)}" + (if (se == null) ""
+            else s":${p(se)}" +
+              Option(fr).map(f => (f + "000").take(4)).getOrElse(""))
+        s"${y}-${p(mo)}-${p(d)}$time"
+      case other => other
+    }
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm[:ss[.SSS]]")
     val ldt = java.time.LocalDateTime.parse(txt, fmt)
