@@ -271,6 +271,21 @@ object Dialect {
               INTERVAL(12h)) w )
            ORDER BY ws_ms""")
     },
+    // FILL over EXTERNAL_WINDOW (externalwindowoperator.c fill path;
+    // 13-TimeSeriesExt/08-ExternalWindow/test_external_fill.py): empty
+    // declared windows materialize with the positional fill values —
+    // count(*) slots fill too; non-forced VALUE restricts to the
+    // source's own data extent
+    "dialect_external_fill" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart DIV 1000 AS ws_ms, count(*) AS n,
+             sum(value) AS sv
+           FROM events WHERE user_id = 3 EXTERNAL_WINDOW (
+             (SELECT _wstart, _wend FROM events WHERE user_id = 7
+              INTERVAL(12h)) w )
+           FILL(VALUE, 0, -1)
+           ORDER BY ws_ms""")
+    },
     // calendar INTERVAL units (20-select.md v3.4.2): monthly buckets
     // are calendar-aligned, not fixed 30-day spans
     "dialect_interval_month" -> { (s, dir) =>
@@ -1474,6 +1489,24 @@ object Dialect {
            ON epoch_us(e.ts) >= ws
           AND epoch_us(e.ts) < ws + 43200000000
          GROUP BY 1, 2 ORDER BY ws_ms""",
+    "dialect_external_fill" ->
+      """WITH w AS (SELECT DISTINCT
+             epoch_us(ts) - epoch_us(ts) % 43200000000 AS ws
+           FROM events WHERE user_id = 7),
+         agg AS (SELECT ws, count(*) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS DOUBLE) AS sv
+           FROM events e JOIN w
+             ON epoch_us(e.ts) >= ws
+            AND epoch_us(e.ts) < ws + 43200000000
+           WHERE user_id = 3 GROUP BY ws),
+         ext AS (SELECT min(ws) AS lo, max(ws) AS hi FROM agg)
+         SELECT w.ws // 1000 AS ws_ms,
+           coalesce(agg.n, 0) AS n,
+           coalesce(agg.sv, -1.0) AS sv
+         FROM w LEFT JOIN agg ON w.ws = agg.ws, ext
+         WHERE agg.ws IS NOT NULL OR (w.ws > ext.lo AND w.ws < ext.hi)
+         ORDER BY ws_ms""",
     "dialect_interval_month" ->
       """SELECT user_id,
            epoch_us(date_trunc('month', ts)) // 1000 AS ws_ms,

@@ -3058,6 +3058,9 @@ object GraftSql {
       "_qduration" -> s"${qDuration}L")
     var pseudo: Map[String, String] = qPseudo
     var intervalSpec: Option[(Long, Long)] = None // (intervalUs, offsetUs)
+    // the declared window set of an EXTERNAL_WINDOW clause — FILL over
+    // external windows emits every declared window, not a time grid
+    var extWins: Option[DataFrame] = None
     // calendar INTERVAL grid for FILL: (k months, offsetMonths, offsetTicks)
     var calFillSpec: Option[(Long, Long, Long)] = None
 
@@ -3390,10 +3393,38 @@ object GraftSql {
           case (n, _) => n
         }.toIndexedSeq: _*)
       }
-      df = TimeOps.externalWindows(df,
-        wins.select(col("_wstart"), col("_wend")).dropDuplicates(),
-        col(tsCol))
-      groupKeys = partCols ++ Seq("_wstart", "_wend")
+      // the subquery's EXTRA columns (mark etc.) ride along: constant
+      // per window, selectable through the window alias (`w.mark` —
+      // test_external_fill._check_fill_mark_reference) in both data
+      // and filled windows. Names colliding with source columns are
+      // dropped (unreferencable without real qualification anyway).
+      val winAlias = body.substring(close + 1).trim
+        .split("\\s+").headOption.filter(_.matches("\\w+"))
+      val extras = wins.columns
+        .filterNot(Set("_wstart", "_wend"))
+        .filterNot(cn => df.columns.exists(_.equalsIgnoreCase(cn)))
+        .toSeq
+      val winBounds = wins
+        .select(("_wstart" +: "_wend" +: extras).map(col): _*)
+        .dropDuplicates()
+      extWins = Some(winBounds)
+      df = TimeOps.externalWindows(df, winBounds, col(tsCol))
+      groupKeys = partCols ++ Seq("_wstart", "_wend") ++ extras
+      // rewrite `w.col` refs (the window alias) to the bare ride-along
+      // names everywhere downstream text is consumed
+      winAlias.foreach { al =>
+        val aRe = ("(?i)(?<![\\w.])" +
+          java.util.regex.Pattern.quote(al) + "\\.(\\w+)").r
+        def fixAl(s: String): String = aRe.replaceAllIn(s, "$1")
+        selectItems = selectItems.map { case (e, a) =>
+          (fixAl(e), if (a == e) fixAl(a).replaceAll("[^A-Za-z0-9_]+",
+            "_") else a)
+        }
+        c = c.map { case (k, v) =>
+          if (Set("ORDER BY", "HAVING").contains(k)) (k, fixAl(v))
+          else (k, v)
+        }
+      }
       pseudo = qPseudo ++ Map("_wduration" -> "(_wend - _wstart)")
     } else if (c.contains("ANOMALY_WINDOW")) {
       // ANOMALY_WINDOW(col[, 'algo=zscore[,z=k]']) (sql.y:2887): the
@@ -3809,6 +3840,132 @@ object GraftSql {
           .agg(aggCols.head, aggCols.tail: _*)
         havingAgg.foreach(_ => g = g.filter(col("__having")))
         trueFor.foreach(_ => g = g.filter(col("__truefor")))
+        // ---- FILL over EXTERNAL_WINDOW (externalwindowoperator.c
+        // fill path; 13-TimeSeriesExt/08-ExternalWindow/
+        // test_external_fill.py): empty DECLARED windows materialize
+        // per observed partition — NULL/VALUE substitute into the
+        // aggregate slots (count(*) too), PREV/NEXT carry the
+        // neighboring non-empty window's aggregates, the non-forced
+        // variants restrict to windows inside the partition's data
+        // extent, and LINEAR/NEAR/SURROUND are the reference's own
+        // error cases. Runs pre-projection, where the window identity
+        // columns still exist; select items that are pure functions of
+        // the identity (`cast(_wstart as bigint)`) are COMPUTED on
+        // filled rows, everything else fills. The frame is
+        // window-list x partition sized — driver-safe by construction.
+        if (extWins.isDefined && c.contains("FILL")) {
+          import org.apache.spark.sql.expressions.{Window => W}
+          val fArgs = splitArgs(stripOuterParens(c("FILL"))).map(_.trim)
+          val fMode = fArgs.head.toUpperCase
+          if (fMode != "NONE") {
+            require(Set("NULL", "NULL_F", "VALUE", "VALUE_F",
+              "PREV", "NEXT")(fMode),
+              s"FILL($fMode) is not supported with EXTERNAL_WINDOW")
+            val aggRe2 = ("(?i)\\b(count|sum|avg|min|max|first|last|" +
+              "last_row|stddev|stdvar|spread|mode|twa|irate|elapsed|" +
+              "hyperloglog|percentile|apercentile|histogram|" +
+              "leastsquares|sample)\\s*\\(").r
+            def keyDerived(e: String) =
+              aggRe2.findFirstIn(e).isEmpty &&
+                "(?i)\\b(_wstart|_wend|_wduration)\\b".r
+                  .findFirstIn(e).isDefined
+            val fillItems = aggItems
+              .filterNot { case (e, _) => keyDerived(e) }.map(_._2)
+            // group keys = partCols + bounds + the window ride-along
+            // columns; the universe carries them all
+            val keyCols = groupKeys
+            val parts =
+              if (partCols.isEmpty) None
+              else Some(g.select(partCols.map(col): _*).dropDuplicates())
+            val universe = parts
+              .map(_.crossJoin(broadcast(extWins.get)))
+              .getOrElse(extWins.get)
+            var missing = universe.join(g,
+              partCols ++ Seq("_wstart", "_wend"), "left_anti")
+            if (!fMode.endsWith("_F") && fMode != "PREV" &&
+                fMode != "NEXT") {
+              // non-forced: only windows inside the partition's own
+              // data extent fill (fillGetWindowRange semantics)
+              val ext0 =
+                if (partCols.isEmpty)
+                  g.agg(min(col("_wstart")).as("_lo"),
+                    max(col("_wstart")).as("_hi"))
+                else g.groupBy(partCols.map(col): _*)
+                  .agg(min(col("_wstart")).as("_lo"),
+                    max(col("_wstart")).as("_hi"))
+              missing =
+                (if (partCols.isEmpty) missing.crossJoin(broadcast(ext0))
+                 else missing.join(broadcast(ext0), partCols))
+                  .filter(col("_wstart") > col("_lo") &&
+                    col("_wstart") < col("_hi"))
+                  .drop("_lo", "_hi")
+            }
+            val gTypes =
+              g.schema.fields.map(f => f.name -> f.dataType).toMap
+            val fillVals: Map[String, Option[Double]] = fMode match {
+              case "VALUE" | "VALUE_F" =>
+                val lits = fArgs.tail match {
+                  case Seq() => Seq.fill(fillItems.length)("0")
+                  case Seq(x) => Seq.fill(fillItems.length)(x)
+                  case many =>
+                    require(many.length == fillItems.length,
+                      s"FILL(VALUE …) carries ${many.length} literals " +
+                        s"for ${fillItems.length} fillable columns")
+                    many
+                }
+                fillItems.zip(lits.map(fillConst)).toMap
+              case _ => fillItems.map(_ -> None).toMap
+            }
+            val filledRows = missing.select(g.columns.map { cn =>
+              if (keyCols.exists(_.equalsIgnoreCase(cn))) col(cn)
+              else aggItems.find(_._2 == cn) match {
+                case Some((e, a)) if keyDerived(e) =>
+                  expr(rewritten(e)).cast(gTypes(cn)).as(a)
+                case Some((_, a)) =>
+                  fillVals.getOrElse(a, None) match {
+                    case Some(d) => lit(d).cast(gTypes(cn)).as(a)
+                    case None => lit(null).cast(gTypes(cn)).as(a)
+                  }
+                case None => lit(null).cast(gTypes(cn)).as(cn)
+              }
+            }: _*)
+            if (fMode == "PREV" || fMode == "NEXT") {
+              // leading (PREV) / trailing (NEXT) gaps with nothing to
+              // carry stay as NULL rows — the reference emits them for
+              // every OBSERVED partition (partition t1=2's first
+              // window in the partitioned test). A keyless frame with
+              // NO data at all emits nothing: the empty `g` makes the
+              // universe empty via the guard below.
+              val anyData =
+                if (partCols.nonEmpty) true // universe ⊆ observed parts
+                else !g.isEmpty
+              if (anyData) {
+                val marked = g.withColumn("_gapfill", lit(false))
+                  .unionByName(
+                    filledRows.withColumn("_gapfill", lit(true)))
+                val w0 =
+                  (if (partCols.isEmpty) W.partitionBy(lit(1))
+                   else W.partitionBy(partCols.map(col): _*))
+                    .orderBy(col("_wstart"), col("_wend"))
+                val (frame, pick) =
+                  if (fMode == "PREV")
+                    (w0.rowsBetween(W.unboundedPreceding, 0),
+                      (c0: Column) => last(c0, ignoreNulls = true))
+                  else
+                    (w0.rowsBetween(0, W.unboundedFollowing),
+                      (c0: Column) => first(c0, ignoreNulls = true))
+                var m2 = marked
+                fillItems.foreach { a =>
+                  m2 = m2.withColumn(a,
+                    when(col("_gapfill"),
+                      pick(when(!col("_gapfill"), col(a))).over(frame))
+                      .otherwise(col(a)))
+                }
+                g = m2.drop("_gapfill")
+              }
+            } else g = g.unionByName(filledRows)
+          }
+        }
         // expose key aliases, then project to the select list (drops
         // internal group ids like _session/_wid and __having) — but
         // RETAIN unselected plain group keys: the reference lets
@@ -3964,6 +4121,8 @@ object GraftSql {
             valueCols.zip(modes),
             groupKeys.filterNot(_ == "_wstart"), 1L, 0L, 0L,
             gridStarts = Some(grid))
+      case (Some(_), None) if extWins.isDefined =>
+        () // applied at the aggregation stage (external-window fill)
       case (Some(_), None) =>
         throw new IllegalArgumentException("FILL requires INTERVAL")
       case _ =>
