@@ -374,6 +374,19 @@ object Dialect {
            TRUE_FOR(COUNT 2, START(COUNT 2), END(1h OR COUNT 2))
            ORDER BY user_id, _wstart_ms""")
     },
+    // correlated scalar subqueries in the select list (equi and
+    // non-equi correlation; Spark decorrelates natively — the
+    // statement delegates whole to spark.sql via temp views)
+    "dialect_correlated_subquery" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT c_custkey,
+             (SELECT count(*) FROM orders
+              WHERE orders.o_custkey = customer.c_custkey) AS n_orders,
+             (SELECT min(o_orderkey) FROM orders
+              WHERE orders.o_custkey < customer.c_custkey) AS min_ok
+           FROM customer WHERE c_custkey <= 50
+           ORDER BY c_custkey""")
+    },
     // keyless streak limits: ONE global machine over (ts, event_id)
     // via the two-pass GlobalScan fold — no PARTITION BY, no
     // single-partition collapse (eventwindowoperator.c:101 keyless)
@@ -1543,6 +1556,14 @@ object Dialect {
                ROWS UNBOUNDED PRECEDING) AS ff
          FROM events ORDER BY user_id, ts_ms""",
     "dialect_count_window" -> TimeSeries.oracleSql("count_window"),
+    "dialect_correlated_subquery" ->
+      """SELECT c_custkey,
+           (SELECT count(*) FROM orders
+            WHERE orders.o_custkey = customer.c_custkey) AS n_orders,
+           (SELECT min(o_orderkey) FROM orders
+            WHERE orders.o_custkey < customer.c_custkey) AS min_ok
+         FROM customer WHERE c_custkey <= 50
+         ORDER BY c_custkey""",
     "dialect_event_truefor_limits" ->
       PinnedOracles.sfEventTrueForLimits,
     "dialect_event_truefor_keyless" ->

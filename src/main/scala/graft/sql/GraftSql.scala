@@ -292,6 +292,71 @@ object GraftSql {
     p
   }
 
+  /** True when the select-items text carries a scalar subquery whose
+    * body references a qualifier OUTSIDE its own FROM tables/aliases —
+    * the correlated form the DataFrame-building pipeline cannot lower
+    * (the uncorrelated form collects once; see scalar-subquery
+    * handling above). */
+  private def hasCorrelatedScalarSub(selectTxt: String): Boolean = {
+    val open = "(?i)\\(\\s*select\\b".r
+    var from = 0
+    while (from < selectTxt.length) {
+      val next = open.findFirstMatchIn(selectTxt.substring(from))
+      if (next.isEmpty) return false
+      val at = from + next.get.start
+      var depth = 0; var inStr = false; var close = -1; var i = at
+      while (close < 0 && i < selectTxt.length) {
+        val ch = selectTxt(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) return false
+      val body = selectTxt.substring(at + 1, close)
+      val own = ("(?i)\\b(?:from|join)\\s+([A-Za-z_][\\w.]*)" +
+        "(?:\\s+(?:as\\s+)?([A-Za-z_]\\w*))?").r
+        .findAllMatchIn(body).flatMap(mm =>
+          Seq(Option(mm.group(1)), Option(mm.group(2))).flatten)
+        .flatMap(t => Seq(t, t.substring(t.indexOf('.') + 1)))
+        .map(_.toLowerCase).toSet
+      val quals = "([A-Za-z_]\\w*)\\.[A-Za-z_]\\w*".r
+        .findAllMatchIn(body.replaceAll("'[^']*'", ""))
+        .map(_.group(1).toLowerCase).toSet
+      if ((quals -- own).nonEmpty) return true
+      from = close + 1
+    }
+    false
+  }
+
+  /** Lowers a correlated-subquery statement through spark.sql: every
+    * FROM/JOIN table registers as a temp view, dialect scalar
+    * functions rewrite, the statement runs verbatim. Narrow by design:
+    * only the correlated select-list pattern routes here. */
+  private def correlatedRoute(spark: SparkSession,
+      resolve: String => DataFrame, sqlR: String, tsCol: String,
+      perSecond: Long): DataFrame = {
+    var text = sqlR
+    val tables = ("(?i)\\b(?:from|join)\\s+([A-Za-z_][\\w.]*)").r
+      .findAllMatchIn(sqlR).map(_.group(1)).toSeq.distinct
+    tables.foreach { t =>
+      val view = t.replace('.', '_') + "_gcv"
+      resolve(t).createOrReplaceTempView(view)
+      text = ("(?i)\\b(from|join)\\s+" +
+        java.util.regex.Pattern.quote(t) + "(?![\\w.])").r
+        .replaceAllIn(text, "$1 " + view)
+      // qualified column refs through the ORIGINAL table name
+      // re-point at the view (alias-qualified refs stay)
+      text = ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(t) +
+        "\\.(?=[A-Za-z_])").r.replaceAllIn(text, view + ".")
+    }
+    spark.sql(rewriteFuncs(text, tsCol, perSecond))
+  }
+
   /** Split on top-level commas. */
   private[sql] def splitArgs(s: String): Seq[String] = {
     var depth = 0; var inStr = false; val out = Seq.newBuilder[String]
@@ -2313,6 +2378,15 @@ object GraftSql {
       "(?i)(?<![A-Za-z0-9_])_rowts(?![A-Za-z0-9_])", tsCol)
     var c = clauses(inlineNamedWindows(sqlR))
     require(c.contains("SELECT"), "need SELECT")
+    // ---- correlated scalar subqueries in the select list ----
+    // `select (select avg(f1) from tb2 where f1 < a.f1) from tb1 a`
+    // (reference 09-DataQuerying correlated cases): the subquery
+    // references the OUTER alias, so the collect-once scalar lowering
+    // cannot apply. Spark plans correlated scalar subqueries natively
+    // (equi and non-equi) — register the referenced tables as temp
+    // views and delegate the whole statement to spark.sql.
+    if (c.contains("FROM") && hasCorrelatedScalarSub(c("SELECT")))
+      return correlatedRoute(spark, resolve, sqlR, tsCol, perSecond)
     // FROM-less SELECT (parTranslater translateSelect without a
     // from_clause; the reference suite leans on `SELECT
     // server_version()`, `SELECT database()`, `SELECT 1+1`): one

@@ -899,6 +899,32 @@ class GraftSqlSpec extends AnyFunSuite {
       e.getMessage.contains("literal"))
   }
 
+  test("correlated scalar subqueries: the corpus's alias forms run") {
+    // the exact shapes the probe receipts carried (aliased outer,
+    // non-equi correlation) — Spark decorrelates; count vs a manual
+    // join cross-checks one of them
+    val r = q(
+      """SELECT c_custkey,
+           (SELECT count(*) FROM orders
+            WHERE orders.o_custkey < customer.c_custkey) AS n
+         FROM customer WHERE c_custkey <= 10 ORDER BY c_custkey""")
+      .collect()
+    val cust = Tables(spark, sf, "customer")
+      .filter(col("c_custkey") <= 10).select("c_custkey")
+    val want = cust.join(Tables(spark, sf, "orders"),
+        col("o_custkey") < col("c_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n"))
+      .orderBy("c_custkey").collect()
+    assert(r.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // aliased outer (`from tb1 a … a.f1`)
+    val r2 = q(
+      """SELECT (SELECT max(o_orderkey) FROM orders
+           WHERE o_custkey = a.c_custkey) AS m
+         FROM customer a WHERE a.c_custkey <= 5
+         ORDER BY a.c_custkey""").count()
+    assert(r2 == 6)
+  }
+
   test("cols() auto-names disambiguate colliding expressions") {
     val df = q(
       """SELECT cols(max(value), length(event_type)+1,
