@@ -87,8 +87,12 @@ object TimeOps {
     * at equal ts — session membership is gap-driven so ids don't move,
     * but the scan order (and any per-row downstream) becomes a total
     * order even when timestamps collide across the whole table. */
-  def sessionize(df: DataFrame, tsUs: Column, gapUs: Long,
+  def sessionize(df0: DataFrame, tsUs: Column, gapUs: Long,
       keys: Seq[Column], tieBreak: Seq[String] = Nil): DataFrame = {
+    // a NULL window key belongs to no window (timewindowoperator skips
+    // null-ts rows) — reachable when the session key is the NULL-able
+    // side of an outer join (`left asof join b … session(b.ts, 1s)`)
+    val df = df0.filter(tsUs.isNotNull)
     if (keys.isEmpty) return keylessSessionize(df, tsUs, gapUs, tieBreak)
     val w = Window.partitionBy(keys: _*).orderBy(tsUs)
     val isNew = when(tsUs - lag(tsUs, 1).over(w) > lit(gapUs) ||

@@ -925,6 +925,18 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r2 == 6)
   }
 
+  test("SESSION over a NULL-able joined ts skips the null rows") {
+    // the corpus shape: left asof join leaves NULL b.ts on unmatched
+    // rows; a session window keyed on b.ts must skip them, not crash
+    val r = q(
+      """SELECT _wstart, count(*) AS n
+         FROM (SELECT a.ts AS ts, b.ts AS bts, a.value AS av
+               FROM events a LEFT ASOF JOIN events b
+                 ON a.user_id = b.user_id AND a.ts > b.ts) j
+         SESSION(bts, 10m) ORDER BY _wstart LIMIT 5""")
+    assert(r.count() > 0)
+  }
+
   test("cols() auto-names disambiguate colliding expressions") {
     val df = q(
       """SELECT cols(max(value), length(event_type)+1,
