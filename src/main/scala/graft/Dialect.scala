@@ -1125,6 +1125,16 @@ object Dialect {
         """SELECT event_type AS tn FROM events GROUP BY event_type
            SLIMIT 1,2 ORDER BY tn""")
     },
+    // SLIMIT after an AGGREGATE GROUP BY (sql.y:3111-3114 attaches
+    // slimit_clause_opt to any partitioned query; 27 streams-corpus
+    // hits of `… group by k … order by k slimit n limit m`): the GROUP
+    // BY keys are the slice identity when there is no PARTITION BY
+    "dialect_slimit_groupby" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS se
+           FROM events GROUP BY user_id ORDER BY user_id SLIMIT 1, 3""")
+    },
     // a window clause under a plain projection returns the raw rows
     // (test_session.py `select * from dev_001 session(ts,1w)`)
     "dialect_session_raw" -> { (s, dir) =>
@@ -2331,6 +2341,14 @@ object Dialect {
     "dialect_group_slimit" ->
       """SELECT DISTINCT event_type AS tn FROM events
          ORDER BY tn LIMIT 2 OFFSET 1""",
+    "dialect_slimit_groupby" ->
+      """WITH g AS (SELECT user_id, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS se
+           FROM events GROUP BY user_id),
+         s AS (SELECT user_id FROM g ORDER BY user_id
+           LIMIT 3 OFFSET 1)
+         SELECT g.user_id, g.n, g.se FROM g JOIN s USING (user_id)
+         ORDER BY g.user_id""",
     "dialect_session_raw" ->
       """SELECT epoch_us(ts) AS ts, event_id, value FROM events
          WHERE user_id = 5 ORDER BY event_id""",

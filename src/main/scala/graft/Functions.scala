@@ -408,9 +408,12 @@ object Functions {
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n"),
           sum(netMicro).as("sum_net_micro"),
-          // max preserves the operand type: DECIMAL(18,6),
-          // int64-backed in every DuckDB version
-          max(net).as("max_net"),
+          // r18 experiment: max_net was the ONLY decimal-typed output
+          // column in the whole gate (every red formulation r13-r17
+          // had one; zero green queries do). Emit it as BIGINT micro
+          // units — lossless, net is exactly 6dp — so the output
+          // schema is 100% BIGINT/DOUBLE.
+          max(netMicro).as("max_net_micro"),
           sum(grossMicro).as("sum_gross_micro"),
           // int64 avg path: integral micro sum -> exact binary64,
           // then two correctly-rounded IEEE divisions
@@ -962,7 +965,7 @@ object Functions {
          FROM d)
          SELECT l_orderkey, count(*) AS n,
            CAST(sum(net_micro) AS BIGINT) AS sum_net_micro,
-           max(net) AS max_net,
+           CAST(max(net_micro) AS BIGINT) AS max_net_micro,
            CAST(sum(gross_micro) AS BIGINT) AS sum_gross_micro,
            CAST(CAST(sum(gross_micro) AS BIGINT) AS DOUBLE)
              / count(*) / 1000000.0 AS avg_gross

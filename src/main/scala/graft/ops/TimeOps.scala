@@ -787,7 +787,7 @@ object TimeOps {
           } else {
             require(head.length < LimMachine.LimHeadCap,
               s"keyless EVENT_WINDOW TRUE_FOR: no quiet row (start AND " +
-                s"end false) within $LimMachine.LimHeadCap rows of a partition — " +
+                s"end false) within ${LimMachine.LimHeadCap} rows of a partition — " +
                 "this condition pair has no parallel decomposition")
             head += t
           }
@@ -911,8 +911,19 @@ object TimeOps {
               var i = 0
               while (!resolved && i < cont.triples.length) {
                 val (ts, s, e) = cont.triples(i)
+                // detect the open transition BEFORE stepping: a row
+                // that completes the start streak and immediately
+                // closes the window (s and e both true, end limit
+                // satisfied at count 1) steps straight to
+                // LimClosedIdle, which the post-step state alone
+                // cannot distinguish from a broken streak — the held
+                // sBuf rows are the window head either way
+                val openedThisStep = s && {
+                  val ft = if (st.cnt == 0) ts else st.ft
+                  sl.satisfied(ft, ts, st.cnt + 1)
+                }
                 st = LimMachine.limStep(st, ts, s, e, sl, el)
-                if (st.open) { opened = true; resolved = true }
+                if (openedThisStep) { opened = true; resolved = true }
                 else if (st.cnt == 0) resolved = true
                 i += 1
               }

@@ -271,11 +271,11 @@ class GraftCatalog(val spark: SparkSession) {
         BinaryType
       // external-engine DDL passthrough spellings (the federated tests
       // issue MySQL/PG CREATEs through the same entry point): TEXT,
-      // FLOAT4/FLOAT8/REAL, DATETIME/DATE map onto the native domains
+      // REAL, DATETIME/DATE map onto the native domains. FLOAT4/FLOAT8
+      // are already matched by the FLOAT8/FLOAT cases above; REAL is
+      // PostgreSQL's float4 (MySQL spells its 8-byte form DOUBLE).
       case x if x.startsWith("TEXT") => StringType
-      case x if x.startsWith("FLOAT8") || x.startsWith("REAL") =>
-        DoubleType
-      case x if x.startsWith("FLOAT4") => FloatType
+      case x if x.startsWith("REAL") => FloatType
       case x if x.startsWith("DATETIME") || x.startsWith("DATE") =>
         LongType
       case other =>
@@ -2931,8 +2931,18 @@ class GraftCatalog(val spark: SparkSession) {
         body.replaceAll("(?i)(?<![A-Za-z0-9_])database\\s*\\(\\s*\\)",
           s"'$currentDb'"),
         perSecond = perSecond)
-      exportPath.foreach(p => df.coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(p))
+      // relative export paths resolve under SPARK_GRAFT_EXPORT_DIR
+      // (default: the system temp dir) — never the process CWD, so a
+      // probed/replayed statement can't deposit artifacts in the
+      // worktree
+      exportPath.foreach { p0 =>
+        val p =
+          if (java.nio.file.Paths.get(p0).isAbsolute) p0
+          else sys.env.getOrElse("SPARK_GRAFT_EXPORT_DIR",
+            System.getProperty("java.io.tmpdir")) + "/" + p0
+        df.coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(p)
+      }
       df
     }
     else if (up.startsWith("EXPLAIN ")) {

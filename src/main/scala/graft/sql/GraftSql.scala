@@ -3478,9 +3478,13 @@ object GraftSql {
         .filterNot(Set("_wstart", "_wend"))
         .filterNot(cn => df.columns.exists(_.equalsIgnoreCase(cn)))
         .toSeq
+      // dedup on the BOUNDS alone: extras are constant per window by
+      // construction, but two subquery rows sharing (_wstart,_wend)
+      // with divergent extra values must still yield ONE window (a
+      // full-row dedup would duplicate the aggregate rows)
       val winBounds = wins
         .select(("_wstart" +: "_wend" +: extras).map(col): _*)
-        .dropDuplicates()
+        .dropDuplicates("_wstart", "_wend")
       extWins = Some(winBounds)
       df = TimeOps.externalWindows(df, winBounds, col(tsCol))
       groupKeys = partCols ++ Seq("_wstart", "_wend") ++ extras
@@ -4211,7 +4215,16 @@ object GraftSql {
     // enforced — ORDER BY here only orders the output. The slice list is
     // small by construction (≤ soffset+n keys), so it broadcasts.
     c.get("SLIMIT").foreach { raw =>
-      require(partCols.nonEmpty, "SLIMIT needs PARTITION BY")
+      // slices are the PARTITION BY cols or — reference parity
+      // (sql.y:3111-3114 attaches slimit_clause_opt to any partitioned
+      // query, GROUP BY included; e.g. `… GROUP BY tbname, ts ORDER BY
+      // ts SLIMIT 1`) — the GROUP BY keys when there is no PARTITION
+      // BY. Window pseudo keys are never slice identity.
+      val sliceCols =
+        if (partCols.nonEmpty) partCols
+        else groupKeys.filterNot(Set("_wstart", "_wend", "_session",
+          "_wgrp", "_wid"))
+      require(sliceCols.nonEmpty, "SLIMIT needs PARTITION BY or GROUP BY")
       val (sOff, sN) = splitArgs(raw) match {
         case Seq(o, n) => (o.trim.toInt, n.trim.toInt)
         case Seq(n) =>
@@ -4219,9 +4232,9 @@ object GraftSql {
         case other =>
           throw new IllegalArgumentException(s"bad SLIMIT: $other")
       }
-      val slices = res.select(partCols.map(col): _*).distinct()
-        .orderBy(partCols.map(col): _*).offset(sOff).limit(sN)
-      res = res.join(broadcast(slices), partCols, "left_semi")
+      val slices = res.select(sliceCols.map(col): _*).distinct()
+        .orderBy(sliceCols.map(col): _*).offset(sOff).limit(sN)
+      res = res.join(broadcast(slices), sliceCols, "left_semi")
     }
     // select-item expr -> alias map lets ORDER BY name an aggregate
     // expression verbatim (e.g. ORDER BY count(*) after GROUP BY)

@@ -65,6 +65,44 @@ class EventTrueForKeylessSpec extends AnyFunSuite {
         s"partition count $p diverged from the sequential machine")
   }
 
+  test("overlap: streak-completing row opens AND closes across a boundary") {
+    import spark.implicits._
+    // repeated 3-row blocks: quiet(10), start-only(60), start+end(90);
+    // start = value > 50, end = value > 80, start limit cnt 2, no end
+    // limit (always satisfied) — the 90-row completes the start streak
+    // and immediately closes the window in ONE machine step
+    // (LimClosedIdle), so a partition boundary landing between the 60-
+    // and 90-rows makes edgeResolve replay a step that opens and
+    // closes at once; the held 60-row must still emit as the window
+    // head, as the sequential machine does
+    val rows = (0 until 20).flatMap { b =>
+      val base = b * 3L
+      Seq((base, 10.0, base), (base + 1, 60.0, base + 1),
+        (base + 2, 90.0, base + 2))
+    }
+    val df = rows.toDF("ts", "value", "event_id")
+    val sl = Some(TrueForLimit(0, 2, "cnt"))
+    def run(parts: Int): Seq[(Long, Long, Long)] = {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try TimeOps.eventWindowsLimits(df, col("value") > 50,
+          col("value") > 80, col("ts"), Nil, sl, None,
+          tie = Seq(col("event_id")))
+        .groupBy(col("_wstart"))
+        .agg(max(col("ts")).as("_wend"), count(lit(1)).as("n"))
+        .orderBy(col("_wstart"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    val seqRun = run(1)
+    assert(seqRun.size == 20 && seqRun.forall(_._3 == 2),
+      s"ground truth unexpected: $seqRun")
+    for (p <- 2 to 8)
+      assert(run(p) == seqRun,
+        s"partition count $p diverged from the sequential machine")
+  }
+
   test("keyless matches the keyed machine on a single-key frame") {
     // same rows, one synthetic key: the keyed mapPartitions fold and
     // the keyless GlobalScan fold must agree exactly
