@@ -1125,6 +1125,19 @@ object Dialect {
         """SELECT event_type AS tn FROM events GROUP BY event_type
            SLIMIT 1,2 ORDER BY tn""")
     },
+    // indefinite-rows functions PER INTERVAL WINDOW with FILL
+    // (test_fun_ts_interval_fill.py, "Since: 3.4.1.0"): csum resets at
+    // each window boundary; empty-output windows in the query range
+    // fill one row with the VALUE literal
+    "dialect_indef_interval_fill" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, CAST(_wstart AS BIGINT) AS w,
+             csum(event_id) AS cs
+           FROM events
+           WHERE ts >= 1704067200000000 AND ts < 1704326400000000
+           PARTITION BY user_id INTERVAL(6h) FILL(VALUE, 0)
+           ORDER BY user_id, w, cs""")
+    },
     // SLIMIT after an AGGREGATE GROUP BY (sql.y:3111-3114 attaches
     // slimit_clause_opt to any partitioned query; 27 streams-corpus
     // hits of `… group by k … order by k slimit n limit m`): the GROUP
@@ -2341,6 +2354,26 @@ object Dialect {
     "dialect_group_slimit" ->
       """SELECT DISTINCT event_type AS tn FROM events
          ORDER BY tn LIMIT 2 OFFSET 1""",
+    "dialect_indef_interval_fill" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS t, event_id
+           FROM events
+           WHERE epoch_us(ts) >= 1704067200000000
+             AND epoch_us(ts) < 1704326400000000),
+         w AS (SELECT user_id, t - (t % 21600000000) AS w,
+             CAST(sum(event_id) OVER (
+               PARTITION BY user_id, t - (t % 21600000000)
+               ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+           FROM d),
+         grid AS (SELECT u.user_id, g.w
+           FROM (SELECT DISTINCT user_id FROM d) u
+           CROSS JOIN (SELECT unnest(range(1704067200000000,
+             1704326400000000, 21600000000)) AS w) g),
+         miss AS (SELECT user_id, w FROM grid
+           EXCEPT SELECT user_id, w FROM w)
+         SELECT user_id, w, cs FROM w
+         UNION ALL
+         SELECT user_id, w, CAST(0 AS BIGINT) AS cs FROM miss
+         ORDER BY user_id, w, cs""",
     "dialect_slimit_groupby" ->
       """WITH g AS (SELECT user_id, count(*) AS n,
              CAST(sum(event_id) AS BIGINT) AS se

@@ -1650,8 +1650,19 @@ class GraftCatalog(val spark: SparkSession) {
   /** CREATE STABLE st (ts TIMESTAMP, …) TAGS (t1 T, …)
     * (sql.y:1066-1092). */
   private def createStable(stmt: String): Unit = {
-    val rest = stripIfNotExists(stmt.substring("CREATE STABLE".length).trim)
+    val rest0 = stmt.substring("CREATE STABLE".length).trim
+    val ifNotExists = rest0.toUpperCase.startsWith("IF NOT EXISTS ")
+    val rest = stripIfNotExists(rest0)
     val name = bare(rest.split("[\\s(]")(0))
+    // re-creating an existing stable is an ERROR without IF NOT EXISTS
+    // (mndStb.c TSDB_CODE_MND_STB_ALREADY_EXIST) and a no-op with it —
+    // never a silent replace: a replace would leave existing children's
+    // tag values misaligned against the new tag schema
+    if (stables.contains(name)) {
+      if (ifNotExists) return
+      throw new IllegalArgumentException(
+        s"STable already exists in db: $name")
+    }
     val o1 = rest.indexOf('(')
     val (colsBody, after) = parenGroup(rest, o1)
     val tail = rest.substring(after).trim
@@ -1702,7 +1713,9 @@ class GraftCatalog(val spark: SparkSession) {
     * (sql.y:1176-1177), or a plain CREATE TABLE t (cols) — modeled as
     * a tagless stable with one child of the same name. */
   private def createTable(stmt: String): Unit = {
-    val rest = stripIfNotExists(stmt.substring("CREATE TABLE".length).trim)
+    val rest1 = stmt.substring("CREATE TABLE".length).trim
+    val ifNotExists = rest1.toUpperCase.startsWith("IF NOT EXISTS ")
+    val rest = stripIfNotExists(rest1)
     // CREATE TABLE [IF NOT EXISTS] USING stb (fields) FILE 'path' — no
     // table name before USING: the children come from the CSV
     if (rest.toUpperCase.startsWith("USING ")) {
@@ -1714,7 +1727,11 @@ class GraftCatalog(val spark: SparkSession) {
     usingAt match {
       case Some(at) =>
         val child = bare(rest.substring(0, at).trim)
-        if (children.contains(child)) return // idempotent re-create
+        if (children.contains(child)) {
+          if (ifNotExists) return
+          throw new IllegalArgumentException(
+            s"Table already exists in db: $child")
+        }
         val tail = rest.substring(at + " USING ".length).trim
         val stTok = tail.split("[\\s(]")(0)
         makeChild(child, bare(stTok), tail.substring(stTok.length).trim)
@@ -1729,6 +1746,11 @@ class GraftCatalog(val spark: SparkSession) {
             .startsWith("TAGS")) {
           createStable("CREATE STABLE " + rest)
           return
+        }
+        if (stables.contains(name) || children.contains(name)) {
+          if (ifNotExists) return
+          throw new IllegalArgumentException(
+            s"Table already exists in db: $name")
         }
         val (uid, seq) = nextStableIds()
         stables(name) = Stable(name, currentDb, colDefs(body), Nil,
@@ -1831,13 +1853,24 @@ class GraftCatalog(val spark: SparkSession) {
     val nowTicks = System.currentTimeMillis() * (perSecond / 1000L)
     val todayTicks = nowTicks - Math.floorMod(nowTicks, perSecond * 86400L)
     val nowRe =
-      "(?i)^(now|today)(?:\\(\\))?(?:\\s*([+-])\\s*(\\d+[a-z]))?$".r
+      "(?i)^(now|today)(?:\\(\\))?(?:\\s*([+-])\\s*(\\d+[a-z]?))?$".r
+    // absolute epoch base with offset arithmetic (`1626739200000 + 1`,
+    // `1626739200000 + 1h`) — same TK_NK_INTEGER ± duration shape the
+    // reference parses in ts positions (parInsertSql.c:1695)
+    val absRe = "^(\\d{9,})\\s*([+-])\\s*(\\d+[a-z]?)$".r
+    def offsetTicks(x: String): Long =
+      // a unitless offset is raw ticks at the table's precision
+      if (x.last.isDigit) x.toLong
+      else GraftSql.durNative(x, perSecond)
     def resolveNow(v: String): String = v.trim match {
       case nowRe(base, sgn, d) =>
         val b = if (base.equalsIgnoreCase("today")) todayTicks else nowTicks
-        val delta = Option(d)
-          .map(x => GraftSql.durNative(x, perSecond)).getOrElse(0L)
+        val delta = Option(d).map(offsetTicks).getOrElse(0L)
         (if (sgn == "-") b - delta else b + delta).toString
+      case absRe(base, sgn, d) =>
+        val delta = offsetTicks(d)
+        (if (sgn == "-") base.toLong - delta
+         else base.toLong + delta).toString
       case other => other
     }
     while (rest.nonEmpty) {
@@ -2208,9 +2241,15 @@ class GraftCatalog(val spark: SparkSession) {
       val d = oneDef(action.substring("MODIFY COLUMN ".length))
       val i = st.colDefs.indexWhere(_._1.equalsIgnoreCase(d._1))
       require(i >= 0, s"unknown column ${d._1} on $name")
-      // the reference only allows widening var-length types — the
-      // runtime representation is unchanged, so stored values stand
-      stables(name) = st.copy(colDefs = st.colDefs.updated(i, d))
+      // storage-option-only modification (sql.y:1152-1156
+      // alter_table_modify_options: `MODIFY COLUMN c ENCODE/COMPRESS/
+      // LEVEL '…'` with no type) — a physical-layout hint; the
+      // logical def stands
+      if ("(?i)^(ENCODE|COMPRESS|LEVEL)\\b.*".r.matches(d._2)) ()
+      else
+        // the reference only allows widening var-length types — the
+        // runtime representation is unchanged, so stored values stand
+        stables(name) = st.copy(colDefs = st.colDefs.updated(i, d))
     } else if (up.startsWith("ADD TAG ")) {
       val d = oneDef(action.substring("ADD TAG ".length))
       stables(name) = st.copy(tagDefs = st.tagDefs :+ d)
@@ -2299,7 +2338,10 @@ class GraftCatalog(val spark: SparkSession) {
     // conjunction of `ts <op> literal` predicates on the ts primary
     // key; `now`/`now()` resolves to the current ticks (sql.y NOW)
     val nowTicks = System.currentTimeMillis() * (perSecond / 1000L)
-    val cmp = s"(?i)\\b$tsCol\\b\\s*(<=|>=|<|>|=)\\s*('[^']*'|\\S+)".r
+    // `==` is the C-style spelling of `=` (the reference's lexer maps
+    // both to TK_EQ; test_abnormal_data_table.py deletes with `==`)
+    val cmp =
+      s"(?i)\\b$tsCol\\b\\s*(==|<=|>=|<|>|=)\\s*('[^']*'|\\S+)".r
     val preds = if (condTxt.isEmpty) Seq((">=", Long.MinValue)) else {
       val ps = cmp.findAllMatchIn(condTxt).map { m =>
         val v =
@@ -2317,7 +2359,7 @@ class GraftCatalog(val spark: SparkSession) {
       case ("<=", v) => ts <= v
       case (">", v) => ts > v
       case (">=", v) => ts >= v
-      case ("=", v) => ts == v
+      case ("=" | "==", v) => ts == v
       case _ => false
     }
     targets.foreach(_.rows.filterInPlace {
@@ -2886,6 +2928,24 @@ class GraftCatalog(val spark: SparkSession) {
     * frame, as the reference's taos shell does). */
   def sql(stmt0: String): DataFrame = {
     val stmt = normalizeWs(stmt0).trim.stripSuffix(";").trim
+    // multi-statement SCRIPT (the reference shell splits on `;`;
+    // 31-OldTsimCases feed whole scripts as one string): run each
+    // statement in order, return the last result. Semicolons inside
+    // string literals don't split.
+    if (stmt.indexOf(';') >= 0) {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var inStr = false
+      stmt.foreach { ch =>
+        if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+        else if (ch == '\'') { cur += ch; inStr = true }
+        else if (ch == ';') { parts += cur.toString; cur.clear() }
+        else cur += ch
+      }
+      parts += cur.toString
+      val stmts = parts.map(_.trim).filter(_.nonEmpty).toSeq
+      if (stmts.length > 1) return stmts.map(sql).last
+    }
     val up = stmt.toUpperCase
     // db-qualified SHOW lists (`SHOW d0.STABLES`, `SHOW NORMAL
     // db.VTABLES` — sql.y db_name_cond_opt): run the unqualified form
@@ -2950,10 +3010,17 @@ class GraftCatalog(val spark: SparkSession) {
       // (sql.y:1738 + explain_options): the physical plan, one row
       // per line — Spark's plan is the honest answer here
       var body = stmt.substring("EXPLAIN ".length).trim
-      body = "(?i)^ANALYZE\\s+".r.replaceFirstIn(body, "")
-      body = "(?i)^VERBOSE\\s+(TRUE|FALSE)\\s+"
-        .r.replaceFirstIn(body, "")
-      body = "(?i)^RATIO\\s+[0-9.]+\\s+".r.replaceFirstIn(body, "")
+      // options appear in ANY order (sql.y explain_options is a
+      // left-recursive list: `analyze ratio 0.1 verbose true` is as
+      // legal as `analyze verbose true ratio 0.1`) — strip until no
+      // option prefix remains
+      val optRe = ("(?i)^(?:ANALYZE\\s+|VERBOSE\\s+(?:TRUE|FALSE)\\s+" +
+        "|RATIO\\s+[0-9.]+\\s+)").r
+      var stripped = optRe.replaceFirstIn(body, "")
+      while (stripped != body) {
+        body = stripped
+        stripped = optRe.replaceFirstIn(body, "")
+      }
       // a parenthesized query body is legal (sql.y query_expression)
       if (body.startsWith("(") && body.endsWith(")"))
         body = body.substring(1, body.length - 1).trim

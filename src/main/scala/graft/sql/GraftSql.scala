@@ -3111,6 +3111,223 @@ object GraftSql {
       return res
     }
 
+    // ---- indefinite-rows functions PER INTERVAL WINDOW, with FILL ----
+    // (test_fun_ts_interval_fill.py, feature "Since: 3.4.1.0"): the
+    // function RESETS at each window boundary — per-row outputs tagged
+    // with `_wstart` — and FILL(NULL/VALUE[_F]) inserts ONE row per
+    // query-range window whose function OUTPUT is empty (a gap window,
+    // or e.g. a one-row window under diff, which emits N-1 rows).
+    // FILL(NONE)/no FILL emits data windows only; with no data in the
+    // range the non-forced modes return zero rows while NULL_F/VALUE_F
+    // still fill the whole grid. PREV/NEXT/LINEAR are rejected exactly
+    // as the reference does; calendar-unit and SLIDING intervals fall
+    // through to the aggregate path's loud reject.
+    //
+    // Scale shape: the per-window function is one keyed sort-shuffle
+    // (codegen window functions over (keys, _wstart)); the fill grid is
+    // query-ranged (fenced <= 200k windows), built driver-side and
+    // anti-joined BROADCAST against the distinct output buckets — the
+    // fact table is scanned once.
+    val winIndefPat = ("(?i)\\b(diff|csum|mavg|derivative|statecount|" +
+      "stateduration)\\s*\\(").r
+    if (c.contains("INTERVAL") && !c.contains("SLIDING") &&
+        !c.contains("GROUP BY") &&
+        "(?i)\\bOVER\\b".r.findFirstIn(c("SELECT")).isEmpty &&
+        !"(?i)\\d\\s*[ny]$".r.findFirstIn(
+          splitArgs(stripOuterParens(c("INTERVAL"))).head.trim).isDefined &&
+        selectItems.exists { case (e, _) =>
+          winIndefPat.findFirstIn(e).isDefined }) {
+      val iArgs = splitArgs(stripOuterParens(c("INTERVAL"))).map(_.trim)
+      val iv = durNative(iArgs(0), perSecond)
+      require(iv > 0, s"bad INTERVAL: ${c("INTERVAL")}")
+      val ioff = iArgs.lift(1).map(durNative(_, perSecond)).getOrElse(0L)
+      val fArgs = c.get("FILL").map(f =>
+        splitArgs(stripOuterParens(f)).map(_.trim)).getOrElse(Seq("NONE"))
+      val fMode = fArgs.head.toUpperCase
+      require(Set("NONE", "NULL", "NULL_F", "VALUE", "VALUE_F")
+        .contains(fMode),
+        s"FILL(${fArgs.head}) is not supported with indefinite-rows " +
+          "functions — only NULL/VALUE[_F]/NONE (the reference rejects " +
+          "PREV/NEXT/LINEAR)")
+      import graft.ops.SeriesOps
+      var work = df.withColumn("_wstart",
+        expr(s"($tsCol) - pmod(($tsCol) - ${ioff}L, ${iv}L)"))
+      val keys = partCols.map(col) :+ col("_wstart")
+      var maxDrop = 0 // leading rows per window the function consumes
+      val ignoreNeg = Seq.newBuilder[String]
+      var wi = 0
+      // (output column, alias, None = indef output / Some(text) =
+      // window-identity expression re-evaluable on fill rows)
+      val outItems: Seq[(Column, String, Option[String])] = selectItems.map {
+        case (e0, a) =>
+          val e = e0.trim
+          winIndefPat.findFirstMatchIn(e) match {
+            case Some(m) =>
+              val fn = m.group(1).toLowerCase
+              val (start0, args, close) = analyticCallSpan(e, fn)
+              require(start0 == 0 && close == e.length - 1,
+                "an indefinite-rows call inside a window query must be " +
+                  s"a bare select item: $e")
+              val colOut: Column = fn match {
+                case "diff" =>
+                  maxDrop = math.max(maxDrop, 1)
+                  SeriesOps.diff(expr(args(0)), col(tsCol), keys)
+                case "csum" =>
+                  SeriesOps.csum(expr(args(0)), col(tsCol), keys)
+                case "mavg" =>
+                  require(args.length == 2, s"mavg needs (col, k): $e")
+                  val k = args(1).trim.toInt
+                  maxDrop = math.max(maxDrop, k - 1)
+                  SeriesOps.mavg(expr(args(0)), col(tsCol), keys, k)
+                case "derivative" =>
+                  require(args.length >= 2,
+                    s"derivative needs (col, interval[, ignore_neg]): $e")
+                  maxDrop = math.max(maxDrop, 1)
+                  if (args.lift(2).exists(_.trim == "1")) ignoreNeg += a
+                  SeriesOps.derivative(expr(args(0)), col(tsCol), keys,
+                    durNative(args(1).trim, perSecond))
+                case sfn =>
+                  require(args.length >= 3,
+                    s"$sfn needs (col, 'op', val[, unit]): $e")
+                  val x = expr(args(0))
+                  val v = args(2).trim.toDouble
+                  val pred = unquote(args(1).trim).toUpperCase match {
+                    case "LT" => x < v
+                    case "GT" => x > v
+                    case "LE" => x <= v
+                    case "GE" => x >= v
+                    case "EQ" => x === v
+                    case "NE" => x =!= v
+                    case other =>
+                      throw new IllegalArgumentException(s"state op: $other")
+                  }
+                  if (sfn == "statecount")
+                    SeriesOps.statecount(pred, col(tsCol), keys)
+                  else SeriesOps.stateduration(pred, col(tsCol), keys,
+                    args.lift(3).map(u => durNative(u.trim, perSecond))
+                      .getOrElse(1L))
+              }
+              wi += 1
+              work = work.withColumn(s"_wif$wi", colOut)
+              (col(s"_wif$wi"), a, None)
+            case None =>
+              // window-identity / key expressions: _wend and
+              // _wduration rewrite onto the materialized _wstart, so
+              // any expression over the pseudo-cols and partition keys
+              // evaluates on data rows AND reconstructs on fill rows
+              val rw = e
+                .replaceAll("(?i)(?<![\\w])_wend(?![\\w])",
+                  s"(_wstart + ${iv}L)")
+                .replaceAll("(?i)(?<![\\w])_wduration(?![\\w])",
+                  s"${iv}L")
+              (expr(rw), a, Some(rw))
+          }
+      }
+      // the leading rows each window's function consumes (diff's first
+      // row, mavg's first k-1) are DROPPED, as the reference emits
+      if (maxDrop > 0)
+        work = work
+          .withColumn("_wirn", row_number().over(
+            Window.partitionBy(keys: _*).orderBy(col(tsCol))))
+          .filter(col("_wirn") > maxDrop)
+      val hidden = partCols.zipWithIndex.map { case (pc, i) =>
+        col(pc).as(s"_ps$i") } ++
+        Seq(col("_wstart").as("_wsort"), col(tsCol).as("_tsort"))
+      var res = work.select(outItems.map { case (cc, a, _) =>
+        cc.as(a) } ++ hidden: _*)
+      ignoreNeg.result().foreach(a =>
+        res = res.filter(col(a).isNull || col(a) >= 0))
+      if (fMode != "NONE") {
+        val forced = fMode.endsWith("_F")
+        val haveData = forced || df.limit(1).count() > 0
+        if (!haveData) {
+          // non-forced fill with NO data in range: zero rows
+          res = res.limit(0)
+        } else {
+          def floorW(t: Long): Long =
+            t - java.lang.Math.floorMod(t - ioff, iv)
+          // grid bounds: the WHERE ts-range when bounded, else the
+          // (already computed) output extent
+          val (bLo, bHi) =
+            if (qStart != Long.MinValue && qEnd != Long.MaxValue)
+              (floorW(qStart), floorW(qEnd))
+            else {
+              val mm = work.agg(min(col("_wstart")),
+                max(col("_wstart"))).head
+              if (mm.isNullAt(0)) (0L, -1L)
+              else (mm.getLong(0), mm.getLong(1))
+            }
+          val nWins = if (bHi < bLo) 0L else (bHi - bLo) / iv + 1
+          require(nWins <= 200000,
+            s"indefinite-rows FILL grid too large: $nWins windows")
+          if (nWins > 0) {
+            val spark0 = df.sparkSession
+            import spark0.implicits._
+            val grid0 = (bLo to bHi by iv).toDF("_wsort")
+            val grid =
+              if (partCols.isEmpty) grid0
+              else grid0.crossJoin(
+                df.select(partCols.zipWithIndex.map { case (pc, i) =>
+                  col(pc).as(s"_ps$i") }: _*).distinct())
+            val gridKeys = "_wsort" +:
+              partCols.indices.map(i => s"_ps$i")
+            val missing = grid.join(
+              broadcast(res.select(gridKeys.map(col): _*).distinct()),
+              gridKeys.toSeq, "left_anti")
+            val resTypes = res.schema.fields.map(f =>
+              f.name -> f.dataType).toMap
+            val fillLits: Map[String, Column] = {
+              val indefAliases = outItems.collect {
+                case (_, a, None) => a }
+              val lits = fArgs.tail match {
+                case Seq() => indefAliases.map(_ => "0")
+                case Seq(x) => indefAliases.map(_ => x)
+                case many =>
+                  require(many.length == indefAliases.length,
+                    s"FILL(VALUE …) carries ${many.length} literals " +
+                      s"for ${indefAliases.length} function columns")
+                  many
+              }
+              indefAliases.zip(lits).map { case (a, l) =>
+                a -> (if (fMode.startsWith("VALUE"))
+                  expr(l).cast(resTypes(a))
+                else lit(null).cast(resTypes(a)))
+              }.toMap
+            }
+            // a fill row carries the grid's window identity and key —
+            // re-evaluate the SAME window-identity expressions over a
+            // frame where _wstart is the grid bucket
+            val withCtx = partCols.zipWithIndex.foldLeft(
+              missing.withColumn("_wstart", col("_wsort"))) {
+              case (d, (pc, i)) => d.withColumn(pc, col(s"_ps$i")) }
+            val fillRows = outItems.foldLeft(withCtx) {
+              case (d, (_, a, Some(rw))) => d.withColumn(a, expr(rw))
+              case (d, (_, a, None)) => d.withColumn(a, fillLits(a))
+            }.withColumn("_tsort", lit(null).cast(resTypes("_tsort")))
+              .select(res.columns.map(col): _*)
+            res = res.unionByName(fillRows)
+          }
+        }
+      }
+      val sortCols = partCols.indices.map(i => col(s"_ps$i")) ++
+        Seq(col("_wsort"), col("_tsort"))
+      res = c.get("ORDER BY") match {
+        case Some(o) => res.orderBy(orderCols(o,
+          positional = res.columns.toSeq): _*)
+        case None => res.orderBy(sortCols: _*)
+      }
+      res = res.drop("_wsort", "_tsort")
+        .drop(partCols.indices.map(i => s"_ps$i"): _*)
+      c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
+      c.get("LIMIT").foreach(n => res = applyLimit(res, n))
+      return res
+    }
+    // sample() rejects EVERY fill mode inside a window query
+    // (test_fun_ts_interval_fill.py test_sample_fill_unsupported)
+    require(!(c.contains("FILL") && c.contains("INTERVAL") &&
+      "(?i)\\bsample\\s*\\(".r.findFirstIn(c("SELECT")).isDefined),
+      "sample() does not support FILL")
+
     // ---- windowing ----
     var groupKeys: Seq[String] = partCols
     var postAgg: DataFrame => DataFrame = identity

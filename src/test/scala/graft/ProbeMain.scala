@@ -74,13 +74,17 @@ object ProbeMain {
   }
 
   /** Optional per-statement receipts sink: every SIGNAL failure is
-    * appended as `shape \t statement \t message` to
-    * $SPARK_GRAFT_PROBE_RECEIPTS, so the residual taxonomy can be
-    * audited statement-by-statement instead of in aggregate. */
+    * appended as `shape \t file \t statement \t message` to
+    * $SPARK_GRAFT_PROBE_RECEIPTS — the statement VERBATIM as probed
+    * plus its source file (streams mode), so context-dependent
+    * failures can be re-run in their exact file sequence and each
+    * shape adjudicated artifact-vs-bug from the receipt alone. */
   private val receiptsPath = sys.env.get("SPARK_GRAFT_PROBE_RECEIPTS")
+  private var curFile: String = "-"
   private def receipt(shape: String, q: String, msg: String): Unit =
     receiptsPath.foreach { p =>
-      val line = Seq(shape, q, msg).map(_.replaceAll("[\\t\\n\\r]", " "))
+      val line = Seq(shape, curFile, q, msg)
+        .map(_.replaceAll("[\\t\\n\\r]", " "))
         .mkString("", "\t", "\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line,
         java.nio.file.StandardOpenOption.CREATE,
@@ -165,6 +169,7 @@ object ProbeMain {
     lines.foreach { q =>
       if (q.startsWith("##FILE ")) {
         cat = seededCatalog(spark)
+        curFile = q.stripPrefix("##FILE ").trim
         files += 1
       } else
       try { run1(q); ok += 1 }
@@ -216,7 +221,12 @@ object ProbeMain {
     // lateral-alias fallback only engages when the referenced column
     // is MISSING from the blanket events mapping — on the test's real
     // table the name resolves against the child and never laterals
-    "LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC")
+    "LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC",
+    // extractor PLACEHOLDER values (ph_xxx identifiers) landing in
+    // typed positions (TAGS(ph_tableindex) on an INT tag, VALUES(ph)):
+    // the original test passes a real value there — coercion noise,
+    // not a grammar gap
+    "For input string: \"ph")
 
   /** DOCUMENTED loud rejects (SURVEY §2.3) and probe-mapping
     * artifacts — failures here are the intended behavior, not gaps:

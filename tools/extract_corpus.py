@@ -31,12 +31,26 @@ NAMEISH = ("db", "tb", "table", "stb", "ctb", "ntb", "vtb", "name",
            "col", "tag", "func", "view", "topic", "stream", "user",
            "alias", "field", "src", "source", "dnode", "token")
 TIMEISH = ("ts", "time", "start", "end", "date", "now")
+# duration-string holes (`now - {ms}` where ms = "41m"): a bare number
+# placeholder would probe `now - 1`, mis-flagging duration grammar
+DURISH = ("ms", "dur", "delay", "step", "gap", "offset", "interval",
+          "sleep", "period")
 
 
 def fv_placeholder(expr_src):
     s = re.sub(r"\W", "_", expr_src.lower())
     if any(k in s for k in NAMEISH):
         return "ph_" + (s[:12].strip("_") or "x")
+    if set(s.split("_")) & set(DURISH):
+        return "1m"
+    # column-TYPE holes (`pk {pk_type} primary key`): a numeric
+    # placeholder probes `pk 1`, a non-type — use a real type name
+    if "type" in s.split("_"):
+        return "int"
+    # `{keyword} by c1` holes iterate partition/group — either parses;
+    # a numeric placeholder probes `… 1 by c1`, which is no grammar
+    if "keyword" in s.split("_"):
+        return "partition"
     if any(k in s for k in TIMEISH):
         return "1704067200000"
     return "1"
@@ -72,7 +86,43 @@ def fill_templates(txt):
     txt = re.sub(r"%[0-9.]*s", "ph_s", txt)
     txt = re.sub(r"\{([^{}]*)\}", lambda m: fv_placeholder(m.group(1))
                  if m.group(1) else "ph", txt)
+    # a hole that was an entire parenthesized FROM source was a nested
+    # SQL string (`select * from ({sql})`) — make it a subquery so the
+    # probe exercises the OUTER grammar instead of failing on `(1)`
+    txt = re.sub(r"(?i)(\bfrom\s*\(\s*)(?:1|ph_s|ph_sql\w*|"
+                 r"1704067200000)(\s*\))", r"\1select 1 as c1\2", txt)
     return txt
+
+
+def is_prose_or_fragment(low):
+    """Harness LOG strings that start with a SQL keyword ("insert data
+    ............ [OK]", "create topic sql: %s", bare "drop database")
+    are not statements — structural tells, kept conservative so no real
+    grammar shape can match:
+    - INSERT always takes INTO in the dialect (sql.y insert_query)
+    - two-token create/drop/alter (verb + kind, no object name) is
+      never complete, `if [not] exists` included
+    - "create topics" (plural) is never grammar
+    - dot-runs, "[ok]", "sql:" are log formatting"""
+    if re.search(r"(?:\b(?:from|where|and|or|on|in|as|by|join|"
+                 r"select|union|all)|,|\()\s*$", low):
+        return True
+    if re.search(r"\b(?:the|that|should|verify|verifies|returns|"
+                 r"subsequent|correctly|mismatch|expected|returned|"
+                 r"includes|rewrites|retains|passed|independently|"
+                 r"each|successfully)\b", low):
+        return True
+    if re.search(r"\.{3,}|\[ok\]|\bsql:", low):
+        return True
+    if re.match(r"insert\s+(?!into\b)", low):
+        return True
+    if re.match(r"create\s+topics\b", low):
+        return True
+    # NOT describe: `describe <tb>` is a real two-token statement
+    if re.match(r"(?:create|drop|alter|delete|explain)\s+"
+                r"[\w.\[\]]+(?:\s+if\s+(?:not\s+)?exists)?\s*;?$", low):
+        return True
+    return False
 
 
 def balanced(txt):
@@ -199,19 +249,7 @@ def harvest(path, sink, neg):
             continue
         txt = fill_templates(" ".join(s.split()))
         low = txt.lower()
-        # fragments a statement-level scan can still catch: trailing
-        # connective keywords mean the SQL continues in another string
-        if re.search(r"(?:\b(?:from|where|and|or|on|in|as|by|join|"
-                     r"select|union|all)|,|\()\s*$", low):
-            continue
-        # docstring PROSE that happens to start with a SQL keyword
-        # ("SHOW TAGS returns all rows …") — English function words
-        # and assertion-log phrasing never appear in the dialect's
-        # grammar
-        if re.search(r"\b(?:the|that|should|verify|verifies|returns|"
-                     r"subsequent|correctly|mismatch|expected|returned|"
-                     r"includes|rewrites|retains|passed|independently|"
-                     r"each)\b", low):
+        if is_prose_or_fragment(low):
             continue
         for kind in KINDS:
             if (low.startswith(kind + " ") and len(txt) > len(kind) + 3
@@ -241,13 +279,7 @@ def harvest_stream(path):
             continue
         txt = fill_templates(" ".join(s.split()))
         low = txt.lower()
-        if re.search(r"(?:\b(?:from|where|and|or|on|in|as|by|join|"
-                     r"select|union|all)|,|\()\s*$", low):
-            continue
-        if re.search(r"\b(?:the|that|should|verify|verifies|returns|"
-                     r"subsequent|correctly|mismatch|expected|returned|"
-                     r"includes|rewrites|retains|passed|independently|"
-                     r"each)\b", low):
+        if is_prose_or_fragment(low):
             continue
         for kind in KINDS:
             if (low.startswith(kind + " ") and len(txt) > len(kind) + 3
