@@ -1125,6 +1125,20 @@ object Dialect {
         """SELECT event_type AS tn FROM events GROUP BY event_type
            SLIMIT 1,2 ORDER BY tn""")
     },
+    // a SELECTION function carrying scalar columns without GROUP BY
+    // (parTranslater selection semantics: the scalar items evaluate
+    // ON THE SELECTED ROW — `select abs(c1), max(c1) from stb1`)
+    "dialect_selection_row" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT abs(value) AS av, round(value / 2, 3) AS hv,
+             max(value) AS mx, user_id AS u
+           FROM events WHERE event_id <= 5000""")
+    },
+    "dialect_selection_row_partition" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT user_id, first(value) AS fv, abs(value) AS av
+           FROM events PARTITION BY user_id ORDER BY user_id""")
+    },
     // indefinite-rows functions PER INTERVAL WINDOW with FILL
     // (test_fun_ts_interval_fill.py, "Since: 3.4.1.0"): csum resets at
     // each window boundary; empty-output windows in the query range
@@ -2354,6 +2368,20 @@ object Dialect {
     "dialect_group_slimit" ->
       """SELECT DISTINCT event_type AS tn FROM events
          ORDER BY tn LIMIT 2 OFFSET 1""",
+    "dialect_selection_row" ->
+      """WITH s AS (SELECT * FROM events WHERE event_id <= 5000
+           AND value IS NOT NULL
+           ORDER BY value DESC, ts ASC, event_id ASC LIMIT 1)
+         SELECT abs(value) AS av, round(value / 2, 3) AS hv,
+           value AS mx, user_id AS u
+         FROM s""",
+    "dialect_selection_row_partition" ->
+      """WITH r AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events WHERE value IS NOT NULL)
+         SELECT user_id, value AS fv, abs(value) AS av
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     "dialect_indef_interval_fill" ->
       """WITH d AS (SELECT user_id, epoch_us(ts) AS t, event_id
            FROM events

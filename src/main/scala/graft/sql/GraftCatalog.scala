@@ -336,6 +336,13 @@ class GraftCatalog(val spark: SparkSession) {
         // ticks; quoted plain/hex/binary/scientific numerics coerce
         case Some(_) if !num.matches("[+-]?\\d+") &&
           asDouble.isEmpty => parseTs(num)
+        // bare now()/today on a timestamp-typed tag (sql.y NOW in
+        // tags_literal) — the creation instant
+        case None if num.matches("(?i)(now|today)(\\(\\))?") =>
+          val nowT = System.currentTimeMillis() * (perSecond / 1000L)
+          if (num.toLowerCase.startsWith("today"))
+            nowT - Math.floorMod(nowT, perSecond * 86400L)
+          else nowT
         case _ => coerceLong
       }
       case IntegerType => coerceLong.toInt
@@ -2274,6 +2281,12 @@ class GraftCatalog(val spark: SparkSession) {
       val i = st.tagDefs.indexWhere(_._1.equalsIgnoreCase(d._1))
       require(i >= 0, s"unknown tag ${d._1} on $name")
       stables(name) = st.copy(tagDefs = st.tagDefs.updated(i, d))
+    } else if (("(?i)^(COMMENT\\s+'[^']*'|TTL\\s+\\d+|" +
+        "KEEP\\s+\\d+[a-z]*)\\s*;?\\s*$").r.matches(action)) {
+      // table-level options (sql.y alter_table_options: COMMENT / TTL
+      // / KEEP) — metadata-only hints; accepted, nothing changes in
+      // the model
+      ()
     } else throw new IllegalArgumentException(
       s"unsupported ALTER action: $action")
   }

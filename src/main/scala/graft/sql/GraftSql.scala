@@ -3328,6 +3328,88 @@ object GraftSql {
       "(?i)\\bsample\\s*\\(".r.findFirstIn(c("SELECT")).isDefined),
       "sample() does not support FILL")
 
+    // ---- a SELECTION function carrying scalar columns, no GROUP BY --
+    // (parTranslater selection semantics; 20-select.md: `SELECT
+    // abs(c1), max(c1) FROM t` evaluates every other select item ON
+    // THE SELECTED ROW). Engages only for exactly ONE selection call
+    // with a plain argument, no other aggregate, no window clause, no
+    // tbname (which has its own any-row lowering) — anything else
+    // keeps its existing route. Keyless lowers to orderBy+limit(1)
+    // (TakeOrdered — no single-partition collapse); PARTITION BY
+    // lowers to a per-key row_number pick.
+    {
+      val selFnRe = "(?i)\\b(first|last_row|last|min|max)\\s*\\(".r
+      val otherAggRe = ("(?i)\\b(count|sum|avg|stddev|stdvar|std|var|" +
+        "spread|mode|twa|irate|elapsed|hyperloglog|percentile|" +
+        "apercentile|histogram|leastsquares|sample|top|bottom|diff|" +
+        "csum|mavg|derivative|statecount|stateduration|tail|unique|" +
+        "interp|cols)\\s*\\(").r
+      val hasWinKw = Seq("INTERVAL", "SESSION", "STATE_WINDOW",
+        "COUNT_WINDOW", "EVENT_WINDOW", "EXTERNAL_WINDOW",
+        "ANOMALY_WINDOW").exists(c.contains)
+      val selTxt = c("SELECT")
+      val anchorItem = selectItems.zipWithIndex.find { case ((e, _), _) =>
+        selFnRe.findFirstIn(e).isDefined }
+      val baseCols0 = df.columns.filterNot(_.startsWith("_"))
+      def refsBase0(e: String): Boolean = {
+        val s = e.replaceAll("'[^']*'", "")
+        baseCols0.exists(cn =>
+          ("(?i)(?<![\\w])" + java.util.regex.Pattern.quote(cn) +
+            "(?![\\w])").r.findFirstIn(s).isDefined)
+      }
+      if (!hasWinKw && !c.contains("GROUP BY") &&
+          selFnRe.findAllIn(selTxt).length == 1 &&
+          otherAggRe.findFirstIn(selTxt).isEmpty &&
+          "(?i)\\bOVER\\b".r.findFirstIn(selTxt).isEmpty &&
+          "(?i)(?<![\\w])tbname(?![\\w])".r
+            .findFirstIn(selTxt).isEmpty &&
+          anchorItem.isDefined &&
+          selectItems.zipWithIndex.exists { case ((e, _), i) =>
+            i != anchorItem.get._2 && refsBase0(e) }) {
+        val ((aTxt, _), aIdx) = anchorItem.get
+        val fn = selFnRe.findFirstMatchIn(aTxt).get.group(1).toLowerCase
+        val (aStart, aArgs, aClose) = analyticCallSpan(aTxt, fn)
+        if (aArgs.length == 1 && aArgs.head.trim != "*" &&
+            !aArgs.head.contains("*")) {
+          val x = expr(aArgs.head.trim)
+          val tie = seriesTie(df, tsCol)
+          val (flt, ord) = fn match {
+            case "max" => (Some(x.isNotNull),
+              Seq(x.desc, col(tsCol).asc) ++ tie.map(_.asc))
+            case "min" => (Some(x.isNotNull),
+              Seq(x.asc, col(tsCol).asc) ++ tie.map(_.asc))
+            case "first" => (Some(x.isNotNull),
+              Seq(col(tsCol).asc) ++ tie.map(_.asc))
+            case "last" => (Some(x.isNotNull),
+              Seq(col(tsCol).desc) ++ tie.map(_.desc))
+            case _ => (None, Seq(col(tsCol).desc) ++ tie.map(_.desc))
+          }
+          var base = flt.map(df.filter).getOrElse(df)
+          base =
+            if (partCols.isEmpty) base.orderBy(ord: _*).limit(1)
+            else base.withColumn("_selrn", row_number().over(
+                Window.partitionBy(partCols.map(col): _*)
+                  .orderBy(ord: _*)))
+              .filter(col("_selrn") === 1).drop("_selrn")
+          // the anchor call collapses to its argument — the selected
+          // row IS the aggregate
+          val items = selectItems.zipWithIndex.map { case ((e, a), i) =>
+            if (i == aIdx)
+              (e.substring(0, aStart) + s"(${aArgs.head.trim})" +
+                e.substring(aClose + 1), a)
+            else (e, a)
+          }
+          var res = base.select(items.map { case (e, a) =>
+            expr(rewriteFuncs(e, tsCol, perSecond)).as(a) }: _*)
+          c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,
+            positional = res.columns.toSeq): _*))
+          c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
+          c.get("LIMIT").foreach(n => res = applyLimit(res, n))
+          return res
+        }
+      }
+    }
+
     // ---- windowing ----
     var groupKeys: Seq[String] = partCols
     var postAgg: DataFrame => DataFrame = identity
@@ -3826,8 +3908,9 @@ object GraftSql {
     if (winClauseKw.isDefined && groupKeys.length > partCols.length &&
         !c.contains("GROUP BY") && !df.columns.contains("_wjlid")) {
       val aggRe = ("(?i)\\b(count|sum|avg|min|max|first|last|last_row|" +
-        "stddev|stdvar|spread|mode|twa|irate|elapsed|hyperloglog|" +
-        "percentile|apercentile|histogram|leastsquares|sample)\\s*\\(").r
+        "stddev|stdvar|std|var|spread|mode|twa|irate|elapsed|" +
+        "hyperloglog|percentile|apercentile|histogram|leastsquares|" +
+        "sample)\\s*\\(").r
       val hasAgg = selectItems.exists { case (e, _) =>
         aggRe.findFirstIn(e).isDefined }
       val indefRe = ("(?i)\\b(diff|csum|mavg|derivative|statecount|" +
@@ -4302,14 +4385,32 @@ object GraftSql {
             case Some(d) =>
               if (forced) FillOps.FillValueF(d) else FillOps.FillValue(d)
           }
+          // CONSTANT select items (`select _wstart, 't1', 1, count(*)
+          // …` — test_notify trigger shapes) do not consume positional
+          // literals: numeric constants fill themselves, string
+          // constants fill NULL (rendering-only gap)
+          val constFill: Map[String, FillOps.FillMode] =
+            selectItems.collect {
+              case (e, a) if e.trim.matches("[-+]?\\d+(\\.\\d+)?") &&
+                valueCols.contains(a) => a -> one(e.trim)
+              case (e, a) if e.trim.matches("'[^']*'") &&
+                valueCols.contains(a) =>
+                a -> (FillOps.FillNull: FillOps.FillMode)
+            }.toMap
           args.tail.map(_.trim) match {
             case Seq() => Seq.fill(valueCols.length)(one("0"))
             case Seq(x) => Seq.fill(valueCols.length)(one(x))
             case many =>
-              require(many.length == valueCols.length,
+              val targets = valueCols.filterNot(constFill.contains)
+              require(many.length == targets.length ||
+                many.length == valueCols.length,
                 s"FILL(VALUE …) carries ${many.length} literals for " +
-                  s"${valueCols.length} value columns")
-              many.map(one)
+                  s"${targets.length} value columns")
+              if (many.length == valueCols.length) many.map(one)
+              else {
+                val byCol = targets.zip(many.map(one)).toMap
+                valueCols.map(cn => byCol.getOrElse(cn, constFill(cn)))
+              }
           }
         }
         val modes: Seq[FillOps.FillMode] = args.head.toUpperCase match {

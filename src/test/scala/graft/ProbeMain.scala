@@ -127,7 +127,10 @@ object ProbeMain {
       // probe's stand-in schema is noise, not a grammar gap; µs-db
       // precision guards ARE the intended behavior for the probe db
       "user exists", "already on dnode", "UNRESOLVED_COLUMN",
-      "is finer than the table's precision")
+      "is finer than the table's precision",
+      // dropping a node registration that does not exist is the same
+      // missing-object class (the reference errors SNODE_NOT_EXIST)
+      "no SNODE")
     val lines = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
       .getLines().toVector
     var ok = 0; var noisy = 0
@@ -223,10 +226,14 @@ object ProbeMain {
     // table the name resolves against the child and never laterals
     "LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC",
     // extractor PLACEHOLDER values (ph_xxx identifiers) landing in
-    // typed positions (TAGS(ph_tableindex) on an INT tag, VALUES(ph)):
-    // the original test passes a real value there — coercion noise,
+    // typed positions (TAGS(ph_tableindex) on an INT tag, VALUES(ph),
+    // a whole column-def list collapsed to one `ph_col_defs` hole):
+    // the original test passes real text there — placeholder noise,
     // not a grammar gap
-    "For input string: \"ph")
+    "For input string: \"ph",
+    "bad column definition: ph",
+    "cannot parse VTABLE column ref: ph",
+    "unsupported column type: PH_")
 
   /** DOCUMENTED loud rejects (SURVEY §2.3) and probe-mapping
     * artifacts — failures here are the intended behavior, not gaps:

@@ -114,15 +114,46 @@ def is_prose_or_fragment(low):
         return True
     if re.search(r"\.{3,}|\[ok\]|\bsql:", low):
         return True
+    # `!` outside `!=`, a colon right after the object kind
+    # ("create stream:N"), ", and " conjunctions, and sentences ending
+    # in "word." are log/prose shapes no grammar production emits
+    if re.search(r"!(?!=)", low) or re.search(r",\s+and\b", low):
+        return True
+    if re.match(r"(?:create|drop|alter)\s+\w+\s*:", low):
+        return True
+    if re.search(r"[a-z]\.\s*$", low):
+        return True
+    if re.search(r"\bsuccess\b", low):
+        return True
     if re.match(r"insert\s+(?!into\b)", low):
         return True
-    if re.match(r"create\s+topics\b", low):
+    if re.match(r"create\s+(?:topics|super|child|consume)\b", low):
+        return True
+    # a CREATE STREAM with nothing but a name is a log prefix — the
+    # statement form always carries a trigger/INTO/AS tail
+    if re.match(r"create\s+stream\s+[\w.]+\s*;?$", low):
         return True
     # NOT describe: `describe <tb>` is a real two-token statement
     if re.match(r"(?:create|drop|alter|delete|explain)\s+"
                 r"[\w.\[\]]+(?:\s+if\s+(?:not\s+)?exists)?\s*;?$", low):
         return True
     return False
+
+
+def concat_children(tree):
+    """ids of nodes that are DESCENDANTS of a string-concat expression
+    (BinOp + / JoinedStr): the parent concat is harvested whole (when
+    it is all-string), so its pieces must not be harvested again as
+    statements — a `"create snode on dnode " + str(x)` left piece is a
+    fragment by construction."""
+    cov = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.JoinedStr) or (
+                isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add)):
+            for sub in ast.walk(node):
+                if sub is not node:
+                    cov.add(id(sub))
+    return cov
 
 
 def balanced(txt):
@@ -238,7 +269,10 @@ def harvest(path, sink, neg):
     # behavior, not a dialect gap, so they must not count as signal
     scan = _ErrScan()
     scan.visit(tree)
+    cov = concat_children(tree)
     for node in ast.walk(tree):
+        if id(node) in cov:
+            continue
         s = string_of(node)
         if s is None:
             continue
@@ -272,8 +306,11 @@ def harvest_stream(path):
         return []
     scan = _ErrScan()
     scan.visit(tree)
+    cov = concat_children(tree)
     out = []
     for node in ast.walk(tree):
+        if id(node) in cov:
+            continue
         s = string_of(node)
         if s is None or "{scalarSql}" in s or "{funcName}" in s:
             continue
