@@ -264,7 +264,11 @@ class GraftCatalog(val spark: SparkSession) {
       case dec(p, s) => DecimalType(p.toInt, s.toInt)
       case x if x.startsWith("BINARY") || x.startsWith("VARCHAR") ||
         x.startsWith("NCHAR") || x.startsWith("JSON") ||
-        x.startsWith("VARBINARY") || x.startsWith("GEOMETRY") => StringType
+        x.startsWith("VARBINARY") || x.startsWith("GEOMETRY") ||
+        // geometry SUBTYPE spellings from external-engine passthrough
+        // DDL (PostGIS-style POINT/LINESTRING/POLYGON/MULTI*)
+        x.startsWith("POINT") || x.startsWith("LINESTRING") ||
+        x.startsWith("POLYGON") || x.startsWith("MULTI") => StringType
       // BLOB/MEDIUMBLOB (tdataformat.h blob ids; the dialect front end
       // already maps CAST … AS BLOB → binary)
       case x if x.startsWith("BLOB") || x.startsWith("MEDIUMBLOB") =>
@@ -1965,12 +1969,23 @@ class GraftCatalog(val spark: SparkSession) {
     * collect here is the storage write, not a scale path. */
   private def insertSelect(target: String, boundCols: Option[Seq[String]],
       select: String): Unit = {
-    val out = sql(select)
-    val data = out.collect()
+    var out = sql(select)
     if (children.contains(target)) {
       val c = children(target)
       val st = stables(c.stableName)
       val cols = boundCols.getOrElse(st.colDefs.map(_._1))
+      // `SELECT *` on a child/normal-table read exposes the inherited
+      // tags + tbname as trailing ride-along columns; the reference's
+      // subtable `*` is data columns only (20-select.md wildcard
+      // rules) — trim when the tail is exactly tag/tbname names
+      if (out.columns.length > cols.length) {
+        val tail = out.columns.drop(cols.length)
+        val tagish = stables.values.flatMap(_.tagDefs.map(_._1)).toSet
+        if (tail.forall(t => t.equalsIgnoreCase("tbname") ||
+            tagish.exists(_.equalsIgnoreCase(t))))
+          out = out.select(out.columns.take(cols.length).map(col): _*)
+      }
+      val data = out.collect()
       require(out.columns.length == cols.length,
         s"INSERT SELECT arity ${out.columns.length} != ${cols.length}")
       data.foreach { r =>
@@ -1988,6 +2003,7 @@ class GraftCatalog(val spark: SparkSession) {
       require(out.columns.length == cols.length,
         s"INSERT SELECT arity ${out.columns.length} != ${cols.length}")
       val tbIdx = cols.indexOf("tbname")
+      val data = out.collect()
       data.foreach { r =>
         val tb = String.valueOf(r.get(tbIdx))
         if (!children.contains(tb))
@@ -2169,7 +2185,10 @@ class GraftCatalog(val spark: SparkSession) {
     val rest = stripIfNotExists(stmt.substring("CREATE TOPIC".length).trim)
     val tok = rest.split("\\s+")(0)
     val name = bare(tok)
-    val tail = rest.substring(tok.length).trim
+    var tail = rest.substring(tok.length).trim
+    // `WITH META AS …` (sql.y with_meta_opt: subscribe schema changes
+    // too) — a consume-side flag; the subject parse is unchanged
+    tail = "(?i)^WITH\\s+META\\s+".r.replaceFirstIn(tail, "")
     require(tail.toUpperCase.startsWith("AS "),
       s"CREATE TOPIC needs AS <subject>: $stmt")
     topicDefs(name) = TopicDef(name, currentDb, tail.substring(3).trim)
@@ -2282,7 +2301,8 @@ class GraftCatalog(val spark: SparkSession) {
       require(i >= 0, s"unknown tag ${d._1} on $name")
       stables(name) = st.copy(tagDefs = st.tagDefs.updated(i, d))
     } else if (("(?i)^(COMMENT\\s+'[^']*'|TTL\\s+\\d+|" +
-        "KEEP\\s+\\d+[a-z]*)\\s*;?\\s*$").r.matches(action)) {
+        "KEEP\\s+\\d+[a-z]*|SECURITY_LEVEL\\s+\\d+)\\s*;?\\s*$")
+        .r.matches(action)) {
       // table-level options (sql.y alter_table_options: COMMENT / TTL
       // / KEEP) — metadata-only hints; accepted, nothing changes in
       // the model
@@ -2779,7 +2799,9 @@ class GraftCatalog(val spark: SparkSession) {
     val optRe = "(?i)\\boptions\\s*\\(([^)]*)\\)".r
     val opts = optRe.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
     val rest = optRe.replaceAllIn(body, " ")
-    val kv = "(?i)([A-Za-z_]+)\\s*=\\s*(?:'([^']*)'|(\\d+))".r
+    // values may be quoted, numeric, or bare identifiers (the
+    // reference's source clauses accept DATABASE=mydb unquoted)
+    val kv = "(?i)([A-Za-z_]+)\\s*=\\s*(?:'([^']*)'|([\\w.]+))".r
     val fields = kv.findAllMatchIn(rest).map(m =>
       m.group(1).toLowerCase ->
         Option(m.group(2)).getOrElse(m.group(3))).toMap
@@ -2811,7 +2833,7 @@ class GraftCatalog(val spark: SparkSession) {
       "CREATE EXTERNAL SOURCE needs user= or api_token=")
     extSeq += 1
     extSourceDefs(name) = ExtSource(name, typ, kvs("host"),
-      kvs("port").toInt, kvs.getOrElse("user", ""),
+      kvs("port").toIntOption.getOrElse(0), kvs.getOrElse("user", ""),
       kvs.get("password"), kvs.get("api_token").orElse(
         opts.get("api_token")), kvs.get("database"), kvs.get("schema"),
       opts, extSeq)
@@ -3297,6 +3319,11 @@ class GraftCatalog(val spark: SparkSession) {
       Seq((1, "unset")).toDF("dnode_id", "key_status")
     else if (up.startsWith("SHOW SCORES"))
       Seq.empty[(Int, String)].toDF("id", "score")
+    // SHOW CPU_ALLOCATION (34-CpuAffinity tests): per-dnode core
+    // binding — the single-process deployment reports one unbound row
+    else if (up.startsWith("SHOW CPU_ALLOCATION"))
+      Seq((1, "unbound", Runtime.getRuntime.availableProcessors()))
+        .toDF("dnode_id", "binding", "cores")
     // SHOW VNODES [ON DNODE n] (sql.y:1420-1421): one row per vgroup
     // replica on the (single) dnode
     else if (up.startsWith("SHOW VNODES"))

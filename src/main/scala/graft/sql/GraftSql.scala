@@ -1895,6 +1895,19 @@ object GraftSql {
         case (Some(a), Some(b)) => m.group(1) + a + m.group(3) + b
         case _ => m.matched
       }))
+    // `ts IN ('2022-07-10 16:31:00', 1657441840000, …)`: every quoted
+    // datetime element rewrites to ticks (parTranslater IN-list on the
+    // primary key; a bare ANSI cast of the string would throw)
+    r = ("(?i)(?<![A-Za-z0-9_])(" + q +
+      "\\s+(?:NOT\\s+)?IN\\s*)\\(([^()]*)\\)").r.replaceAllIn(r,
+      m => quoteReplacement(m.group(1) + "(" +
+        splitArgs(m.group(2)).map { el =>
+          val t = el.trim
+          if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+            ticks(t.substring(1, t.length - 1)).map(_.toString)
+              .getOrElse(t)
+          else t
+        }.mkString(", ") + ")"))
     r
   }
 
@@ -4369,9 +4382,17 @@ object GraftSql {
       case (Some(f), Some((iv, off))) =>
         val args = splitArgs(stripOuterParens(f))
         // case-insensitive: a select item spelled `_WSTART` is still
-        // the group key, not a fillable value column
+        // the group key, not a fillable value column — and so is a
+        // RENAMED key (`select _wstart ts, count(*) …`): exclude the
+        // aliases of key-expression select items too
+        val keyAliases = selectItems.collect {
+          case (e, a) if groupKeys.exists(_.equalsIgnoreCase(e.trim)) ||
+            Seq("_wstart", "_wend", "_wduration")
+              .exists(_.equalsIgnoreCase(e.trim)) => a
+        }
         val valueCols = res.columns
           .filterNot(cn => groupKeys.exists(_.equalsIgnoreCase(cn)))
+          .filterNot(cn => keyAliases.exists(_.equalsIgnoreCase(cn)))
           .filterNot(_.equalsIgnoreCase("_isfilled")).toSeq
         // FILL(VALUE, v1[, v2 …]): one literal per value column; a
         // single literal (or none — the grammar permits bare
@@ -4425,6 +4446,12 @@ object GraftSql {
           case "LINEAR" => Seq.fill(valueCols.length)(FillOps.FillLinear)
           case other => throw new IllegalArgumentException(s"FILL $other")
         }
+        // the key may already carry its output alias (`_wstart ts`)
+        val wsName =
+          if (res.columns.exists(_.equalsIgnoreCase("_wstart"))) "_wstart"
+          else selectItems.collectFirst {
+            case (e, a) if e.trim.equalsIgnoreCase("_wstart") => a
+          }.getOrElse("_wstart")
         val range =
           s"(?i).*\\b$tsCol\\s*>=\\s*(\\d+)\\s*AND\\s*$tsCol\\s*<\\s*(\\d+).*".r
         val (t0, t1) = c.get("WHERE") match {
@@ -4434,11 +4461,11 @@ object GraftSql {
             // extent (fillGetWindowRange — absent an explicit range the
             // reference fills first..last window). One tiny agg over
             // the already-aggregated frame; empty input fills nothing.
-            val mm = res.agg(min(col("_wstart")), max(col("_wstart"))).head
+            val mm = res.agg(min(col(wsName)), max(col(wsName))).head
             if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1) + iv)
         }
         if (t1 > t0)
-          res = FillOps.fillIntervalMulti(res, "_wstart",
+          res = FillOps.fillIntervalMulti(res, wsName,
             valueCols.zip(modes),
             groupKeys.filterNot(_ == "_wstart"), iv, t0, t1 - 1,
             offsetUs = off)

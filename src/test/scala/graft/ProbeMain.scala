@@ -233,7 +233,14 @@ object ProbeMain {
     "For input string: \"ph",
     "bad column definition: ph",
     "cannot parse VTABLE column ref: ph",
-    "unsupported column type: PH_")
+    "unsupported column type: PH_",
+    // `using 1 tags(…)` / `pk 1 primary key` / `sleep 1m` /
+    // `offset ?`-style holes: the placeholder replaced a name, type,
+    // or prepared-statement parameter the real test supplies
+    "for ph_",
+    "unsupported column type: 1",
+    "bad duration: ph",
+    "For input string: \"?\"")
 
   /** DOCUMENTED loud rejects (SURVEY §2.3) and probe-mapping
     * artifacts — failures here are the intended behavior, not gaps:

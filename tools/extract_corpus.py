@@ -33,7 +33,7 @@ NAMEISH = ("db", "tb", "table", "stb", "ctb", "ntb", "vtb", "name",
 TIMEISH = ("ts", "time", "start", "end", "date", "now")
 # duration-string holes (`now - {ms}` where ms = "41m"): a bare number
 # placeholder would probe `now - 1`, mis-flagging duration grammar
-DURISH = ("ms", "dur", "delay", "step", "gap", "offset", "interval",
+DURISH = ("ms", "dur", "delay", "step", "gap", "interval",
           "sleep", "period")
 
 
@@ -132,6 +132,12 @@ def is_prose_or_fragment(low):
     # a CREATE STREAM with nothing but a name is a log prefix — the
     # statement form always carries a trigger/INTO/AS tail
     if re.match(r"create\s+stream\s+[\w.]+\s*;?$", low):
+        return True
+    # "drop one stream", "drop all snode test", "drop consumeinfo
+    # table", "... snode test" — log phrasings, not grammar
+    if re.match(r"(?:create|drop)\s+(?:one|all|consume\w*)\b", low):
+        return True
+    if re.search(r"\b(?:snode|stream|table)s?\s+test$", low):
         return True
     # NOT describe: `describe <tb>` is a real two-token statement
     if re.match(r"(?:create|drop|alter|delete|explain)\s+"
