@@ -81,6 +81,15 @@ object Ddl {
       GraftSql.query(s, demo(s, dir).table,
         "SELECT tbname, seg, ts, bal, note FROM cm ORDER BY ts")
     },
+    // bare TAG columns riding aggregates without GROUP BY (constant
+    // per child — parTranslater allows them like tbname; catalog reads
+    // mark tags in the schema metadata and the front end lowers the
+    // bare tag to min(tag))
+    "ddl_tag_agg_gate" -> { (s, dir) =>
+      GraftSql.query(s, demo(s, dir).table,
+        """SELECT n_name, count(*) AS n, sum(v) AS sv FROM nat
+           WHERE n_regionkey = 2 ORDER BY n_name""")
+    },
     // FILE bulk-load spellings (sql.y:1064-1065
     // createCreateSubTableFromFileClause; parInsertSql.c csv path):
     // CREATE TABLE USING … (fields) FILE batch-creates children from a
@@ -748,6 +757,10 @@ object Ddl {
       s"""SELECT 'nat_' || n_nationkey AS tbname, n_name, n_regionkey,
             $T0 + n_nationkey * $H AS ts, n_nationkey * 1.5 AS v
           FROM nation ORDER BY ts""",
+    "ddl_tag_agg_gate" ->
+      """SELECT min(n_name) AS n_name, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(n_nationkey) AS BIGINT) AS DOUBLE) * 1.5 AS sv
+         FROM nation WHERE n_regionkey = 2 ORDER BY n_name""",
     "insert_autocreate_gate" ->
       s"""SELECT 'cm_' || c_custkey AS tbname, c_mktsegment AS seg,
             $T0 + c_custkey * $H AS ts, c_acctbal + 1000 AS bal,

@@ -904,8 +904,12 @@ class GraftCatalog(val spark: SparkSession) {
     // agent/job creation carries the same engine-opaque WITH text
     // (CREATE XNODE AGENT '1' WITH regionA 'cn-east-1', ttl '2y' …;
     // CREATE XNODE JOB ON 1 WITH config '…' xnode_id 2)
+    // a TASK may carry a FROM 'dsn' TO {'dsn' | DATABASE db} route
+    // before its WITH option list (parser/batch/TRIGGER spellings are
+    // engine-opaque key/value text, same validated-accept treatment)
     else if (("(?i)^CREATE XNODE (AGENT|TASK) ('[^']*'|\"[^\"]*\"" +
-      "|\\d+)(\\s+WITH\\s+.+)?$").r.matches(stmt)) ()
+      "|\\d+)(\\s+FROM\\s+'[^']*'\\s+TO\\s+('[^']*'|DATABASE\\s+" +
+      "[\\w.]+))?(\\s+WITH\\s+.+)?$").r.matches(stmt)) ()
     else if ("(?i)^CREATE XNODE JOB ON \\d+(\\s+WITH\\s+.+)?$"
       .r.matches(stmt)) ()
     // accounts are the enterprise tenant surface — accepted, validated
@@ -2532,9 +2536,13 @@ class GraftCatalog(val spark: SparkSession) {
           .zip(tagTypes).map { case (v, t) =>
             coerceTo(resolveTagVal(v), t) })))
       val dim = spark.createDataFrame(tagRows, tagSchema)
+      // tags carry the TAG metadata marker here too (the child read
+      // does the same) so the dialect's riding rules see them
       latest.join(broadcast(dim), "tbname")
-        .select((st.cols.fieldNames ++ st.tags.fieldNames :+
-          "tbname").map(col): _*)
+        .select((st.cols.fieldNames.map(col) ++
+          st.tags.fieldNames.map(tn =>
+            col(tn).as(tn, GraftCatalog.TagMeta)) :+
+          col("tbname")): _*)
     }
     vdf.map(reg.unionByName(_)).getOrElse(reg)
   }
@@ -2555,7 +2563,15 @@ class GraftCatalog(val spark: SparkSession) {
       case (d, (f, v)) =>
         d.withColumn(f.name, lit(resolveTagVal(v)).cast(f.dataType))
     }
-    tagged.withColumn("tbname", lit(c.name))
+    val out = tagged.withColumn("tbname", lit(c.name))
+    // mark tag columns in the schema metadata: the dialect front end
+    // uses it to let bare tags ride aggregates without GROUP BY the
+    // way tbname does (constant per child — parTranslater allows them)
+    out.select(out.columns.map { cn =>
+      if (st.tags.fieldNames.exists(_.equalsIgnoreCase(cn)))
+        col(cn).as(cn, GraftCatalog.TagMeta)
+      else col(cn)
+    }: _*)
   }
 
   /** Run a stream's calc over the full history of its source tables in
@@ -3535,4 +3551,12 @@ class GraftCatalog(val spark: SparkSession) {
       describe(stmt.split("\\s+").last)
     else { exec(stmt); spark.emptyDataFrame }
   }
+}
+
+object GraftCatalog {
+  /** Schema metadata marking a TAG column on catalog reads — lets the
+    * dialect front end apply tbname-style riding rules to tags. */
+  val TagMeta: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.tag", true).build()
 }

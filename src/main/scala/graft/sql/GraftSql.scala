@@ -4016,13 +4016,25 @@ object GraftSql {
         "histogram|leastsquares)\\s*\\(").r
       def bareTb(e: String) = e.trim.equalsIgnoreCase("tbname") ||
         e.trim.toLowerCase.matches("[a-z_][a-z0-9_]*\\.tbname")
+      // bare TAG columns ride the same way (`select t1, t2, count(*)
+      // from stb` — constant per child; catalog reads mark tags in the
+      // schema metadata)
+      def tagName(e: String): Option[String] = {
+        val t = e.trim.replaceFirst("^[A-Za-z_]\\w*\\.", "")
+        df.schema.fields.find(f => f.name.equalsIgnoreCase(t) &&
+          f.metadata.contains("graft.tag")).map(_.name)
+      }
       if (selectItems.exists { case (e, _) =>
             trueAggRe.findFirstIn(e).isDefined } &&
-          selectItems.exists { case (e, _) => bareTb(e) })
+          selectItems.exists { case (e, _) =>
+            bareTb(e) || tagName(e).isDefined })
         selectItems = selectItems.map { case (e, a) =>
           if (bareTb(e))
             ("min(tbname)", if (a == e) "tbname" else a)
-          else (e, a)
+          else tagName(e) match {
+            case Some(t) => (s"min(`$t`)", if (a == e) t else a)
+            case None => (e, a)
+          }
         }
     }
     var hiddenKeys: Seq[String] = Nil
