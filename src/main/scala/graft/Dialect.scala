@@ -1125,6 +1125,14 @@ object Dialect {
         """SELECT event_type AS tn FROM events GROUP BY event_type
            SLIMIT 1,2 ORDER BY tn""")
     },
+    // cols() INSIDE a window query (rewriteColsFunction under
+    // interval windows — keep_order corpus shapes): the selected-row
+    // outputs evaluate per window
+    "dialect_cols_window" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT _wstart AS w, cols(last(ts), ts AS lts, value AS lv)
+           FROM events WHERE user_id = 3 INTERVAL(1d) ORDER BY w""")
+    },
     // a SELECTION function carrying scalar columns without GROUP BY
     // (parTranslater selection semantics: the scalar items evaluate
     // ON THE SELECTED ROW — `select abs(c1), max(c1) from stb1`)
@@ -2368,6 +2376,15 @@ object Dialect {
     "dialect_group_slimit" ->
       """SELECT DISTINCT event_type AS tn FROM events
          ORDER BY tn LIMIT 2 OFFSET 1""",
+    "dialect_cols_window" ->
+      """WITH d AS (SELECT epoch_us(ts) AS t, value FROM events
+           WHERE user_id = 3),
+         w AS (SELECT t - (t % 86400000000) AS w, t, value,
+             row_number() OVER (PARTITION BY t - (t % 86400000000)
+               ORDER BY t DESC) AS rn
+           FROM d)
+         SELECT w, t AS lts, value AS lv FROM w WHERE rn = 1
+         ORDER BY w""",
     "dialect_selection_row" ->
       """WITH s AS (SELECT * FROM events WHERE event_id <= 5000
            AND value IS NOT NULL

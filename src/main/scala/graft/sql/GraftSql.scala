@@ -3920,10 +3920,10 @@ object GraftSql {
       "COUNT_WINDOW", "EVENT_WINDOW", "EXTERNAL_WINDOW").find(c.contains)
     if (winClauseKw.isDefined && groupKeys.length > partCols.length &&
         !c.contains("GROUP BY") && !df.columns.contains("_wjlid")) {
-      val aggRe = ("(?i)\\b(count|sum|avg|min|max|first|last|last_row|" +
-        "stddev|stdvar|std|var|spread|mode|twa|irate|elapsed|" +
-        "hyperloglog|percentile|apercentile|histogram|leastsquares|" +
-        "sample)\\s*\\(").r
+      val aggRe = ("(?i)\\b(count|sum|avg|min|max|min_by|max_by|first|" +
+        "last|last_row|stddev|stdvar|std|var|spread|mode|twa|irate|" +
+        "elapsed|hyperloglog|percentile|apercentile|histogram|" +
+        "leastsquares|sample)\\s*\\(").r
       val hasAgg = selectItems.exists { case (e, _) =>
         aggRe.findFirstIn(e).isDefined }
       val indefRe = ("(?i)\\b(diff|csum|mavg|derivative|statecount|" +
@@ -4464,23 +4464,36 @@ object GraftSql {
           else selectItems.collectFirst {
             case (e, a) if e.trim.equalsIgnoreCase("_wstart") => a
           }.getOrElse("_wstart")
-        val range =
-          s"(?i).*\\b$tsCol\\s*>=\\s*(\\d+)\\s*AND\\s*$tsCol\\s*<\\s*(\\d+).*".r
-        val (t0, t1) = c.get("WHERE") match {
-          case Some(range(a, b)) => (a.toLong, b.toLong)
-          case _ =>
-            // no literal range: fill within the RESULT's own window
-            // extent (fillGetWindowRange — absent an explicit range the
-            // reference fills first..last window). One tiny agg over
-            // the already-aggregated frame; empty input fills nothing.
+        // fill span = the WHERE ts-range when bounded (qStart/qEnd
+        // already absorbed every conjunct ORDER and datetime spelling
+        // — `ts<'…' and ts>='…'` included), else the RESULT's own
+        // window extent (fillGetWindowRange). One tiny agg over the
+        // already-aggregated frame; empty input fills nothing.
+        val (t0, t1) =
+          if (qStart != Long.MinValue && qEnd != Long.MaxValue)
+            (qStart, qEnd + 1)
+          else {
             val mm = res.agg(min(col(wsName)), max(col(wsName))).head
             if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1) + iv)
-        }
-        if (t1 > t0)
+          }
+        if (t1 > t0) {
           res = FillOps.fillIntervalMulti(res, wsName,
             valueCols.zip(modes),
             groupKeys.filterNot(_ == "_wstart"), iv, t0, t1 - 1,
             offsetUs = off)
+          // renamed window-identity ride-alongs (`_wend te, _wduration
+          // td`) are key-derived, not fillable values — reconstruct
+          // them on the spine rows from the grid bucket
+          selectItems.foreach { case (e, a) =>
+            if (e.trim.equalsIgnoreCase("_wend") &&
+                res.columns.contains(a) && a != "_wend")
+              res = res.withColumn(a,
+                coalesce(col(a), col(wsName) + lit(iv)))
+            else if (e.trim.equalsIgnoreCase("_wduration") &&
+                res.columns.contains(a) && a != "_wduration")
+              res = res.withColumn(a, coalesce(col(a), lit(iv)))
+          }
+        }
       case (Some(f), None) if calFillSpec.isDefined =>
         // FILL over a CALENDAR interval grid (INTERVAL 1n/1q/1y): the
         // month-boundary window starts between the query range (or the
