@@ -4378,7 +4378,12 @@ object GraftSql {
         // clauses have sorted/sliced
         keyItems.foreach { case (e, a) =>
           if (e != a) g = g.withColumnRenamed(e, a) }
-        hiddenKeys = groupKeys.filter(k => !k.startsWith("_") &&
+        // a FILL needs the raw window key even when the select list
+        // carries it only through an expression (`cast(_wstart as
+        // bigint)`) or not at all — retain it hidden for the spine
+        // join, dropped again with the other hidden keys
+        hiddenKeys = groupKeys.filter(k => (!k.startsWith("_") ||
+            (k.equalsIgnoreCase("_wstart") && c.contains("FILL"))) &&
           !selectItems.exists { case (_, a) => a.equalsIgnoreCase(k) } &&
           g.columns.contains(k))
         g.select((selectItems.map { case (_, a) => col(a) } ++
@@ -4397,10 +4402,21 @@ object GraftSql {
         // the group key, not a fillable value column — and so is a
         // RENAMED key (`select _wstart ts, count(*) …`): exclude the
         // aliases of key-expression select items too
+        // a select item is KEY-DERIVED when it references a window
+        // pseudo-col and no data column (`cast(_wstart as bigint)`,
+        // `_wstart + 1d`): not a fillable value — reconstructed on the
+        // spine rows below instead
+        def keyDerived(e0: String): Boolean = {
+          val et = e0.trim
+          val hasWin = ("(?i)(?<![\\w])(_wstart|_wend|_wduration)" +
+            "(?![\\w])").r.findFirstIn(et).isDefined
+          hasWin && !df.columns.filterNot(_.startsWith("_")).exists(cn =>
+            ("(?i)(?<![\\w])" + java.util.regex.Pattern.quote(cn) +
+              "(?![\\w])").r.findFirstIn(et).isDefined)
+        }
         val keyAliases = selectItems.collect {
           case (e, a) if groupKeys.exists(_.equalsIgnoreCase(e.trim)) ||
-            Seq("_wstart", "_wend", "_wduration")
-              .exists(_.equalsIgnoreCase(e.trim)) => a
+            keyDerived(e) => a
         }
         val valueCols = res.columns
           .filterNot(cn => groupKeys.exists(_.equalsIgnoreCase(cn)))
@@ -4481,17 +4497,24 @@ object GraftSql {
             valueCols.zip(modes),
             groupKeys.filterNot(_ == "_wstart"), iv, t0, t1 - 1,
             offsetUs = off)
-          // renamed window-identity ride-alongs (`_wend te, _wduration
-          // td`) are key-derived, not fillable values — reconstruct
-          // them on the spine rows from the grid bucket
+          // KEY-DERIVED ride-alongs (`_wend te`, `cast(_wstart as
+          // bigint) ws`, `_wstart + 1d`) reconstruct on the spine rows
+          // from the grid bucket — the same rewritten expression the
+          // aggregate path evaluated (pseudo map folds _wend/
+          // _wduration onto _wstart)
           selectItems.foreach { case (e, a) =>
-            if (e.trim.equalsIgnoreCase("_wend") &&
-                res.columns.contains(a) && a != "_wend")
-              res = res.withColumn(a,
-                coalesce(col(a), col(wsName) + lit(iv)))
-            else if (e.trim.equalsIgnoreCase("_wduration") &&
-                res.columns.contains(a) && a != "_wduration")
-              res = res.withColumn(a, coalesce(col(a), lit(iv)))
+            val et = e.trim
+            if (res.columns.contains(a) &&
+                !a.equalsIgnoreCase("_wstart") &&
+                !groupKeys.exists(_.equalsIgnoreCase(et)) &&
+                keyDerived(e)) {
+              val rw0 = rewritten(et)
+              val rw =
+                if (wsName == "_wstart") rw0
+                else rw0.replaceAll("(?i)(?<![\\w])_wstart(?![\\w])",
+                  s"`$wsName`")
+              res = res.withColumn(a, coalesce(col(a), expr(rw)))
+            }
           }
         }
       case (Some(f), None) if calFillSpec.isDefined =>
