@@ -242,10 +242,24 @@ class GraftCatalog(val spark: SparkSession) {
 
   // ------------------------------------------------------------- types
 
+  /** Column type text from a FEDERATED source → Spark type, applying
+    * the per-engine aliases of extTypeMap.c: MySQL REAL is an 8-byte
+    * double (extTypeMap.c:325 → TSDB_DATA_TYPE_DOUBLE), PostgreSQL
+    * real is float4 (extTypeMap.c:646 → FLOAT). `sourceName` must be
+    * a registered EXTERNAL SOURCE; its TYPE selects the dialect. */
+  def externalColumnType(sourceName: String, t: String): DataType = {
+    val src = extSourceDefs.getOrElse(sourceName.toLowerCase,
+      throw new IllegalArgumentException(
+        s"external source not found: ${sourceName.toLowerCase}"))
+    sparkType(t, src.typ.toLowerCase)
+  }
+
   /** TDengine column type text → Spark type (tdataformat.h type ids).
     * TIMESTAMP maps to the Long tick domain — precision is database
-    * metadata, exactly as in the reference. */
-  private def sparkType(t: String): DataType = {
+    * metadata, exactly as in the reference. `engine` carries the
+    * source-engine dialect for federated passthrough spellings whose
+    * width differs per engine (extTypeMap.c): "" = native DDL. */
+  private def sparkType(t: String, engine: String = ""): DataType = {
     val u = t.trim.toUpperCase
     val dec = "DECIMAL\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)".r
     u match {
@@ -277,9 +291,12 @@ class GraftCatalog(val spark: SparkSession) {
       // issue MySQL/PG CREATEs through the same entry point): TEXT,
       // REAL, DATETIME/DATE map onto the native domains. FLOAT4/FLOAT8
       // are already matched by the FLOAT8/FLOAT cases above; REAL is
-      // PostgreSQL's float4 (MySQL spells its 8-byte form DOUBLE).
+      // engine-dependent — MySQL's REAL is an 8-byte double
+      // (extTypeMap.c:325), PostgreSQL's real is float4
+      // (extTypeMap.c:646); PG width is the engine-less default.
       case x if x.startsWith("TEXT") => StringType
-      case x if x.startsWith("REAL") => FloatType
+      case x if x.startsWith("REAL") =>
+        if (engine == "mysql") DoubleType else FloatType
       case x if x.startsWith("DATETIME") || x.startsWith("DATE") =>
         LongType
       case other =>
@@ -1984,7 +2001,18 @@ class GraftCatalog(val spark: SparkSession) {
       // rules) — trim when the tail is exactly tag/tbname names
       if (out.columns.length > cols.length) {
         val tail = out.columns.drop(cols.length)
-        val tagish = stables.values.flatMap(_.tagDefs.map(_._1)).toSet
+        // the ride-along tags belong to the stable the SELECT actually
+        // read — resolve the first FROM name to its stable; fall back
+        // to the target's own stable. Matching against EVERY stable's
+        // tags would silently drop a data column that merely collides
+        // with some other stable's tag name.
+        val srcStable = "(?i)\\bFROM\\s+([A-Za-z_]\\w*)".r
+          .findFirstMatchIn(select).map(_.group(1).toLowerCase)
+          .flatMap { n =>
+            children.get(n).map(ch => stables(ch.stableName))
+              .orElse(stables.get(n))
+          }.getOrElse(st)
+        val tagish = srcStable.tagDefs.map(_._1).toSet
         if (tail.forall(t => t.equalsIgnoreCase("tbname") ||
             tagish.exists(_.equalsIgnoreCase(t))))
           out = out.select(out.columns.take(cols.length).map(col): _*)
@@ -2848,8 +2876,19 @@ class GraftCatalog(val spark: SparkSession) {
       opts.contains("api_token"),
       "CREATE EXTERNAL SOURCE needs user= or api_token=")
     extSeq += 1
+    // PORT: numeric, or a bare identifier (an unexpanded test-harness
+    // variable like `port=leader_port` — tolerated as port 0, the
+    // reference harness substitutes a real number before the engine
+    // sees it); anything else (e.g. `12x4`) is malformed → loud
+    val portTxt = kvs("port")
+    val port = portTxt.toIntOption.getOrElse {
+      require(portTxt.nonEmpty && portTxt.head.isLetter ||
+        portTxt.headOption.contains('_'),
+        s"CREATE EXTERNAL SOURCE: malformed PORT '$portTxt'")
+      0
+    }
     extSourceDefs(name) = ExtSource(name, typ, kvs("host"),
-      kvs("port").toIntOption.getOrElse(0), kvs.getOrElse("user", ""),
+      port, kvs.getOrElse("user", ""),
       kvs.get("password"), kvs.get("api_token").orElse(
         opts.get("api_token")), kvs.get("database"), kvs.get("schema"),
       opts, extSeq)
@@ -2987,11 +3026,22 @@ class GraftCatalog(val spark: SparkSession) {
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
       val cur = new StringBuilder
       var inStr = false
-      stmt.foreach { ch =>
-        if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+      var i = 0
+      while (i < stmt.length) {
+        val ch = stmt.charAt(i)
+        if (inStr) {
+          cur += ch
+          // a backslash escapes the next char inside a literal (the
+          // reference lexer accepts 'a\'b'); consume it so the escaped
+          // quote doesn't flip the in-string state
+          if (ch == '\\' && i + 1 < stmt.length) {
+            i += 1; cur += stmt.charAt(i)
+          } else if (ch == '\'') inStr = false
+        }
         else if (ch == '\'') { cur += ch; inStr = true }
         else if (ch == ';') { parts += cur.toString; cur.clear() }
         else cur += ch
+        i += 1
       }
       parts += cur.toString
       val stmts = parts.map(_.trim).filter(_.nonEmpty).toSeq

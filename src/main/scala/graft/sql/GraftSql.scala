@@ -3277,15 +3277,27 @@ object GraftSql {
             val spark0 = df.sparkSession
             import spark0.implicits._
             val grid0 = (bLo to bHi by iv).toDF("_wsort")
+            // the occupied-bucket side's cardinality is windows×keys
+            // (the windowed OUTPUT size) — only hint broadcast when
+            // that bound is provably small; above it, let AQE pick
+            // the build side so a 100 TB key space can't blow the
+            // driver
+            var occupiedBound = nWins
             val grid =
               if (partCols.isEmpty) grid0
-              else grid0.crossJoin(
-                df.select(partCols.zipWithIndex.map { case (pc, i) =>
-                  col(pc).as(s"_ps$i") }: _*).distinct())
+              else {
+                val parts = df.select(
+                  partCols.zipWithIndex.map { case (pc, i) =>
+                    col(pc).as(s"_ps$i") }: _*).distinct()
+                occupiedBound = nWins * parts.count()
+                grid0.crossJoin(parts)
+              }
             val gridKeys = "_wsort" +:
               partCols.indices.map(i => s"_ps$i")
+            val occupied = res.select(gridKeys.map(col): _*).distinct()
             val missing = grid.join(
-              broadcast(res.select(gridKeys.map(col): _*).distinct()),
+              if (occupiedBound <= 1000000L) broadcast(occupied)
+              else occupied,
               gridKeys.toSeq, "left_anti")
             val resTypes = res.schema.fields.map(f =>
               f.name -> f.dataType).toMap

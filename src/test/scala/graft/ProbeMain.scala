@@ -80,9 +80,14 @@ object ProbeMain {
     * failures can be re-run in their exact file sequence and each
     * shape adjudicated artifact-vs-bug from the receipt alone. */
   private val receiptsPath = sys.env.get("SPARK_GRAFT_PROBE_RECEIPTS")
+  // separate sink for the missing-obj bucket (statements classified as
+  // harness noise): lets a sampling audit bound what could hide there
+  private val missReceiptsPath =
+    sys.env.get("SPARK_GRAFT_PROBE_RECEIPTS_MISSING")
   private var curFile: String = "-"
-  private def receipt(shape: String, q: String, msg: String): Unit =
-    receiptsPath.foreach { p =>
+  private def receiptTo(pOpt: Option[String], shape: String, q: String,
+      msg: String): Unit =
+    pOpt.foreach { p =>
       val line = Seq(shape, curFile, q, msg)
         .map(_.replaceAll("[\\t\\n\\r]", " "))
         .mkString("", "\t", "\n")
@@ -90,6 +95,8 @@ object ProbeMain {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
+  private def receipt(shape: String, q: String, msg: String): Unit =
+    receiptTo(receiptsPath, shape, q, msg)
 
   private def seededCatalog(spark: SparkSession): graft.sql.GraftCatalog = {
     val cat = new graft.sql.GraftCatalog(spark)
@@ -183,7 +190,10 @@ object ProbeMain {
           // column/function-resolution noise and documented intended
           // rejects classify exactly as in probeFile
           if (missing.exists(m.contains) || noise.exists(m.contains) ||
-              intended.exists(m.contains)) noisy += 1
+              intended.exists(m.contains)) {
+            noisy += 1
+            receiptTo(missReceiptsPath, "missing-obj", q, m.take(300))
+          }
           else {
             val shape = e.getClass.getSimpleName + ": " + m
               .replaceAll("'[^']*'", "'_'").replaceAll("\\d+", "N")
