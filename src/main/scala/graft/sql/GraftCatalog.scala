@@ -310,11 +310,28 @@ class GraftCatalog(val spark: SparkSession) {
   private def literal(s0: String, dt: DataType): Any = {
     val s = s0.trim
     if (s.equalsIgnoreCase("NULL")) return null
+    // backslash escapes inside literals ('a\'b' — the reference lexer
+    // accepts both '' and \' spellings): one left-to-right scan so an
+    // escaped backslash before a quote can't be misread
+    def unescape(t: String, q: Char): String = {
+      val b = new StringBuilder(t.length)
+      var i = 0
+      while (i < t.length) {
+        val c = t(i)
+        if (c == '\\' && i + 1 < t.length) { i += 1; b.append(t(i)) }
+        else if (c == q && i + 1 < t.length && t(i + 1) == q) {
+          i += 1; b.append(q)
+        }
+        else b.append(c)
+        i += 1
+      }
+      b.toString
+    }
     val unq =
       if (s.startsWith("'") && s.endsWith("'") && s.length >= 2)
-        Some(s.substring(1, s.length - 1).replace("''", "'"))
+        Some(unescape(s.substring(1, s.length - 1), '\''))
       else if (s.startsWith("\"") && s.endsWith("\"") && s.length >= 2)
-        Some(s.substring(1, s.length - 1).replace("\"\"", "\""))
+        Some(unescape(s.substring(1, s.length - 1), '"'))
       else None
     // quoted 'NULL' on a NON-string column is the NULL value
     // (parInsertSql.c treats the token case-insensitively); on a
@@ -411,7 +428,11 @@ class GraftCatalog(val spark: SparkSession) {
     var depth = 0; var inStr = false; var i = at
     while (i < s.length) {
       val c = s(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      // inside a literal, a backslash escapes the next char ('a\'b')
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+      }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -468,11 +489,17 @@ class GraftCatalog(val spark: SparkSession) {
     * identically. Tag values like 'O`Brien' keep their backticks. */
   private def stripBackticks(s: String): String = {
     val b = new StringBuilder(s.length)
-    var inStr = false
-    s.foreach { c =>
-      if (inStr) { b.append(c); if (c == '\'') inStr = false }
+    var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (inStr) {
+        b.append(c)
+        if (c == '\\' && i + 1 < s.length) { i += 1; b.append(s(i)) }
+        else if (c == '\'') inStr = false
+      }
       else if (c == '`') ()
       else { b.append(c); if (c == '\'') inStr = true }
+      i += 1
     }
     b.toString
   }
@@ -482,7 +509,11 @@ class GraftCatalog(val spark: SparkSession) {
     var inStr = false; var pendingSpace = false; var i = 0
     while (i < s.length) {
       val c = s(i)
-      if (inStr) { b.append(c); if (c == '\'') inStr = false }
+      if (inStr) {
+        b.append(c)
+        if (c == '\\' && i + 1 < s.length) { i += 1; b.append(s(i)) }
+        else if (c == '\'') inStr = false
+      }
       else if (c.isWhitespace) pendingSpace = b.nonEmpty
       else {
         if (pendingSpace) { b.append(' '); pendingSpace = false }

@@ -361,8 +361,15 @@ object GraftSql {
   private[sql] def splitArgs(s: String): Seq[String] = {
     var depth = 0; var inStr = false; val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    s.foreach { c =>
-      if (inStr) { cur += c; if (c == '\'') inStr = false }
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (inStr) {
+        cur += c
+        // backslash escapes the next char inside a literal ('a\'b')
+        if (c == '\\' && i + 1 < s.length) { i += 1; cur += s(i) }
+        else if (c == '\'') inStr = false
+      }
       else c match {
         case '\'' => inStr = true; cur += c
         case '(' => depth += 1; cur += c
@@ -370,6 +377,7 @@ object GraftSql {
         case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
         case _ => cur += c
       }
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString.trim
     out.result()

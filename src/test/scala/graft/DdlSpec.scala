@@ -813,6 +813,73 @@ class DdlSpec extends AnyFunSuite {
     }
   }
 
+  test("per-engine REAL mapping: MySQL REAL is double, PG real is " +
+      "float (extTypeMap.c:325,646)") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE EXTERNAL SOURCE srcmy TYPE='mysql' HOST='h' " +
+      "PORT=3306 USER='u'")
+    cat.exec("CREATE EXTERNAL SOURCE srcpg TYPE='postgresql' " +
+      "HOST='h' PORT=5432 USER='u'")
+    assert(cat.externalColumnType("srcmy", "REAL") ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(cat.externalColumnType("srcpg", "REAL") ==
+      org.apache.spark.sql.types.FloatType)
+    // native DDL keeps the engine-less default (PG float4 width)
+    cat.exec("CREATE TABLE treal (ts TIMESTAMP, r REAL)")
+    assert(cat.table("treal").schema("r").dataType ==
+      org.apache.spark.sql.types.FloatType)
+  }
+
+  test("EXTERNAL SOURCE PORT: placeholder identifier tolerated, " +
+      "malformed numeric rejected loudly") {
+    val cat = new GraftCatalog(spark)
+    // an unexpanded harness variable is accepted as port 0
+    cat.exec("CREATE EXTERNAL SOURCE s1 TYPE='mysql' HOST='h' " +
+      "PORT=leader_port USER='u'")
+    // malformed mixed token fails loudly, not silently port 0
+    intercept[IllegalArgumentException] {
+      cat.exec("CREATE EXTERNAL SOURCE s2 TYPE='mysql' HOST='h' " +
+        "PORT=12x4 USER='u'")
+    }
+  }
+
+  test("multi-statement split survives a backslash-escaped quote " +
+      "inside a literal") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE escdb")
+    cat.exec("CREATE TABLE esct (ts TIMESTAMP, s VARCHAR(32))")
+    // the ; inside 'a\'b;c' must NOT tear the statement
+    cat.sql("INSERT INTO esct VALUES (1000, 'a\\'b;c'); " +
+      "INSERT INTO esct VALUES (2000, 'plain')")
+    val rows = cat.table("esct").orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("s") == "a'b;c")
+  }
+
+  test("INSERT..SELECT * trim uses the SOURCE stable's tags, not any " +
+      "stable's") {
+    val cat = new GraftCatalog(spark)
+    cat.exec("CREATE DATABASE trimdb")
+    // an unrelated stable whose TAG name collides with a data column
+    cat.exec("CREATE STABLE other (ts TIMESTAMP, x DOUBLE) " +
+      "TAGS (v2 INT)")
+    cat.exec("CREATE STABLE st (ts TIMESTAMP, v1 DOUBLE, v2 DOUBLE) " +
+      "TAGS (loc VARCHAR(8))")
+    cat.exec("CREATE TABLE c1 USING st TAGS ('a')")
+    cat.exec("CREATE TABLE c2 USING st TAGS ('b')")
+    cat.exec("INSERT INTO c1 VALUES (1000, 1.5, 2.5)")
+    // SELECT * ride-along trim still works (tail = source tags+tbname)
+    cat.sql("INSERT INTO c2 SELECT * FROM c1")
+    val rows = cat.table("c2").collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("v2") == 2.5)
+    // v2 is a DATA column of st that merely collides with OTHER's tag
+    // name: a bound-column insert whose select carries it as a trailing
+    // extra must fail the arity check loudly, not silently drop it
+    intercept[IllegalArgumentException] {
+      cat.sql("INSERT INTO c2 (ts, v1) SELECT ts, v1, v2 FROM c1")
+    }
+  }
+
   test("database() tracks the catalog's USE state") {
     val cat = new GraftCatalog(spark)
     cat.exec("CREATE DATABASE mixdb")

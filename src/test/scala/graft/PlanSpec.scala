@@ -237,4 +237,23 @@ class PlanSpec extends AnyFunSuite {
         s"per=$per pushdown changed row count: $n vs $expect")
     }
   }
+
+  test("indef-fill occupied-bucket anti-join stays broadcast at small " +
+      "windows x keys (hint is conditional, not unconditional)") {
+    // the r18 plan hinted broadcast unconditionally; r19 makes it
+    // conditional on windows x key-distinct <= 1M so a 100 TB key
+    // space can never materialize the windowed output on the driver.
+    // At test scale the bound is tiny -> the hint must still fire.
+    val p = SparkEntry.queries("dialect_indef_interval_fill")(spark, sf)
+      .queryExecution.explainString(SimpleMode)
+    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftAnti".r
+        .findFirstIn(p).isDefined,
+      s"expected broadcast left-anti for the fill grid at small scale:\n$p")
+    // the grid cross itself (local window spine x distinct keys) is a
+    // broadcast nested-loop CROSS by design — only the anti-join shape
+    // matters; it must never be the nested-loop fallback
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, LeftAnti") &&
+      !p.contains("BroadcastNestedLoopJoin BuildLeft, LeftAnti"),
+      "fill anti-join degenerated to a nested loop")
+  }
 }
