@@ -1147,6 +1147,93 @@ object Dialect {
         """SELECT user_id, first(value) AS fv, abs(value) AS av
            FROM events PARTITION BY user_id ORDER BY user_id""")
     },
+    // double-quoted string literals — the reference lexer treats "…"
+    // exactly like '…' (both TK_STRING; identifiers use backticks), so
+    // datetime ranges and string comparisons accept either spelling
+    // (test_fun_agg_elapsed.py:1634 positive queries)
+    "dialect_dquote_literals" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT count(*) AS n,
+             count(CASE WHEN event_type = "view" THEN 1 END) AS nv
+           FROM events WHERE ts >= "2024-01-05 00:00:00.000"
+             AND ts < "2024-01-12 00:00:00.000"""")
+    },
+    // ORDER BY naming the selection aggregate, with `*` riding along
+    // (test_normal.py:247 `select *, last(ts) + 2 from stb order by
+    // last(ts) desc` = checkRows(1)): the call collapses to its value
+    // on the selected row
+    "dialect_selection_order_agg" -> { (s, dir) =>
+      run(s, dir,
+        "SELECT *, last(ts) + 2 AS lt FROM events ORDER BY last(ts) DESC")
+    },
+    // last_row(*) star-expansion riding bare columns and constants
+    // (test_fun_select_last_row.py:243 `select last_row(*),ts,'k'`)
+    "dialect_last_row_ride" -> { (s, dir) =>
+      run(s, dir, "SELECT last_row(*), ts, 'k' AS k FROM events")
+    },
+    // PARTITION BY ordinal + aggregate HAVING without aggregates in
+    // the select list collapses to one row per partition
+    // (test_query_partitionby_basic.py:598,660)
+    "dialect_partition_having" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_type FROM events PARTITION BY 1
+           HAVING count(*) >= 0 ORDER BY event_type""")
+    },
+    // calendar INTERVAL with a fixed-duration offset AND SLIDING
+    // (test_interval_basic.py:293 `interval(1n, 1w) sliding(2w)`):
+    // window starts sit on the epoch-aligned sliding grid + offset,
+    // each spanning one calendar month
+    "dialect_cal_offset_sliding" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT CAST(_wstart AS BIGINT) AS w, count(*) AS n
+           FROM events INTERVAL(1n, 1w) SLIDING(2w) ORDER BY w""")
+    },
+    // quantified subquery comparisons (test_quantified_sub3/4.py):
+    // ordering ops fold against the subquery min/max; = ANY routes
+    // through the IN semi-join
+    "dialect_quantified_subq" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id FROM events
+           WHERE value > ALL (SELECT value FROM events WHERE event_id <= 3)
+             AND user_id = ANY (SELECT user_id FROM events
+                                WHERE event_id <= 200)
+           ORDER BY event_id""")
+    },
+    // SLIMIT with the partition key ABSENT from the select list
+    // (test_ts_partitonby.py:108): the slice applies pre-projection
+    "dialect_slimit_nokey" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT count(*) AS n FROM (SELECT ts FROM events
+           WHERE ts IS NOT NULL PARTITION BY user_id SLIMIT 2)""")
+    },
+    // an ASOF join chained into a further regular join
+    // (test_join_full.py:6527): the special join plans first, the
+    // chain delegates to Spark SQL over its flattened output
+    "dialect_sjoin_chain" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT a.ts FROM (events a LEFT ASOF JOIN events b)
+           JOIN events c ON b.ts = c.ts ORDER BY 1 LIMIT 20""")
+    },
+    // WINDOW JOIN keyed by matching JSON-tag expressions
+    // (test_join_full.py:10481 `on a.t->'tag1' = b.t->'tag1'`):
+    // the expression materializes as a synthetic key on both sides
+    "dialect_window_join_json_key" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT a.ts, count(b.value) AS n
+           FROM events a LEFT WINDOW JOIN events b
+             ON a.user_id = b.user_id AND a.props->'k' = b.props->'k'
+             WINDOW_OFFSET(0s, 30s)
+           ORDER BY a.ts""")
+    },
+    // to_timestamp with a NON-LITERAL format argument
+    // (test_fun_sca_to_timestamp.py:163 `to_timestamp(c8, c9)`):
+    // Postgres-style tokens translate rowwise
+    "dialect_to_timestamp_col" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id, to_timestamp('2025-03-04 15:06:07.123',
+             concat('YYYY-MM-DD ', 'HH24:MI:SS.MS')) AS t
+           FROM events WHERE event_id < 5 ORDER BY event_id""")
+    },
     // indefinite-rows functions PER INTERVAL WINDOW with FILL
     // (test_fun_ts_interval_fill.py, "Since: 3.4.1.0"): csum resets at
     // each window boundary; empty-output windows in the query range
@@ -1347,12 +1434,12 @@ object Dialect {
             FROM (SELECT DISTINCT user_id FROM agg) u
             CROSS JOIN (SELECT unnest(range($T0, $T5, 86400000000)) AS ws) gs),
           joined AS (
-            SELECT s.user_id, s.ws, a.v, a.v IS NULL AS _isfilled
+            SELECT s.user_id, s.ws, a.v
             FROM spine s LEFT JOIN agg a
               ON s.user_id = a.user_id AND s.ws = a.ws)
           SELECT user_id, ws AS _wstart,
             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-              ORDER BY ws ROWS UNBOUNDED PRECEDING) AS v, _isfilled
+              ORDER BY ws ROWS UNBOUNDED PRECEDING) AS v
           FROM joined ORDER BY user_id, _wstart""",
     "dialect_interval_offset_fill" ->
       s"""WITH agg AS (
@@ -1367,12 +1454,12 @@ object Dialect {
             FROM (SELECT DISTINCT user_id FROM agg) u
             CROSS JOIN (SELECT unnest(range($G6, $T5, $D)) AS ws) gs),
           joined AS (
-            SELECT s.user_id, s.ws, a.v, a.v IS NULL AS _isfilled
+            SELECT s.user_id, s.ws, a.v
             FROM spine s LEFT JOIN agg a
               ON s.user_id = a.user_id AND s.ws = a.ws)
           SELECT user_id, ws AS _wstart,
             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-              ORDER BY ws ROWS UNBOUNDED PRECEDING) AS v, _isfilled
+              ORDER BY ws ROWS UNBOUNDED PRECEDING) AS v
           FROM joined ORDER BY user_id, _wstart""",
     "dialect_fill_value_f" ->
       s"""WITH agg AS (
@@ -1383,8 +1470,7 @@ object Dialect {
             GROUP BY 1),
           spine AS (SELECT unnest(range(${T0 - 10 * D}, ${T0 - 5 * D},
             $D)) AS ws)
-          SELECT s.ws AS _wstart, coalesce(a.n, 0)::DOUBLE AS n,
-            a.n IS NULL AS _isfilled
+          SELECT s.ws AS _wstart, coalesce(a.n, 0)::DOUBLE AS n
           FROM spine s LEFT JOIN agg a ON s.ws = a.ws
           ORDER BY _wstart""",
     "dialect_session_slimit" ->
@@ -1941,7 +2027,7 @@ object Dialect {
           GROUP BY 1),
         spine AS (SELECT unnest(range($T0, ${T0 + 31 * D}, $D)) AS ws)
         SELECT s.ws AS _wstart, coalesce(a.mx, 1.5) AS mx,
-          coalesce(a.mn, 2.5) AS mn, a.ws IS NULL AS _isfilled
+          coalesce(a.mn, 2.5) AS mn
         FROM spine s LEFT JOIN agg a ON s.ws = a.ws
         ORDER BY _wstart""",
     "dialect_fill_calendar" ->
@@ -1954,7 +2040,7 @@ object Dialect {
           FROM generate_series(TIMESTAMP '2023-11-01',
             TIMESTAMP '2024-03-01', INTERVAL 1 MONTH) t(x))
         SELECT s.ws AS _wstart, CAST(coalesce(a.n, 0) AS DOUBLE) AS n,
-          coalesce(a.mx, -1) AS mx, a.ws IS NULL AS _isfilled
+          coalesce(a.mx, -1) AS mx
         FROM spine s LEFT JOIN agg a ON s.ws = a.ws ORDER BY _wstart""",
     "dialect_fill_value_expr" ->
       s"""WITH agg AS (SELECT epoch_us(ts) - epoch_us(ts) % $D AS ws,
@@ -1966,8 +2052,7 @@ object Dialect {
         spine AS (SELECT unnest(range($T0, ${T0 + 31 * D}, $D)) AS ws)
         SELECT s.ws AS _wstart, coalesce(a.mx, 3) AS mx,
           coalesce(a.mn, 10) AS mn,
-          CAST(coalesce(a.cnt, 1.0) AS DOUBLE) AS cnt,
-          a.ws IS NULL AS _isfilled
+          CAST(coalesce(a.cnt, 1.0) AS DOUBLE) AS cnt
         FROM spine s LEFT JOIN agg a ON s.ws = a.ws
         ORDER BY _wstart""",
     "dialect_fill_norange" ->
@@ -1983,8 +2068,7 @@ object Dialect {
           FROM spine s LEFT JOIN agg a ON s.ws = a.ws)
         SELECT ws AS _wstart,
           last_value(mx IGNORE NULLS) OVER (ORDER BY ws
-            ROWS UNBOUNDED PRECEDING) AS mx,
-          f AS _isfilled
+            ROWS UNBOUNDED PRECEDING) AS mx
         FROM j ORDER BY _wstart""",
     "dialect_interp_multi" ->
       s"""WITH data AS (SELECT user_id, epoch_us(ts) AS t,
@@ -2399,6 +2483,63 @@ object Dialect {
            FROM events WHERE value IS NOT NULL)
          SELECT user_id, value AS fv, abs(value) AS av
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    "dialect_dquote_literals" ->
+      """SELECT count(*) AS n,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS nv
+         FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+           AND ts < TIMESTAMP '2024-01-12 00:00:00'""",
+    "dialect_selection_order_agg" ->
+      """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts, user_id,
+           event_type, value, props,
+           CAST(epoch_us(ts) + 2 AS BIGINT) AS lt
+         FROM events ORDER BY ts DESC LIMIT 1""",
+    "dialect_last_row_ride" ->
+      """SELECT event_id AS last_row_event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_row_ts,
+           user_id AS last_row_user_id,
+           event_type AS last_row_event_type,
+           value AS last_row_value, props AS last_row_props,
+           CAST(epoch_us(ts) AS BIGINT) AS ts, 'k' AS k
+         FROM events ORDER BY ts DESC LIMIT 1""",
+    "dialect_partition_having" ->
+      """SELECT event_type FROM events GROUP BY event_type
+         HAVING count(*) >= 0 ORDER BY event_type""",
+    "dialect_cal_offset_sliding" ->
+      """WITH g AS (SELECT 1209600000000 * j + 604800000000 AS st
+             FROM range(1390, 1420) t(j))
+         SELECT CAST(st AS BIGINT) AS w, count(*) AS n
+         FROM events, g
+         WHERE epoch_us(ts) >= st
+           AND ts < make_timestamp(st) + INTERVAL 1 MONTH
+         GROUP BY st ORDER BY w""",
+    "dialect_quantified_subq" ->
+      """SELECT event_id FROM events
+         WHERE value > ALL (SELECT value FROM events WHERE event_id <= 3)
+           AND user_id = ANY (SELECT user_id FROM events
+                              WHERE event_id <= 200)
+         ORDER BY event_id""",
+    "dialect_slimit_nokey" ->
+      """SELECT count(*) AS n FROM events
+         WHERE ts IS NOT NULL AND user_id IN
+           (SELECT DISTINCT user_id FROM events WHERE ts IS NOT NULL
+            ORDER BY user_id LIMIT 2)""",
+    "dialect_sjoin_chain" ->
+      """SELECT CAST(epoch_us(a.ts) AS BIGINT) AS ts
+         FROM events a JOIN events c ON a.ts = c.ts
+         ORDER BY 1 LIMIT 20""",
+    "dialect_window_join_json_key" ->
+      """SELECT CAST(epoch_us(a.ts) AS BIGINT) AS ts, count(b.value) AS n
+         FROM events a LEFT JOIN events b
+           ON a.user_id = b.user_id
+          AND json_extract_string(a.props, '$.k') =
+              json_extract_string(b.props, '$.k')
+          AND b.ts >= a.ts
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 30000000
+         GROUP BY a.ts ORDER BY ts""",
+    "dialect_to_timestamp_col" ->
+      """SELECT event_id,
+           TIMESTAMP '2025-03-04 15:06:07.123' AS t
+         FROM events WHERE event_id < 5 ORDER BY event_id""",
     "dialect_indef_interval_fill" ->
       """WITH d AS (SELECT user_id, epoch_us(ts) AS t, event_id
            FROM events

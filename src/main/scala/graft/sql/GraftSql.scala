@@ -255,6 +255,92 @@ object GraftSql {
     p
   }
 
+  private def sqlLit(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case other => other.toString
+  }
+
+  /** Quantified subquery comparisons `lhs <op> ANY|SOME|ALL (SELECT …)`
+    * (test_quantified_sub3/4.py; sql.y quantified comparison, 3.4.x).
+    * `= ANY` / `<> ALL` were rewritten to IN / NOT IN upstream; the
+    * ordering forms fold against the subquery's min/max — one
+    * driver-side aggregate row, never the value list — with SQL
+    * three-valued logic preserved via an explicit NULL term:
+    * `x > ANY(s)` ⟺ x > min(s) [else UNKNOWN if s has NULLs],
+    * `x > ALL(s)` ⟺ x > max(s) [AND UNKNOWN if NULLs],
+    * `x = ALL(s)` ⟺ x = min(s) AND x = max(s),
+    * `x <> ANY(s)` ⟺ NOT(x = min(s) AND x = max(s)). Empty set:
+    * ANY → FALSE, ALL → TRUE. */
+  private def rewriteQuantifiedSubqueries(spark: SparkSession,
+      resolve: String => DataFrame, pred: String, tsCol: String,
+      perSecond: Long): String = {
+    val re = ("(?i)(=|<>|!=|>=|<=|>|<)\\s*(ANY|SOME|ALL)" +
+      "\\s*\\(\\s*SELECT\\b").r
+    var p = pred
+    var m = re.findFirstMatchIn(p)
+    while (m.isDefined) {
+      val op0 = m.get.group(1)
+      val quant = m.get.group(2).toUpperCase
+      val parenAt = p.indexOf('(', m.get.start + op0.length)
+      var depth = 0; var inStr = false; var close = -1; var i = parenAt
+      while (close < 0 && i < p.length) {
+        val ch = p(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(close > 0, s"unbalanced quantified subquery in: $pred")
+      val lhs = p.substring(0, m.get.start).trim
+      require(lhs.nonEmpty && p.substring(close + 1).trim.isEmpty &&
+        Seq("AND", "OR", "NOT").forall(k =>
+          topLevelIndex(lhs.toUpperCase, k).isEmpty),
+        s"quantified subquery must be a whole conjunct: $pred")
+      val sub = query(spark, resolve, p.substring(parenAt + 1, close)
+        .trim, tsCol, perSecond)
+      val kc = sub.columns.head
+      require(sub.columns.length == 1,
+        s"quantified subquery must select one column: $pred")
+      val st = sub.agg(min(col(kc)), max(col(kc)), count(lit(1)),
+        count(col(kc))).collect().head
+      val (mn, mx) = (sqlLit(st.get(0)), sqlLit(st.get(1)))
+      val (cnt, cntNN) = (st.getLong(2), st.getLong(3))
+      val hasNull = cnt > cntNN
+      val nullB = "CAST(NULL AS BOOLEAN)"
+      val isAny = quant != "ALL"
+      val op = if (op0 == "!=") "<>" else op0
+      val folded: String =
+        if (cnt == 0) { if (isAny) "1=2" else "1=1" }
+        else if (cntNN == 0) nullB
+        else op match {
+          case ">" | ">=" | "<" | "<=" =>
+            val bound =
+              if (isAny == (op == ">" || op == ">=")) mn else mx
+            val base = s"(($lhs) $op $bound)"
+            if (!hasNull) base
+            else if (isAny) s"($base OR $nullB)"
+            else s"($base AND $nullB)"
+          case "=" if !isAny => // = ALL
+            val base = s"((($lhs) = $mn) AND (($lhs) = $mx))"
+            if (hasNull) s"($base AND $nullB)" else base
+          case "<>" if isAny => // <> ANY
+            val base = s"(NOT ((($lhs) = $mn) AND (($lhs) = $mx)))"
+            if (hasNull) s"($base OR $nullB)" else base
+          case other => throw new IllegalArgumentException(
+            s"unsupported quantified comparison: $other $quant")
+        }
+      p = s"($folded)"
+      m = re.findFirstMatchIn(p)
+      require(m.isEmpty, s"nested quantified subquery in: $pred")
+    }
+    p
+  }
+
   private def inlineScalarSubqueries(spark: SparkSession,
       resolve: String => DataFrame, pred: String, tsCol: String,
       perSecond: Long): String = {
@@ -662,7 +748,25 @@ object GraftSql {
     r = rewriteCall(r, "to_timestamp", a => {
       val parts = splitArgs(a)
       if (parts.length < 2) s"to_timestamp($a)"
-      else graft.functions.TimeFormat
+      else if (!parts(1).trim.startsWith("'") &&
+          !parts(1).trim.startsWith("\"")) {
+        // per-row format COLUMN (test_fun_sca_to_timestamp.py
+        // `to_timestamp(c8, c9)`): the codegen token compiler needs a
+        // literal, so translate the Postgres-style tokens to Spark
+        // pattern letters rowwise and parse with the native function
+        // staged via placeholder chars: SS/MS and HH/HH24 overlap, so
+        // the longer tokens park on control chars until the short
+        // ones are done (Spark: SS = fraction, not seconds)
+        val f = Seq("HH24" -> "", "hh24" -> "",
+          "HH12" -> "hh", "hh12" -> "hh", "MS" -> "",
+          "ms" -> "", "YYYY" -> "yyyy", "MI" -> "mm",
+          "mi" -> "mm", "SS" -> "ss", "HH" -> "hh", "DD" -> "dd",
+          "AM" -> "a", "PM" -> "a", "am" -> "a", "pm" -> "a",
+          "" -> "SSS", "" -> "HH")
+          .foldLeft(s"(${parts(1)})") { case (acc, (t, sp)) =>
+            s"replace($acc, '$t', '$sp')" }
+        s"to_timestamp((${parts(0)}), $f)"
+      } else graft.functions.TimeFormat
         .toTimestampSql(parts(0), unquote(parts(1)))
     })
     r = rewriteCall(r, "first", a => s"min_by($a, $tsCol)")
@@ -1015,15 +1119,60 @@ object GraftSql {
     if (asofAt < 0 && winAt < 0 && plainAt < 0)
       return resolve(from.split(" ")(0))
 
-    def equiKeys(conds: Seq[String]): Seq[String] = conds.map { c =>
+    // (plain same-name keys, same-expression keys). An expression key
+    // (`a.t->'tag1' = b.t->'tag1'` → matching get_json_object calls,
+    // test_join_full.py:10481) materializes as a synthetic column on
+    // BOTH sides and joins by that name.
+    def equiKeysSplit(conds: Seq[String]): (Seq[String], Seq[String]) = {
+      val plainB = Seq.newBuilder[String]
+      val exprB = Seq.newBuilder[String]
       val m = "(?i)^\\s*\\w+\\.(\\w+)\\s*=\\s*\\w+\\.(\\w+)\\s*$".r
-      c match {
-        // unquoted identifiers are case-insensitive (fuzz-found: a
-        // case-mutated `ON T1.Id = t2.id` must stay an equi key)
-        case m(k1, k2) if k1.equalsIgnoreCase(k2) => k1
-        case other => throw new IllegalArgumentException(
-          s"only same-name equi keys supported in join ON: $other")
+      def stripQuals(e: String): String =
+        "(?i)\\b[A-Za-z_]\\w*\\.(?=[A-Za-z_])".r.replaceAllIn(e, "")
+      def topEqSplit(s: String): Option[(String, String)] = {
+        var depth = 0; var inS = false; var i = 0
+        while (i < s.length) {
+          val ch = s(i)
+          if (inS) { if (ch == '\'') inS = false }
+          else ch match {
+            case '\'' => inS = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case '=' if depth == 0 &&
+                (i == 0 || !"<>!=".contains(s(i - 1))) &&
+                (i + 1 >= s.length || s(i + 1) != '=') =>
+              return Some((s.substring(0, i), s.substring(i + 1)))
+            case _ =>
+          }
+          i += 1
+        }
+        None
       }
+      conds.foreach { c =>
+        c match {
+          // unquoted identifiers are case-insensitive (fuzz-found: a
+          // case-mutated `ON T1.Id = t2.id` must stay an equi key)
+          case m(k1, k2) if k1.equalsIgnoreCase(k2) => plainB += k1
+          case other =>
+            topEqSplit(other) match {
+              case Some((e1, e2))
+                  if normExprKey(stripQuals(e1)) ==
+                    normExprKey(stripQuals(e2)) &&
+                    e1.trim.contains("(") =>
+                exprB += stripQuals(e1).trim
+              case _ => throw new IllegalArgumentException(
+                s"only same-name equi keys supported in join ON: $other")
+            }
+        }
+      }
+      (plainB.result(), exprB.result())
+    }
+    def equiKeys(conds: Seq[String]): Seq[String] = {
+      val (plain, exprs) = equiKeysSplit(conds)
+      require(exprs.isEmpty,
+        s"only same-name equi keys supported in join ON here: " +
+          exprs.mkString(", "))
+      plain
     }
 
     if (asofAt >= 0) {
@@ -1119,12 +1268,21 @@ object GraftSql {
       val (presName, probeName) =
         if (isRight) (rightName, lTxt.split("\\s+")(0))
         else (lTxt.split("\\s+")(0), rightName)
-      val left = resolve(presName)
-      val right = resolve(probeName)
+      var left = resolve(presName)
+      var right = resolve(probeName)
       val bounds = splitArgs(wom.group(1))
         .map(s => signedDurNative(s, perSecond))
-      val keys = onTxt.toSeq
-        .flatMap(o => equiKeys(o.split("(?i)\\s+AND\\s+").toSeq))
+      val (plainKeys, exprKeys) = onTxt.toSeq
+        .map(o => equiKeysSplit(o.split("(?i)\\s+AND\\s+").toSeq))
+        .foldLeft((Seq.empty[String], Seq.empty[String])) {
+          case ((p, e), (p2, e2)) => (p ++ p2, e ++ e2) }
+      val keys = plainKeys ++ exprKeys.zipWithIndex.map { case (ex, i) =>
+        val nm = s"_jk$i"
+        val kc = expr(rewriteFuncs(ex, tsCol, perSecond))
+        left = left.withColumn(nm, kc)
+        right = right.withColumn(nm, kc)
+        nm
+      }
       val rightCols = right.columns.toSeq.filterNot(keys.contains)
       // `_wjlid` identifies the preserved ROW for the implicit
       // per-window aggregation route (25-join.md: aggregates in a
@@ -1931,7 +2089,11 @@ object GraftSql {
     * filter in builtins.c): rewritten to get_json_object before any
     * parsing, so it works in select items, WHERE, and HAVING alike. */
   private def rewriteJsonArrow(s: String): String =
-    "([A-Za-z_][A-Za-z0-9_]*)\\s*->\\s*'([^']*)'".r.replaceAllIn(s, m =>
+    // an alias qualifier stays INSIDE the call (`b.t->'k'` →
+    // get_json_object(b.t, …)) so join-side qualifier rewrites and
+    // Spark SQL delegation both see a plain qualified column ref
+    ("((?:[A-Za-z_][A-Za-z0-9_]*\\.)?[A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s*->\\s*'([^']*)'").r.replaceAllIn(s, m =>
       scala.util.matching.Regex.quoteReplacement(
         s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
 
@@ -1948,6 +2110,47 @@ object GraftSql {
     if (aggRegistered.add(spark))
       spark.udf.register("apercentile", org.apache.spark.sql.functions
         .udaf(new graft.functions.Aggregators.TDigestPAgg))
+
+  /** The reference lexer treats `"…"` exactly like `'…'` — both
+    * produce TK_STRING (identifiers use backticks), so
+    * `ts >= "2015-01-01 00:00:00.000"` and `HISTOGRAM(c, "USER_INPUT",
+    * "[0,3,6,9]", 0)` are legal spellings (test_fun_agg_elapsed.py
+    * positive queries). Normalize double-quoted literals to
+    * single-quoted before any clause parsing, so every downstream
+    * datetime/argument rewrite sees one quoting convention. Embedded
+    * single quotes double; backslash escapes pass through with the
+    * escaped quote normalized. */
+  private[graft] def normalizeDoubleQuotes(s: String): String = {
+    if (s.indexOf('"') < 0) return s
+    val out = new StringBuilder(s.length)
+    var i = 0; var mode = ' ' // ' ' | '\'' | '"' | '`'
+    while (i < s.length) {
+      val ch = s(i)
+      mode match {
+        case ' ' =>
+          if (ch == '"') { out += '\''; mode = '"' }
+          else { out += ch; if (ch == '\'' || ch == '`') mode = ch }
+        case '\'' =>
+          out += ch
+          if (ch == '\\' && i + 1 < s.length) { out += s(i + 1); i += 1 }
+          else if (ch == '\'') mode = ' '
+        case '"' =>
+          if (ch == '\\' && i + 1 < s.length) {
+            // \" inside a double-quoted string is a literal quote;
+            // \' must stay escaped in the single-quoted result
+            if (s(i + 1) == '"') out += '"' else { out += ch; out += s(i + 1) }
+            i += 1
+          } else if (ch == '"') { out += '\''; mode = ' ' }
+          else if (ch == '\'') out ++= "''"
+          else out += ch
+        case '`' =>
+          out += ch
+          if (ch == '`') mode = ' '
+      }
+      i += 1
+    }
+    out.toString
+  }
 
   def query(spark: SparkSession, resolve0: String => DataFrame,
       sql: String, tsCol: String = "ts",
@@ -1968,7 +2171,8 @@ object GraftSql {
     // planner hints (/*+ SORT_FOR_GROUP() */ etc., sql.y hint_list):
     // advisory on the reference, and Catalyst does its own planning —
     // strip them rather than fail the statement
-    val deHinted = sql.replaceAll("/\\*\\+.*?\\*/", " ")
+    val deHinted =
+      normalizeDoubleQuotes(sql).replaceAll("/\\*\\+.*?\\*/", " ")
     // statement terminator (taos shell / test scripts end every
     // statement with `;`): strip before clause parsing, where a
     // trailing `;` would otherwise glue onto a LIMIT count or duration
@@ -2120,6 +2324,94 @@ object GraftSql {
     * (sum/avg-DECIMAL, time scalars) apply per clause, Spark plans the
     * join tree (+AQE). Views drop after the plan resolves. Returns None
     * for anything with dialect-specific clauses or <3 tables. */
+  /** `(a ASOF/WINDOW JOIN b …) JOIN c ON …` — a special join chained
+    * into further regular joins (test_join_full.py:6527). The special
+    * join plans through [[fromClause]] (preserved side bare, probe
+    * side `r_`-prefixed), registers as a temp view, alias qualifiers
+    * rewrite (`a.x` → `view.x`, `b.x` → `view.r_x`) across every
+    * clause, and the remaining plain-join chain delegates to Spark
+    * SQL. Returns None when FROM is not this shape. */
+  private def specialJoinChain(spark: SparkSession,
+      resolve: String => DataFrame, c0: Map[String, String],
+      tsCol: String, perSecond: Long): Option[DataFrame] = {
+    val from = c0("FROM").trim
+    val up = from.toUpperCase
+    if (!up.contains("ASOF JOIN") && !up.contains("WINDOW JOIN"))
+      return None
+    val joinKw = ("(?i)^(LEFT|RIGHT|FULL|INNER|CROSS|JOIN)\\b").r
+    var inner: String = null
+    var chain: String = null
+    if (from.startsWith("(")) {
+      var depth = 0; var inStr = false; var close = -1; var i = 0
+      while (close < 0 && i < from.length) {
+        val ch = from(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) return None
+      val in0 = from.substring(1, close).trim
+      if (!in0.toUpperCase.contains("ASOF JOIN") &&
+          !in0.toUpperCase.contains("WINDOW JOIN")) return None
+      var rest = from.substring(close + 1).trim
+      // optional derived alias before the chain keyword
+      if (rest.nonEmpty && joinKw.findFirstIn(rest).isEmpty) {
+        val sp = rest.indexOf(' ')
+        if (sp < 0) return None
+        rest = rest.substring(sp + 1).trim
+      }
+      if (joinKw.findFirstIn(rest).isEmpty) return None
+      inner = in0
+      chain = rest
+    } else {
+      // bare form: the chain starts at the first top-level JOIN token
+      // after the WINDOW_OFFSET(...) close (+ optional JLIMIT)
+      val wom = "(?i)\\bWINDOW_OFFSET\\s*\\([^)]*\\)".r
+        .findFirstMatchIn(from).getOrElse(return None)
+      var at = wom.end
+      val jl = "(?i)^\\s*JLIMIT\\s+\\d+".r
+        .findFirstMatchIn(from.substring(at))
+      jl.foreach(m => at += m.end)
+      val tail = from.substring(at)
+      val j = "(?i)\\s(LEFT\\s+|RIGHT\\s+|FULL\\s+|INNER\\s+)?JOIN\\s".r
+        .findFirstMatchIn(tail).getOrElse(return None)
+      inner = from.substring(0, at + j.start).trim
+      chain = tail.substring(j.start).trim
+    }
+    val sides = joinQualSides(inner).getOrElse(return None)
+    val innerDf = fromClause(resolve, inner, tsCol, perSecond)
+    val syn = s"_sj${chainSeq.incrementAndGet()}"
+    def fixQuals(s: String): String = maskingLiterals(s) { s1 =>
+      var acc = s1
+      sides._2.foreach { q =>
+        acc = ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(q) +
+          "\\.(\\w+)").r.replaceAllIn(acc, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            if (innerDf.columns.contains("r_" + m.group(1)))
+              s"$syn.r_${m.group(1)}"
+            else s"$syn.${m.group(1)}"))
+      }
+      sides._1.foreach { q =>
+        acc = ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(q) +
+          "\\.").r.replaceAllIn(acc,
+          java.util.regex.Matcher.quoteReplacement(s"$syn."))
+      }
+      acc
+    }
+    val c2 = c0.map { case (k, v) =>
+      if (k == "FROM") k -> s"$syn ${fixQuals(chain)}"
+      else k -> fixQuals(v)
+    }
+    val resolve2: String => DataFrame = n =>
+      if (n.equalsIgnoreCase(syn)) innerDf else resolve(n)
+    chainedJoinSql(spark, resolve2, c2, tsCol, perSecond, force = true)
+  }
+
   private def chainedJoinSql(spark: SparkSession,
       resolve: String => DataFrame, c: Map[String, String],
       tsCol: String, perSecond: Long,
@@ -2443,6 +2735,14 @@ object GraftSql {
         c = c.updated("FROM", nf)
         resolve = r2
       }
+    // an ASOF/WINDOW join chained into a further regular JOIN
+    // (test_join_full.py:6527 `(sta a left asof join sta b) join sta c
+    // on b.ts = c.ts`, and the bare window form): plan the special
+    // join first, expose it as a temp view (preserved side bare,
+    // probe side r_), rewrite the alias qualifiers in every clause,
+    // then delegate the remaining plain-join chain to Spark SQL
+    specialJoinChain(spark, resolve, c, tsCol, perSecond)
+      .foreach(return _)
     // 3+-table join chains delegate whole statements to Spark SQL
     chainedJoinSql(spark, resolve, c, tsCol, perSecond)
       .foreach(return _)
@@ -2626,7 +2926,19 @@ object GraftSql {
     // range when no ts condition exists
     var qStart = Long.MinValue
     var qEnd = Long.MaxValue
-    c.get("WHERE").foreach { w =>
+    c.get("WHERE").foreach { w0 =>
+      // `= ANY|SOME (sub)` ⟺ IN (sub), `<> ALL (sub)` ⟺ NOT IN (sub)
+      // (test_quantified_sub4.py): route through the semi/anti-join
+      // IN-subquery machinery; the ordering quantifiers fold below
+      val w =
+        "(?i)(?<![<>!=])(=|<>|!=)\\s*(ANY|SOME|ALL)\\s*\\(\\s*(?=SELECT\\b)"
+        .r.replaceAllIn(w0, m =>
+          (m.group(1), m.group(2).toUpperCase) match {
+            case ("=", "ANY" | "SOME") => " IN ("
+            case ("<>" | "!=", "ALL") => " NOT IN ("
+            case _ => java.util.regex.Matcher
+              .quoteReplacement(m.matched)
+          })
       val (plain0, subs) = whereInSubqueries(w)
       val plain = plain0
         .map(rewriteRegexOps)
@@ -2635,6 +2947,8 @@ object GraftSql {
         // (timetruncate, week, sign, … — same rewrites as select items)
         .map(p => rewriteFuncs(p, tsCol, perSecond))
         .map(p => inlineExistsSubqueries(spark, resolve, p, tsCol, perSecond))
+        .map(p => rewriteQuantifiedSubqueries(spark, resolve, p, tsCol,
+          perSecond))
         .map(p => inlineScalarSubqueries(spark, resolve, p, tsCol, perSecond))
       val tsCmp = ("(?i)^\\s*" + java.util.regex.Pattern.quote(tsCol) +
         "\\s*(>=|<=|<|>|=)\\s*(-?\\d+)L?\\s*$").r
@@ -2714,21 +3028,6 @@ object GraftSql {
     seriesSelect(df, c, tsCol, perSecond).foreach(r => return r)
     histogramSelect(df, c, tsCol).foreach(r => return r)
 
-    // expression partition keys (24-distinguished.md: part_list takes
-    // any scalar expression) materialize as hidden columns, the same
-    // treatment GROUP BY expressions get below
-    val partExprRemap = Seq.newBuilder[(String, String)]
-    val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
-      .zipWithIndex.map { case (k0, i) =>
-        val k = k0.trim
-        if ("^[A-Za-z_][A-Za-z0-9_]*$".r.matches(k)) k
-        else {
-          val nm = s"_pk$i"
-          df = df.withColumn(nm, expr(rewriteFuncs(k, tsCol, perSecond)))
-          partExprRemap += (normExprKey(k) -> nm)
-          nm
-        }
-      }
     // SELECT DISTINCT: flag + strip, applied after the projection
     val selectRaw = c("SELECT").trim
     val isDistinct = selectRaw.toUpperCase.startsWith("DISTINCT ")
@@ -2778,6 +3077,34 @@ object GraftSql {
         case e => (e.trim, e.trim)
       }
     }
+    // expression partition keys (24-distinguished.md: part_list takes
+    // any scalar expression) materialize as hidden columns, the same
+    // treatment GROUP BY expressions get below. A bare ordinal names
+    // the n-th select item and an output alias names its expression
+    // (test_query_partitionby_basic.py `partition by 1 having …`,
+    // `select t1 as t1_alias … partition by t1_alias`) — parsed after
+    // the select items so both can resolve; `(1)` stays a constant
+    // expression key (slice context only).
+    val partExprRemap = Seq.newBuilder[(String, String)]
+    val partCols = c.get("PARTITION BY").toSeq.flatMap(splitArgs)
+      .zipWithIndex.map { case (k0, i) =>
+        val kt = k0.trim
+        val k =
+          if (kt.matches("\\d+") && kt.toInt >= 1 &&
+              kt.toInt <= selectItems.length)
+            selectItems(kt.toInt - 1)._1.trim
+          else selectItems.find { case (e, a) =>
+            a.equalsIgnoreCase(kt) &&
+              normExprKey(e) != normExprKey(a) }
+            .map(_._1.trim).getOrElse(kt)
+        if ("^[A-Za-z_][A-Za-z0-9_]*$".r.matches(k)) k
+        else {
+          val nm = s"_pk$i"
+          df = df.withColumn(nm, expr(rewriteFuncs(k, tsCol, perSecond)))
+          partExprRemap += (normExprKey(k) -> nm)
+          nm
+        }
+      }
     partExprRemap.result().foreach { case (key, nm) =>
       selectItems = selectItems.map { case (e, a) =>
         if (normExprKey(e) == key) (nm, if (a == e) nm else a) else (e, a)
@@ -3397,8 +3724,11 @@ object GraftSql {
           "(?i)(?<![\\w])tbname(?![\\w])".r
             .findFirstIn(selTxt).isEmpty &&
           anchorItem.isDefined &&
+          // `*` accompanies like a bare column: every base column
+          // evaluates on the selected row (test_normal.py
+          // `select *, last(ts) + 2 from stb` = one row)
           selectItems.zipWithIndex.exists { case ((e, _), i) =>
-            i != anchorItem.get._2 && refsBase0(e) }) {
+            i != anchorItem.get._2 && (refsBase0(e) || e.trim == "*") }) {
         val ((aTxt, _), aIdx) = anchorItem.get
         val fn = selFnRe.findFirstMatchIn(aTxt).get.group(1).toLowerCase
         val (aStart, aArgs, aClose) = analyticCallSpan(aTxt, fn)
@@ -3432,10 +3762,33 @@ object GraftSql {
                 e.substring(aClose + 1), a)
             else (e, a)
           }
-          var res = base.select(items.map { case (e, a) =>
-            expr(rewriteFuncs(e, tsCol, perSecond)).as(a) }: _*)
-          c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,
-            positional = res.columns.toSeq): _*))
+          // ORDER BY may reference the selection aggregate itself
+          // (`select *, last(ts) + 2 from stb order by last(ts) desc`,
+          // test_normal.py / test_orderby_basic.py): each output row
+          // IS its selection row, so the call collapses to its
+          // argument — sorted PRE-projection, where the argument
+          // column still exists; the narrow select preserves order
+          val anchorCallRe = ("(?i)\\b" + fn + "\\s*\\(\\s*" +
+            java.util.regex.Pattern.quote(aArgs.head.trim) +
+            "\\s*\\)").r
+          var sortedPre = false
+          var base2 = base
+          c.get("ORDER BY").foreach { o =>
+            if (anchorCallRe.findFirstIn(o).isDefined) {
+              val o2 = anchorCallRe.replaceAllIn(o,
+                java.util.regex.Matcher
+                  .quoteReplacement(s"(${aArgs.head.trim})"))
+              base2 = base2.orderBy(orderCols(o2): _*)
+              sortedPre = true
+            }
+          }
+          var res = base2.select(items.flatMap { case (e, a) =>
+            if (e.trim == "*") baseCols0.toSeq.map(col)
+            else Seq(expr(rewriteFuncs(e, tsCol, perSecond)).as(a))
+          }: _*)
+          if (!sortedPre)
+            c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,
+              positional = res.columns.toSeq): _*))
           c.get("OFFSET").foreach(m => res = res.offset(m.trim.toInt))
           c.get("LIMIT").foreach(n => res = applyLimit(res, n))
           return res
@@ -3605,8 +3958,14 @@ object GraftSql {
         val s = stripOuterParens(s0).trim
         require(!calRe.matches(s),
           "SLIDING cannot use calendar units (parTranslater.c:13304)")
-        require(offMonths == 0 && offTicks == 0,
-          "calendar INTERVAL with SLIDING takes no offset")
+        // a fixed-duration offset composes with SLIDING (the grid
+        // shifts by the offset: test_interval_basic.py `interval(1n,
+        // 1w) sliding(2w)` positive); a CALENDAR offset with SLIDING
+        // is the reference's own error case (`interval(1y, 6n)
+        // sliding(6n)` errors)
+        require(offMonths == 0,
+          "calendar INTERVAL with SLIDING takes a fixed-duration " +
+            "offset only")
         dur(s)
       }
       slideTicks match {
@@ -3668,9 +4027,11 @@ object GraftSql {
             s"SLIDING is too small for INTERVAL(${k}n): up to $nWin " +
               "candidate windows per row (reference bounds SLIDING to " +
               ">= 1% of INTERVAL); raise SLIDING")
-          val j0 = s"(($tsCol) DIV ${sl}L)"
+          // grid starts sit at j*sliding + offset (taosTimeTruncate
+          // applies the interval offset after grid alignment)
+          val j0 = s"((($tsCol) - ${offTicks}L) DIV ${sl}L)"
           val starts = s"filter(transform(sequence($j0 - ${nWin}L + 1, " +
-            s"$j0), j -> j * ${sl}L), " +
+            s"$j0), j -> j * ${sl}L + ${offTicks}L), " +
             s"st -> st <= $tsCol AND ${calEnd("st")} > $tsCol)"
           df = df.withColumn("_wstart", explode(expr(starts)))
           groupKeys = partCols :+ "_wstart"
@@ -4116,7 +4477,13 @@ object GraftSql {
         val cols =
           if (accAnchors.nonEmpty && selectItems.exists { case (e, _) =>
               isBare(e) || e.trim == "*" }) {
-            require(accAnchors.length == 1,
+            // last_row(*) star-expands to one call per column, all
+            // reading THE same physical last row — row-consistent, so
+            // the expanded set accompanies as one anchor
+            // (test_fun_select_last_row.py `select last_row(*), ts,
+            // 'abc', 123.981, tbname from m1`)
+            require(accAnchors.length == 1 ||
+              accAnchors.forall(_._1 == "last_row"),
               s"bare columns accompany exactly one selection function," +
                 s" got: ${accAnchors.map(_._1).mkString(", ")}")
             val (fn, arg) = accAnchors.head
@@ -4194,7 +4561,25 @@ object GraftSql {
               case ("*", _) => col("*")
               case (e, a) => expr(rewritten(e)).as(a) }: _*)
           var res2 = proj
-          c.get("HAVING").foreach(h => res2 = res2.filter(expr(h)))
+          c.get("HAVING").foreach { h =>
+            val hvAggRe = ("(?i)\\b(count|sum|avg|min|max|first|last|" +
+              "last_row|spread|stddev|stdvar|twa|elapsed|" +
+              "hyperloglog)\\s*\\(").r
+            if (hvAggRe.findFirstIn(h).isDefined) {
+              // key-only select + aggregate HAVING collapses to one
+              // row per group/partition
+              // (test_query_partitionby_basic.py `select tbname from
+              // stb partition by tbname having count(*)>=0` = one row
+              // per child): aggregate the predicate per key, filter,
+              // emit the keys
+              var g = df.groupBy(groupKeys.map(col): _*)
+                .agg(expr(rewritten(h)).as("__hv"))
+                .filter(col("__hv")).drop("__hv")
+              keyItems.foreach { case (e, a) =>
+                if (e != a) g = g.withColumnRenamed(e, a) }
+              res2 = g.select(selectItems.map { case (_, a) => col(a) }: _*)
+            } else res2 = res2.filter(expr(h))
+          }
           // the partition keys as they appear in the output (via `*`
           // every key column survives) — the SLIMIT slice identity and
           // the per-shard LIMIT partition
@@ -4209,11 +4594,23 @@ object GraftSql {
               case other =>
                 throw new IllegalArgumentException(s"bad SLIMIT: $other")
             }
-            require(sliceKeys.nonEmpty, "SLIMIT needs the partition " +
-              "key in the select list here")
-            val slices = res2.select(sliceKeys.map(col): _*).distinct()
-              .orderBy(sliceKeys.map(col): _*).offset(sOff).limit(sN)
-            res2 = res2.join(broadcast(slices), sliceKeys, "left_semi")
+            if (sliceKeys.nonEmpty) {
+              val slices = res2.select(sliceKeys.map(col): _*).distinct()
+                .orderBy(sliceKeys.map(col): _*).offset(sOff).limit(sN)
+              res2 = res2.join(broadcast(slices), sliceKeys, "left_semi")
+            } else {
+              // the slice key need not appear in the select list
+              // (test_ts_partitonby.py `select ts from mt1 partition
+              // by tbname slimit 2`): slice the PRE-projection frame
+              // on the partition keys, then re-project
+              val slices = df.select(groupKeys.map(col): _*).distinct()
+                .orderBy(groupKeys.map(col): _*).offset(sOff).limit(sN)
+              val sliced = df.join(broadcast(slices), groupKeys,
+                "left_semi")
+              res2 = sliced.select(selectItems.map {
+                case ("*", _) => col("*")
+                case (e, a) => expr(rewritten(e)).as(a) }: _*)
+            }
           }
           c.get("ORDER BY").foreach(o => res2 = res2.orderBy(orderCols(o,
             positional = res2.columns.toSeq): _*))
@@ -4255,7 +4652,12 @@ object GraftSql {
           else aggItems.map { case (e, a) =>
             // a bare state expression is constant within its window
             val e2 = if (stateTexts.exists(_.equalsIgnoreCase(e.trim)))
-              s"first($e)" else e
+              s"first($e)" else if (c.contains("FILL") &&
+                e.trim.equalsIgnoreCase("_isfilled"))
+              // fill pseudo-column: aggregated windows are real rows
+              // (false); spine rows get the marker from the fill
+              // machinery afterwards
+              "min(false)" else e
             expr(rewritten(e2)).as(a) }) ++
           havingAgg.map(h => expr(rewritten(h)).as("__having")).toSeq ++
           trueFor.map(p => expr(p).as("__truefor")).toSeq
@@ -4436,7 +4838,7 @@ object GraftSql {
         }
         val keyAliases = selectItems.collect {
           case (e, a) if groupKeys.exists(_.equalsIgnoreCase(e.trim)) ||
-            keyDerived(e) => a
+            keyDerived(e) || e.trim.equalsIgnoreCase("_isfilled") => a
         }
         val valueCols = res.columns
           .filterNot(cn => groupKeys.exists(_.equalsIgnoreCase(cn)))
@@ -4543,8 +4945,11 @@ object GraftSql {
         // result's own extent) enumerate driver-side — a query-ranged,
         // small list — and feed the spine as a literal array
         val args = splitArgs(stripOuterParens(f))
+        val isFilledAliases = selectItems.collect {
+          case (e, a) if e.trim.equalsIgnoreCase("_isfilled") => a }
         val valueCols = res.columns
           .filterNot(cn => groupKeys.exists(_.equalsIgnoreCase(cn)))
+          .filterNot(cn => isFilledAliases.exists(_.equalsIgnoreCase(cn)))
           .filterNot(_.equalsIgnoreCase("_isfilled")).toSeq
         def valueList(forced: Boolean): Seq[FillOps.FillMode] = {
           def one(t0: String): FillOps.FillMode = fillConst(t0) match {
@@ -4617,6 +5022,24 @@ object GraftSql {
       case (Some(_), None) =>
         throw new IllegalArgumentException("FILL requires INTERVAL")
       case _ =>
+    }
+    // the reference emits `_isfilled` ONLY when the select list names
+    // it (a fill pseudo-column, not an implicit output) — aliased
+    // selections copy from the fill machinery's marker, then the
+    // marker itself drops unless named verbatim. Also keeps FILL
+    // branches union-compatible with non-FILL branches
+    // (test_fun_agg_elapsed.py `elapsed … interval(10s) union all
+    // elapsed … interval(10s) fill(prev)` positives).
+    if (res.columns.contains("_isfilled")) {
+      selectItems.foreach { case (e, a) =>
+        if (e.trim.equalsIgnoreCase("_isfilled") &&
+            !a.equalsIgnoreCase("_isfilled") && res.columns.contains(a))
+          res = res.withColumn(a, col("_isfilled"))
+      }
+      if (!selectItems.exists { case (e, a) =>
+          a.equalsIgnoreCase("_isfilled") &&
+            e.trim.equalsIgnoreCase("_isfilled") })
+        res = res.drop("_isfilled")
     }
 
     // SLIMIT limits the NUMBER of output partition slices, not rows per

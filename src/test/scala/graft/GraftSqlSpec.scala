@@ -460,7 +460,10 @@ class GraftSqlSpec extends AnyFunSuite {
   test("FILL(PREV) inside a literal ts range matches FillOps") {
     val t0 = 1704067200000000L
     val t1 = t0 + 5L * 86400000000L
-    val dialect = q(s"""SELECT user_id, _wstart, sum(value) AS v
+    // `_isfilled` is selected explicitly: the reference (and r19 on)
+    // emits the fill marker only when the select list names it
+    val dialect = q(s"""SELECT user_id, _wstart, sum(value) AS v,
+      _isfilled
       FROM events WHERE ts >= $t0 AND ts < $t1
       PARTITION BY user_id INTERVAL(1d) FILL(PREV)
       ORDER BY user_id, _wstart""")
