@@ -90,6 +90,15 @@ object Ddl {
         """SELECT n_name, count(*) AS n, sum(v) AS sv FROM nat
            WHERE n_regionkey = 2 ORDER BY n_name""")
     },
+    // an EXPRESSION over tags riding aggregates
+    // (test_query_partitionby_basic.py:814 `select cast(t2 as
+    // binary(12)),count(*) from stb`): constant per child, wrapped
+    // min() like the bare-tag form
+    "ddl_tag_expr_agg_gate" -> { (s, dir) =>
+      GraftSql.query(s, demo(s, dir).table,
+        """SELECT concat(n_name, '!') AS nx, count(*) AS n FROM nat
+           WHERE n_regionkey = 2 ORDER BY nx""")
+    },
     // FILE bulk-load spellings (sql.y:1064-1065
     // createCreateSubTableFromFileClause; parInsertSql.c csv path):
     // CREATE TABLE USING … (fields) FILE batch-creates children from a
@@ -761,6 +770,9 @@ object Ddl {
       """SELECT min(n_name) AS n_name, CAST(count(*) AS BIGINT) AS n,
            CAST(CAST(sum(n_nationkey) AS BIGINT) AS DOUBLE) * 1.5 AS sv
          FROM nation WHERE n_regionkey = 2 ORDER BY n_name""",
+    "ddl_tag_expr_agg_gate" ->
+      """SELECT min(n_name) || '!' AS nx, CAST(count(*) AS BIGINT) AS n
+         FROM nation WHERE n_regionkey = 2 ORDER BY nx""",
     "insert_autocreate_gate" ->
       s"""SELECT 'cm_' || c_custkey AS tbname, c_mktsegment AS seg,
             $T0 + c_custkey * $H AS ts, c_acctbal + 1000 AS bal,

@@ -1225,6 +1225,15 @@ object Dialect {
              WINDOW_OFFSET(0s, 30s)
            ORDER BY a.ts""")
     },
+    // indefinite-rows functions per SESSION window
+    // (test_interval_basic.py:1224 `derivative(k, 6m, 1) from tm0
+    // session(ts, 1s)` positive): the function resets at each
+    // session boundary
+    "dialect_indef_session" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, csum(event_id) AS cs FROM events
+           WHERE user_id = 3 SESSION(ts, 10m) ORDER BY ts""")
+    },
     // to_timestamp with a NON-LITERAL format argument
     // (test_fun_sca_to_timestamp.py:163 `to_timestamp(c8, c9)`):
     // Postgres-style tokens translate rowwise
@@ -2536,6 +2545,22 @@ object Dialect {
           AND b.ts >= a.ts
           AND epoch_us(b.ts) <= epoch_us(a.ts) + 30000000
          GROUP BY a.ts ORDER BY ts""",
+    "dialect_indef_session" ->
+      """WITH d AS (SELECT epoch_us(ts) AS t, event_id FROM events
+           WHERE user_id = 3),
+         m AS (SELECT t, event_id,
+             CASE WHEN t - lag(t) OVER (ORDER BY t) > 600000000
+                   OR lag(t) OVER (ORDER BY t) IS NULL
+                 THEN 1 ELSE 0 END AS isnew
+           FROM d),
+         s AS (SELECT t, event_id,
+             sum(isnew) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS sid
+           FROM m)
+         SELECT CAST(t AS BIGINT) AS ts,
+           CAST(sum(event_id) OVER (PARTITION BY sid ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+         FROM s ORDER BY ts""",
     "dialect_to_timestamp_col" ->
       """SELECT event_id,
            TIMESTAMP '2025-03-04 15:06:07.123' AS t

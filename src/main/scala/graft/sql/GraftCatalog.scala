@@ -386,7 +386,16 @@ class GraftCatalog(val spark: SparkSession) {
       case IntegerType => coerceLong.toInt
       case FloatType => asDouble.map(_.toFloat).getOrElse(num.toFloat)
       case DoubleType => asDouble.getOrElse(num.toDouble)
-      case d: DecimalType => new java.math.BigDecimal(num)
+      case d: DecimalType =>
+        // eager range check (the reference errors AT INSERT on
+        // overflow — without it a bad value surfaces lazily at the
+        // first read, attributed to the wrong statement)
+        val bd = new java.math.BigDecimal(num)
+          .setScale(d.scale, java.math.RoundingMode.HALF_UP)
+        require(bd.precision - bd.scale <= d.precision - d.scale,
+          s"DECIMAL value overflow: $num for DECIMAL" +
+            s"(${d.precision},${d.scale})")
+        bd
       case BinaryType => unq.getOrElse(s).getBytes("UTF-8")
       case other =>
         throw new IllegalArgumentException(s"cannot coerce $s to $other")
@@ -395,6 +404,10 @@ class GraftCatalog(val spark: SparkSession) {
 
   /** 'yyyy-MM-dd HH:mm:ss[.fff]' (UTC) → ticks at the db precision. */
   private def parseTs(txt0: String): Long = {
+    // ISO forms with T separator / zone suffix ('2015-08-18T00:00:00Z',
+    // '2023-10-08T22:00:00+00:00' — taosParseTime accepts both) go
+    // through the shared strict parser first
+    GraftSql.tsLitTicks(txt0.trim, perSecond).foreach(t => return t)
     // taosParseTime accepts loose field widths ('2018-9-17 9:0:26.5')
     // and a bare date ('2000-01-01' = midnight); canonicalize first
     val loose = ("^(\\d{4})-(\\d{1,2})-(\\d{1,2})" +
@@ -558,10 +571,15 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("CREATE TABLE")) createTable(stmt)
     else if (up.startsWith("CREATE STREAM")) createStream(stmt)
     else if (up.startsWith("CREATE TOPIC")) createTopic(stmt)
-    else if (up.startsWith("CREATE VIEW")) {
-      // CREATE VIEW v AS <select> (sql.y:1615-1618): saved query,
-      // re-planned at each read so it tracks later DDL/DML
-      val rest = stripIfNotExists(stmt.substring("CREATE VIEW".length).trim)
+    else if (up.startsWith("CREATE VIEW") ||
+        up.startsWith("CREATE OR REPLACE VIEW")) {
+      // CREATE [OR REPLACE] VIEW v AS <select> (sql.y:1615-1618;
+      // test_view_mgmt.py:279 positive OR REPLACE): saved query,
+      // re-planned at each read so it tracks later DDL/DML — OR
+      // REPLACE swaps the definition in place
+      val kw = if (up.startsWith("CREATE OR REPLACE VIEW"))
+        "CREATE OR REPLACE VIEW" else "CREATE VIEW"
+      val rest = stripIfNotExists(stmt.substring(kw.length).trim)
       val tok = rest.split("\\s+")(0)
       val tail = rest.substring(tok.length).trim
       require(tail.toUpperCase.startsWith("AS "),
@@ -781,9 +799,13 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("ALTER EXTERNAL SOURCE"))
       alterExtSource(stmt)
     else if (up.startsWith("DROP EXTERNAL SOURCE")) {
-      val m = "(?i)^DROP EXTERNAL SOURCE (IF EXISTS )?([A-Za-z_]\\w*)$".r
+      // names may be backticked with dashes (fq suites
+      // `drop external source if exists `fq01-fw-039-hyp``)
+      val m = ("(?i)^DROP EXTERNAL SOURCE (IF EXISTS )?" +
+        "(?:`([^`]+)`|([A-Za-z_]\\w*))$").r
       stmt match {
-        case m(ife, n) =>
+        case m(ife, bt, plain) =>
+          val n = Option(bt).getOrElse(plain)
           if (extSourceDefs.remove(n.toLowerCase).isEmpty && ife == null)
             throw new IllegalArgumentException(
               s"external source not found: ${n.toLowerCase}")
@@ -898,10 +920,14 @@ class GraftCatalog(val spark: SparkSession) {
         set -= dn
       }
     }
-    else if ("(?i)^CREATE DNODE '[^']+'$".r.matches(stmt)) {
+    // both quote styles (the reference lexer treats " like ':
+    // `create dnode "localhost:7030"` in multi-dnode suites)
+    else if ("(?i)^CREATE DNODE ['\"][^'\"]+['\"]$".r.matches(stmt)) {
       dnodeSeq += 1
       extraDnodes(dnodeSeq) =
-        stmt.substring(stmt.indexOf('\'') + 1, stmt.length - 1)
+        stmt.substring("CREATE DNODE ".length).trim
+          .stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")
     }
     // bare host + PORT form (sql.y dnode_endpoint: CREATE DNODE host
     // PORT port — the unquoted spelling of 'host:port')
@@ -916,21 +942,45 @@ class GraftCatalog(val spark: SparkSession) {
         if (id == 1) "cannot drop dnode 1 (the serving process)"
         else s"dnode not found: $id")
     }
-    else if ("(?i)^CREATE XNODE '[^']+'$".r.matches(stmt)) {
+    // optional credentials/token (test_xnode.py:416 `CREATE XNODE
+    // '<ep>' user root pass '<pw>'`; `CREATE XNODE '<ep>' token '…'`)
+    else if (("(?i)^CREATE XNODE '([^']+)'" +
+        "(\\s+user\\s+\\S+)?(\\s+pass\\s+'[^']*')?" +
+        "(\\s+token\\s+'[^']*')?$").r
+        .matches(stmt)) {
       xnodeSeq += 1
-      xnodeDefs(xnodeSeq) =
-        (stmt.substring(stmt.indexOf('\'') + 1, stmt.length - 1),
-          "ready")
+      val ep = "'([^']+)'".r.findFirstMatchIn(stmt).get.group(1)
+      xnodeDefs(xnodeSeq) = (ep, "ready")
     }
     else if ("(?i)^DROP XNODE TASK ('[^']*'|\\d+)$".r.matches(stmt)) ()
     else if ("(?i)^DROP XNODE AGENT ('[^']*'|\\d+)$".r.matches(stmt)) ()
-    // job teardown filters on the id (admin text surface: WHERE id
-    // <op> n — engine-opaque, validated accept)
-    else if ("(?i)^DROP XNODE JOB WHERE id\\s*(=|!=|<|<=|>|>=)\\s*\\d+$"
-      .r.matches(stmt)) ()
+    // job teardown filters (test_xnode.py: WHERE id >= 1, WHERE
+    // task_id = 2 and status = 'running', WHERE config != '…' —
+    // AND-ed ident-vs-literal comparisons; engine-opaque, validated
+    // accept)
+    // AND/OR chains with optional parenthesized groups
+    // (test_xnode.py `WHERE (status = 'running' OR status =
+    // 'pending') AND via = 1`) — engine-opaque, validated accept
+    else if (("(?i)^DROP XNODE JOB WHERE [\\w\\s'()=!<>.:-]+$").r
+        .matches(stmt) &&
+        stmt.count(_ == '(') == stmt.count(_ == ')') &&
+        stmt.count(_ == '\'') % 2 == 0) ()
     else if ("(?i)^DROP XNODE( FORCE)? \\d+$".r.matches(stmt)) {
       val id = stmt.split("\\s+").last.toInt
       require(xnodeDefs.remove(id).isDefined, s"xnode not found: $id")
+    }
+    // DROP DNODE n FORCE|UNSAFE (test_offline_reason.py:59 positive)
+    else if ("(?i)^DROP DNODE \\d+ (FORCE|UNSAFE)$".r.matches(stmt)) {
+      val id = stmt.split("\\s+")(2).toInt
+      extraDnodes.remove(id); ()
+    }
+    // FORCE by quoted endpoint (test_xnode.py `DROP XNODE FORCE '<ep>'`)
+    else if ("(?i)^DROP XNODE( FORCE)? '[^']*'$".r.matches(stmt)) {
+      val ep = stmt.substring(stmt.indexOf('\'') + 1, stmt.length - 1)
+      val id = xnodeDefs.collectFirst {
+        case (k, (e, _)) if e == ep => k }
+      require(id.isDefined, s"xnode not found: $ep")
+      xnodeDefs.remove(id.get)
     }
     else if ("(?i)^(START|STOP|DRAIN) XNODE \\d+$".r.matches(stmt)) {
       val id = stmt.split("\\s+").last.toInt
@@ -947,17 +997,24 @@ class GraftCatalog(val spark: SparkSession) {
       "(?i)^ALTER XNODE SET (USER|TOKEN) .+$".r.matches(stmt)) ()
     // agent/job/task attribute patches (xnode admin text surface):
     // validated-accept — WITH/SET carry engine-opaque key/value text
+    // a TASK retarget may precede the option list (test_xnode.py
+    // `ALTER XNODE TASK 1 TO 'dsn://sink2' WITH retry 3`)
     else if (("(?i)^ALTER XNODE (AGENT|JOB|TASK) ('[^']*'|\"[^\"]*\"" +
-      "|\\d+)\\s+(WITH|SET)\\s+.+$").r.matches(stmt)) ()
+      "|\\d+)(\\s+TO\\s+'[^']*')?\\s+(WITH|SET)\\s+.+$").r
+      .matches(stmt)) ()
     // agent/job creation carries the same engine-opaque WITH text
     // (CREATE XNODE AGENT '1' WITH regionA 'cn-east-1', ttl '2y' …;
     // CREATE XNODE JOB ON 1 WITH config '…' xnode_id 2)
     // a TASK may carry a FROM 'dsn' TO {'dsn' | DATABASE db} route
     // before its WITH option list (parser/batch/TRIGGER spellings are
     // engine-opaque key/value text, same validated-accept treatment)
+    // FROM sources: a 'dsn' or a TOPIC (test_xnode.py:257 `CREATE
+    // XNODE TASK '…' FROM TOPIC tp TO 'kafka://…' WITH group_id 'g1',
+    // client_id 'c1' …`)
     else if (("(?i)^CREATE XNODE (AGENT|TASK) ('[^']*'|\"[^\"]*\"" +
-      "|\\d+)(\\s+FROM\\s+'[^']*'\\s+TO\\s+('[^']*'|DATABASE\\s+" +
-      "[\\w.]+))?(\\s+WITH\\s+.+)?$").r.matches(stmt)) ()
+      "|\\d+)(\\s+FROM\\s+('[^']*'|TOPIC\\s+[\\w.]+)\\s+TO\\s+" +
+      "('[^']*'|DATABASE\\s+[\\w.]+))?(\\s+WITH\\s+.+)?$")
+      .r.matches(stmt)) ()
     else if ("(?i)^CREATE XNODE JOB ON \\d+(\\s+WITH\\s+.+)?$"
       .r.matches(stmt)) ()
     // accounts are the enterprise tenant surface — accepted, validated
@@ -1064,7 +1121,10 @@ class GraftCatalog(val spark: SparkSession) {
 
   /** CREATE USER [IF NOT EXISTS] u PASS 'p' [SYSINFO n] [CREATEDB n]
     * [ENABLE n] (sql.y:359; user_option list :330). */
-  private def createUser(stmt: String): Unit = {
+  private def createUser(stmt0: String): Unit = {
+    // the reference lexer treats "…" like '…' (`create user u1 pass
+    // "taosdata_12345"`, rbac suites) — normalize before matching
+    val stmt = GraftSql.normalizeDoubleQuotes(stmt0)
     val re = ("(?i)^CREATE USER (?:IF NOT EXISTS )?" +
       "([A-Za-z_][A-Za-z0-9_]*) PASS '([^']*)'(.*)$").r
     stmt match {
@@ -1088,7 +1148,8 @@ class GraftCatalog(val spark: SparkSession) {
 
   /** ALTER USER u PASS 'p' | ENABLE n | SYSINFO n | CREATEDB n
     * (sql.y:364). */
-  private def alterUser(stmt: String): Unit = {
+  private def alterUser(stmt0: String): Unit = {
+    val stmt = GraftSql.normalizeDoubleQuotes(stmt0)
     val re = "(?i)^ALTER USER ([A-Za-z_][A-Za-z0-9_]*) (.+)$".r
     stmt match {
       case re(name, opts) =>
@@ -1369,6 +1430,9 @@ class GraftCatalog(val spark: SparkSession) {
     val name = bare(name0)
     if (children.contains(name)) stables(children(name).stableName).tsCol
     else if (stables.contains(name)) stables(name).tsCol
+    // a vtable can source another vtable's columns (3-hop chains,
+    // test_vtable_validate_referencing.py)
+    else if (vtableDefs.contains(name)) vtableDefs(name).tsCol
     else if (external.contains(name)) {
       val cols = external(name).columns
       if (cols.contains("ts")) "ts" else cols.head
@@ -1412,8 +1476,10 @@ class GraftCatalog(val spark: SparkSession) {
     val at = rest.indexOf('(', tok.length)
     require(at > 0, s"CREATE VTABLE needs a column list: $stmt")
     val (body, afterCols) = parenGroup(rest, at)
+    // the type may carry commas/spaces inside its parens
+    // (test_vtable_decimal.py `dec64_col decimal(18,2) from …`)
     val defRe = ("(?i)^(`[^`]+`|[\\p{L}_][\\p{L}\\p{N}_]*)\\s+" +
-      "([A-Za-z0-9()]+(?:\\s+UNSIGNED)?)" +
+      "([A-Za-z0-9]+(?:\\s*\\([0-9, ]*\\))?(?:\\s+UNSIGNED)?)" +
       "(?:\\s+FROM\\s+([\\p{L}\\p{N}_.`-]+))?$").r
     var tsCol: String = null
     val cols = Seq.newBuilder[(String, String, String, String)]
@@ -1546,7 +1612,11 @@ class GraftCatalog(val spark: SparkSession) {
     var vals: Seq[Any] = st.tagDefs.map(_ => null: Any)
     GraftSql.splitArgs(tagsBody).map(_.trim).zipWithIndex.foreach {
       case (refRe(tn, ref), _) =>
-        val ps = ref.split("\\.")
+        // db-qualified refs (`tags(region from db.ct0.region)`,
+        // test_vtable DDL forms) strip the db part — the catalog is
+        // single-db scoped, like column refs
+        val ps0 = ref.split("\\.")
+        val ps = if (ps0.length == 3) ps0.tail else ps0
         require(ps.length == 2,
           s"tag ref needs table.tag: $tn FROM $ref")
         val srcC = children.getOrElse(ps(0),
@@ -1556,6 +1626,21 @@ class GraftCatalog(val spark: SparkSession) {
             .exists(_._1.equalsIgnoreCase(ps(1))),
           s"tag ref source tag not found: $ref")
         vals = vals.updated(tagIdx(tn), TagRef(ps(0), ps(1)))
+      // positional bare `table.tag` refs — the FROM-less spelling
+      // (test_vtable_tag_ref: `USING vstb TAGS (c2.t_tiny, …)`)
+      case (bareRef, k)
+          if "^[A-Za-z_]\\w*(\\.[A-Za-z_`][\\w`]*){1,2}$".r
+            .matches(bareRef.trim) &&
+            children.contains(bare(bareRef.trim
+              .split("\\.").dropRight(1).mkString("."))) =>
+        require(k < tagNames.length,
+          s"TAGS arity exceeds ${tagNames.length} for $name")
+        val parts = splitQualified(bareRef.trim)
+        val (srcT, srcTag) = (parts(parts.length - 2), parts.last)
+        require(stables(children(srcT).stableName).tagDefs
+            .exists(_._1.equalsIgnoreCase(srcTag)),
+          s"tag ref source tag not found: $bareRef")
+        vals = vals.updated(tagIdx(tagNames(k)), TagRef(srcT, srcTag))
       case (litTxt, k) =>
         require(k < tagNames.length,
           s"TAGS arity exceeds ${tagNames.length} for $name")
@@ -1608,11 +1693,15 @@ class GraftCatalog(val spark: SparkSession) {
           cs.tail.map { case (cn, _, _, _) =>
             max(when(col("_vsrc") === cn, col("_vv"))).as(cn) }: _*)
       }
-    require(frames.nonEmpty,
-      s"VTABLE ${v.name} has no sourced columns to read")
-    val joined = frames
-      .reduce((a, b) => a.join(b, Seq("_vts"), "full_outer"))
-      .withColumnRenamed("_vts", v.tsCol)
+    // a vtable with NO sourced columns reads as zero rows with the
+    // declared schema (test_vtable_child_colref_after_alter.py
+    // `vctb_empty` → 0 rows × full column set)
+    val joined =
+      if (frames.isEmpty)
+        spark.range(0).select(col("id").as(v.tsCol))
+      else frames
+        .reduce((a, b) => a.join(b, Seq("_vts"), "full_outer"))
+        .withColumnRenamed("_vts", v.tsCol)
     val base = unsourced
       .foldLeft(joined) { case (d, (cn, tp, _, _)) =>
         d.withColumn(cn, lit(null).cast(sparkType(tp))) }
@@ -1800,6 +1889,8 @@ class GraftCatalog(val spark: SparkSession) {
         makeChild(child, bare(stTok), tail.substring(stTok.length).trim)
       case None =>
         val name = bare(rest.split("[\\s(]")(0))
+        require(rest.indexOf('(') >= 0,
+          s"CREATE TABLE needs (columns) or USING: $stmt")
         val (body, afterCols) = parenGroup(rest, rest.indexOf('('))
         // `CREATE TABLE st (cols) TAGS (tags)` IS a super-table
         // creation — sql.y treats the TABLE and STABLE spellings
@@ -1815,8 +1906,15 @@ class GraftCatalog(val spark: SparkSession) {
           throw new IllegalArgumentException(
             s"Table already exists in db: $name")
         }
+        val defs = colDefs(body)
+        // the reference rejects a non-TIMESTAMP leading column
+        // (TSDB_CODE_PAR_INVALID_FIRST_COLUMN) — without this, a
+        // foreign-engine CREATE (`push_t (val INT, …)`) would build a
+        // table whose later DELETE crashes on the Int "ts" key
+        require(defs.nonEmpty && sparkType(defs.head._2) == LongType,
+          "first column must be the TIMESTAMP primary key")
         val (uid, seq) = nextStableIds()
-        stables(name) = Stable(name, currentDb, colDefs(body), Nil,
+        stables(name) = Stable(name, currentDb, defs, Nil,
           uid = uid, createSeq = seq)
         children(name) = Child(name, name, Nil, mutable.ArrayBuffer())
     }
@@ -1925,6 +2023,11 @@ class GraftCatalog(val spark: SparkSession) {
       // a unitless offset is raw ticks at the table's precision
       if (x.last.isDigit) x.toLong
       else GraftSql.durNative(x, perSecond)
+    // quoted datetime/epoch base with offset arithmetic
+    // (`'2023-12-05 23:59:59.999' + 2a`, `'1704067200000' + 1s` —
+    // parInsertSql ts-position duration arithmetic over any ts
+    // literal spelling)
+    val litRe = "^('[^']*')\\s*([+-])\\s*(\\d+[a-z]?)$".r
     def resolveNow(v: String): String = v.trim match {
       case nowRe(base, sgn, d) =>
         val b = if (base.equalsIgnoreCase("today")) todayTicks else nowTicks
@@ -1934,12 +2037,31 @@ class GraftCatalog(val spark: SparkSession) {
         val delta = offsetTicks(d)
         (if (sgn == "-") base.toLong - delta
          else base.toLong + delta).toString
+      case litRe(lit, sgn, d) =>
+        val inner = lit.stripPrefix("'").stripSuffix("'").trim
+        val b =
+          if (inner.matches("-?\\d+")) inner.toLong
+          else GraftSql.tsLitTicks(lit, perSecond)
+            .getOrElse(parseTs(inner))
+        val delta = offsetTicks(d)
+        (if (sgn == "-") b - delta else b + delta).toString
       case other => other
     }
     while (rest.nonEmpty) {
       val tok = rest.split("[\\s(]")(0)
       val name = bare(tok)
       rest = rest.substring(tok.length).trim
+      // a bound-column list may PRECEDE the USING clause
+      // (test_priv_rbac.py `insert into ctb (ts,c0) using stb
+      // tags(10) values(…)` — parInsertSql accepts either order)
+      var preBound: Option[Seq[String]] = None
+      if (rest.startsWith("(")) {
+        val (body, after) = parenGroup(rest, 0)
+        if (rest.substring(after).trim.toUpperCase.startsWith("USING ")) {
+          preBound = Some(GraftSql.splitArgs(body).map(_.trim))
+          rest = rest.substring(after).trim
+        }
+      }
       // optional USING st [(tagNames)] TAGS(...)
       if (rest.toUpperCase.startsWith("USING ")) {
         val tail = rest.substring("USING ".length).trim
@@ -1959,8 +2081,8 @@ class GraftCatalog(val spark: SparkSession) {
       }
       // optional bound-column list BEFORE resolving the target kind —
       // INSERT … SELECT may target a stable by tbname routing
-      var boundCols: Option[Seq[String]] = None
-      if (rest.startsWith("(")) {
+      var boundCols: Option[Seq[String]] = preBound
+      if (boundCols.isEmpty && rest.startsWith("(")) {
         val (body, after) = parenGroup(rest, 0)
         boundCols = Some(GraftSql.splitArgs(body).map(_.trim))
         rest = rest.substring(after).trim
@@ -2351,6 +2473,19 @@ class GraftCatalog(val spark: SparkSession) {
       stables(name) = st.copy(tagDefs = st.tagDefs.patch(i, Nil, 1))
       kids.toSeq.foreach(c =>
         children(c.name) = c.copy(tagVals = c.tagVals.patch(i, Nil, 1)))
+    } else if (up.startsWith("RENAME COLUMN ")) {
+      // ALTER TABLE t RENAME COLUMN old new (sql.y alter actions;
+      // test_tmq_ts6379.py positive) — storage is positional, so the
+      // rename is metadata-only
+      val p = action.substring("RENAME COLUMN ".length).trim
+        .split("\\s+")
+      require(p.length == 2, s"RENAME COLUMN needs old new: $action")
+      val i = st.colDefs.indexWhere(_._1.equalsIgnoreCase(p(0)))
+      require(i > 0, if (i == 0)
+        s"cannot rename the TIMESTAMP primary key ${p(0)}"
+        else s"unknown column ${p(0)} on $name")
+      stables(name) = st.copy(colDefs =
+        st.colDefs.updated(i, (p(1), st.colDefs(i)._2)))
     } else if (up.startsWith("RENAME TAG ")) {
       val p = action.substring("RENAME TAG ".length).trim.split("\\s+")
       require(p.length == 2, s"RENAME TAG needs old new: $action")
@@ -2431,18 +2566,41 @@ class GraftCatalog(val spark: SparkSession) {
       else throw new IllegalArgumentException(s"unknown table: $name")
     if (targets.isEmpty) return
     val tsCol = stables(targets.head.stableName).tsCol
+    // `_c0` = the reference's first-column pseudonym (the ts key;
+    // test_notify.py `delete from ct0 where _c0 = '…'`)
+    val condTxt0 = condTxt
+      .replaceAll("(?i)(?<![\\w])_c0(?![\\w])",
+        java.util.regex.Matcher.quoteReplacement(tsCol))
     // conjunction of `ts <op> literal` predicates on the ts primary
     // key; `now`/`now()` resolves to the current ticks (sql.y NOW)
     val nowTicks = System.currentTimeMillis() * (perSecond / 1000L)
     // `==` is the C-style spelling of `=` (the reference's lexer maps
     // both to TK_EQ; test_abnormal_data_table.py deletes with `==`)
-    val cmp =
-      s"(?i)\\b$tsCol\\b\\s*(==|<=|>=|<|>|=)\\s*('[^']*'|\\S+)".r
+    val cmp = (s"(?i)\\b$tsCol\\b\\s*(==|<=|>=|<|>|=)\\s*" +
+      "(cast\\s*\\([^)]*\\)|'[^']*'|\\S+)").r
+    // `ts = cast(1668073288214 as timestamp)` (test_oldcase_state.py
+    // positive): the cast folds to its ts-literal argument
+    val castRe = "(?i)^cast\\s*\\(\\s*('[^']*'|\\S+?)\\s+as\\s+\\w+\\s*\\)$".r
+    // `ts IS NULL` matches nothing (the primary key is never NULL;
+    // test_write_delete.py:233 positive no-op), `IS NOT NULL` matches
+    // everything — fold each to an always-false/true range conjunct
+    val isNullRe =
+      s"(?i)\\b$tsCol\\s+IS\\s+(NOT\\s+)?NULL".r
+    val nullConds = isNullRe.findAllMatchIn(condTxt0).map { m =>
+      if (m.group(1) == null) ("<", Long.MinValue) // matches nothing
+      else (">=", Long.MinValue)                   // matches all
+    }.toSeq
+    val condTxt2 = isNullRe.replaceAllIn(condTxt0, "").trim
+      .replaceAll("(?i)^AND\\s+|\\s+AND$", "").trim
     val preds = if (condTxt.isEmpty) Seq((">=", Long.MinValue)) else {
-      val ps = cmp.findAllMatchIn(condTxt).map { m =>
+      val ps = nullConds ++ cmp.findAllMatchIn(condTxt2).map { m =>
+        val raw = m.group(2) match {
+          case castRe(inner) => inner
+          case other => other
+        }
         val v =
-          if (m.group(2).matches("(?i)now(\\(\\))?")) nowTicks
-          else literal(m.group(2), LongType).asInstanceOf[Long]
+          if (raw.matches("(?i)now(\\(\\))?")) nowTicks
+          else literal(raw, LongType).asInstanceOf[Long]
         (m.group(1), v)
       }.toSeq
       require(ps.nonEmpty && condTxt.toUpperCase.split("\\bAND\\b")
@@ -3104,7 +3262,10 @@ class GraftCatalog(val spark: SparkSession) {
         else out
       } finally currentDb = saved
     }
-    if (up.startsWith("SELECT")) {
+    // a parenthesized first branch is a legal query expression
+    // (sql.y query_expression: `(select …) union all (select …)`)
+    if (up.startsWith("SELECT") ||
+        "^\\(\\s*SELECT\\b".r.findFirstIn(up).isDefined) {
       // `SELECT … >> export_file` (sql grammar 20-select.md:20,1010):
       // run the query and dump the result as a headered CSV, returning
       // the rows as the shell does. Bare and quoted paths both parse.
@@ -3153,8 +3314,11 @@ class GraftCatalog(val spark: SparkSession) {
         body = stripped
         stripped = optRe.replaceFirstIn(body, "")
       }
-      // a parenthesized query body is legal (sql.y query_expression)
-      if (body.startsWith("(") && body.endsWith(")"))
+      // a parenthesized query body is legal (sql.y query_expression) —
+      // strip ONLY when the group spans the whole body (`(A) union
+      // (B)` must stay intact)
+      if (body.startsWith("(") && body.endsWith(")") &&
+          parenGroup(body, 0)._2 == body.length)
         body = body.substring(1, body.length - 1).trim
       val df = sql(body)
       val lines = df.queryExecution
@@ -3439,15 +3603,15 @@ class GraftCatalog(val spark: SparkSession) {
     // (sql.y:791-795); SHOW EXTERNAL SOURCES (sql.y:3182)
     else if (up.startsWith("SHOW XNODE") ||
         up.startsWith("SHOW EXTERNAL SOURCES")) {
-      val m = ("(?i)^SHOW (XNODES|XNODE TASKS|XNODE AGENTS?|" +
-        "XNODE JOBS|EXTERNAL SOURCES)(?:\\s+WHERE\\s+(.+))?$").r
+      val m = ("(?i)^SHOW (XNODES|XNODE TASKS?|XNODE AGENTS?|" +
+        "XNODE JOBS?|EXTERNAL SOURCES)(?:\\s+WHERE\\s+(.+))?$").r
       stmt match {
         case m(kind, cond) =>
           val base = kind.toUpperCase match {
             case "XNODES" => insXnodes
-            case "XNODE TASKS" => insXnodeTasks
+            case "XNODE TASKS" | "XNODE TASK" => insXnodeTasks
             case "XNODE AGENTS" | "XNODE AGENT" => insXnodeAgents
-            case "XNODE JOBS" => insXnodeJobs
+            case "XNODE JOBS" | "XNODE JOB" => insXnodeJobs
             case _ => insExtSources
           }
           Option(cond).map(w => base.filter(

@@ -2179,6 +2179,9 @@ object GraftSql {
     val norm = padDatetimeLiterals(
       rewriteJsonArrow(deHinted.replaceAll("\\s+", " ").trim
         .replaceAll(";+\\s*$", "")), tsCol)
+      // `_c0` is the reference's first-column pseudonym — always the
+      // primary ts key here (in_subq2 specSqls `where _c0 between …`)
+      .replaceAll("(?i)(?<![\\w])_c0(?![\\w])", tsCol)
     val segments = splitUnion(norm)
     if (segments.length == 1)
       return single(spark, resolve, norm, tsCol, perSecond)
@@ -2920,6 +2923,20 @@ object GraftSql {
       })
       c = c.updated("SELECT", sel2)
     }
+    // multi-column selection calls expand the same way
+    // (test_fun_select_last.py:1221 `select first(ts, c1), last(c1) …`
+    // positive — parTranslater expands each argument to its own call)
+    val multiFn = ("(?i)\\b(first|last_row|last)\\s*" +
+      "\\(\\s*([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)+)\\s*\\)").r
+    if (multiFn.findFirstIn(c("SELECT")).isDefined) {
+      val sel2 = multiFn.replaceAllIn(c("SELECT"), m => {
+        val f = m.group(1).toLowerCase
+        java.util.regex.Matcher.quoteReplacement(
+          m.group(2).split(",").map(_.trim)
+            .map(a => s"$f($a) AS ${f}_$a").mkString(", "))
+      })
+      c = c.updated("SELECT", sel2)
+    }
     // _qstart/_qend/_qduration (builtins.c:5211-5249; 20-select.md:292):
     // the WHERE clause's primary-ts range as INCLUSIVE bounds —
     // `ts < Y` contributes qend = Y-1 — defaulting to the full int64
@@ -3478,16 +3495,26 @@ object GraftSql {
     // fact table is scanned once.
     val winIndefPat = ("(?i)\\b(diff|csum|mavg|derivative|statecount|" +
       "stateduration)\\s*\\(").r
-    if (c.contains("INTERVAL") && !c.contains("SLIDING") &&
+    // SESSION windows take the same route (test_interval_basic.py:1224
+    // `derivative(k, 6m, 1) from tm0 session(ts, 1s)` positive): the
+    // session id stands in for the window key; FILL stays
+    // INTERVAL-only (the grammar ties FILL to INTERVAL)
+    val sessIndef = !c.contains("INTERVAL") && c.contains("SESSION") &&
+      !c.contains("FILL")
+    if ((sessIndef || (c.contains("INTERVAL") && !c.contains("SLIDING") &&
+        !"(?i)\\d\\s*[ny]$".r.findFirstIn(
+          splitArgs(stripOuterParens(c("INTERVAL"))).head.trim)
+          .isDefined)) &&
         !c.contains("GROUP BY") &&
         "(?i)\\bOVER\\b".r.findFirstIn(c("SELECT")).isEmpty &&
-        !"(?i)\\d\\s*[ny]$".r.findFirstIn(
-          splitArgs(stripOuterParens(c("INTERVAL"))).head.trim).isDefined &&
         selectItems.exists { case (e, _) =>
           winIndefPat.findFirstIn(e).isDefined }) {
-      val iArgs = splitArgs(stripOuterParens(c("INTERVAL"))).map(_.trim)
-      val iv = durNative(iArgs(0), perSecond)
-      require(iv > 0, s"bad INTERVAL: ${c("INTERVAL")}")
+      val iArgs =
+        if (sessIndef) Nil
+        else splitArgs(stripOuterParens(c("INTERVAL"))).map(_.trim)
+      val iv =
+        if (sessIndef) 1L else durNative(iArgs(0), perSecond)
+      require(iv > 0, s"bad INTERVAL: ${c.getOrElse("INTERVAL", "")}")
       val ioff = iArgs.lift(1).map(durNative(_, perSecond)).getOrElse(0L)
       val fArgs = c.get("FILL").map(f =>
         splitArgs(stripOuterParens(f)).map(_.trim)).getOrElse(Seq("NONE"))
@@ -3498,8 +3525,18 @@ object GraftSql {
           "functions — only NULL/VALUE[_F]/NONE (the reference rejects " +
           "PREV/NEXT/LINEAR)")
       import graft.ops.SeriesOps
-      var work = df.withColumn("_wstart",
-        expr(s"($tsCol) - pmod(($tsCol) - ${ioff}L, ${iv}L)"))
+      var work =
+        if (sessIndef) {
+          val sArgs = splitArgs(stripOuterParens(c("SESSION")))
+            .map(_.trim)
+          require(sArgs.length == 2, s"SESSION takes (ts, gap)")
+          graft.ops.TimeOps.sessionize(df, col(tsCol),
+              durNative(sArgs(1), perSecond), partCols.map(col),
+              tieBreak = df.columns
+                .find(_.equalsIgnoreCase("event_id")).toSeq)
+            .withColumnRenamed("_session", "_wstart")
+        } else df.withColumn("_wstart",
+          expr(s"($tsCol) - pmod(($tsCol) - ${ioff}L, ${iv}L)"))
       val keys = partCols.map(col) :+ col("_wstart")
       var maxDrop = 0 // leading rows per window the function consumes
       val ignoreNeg = Seq.newBuilder[String]
@@ -3563,6 +3600,11 @@ object GraftSql {
               // _wduration rewrite onto the materialized _wstart, so
               // any expression over the pseudo-cols and partition keys
               // evaluates on data rows AND reconstructs on fill rows
+              require(!sessIndef ||
+                "(?i)(?<![\\w])(_wstart|_wend|_wduration)(?![\\w])".r
+                  .findFirstIn(e).isEmpty,
+                "window pseudo-columns with per-SESSION " +
+                  s"indefinite-rows functions are not supported: $e")
               val rw = e
                 .replaceAll("(?i)(?<![\\w])_wend(?![\\w])",
                   s"(_wstart + ${iv}L)")
@@ -4357,9 +4399,18 @@ object GraftSql {
       }
     }
 
-    // the window-join row id only survives as an implicit group key;
-    // ungrouped reads drop it here (Catalyst prunes the unused id)
-    if (df.columns.contains("_wjlid") && !groupKeys.contains("_wjlid"))
+    // the window-join row id only survives as an implicit group key —
+    // or as the HAVING group for a non-aggregate select
+    // (test_join_full.py:3932 `select a.ts … window join … having
+    // (count(a.ts) > 0)`); ungrouped reads without that drop it here
+    // (Catalyst prunes the unused id)
+    val wjlHavingRe = ("(?i)\\b(count|sum|avg|min|max|first|last|" +
+      "spread|stddev|stdvar)\\s*\\(").r
+    val wjlHaving = df.columns.contains("_wjlid") &&
+      groupKeys.isEmpty &&
+      c.get("HAVING").exists(h => wjlHavingRe.findFirstIn(h).isDefined)
+    if (df.columns.contains("_wjlid") && !groupKeys.contains("_wjlid") &&
+        !wjlHaving)
       df = df.drop("_wjlid")
 
     // ---- aggregation ----
@@ -4376,7 +4427,9 @@ object GraftSql {
     // boolean aggregate column, filtered then dropped; HAVING over
     // output aliases filters post-projection. Decide once, here.
     val havingAgg = if (isAgg) c.get("HAVING").filter(h =>
-      "(?i)\\b(sum|count|avg|min|max|first|last|spread)\\s*\\(".r
+      ("(?i)\\b(sum|count|avg|min|max|first|last|last_row|spread|" +
+        "stddev|stdvar|std|var|twa|irate|elapsed|hyperloglog|" +
+        "percentile|apercentile|histogram|leastsquares|mode)\\s*\\(").r
         .findFirstIn(h).isDefined) else None
     def rewritten(e: String): String = {
       var r = e
@@ -4405,16 +4458,36 @@ object GraftSql {
         df.schema.fields.find(f => f.name.equalsIgnoreCase(t) &&
           f.metadata.contains("graft.tag")).map(_.name)
       }
+      // an EXPRESSION over tags only (`cast(t2 as binary(12))`,
+      // test_query_partitionby_basic.py:814) is also constant per
+      // child — the whole item wraps in min()
+      val tagCols = df.schema.fields
+        .filter(_.metadata.contains("graft.tag")).map(_.name)
+      def refs(e: String, cn: String): Boolean =
+        ("(?i)(?<![\\w])" + java.util.regex.Pattern.quote(cn) +
+          "(?![\\w])").r.findFirstIn(e.replaceAll("'[^']*'", ""))
+          .isDefined
+      def tagOnlyExpr(e: String): Boolean =
+        tagCols.exists(refs(e, _)) &&
+          !df.columns.filterNot(cn =>
+            tagCols.exists(_.equalsIgnoreCase(cn))).exists(refs(e, _)) &&
+          trueAggRe.findFirstIn(e).isEmpty &&
+          ("(?i)\\b(first|last|last_row|min|max|top|bottom|sample|" +
+            "diff|csum|mavg|derivative|tail|unique)\\s*\\(").r
+            .findFirstIn(e).isEmpty
       if (selectItems.exists { case (e, _) =>
             trueAggRe.findFirstIn(e).isDefined } &&
           selectItems.exists { case (e, _) =>
-            bareTb(e) || tagName(e).isDefined })
+            bareTb(e) || tagName(e).isDefined || tagOnlyExpr(e) })
         selectItems = selectItems.map { case (e, a) =>
           if (bareTb(e))
             ("min(tbname)", if (a == e) "tbname" else a)
           else tagName(e) match {
             case Some(t) => (s"min(`$t`)", if (a == e) t else a)
-            case None => (e, a)
+            case None =>
+              if (tagOnlyExpr(e) && trueAggRe.findFirstIn(e).isEmpty)
+                (s"min($e)", a)
+              else (e, a)
           }
         }
     }
@@ -4525,7 +4598,8 @@ object GraftSql {
                 } else Seq(expr(r).as(a))
             }
             work.select(colSeqs.flatten: _*)
-          } else df.select(cols: _*)
+          } else df.select(
+            (if (wjlHaving) cols :+ col("_wjlid") else cols): _*)
         if (isDistinct) proj.distinct() else proj
       } else {
         // identifier matching is case-insensitive (unquoted identifiers
@@ -4813,7 +4887,23 @@ object GraftSql {
       }
 
     var res = out
-    if (havingAgg.isEmpty)
+    if (wjlHaving) {
+      // HAVING over a window join without aggregate select items
+      // filters per-left-row WINDOW SETS (test_join_full.py:3932):
+      // each aggregate call evaluates over the row's _wjlid group;
+      // surviving groups emit one row
+      c.get("HAVING").foreach { h =>
+        var hw = rewritten(h)
+        Seq("count", "sum", "avg", "min", "max", "min_by", "max_by",
+          "stddev", "stdvar").foreach { fn =>
+          hw = rewriteCall(hw, fn, a =>
+            s"($fn($a) OVER (PARTITION BY _wjlid))")
+        }
+        res = res.withColumn("__hv", expr(hw)).filter(col("__hv"))
+          .drop("__hv")
+      }
+      res = res.dropDuplicates("_wjlid").drop("_wjlid")
+    } else if (havingAgg.isEmpty)
       c.get("HAVING").foreach(h => res = res.filter(expr(h)))
 
     // ---- FILL over an interval grid ----

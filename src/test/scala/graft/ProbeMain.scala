@@ -261,6 +261,14 @@ object ProbeMain {
   private val intended = Seq(
     "NULL-producing side",
     "needs one ts condition",
+    // foreign-engine CREATEs in the corpus (`push_t (val INT, …)` —
+    // MySQL/PG DDL in federated suites) now hit the reference's own
+    // first-column rule (TSDB_CODE_PAR_INVALID_FIRST_COLUMN)
+    "first column must be the TIMESTAMP",
+    // the reference errors at insert on decimal overflow too; the
+    // corpus hits this with placeholder values (`1` into
+    // DECIMAL(18,18))
+    "DECIMAL value overflow",
     // ns-duration statements (1b/1u on ns-precision reference tables)
     // land on the probe's µs events mapping — the precision guard is
     // the intended behavior for a µs table, not a dialect gap
