@@ -10,7 +10,11 @@ object DebugMain {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     try {
       val df = graft.sql.GraftSql.query(spark, _ => events, args(0))
-      df.show(5, false)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        df.queryExecution.toRdd.count()
+        println(df.queryExecution.executedPlan.toString.take(
+          sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "4000").toInt))
+      } else df.show(5, false)
     } catch { case e: Throwable => e.printStackTrace() }
     spark.stop()
   }
