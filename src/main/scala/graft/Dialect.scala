@@ -1225,6 +1225,18 @@ object Dialect {
              WINDOW_OFFSET(0s, 30s)
            ORDER BY a.ts""")
     },
+    // indefinite-rows functions per COUNT_WINDOW with real pseudo-cols
+    // (test_fun_win_keep_order.py `statecount(voltage,'LE',223) …
+    // count_window(3)`): the function resets at each n-row bucket;
+    // _wstart/_wend are the bucket's min/max ts
+    "dialect_indef_count_window" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ts, CAST(_wstart AS BIGINT) AS w,
+             CAST(_wduration AS BIGINT) AS wd,
+             statecount(value, 'LE', 50) AS sc
+           FROM events WHERE user_id = 3 COUNT_WINDOW(3)
+           ORDER BY ts""")
+    },
     // indefinite-rows functions per SESSION window
     // (test_interval_basic.py:1224 `derivative(k, 6m, 1) from tm0
     // session(ts, 1s)` positive): the function resets at each
@@ -2545,6 +2557,26 @@ object Dialect {
           AND b.ts >= a.ts
           AND epoch_us(b.ts) <= epoch_us(a.ts) + 30000000
          GROUP BY a.ts ORDER BY ts""",
+    "dialect_indef_count_window" ->
+      """WITH d AS (SELECT epoch_us(ts) AS t, value,
+             CAST((row_number() OVER (ORDER BY epoch_us(ts)) - 1) // 3
+               AS BIGINT) AS wid
+           FROM events WHERE user_id = 3),
+         p AS (SELECT t, wid, value <= 50 AS ok,
+             min(t) OVER (PARTITION BY wid) AS ws,
+             max(t) OVER (PARTITION BY wid) AS we
+           FROM d),
+         g AS (SELECT t, wid, ok, ws, we,
+             count(*) FILTER (WHERE NOT ok)
+               OVER (PARTITION BY wid ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS falses
+           FROM p)
+         SELECT CAST(t AS BIGINT) AS ts, CAST(ws AS BIGINT) AS w,
+           CAST(we - ws AS BIGINT) AS wd,
+           CASE WHEN ok THEN CAST(row_number() OVER
+               (PARTITION BY wid, falses, ok ORDER BY t) AS BIGINT)
+             ELSE CAST(-1 AS BIGINT) END AS sc
+         FROM g ORDER BY ts""",
     "dialect_indef_session" ->
       """WITH d AS (SELECT epoch_us(ts) AS t, event_id FROM events
            WHERE user_id = 3),

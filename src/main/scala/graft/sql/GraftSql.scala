@@ -3501,7 +3501,15 @@ object GraftSql {
     // INTERVAL-only (the grammar ties FILL to INTERVAL)
     val sessIndef = !c.contains("INTERVAL") && c.contains("SESSION") &&
       !c.contains("FILL")
-    if ((sessIndef || (c.contains("INTERVAL") && !c.contains("SLIDING") &&
+    // COUNT_WINDOW(n) likewise (test_fun_win_keep_order.py:
+    // `statecount(voltage,'LE',223) … count_window(3)` with
+    // _wstart/_wend/_wduration): the row-count bucket id is the
+    // window key; the pseudo-cols are min/max(ts) over the bucket
+    val cntIndef = !c.contains("INTERVAL") && !c.contains("SESSION") &&
+      c.contains("COUNT_WINDOW") && !c.contains("FILL") &&
+      splitArgs(stripOuterParens(c("COUNT_WINDOW"))).length == 1
+    if ((sessIndef || cntIndef ||
+        (c.contains("INTERVAL") && !c.contains("SLIDING") &&
         !"(?i)\\d\\s*[ny]$".r.findFirstIn(
           splitArgs(stripOuterParens(c("INTERVAL"))).head.trim)
           .isDefined)) &&
@@ -3510,10 +3518,10 @@ object GraftSql {
         selectItems.exists { case (e, _) =>
           winIndefPat.findFirstIn(e).isDefined }) {
       val iArgs =
-        if (sessIndef) Nil
+        if (sessIndef || cntIndef) Nil
         else splitArgs(stripOuterParens(c("INTERVAL"))).map(_.trim)
       val iv =
-        if (sessIndef) 1L else durNative(iArgs(0), perSecond)
+        if (sessIndef || cntIndef) 1L else durNative(iArgs(0), perSecond)
       require(iv > 0, s"bad INTERVAL: ${c.getOrElse("INTERVAL", "")}")
       val ioff = iArgs.lift(1).map(durNative(_, perSecond)).getOrElse(0L)
       val fArgs = c.get("FILL").map(f =>
@@ -3535,9 +3543,24 @@ object GraftSql {
               tieBreak = df.columns
                 .find(_.equalsIgnoreCase("event_id")).toSeq)
             .withColumnRenamed("_session", "_wstart")
+        } else if (cntIndef) {
+          val n = stripOuterParens(c("COUNT_WINDOW")).trim.toInt
+          require(n > 0, s"bad COUNT_WINDOW: ${c("COUNT_WINDOW")}")
+          graft.ops.TimeOps.countWindows(df, n, col(tsCol),
+              partCols.map(col), tieBreak = df.columns
+                .find(_.equalsIgnoreCase("event_id")).toSeq)
+            .withColumnRenamed("_wid", "_wstart")
         } else df.withColumn("_wstart",
           expr(s"($tsCol) - pmod(($tsCol) - ${ioff}L, ${iv}L)"))
       val keys = partCols.map(col) :+ col("_wstart")
+      // count-window pseudo-cols are per-bucket min/max(ts)
+      // (timewindowoperator count path; keep_order expected data)
+      if (cntIndef) {
+        val wb = Window.partitionBy(keys: _*)
+        work = work
+          .withColumn("_cw_ws", min(col(tsCol)).over(wb))
+          .withColumn("_cw_we", max(col(tsCol)).over(wb))
+      }
       var maxDrop = 0 // leading rows per window the function consumes
       val ignoreNeg = Seq.newBuilder[String]
       var wi = 0
@@ -3605,11 +3628,21 @@ object GraftSql {
                   .findFirstIn(e).isEmpty,
                 "window pseudo-columns with per-SESSION " +
                   s"indefinite-rows functions are not supported: $e")
-              val rw = e
-                .replaceAll("(?i)(?<![\\w])_wend(?![\\w])",
-                  s"(_wstart + ${iv}L)")
-                .replaceAll("(?i)(?<![\\w])_wduration(?![\\w])",
-                  s"${iv}L")
+              val rw =
+                if (cntIndef) e
+                  // count-window pseudos read the per-bucket min/max
+                  // ts columns materialized above
+                  .replaceAll("(?i)(?<![\\w])_wstart(?![\\w])",
+                    "_cw_ws")
+                  .replaceAll("(?i)(?<![\\w])_wend(?![\\w])",
+                    "_cw_we")
+                  .replaceAll("(?i)(?<![\\w])_wduration(?![\\w])",
+                    "(_cw_we - _cw_ws)")
+                else e
+                  .replaceAll("(?i)(?<![\\w])_wend(?![\\w])",
+                    s"(_wstart + ${iv}L)")
+                  .replaceAll("(?i)(?<![\\w])_wduration(?![\\w])",
+                    s"${iv}L")
               (expr(rw), a, Some(rw))
           }
       }

@@ -117,6 +117,28 @@ class StreamsCorpusR19Spec extends AnyFunSuite {
     intercept[Exception] { cat.sql("DROP XNODE FORCE 'gone:1'") }
   }
 
+  test("per-COUNT_WINDOW indefinite-rows: reset per n-row bucket, " +
+      "pseudo-cols are the bucket's ts extent " +
+      "(test_fun_win_keep_order.py)") {
+    val r = q("""SELECT ts, CAST(_wstart AS BIGINT) AS w,
+        CAST(_wend AS BIGINT) AS we, statecount(value, 'LE', 50) AS sc
+      FROM events WHERE user_id = 3 AND event_id < 2000 COUNT_WINDOW(3)
+      ORDER BY ts""").collect()
+    assert(r.nonEmpty)
+    // buckets of 3 consecutive rows: _wstart = the bucket's first ts,
+    // _wend its last; the first row of each bucket has ts == _wstart
+    r.grouped(3).foreach { g =>
+      assert(g.head.getLong(0) == g.head.getLong(1))
+      assert(g.last.getLong(0) == g.head.getLong(2))
+      assert(g.forall(_.getLong(1) == g.head.getLong(1)))
+    }
+    // statecount resets per bucket: a true first row restarts at 1
+    r.grouped(3).foreach { g =>
+      val sc0 = g.head.getLong(3)
+      assert(sc0 == 1L || sc0 == -1L)
+    }
+  }
+
   test("per-SESSION indefinite-rows: csum resets at session " +
       "boundaries (test_interval_basic.py:1224)") {
     val r = q("""SELECT ts, csum(event_id) AS cs FROM events
