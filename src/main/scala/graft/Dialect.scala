@@ -1243,7 +1243,8 @@ object Dialect {
     // session boundary
     "dialect_indef_session" -> { (s, dir) =>
       run(s, dir,
-        """SELECT ts, csum(event_id) AS cs FROM events
+        """SELECT ts, CAST(_wstart AS BIGINT) AS w,
+             csum(event_id) AS cs FROM events
            WHERE user_id = 3 SESSION(ts, 10m) ORDER BY ts""")
     },
     // to_timestamp with a NON-LITERAL format argument
@@ -2590,6 +2591,7 @@ object Dialect {
                AS sid
            FROM m)
          SELECT CAST(t AS BIGINT) AS ts,
+           CAST(min(t) OVER (PARTITION BY sid) AS BIGINT) AS w,
            CAST(sum(event_id) OVER (PARTITION BY sid ORDER BY t
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
          FROM s ORDER BY ts""",

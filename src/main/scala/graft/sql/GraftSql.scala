@@ -3553,9 +3553,10 @@ object GraftSql {
         } else df.withColumn("_wstart",
           expr(s"($tsCol) - pmod(($tsCol) - ${ioff}L, ${iv}L)"))
       val keys = partCols.map(col) :+ col("_wstart")
-      // count-window pseudo-cols are per-bucket min/max(ts)
-      // (timewindowoperator count path; keep_order expected data)
-      if (cntIndef) {
+      // count/session window pseudo-cols are the bucket's min/max(ts)
+      // (timewindowoperator count/session paths; keep_order + the
+      // session-indef suites select `_wstart as ws` with csum/diff/…)
+      if (cntIndef || sessIndef) {
         val wb = Window.partitionBy(keys: _*)
         work = work
           .withColumn("_cw_ws", min(col(tsCol)).over(wb))
@@ -3623,13 +3624,8 @@ object GraftSql {
               // _wduration rewrite onto the materialized _wstart, so
               // any expression over the pseudo-cols and partition keys
               // evaluates on data rows AND reconstructs on fill rows
-              require(!sessIndef ||
-                "(?i)(?<![\\w])(_wstart|_wend|_wduration)(?![\\w])".r
-                  .findFirstIn(e).isEmpty,
-                "window pseudo-columns with per-SESSION " +
-                  s"indefinite-rows functions are not supported: $e")
               val rw =
-                if (cntIndef) e
+                if (cntIndef || sessIndef) e
                   // count-window pseudos read the per-bucket min/max
                   // ts columns materialized above
                   .replaceAll("(?i)(?<![\\w])_wstart(?![\\w])",

@@ -143,6 +143,34 @@ def is_prose_or_fragment(low):
     if re.match(r"(?:create|drop|alter|delete|explain)\s+"
                 r"[\w.\[\]]+(?:\s+if\s+(?:not\s+)?exists)?\s*;?$", low):
         return True
+    # r19 sweep (receipt-adjudicated prose classes; word rules run
+    # against literal-masked text so quoted data can't match):
+    masked = re.sub(r"'[^']*'", "''", low)
+    if re.search(r"\b(?:failed|exception|completed|succeeds|raises|"
+                 r"idempotent|re-query|monitor|detial|error)\b", masked):
+        return True
+    # log suffixes ("create test job: 1", "alter replica ...: 2")
+    if re.search(r":\s*\d+\s*$", masked):
+        return True
+    # privilege-name / user-option constants harvested as statements
+    if re.match(r"(?:show|alter)\s+(?:system|audit|security|debug)\s+"
+                r"variables?\s*$", low):
+        return True
+    if re.match(r"drop\s+(?:not_)?allow_", low):
+        return True
+    # keyword + plain-word sentence with no SQL operand structure
+    # ("drop some ntables", "create audit database", "drop columns
+    # from output table" has FROM -> kept)
+    words = masked.rstrip(";").split()
+    if (len(words) >= 3 and
+            words[0] in ("create", "drop", "alter", "delete") and
+            all(re.fullmatch(r"[a-z][a-z-]*", w) for w in words[1:]) and
+            not any(w in ("from", "into", "values", "table", "database",
+                          "view", "topic", "stream", "user", "dnode",
+                          "snode", "mnode", "qnode", "vnode", "function",
+                          "index", "stable", "vtable", "force")
+                    for w in words[1:])):
+        return True
     return False
 
 
