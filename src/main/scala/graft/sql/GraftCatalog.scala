@@ -801,8 +801,10 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up.startsWith("DROP EXTERNAL SOURCE")) {
       // names may be backticked with dashes (fq suites
       // `drop external source if exists `fq01-fw-039-hyp``)
+      // backticks strip upstream, so the bare form must accept the
+      // dashed names they quoted (`fq01-fw-039-hyp`)
       val m = ("(?i)^DROP EXTERNAL SOURCE (IF EXISTS )?" +
-        "(?:`([^`]+)`|([A-Za-z_]\\w*))$").r
+        "(?:`([^`]+)`|([A-Za-z_][\\w-]*))$").r
       stmt match {
         case m(ife, bt, plain) =>
           val n = Option(bt).getOrElse(plain)
