@@ -90,6 +90,22 @@ object Ddl {
         """SELECT n_name, count(*) AS n, sum(v) AS sv FROM nat
            WHERE n_regionkey = 2 ORDER BY n_name""")
     },
+    // "group by always returns" (test_query_groupby_alwaysreturn.py;
+    // countAlwaysReturnValue default): grouping a stable by tbname
+    // enumerates EVERY child — empty ones count 0, other aggregates
+    // NULL
+    "ddl_always_return_gate" -> { (s, dir) =>
+      val cat = new GraftCatalog(s)
+      cat.exec("CREATE DATABASE ardb PRECISION 'us'")
+      cat.exec("CREATE STABLE arstb (ts TIMESTAMP, c1 INT) " +
+        "TAGS (t2 INT)")
+      cat.exec("CREATE TABLE arct1 USING arstb TAGS (1)")
+      cat.exec("CREATE TABLE arct2 USING arstb TAGS (2)")
+      cat.exec("CREATE TABLE arct3 USING arstb TAGS (3)")
+      cat.exec(s"INSERT INTO arct1 VALUES ($T0, 5) (${T0 + H}, 6)")
+      cat.sql("""select tbname, count(*) as n, sum(c1) as s
+        from arstb group by tbname order by tbname""")
+    },
     // an EXPRESSION over tags riding aggregates
     // (test_query_partitionby_basic.py:814 `select cast(t2 as
     // binary(12)),count(*) from stb`): constant per child, wrapped
@@ -773,6 +789,13 @@ object Ddl {
     "ddl_tag_expr_agg_gate" ->
       """SELECT min(n_name) || '!' AS nx, CAST(count(*) AS BIGINT) AS n
          FROM nation WHERE n_regionkey = 2 ORDER BY nx""",
+    "ddl_always_return_gate" ->
+      """SELECT * FROM (VALUES
+           ('arct1', CAST(2 AS BIGINT), CAST(11 AS DOUBLE)),
+           ('arct2', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)),
+           ('arct3', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)))
+           t(tbname, n, s)
+         ORDER BY tbname""",
     "insert_autocreate_gate" ->
       s"""SELECT 'cm_' || c_custkey AS tbname, c_mktsegment AS seg,
             $T0 + c_custkey * $H AS ts, c_acctbal + 1000 AS bal,

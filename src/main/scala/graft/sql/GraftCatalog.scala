@@ -2712,6 +2712,108 @@ class GraftCatalog(val spark: SparkSession) {
     }
   }
 
+  /** "Group by always returns" (test_query_groupby_alwaysreturn.py;
+    * test_query_partitionby_basic.py; the reference's
+    * countAlwaysReturnValue default): grouping a STABLE by tbname or
+    * tag keys yields one row per CHILD KEY — children with no
+    * (matching) rows included, count-family filled 0, other
+    * aggregates NULL. Conservative engage: single stable target, all
+    * group keys constant-per-child and present in the select list,
+    * every other select item an aggregate call; anything else — and
+    * any parse surprise — returns None and the standard path runs
+    * (the rewrite only ever ADDS enumeration rows, so falling back is
+    * never wrong-on-data, just the pre-r19 fewer-rows shape). */
+  private def groupAlwaysReturn(stmt0: String): Option[DataFrame] = try {
+    if (stmt0.contains(">>")) return None
+    val stmt = GraftSql.normalizeDoubleQuotes(stmt0)
+      .replaceAll("\\s+", " ").trim.replaceAll(";+$", "")
+    val re = ("(?i)^SELECT (.+?) FROM ([\\w.]+)" +
+      "( WHERE .+?)?" +
+      " (?:GROUP|PARTITION) BY ([\\w, ]+?)" +
+      "( HAVING .+?)?( ORDER BY [\\w,() *.]+?)?( LIMIT \\d+)?$").r
+    val m = re.findFirstMatchIn(stmt).getOrElse(return None)
+    val stName = bare(m.group(2))
+    if (!stables.contains(stName)) return None
+    val st = stables(stName)
+    val kids = children.values.filter(_.stableName == stName).toSeq
+      .sortBy(_.name)
+    // plain tables are modeled as a same-named single-child stable —
+    // the enumeration semantic is a super-table feature
+    if (kids.isEmpty || kids.exists(_.name == stName)) return None
+    val keys = GraftSql.splitArgs(m.group(4)).map(_.trim)
+    val tagNames = st.tagDefs.map(_._1)
+    if (keys.isEmpty || !keys.forall(k => k.equalsIgnoreCase("tbname") ||
+        tagNames.exists(_.equalsIgnoreCase(k)))) return None
+    val aggRe = ("(?i)^(count|sum|avg|min|max|stddev|stdvar|spread|" +
+      "first|last|last_row|twa|elapsed|hyperloglog|mode|percentile|" +
+      "apercentile)\\s*\\(").r
+    val asRe = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_]\\w*)$".r
+    val items = GraftSql.splitArgs(m.group(1)).map(_.trim).map {
+      case asRe(e, a) => (e.trim, a)
+      case e => (e, e)
+    }
+    val (keyItems, aggItems) = items.partition { case (e, _) =>
+      keys.exists(_.equalsIgnoreCase(e)) }
+    if (aggItems.isEmpty ||
+        !aggItems.forall { case (e, _) =>
+          aggRe.findFirstIn(e).isDefined }) return None
+    if (!keys.forall(k => keyItems.exists(_._1.equalsIgnoreCase(k))))
+      return None
+    // run sans HAVING/ORDER/LIMIT — they re-apply over the FILLED frame
+    val base = "SELECT " + m.group(1) + " FROM " + m.group(2) +
+      Option(m.group(3)).getOrElse("") + " GROUP BY " + m.group(4)
+    val df = GraftSql.query(spark, table, base, perSecond = perSecond)
+    val keyFields = keys.map { k =>
+      if (k.equalsIgnoreCase("tbname")) StructField("tbname", StringType)
+      else st.tags.fields(tagNames.indexWhere(_.equalsIgnoreCase(k)))
+    }
+    val rows = kids.map { c =>
+      Row.fromSeq(keys.map { k =>
+        if (k.equalsIgnoreCase("tbname")) c.name
+        else resolveTagVal(c.tagVals(
+          tagNames.indexWhere(_.equalsIgnoreCase(k))))
+      })
+    }
+    val keyAliases = keys.map(k =>
+      keyItems.find(_._1.equalsIgnoreCase(k)).get._2)
+    val keyDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](rows.asJava),
+        StructType(keyFields)).distinct()
+      .toDF(keyAliases: _*)
+    var res = keyDf.join(df, keyAliases, "left")
+      .select(items.map { case (_, a) => col(a) }: _*)
+    aggItems.foreach { case (e, a) =>
+      if ("(?i)^(count|hyperloglog)\\s*\\(".r.findFirstIn(e).isDefined)
+        res = res.withColumn(a, coalesce(col(a), lit(0L)))
+    }
+    Option(m.group(5)).map(_.trim.substring("HAVING".length).trim)
+      .foreach { h =>
+        // aggregate-call texts in HAVING name their output columns
+        // (longest first, so count(c1) wins over count(c1...) prefixes)
+        val h2 = items.sortBy(-_._1.length).foldLeft(h) {
+          case (acc, (e, a)) => acc.replaceAll(
+            "(?i)" + java.util.regex.Pattern.quote(e),
+            java.util.regex.Matcher.quoteReplacement(s"`$a`"))
+        }
+        res = res.filter(expr(h2))
+      }
+    Option(m.group(6)).map(_.trim.substring("ORDER BY".length).trim)
+      .foreach { o =>
+        val cols0 = GraftSql.splitArgs(o).map { s0 =>
+          val t = s0.trim
+          val desc = t.toUpperCase.endsWith(" DESC")
+          val body = t.replaceAll("(?i)\\s+(ASC|DESC)$", "").trim
+          val a = items.find(i => i._1.equalsIgnoreCase(body) ||
+            i._2.equalsIgnoreCase(body)).map(_._2).getOrElse(body)
+          if (desc) col(a).desc else col(a).asc
+        }
+        res = res.orderBy(cols0: _*)
+      }
+    Option(m.group(7)).foreach(l =>
+      res = res.limit(l.trim.substring("LIMIT".length).trim.toInt))
+    Some(res)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   private def stableDf(name: String): DataFrame = {
     val st = stables(name)
     val allKids = children.values.filter(_.stableName == name).toSeq
@@ -3268,6 +3370,12 @@ class GraftCatalog(val spark: SparkSession) {
     // (sql.y query_expression: `(select …) union all (select …)`)
     if (up.startsWith("SELECT") ||
         "^\\(\\s*SELECT\\b".r.findFirstIn(up).isDefined) {
+      // "group by always returns" (test_query_groupby_alwaysreturn.py,
+      // test_query_partitionby_basic.py: grouping a STABLE by tbname
+      // or tags yields one row per CHILD — empty children included,
+      // count() = 0, other aggregates NULL; countAlwaysReturnValue
+      // default-on semantics)
+      groupAlwaysReturn(stmt).foreach(return _)
       // `SELECT … >> export_file` (sql grammar 20-select.md:20,1010):
       // run the query and dump the result as a headered CSV, returning
       // the rows as the shell does. Bare and quoted paths both parse.

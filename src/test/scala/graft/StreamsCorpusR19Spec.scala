@@ -211,6 +211,34 @@ class StreamsCorpusR19Spec extends AnyFunSuite {
     cat.sql("drop dnode 2 force")
   }
 
+  test("group-by-tbname/tag always returns one row per child — " +
+      "empty children count 0, other aggregates NULL " +
+      "(test_query_groupby_alwaysreturn.py)") {
+    val cat = freshCat()
+    cat.sql("CREATE STABLE stb (ts TIMESTAMP, c1 INT) TAGS (t2 INT)")
+    cat.sql("CREATE TABLE ct1 USING stb TAGS (1)")
+    cat.sql("CREATE TABLE ct2 USING stb TAGS (2)")
+    cat.sql("CREATE TABLE ct3 USING stb TAGS (3)")
+    cat.sql("INSERT INTO ct1 VALUES (1704067200000000, 5) " +
+      "(1704067201000000, 6)")
+    val r = cat.sql("select tbname, count(*) as n, sum(c1) as s " +
+      "from stb group by tbname order by tbname").collect()
+    assert(r.length == 3)
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("ct1", 2L), ("ct2", 0L), ("ct3", 0L)))
+    assert(r(1).isNullAt(2) && r(2).isNullAt(2))
+    // HAVING evaluates over the FILLED frame: empty children only
+    val h = cat.sql("select tbname, count(*) as n from stb " +
+      "partition by tbname having count(*) <= 0 order by tbname")
+      .collect()
+    assert(h.map(_.getString(0)).toSeq == Seq("ct2", "ct3"))
+    // tag keys enumerate distinct tag values, WHERE included
+    val t = cat.sql("select t2, count(*) from stb where ts < now " +
+      "group by t2 order by t2").collect()
+    assert(t.length == 3 && t.map(_.getLong(1)).toSeq ==
+      Seq(2L, 0L, 0L))
+  }
+
   test("HAVING with the extended aggregate surface (apercentile)") {
     val r = q("""SELECT user_id, avg(value) AS av FROM events
       GROUP BY user_id HAVING apercentile(value, 50) >= 0
