@@ -1856,7 +1856,11 @@ class GraftCatalog(val spark: SparkSession) {
           parents = parents.map(_.name))
       case _ =>
     }
-    require(own.cols.fields.head.dataType == LongType,
+    // check the DECLARED type text, not the mapped Spark type —
+    // BIGINT also maps to LongType but the reference rejects it
+    // (TSDB_CODE_PAR_INVALID_FIRST_COLUMN)
+    require(own.colDefs.nonEmpty &&
+        own.colDefs.head._2.trim.toUpperCase.startsWith("TIMESTAMP"),
       "first column must be the TIMESTAMP primary key")
     val (uid, seq) = nextStableIds()
     stables(name) = own.copy(virtualN = virtualN, uid = uid,
@@ -1913,7 +1917,10 @@ class GraftCatalog(val spark: SparkSession) {
         // (TSDB_CODE_PAR_INVALID_FIRST_COLUMN) — without this, a
         // foreign-engine CREATE (`push_t (val INT, …)`) would build a
         // table whose later DELETE crashes on the Int "ts" key
-        require(defs.nonEmpty && sparkType(defs.head._2) == LongType,
+        // declared type text, not mapped Spark type — BIGINT also
+        // maps to LongType but the reference rejects it
+        require(defs.nonEmpty &&
+            defs.head._2.trim.toUpperCase.startsWith("TIMESTAMP"),
           "first column must be the TIMESTAMP primary key")
         val (uid, seq) = nextStableIds()
         stables(name) = Stable(name, currentDb, defs, Nil,
@@ -2759,6 +2766,40 @@ class GraftCatalog(val spark: SparkSession) {
           aggRe.findFirstIn(e).isDefined }) return None
     if (!keys.forall(k => keyItems.exists(_._1.equalsIgnoreCase(k))))
       return None
+    // The reference prunes the child-table set on tag/tbname
+    // predicates BEFORE grouping (tag-index scan feeds the table
+    // list), so a tag-filtered query must not enumerate excluded
+    // children. A WHERE over tags/tbname ONLY prunes the kid list
+    // here; one MIXING tag and data columns bails to the standard
+    // path (fewer-rows shape, never wrong-on-data); a data-column-
+    // only WHERE (e.g. a ts range) keeps the full enumeration —
+    // reference emits count-0 rows for data-filtered-empty children.
+    val colNames = st.cols.fields.map(_.name)
+    val kidsKept = Option(m.group(3)).map(
+        _.trim.substring("WHERE".length).trim) match {
+      case None => kids
+      case Some(w) =>
+        val idents = "[A-Za-z_]\\w*".r
+          .findAllIn(w.replaceAll("'(?:[^']|'')*'", " ")).toSeq
+        val refsTag = idents.exists(t => t.equalsIgnoreCase("tbname") ||
+          tagNames.exists(_.equalsIgnoreCase(t)))
+        if (!refsTag) kids
+        else if (idents.exists(t =>
+          colNames.exists(_.equalsIgnoreCase(t)))) return None
+        else {
+          val tagSchema = StructType(
+            StructField("tbname", StringType) +: st.tags.fields.toSeq)
+          val tagRows = kids.map(c =>
+            Row.fromSeq(c.name +: st.tags.fields.toSeq.zip(c.tagVals)
+              .map { case (f, v) =>
+                coerceTo(resolveTagVal(v), f.dataType) }))
+          val keep = spark.createDataFrame(
+              new java.util.ArrayList[Row](tagRows.asJava), tagSchema)
+            .filter(expr(w)).select("tbname")
+            .collect().map(_.getString(0)).toSet
+          kids.filter(c => keep(c.name))
+        }
+    }
     // run sans HAVING/ORDER/LIMIT — they re-apply over the FILLED frame
     val base = "SELECT " + m.group(1) + " FROM " + m.group(2) +
       Option(m.group(3)).getOrElse("") + " GROUP BY " + m.group(4)
@@ -2767,7 +2808,7 @@ class GraftCatalog(val spark: SparkSession) {
       if (k.equalsIgnoreCase("tbname")) StructField("tbname", StringType)
       else st.tags.fields(tagNames.indexWhere(_.equalsIgnoreCase(k)))
     }
-    val rows = kids.map { c =>
+    val rows = kidsKept.map { c =>
       Row.fromSeq(keys.map { k =>
         if (k.equalsIgnoreCase("tbname")) c.name
         else resolveTagVal(c.tagVals(

@@ -2176,12 +2176,14 @@ object GraftSql {
     // statement terminator (taos shell / test scripts end every
     // statement with `;`): strip before clause parsing, where a
     // trailing `;` would otherwise glue onto a LIMIT count or duration
-    val norm = padDatetimeLiterals(
+    val norm0 = padDatetimeLiterals(
       rewriteJsonArrow(deHinted.replaceAll("\\s+", " ").trim
         .replaceAll(";+\\s*$", "")), tsCol)
-      // `_c0` is the reference's first-column pseudonym — always the
-      // primary ts key here (in_subq2 specSqls `where _c0 between …`)
-      .replaceAll("(?i)(?<![\\w])_c0(?![\\w])", tsCol)
+    // `_c0` is the reference's first-column pseudonym — always the
+    // primary ts key here (in_subq2 specSqls `where _c0 between …`);
+    // masked so a string literal containing `_c0` is untouched
+    val norm = maskingLiterals(norm0)(
+      _.replaceAll("(?i)(?<![\\w])_c0(?![\\w])", tsCol))
     val segments = splitUnion(norm)
     if (segments.length == 1)
       return single(spark, resolve, norm, tsCol, perSecond)
@@ -2926,15 +2928,20 @@ object GraftSql {
     // multi-column selection calls expand the same way
     // (test_fun_select_last.py:1221 `select first(ts, c1), last(c1) …`
     // positive — parTranslater expands each argument to its own call)
-    val multiFn = ("(?i)\\b(first|last_row|last)\\s*" +
-      "\\(\\s*([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)+)\\s*\\)").r
-    if (multiFn.findFirstIn(c("SELECT")).isDefined) {
-      val sel2 = multiFn.replaceAllIn(c("SELECT"), m => {
-        val f = m.group(1).toLowerCase
-        java.util.regex.Matcher.quoteReplacement(
-          m.group(2).split(",").map(_.trim)
-            .map(a => s"$f($a) AS ${f}_$a").mkString(", "))
-      })
+    val multiFn = ("(?i)^(first|last_row|last)\\s*" +
+      "\\(\\s*([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)+)\\s*\\)$").r
+    if (splitArgs(c("SELECT")).exists(it =>
+          multiFn.findFirstIn(it.trim).isDefined)) {
+      // expand ONLY when the call IS the whole select item — an
+      // aliased (`first(ts, c1) AS x`) or nested spelling isn't a
+      // reference-accepted form and must not be silently re-aliased
+      val sel2 = splitArgs(c("SELECT")).map(_.trim).map {
+        case multiFn(f0, args) =>
+          val f = f0.toLowerCase
+          args.split(",").map(_.trim)
+            .map(a => s"$f($a) AS ${f}_$a").mkString(", ")
+        case it => it
+      }.mkString(", ")
       c = c.updated("SELECT", sel2)
     }
     // _qstart/_qend/_qduration (builtins.c:5211-5249; 20-select.md:292):

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.{GraftCatalog, GraftSql}
+
+/** Pins for the r20 close-out fixes (advisor findings on the r19
+  * snapshot):
+  *  1. group-by-tbname/tag enumeration prunes the child set on
+  *     tag/tbname WHERE predicates (reference: tag-index scan feeds
+  *     the table list BEFORE grouping) — no spurious 0-rows for
+  *     tag-excluded children.
+  *  2. first-column guard checks the DECLARED type text — BIGINT
+  *     also maps to LongType but the reference rejects it
+  *     (TSDB_CODE_PAR_INVALID_FIRST_COLUMN).
+  *  3. `_c0` pseudonym rewrite is literal-masked — a string literal
+  *     containing `_c0` is user data, not the ts column.
+  *  4. multi-column first/last expansion fires only when the call IS
+  *     the whole select item; an aliased spelling rejects loudly
+  *     instead of silently re-aliasing the last expanded column.
+  */
+class R20FixesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def resolve(name: String): DataFrame = Tables(spark, sf, name)
+  private def q(sql: String): DataFrame =
+    GraftSql.query(spark, resolve, sql)
+
+  private def freshCat(): GraftCatalog = {
+    val cat = new GraftCatalog(spark)
+    cat.sql("CREATE DATABASE r20f")
+    cat.sql("USE r20f")
+    cat
+  }
+
+  private def mkStb(cat: GraftCatalog): Unit = {
+    cat.sql("CREATE STABLE stb (ts TIMESTAMP, c1 INT) TAGS (t2 INT)")
+    cat.sql("CREATE TABLE ct1 USING stb TAGS (1)")
+    cat.sql("CREATE TABLE ct2 USING stb TAGS (2)")
+    cat.sql("CREATE TABLE ct3 USING stb TAGS (1)") // same tag, EMPTY
+    cat.sql("INSERT INTO ct1 VALUES (1704067200000000, 5) " +
+      "(1704067201000000, 6)")
+    cat.sql("INSERT INTO ct2 VALUES (1704067200000000, 7)")
+  }
+
+  test("tag-filtered group-by-tbname enumerates ONLY tag-matching " +
+      "children (incl. empty ones), never tag-excluded ones") {
+    val cat = freshCat()
+    mkStb(cat)
+    val r = cat.sql("select tbname, count(*) as n from stb " +
+      "where t2 = 1 group by tbname order by tbname").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("ct1", 2L), ("ct3", 0L)))
+    // tbname predicate prunes the same way
+    val b = cat.sql("select tbname, count(*) as n from stb " +
+      "where tbname = 'ct2' group by tbname").collect()
+    assert(b.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("ct2", 1L)))
+    // a tag predicate matching only EMPTY children still enumerates
+    val e = cat.sql("select tbname, count(*) as n from stb " +
+      "where t2 = 1 and tbname = 'ct3' group by tbname").collect()
+    assert(e.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("ct3", 0L)))
+  }
+
+  test("mixed tag+data WHERE bails to the standard path — " +
+      "no spurious rows for tag-excluded children") {
+    val cat = freshCat()
+    mkStb(cat)
+    val r = cat.sql("select tbname, count(*) as n from stb " +
+      "where t2 = 1 and c1 > 5 group by tbname order by tbname")
+      .collect()
+    // standard path: only children with actual matching rows
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("ct1", 1L)))
+  }
+
+  test("data-only WHERE keeps the full enumeration (count-0 rows)") {
+    val cat = freshCat()
+    mkStb(cat)
+    val r = cat.sql("select tbname, count(*) as n from stb " +
+      "where c1 > 100 group by tbname order by tbname").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("ct1", 0L), ("ct2", 0L), ("ct3", 0L)))
+  }
+
+  test("BIGINT first column rejects even though it maps to LongType " +
+      "(TSDB_CODE_PAR_INVALID_FIRST_COLUMN)") {
+    val cat = freshCat()
+    val e = intercept[IllegalArgumentException] {
+      cat.sql("CREATE TABLE badt (c BIGINT, c2 INT)")
+    }
+    assert(e.getMessage.contains("TIMESTAMP"))
+    val e2 = intercept[IllegalArgumentException] {
+      cat.sql("CREATE STABLE bads (c BIGINT, c2 INT) TAGS (t INT)")
+    }
+    assert(e2.getMessage.contains("TIMESTAMP"))
+    // TIMESTAMP first column still accepted
+    cat.sql("CREATE TABLE goodt (ts TIMESTAMP, c2 BIGINT)")
+  }
+
+  test("`_c0` inside a string literal is user data, not the ts col") {
+    val n = q("select count(*) as n from events " +
+      "where event_type = '_c0'").collect().head.getLong(0)
+    assert(n == 0L)
+    // the pseudonym itself still rewrites outside literals
+    val m = q("select count(*) as n from events " +
+      "where _c0 >= 0").collect().head.getLong(0)
+    assert(m > 0L)
+  }
+
+  test("multi-column first/last expands only as a whole select item; " +
+      "an aliased multi-column call rejects loudly") {
+    val ok = q("select first(ts, value), last(value) from events")
+      .collect().head
+    assert(!ok.isNullAt(0) && !ok.isNullAt(1) && !ok.isNullAt(2))
+    val cols = q("select first(ts, value), last(value) from events")
+      .columns.toSeq
+    assert(cols.take(2) == Seq("first_ts", "first_value"))
+    intercept[Exception] {
+      q("select first(ts, value) as x from events").collect()
+    }
+  }
+}
