@@ -194,6 +194,44 @@ object GraftSql {
     (plain.result(), subs.result())
   }
 
+  /** The reference rejects ANY correlated reference inside an
+    * IN/quantified subquery ("Not supported subquery as expr",
+    * ans/test_in_sub_query2.2.csv, ans/test_quantified_sub_query4.2
+    * .csv — every correlatedSqls entry errors) — a qualifier naming
+    * an OUTER table/alias that is not also a table of the subquery's
+    * own FROM clause must fail loudly rather than silently resolve
+    * as if unqualified. */
+  private def assertUncorrelated(subSql: String,
+      outerFrom: String): Unit = {
+    val kw = Set("as", "join", "on", "inner", "left", "right", "full",
+      "outer", "asof", "window", "and", "or", "select", "from", "where")
+    val outer = "[A-Za-z_]\\w*".r.findAllIn(
+        outerFrom.replaceAll("'(?:[^']|'')*'", " "))
+      .map(_.toLowerCase).filterNot(kw).toSet
+    val maskedSub = subSql.replaceAll("'(?:[^']|'')*'", " ")
+    // the subquery's own FROM segment legitimises its own qualifiers
+    val own: Set[String] =
+      topLevelIndex(maskedSub.toUpperCase, "FROM") match {
+        case Some(i) =>
+          val tail = maskedSub.substring(i + 4)
+          val stops = Seq("WHERE", "GROUP", "PARTITION", "ORDER",
+            "LIMIT", "HAVING", "INTERVAL", "SESSION", "STATE_WINDOW",
+            "COUNT_WINDOW", "EVENT_WINDOW", "SLIMIT", "FILL")
+          val end = stops.flatMap(k => topLevelIndex(tail.toUpperCase, k))
+            .reduceOption(_ min _).getOrElse(tail.length)
+          "[A-Za-z_]\\w*".r.findAllIn(tail.substring(0, end))
+            .map(_.toLowerCase).toSet
+        case None => Set.empty
+      }
+    "\\b([A-Za-z_]\\w*)\\s*\\.\\s*[A-Za-z_]".r.findAllMatchIn(maskedSub)
+      .foreach { m =>
+        val q = m.group(1).toLowerCase
+        require(!outer.contains(q) || own.contains(q),
+          "Not supported subquery as expr (correlated reference " +
+            s"$q.… inside an IN-subquery): $subSql")
+      }
+  }
+
   /** TDengine's regex operators (sql.y operator grammar; filter.c
     * regex eval): `col MATCH 'pat'` → Spark `RLIKE`, `col NMATCH
     * 'pat'` → `NOT … RLIKE` (NOT binds tighter than AND/OR, so the
@@ -2871,6 +2909,40 @@ object GraftSql {
             java.util.regex.Matcher.quoteReplacement(rep)
           })
       }
+      // `(SELECT …)` groups in WHERE/HAVING keep their own text: an
+      // outer-alias qualifier inside a subquery is a correlated
+      // reference the reference REJECTS ("Not supported subquery as
+      // expr", ans/test_in_sub_query2.2.csv) — stripping it here
+      // would silently decorrelate; the subquery's own aliases
+      // resolve in its recursive [[query]] call instead
+      def rwOutsideSubselects(s: String): String = {
+        val groups = scala.collection.mutable.ArrayBuffer[String]()
+        val sb = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          if (s.charAt(i) == '(' &&
+              s.substring(i + 1).dropWhile(_.isWhitespace)
+                .toUpperCase.startsWith("SELECT")) {
+            var depth = 0; var j = i; var endIdx = -1
+            while (j < s.length && endIdx < 0) {
+              val ch = s.charAt(j)
+              if (ch == '(') depth += 1
+              else if (ch == ')') {
+                depth -= 1; if (depth == 0) endIdx = j
+              }
+              j += 1
+            }
+            if (endIdx < 0) endIdx = s.length - 1
+            groups += s.substring(i, endIdx + 1)
+            sb.append('\u0002').append(groups.length - 1)
+              .append('\u0002')
+            i = endIdx + 1
+          } else { sb.append(s.charAt(i)); i += 1 }
+        }
+        "\u0002(\\d+)\u0002".r.replaceAllIn(rw(sb.toString), m =>
+          java.util.regex.Matcher.quoteReplacement(
+            groups(m.group(1).toInt)))
+      }
       c = c.map { case (k, v) =>
         if (k == "FROM") (k, v)
         else if (k == "SELECT")
@@ -2887,7 +2959,7 @@ object GraftSql {
               case _ => rw(item)
             }
           }.mkString(", "))
-        else (k, rw(v)) }
+        else (k, rwOutsideSubselects(v)) }
     }
     // a window clause under a plain row projection (test_session.py:
     // `SELECT * FROM dev_001 SESSION(ts,1w)` returns the raw rows) has
@@ -3018,6 +3090,7 @@ object GraftSql {
       }
       if (plain.nonEmpty) df = df.filter(expr(plain.mkString(" AND ")))
       subs.foreach { case (lhs, negated, subSql) =>
+        assertUncorrelated(subSql, c("FROM"))
         val sub = query(spark, resolve, subSql, tsCol, perSecond)
         require(sub.columns.length == 1,
           s"IN subquery must select exactly one column: $subSql")

@@ -110,6 +110,40 @@ class R20FixesSpec extends AnyFunSuite {
     assert(m > 0L)
   }
 
+  test("correlated quantified/IN/scalar subqueries reject loudly — " +
+      "INTENDED REJECT: the reference errors on every correlatedSqls " +
+      "entry (ans/test_in_sub_query2.2.csv, " +
+      "ans/test_quantified_sub_query4.2.csv, " +
+      "ans/test_scalar_sub_query2.2.csv — all 'Not supported subquery " +
+      "as expr [0x800026A6]' or 'Table does not exist')") {
+    val cat = freshCat()
+    cat.sql("CREATE STABLE st1 (ts TIMESTAMP, f1 INT, f2 INT) " +
+      "TAGS (tg1 INT)")
+    cat.sql("CREATE TABLE tb1 USING st1 TAGS (1)")
+    cat.sql("CREATE TABLE tb2 USING st1 TAGS (2)")
+    cat.sql("INSERT INTO tb1 VALUES (1704067200000000, 1, 1)")
+    cat.sql("INSERT INTO tb2 VALUES (1704067200000000, 1, 1)")
+    val rejects = Seq(
+      // test_in_subq2.py:235 correlatedSqls (reference: error)
+      "select f1 from tb1 a where f1 in (select a.f1 from tb2)",
+      "select f1 from tb1 a where f1 in " +
+        "(select f1 from tb2 where f1 = a.f1)",
+      // test_quantified_sub4.py:248 correlatedSqls (reference: error)
+      "select f1 from tb1 a where f1 = all " +
+        "(select a.f1 from tb2 limit 1)",
+      "select f1 from tb1 a where f1 = some " +
+        "(select f1 from tb2 where f1 = a.f1 limit 1)",
+      // test_scalar_sub2.py correlated scalar in WHERE (reference:
+      // error — the supported correlated-scalar form is the SELECT-
+      // list spelling covered by dialect_correlated_subquery)
+      "select f1 from tb1 a where f1 = " +
+        "(select f1 from tb2 where f1 = a.f1 limit 1)")
+    rejects.foreach { s =>
+      val r = scala.util.Try(cat.sql(s).collect())
+      assert(r.isFailure, s"should reject like the reference: $s")
+    }
+  }
+
   test("multi-column first/last expands only as a whole select item; " +
       "an aliased multi-column call rejects loudly") {
     val ok = q("select first(ts, value), last(value) from events")
