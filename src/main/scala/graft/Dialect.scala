@@ -1362,6 +1362,20 @@ object Dialect {
              count(*) AS n, avg(2) AS av,
              CAST(greatest(1, 5, 3) AS BIGINT) AS g""")
     },
+    // numeric-as-boolean CASE WHEN (test_query_case_when.py:113
+    // truthy-if-nonzero), greatest/least defaults (GTL-CFG-001
+    // string-mix compares as strings; GTL-IGN-001 NULL propagates),
+    // sleep(0) scalar (builtins.c:8239) — the r19/r20 micro-niches
+    "dialect_truthy_greatest" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_id,
+             CAST(CASE WHEN value THEN 1 ELSE 0 END AS BIGINT) AS cw,
+             CAST(CASE WHEN 1-1 THEN 5 END AS BIGINT) AS cz,
+             greatest(2, '10') AS gs, least(2, '10') AS ls,
+             CAST(greatest(user_id, NULL, 5) AS BIGINT) AS gn,
+             CAST(sleep(0) AS BIGINT) AS sl
+           FROM events WHERE user_id = 3 ORDER BY event_id""")
+    },
     // first(*)/last(*) expand to one call per source column
     // (parTranslater star expansion)
     "dialect_first_star" -> { (s, dir) =>
@@ -2686,6 +2700,14 @@ object Dialect {
            round(pi(), 6) AS pie, CAST(abs(-3.5) AS DOUBLE) AS a,
            count(*) AS n, avg(2) AS av,
            CAST(greatest(1, 5, 3) AS BIGINT) AS g""",
+    "dialect_truthy_greatest" ->
+      """SELECT event_id,
+           CAST(CASE WHEN value <> 0 THEN 1 ELSE 0 END AS BIGINT) AS cw,
+           CAST(NULL AS BIGINT) AS cz,
+           '2' AS gs, '10' AS ls,
+           CAST(NULL AS BIGINT) AS gn,
+           CAST(0 AS BIGINT) AS sl
+         FROM events WHERE user_id = 3 ORDER BY event_id""",
     "dialect_first_star" ->
       """SELECT arg_min(event_id, ts) AS first_event_id,
            epoch_us(arg_min(ts, ts)) AS first_ts,

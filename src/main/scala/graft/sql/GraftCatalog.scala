@@ -3905,9 +3905,15 @@ class GraftCatalog(val spark: SparkSession) {
     else if (up == "SHOW TRANSACTION ORPHANS")
       Seq.empty[(Int, Long, String)]
         .toDF("id", "created_time", "stage")
+    // SHOW TRANSACTION <id> (sql.y:1410
+    // createShowTransactionDetailsStmt): per-transaction action rows
+    // with the ins_transaction_details schema (systable.c:594
+    // userTransactionDetailSchema) — empty by construction here, the
+    // single-process engine commits synchronously
     else if ("(?i)^SHOW TRANSACTION \\d+$".r.matches(stmt))
-      Seq.empty[(Int, Long, String, String)]
-        .toDF("id", "created_time", "stage", "detail")
+      Seq.empty[(Int, String, String, String, String, String)]
+        .toDF("transaction_id", "action", "obj_type", "result",
+          "target", "detail")
     // SHOW CREATE STREAM s (sql.y:1486): round-trippable DDL text
     else if (up.startsWith("SHOW CREATE STREAM ")) {
       val name = bare(stmt.split("\\s+").last)

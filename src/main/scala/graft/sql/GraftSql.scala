@@ -749,9 +749,75 @@ object GraftSql {
   /** TDengine function surface → Spark SQL, deterministic forms.
     * `perSecond` = the surface's ticks/second (db PRECISION): unit
     * arguments like elapsed's scale relative to it. */
+  /** Searched-CASE numeric conditions are truthy when non-zero
+    * (test_query_case_when.py:113-163: `case when 1 then`, `case when
+    * 1-1 then` → NULL branch, `case when abs(3) then`): wrap a
+    * comparison-free WHEN condition as `(cond) <> 0` — Spark's CASE
+    * requires a boolean. The simple `CASE expr WHEN v` form matches
+    * VALUES, not conditions, and is left untouched; conditions that
+    * already contain a comparison/boolean operator (incl. boolean
+    * columns spelled `c = true`) pass through. */
+  private def rewriteCaseNumericConds(s0: String): String = {
+    if (!s0.toUpperCase.contains("CASE")) return s0
+    val s = s0
+    val up = s.toUpperCase
+    def isWordAt(i: Int, w: String): Boolean =
+      up.startsWith(w, i) &&
+        (i == 0 || !(up(i - 1).isLetterOrDigit || up(i - 1) == '_')) &&
+        (i + w.length >= up.length ||
+          !(up(i + w.length).isLetterOrDigit || up(i + w.length) == '_'))
+    // frames: (isSearched, openWhenStart or -1)
+    val stack = scala.collection.mutable.Stack[(Boolean, Int)]()
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val ch = s(i)
+      if (inStr) { if (ch == '\'') inStr = false; i += 1 }
+      else if (ch == '\'') { inStr = true; i += 1 }
+      else if (isWordAt(i, "CASE")) {
+        var j = i + 4
+        while (j < s.length && s(j).isWhitespace) j += 1
+        stack.push((isWordAt(j, "WHEN"), -1))
+        i += 4
+      } else if (isWordAt(i, "WHEN") && stack.nonEmpty) {
+        if (stack.top._1)
+          stack.push(stack.pop() match { case (f, _) => (f, i + 4) })
+        i += 4
+      } else if (isWordAt(i, "THEN") && stack.nonEmpty) {
+        val (f, st) = stack.pop()
+        if (f && st >= 0) spans += ((st, i))
+        stack.push((f, -1))
+        i += 4
+      } else if (isWordAt(i, "END") && stack.nonEmpty) {
+        stack.pop(); i += 3
+      } else i += 1
+    }
+    val boolish = ("(?i)=|<|>|!|\\bLIKE\\b|\\bIN\\b|\\bIS\\b|" +
+      "\\bBETWEEN\\b|\\bAND\\b|\\bOR\\b|\\bNOT\\b|\\bRLIKE\\b|" +
+      "\\bMATCH\\b|\\bNMATCH\\b|\\bEXISTS\\b|\\bTRUE\\b|\\bFALSE\\b").r
+    var out = s
+    // applied spans shift later offsets; processing by DESCENDING
+    // start means every prior application starts at or after this
+    // span's start — those inside (a,b) adjust b (nested CASE conds)
+    val applied = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    spans.sortBy(-_._1).foreach { case (a, b) =>
+      val bAdj = b +
+        applied.filter(p => p._1 >= a && p._1 < b).map(_._2).sum
+      val cond = out.substring(a, bAdj)
+      val masked = cond.replaceAll("'(?:[^']|'')*'", " ")
+      if (boolish.findFirstIn(masked).isEmpty && cond.trim.nonEmpty) {
+        val rep = s" (${cond.trim}) <> 0 "
+        out = out.substring(0, a) + rep + out.substring(bAdj)
+        applied += ((a, rep.length - (bAdj - a)))
+      }
+    }
+    out
+  }
+
   def rewriteFuncs(e: String, tsCol: String,
       perSecond: Long = 1000000L): String = {
-    var r = e
+    var r = rewriteCaseNumericConds(e)
     // TDengine string types in CAST positions: NCHAR(n)/NCHAR are
     // unicode strings; BINARY(n) is a byte-string the tests treat as
     // text — both lower to Spark varchar/string (Spark's BINARY is
@@ -807,6 +873,33 @@ object GraftSql {
       } else graft.functions.TimeFormat
         .toTimestampSql(parts(0), unquote(parts(1)))
     })
+    // greatest/least defaults (translateGreatestleast, builtins.c:2831;
+    // tglobal.c:243-244 tsCompareAsStrInGreatest=true,
+    // tsIgnoreNullInGreatest=false):
+    //  - a string literal mixing with non-string args compares AS
+    //    STRINGS (GTL-CFG-001: greatest(2,'10') = '2') — Spark's own
+    //    coercion would compare numerically; cast every arg to string
+    //  - any NULL argument makes the result NULL (GTL-IGN-001) —
+    //    Spark's greatest/least SKIP nulls; wrap in a null-propagating
+    //    CASE. Mixed string COLUMNS (no literal) aren't detectable in
+    //    this textual pass and keep Spark's numeric coercion.
+    for (fn <- Seq("greatest", "least"))
+      r = rewriteCall(r, fn, body => {
+        val args = splitArgs(body).map(_.trim)
+        if (args.length < 2) s"$fn($body)"
+        else {
+          val isStrLit = (a: String) => a.matches("'(?:[^']|'')*'")
+          val args2 =
+            if (args.exists(isStrLit) && !args.forall(isStrLit))
+              args.map(a =>
+                if (isStrLit(a)) a else s"cast(($a) as string)")
+            else args
+          val nullCheck =
+            args2.map(a => s"($a) IS NULL").mkString(" OR ")
+          s"(CASE WHEN $nullCheck THEN NULL ELSE " +
+            s"$fn(${args2.mkString(", ")}) END)"
+        }
+      })
     r = rewriteCall(r, "first", a => s"min_by($a, $tsCol)")
     r = rewriteCall(r, "last_row", a => s"max_by($a, $tsCol)")
     r = rewriteCall(r, "last", a => s"max_by($a, $tsCol)")
@@ -2145,9 +2238,33 @@ object GraftSql {
     * so dialect text resolves them like built-ins: apercentile's
     * t-digest (the same sketch the Column form uses). */
   private def ensureCustomAggs(spark: SparkSession): Unit =
-    if (aggRegistered.add(spark))
+    if (aggRegistered.add(spark)) {
       spark.udf.register("apercentile", org.apache.spark.sql.functions
         .udaf(new graft.functions.Aggregators.TDigestPAgg))
+      // sleep(sec) (builtins.c:8239 FUNCTION_TYPE_SLEEP; sclfunc.c:5240
+      // sleepFunction): volatile per-row scalar — sleeps sec seconds,
+      // returns 0 (1 if the task was killed mid-sleep, NULL input
+      // sleeps nothing and returns 0). Sleeps in 100ms chunks checking
+      // task interruption, same loop shape as the reference's
+      // isTaskKilled poll. A UDF is the right vehicle: volatile and
+      // never pushed down, matching FUNC_MGT_NO_PUSHDOWN_FUNC.
+      spark.udf.register("sleep", (s: java.lang.Double) => {
+        var result = 0
+        if (s != null && s > 0) {
+          val totalMs = math.min(s * 1000.0, 9.0e15).toLong
+          var elapsed = 0L
+          val tc = org.apache.spark.TaskContext.get()
+          while (elapsed < totalMs && result == 0) {
+            if (tc != null && tc.isInterrupted()) result = 1
+            else {
+              val chunk = math.min(100L, totalMs - elapsed)
+              Thread.sleep(chunk); elapsed += chunk
+            }
+          }
+        }
+        result
+      })
+    }
 
   /** The reference lexer treats `"…"` exactly like `'…'` — both
     * produce TK_STRING (identifiers use backticks), so

@@ -144,6 +144,48 @@ class R20FixesSpec extends AnyFunSuite {
     }
   }
 
+  test("numeric CASE WHEN conditions are truthy-if-nonzero " +
+      "(test_query_case_when.py:113-163)") {
+    def one(sql: String): Any =
+      q(sql + " limit 1").collect().head.get(0)
+    assert(one("select case when 1 then 4+1 end from events") == 5)
+    assert(one("select case when 1-1 then 0 end from events") == null)
+    assert(one("select case when 1+1 then 0 end from events") == 0)
+    assert(one("select case when abs(3) then abs(-1) end from events")
+      == 1)
+    assert(one("select case when 0 then 1 else 3 end from events") == 3)
+    // boolean conditions and the simple CASE-expr form stay untouched
+    assert(one("select case when 1 > 0 then 1 else 0 end from events")
+      == 1)
+    assert(one("select case user_id when user_id then 7 end " +
+      "from events") == 7)
+  }
+
+  test("greatest/least defaults: string-mix compares AS STRINGS " +
+      "(GTL-CFG-001/002), NULL propagates (GTL-IGN-001)") {
+    val r = q("select greatest(2, '10') as g, least(2, '10') as l, " +
+      "greatest(1, NULL, 5) as gn, least(1, NULL, 5) as ln, " +
+      "greatest(1, 5, 3) as ga from events limit 1").collect().head
+    assert(r.getString(0) == "2" && r.getString(1) == "10")
+    assert(r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getInt(4) == 5)
+  }
+
+  test("sleep(sec) scalar: returns 0, NULL sleeps nothing " +
+      "(sclfunc.c:5240 sleepFunction)") {
+    val r = q("select sleep(0.01) as s, sleep(NULL) as sn " +
+      "from events limit 2").collect()
+    assert(r.forall(x => x.getInt(0) == 0 && x.getInt(1) == 0))
+  }
+
+  test("SHOW TRANSACTION <id> detail listing has the " +
+      "ins_transaction_details schema (systable.c:594)") {
+    val cat = freshCat()
+    assert(cat.sql("SHOW TRANSACTION 7").columns.toSeq == Seq(
+      "transaction_id", "action", "obj_type", "result", "target",
+      "detail"))
+  }
+
   test("multi-column first/last expands only as a whole select item; " +
       "an aliased multi-column call rejects loudly") {
     val ok = q("select first(ts, value), last(value) from events")
