@@ -1362,6 +1362,16 @@ object Dialect {
              count(*) AS n, avg(2) AS av,
              CAST(greatest(1, 5, 3) AS BIGINT) AS g""")
     },
+    // mode() is a SELECTION function (builtins.c:4495
+    // FUNC_MGT_SELECT_FUNC): scalar columns ride the mode row — the
+    // LAST row (by ts) carrying the most-frequent value
+    // (test_fun_select_mode.py checkRows(1); test_join_pk.py:322);
+    // ties break to the larger value (sf_mode pin)
+    "dialect_mode_ride" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT event_type, ts, mode(user_id) AS mv FROM events
+           PARTITION BY event_type ORDER BY event_type""")
+    },
     // numeric-as-boolean CASE WHEN (test_query_case_when.py:113
     // truthy-if-nonzero), greatest/least defaults (GTL-CFG-001
     // string-mix compares as strings; GTL-IGN-001 NULL propagates),
@@ -2700,6 +2710,19 @@ object Dialect {
            round(pi(), 6) AS pie, CAST(abs(-3.5) AS DOUBLE) AS a,
            count(*) AS n, avg(2) AS av,
            CAST(greatest(1, 5, 3) AS BIGINT) AS g""",
+    "dialect_mode_ride" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) n
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, user_id FROM c
+           QUALIFY row_number() OVER (PARTITION BY event_type
+             ORDER BY n DESC, user_id DESC) = 1)
+         SELECT e.event_type AS event_type, epoch_us(e.ts) AS ts,
+           e.user_id AS mv
+         FROM events e JOIN w ON e.event_type = w.event_type
+           AND e.user_id = w.user_id
+         QUALIFY row_number() OVER (PARTITION BY e.event_type
+           ORDER BY e.ts DESC) = 1
+         ORDER BY 1""",
     "dialect_truthy_greatest" ->
       """SELECT event_id,
            CAST(CASE WHEN value <> 0 THEN 1 ELSE 0 END AS BIGINT) AS cw,

@@ -2093,6 +2093,17 @@ class GraftCatalog(val spark: SparkSession) {
       var boundCols: Option[Seq[String]] = preBound
       if (boundCols.isEmpty && rest.startsWith("(")) {
         val (body, after) = parenGroup(rest, 0)
+        // parenthesized insert-from-query: INSERT INTO dst (SELECT …)
+        // (test_join.py:1063, test_fun_select_last_row.py:1402) —
+        // not a bound-column list
+        if (body.trim.toUpperCase.startsWith("SELECT")) {
+          insertSelect(name, None, body.trim)
+          val tail = rest.substring(after).trim
+          require(tail.isEmpty,
+            s"unexpected text after INSERT (SELECT …): $tail")
+          rest = ""
+          return
+        }
         boundCols = Some(GraftSql.splitArgs(body).map(_.trim))
         rest = rest.substring(after).trim
       }
@@ -2168,8 +2179,9 @@ class GraftCatalog(val spark: SparkSession) {
         // to the target's own stable. Matching against EVERY stable's
         // tags would silently drop a data column that merely collides
         // with some other stable's tag name.
-        val srcStable = "(?i)\\bFROM\\s+([A-Za-z_]\\w*)".r
-          .findFirstMatchIn(select).map(_.group(1).toLowerCase)
+        val srcStable = "(?i)\\bFROM\\s+([A-Za-z_][\\w.]*)".r
+          .findFirstMatchIn(select)
+          .map(_.group(1).split("\\.").last.toLowerCase)
           .flatMap { n =>
             children.get(n).map(ch => stables(ch.stableName))
               .orElse(stables.get(n))

@@ -3960,15 +3960,23 @@ object GraftSql {
     // (parTranslater selection semantics; 20-select.md: `SELECT
     // abs(c1), max(c1) FROM t` evaluates every other select item ON
     // THE SELECTED ROW). Engages only for exactly ONE selection call
-    // with a plain argument, no other aggregate, no window clause, no
-    // tbname (which has its own any-row lowering) — anything else
-    // keeps its existing route. Keyless lowers to orderBy+limit(1)
+    // with a plain argument, no other aggregate, no window clause —
+    // anything else keeps its existing route. tbname rides like any
+    // scalar (test_fun_select_last_row.py:901: `select tbname,
+    // last_row(c1) from stb1` returns the LAST ROW's tbname 'ct4',
+    // not an any-row pick). Keyless lowers to orderBy+limit(1)
     // (TakeOrdered — no single-partition collapse); PARTITION BY
     // lowers to a per-key row_number pick.
     {
-      val selFnRe = "(?i)\\b(first|last_row|last|min|max)\\s*\\(".r
+      // mode is a SELECTION function too (builtins.c:4495
+      // FUNC_MGT_SELECT_FUNC): `select ts, mode(c1) from tb` returns
+      // ONE row — the mode value with the accompanying columns read
+      // from the LAST row carrying it (doModeAdd updateTupleData on
+      // every occurrence; test_fun_select_mode.py checkRows(1),
+      // test_join_pk.py:322 joins on the riding ts)
+      val selFnRe = "(?i)\\b(first|last_row|last|min|max|mode)\\s*\\(".r
       val otherAggRe = ("(?i)\\b(count|sum|avg|stddev|stdvar|std|var|" +
-        "spread|mode|twa|irate|elapsed|hyperloglog|percentile|" +
+        "spread|twa|irate|elapsed|hyperloglog|percentile|" +
         "apercentile|histogram|leastsquares|sample|top|bottom|diff|" +
         "csum|mavg|derivative|statecount|stateduration|tail|unique|" +
         "interp|cols)\\s*\\(").r
@@ -3989,8 +3997,6 @@ object GraftSql {
           selFnRe.findAllIn(selTxt).length == 1 &&
           otherAggRe.findFirstIn(selTxt).isEmpty &&
           "(?i)\\bOVER\\b".r.findFirstIn(selTxt).isEmpty &&
-          "(?i)(?<![\\w])tbname(?![\\w])".r
-            .findFirstIn(selTxt).isEmpty &&
           anchorItem.isDefined &&
           // `*` accompanies like a bare column: every base column
           // evaluates on the selected row (test_normal.py
@@ -4004,18 +4010,27 @@ object GraftSql {
             !aArgs.head.contains("*")) {
           val x = expr(aArgs.head.trim)
           val tie = seriesTie(df, tsCol)
-          val (flt, ord) = fn match {
+          val (flt, ord0) = fn match {
             case "max" => (Some(x.isNotNull),
               Seq(x.desc, col(tsCol).asc) ++ tie.map(_.asc))
             case "min" => (Some(x.isNotNull),
               Seq(x.asc, col(tsCol).asc) ++ tie.map(_.asc))
             case "first" => (Some(x.isNotNull),
               Seq(col(tsCol).asc) ++ tie.map(_.asc))
-            case "last" => (Some(x.isNotNull),
+            case "last" | "mode" => (Some(x.isNotNull),
               Seq(col(tsCol).desc) ++ tie.map(_.desc))
             case _ => (None, Seq(col(tsCol).desc) ++ tie.map(_.desc))
           }
           var base = flt.map(df.filter).getOrElse(df)
+          // mode: most-frequent value wins (ties: larger value, the
+          // same pin as sf_mode); within the winning value the LAST
+          // row by ts carries the ride. One keyed window shuffle +
+          // TakeOrdered(1) — no value list leaves the executors.
+          val ord = if (fn == "mode") {
+            base = base.withColumn("_mcnt", count(x).over(
+              Window.partitionBy((partCols.map(col) :+ x): _*)))
+            Seq(col("_mcnt").desc, x.desc) ++ ord0
+          } else ord0
           base =
             if (partCols.isEmpty) base.orderBy(ord: _*).limit(1)
             else base.withColumn("_selrn", row_number().over(
@@ -4701,18 +4716,36 @@ object GraftSql {
           ("(?i)\\b(first|last|last_row|min|max|top|bottom|sample|" +
             "diff|csum|mavg|derivative|tail|unique)\\s*\\(").r
             .findFirstIn(e).isEmpty
-      if (selectItems.exists { case (e, _) =>
-            trueAggRe.findFirstIn(e).isDefined } &&
+      // tbname/tags may also accompany cols()-EXPANDED selection
+      // items (`select tbname, t1, cols(last(ts), c0) … from child`,
+      // test_fun_select_cols.py:1376 checkRows(1)): ride the FIRST
+      // expanded anchor's min_by/max_by key so a stable read reads
+      // the anchor row's tbname, not an any-row pick
+      val colsAnchor = selectItems.collectFirst {
+        case (e, _) if trueAggRe.findFirstIn(e).isEmpty &&
+            "(?i)^(max_by|min_by)\\s*\\(".r.findFirstIn(e.trim)
+              .isDefined =>
+          val fnName = e.trim.substring(0, 6).toLowerCase
+          val (_, argsA, _) = analyticCallSpan(e.trim, fnName)
+          (fnName, argsA.lift(1))
+      }.collect { case (f, Some(k)) => (f, k) }
+      def rideWrap(inner: String): String = colsAnchor match {
+        case Some((f, k)) => s"$f($inner, $k)"
+        case None => s"min($inner)"
+      }
+      if ((selectItems.exists { case (e, _) =>
+            trueAggRe.findFirstIn(e).isDefined } ||
+           colsAnchor.isDefined) &&
           selectItems.exists { case (e, _) =>
             bareTb(e) || tagName(e).isDefined || tagOnlyExpr(e) })
         selectItems = selectItems.map { case (e, a) =>
           if (bareTb(e))
-            ("min(tbname)", if (a == e) "tbname" else a)
+            (rideWrap("tbname"), if (a == e) "tbname" else a)
           else tagName(e) match {
-            case Some(t) => (s"min(`$t`)", if (a == e) t else a)
+            case Some(t) => (rideWrap(s"`$t`"), if (a == e) t else a)
             case None =>
               if (tagOnlyExpr(e) && trueAggRe.findFirstIn(e).isEmpty)
-                (s"min($e)", a)
+                (rideWrap(e), a)
               else (e, a)
           }
         }
@@ -4773,9 +4806,30 @@ object GraftSql {
           if (anchors.nonEmpty) anchors
           else if (hasStar) looseAnchors
           else Nil
+        // a pure scalar EXPRESSION over base columns accompanies
+        // like a bare column (test_fun_select_last_row.py:968
+        // `select tbname, last_row(c1), abs(c1) from stb1`;
+        // `select last_row(*), abs(c1/2)+100 …`): it evaluates ON
+        // the selected row — but never an item carrying its own
+        // aggregate/anchor call (those rewrite via rewritten())
+        val anyAggRe = ("(?i)\\b(first|last_row|last|min|max|" +
+          "count|sum|avg|stddev|stdvar|std|var|spread|mode|twa|" +
+          "irate|elapsed|hyperloglog|percentile|apercentile|" +
+          "histogram|leastsquares|sample|top|bottom|diff|csum|" +
+          "mavg|derivative|statecount|stateduration|tail|unique|" +
+          "interp|cols)\\s*\\(").r
+        def refsBaseCol(e: String): Boolean = {
+          val s = e.replaceAll("'[^']*'", "")
+          df.columns.exists(cn => ("(?i)(?<![\\w])" +
+            java.util.regex.Pattern.quote(cn) + "(?![\\w])").r
+            .findFirstIn(s).isDefined)
+        }
+        def exprRide(e: String): Boolean = refsBaseCol(e) &&
+          anyAggRe.findFirstIn(e).isEmpty &&
+          "(?i)\\bOVER\\b".r.findFirstIn(e).isEmpty
         val cols =
           if (accAnchors.nonEmpty && selectItems.exists { case (e, _) =>
-              isBare(e) || e.trim == "*" }) {
+              isBare(e) || e.trim == "*" || exprRide(e) }) {
             // last_row(*) star-expands to one call per column, all
             // reading THE same physical last row — row-consistent, so
             // the expanded set accompanies as one anchor
@@ -4800,6 +4854,8 @@ object GraftSql {
               if (e.trim == "*") df.columns.toSeq.map(cn =>
                 expr(acc(cn)).as(cn))
               else if (isBare(e)) Seq(expr(acc(stripP(e))).as(a))
+              else if (exprRide(e))
+                Seq(expr(acc(s"(${rewritten(e)})")).as(a))
               else Seq(expr(rewritten(e)).as(a)) }
           } else selectItems.map {
             case ("*", _) => col("*")

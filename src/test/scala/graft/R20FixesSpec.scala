@@ -144,6 +144,60 @@ class R20FixesSpec extends AnyFunSuite {
     }
   }
 
+  test("mode() is a selection function: scalars ride the LAST row " +
+      "carrying the mode value (builtins.c:4495 FUNC_MGT_SELECT_FUNC, " +
+      "doModeAdd updateTupleData; test_fun_select_mode.py)") {
+    val r = q("select ts, mode(user_id) from events").collect()
+    assert(r.length == 1)
+    val mv = r.head.getLong(1)
+    val ec = q(s"select count(*) as n from events where user_id = $mv")
+      .collect().head.getLong(0)
+    val mx = q("select max(cnt) as m from (select count(*) as cnt " +
+      "from events group by user_id)").collect().head.getLong(0)
+    assert(ec == mx) // the ride value IS a most-frequent value
+    val lastTs = q(s"select max(ts) as t from events " +
+      s"where user_id = $mv").collect().head.getLong(0)
+    assert(r.head.getLong(0) == lastTs) // ride row = last occurrence
+    // the test_join_pk.py:322 shape: mode subquery feeding a join
+    val j = q("select b.ts, a.ats from (select ts ats, " +
+      "mode(user_id) from events) as a inner join events b on " +
+      "timetruncate(a.ats, 1s) = timetruncate(b.ts, 1s)").collect()
+    assert(j.nonEmpty && j.forall(x => x.getLong(1) == lastTs))
+    // value-only mode (no ride) keeps the plain aggregate route
+    assert(q("select mode(user_id) from events").collect()
+      .head.getLong(0) == mv)
+  }
+
+  test("tbname/tags ride selection anchors and cols() expansions; " +
+      "scalar expressions accompany too " +
+      "(test_fun_select_last_row.py:901,968; " +
+      "test_fun_select_cols.py:1376)") {
+    val cat = freshCat()
+    cat.sql("CREATE STABLE st (ts TIMESTAMP, c0 INT, c2 INT) " +
+      "TAGS (t1 VARCHAR(10))")
+    cat.sql("CREATE TABLE sn1 USING st TAGS ('st1')")
+    cat.sql("CREATE TABLE sn2 USING st TAGS ('st2')")
+    cat.sql("INSERT INTO sn1 VALUES (1704067200000000, 1, 5)")
+    cat.sql("INSERT INTO sn2 VALUES (1704067300000000, 2, NULL)")
+    // tbname + tag ride the cols() anchor row (the GLOBAL last row
+    // lives in sn2 — an any-row pick could return sn1)
+    val r = cat.sql("select tbname, t1, cols(last(ts), c0) from st")
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "sn2" && r.head.getString(1) == "st2")
+    assert(r.head.getInt(2) == 2)
+    // tbname rides a selection anchor row (last_row does NOT skip
+    // the NULL-c2 row); the scalar expression rides the same row
+    val w = cat.sql("select tbname, last_row(c2), abs(c0)+10 from st")
+      .collect()
+    assert(w.length == 1 && w.head.getString(0) == "sn2")
+    assert(w.head.isNullAt(1) && w.head.getInt(2) == 12)
+    // parenthesized insert-from-query (test_join.py:1063)
+    cat.sql("CREATE TABLE plain (ts TIMESTAMP, c0 INT, c2 INT)")
+    cat.sql("insert into plain (select ts, c0, c2 from sn1)")
+    assert(cat.table("plain").count() == 1)
+  }
+
   test("numeric CASE WHEN conditions are truthy-if-nonzero " +
       "(test_query_case_when.py:113-163)") {
     def one(sql: String): Any =
