@@ -1884,7 +1884,10 @@ object Dialect {
       """SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
            value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)
              AS diff_v
-         FROM events ORDER BY user_id, ts_ms""",
+         FROM events
+         QUALIFY row_number()
+           OVER (PARTITION BY user_id ORDER BY ts) > 1
+         ORDER BY user_id, ts_ms""",
     // same accumulation as the DataFrame-API sf_csum oracle
     "dialect_csum" -> Functions.oracleSql("sf_csum"),
     "dialect_mavg" ->

@@ -20,10 +20,22 @@ object SeriesOps {
   private def w(keys: Seq[Column], ts: Column) =
     Window.partitionBy(keys: _*).orderBy(ts)
 
-  /** diff(col): per-row difference vs the previous row; first row per key
-    * yields null (builtins.c:4221). */
-  def diff(value: Column, ts: Column, keys: Seq[Column]): Column =
-    value - lag(value, 1).over(w(keys, ts))
+  /** diff (builtins.c:3747 setDoDiffResult; :3576 tryToSetInt64):
+    * a NULL input emits NULL and KEEPS the previous value (the next
+    * non-null diffs against the last non-null — setDoDiffResult
+    * returns before doHandleDiff on null data); the first non-null
+    * value emits NULL (`!hasPrev`). ignoreOpt bit 0 (=1) nulls
+    * negative deltas in place. Row-level effects (the silent
+    * physical-first row, ignore-null row drops) are applied by the
+    * calling route — a Column can't drop rows. */
+  def diff(value: Column, ts: Column, keys: Seq[Column],
+      ignoreOpt: Int = 0): Column = {
+    val prevNN = last(value, ignoreNulls = true)
+      .over(w(keys, ts).rowsBetween(Window.unboundedPreceding, -1))
+    val base = when(value.isNull, lit(null)).otherwise(value - prevNN)
+    if ((ignoreOpt & 1) != 0) when(base < 0, lit(null)).otherwise(base)
+    else base
+  }
 
   /** derivative(col, unitUs): d(value)/d(ts) scaled to `unitUs`
     * (builtins.c:3603). `ignoreNegative` drops negative slopes. */
@@ -192,7 +204,7 @@ object SeriesOps {
       it.foreach { r =>
         val isNull = r.isNullAt(pIdx)
         s = stepS(s, isNull, !isNull && r.getBoolean(pIdx),
-          r.getLong(tsIdx))
+          if (r.isNullAt(tsIdx)) 0L else r.getLong(tsIdx))
       }
       s
     }
@@ -242,7 +254,9 @@ object SeriesOps {
     * rule Spark's round() applies. */
   def keylessSeries(df: DataFrame, ts: Column, tie: Seq[Column],
       specs: Seq[(String, Column, Long, String)],
-      descending: Boolean = false): DataFrame = {
+      descending: Boolean = false,
+      dropFirst: Boolean = false,
+      dropNullRows: Boolean = false): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -263,17 +277,28 @@ object SeriesOps {
     //   csum -> Option[JBD] partition sum of non-null values
     //   mavg / lag -> Vector[Option[JBD]] of the last <= k rows
     //   fill_forward -> Option[Double] last non-null
+    // state slots 0..n-1 = per-spec effects; slot n = row count (for
+    // the silent physical-first row under dropFirst)
     type S = Array[Any]
-    def zero: S = fns.map {
+    def zero: S = (fns.map {
       case "mavg" | "lag" => Vector.empty[Option[JBD]]
       case _ => None
-    }.toArray[Any]
-    def step(s: S, r: Row): Unit = fns.indices.foreach { i =>
+    } :+ (0L: Any)).toArray[Any]
+    // a join-derived frame can carry NULL ts rows (left-join misses)
+    def tsOf(r: Row): Long =
+      if (r.isNullAt(tsIdx)) 0L else r.getLong(tsIdx)
+    def step(s: S, r: Row): Unit = {
+      s(fns.length) = s(fns.length).asInstanceOf[Long] + 1L
+      fns.indices.foreach { i =>
       val isNull = r.isNullAt(argIdx(i))
       val v = if (isNull) 0.0 else r.getDouble(argIdx(i))
       fns(i) match {
-        case "diff" | "derivative" =>
-          s(i) = Some((v, isNull, r.getLong(tsIdx)))
+        case "diff" =>
+          // NULL input keeps the previous value (setDoDiffResult
+          // returns before doHandleDiff on null data)
+          if (!isNull) s(i) = Some((v, false, tsOf(r)))
+        case "derivative" =>
+          s(i) = Some((v, isNull, tsOf(r)))
         case "csum" => if (!isNull)
           s(i) = Some(s(i).asInstanceOf[Option[JBD]]
             .map(_.add(dec(v))).getOrElse(dec(v)))
@@ -286,11 +311,12 @@ object SeriesOps {
             .takeRight(ks(i).toInt)
         case _ => if (!isNull) s(i) = Some(v)
       }
+      }
     }
     def summary(it: Iterator[Row]): S = {
       val s = zero; it.foreach(r => step(s, r)); s
     }
-    def combine(a: S, b: S): S = fns.indices.map { i =>
+    def combine(a: S, b: S): S = (fns.indices.map { i =>
       fns(i) match {
         case "diff" | "derivative" =>
           b(i).asInstanceOf[Option[(Double, Boolean, Long)]]
@@ -307,24 +333,33 @@ object SeriesOps {
         case _ => b(i).asInstanceOf[Option[Double]]
           .orElse(a(i).asInstanceOf[Option[Double]])
       }
-    }.toArray[Any]
+    } :+ ((a(fns.length).asInstanceOf[Long] +
+      b(fns.length).asInstanceOf[Long]): Any)).toArray[Any]
     def emit(prefix: S, it: Iterator[Row]): Iterator[Row] = {
       val s: S = prefix.clone()
-      it.map { r =>
+      var rowIdx = prefix(fns.length).asInstanceOf[Long]
+      it.flatMap { r =>
+        val isFirst = rowIdx == 0L
+        rowIdx += 1
         val outs = fns.indices.map { i =>
           val isNull = r.isNullAt(argIdx(i))
           val v = if (isNull) 0.0 else r.getDouble(argIdx(i))
           fns(i) match {
             case "diff" =>
+              // delta vs the last NON-NULL value; ignore-negative
+              // (bit 0 of k) nulls negative deltas in place
               val out = s(i)
                 .asInstanceOf[Option[(Double, Boolean, Long)]] match {
-                case Some((pv, pNull, _)) if !pNull && !isNull =>
-                  java.lang.Double.valueOf(v - pv)
+                case Some((pv, _, _)) if !isNull =>
+                  val d = v - pv
+                  if ((ks(i) & 1L) != 0L && d < 0) null
+                  else java.lang.Double.valueOf(d)
                 case _ => null
               }
-              s(i) = Some((v, isNull, r.getLong(tsIdx))); out
+              if (!isNull) s(i) = Some((v, false, tsOf(r)))
+              out
             case "derivative" =>
-              val t = r.getLong(tsIdx)
+              val t = tsOf(r)
               val out = s(i)
                 .asInstanceOf[Option[(Double, Boolean, Long)]] match {
                 case Some((pv, pNull, pt))
@@ -366,7 +401,13 @@ object SeriesOps {
                 .map(java.lang.Double.valueOf(_)).orNull
           }
         }
-        Row.fromSeq(r.toSeq ++ outs)
+        // diff's physical-first row is silent (doHandleDiff
+        // trySetPreVal path — checkRows(rows-1)); ignore-null (bit 1)
+        // drops null-input rows entirely
+        if ((dropFirst && isFirst) ||
+            (dropNullRows && fns.indices.forall(i =>
+              r.isNullAt(argIdx(i))))) None
+        else Some(Row.fromSeq(r.toSeq ++ outs))
       }
     }
     val ord = if (descending) (ts +: tie).map(_.desc) else ts +: tie

@@ -3563,6 +3563,15 @@ object GraftSql {
                 ignoreNegAliases += name
               (fn, expr(parts(0)),
                 durNative(parts(1).trim, perSecond), name)
+            case "diff" =>
+              // diff(col[, ignore_option]) — 0 none, 1 ignore
+              // negative, 2 ignore null, 3 both (builtins.c diff
+              // ignoreOption); the option rides in the k slot
+              val parts = splitArgs(argTxt)
+              val opt = parts.lift(1).map(_.trim.toLong).getOrElse(0L)
+              require(opt >= 0L && opt <= 3L,
+                s"diff ignore option must be 0-3: $argTxt")
+              (fn, expr(parts(0)), opt, name)
             case _ => (fn, expr(argTxt), 0L, name)
           }
         val (fwd, rev) = calls.toSeq.partition(_._1._1 != "lead")
@@ -3570,10 +3579,21 @@ object GraftSql {
         // across the (merged) series — same contract as seriesSelect
         val tie = seriesTie(df, tsCol)
         var withSeries = df
+        val fwdSpecs = fwd.map { case ((fn, a), n) => mkSpec(fn, a, n) }
+        // diff dictates the row-count contract: its physical-first
+        // row is silent (checkRows(rows-1)); mixing diff with other
+        // indef functions is a reference ERROR (test_select_all.py:500
+        // rejects diff+csum), so the drop applies only to pure-diff
+        // selects — the mixed form is this engine's extension and
+        // keeps every row
+        val allDiff = rev.isEmpty && fwdSpecs.nonEmpty &&
+          fwdSpecs.forall(_._1 == "diff")
         if (fwd.nonEmpty)
           withSeries = graft.ops.SeriesOps.keylessSeries(withSeries,
-            col(tsCol), tie,
-            fwd.map { case ((fn, a), n) => mkSpec(fn, a, n) })
+            col(tsCol), tie, fwdSpecs,
+            dropFirst = allDiff,
+            dropNullRows = allDiff &&
+              fwdSpecs.forall(s => (s._3 & 2L) != 0L))
         if (rev.nonEmpty)
           withSeries = graft.ops.SeriesOps.keylessSeries(withSeries,
             col(tsCol), tie,
@@ -3591,6 +3611,7 @@ object GraftSql {
       }
       val partTxt = s"PARTITION BY ${partCols.mkString(", ")} "
       def over(frame: String) = s"OVER (${partTxt}ORDER BY $tsCol$frame)"
+      val diffSpecs = Seq.newBuilder[(String, Int)]
       def rewriteSeries(e: String): String = {
         var r = e
         // lag/lead/derivative FIRST: the diff/derivative lowerings
@@ -3615,7 +3636,25 @@ object GraftSql {
           s"(CAST(($x) - LAG($x) ${over("")} AS DOUBLE) * ${unit}L / " +
             s"CAST(($tsCol) - LAG($tsCol) ${over("")} AS DOUBLE))"
         })
-        r = rewriteCall(r, "diff", a => s"(($a) - lag($a) ${over("")})")
+        // diff(col[, ignore_option]): delta vs the last NON-NULL value
+        // (setDoDiffResult keeps prev on null input); option bit 0
+        // nulls negative deltas in place, bit 1 drops null-input rows
+        // (applied below with the silent-first-row filter)
+        r = rewriteCall(r, "diff", a => {
+          val p = splitArgs(a)
+          val x = p(0)
+          val opt = p.lift(1).map(_.trim.toInt).getOrElse(0)
+          require(opt >= 0 && opt <= 3,
+            s"diff ignore option must be 0-3: $a")
+          diffSpecs += ((x, opt))
+          val prevNN = s"last(($x), true) ${over(
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")}"
+          val base =
+            s"(CASE WHEN ($x) IS NULL THEN NULL ELSE ($x) - $prevNN END)"
+          if ((opt & 1) != 0)
+            s"(CASE WHEN $base < 0 THEN NULL ELSE $base END)"
+          else base
+        })
         r = rewriteCall(r, "csum", a =>
           s"CAST(CAST(sum(CAST(($a) AS DECIMAL(18,2))) " +
             s"${over(" ROWS UNBOUNDED PRECEDING")} AS DECIMAL(18,2)) AS DOUBLE)")
@@ -3659,6 +3698,26 @@ object GraftSql {
           work = work.withColumn(tmp, expr(r))
           (tmp, a)
         }
+      }
+      // pure-diff selects drop the silent physical-first row per
+      // partition (checkRows(rows-1)); ignore-null (option bit 1)
+      // additionally drops null-input rows. Mixed selects (diff +
+      // csum/…) are a reference ERROR (test_select_all.py:500) kept
+      // as an every-row extension here.
+      val dSpecs = diffSpecs.result()
+      val otherFam = Seq("lag", "lead", "derivative", "csum", "mavg",
+        "fill_forward").exists(f =>
+        s"(?i)\\b$f\\s*\\(".r.findFirstIn(c("SELECT")).isDefined)
+      if (dSpecs.nonEmpty && !otherFam) {
+        work = work.withColumn("_diffrn", row_number().over(
+          Window.partitionBy(partCols.map(col): _*)
+            .orderBy(col(tsCol).asc +: seriesTie(df, tsCol)
+              .map(_.asc): _*)))
+        var keep: Column = col("_diffrn") > 1
+        if (dSpecs.forall(s => (s._2 & 2) != 0))
+          keep = keep && dSpecs.map(s =>
+            expr(s._1).isNotNull).reduce(_ || _)
+        work = work.filter(keep).drop("_diffrn")
       }
       var res = work.select(finalItems.map { case (e, a) =>
         expr(e).as(a) }: _*)
@@ -3777,7 +3836,8 @@ object GraftSql {
               val colOut: Column = fn match {
                 case "diff" =>
                   maxDrop = math.max(maxDrop, 1)
-                  SeriesOps.diff(expr(args(0)), col(tsCol), keys)
+                  SeriesOps.diff(expr(args(0)), col(tsCol), keys,
+                    args.lift(1).map(_.trim.toInt).getOrElse(0))
                 case "csum" =>
                   SeriesOps.csum(expr(args(0)), col(tsCol), keys)
                 case "mavg" =>

@@ -198,6 +198,40 @@ class R20FixesSpec extends AnyFunSuite {
     assert(cat.table("plain").count() == 1)
   }
 
+  test("diff reference semantics: silent first row (checkRows(rows-1), " +
+      "test_fun_ts_diff.py:334), NULL keeps prev (setDoDiffResult), " +
+      "ignore options 1/2 (builtins.c diff ignoreOption)") {
+    val cat = freshCat()
+    cat.sql("CREATE TABLE dt (ts TIMESTAMP, v INT)")
+    cat.sql("INSERT INTO dt VALUES (1704067200000000, 5) " +
+      "(1704067201000000, NULL) (1704067202000000, NULL) " +
+      "(1704067203000000, 2) (1704067204000000, 3)")
+    // N-1 rows; null emits NULL and the next non-null diffs against
+    // the LAST NON-NULL (2-5=-3), not the null
+    val d = cat.sql("select diff(v) from dt").collect()
+      .map(r => Option(r.get(0)).map(_.toString.toDouble))
+    assert(d.toSeq == Seq(None, None, Some(-3.0), Some(1.0)))
+    // option 1: negative deltas null IN PLACE (row kept)
+    val d1 = cat.sql("select diff(v, 1) from dt").collect()
+      .map(r => Option(r.get(0)).map(_.toString.toDouble))
+    assert(d1.toSeq == Seq(None, None, None, Some(1.0)))
+    // option 2: null-input rows DROPPED
+    val d2 = cat.sql("select diff(v, 2) from dt").collect()
+      .map(r => Option(r.get(0)).map(_.toString.toDouble))
+    assert(d2.toSeq == Seq(Some(-3.0), Some(1.0)))
+    // a NULL-ts row (left-join miss shape) must not crash the
+    // keyless fold (test_join_full.py:6883 positive)
+    val j = q("select diff(c1) from (select b.ts, b.value c1 from " +
+      "(select ts, value from events where user_id = 3) a left asof " +
+      "join (select ts, value from events where user_id = 999) b " +
+      "on a.ts = b.ts)").collect()
+    assert(j.nonEmpty) // every b-side miss: NULL ts rows fold safely
+    // mixed diff+csum (a reference ERROR, kept as an extension here)
+    // still returns every row
+    assert(cat.sql("select diff(v), csum(v) from dt").collect()
+      .length == 5)
+  }
+
   test("numeric CASE WHEN conditions are truthy-if-nonzero " +
       "(test_query_case_when.py:113-163)") {
     def one(sql: String): Any =
