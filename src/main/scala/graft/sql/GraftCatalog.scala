@@ -2875,8 +2875,11 @@ class GraftCatalog(val spark: SparkSession) {
     if (allKids.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](),
-        StructType(st.cols.fields ++ st.tags.fields :+
-          StructField("tbname", StringType)))
+        StructType(st.cols.fields ++
+          st.tags.fields.map(f => f.copy(
+            metadata = GraftCatalog.TagMeta)) :+
+          StructField("tbname", StringType,
+            metadata = GraftCatalog.HiddenMeta)))
     // VIRTUAL children read through their source-aligned vtable frames
     // (tags + tbname already attached); regular children — a VIRTUAL
     // stable can carry both (05-VirtualTables inheritance tests insert
@@ -2898,8 +2901,11 @@ class GraftCatalog(val spark: SparkSession) {
     val latest = graft.ops.SourceOps
       .upsertLatest(spark.createDataFrame(rows, rowSchema),
         Seq("tbname", st.tsCol), "_seq").drop("_seq")
+    // tbname never rides `*` (pseudo column); STABLE-read tags DO
+    // (20-select.md:183) — TagMeta without the star-hidden bit
     val reg = if (st.tags.fields.isEmpty)
-      latest.select((st.cols.fieldNames :+ "tbname").map(col): _*)
+      latest.select(st.cols.fieldNames.map(col) :+
+        col("tbname").as("tbname", GraftCatalog.HiddenMeta): _*)
     else {
       val tagSchema = StructType(
         StructField("tbname", StringType) +: st.tags.fields)
@@ -2916,7 +2922,7 @@ class GraftCatalog(val spark: SparkSession) {
         .select((st.cols.fieldNames.map(col) ++
           st.tags.fieldNames.map(tn =>
             col(tn).as(tn, GraftCatalog.TagMeta)) :+
-          col("tbname")): _*)
+          col("tbname").as("tbname", GraftCatalog.HiddenMeta)): _*)
     }
     vdf.map(reg.unionByName(_)).getOrElse(reg)
   }
@@ -2940,10 +2946,14 @@ class GraftCatalog(val spark: SparkSession) {
     val out = tagged.withColumn("tbname", lit(c.name))
     // mark tag columns in the schema metadata: the dialect front end
     // uses it to let bare tags ride aggregates without GROUP BY the
-    // way tbname does (constant per child — parTranslater allows them)
+    // way tbname does (constant per child — parTranslater allows
+    // them). On a SUBTABLE read tags and tbname resolve by name but
+    // stay out of `*` (20-select.md:183 wildcard rules).
     out.select(out.columns.map { cn =>
       if (st.tags.fieldNames.exists(_.equalsIgnoreCase(cn)))
-        col(cn).as(cn, GraftCatalog.TagMeta)
+        col(cn).as(cn, GraftCatalog.HiddenTagMeta)
+      else if (cn == "tbname")
+        col(cn).as(cn, GraftCatalog.HiddenMeta)
       else col(cn)
     }: _*)
   }
@@ -3973,4 +3983,19 @@ object GraftCatalog {
   val TagMeta: org.apache.spark.sql.types.Metadata =
     new org.apache.spark.sql.types.MetadataBuilder()
       .putBoolean("graft.tag", true).build()
+
+  /** Star-hidden TAG: resolvable by name but excluded from `*`
+    * expansion — the reference's wildcard is regular columns only on
+    * basic tables and SUBTABLES; tags join `*` only on SUPERTABLE
+    * reads (20-select.md:183). tbname is a pseudo column on both and
+    * never rides `*`. */
+  val HiddenTagMeta: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.tag", true)
+      .putBoolean("graft.star_hidden", true).build()
+
+  /** Star-hidden non-tag (tbname). */
+  val HiddenMeta: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.star_hidden", true).build()
 }

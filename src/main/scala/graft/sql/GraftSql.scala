@@ -664,6 +664,13 @@ object GraftSql {
       java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
   }
 
+  /** Columns `*` expands to: regular columns (plus tags on STABLE
+    * reads) — internal `_` columns and star-hidden fields (subtable
+    * tags, tbname) stay out (20-select.md:183 wildcard rules). */
+  private def starCols(df: DataFrame): Seq[String] =
+    df.schema.fields.filterNot(f => f.name.startsWith("_") ||
+      f.metadata.contains("graft.star_hidden")).map(_.name).toSeq
+
   /** Timezone arguments get re-embedded verbatim into generated SQL
     * string literals; unquote's `''` handling means user text could
     * smuggle a quote (and thus expression text) into the query.
@@ -3110,7 +3117,7 @@ object GraftSql {
       val sel2 = starFn.replaceAllIn(c("SELECT"), m => {
         val f = m.group(1).toLowerCase
         java.util.regex.Matcher.quoteReplacement(
-          df.columns.map(cn => s"$f($cn) AS ${f}_$cn").mkString(", "))
+          starCols(df).map(cn => s"$f($cn) AS ${f}_$cn").mkString(", "))
       })
       c = c.updated("SELECT", sel2)
     }
@@ -4126,7 +4133,7 @@ object GraftSql {
             }
           }
           var res = base2.select(items.flatMap { case (e, a) =>
-            if (e.trim == "*") baseCols0.toSeq.map(col)
+            if (e.trim == "*") starCols(df).map(col)
             else Seq(expr(rewriteFuncs(e, tsCol, perSecond)).as(a))
           }: _*)
           if (!sortedPre)
@@ -4911,15 +4918,15 @@ object GraftSql {
             }
             selectItems.flatMap { case (e, a) =>
               // `*` expands to every column, each accompanying
-              if (e.trim == "*") df.columns.toSeq.map(cn =>
+              if (e.trim == "*") starCols(df).map(cn =>
                 expr(acc(cn)).as(cn))
               else if (isBare(e)) Seq(expr(acc(stripP(e))).as(a))
               else if (exprRide(e))
                 Seq(expr(acc(s"(${rewritten(e)})")).as(a))
               else Seq(expr(rewritten(e)).as(a)) }
-          } else selectItems.map {
-            case ("*", _) => col("*")
-            case (e, a) => expr(rewritten(e)).as(a) }
+          } else selectItems.flatMap {
+            case ("*", _) => starCols(df).map(col)
+            case (e, a) => Seq(expr(rewritten(e)).as(a)) }
         // OVER items compute via withColumn: a bare `voltage` item
         // followed by `rank() OVER (ORDER BY voltage)` would otherwise
         // hit Spark's lateral-column-alias restriction (the window
@@ -4973,9 +4980,9 @@ object GraftSql {
               keyItems.foreach { case (e, a) =>
                 if (e != a) g = g.withColumnRenamed(e, a) }
               g.select(selectItems.map { case (_, a) => col(a) }: _*)
-            } else df.select(selectItems.map {
-              case ("*", _) => col("*")
-              case (e, a) => expr(rewritten(e)).as(a) }: _*)
+            } else df.select(selectItems.flatMap {
+              case ("*", _) => starCols(df).map(col)
+              case (e, a) => Seq(expr(rewritten(e)).as(a)) }: _*)
           var res2 = proj
           c.get("HAVING").foreach { h =>
             val hvAggRe = ("(?i)\\b(count|sum|avg|min|max|first|last|" +
@@ -5023,9 +5030,9 @@ object GraftSql {
                 .orderBy(groupKeys.map(col): _*).offset(sOff).limit(sN)
               val sliced = df.join(broadcast(slices), groupKeys,
                 "left_semi")
-              res2 = sliced.select(selectItems.map {
-                case ("*", _) => col("*")
-                case (e, a) => expr(rewritten(e)).as(a) }: _*)
+              res2 = sliced.select(selectItems.flatMap {
+                case ("*", _) => starCols(df).map(col)
+                case (e, a) => Seq(expr(rewritten(e)).as(a)) }: _*)
             }
           }
           c.get("ORDER BY").foreach(o => res2 = res2.orderBy(orderCols(o,

@@ -198,6 +198,28 @@ class R20FixesSpec extends AnyFunSuite {
     assert(cat.table("plain").count() == 1)
   }
 
+  test("wildcard rules (20-select.md:183): subtable * = regular " +
+      "columns only; supertable * adds tags; tbname never rides *; " +
+      "hidden columns still resolve by name") {
+    val cat = freshCat()
+    mkStb(cat)
+    assert(cat.sql("select * from ct1").columns.toSeq ==
+      Seq("ts", "c1"))
+    assert(cat.sql("select * from stb").columns.toSeq ==
+      Seq("ts", "c1", "t2"))
+    // explicit references still resolve on the child read
+    assert(cat.sql("select tbname, t2, * from ct1 limit 1")
+      .columns.toSeq == Seq("tbname", "t2", "ts", "c1"))
+    val w = cat.sql("select count(*) as n from ct1 where t2 = 1")
+      .collect().head.getLong(0)
+    assert(w == 2L)
+    // first/last/last_row(*) expand over the same star set
+    assert(cat.sql("select last_row(*) from ct1").columns.toSeq ==
+      Seq("last_row_ts", "last_row_c1"))
+    assert(cat.sql("select last_row(*) from stb").columns.toSeq ==
+      Seq("last_row_ts", "last_row_c1", "last_row_t2"))
+  }
+
   test("diff reference semantics: silent first row (checkRows(rows-1), " +
       "test_fun_ts_diff.py:334), NULL keeps prev (setDoDiffResult), " +
       "ignore options 1/2 (builtins.c diff ignoreOption)") {
