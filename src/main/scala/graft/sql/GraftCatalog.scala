@@ -1723,12 +1723,16 @@ class GraftCatalog(val spark: SparkSession) {
             !v.cols.exists(_._1.equalsIgnoreCase(n)) }
           .foldLeft(base) { case (d, (n, t)) =>
             d.withColumn(n, lit(null).cast(sparkType(t))) }
+        // subtable wildcard rules apply to virtual children too:
+        // tags/tbname resolve by name but stay out of `*`
         st.tags.fields.zip(c.tagVals).foldLeft(full) {
           case (d, (f, tv)) =>
             d.withColumn(f.name, lit(resolveTagVal(tv)).cast(f.dataType))
         }.withColumn("tbname", lit(v.name))
-          .select((st.colDefs.map(_._1) ++ st.tagDefs.map(_._1) :+
-            "tbname").map(col): _*)
+          .select((st.colDefs.map(_._1).map(col) ++
+            st.tagDefs.map(_._1).map(tn =>
+              col(tn).as(tn, GraftCatalog.HiddenTagMeta)) :+
+            col("tbname").as("tbname", GraftCatalog.HiddenMeta)): _*)
       case None => base
     }
   }
@@ -2889,7 +2893,18 @@ class GraftCatalog(val spark: SparkSession) {
     val vdf = if (vkids.isEmpty) None
       else Some(vkids.map(c => vtableDf(vtableDefs(c.name)))
         .reduce(_ unionByName _))
-    if (kids.isEmpty) return vdf.get
+    // a STABLE read exposes tags to `*` (the child frames hide them —
+    // subtable wildcard rules), so a pure-virtual stable re-marks
+    if (kids.isEmpty) return {
+      val d = vdf.get
+      d.select(d.columns.map { cn =>
+        if (st.tags.fieldNames.exists(_.equalsIgnoreCase(cn)))
+          col(cn).as(cn, GraftCatalog.TagMeta)
+        else if (cn == "tbname")
+          col(cn).as(cn, GraftCatalog.HiddenMeta)
+        else col(cn)
+      }: _*)
+    }
     val rowSchema = StructType(st.cols.fields :+
       StructField("_seq", LongType) :+ StructField("tbname", StringType))
     val rows = new java.util.ArrayList[Row]()

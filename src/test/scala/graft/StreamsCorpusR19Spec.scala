@@ -95,7 +95,10 @@ class StreamsCorpusR19Spec extends AnyFunSuite {
       "tags(region from scr19.ct0.region)")
     cat.sql("create vtable vctb_empty using vstb tags (2)")
     val empty = cat.sql("select * from vctb_empty")
-    assert(empty.count() == 0 && empty.columns.length >= 3)
+    // the reference's checkCols counts DATA columns only — the
+    // subtable wildcard excludes tags/tbname (r20 parity; the same
+    // test pins cols=3 for a 3-data-column vstb)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("ts", "v"))
   }
 
   test("EXPLAIN over a parenthesized UNION body") {
