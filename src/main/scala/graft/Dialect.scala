@@ -2366,7 +2366,7 @@ object Dialect {
              (epoch_us(ts) - lag(epoch_us(ts)) OVER o) AS dv
            FROM events WINDOW o AS (PARTITION BY user_id ORDER BY ts))
          SELECT ts2 AS ts, user_id, dv FROM w
-         WHERE dv IS NULL OR dv >= 0 ORDER BY user_id, ts""",
+         WHERE dv IS NOT NULL AND dv >= 0 ORDER BY user_id, ts""",
     "dialect_order_hidden_key" ->
       """WITH b AS (SELECT user_id,
              epoch_us(ts) - epoch_us(ts) % 86400000000 AS ws

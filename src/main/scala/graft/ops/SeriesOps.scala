@@ -38,12 +38,23 @@ object SeriesOps {
   }
 
   /** derivative(col, unitUs): d(value)/d(ts) scaled to `unitUs`
-    * (builtins.c:3603). `ignoreNegative` drops negative slopes. */
+    * (builtins.c:3603; derivativeFunction skips NULL-input rows
+    * entirely — `if (row.isDataNull) continue` — so the slope is
+    * always vs the last NON-NULL row). The output is NULL for null
+    * inputs and the first non-null row; the caller filters those
+    * rows out for reference row-count parity
+    * (test_fun_ts_derivative.py checkRows(N-1) per partition),
+    * `ignoreNegative` additionally drops negative slopes. */
   def derivative(value: Column, ts: Column, keys: Seq[Column],
       unitUs: Long): Column = {
-    val ww = w(keys, ts)
-    (value - lag(value, 1).over(ww)).cast("double") * lit(unitUs) /
-      (ts - lag(ts, 1).over(ww)).cast("double")
+    val prec = w(keys, ts).rowsBetween(Window.unboundedPreceding, -1)
+    val pv = last(when(value.isNotNull, value), ignoreNulls = true)
+      .over(prec)
+    val pt = last(when(value.isNotNull, ts), ignoreNulls = true)
+      .over(prec)
+    when(value.isNull, lit(null))
+      .otherwise((value - pv).cast("double") * lit(unitUs) /
+        (ts - pt).cast("double"))
   }
 
   /** csum: running cumulative sum in ts order (builtins.c:4343). The
@@ -293,12 +304,11 @@ object SeriesOps {
       val isNull = r.isNullAt(argIdx(i))
       val v = if (isNull) 0.0 else r.getDouble(argIdx(i))
       fns(i) match {
-        case "diff" =>
-          // NULL input keeps the previous value (setDoDiffResult
-          // returns before doHandleDiff on null data)
+        case "diff" | "derivative" =>
+          // NULL input keeps the previous value (diff:
+          // setDoDiffResult returns before doHandleDiff on null
+          // data; derivative: derivativeFunction `continue`s)
           if (!isNull) s(i) = Some((v, false, tsOf(r)))
-        case "derivative" =>
-          s(i) = Some((v, isNull, tsOf(r)))
         case "csum" => if (!isNull)
           s(i) = Some(s(i).asInstanceOf[Option[JBD]]
             .map(_.add(dec(v))).getOrElse(dec(v)))
@@ -362,12 +372,12 @@ object SeriesOps {
               val t = tsOf(r)
               val out = s(i)
                 .asInstanceOf[Option[(Double, Boolean, Long)]] match {
-                case Some((pv, pNull, pt))
-                    if !pNull && !isNull && t != pt =>
+                case Some((pv, _, pt)) if !isNull && t != pt =>
                   java.lang.Double.valueOf((v - pv) * ks(i) / (t - pt))
                 case _ => null
               }
-              s(i) = Some((v, isNull, t)); out
+              if (!isNull) s(i) = Some((v, false, t))
+              out
             case "csum" =>
               if (!isNull) s(i) = Some(s(i).asInstanceOf[Option[JBD]]
                 .map(_.add(dec(v))).getOrElse(dec(v)))

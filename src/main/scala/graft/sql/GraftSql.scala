@@ -3606,6 +3606,13 @@ object GraftSql {
             col(tsCol), tie,
             rev.map { case ((fn, a), n) => mkSpec(fn, a, n) },
             descending = true)
+        // pure-derivative selects drop NULL-output rows (null inputs
+        // + the first non-null row): derivativeFunction skips null
+        // rows, reference row count = non-null rows minus one
+        if (rev.isEmpty && fwdSpecs.nonEmpty &&
+            fwdSpecs.forall(_._1 == "derivative"))
+          fwdSpecs.foreach(s =>
+            withSeries = withSeries.filter(col(s._4).isNotNull))
         var res = withSeries.select(items.map { case (e, a) =>
           expr(e).as(a) }: _*)
         ignoreNegAliases.result().foreach(a =>
@@ -3634,14 +3641,27 @@ object GraftSql {
         }
         // derivative(x, interval, ignore_negative) (builtins.c:3603):
         // slope scaled to `interval` ticks of the surface precision
+        // derivative skips NULL-input rows entirely (derivativeFunction
+        // `continue`s), so the slope is vs the last NON-NULL row; the
+        // NULL outputs (null inputs + the first non-null row) are
+        // filtered below for pure-derivative selects — reference
+        // row-count is N-1 non-null rows per partition
+        // (test_fun_ts_derivative.py checkRows)
         r = rewriteCall(r, "derivative", a => {
           val p = splitArgs(a)
           require(p.length >= 2,
             s"derivative needs (col, interval[, ignore_neg]): $a")
           val x = p(0)
           val unit = durNative(p(1).trim, perSecond)
-          s"(CAST(($x) - LAG($x) ${over("")} AS DOUBLE) * ${unit}L / " +
-            s"CAST(($tsCol) - LAG($tsCol) ${over("")} AS DOUBLE))"
+          val prec = over(" ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+            "1 PRECEDING")
+          val prevV =
+            s"last(CASE WHEN ($x) IS NOT NULL THEN ($x) END, true) $prec"
+          val prevT = s"last(CASE WHEN ($x) IS NOT NULL THEN " +
+            s"($tsCol) END, true) $prec"
+          s"(CASE WHEN ($x) IS NULL THEN NULL ELSE " +
+            s"CAST(($x) - $prevV AS DOUBLE) * ${unit}L / " +
+            s"CAST(($tsCol) - $prevT AS DOUBLE) END)"
         })
         // diff(col[, ignore_option]): delta vs the last NON-NULL value
         // (setDoDiffResult keeps prev on null input); option bit 0
@@ -3684,12 +3704,15 @@ object GraftSql {
         r
       }
       val ignoreNeg = Seq.newBuilder[String]
+      val derivAliases = Seq.newBuilder[String]
       selectItems.foreach { case (e, a) =>
         val m = "(?i)^derivative\\s*\\(".r.findFirstIn(e.trim)
         if (m.isDefined) {
           val (_, args, close) = analyticCallSpan(e.trim, "derivative")
-          if (close == e.trim.length - 1 &&
-              args.lift(2).exists(_.trim == "1")) ignoreNeg += a
+          if (close == e.trim.length - 1) {
+            derivAliases += a
+            if (args.lift(2).exists(_.trim == "1")) ignoreNeg += a
+          }
         }
       }
       // window items compute via withColumn, NOT in the same select as
@@ -3728,8 +3751,19 @@ object GraftSql {
       }
       var res = work.select(finalItems.map { case (e, a) =>
         expr(e).as(a) }: _*)
-      // ignore_negative=1 drops the negative-slope ROWS (first-row
-      // null kept — the engine's diff-family convention)
+      // pure-derivative selects drop the NULL-output rows (null
+      // inputs + the first non-null row per partition) —
+      // derivativeFunction skips null rows and the reference's row
+      // count is non-null-rows-minus-one (checkRows(rows-1));
+      // ignore_negative=1 drops the negative-slope ROWS. Mixed
+      // selects keep the engine's every-row extension convention.
+      val dvAll = derivAliases.result()
+      val pureDeriv = dvAll.nonEmpty &&
+        Seq("lag", "lead", "diff", "csum", "mavg", "fill_forward")
+          .forall(f => s"(?i)\\b$f\\s*\\(".r
+            .findFirstIn(c("SELECT")).isEmpty)
+      if (pureDeriv)
+        dvAll.foreach(a => res = res.filter(col(a).isNotNull))
       ignoreNeg.result().foreach(a =>
         res = res.filter(col(a).isNull || col(a) >= 0))
       c.get("ORDER BY").foreach(o => res = res.orderBy(orderCols(o,

@@ -198,6 +198,26 @@ class R20FixesSpec extends AnyFunSuite {
     assert(cat.table("plain").count() == 1)
   }
 
+  test("derivative reference semantics: NULL rows skipped entirely " +
+      "(derivativeFunction `continue`), slope vs last NON-NULL, " +
+      "rows = non-null minus one (test_fun_ts_derivative.py)") {
+    val cat = freshCat()
+    cat.sql("CREATE TABLE dv (ts TIMESTAMP, v INT)")
+    cat.sql("INSERT INTO dv VALUES (1704067200000000, 5) " +
+      "(1704067201000000, NULL) (1704067202000000, NULL) " +
+      "(1704067212000000, 7) (1704067222000000, 1)")
+    val d = cat.sql("select derivative(v, 1s, 0) from dv").collect()
+      .map(_.getDouble(0))
+    assert(d.length == 2) // 3 non-null rows -> 2 slopes
+    assert(math.abs(d(0) - 2.0 / 12) < 1e-9 &&
+      math.abs(d(1) - (-6.0 / 10)) < 1e-9)
+    // ignore_negative=1 drops the negative-slope row too
+    val d1 = cat.sql("select ts, derivative(v, 1s, 1) from dv")
+      .collect()
+    assert(d1.length == 1 &&
+      math.abs(d1.head.getDouble(1) - 2.0 / 12) < 1e-9)
+  }
+
   test("wildcard rules (20-select.md:183): subtable * = regular " +
       "columns only; supertable * adds tags; tbname never rides *; " +
       "hidden columns still resolve by name") {
