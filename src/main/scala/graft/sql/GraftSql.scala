@@ -692,14 +692,16 @@ object GraftSql {
     * to a comma-joined item list, so one `cols()` yields N select
     * items exactly as the reference's projection-bind list does. */
   private def expandColsArgs(a: String, tsCol: String,
-      tableCols: Seq[String]): String = {
+      tableCols: Seq[String],
+      modeCountCol: String => String): String = {
     val parts = splitArgs(a)
     require(parts.length >= 2, s"cols() needs a selector and outputs: $a")
-    val selPat = "(?i)^(max|min|first|last|last_row)\\s*\\((.+)\\)$".r
+    val selPat = "(?i)^(max|min|first|last|last_row|mode)\\s*\\((.+)\\)$".r
     val (fn, sx) = parts.head.trim match {
       case selPat(f, x) => (f.toLowerCase, x.trim)
       case other => throw new IllegalArgumentException(
-        s"cols() selector must be max/min/first/last/last_row: $other")
+        s"cols() selector must be max/min/first/last/last_row/mode: " +
+          other)
     }
     val asPat = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     // bare-space alias form (`c0 cc`, sql.y column_alias without AS):
@@ -728,6 +730,19 @@ object GraftSql {
         case "last" =>
           s"max_by($e, CASE WHEN ($sx) IS NOT NULL THEN $tsCol END)"
         case "last_row" => s"max_by($e, $tsCol)"
+        // mode is a selection function (builtins.c:4495): the output
+        // reads from the LAST row carrying the most-frequent selector
+        // value (test_fun_select_cols.py:456 `cols(mode(c0), ts as t2,
+        // c1 c21) … group by tbname`). A per-(group, value) count
+        // window column (created by the caller) makes the pick ONE
+        // max_by over a lexicographic (count, value, ts) struct —
+        // count desc, ties to the larger value (the sf_mode pin),
+        // last occurrence; NULL selector rows are skipped via the
+        // NULL ordering key
+        case "mode" =>
+          val cnt = modeCountCol(sx)
+          s"max_by($e, CASE WHEN ($sx) IS NULL THEN NULL ELSE " +
+            s"struct(`$cnt`, $sx, $tsCol) END)"
       }
       alias match {
         case Some(al) => s"$agg AS $al"
@@ -3264,10 +3279,23 @@ object GraftSql {
           case None => (None, afterDistinct)
         }
     // cols() expands to several select items BEFORE the item split —
-    // the expansion is comma-joined text at the item level
+    // the expansion is comma-joined text at the item level. A mode
+    // selector needs the per-(group keys, value) occurrence count as
+    // a pre-pass window column — one keyed shuffle, shared by every
+    // output of that cols() call
+    var colsModeN = 0
     val selectBody = rewriteCall(selectBody0, "cols",
       a => expandColsArgs(a, tsCol,
-        df.columns.filterNot(_.startsWith("_")).toSeq))
+        df.columns.filterNot(_.startsWith("_")).toSeq,
+        sx => {
+          colsModeN += 1
+          val cn = s"_colsmode$colsModeN"
+          val gk = (c.get("GROUP BY").toSeq ++
+            c.get("PARTITION BY").toSeq).flatMap(splitArgs).map(_.trim)
+          df = df.withColumn(cn, count(expr(sx)).over(
+            Window.partitionBy(gk.map(expr) :+ expr(sx): _*)))
+          cn
+        }))
     var selectItems = splitArgs(selectBody).map { item =>
       val m = "(?i)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
       // the reference also allows AS-less column aliases (`tbname tn`,

@@ -198,6 +198,28 @@ class R20FixesSpec extends AnyFunSuite {
     assert(cat.table("plain").count() == 1)
   }
 
+  test("cols(mode(x), outs...) selector: outputs read from the LAST " +
+      "row carrying the most-frequent value " +
+      "(test_fun_select_cols.py:456)") {
+    val cat = freshCat()
+    cat.sql("CREATE STABLE st (ts TIMESTAMP, c0 INT, c2 INT) " +
+      "TAGS (t1 VARCHAR(10))")
+    cat.sql("CREATE TABLE m1 USING st TAGS ('a')")
+    cat.sql("INSERT INTO m1 VALUES (1704067200000000, 1, 5) " +
+      "(1704067201000000, 2, 6) (1704067202000000, 1, 9) " +
+      "(1704067203000000, 1, 8)")
+    val r = cat.sql("select cols(last_row(c0), ts as t1, c2 as c21), " +
+      "cols(mode(c0), ts as t2, c2 c22), count(1) from st " +
+      "group by tbname order by t1").collect()
+    assert(r.length == 1)
+    // mode(c0)=1 (3 occurrences); its LAST row is ts3 with c2=8
+    assert(r.head.getLong(2) == 1704067203000000L &&
+      r.head.getInt(3) == 8 && r.head.getLong(4) == 4L)
+    val k = cat.sql("select cols(mode(c0), ts as t2, c2 c22) from m1")
+      .collect()
+    assert(k.length == 1 && k.head.getInt(1) == 8)
+  }
+
   test("derivative reference semantics: NULL rows skipped entirely " +
       "(derivativeFunction `continue`), slope vs last NON-NULL, " +
       "rows = non-null minus one (test_fun_ts_derivative.py)") {
