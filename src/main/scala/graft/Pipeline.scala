@@ -259,7 +259,7 @@ object Pipeline {
     "pipeline_clean_corpus" -> { (s, dir) =>
       val d = docs(s, dir)
       val lang = TextOps.withLangId(
-          d.select(col("doc_id"), col("text")), col("text"))
+          TextOps.fanOut(d.select(col("doc_id"), col("text"))), col("text"))
         .filter(col("lang_pred") === "en")
       // the filtered corpus feeds four consumers (exact-dedup agg, the
       // keep join, the jaccard index, the final anti-join) — persist it

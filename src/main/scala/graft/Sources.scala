@@ -57,7 +57,13 @@ object Sources {
       (body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    // env override so the replay-partition pin is tunable per deployment
+    // (and A/B-measurable) without a rebuild; results are partition-count
+    // independent — keyed state is hash-partitioned and every gate ends
+    // in a total ORDER BY
+    val parts = sys.env.get("SPARK_GRAFT_REPLAY_PARTS")
+      .map(_.toInt).getOrElse(n)
+    s.conf.set(key, parts.toString)
     try body finally s.conf.set(key, prev)
   }
 

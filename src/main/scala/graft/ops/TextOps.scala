@@ -15,6 +15,24 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Scale-adaptive scan fan-out for compute-heavy map work (regex
+    * normalization, shingling, minhash, langid scoring): when the
+    * input arrives in fewer partitions than the session has cores —
+    * the single-row-group/small-file layout, where every per-document
+    * expression would otherwise run inside ONE scan task while the
+    * rest of the machine idles — round-robin it across the default
+    * parallelism first. At real scale a corpus scan already carries
+    * (many) more splits than cores, the condition is false and the
+    * plan is untouched, so this never inserts a corpus-wide shuffle
+    * where the data layout already provides parallelism. The shuffle
+    * it does insert moves only the raw input bytes of an
+    * under-partitioned (i.e. small) scan — strictly cheaper than the
+    * serial compute it unlocks. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Fixed-size character chunking with overlap (training-data prep:
     * context-window corpora feed on uniform chunks; `doc_id` + the
     * chunk index keep provenance). Chunk i covers
@@ -90,6 +108,10 @@ object TextOps {
     // word-positional stream + codegen'd lead() grams, NOT per-element
     // array lambdas: the interpreted struct-transform form cost 3-5 s
     // on 5k docs (see PERFNOTES r13 projection-collapse trap)
+    // no fanOut: the posexplode feeds a keyed window exchange one
+    // operator later, which is already the parallelism boundary — the
+    // extra round-robin exchange measured ~1.7x slower on the tokenize
+    // stage at sf0.1
     val tok = df
       .select(id, words(text).as("_w"),
         length(normalize(text)).cast("double").as("_nc"))
