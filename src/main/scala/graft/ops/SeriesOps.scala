@@ -413,10 +413,13 @@ object SeriesOps {
         }
         // diff's physical-first row is silent (doHandleDiff
         // trySetPreVal path — checkRows(rows-1)); ignore-null (bit 1)
-        // drops null-input rows entirely
+        // drops rows whose diff RESULT is null (diffResultIsNull in the
+        // reference): null-input rows, the first NON-NULL row, and —
+        // under option 3 — bit-0-nulled negative deltas. Testing the
+        // computed outputs (not input nullness) captures all three.
         if ((dropFirst && isFirst) ||
             (dropNullRows && fns.indices.forall(i =>
-              r.isNullAt(argIdx(i))))) None
+              outs(i) == null))) None
         else Some(Row.fromSeq(r.toSeq ++ outs))
       }
     }

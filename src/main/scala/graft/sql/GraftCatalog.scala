@@ -2099,8 +2099,10 @@ class GraftCatalog(val spark: SparkSession) {
         val (body, after) = parenGroup(rest, 0)
         // parenthesized insert-from-query: INSERT INTO dst (SELECT …)
         // (test_join.py:1063, test_fun_select_last_row.py:1402) —
-        // not a bound-column list
-        if (body.trim.toUpperCase.startsWith("SELECT")) {
+        // not a bound-column list. Word boundary required: a bound
+        // column list whose first column NAME begins with "select"
+        // (INSERT INTO t (selection, ts) …) must not be misrouted
+        if (body.trim.matches("(?is)^SELECT\\b.*")) {
           insertSelect(name, None, body.trim)
           val tail = rest.substring(after).trim
           require(tail.isEmpty,

@@ -2280,7 +2280,12 @@ object GraftSql {
             if (tc != null && tc.isInterrupted()) result = 1
             else {
               val chunk = math.min(100L, totalMs - elapsed)
-              Thread.sleep(chunk); elapsed += chunk
+              // a task kill can interrupt mid-sleep: the reference's
+              // sleepFunction returns 1 on kill, so catch (and
+              // restore) the interrupt instead of failing the task
+              try { Thread.sleep(chunk); elapsed += chunk }
+              catch { case _: InterruptedException =>
+                Thread.currentThread().interrupt(); result = 1 }
             }
           }
         }
@@ -3701,14 +3706,18 @@ object GraftSql {
           val opt = p.lift(1).map(_.trim.toInt).getOrElse(0)
           require(opt >= 0 && opt <= 3,
             s"diff ignore option must be 0-3: $a")
-          diffSpecs += ((x, opt))
           val prevNN = s"last(($x), true) ${over(
             " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")}"
           val base =
             s"(CASE WHEN ($x) IS NULL THEN NULL ELSE ($x) - $prevNN END)"
-          if ((opt & 1) != 0)
+          val out = if ((opt & 1) != 0)
             s"(CASE WHEN $base < 0 THEN NULL ELSE $base END)"
           else base
+          // the spec records the RESULT expression: bit 1's row drop
+          // filters on diff-result nullness (diffResultIsNull), not
+          // input nullness — see the keep filter below
+          diffSpecs += ((out, opt))
+          out
         })
         r = rewriteCall(r, "csum", a =>
           s"CAST(CAST(sum(CAST(($a) AS DECIMAL(18,2))) " +
@@ -3767,15 +3776,29 @@ object GraftSql {
         "fill_forward").exists(f =>
         s"(?i)\\b$f\\s*\\(".r.findFirstIn(c("SELECT")).isDefined)
       if (dSpecs.nonEmpty && !otherFam) {
-        work = work.withColumn("_diffrn", row_number().over(
-          Window.partitionBy(partCols.map(col): _*)
-            .orderBy(col(tsCol).asc +: seriesTie(df, tsCol)
-              .map(_.asc): _*)))
-        var keep: Column = col("_diffrn") > 1
-        if (dSpecs.forall(s => (s._2 & 2) != 0))
-          keep = keep && dSpecs.map(s =>
-            expr(s._1).isNotNull).reduce(_ || _)
-        work = work.filter(keep).drop("_diffrn")
+        if (dSpecs.forall(s => (s._2 & 2) != 0)) {
+          // ignore-null (bit 1): the reference drops rows whose diff
+          // RESULT is null (diffFunctionByRow/diffResultIsNull) — that
+          // covers null-input rows, the first NON-NULL row (even when
+          // the partition starts with null inputs), and option 3's
+          // bit-0-nulled negative deltas. The result expressions are
+          // window functions, so materialize them as temp columns
+          // before filtering (same window spec as the select items —
+          // Catalyst collapses them into the one Window operator).
+          val nn = dSpecs.zipWithIndex.map { case (s, i) => s"_dnn$i" }
+          dSpecs.zip(nn).foreach { case ((e, _), n) =>
+            work = work.withColumn(n, expr(e)) }
+          work = work.filter(nn.map(col(_).isNotNull).reduce(_ || _))
+            .drop(nn: _*)
+        } else {
+          // no ignore-null: only the physical first row per partition
+          // is silent (checkRows(rows-1))
+          work = work.withColumn("_diffrn", row_number().over(
+            Window.partitionBy(partCols.map(col): _*)
+              .orderBy(col(tsCol).asc +: seriesTie(df, tsCol)
+                .map(_.asc): _*)))
+            .filter(col("_diffrn") > 1).drop("_diffrn")
+        }
       }
       var res = work.select(finalItems.map { case (e, a) =>
         expr(e).as(a) }: _*)
@@ -3889,6 +3912,11 @@ object GraftSql {
       }
       var maxDrop = 0 // leading rows per window the function consumes
       val ignoreNeg = Seq.newBuilder[String]
+      // (wif index, ignore option) per diff item: bit 1 (ignore null)
+      // drops rows whose diff RESULT is null — applied after the wif
+      // columns materialize (the index recorded is wi+1, the name the
+      // outer loop assigns right after this match returns)
+      val diffWifOpts = Seq.newBuilder[(Int, Int)]
       var wi = 0
       // (output column, alias, None = indef output / Some(text) =
       // window-identity expression re-evaluable on fill rows)
@@ -3905,8 +3933,9 @@ object GraftSql {
               val colOut: Column = fn match {
                 case "diff" =>
                   maxDrop = math.max(maxDrop, 1)
-                  SeriesOps.diff(expr(args(0)), col(tsCol), keys,
-                    args.lift(1).map(_.trim.toInt).getOrElse(0))
+                  val dOpt = args.lift(1).map(_.trim.toInt).getOrElse(0)
+                  diffWifOpts += ((wi + 1, dOpt))
+                  SeriesOps.diff(expr(args(0)), col(tsCol), keys, dOpt)
                 case "csum" =>
                   SeriesOps.csum(expr(args(0)), col(tsCol), keys)
                 case "mavg" =>
@@ -3975,6 +4004,16 @@ object GraftSql {
           .withColumn("_wirn", row_number().over(
             Window.partitionBy(keys: _*).orderBy(col(tsCol))))
           .filter(col("_wirn") > maxDrop)
+      // diff ignore-null (option bit 1): rows whose diff RESULT is
+      // null drop (diffResultIsNull) — null-input rows, each window's
+      // first non-null row, and option 3's nulled negative deltas.
+      // The per-window first row is already gone via maxDrop (its
+      // result is null regardless), so this only removes additional
+      // null-result rows.
+      val dWifs = diffWifOpts.result()
+      if (dWifs.nonEmpty && dWifs.forall(d => (d._2 & 2) != 0))
+        work = work.filter(
+          dWifs.map(d => col(s"_wif${d._1}").isNotNull).reduce(_ || _))
       val hidden = partCols.zipWithIndex.map { case (pc, i) =>
         col(pc).as(s"_ps$i") } ++
         Seq(col("_wstart").as("_wsort"), col(tsCol).as("_tsort"))

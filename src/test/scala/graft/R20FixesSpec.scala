@@ -283,6 +283,35 @@ class R20FixesSpec extends AnyFunSuite {
     val d2 = cat.sql("select diff(v, 2) from dt").collect()
       .map(r => Option(r.get(0)).map(_.toString.toDouble))
     assert(d2.toSeq == Seq(Some(-3.0), Some(1.0)))
+    // option 2 drops by diff RESULT, not input (diffResultIsNull):
+    // when the partition STARTS with null inputs, the first non-null
+    // row's result is null and that row is silent too — only real
+    // deltas survive
+    cat.sql("CREATE TABLE dt2 (ts TIMESTAMP, v INT)")
+    cat.sql("INSERT INTO dt2 VALUES (1704067200000000, NULL) " +
+      "(1704067201000000, 5) (1704067202000000, 7)")
+    val d2b = cat.sql("select diff(v, 2) from dt2").collect()
+      .map(r => Option(r.get(0)).map(_.toString.toDouble))
+    assert(d2b.toSeq == Seq(Some(2.0)))
+    // option 3 = ignore negative AND null: bit 0 nulls the negative
+    // delta, bit 1 then DROPS that row (not kept as a NULL row)
+    val d3 = cat.sql("select diff(v, 3) from dt").collect()
+      .map(r => Option(r.get(0)).map(_.toString.toDouble))
+    assert(d3.toSeq == Seq(Some(1.0)))
+    // the KEYED route applies the same result-based drop: partition k=1
+    // starts with a null input, k=2 carries a negative delta under
+    // option 3
+    // distinct ts across the groups: ts is the table's primary key,
+    // equal-ts rows would upsert-overwrite each other
+    cat.sql("CREATE TABLE dt3 (ts TIMESTAMP, v INT, k INT)")
+    cat.sql("INSERT INTO dt3 VALUES (1704067200000000, NULL, 1) " +
+      "(1704067201000000, 5, 1) (1704067202000000, 9, 1) " +
+      "(1704067203000000, 8, 2) (1704067204000000, 3, 2) " +
+      "(1704067205000000, 4, 2)")
+    val dk = cat.sql("select k, diff(v, 3) as d from dt3 " +
+      "partition by k order by k, d").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.toString.toDouble)))
+    assert(dk.toSeq == Seq((1, Some(4.0)), (2, Some(1.0))))
     // a NULL-ts row (left-join miss shape) must not crash the
     // keyless fold (test_join_full.py:6883 positive)
     val j = q("select diff(c1) from (select b.ts, b.value c1 from " +
