@@ -487,7 +487,11 @@ object Functions {
     // year 0 / month 1 / day 1 ----
     "scalar_totimestamp" -> { (s, dir) =>
       import graft.functions.TimeFormat
-      val e = ev(s, dir).filter(col("event_id") < 2000)
+      // fanOut: 4 toTimestamp round-trips cost ~1.15 ms/row of regex
+      // extraction — on a single-row-group scan that ran serially
+      // (2.3 s warm on one core; parallelized it is the exchange cost)
+      val e = graft.ops.TextOps.fanOut(
+          ev(s, dir).filter(col("event_id") < 2000))
         .withColumn("t", timestamp_micros(col("ts")))
       e.select(col("event_id"),
           (unix_timestamp(TimeFormat.toTimestamp(

@@ -173,29 +173,30 @@ object FillOps {
     * yielding the next-row carry. Grid markers never update the
     * carry; each row reads the carry before contributing, which
     * reproduces the exclusive window bounds of the keyed path. */
-  private def keylessCarry(frame: DataFrame, ascending: Boolean,
-      outCol: String): DataFrame = {
+  private def keylessCarry(frame: DataFrame, vNames: Seq[String],
+      ascending: Boolean, outCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val schema = frame.schema
     val tIdx = schema.fieldIndex("_t")
-    val vIdx = schema.fieldIndex("_v")
+    val vIdxs = vNames.map(schema.fieldIndex).toArray
     val gIdx = schema.fieldIndex("_isgrid")
-    val pairType = StructType(Seq(StructField("_t", LongType),
-      StructField("_v", DoubleType)))
+    val pairType = StructType(StructField("_t", LongType) +:
+      vNames.map(vn => StructField(vn, DoubleType)))
     val outSchema =
       StructType(schema.fields :+ StructField(outCol, pairType))
     val sortCols =
       if (ascending) Seq(col("_t"), col("_isgrid"))
       else Seq(col("_t").desc, col("_isgrid").desc)
-    GlobalScan.twoPass[Option[(Long, Any)]](frame, sortCols,
+    def rowVals(r: Row): Seq[Any] = vIdxs.toSeq.map(i =>
+      if (r.isNullAt(i)) null else r.getDouble(i))
+    GlobalScan.twoPass[Option[(Long, Seq[Any])]](frame, sortCols,
       zero = None,
       summary = { it =>
-        var lastP: Option[(Long, Any)] = None
+        var lastP: Option[(Long, Seq[Any])] = None
         it.foreach { r =>
           if (!r.getBoolean(gIdx))
-            lastP = Some((r.getLong(tIdx),
-              if (r.isNullAt(vIdx)) null else r.getDouble(vIdx)))
+            lastP = Some((r.getLong(tIdx), rowVals(r)))
         }
         lastP
       },
@@ -204,10 +205,9 @@ object FillOps {
         var carry = c0
         it.map { r =>
           val out = Row.fromSeq(r.toSeq :+
-            carry.map(p => Row(p._1, p._2)).orNull)
+            carry.map(p => Row.fromSeq(p._1 +: p._2)).orNull)
           if (!r.getBoolean(gIdx))
-            carry = Some((r.getLong(tIdx),
-              if (r.isNullAt(vIdx)) null else r.getDouble(vIdx)))
+            carry = Some((r.getLong(tIdx), rowVals(r)))
           out
         }
       },
@@ -225,19 +225,43 @@ object FillOps {
   def interp(df: DataFrame, tsUs: Column, valueCol: String,
       keys: Seq[String], stepUs: Long, t0Us: Long, t1Us: Long,
       mode: FillMode, surroundUs: Long = 0L,
-      surroundVal: Option[Double] = None): DataFrame = {
+      surroundVal: Option[Double] = None): DataFrame =
+    interpMulti(df, tsUs, Seq((valueCol, mode, surroundVal)), keys,
+      stepUs, t0Us, t1Us, surroundUs)
+
+  /** Multi-column INTERP in ONE union+carry pipeline: the prev/next
+    * carry is ROW-level (doKeepRows keeps every data row, null values
+    * included), so a single pair of window carries serves EVERY interp
+    * column — the per-column form built one complete scan+grid+union+
+    * window pipeline per column and equi-joined the grids back
+    * together, doubling every operator per extra column (measured 2x
+    * wall-clock for 2 columns). `cols` is (valueColumn, fill mode,
+    * surround/positional fallback value) per select item; `_isfilled`,
+    * `_irowts_origin` and the row-keep rule follow the FIRST column's
+    * mode exactly as the join form did (each extra column contributed
+    * only its value; the inner join intersected the per-column keeps,
+    * reproduced here as the conjunction of keep predicates). */
+  def interpMulti(df: DataFrame, tsUs: Column,
+      cols: Seq[(String, FillMode, Option[Double])], keys: Seq[String],
+      stepUs: Long, t0Us: Long, t1Us: Long,
+      surroundUs: Long = 0L): DataFrame = {
+    require(cols.nonEmpty, "interpMulti needs at least one column")
     val keyCols = keys.map(col)
-    val data = df.select(keyCols :+ tsUs.cast(LongType).as("_t") :+
-      col(valueCol).cast("double").as("_v"): _*)
+    val vNames = cols.indices.map(i => s"_v$i")
+    val data = df.select(keyCols ++
+        Seq(tsUs.cast(LongType).as("_t")) ++
+        cols.zip(vNames).map { case ((vc, _, _), vn) =>
+          col(vc).cast("double").as(vn) }: _*)
       .withColumn("_isgrid", lit(false))
     val keyDf =
       if (keys.isEmpty) df.sparkSession.range(1).select(lit(1).as("_one"))
       else df.select(keyCols: _*).distinct()
-    val grid = keyDf
+    var grid = keyDf
       .withColumn("_t", explode(sequence(lit(t0Us), lit(t1Us), lit(stepUs))))
       .drop("_one")
-      .withColumn("_v", lit(null).cast("double"))
-      .withColumn("_isgrid", lit(true))
+    vNames.foreach { vn =>
+      grid = grid.withColumn(vn, lit(null).cast("double")) }
+    grid = grid.withColumn("_isgrid", lit(true))
     val all = data.unionByName(grid)
     // Data row sorts before a grid marker at the same ts so an exact hit
     // is visible as "prev" (reference: interp at an existing ts returns
@@ -247,17 +271,19 @@ object FillOps {
         // keyless: the frame is DATA-sized, so a global Window.orderBy
         // would single-partition it — carry prev (ascending scan) and
         // next (exact reverse scan) via GlobalScan instead
-        keylessCarry(keylessCarry(all, ascending = true, "_prev"),
-          ascending = false, "_next")
+        keylessCarry(keylessCarry(all, vNames, ascending = true, "_prev"),
+          vNames, ascending = false, "_next")
       else {
         val w = Window.partitionBy(keyCols: _*)
           .orderBy(col("_t"), col("_isgrid"))
         // carry EVERY data row, null values included: interp's row
         // keeper (timesliceoperator.c:73-96 doKeepRows) tracks the
-        // adjacent ROW and fills that row's — possibly NULL — value;
+        // adjacent ROW and fills that row's — possibly NULL — values;
         // it never reaches back to an older non-null sample (unlike
-        // the windowed-FILL path, which follows tfill.c)
-        val dataPair = when(!col("_isgrid"), struct(col("_t"), col("_v")))
+        // the windowed-FILL path, which follows tfill.c). ONE carry
+        // pair serves every interp column.
+        val dataPair = when(!col("_isgrid"),
+          struct(col("_t") +: vNames.map(col): _*))
         all
           .withColumn("_prev", last(dataPair, ignoreNulls = true)
             .over(w.rowsBetween(Window.unboundedPreceding, -1)))
@@ -268,73 +294,81 @@ object FillOps {
       .filter(col("_isgrid"))
       .withColumn("_exacthit",
         col("_prev").isNotNull && col("_prev").getField("_t") === col("_t"))
-    val pv = col("_prev").getField("_v")
     val pt = col("_prev").getField("_t")
-    val nv = col("_next").getField("_v")
     val nt = col("_next").getField("_t")
-    // Positional modes carry a fill-reference ROW; its ts surfaces as
-    // `_irowts_origin` (builtins.c:6788, timesliceoperator.c:457) and
-    // SURROUND(d[,v]) rejects a reference farther than d from the grid
-    // point, substituting v/NULL (timesliceoperator.c:315-327).
-    val refRow: Option[Column] = mode match {
-      case FillPrev => Some(col("_prev"))
-      case FillNext =>
-        Some(when(col("_exacthit"), col("_prev")).otherwise(col("_next")))
-      case FillNear =>
-        Some(when(col("_exacthit"), col("_prev"))
-          .when(col("_next").isNull, col("_prev"))
-          .when(col("_prev").isNull, col("_next"))
-          .when(col("_t") - pt <= nt - col("_t"), col("_prev"))
-          .otherwise(col("_next")))
-      case _ => None
+    var filled = marked
+    var origin0: Column = null
+    var keep0: Column = null
+    cols.zipWithIndex.foreach { case ((valueCol, mode, surroundVal), i) =>
+      val pv = col("_prev").getField(vNames(i))
+      val nv = col("_next").getField(vNames(i))
+      // Positional modes carry a fill-reference ROW; its ts surfaces as
+      // `_irowts_origin` (builtins.c:6788, timesliceoperator.c:457) and
+      // SURROUND(d[,v]) rejects a reference farther than d from the grid
+      // point, substituting v/NULL (timesliceoperator.c:315-327).
+      val refRow: Option[Column] = mode match {
+        case FillPrev => Some(col("_prev"))
+        case FillNext =>
+          Some(when(col("_exacthit"), col("_prev")).otherwise(col("_next")))
+        case FillNear =>
+          Some(when(col("_exacthit"), col("_prev"))
+            .when(col("_next").isNull, col("_prev"))
+            .when(col("_prev").isNull, col("_next"))
+            .when(col("_t") - pt <= nt - col("_t"), col("_prev"))
+            .otherwise(col("_next")))
+        case _ => None
+      }
+      val surroundFallback =
+        surroundVal.map(x => lit(x)).getOrElse(lit(null)).cast("double")
+      val (interpolated, origin) = refRow match {
+        case Some(ref) =>
+          val refT = ref.getField("_t")
+          val refV = ref.getField(vNames(i))
+          val inRange =
+            if (surroundUs <= 0L) lit(true)
+            else abs(col("_t") - refT) <= lit(surroundUs)
+          (when(ref.isNull, lit(null).cast("double"))
+             .when(inRange, refV).otherwise(surroundFallback),
+           when(ref.isNull || !inRange, lit(null).cast(LongType))
+             .otherwise(refT))
+        case None =>
+          val value = mode match {
+            case FillLinear =>
+              when(col("_exacthit"), pv)
+                .otherwise(pv + (nv - pv) * (col("_t") - pt).cast("double") /
+                  (nt - pt).cast("double"))
+            case FillValue(x) => when(col("_exacthit"), pv).otherwise(lit(x))
+            case FillValueF(x) => when(col("_exacthit"), pv).otherwise(lit(x))
+            case _ => when(col("_exacthit"), pv) // NONE / NULL / NULL_F
+          }
+          // non-positional fills have no reference row except an exact hit
+          (value,
+            when(col("_exacthit"), pt).otherwise(lit(null).cast(LongType)))
+      }
+      filled = filled.withColumn(valueCol, interpolated)
+      // grid points with no reference basis AT ALL are dropped, not
+      // NULL-filled (timesliceoperator.c:468-470 hasInterp=false for the
+      // positional modes, :552-555 for LINEAR outside the data span); a
+      // too-far reference inside a SURROUND bound still emits (fallback).
+      // FILL(NONE): only exact hits survive (fillInterval does the same).
+      val keep: Column = mode match {
+        case FillPrev => col("_prev").isNotNull
+        case FillNext => col("_exacthit") || col("_next").isNotNull
+        case FillNear => col("_prev").isNotNull || col("_next").isNotNull
+        case FillLinear => col("_exacthit") ||
+          (col("_prev").isNotNull && col("_next").isNotNull)
+        case FillNone => col("_exacthit")
+        case _ => lit(true)
+      }
+      if (i == 0) { origin0 = origin; keep0 = keep }
+      else keep0 = keep0 && keep // the old equi-join intersected keeps
     }
-    val surroundFallback =
-      surroundVal.map(x => lit(x)).getOrElse(lit(null)).cast("double")
-    val (interpolated, origin) = refRow match {
-      case Some(ref) =>
-        val refT = ref.getField("_t")
-        val refV = ref.getField("_v")
-        val inRange =
-          if (surroundUs <= 0L) lit(true)
-          else abs(col("_t") - refT) <= lit(surroundUs)
-        (when(ref.isNull, lit(null).cast("double"))
-           .when(inRange, refV).otherwise(surroundFallback),
-         when(ref.isNull || !inRange, lit(null).cast(LongType))
-           .otherwise(refT))
-      case None =>
-        val value = mode match {
-          case FillLinear =>
-            when(col("_exacthit"), pv)
-              .otherwise(pv + (nv - pv) * (col("_t") - pt).cast("double") /
-                (nt - pt).cast("double"))
-          case FillValue(x) => when(col("_exacthit"), pv).otherwise(lit(x))
-          case FillValueF(x) => when(col("_exacthit"), pv).otherwise(lit(x))
-          case _ => when(col("_exacthit"), pv) // NONE / NULL / NULL_F
-        }
-        // non-positional fills have no reference row except an exact hit
-        (value, when(col("_exacthit"), pt).otherwise(lit(null).cast(LongType)))
-    }
-    val filled = marked
-      .withColumn(valueCol, interpolated)
-      .withColumn("_irowts_origin", origin)
+    filled = filled
+      .withColumn("_irowts_origin", origin0)
       .withColumn("_isfilled", !col("_exacthit"))
-    // grid points with no reference basis AT ALL are dropped, not
-    // NULL-filled (timesliceoperator.c:468-470 hasInterp=false for the
-    // positional modes, :552-555 for LINEAR outside the data span); a
-    // too-far reference inside a SURROUND bound still emits (fallback)
-    val keep: Column = mode match {
-      case FillPrev => col("_prev").isNotNull
-      case FillNext => col("_exacthit") || col("_next").isNotNull
-      case FillNear => col("_prev").isNotNull || col("_next").isNotNull
-      case FillLinear => col("_exacthit") ||
-        (col("_prev").isNotNull && col("_next").isNotNull)
-      case _ => lit(true)
-    }
-    // FILL(NONE): only exact hits survive (fillInterval does the same)
-    val bounded =
-      if (mode == FillNone) filled.filter(col("_exacthit"))
-      else filled.filter(keep)
-    bounded.select(keyCols :+ col("_t").as("_irowts") :+ col(valueCol) :+
-      col("_irowts_origin") :+ col("_isfilled"): _*)
+    filled.filter(keep0)
+      .select(keyCols ++ Seq(col("_t").as("_irowts")) ++
+        cols.map(c => col(c._1)) ++
+        Seq(col("_irowts_origin"), col("_isfilled")): _*)
   }
 }

@@ -3506,25 +3506,18 @@ object GraftSql {
       require(aroundUs == 0L || mode == FillOps.FillPrev ||
         mode == FillOps.FillNext || mode == FillOps.FillNear,
         "Only PREV/NEXT/NEAR mode is supported with surrounding time")
-      var res = FillOps.interp(df0, col(tsCol), valueCol, partCols,
-        step, t0, t1, mode,
-        surroundUs = surround.map(_._1).getOrElse(aroundUs),
-        surroundVal = surroundValFor(0).orElse(fillFb0))
-      // further interp columns resample independently and join back on
-      // the (keys, grid-point) identity — the grids are identical by
-      // construction, and each joined frame is grid-sized (range/step
-      // per key), not data-sized. _isfilled/_irowts_origin come from
-      // the first run: exact-hit-ness is a property of the row's ts,
-      // the same for every column.
-      interpCols.zipWithIndex.tail.foreach { case (vc, i) =>
-        val (modeI, fbI) = modeFor(i)
-        val extra = FillOps.interp(df0, col(tsCol), vc, partCols,
-            step, t0, t1, modeI,
-            surroundUs = surround.map(_._1).getOrElse(aroundUs),
-            surroundVal = surroundValFor(i).orElse(fbI))
-          .select((partCols :+ "_irowts").map(col) :+ col(vc): _*)
-        res = res.join(extra, partCols :+ "_irowts")
-      }
+      // ALL interp columns ride ONE union+carry pipeline (the prev/next
+      // carry is row-level, identical for every column) —
+      // FillOps.interpMulti; the previous per-column interp+equi-join
+      // built a complete scan+grid+window pipeline per column (2x the
+      // operators and wall-clock for 2 columns, measured r21).
+      // _isfilled/_irowts_origin follow the first column's mode.
+      var res = FillOps.interpMulti(df0, col(tsCol),
+        interpCols.zipWithIndex.map { case (vc, i) =>
+          val (modeI, fbI) = modeFor(i)
+          (vc, modeI, surroundValFor(i).orElse(fbI))
+        }, partCols, step, t0, t1,
+        surroundUs = surround.map(_._1).getOrElse(aroundUs))
       // project to the select list: interp(col) → that column's value
       val cols = rItems.map {
         case (e, a) if interpPat.matches(e.trim) =>
