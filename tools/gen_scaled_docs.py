@@ -4,10 +4,23 @@ construction PERFNOTES r17 used for /tmp/sf1 (which was built ad-hoc and
 not preserved — this tool pins the recipe):
 
   N copies of the base corpus; doc_ids offset by copy * base_count;
-  every 7th word of each copy c >= 1 gets a per-copy suffix "~c" so the
-  copies are NOT near-duplicates of each other (measured cross-copy
-  3-shingle Jaccard ~0.4 at r17, well under the 0.8/0.9 dedup
-  thresholds) while token/df structure is preserved.
+  every 3rd word STARTING AT WORD 0 of each copy c >= 1 gets a per-copy
+  suffix "~c", so EVERY 3-shingle of a copied document contains a
+  modified word and the cross-copy 3-shingle Jaccard is ~0 — copies add
+  corpus mass without adding cross-copy near-dup pairs, while the
+  WITHIN-copy near-dup structure (the planted pairs) is preserved
+  (both members of a pair get the same positional suffixes).
+
+  Why the stride matters (r21 measurement): r17's ad-hoc sf1 script
+  modified every 7th word starting at 6, which (a) left <=6-word docs
+  IDENTICAL across copies (N-member LSH buckets, N^2 true-pair
+  output), and (b) left cross-copy Jaccard at ~0.4 — squarely inside
+  the (32,16)-LSH recall zone (band width 2: ~94% candidate
+  probability per pair), so candidate volume grew ~N^2/2 with copy
+  count: 1,921 candidates at sf0.1 -> 303,975 at 10 copies -> ~23M at
+  100 copies, and dedup_minhash_lsh read 387 s at sf10 measuring the
+  CORPUS artifact, not the engine. With stride 3 the candidate volume
+  scales with the real near-dup density instead.
 
 Output is written with one row group per copy so a Spark scan gets real
 split parallelism (the testdata files are single-row-group, which is
@@ -32,7 +45,7 @@ def suffix_copy(texts, c):
             out.append(t)
             continue
         w = t.split(" ")
-        for i in range(6, len(w), 7):
+        for i in range(0, len(w), 3):
             w[i] = w[i] + tag
         out.append(" ".join(w))
     return out
