@@ -669,7 +669,12 @@ object Ddl {
       val out = cat.streamTrigger("hourly", src)
       val sink = "ddl_stream_live_" + liveRuns.incrementAndGet()
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // same replay pin (and SPARK_GRAFT_REPLAY_PARTS override) as the
+      // Sources stream gates: the cost profile is state-store
+      // open/commit per shuffle partition per micro-batch. 4 won the
+      // r22 quiet A/B over 8/2/1 on every replay gate (~2x vs 8).
+      s.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.Streams.replayParts(4).toString)
       try {
         val q = out.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()

@@ -465,6 +465,18 @@ object NativeFunctions {
         new ExpressionInfo(classOf[WeekNum].getName, "graft_week"),
         (children: Seq[Expression]) => WeekNum(children(0), children(1)))
     }
+    val tsId = new FunctionIdentifier("graft_ts_canon")
+    if (!reg.functionExists(tsId)) {
+      reg.registerFunction(tsId,
+        new ExpressionInfo(classOf[CanonicalTsString].getName,
+          "graft_ts_canon"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2 && children(1).foldable,
+            "graft_ts_canon(input, fmt) needs a literal format")
+          CanonicalTsString(children(0),
+            String.valueOf(children(1).eval()))
+        })
+    }
   }
 }
 

@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
 /** Postgres-style timestamp format tokens for `to_char` / `to_timestamp`
@@ -96,7 +98,7 @@ object TimeFormat {
     * reassembles a canonical `yyyy-MM-dd HH:mm:ss.SSSSSSSSSx` string
     * for one strict java parse — whose range errors then surface
     * exactly where the reference errors (-2). */
-  private case class FieldPlan(regex: String,
+  private[functions] case class FieldPlan(regex: String,
       yearG: Option[(Int, Boolean)], // (group, pivots through 2020)
       monthG: Option[(Int, Boolean)], // (group, is a month NAME)
       dayG: Option[Int], hourG: Option[Int],
@@ -121,7 +123,7 @@ object TimeFormat {
     case _ => false
   }
 
-  private def fieldPlan(toks: Seq[Tok]): FieldPlan = {
+  private[functions] def fieldPlan(toks: Seq[Tok]): FieldPlan = {
     // needMoreDigits (ttime.c:2546): a digit token is width-strict only
     // when the NEXT node also starts with a digit
     def needMore(i: Int): Boolean = toks.lift(i + 1).exists {
@@ -194,7 +196,8 @@ object TimeFormat {
     p.copy(regex = "^" + re)
   }
 
-  private val CanonicalPattern = "yyyy-MM-dd HH:mm:ss.SSSSSSSSSxxx"
+  private[functions] val CanonicalPattern =
+    "yyyy-MM-dd HH:mm:ss.SSSSSSSSSxxx"
 
   /** All keywords, longest-first (greedy tokenize). */
   private val keywords: Seq[String] = Seq(
@@ -208,14 +211,14 @@ object TimeFormat {
     "SS", "ss", "TZ", "tz", "US", "us", "YY", "yy",
     "D", "d", "Y", "y").sortBy(-_.length)
 
-  private sealed trait Tok
+  private[functions] sealed trait Tok
   private case class Kw(s: String) extends Tok
   private case class Lit(s: String) extends Tok
 
   /** Greedy tokenizer mirroring parseTsFormat (ttime.c:2171): keyword
     * match first; `"…"` is literal (with backslash escapes); any other
     * char passes through. */
-  private def tokenize(fmt: String): Seq[Tok] = {
+  private[functions] def tokenize(fmt: String): Seq[Tok] = {
     val out = Seq.newBuilder[Tok]
     var i = 0
     while (i < fmt.length) {
@@ -259,13 +262,21 @@ object TimeFormat {
     else parts.mkString("concat(", ", ", ")")
   }
 
-  /** Spark SQL text for `to_timestamp(x, fmt)`: consume the input with
-    * the plan's anchored regex, compute each field numerically from
-    * its last capture (with the char2ts defaults), and parse the
-    * canonical rebuild with one strict java pattern. A shape-level
-    * mismatch yields NULL; a range-invalid field errors, matching the
-    * reference's -1/-2 split as closely as SQL null semantics allow. */
-  def toTimestampSql(x: String, fmt: String): String = {
+  /** Spark SQL text for `to_timestamp(x, fmt)`: the one-pass
+    * canonicalizer ([[CanonicalTsString]], registered as
+    * `graft_ts_canon` by NativeFunctions.register before any dialect
+    * parse) + Spark's native strict parse of the canonical rebuild. A
+    * shape-level mismatch yields NULL; a range-invalid field errors,
+    * matching the reference's -1/-2 split as closely as SQL null
+    * semantics allow. */
+  def toTimestampSql(x: String, fmt: String): String =
+    s"to_timestamp(graft_ts_canon(($x), ${sqlLit(fmt)}), " +
+      s"'$CanonicalPattern')"
+
+  /** The original SQL-text lowering (one `regexp_extract` per field
+    * reference) — kept as the executable char2ts spec the native
+    * canonicalizer is cross-checked against in TimeFormatSpec. */
+  def toTimestampSqlViaExtracts(x: String, fmt: String): String = {
     val p = fieldPlan(tokenize(fmt))
     val reLit = sqlLit(p.regex)
     def gS(g: Int) = s"regexp_extract($x, $reLit, $g)"
@@ -380,10 +391,28 @@ object TimeFormat {
     if (parts.isEmpty) lit("") else concat(parts: _*)
   }
 
+  /** to_timestamp via the one-pass canonicalizer: ONE codegen'd regex
+    * match per row ([[CanonicalTsString]]) computes every field and
+    * rebuilds the canonical string, which Spark's own native parser
+    * consumes — the final parse is bit-identical to the regex-extract
+    * form below. The extract form ran the SAME anchored regex once per
+    * field reference (~11 full matches per call: Spark's subexpression
+    * elimination skips CaseWhen branch bodies, the r21 negative
+    * result), at ~1.15 ms/row for four calls; the native pass is one
+    * match. [[toTimestampViaExtracts]] is kept as the cross-check
+    * reference (TimeFormatSpec asserts bit-equality). */
+  def toTimestamp(s: Column, fmt: String): Column =
+    org.apache.spark.sql.functions.to_timestamp(
+      org.apache.spark.sql.GraftColumnShim.column(CanonicalTsString(
+        org.apache.spark.sql.GraftColumnShim.expression(s), fmt)),
+      CanonicalPattern)
+
   /** Column-API twin of [[toTimestampSql]] (same FieldPlan, built with
     * functions._ since the new Column API cannot render arbitrary
-    * columns back to SQL text). */
-  def toTimestamp(s: Column, fmt: String): Column = {
+    * columns back to SQL text). The original lowering — kept as the
+    * executable spec of char2ts semantics that [[CanonicalTsString]]
+    * must reproduce bit-for-bit. */
+  def toTimestampViaExtracts(s: Column, fmt: String): Column = {
     val p = fieldPlan(tokenize(fmt))
     def gS(g: Int): Column = regexp_extract(s, p.regex, g)
     def num(gOpt: Option[Int], dflt: Int): Column = gOpt match {
@@ -447,4 +476,147 @@ object TimeFormat {
     org.apache.spark.sql.functions.to_timestamp(
       when(s.rlike(p.regex), cleaned), CanonicalPattern)
   }
+}
+
+/** One-pass char2ts canonicalizer: matches the FieldPlan's anchored
+  * regex ONCE per row and rebuilds the canonical
+  * `yyyy-MM-dd HH:mm:ss.SSSSSSSSS±HH:MM` string in JVM code —
+  * bit-identical to the `regexp_extract`-per-field Column lowering
+  * ([[TimeFormat.toTimestampViaExtracts]], asserted in TimeFormatSpec)
+  * but ~11× fewer regex passes: Spark's subexpression elimination
+  * cannot merge the per-field extracts because they sit inside
+  * CaseWhen branches (the r21 negative result). NULL when the regex
+  * does not match, mirroring the `when(s.rlike(re), …)` guard. The
+  * format string is the only state, so the expression serializes
+  * trivially; plan and pattern recompile lazily per executor. */
+case class CanonicalTsString(child: Expression, fmt: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val plan: TimeFormat.FieldPlan =
+    TimeFormat.fieldPlan(TimeFormat.tokenize(fmt))
+  @transient private lazy val pattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(plan.regex)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string input, got $t")
+    }
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ts_canon"
+
+  /** Spark-`lpad` semantics: left-pad with '0' to width w, TRUNCATING
+    * to the first w chars when longer (lpad('1234',2)='12'). */
+  private def lpad0(s: String, w: Int): String =
+    if (s.length >= w) s.substring(0, w)
+    else ("0" * (w - s.length)) + s
+
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val m = pattern.matcher(s)
+    if (!m.find()) return null // the rlike guard of the extract form
+    // regexp_extract semantics: a non-participating group reads as ""
+    def g(i: Int): String = {
+      val v = m.group(i); if (v == null) "" else v
+    }
+    // coalesce(cast(nullif(g,'') as bigint), dflt): captures are
+    // sign/digit-only by construction, so parseLong is the cast
+    def num(gOpt: Option[Int], dflt: Long): Long = gOpt match {
+      case None => dflt
+      case Some(i) =>
+        val v = g(i)
+        if (v.isEmpty) dflt else java.lang.Long.parseLong(v)
+    }
+    val year: Long = plan.yearG match {
+      case Some((gi, true)) => // 1-3 digit years pivot (adjustYearTo2020)
+        val v = g(gi)
+        if (v.isEmpty) 0L
+        else {
+          val i = java.lang.Long.parseLong(v)
+          if (i < 70) i + 2000
+          else if (i < 100) i + 1900
+          else if (i < 520) i + 2000
+          else i + 1000
+        }
+      case other => num(other.map(_._1), 0L)
+    }
+    val month: Long = plan.monthG match {
+      case Some((gi, true)) => // month NAME: 3-letter prefix lookup
+        val v = g(gi)
+        if (v.isEmpty) 1L
+        else if (v.length < 3) 0L
+        else {
+          val pool = "janfebmaraprmayjunjulaugsepoctnovdec"
+          val instr = pool.indexOf(
+            v.substring(0, 3).toLowerCase(java.util.Locale.ROOT)) + 1
+          // ((instr + 2) / 3).cast(bigint): double division truncated
+          ((instr + 2).toDouble / 3.0).toLong
+        }
+      case other => num(other.map(_._1), 1L)
+    }
+    val hourRaw = num(plan.hourG, 0L)
+    val hour: Long = plan.merG match {
+      case None => hourRaw
+      case Some(gi) =>
+        val mer = g(gi).replace(".", "").toUpperCase(java.util.Locale.ROOT)
+        if (mer.isEmpty) hourRaw
+        else if (mer == "PM" && hourRaw < 12) hourRaw + 12
+        else if (mer != "PM" && hourRaw == 12) 0L
+        else hourRaw
+    }
+    val fracNs = num(plan.msG, 0L) * 1000000L +
+      num(plan.usG, 0L) * 1000L + num(plan.nsG, 0L)
+    val tz: String = plan.tzG match {
+      case None => "+00:00"
+      case Some((gi, true)) => // Z | ±HH | ±HH:MM | ±HHMM
+        val v = g(gi)
+        if (v.isEmpty || v.equalsIgnoreCase("z")) "+00:00"
+        else if (v.length == 3) v + ":00"
+        else if (v.length == 5)
+          v.substring(0, 3) + ":" + v.substring(3, 5)
+        else v
+      case Some((gi, false)) => // TZH: signed hour
+        val v = g(gi)
+        if (v.isEmpty) "+00:00"
+        else if (v.startsWith("-"))
+          "-" + lpad0(v.substring(1), 2) + ":00"
+        else if (v.startsWith("+"))
+          "+" + lpad0(v.substring(1), 2) + ":00"
+        else "+" + lpad0(v, 2) + ":00"
+    }
+    val sb = new java.lang.StringBuilder(34)
+    sb.append(lpad0(year.toString, 4)).append('-')
+      .append(lpad0(month.toString, 2)).append('-')
+      .append(lpad0(num(plan.dayG, 1L).toString, 2)).append(' ')
+      .append(lpad0(hour.toString, 2)).append(':')
+      .append(lpad0(num(plan.minG, 0L).toString, 2)).append(':')
+      .append(lpad0(num(plan.secG, 0L).toString, 2)).append('.')
+      .append(lpad0(fracNs.toString, 9)).append(tz)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // top-level class, so the binary name is valid Java source for the
+    // reference slot's declared type
+    val ref = ctx.addReferenceObj("graftTsCanon", this,
+      classOf[CanonicalTsString].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = $ref.compute($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
 }

@@ -434,16 +434,20 @@ object DedupOps {
         // one aggregation yields BOTH the new label (min of self and
         // neighbour messages) and the previous one (each id
         // contributes exactly one non-null _cur row), so convergence
-        // needs no second join: the round is a single materializing
-        // job, and the changed count is a scan of the
-        // just-checkpointed blocks.
+        // needs no second join — and the checkpoint is LAZY so the
+        // changed-count action below is the round's ONLY job: it
+        // computes the aggregation once, caches the blocks under the
+        // localCheckpoint contract (lineage still truncated for the
+        // next round's plan), and returns the count. The eager form
+        // cost a second driver job per round just to rescan the
+        // freshly cached blocks.
         val next = labels
           .select(col("_id"), col("_lab"), col("_lab").as("_cur"))
           .union(msgs.select(col("_id"), col("_lab"),
             lit(null).cast(labType).as("_cur")))
           .groupBy("_id")
           .agg(min(col("_lab")).as("_lab"), max(col("_cur")).as("_old"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val changed = next.filter(col("_lab") =!= col("_old")).count()
         labels = next.select(col("_id"), col("_lab"))
         converged = changed == 0

@@ -27,10 +27,50 @@ object TextOps {
     * where the data layout already provides parallelism. The shuffle
     * it does insert moves only the raw input bytes of an
     * under-partitioned (i.e. small) scan — strictly cheaper than the
-    * serial compute it unlocks. */
+    * serial compute it unlocks.
+    *
+    * The partition probe reads the PLAN, not `df.rdd`: materializing
+    * the RDD of an AQE plan eagerly EXECUTES every upstream exchange
+    * (the broadcast id-prune join in minhashLshPairs, the langid hub's
+    * scans) at DataFrame-construction time, and that work is thrown
+    * away — the r21 plan goldens recorded the duplicated subtrees as
+    * FileScan 8→11 / Generate 8→14 growth. The estimate mirrors
+    * Spark's own FilePartition.maxSplitBytes split math over the file
+    * leaves, so the decision matches what the scan would produce
+    * without running anything. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val parts = scanPartitionEstimate(df)
+      // no file leaf visible (in-memory test frames): the RDD probe is
+      // safe there — nothing upstream to execute eagerly
+      .getOrElse(df.rdd.getNumPartitions.toLong)
+    if (parts < target) df.repartition(target) else df
+  }
+
+  /** Estimated scan-task count of the plan's LARGEST file-source leaf
+    * (broadcast joins keep the stream side's partitioning, so the
+    * biggest scan drives the operator's parallelism). Mirrors
+    * `FilePartition.maxSplitBytes`: split = min(maxPartitionBytes,
+    * max(openCost, bytes/minPartitionNum)), tasks ≈ ⌈bytes/split⌉.
+    * None when the plan has no file-source leaf. */
+  private def scanPartitionEstimate(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+    val openCost = conf.filesOpenCostInBytes
+    val maxSplit = conf.filesMaxPartitionBytes
+    val minPartNum = conf.filesMinPartitionNum.getOrElse(defaultPar)
+    val ests = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        val fs = l.relation.asInstanceOf[HadoopFsRelation]
+        val files = fs.location.inputFiles.length.toLong
+        val bytes = fs.location.sizeInBytes + files * openCost
+        val split = math.min(maxSplit,
+          math.max(openCost, bytes / math.max(1, minPartNum)))
+        math.max(1L, (bytes + split - 1) / math.max(1L, split))
+    }
+    if (ests.isEmpty) None else Some(ests.max)
   }
 
   /** Fixed-size character chunking with overlap (training-data prep:

@@ -26,6 +26,29 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   */
 object Streams {
 
+  /** Validated SPARK_GRAFT_REPLAY_PARTS override for the replay gates'
+    * shuffle-partition pin (parsed ONCE, loudly: a malformed value must
+    * fail naming the variable at first use, not throw a bare
+    * NumberFormatException deep inside query construction). */
+  lazy val replayPartsOverride: Option[Int] =
+    sys.env.get("SPARK_GRAFT_REPLAY_PARTS").map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_REPLAY_PARTS must be a positive integer, got '$v'")
+      }
+      require(n > 0,
+        s"SPARK_GRAFT_REPLAY_PARTS must be a positive integer, got '$v'")
+      n
+    }
+
+  /** The replay gates' shuffle-partition count: the env override when
+    * set, else the caller's default. Results are partition-count
+    * independent (keyed state is hash-partitioned, every gate ends in
+    * a total ORDER BY); the count only sets how many state stores each
+    * micro-batch opens and commits. */
+  def replayParts(default: Int): Int =
+    replayPartsOverride.getOrElse(default)
+
   /** INTERVAL(interval) SLIDING(slide) WATERMARK(w) trigger: windowed
     * aggregation over `valueCol` that only emits closed windows
     * (append mode). */

@@ -141,9 +141,56 @@ class TimeFormatSpec extends AnyFunSuite {
     assert(!sql.toLowerCase.contains("to_char"), sql)
     val p = GraftSql.rewriteFuncs(
       "to_timestamp(s, 'DD Mon YYYY')", "ts")
-    // parse goes through the field-plan rebuild: regex extraction +
-    // one canonical java pattern
-    assert(p.contains("regexp_extract") &&
+    // parse goes through the one-pass canonicalizer + one canonical
+    // java pattern
+    assert(p.contains("graft_ts_canon") &&
       p.contains("yyyy-MM-dd HH:mm:ss.SSSSSSSSSx"), p)
+  }
+
+  test("native canonicalizer is bit-identical to the extract lowering") {
+    // every keyword family + the char2ts loose shapes from the pins
+    // above, crossed with well-formed, short-digit, garbage, and empty
+    // inputs: the one-regex-pass CanonicalTsString must agree with the
+    // regexp_extract-per-field reference on every (input, fmt) cell
+    val cases = Seq(
+      ("yyyy-MM-dd HH24:MI:SS", Seq("2024-03-05 14:07:09", "2023-1-1",
+        "garbage", "", "2024-03-05")),
+      ("yy-Mon-dd hh12:mi:ss.msa.m.TZ", Seq(
+        "24-Mar-05 02:07:09.123p.m.+05:30", "95-JAN-1 1:2:3.4a.m.Z",
+        "24-xx-05", "24-Feb-05 02:07:09.123p.m.-0830")),
+      ("yyyyMMdd ", Seq("210012", "21000101", "2100/2/1")),
+      ("yyyyMM1/dd ", Seq("210001/2")),
+      ("yyyy-Dy-MM", Seq("2024-TUE-03", "2024-Mon-11")),
+      ("D-DD-DDD DY", Seq("3-05-065 TUE", "9-31-366 XXX")),
+      ("yyyy-MM-dd HH24:MI:ss.usTZH", Seq(
+        "2100-01-01 11:10:10.124456+08", "2100-01-01 11:10:10.124456-7",
+        "2100-01-01 11:10:10.124456")),
+      ("yyyy/Month/dd", Seq("2024/february/01")),
+      ("HH12:MI AM", Seq("12:30 am", "02:07 PM", "12:00 PM")))
+    cases.foreach { case (f, inputs) =>
+      inputs.foreach { in =>
+        val row = spark.range(1).select(
+          TimeFormat.toTimestamp(lit(in), f).cast("string").as("native"),
+          TimeFormat.toTimestampViaExtracts(lit(in), f).cast("string")
+            .as("ref")).collect()(0)
+        assert(row.getString(0) == row.getString(1),
+          s"fmt='$f' input='$in': native=${row.getString(0)} " +
+            s"ref=${row.getString(1)}")
+      }
+    }
+    // range-invalid fields ERROR on both paths (the reference's -2
+    // class): shape matches but the strict canonical parse rejects —
+    // field out of range, and a sub-3-letter month name (month 0)
+    Seq(TimeFormat.toTimestamp _, TimeFormat.toTimestampViaExtracts _)
+      .foreach { form =>
+        intercept[Exception] {
+          spark.range(1).select(form(lit("2024-13-40 99:99:99"),
+            "yyyy-MM-dd HH24:MI:SS").cast("string")).collect()
+        }
+        intercept[Exception] {
+          spark.range(1).select(form(lit("2024/M/01"),
+            "yyyy/Month/dd").cast("string")).collect()
+        }
+      }
   }
 }
