@@ -4002,9 +4002,14 @@ object GraftSql {
       // first non-null row, and option 3's nulled negative deltas.
       // The per-window first row is already gone via maxDrop (its
       // result is null regardless), so this only removes additional
-      // null-result rows.
+      // null-result rows. Same gating as the non-windowed route:
+      // mixing diff with other indef functions is a reference ERROR
+      // (test_select_all.py:500), so the drop applies only to
+      // pure-diff selects — the mixed form is this engine's extension
+      // and keeps every row for the non-diff columns.
       val dWifs = diffWifOpts.result()
-      if (dWifs.nonEmpty && dWifs.forall(d => (d._2 & 2) != 0))
+      if (dWifs.nonEmpty && dWifs.size == wi &&
+          dWifs.forall(d => (d._2 & 2) != 0))
         work = work.filter(
           dWifs.map(d => col(s"_wif${d._1}").isNotNull).reduce(_ || _))
       val hidden = partCols.zipWithIndex.map { case (pc, i) =>

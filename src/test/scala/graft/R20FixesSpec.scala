@@ -323,6 +323,16 @@ class R20FixesSpec extends AnyFunSuite {
     // still returns every row
     assert(cat.sql("select diff(v), csum(v) from dt").collect()
       .length == 5)
+    // the INTERVAL-window (wif) route mirrors the same gating: a
+    // pure-diff select drops null-result rows under option 2, but a
+    // MIXED select keeps every (post-maxDrop) row so the non-diff
+    // columns' row set is unchanged
+    val wifPure = cat.sql(
+      "select diff(v, 2) from dt interval(10s)").collect()
+    assert(wifPure.length == 2, wifPure.mkString(","))
+    val wifMixed = cat.sql(
+      "select diff(v, 2), csum(v) from dt interval(10s)").collect()
+    assert(wifMixed.length == 4, wifMixed.mkString(","))
   }
 
   test("numeric CASE WHEN conditions are truthy-if-nonzero " +

@@ -56,6 +56,11 @@ def main():
     base = pq.read_table(base_path)
     n = base.num_rows
     ids = base.column("doc_id").to_pylist()
+    # copy offset must clear the base ID RANGE, not the row count:
+    # offsetting by num_rows silently merges distinct documents across
+    # copies whenever base doc_ids are not dense in [0, n)
+    stride = max(ids) + 1
+    assert min(ids) >= 0, "negative base doc_ids break the copy offset"
     texts = base.column("text").to_pylist()
     lang = base.column("lang")
     source = base.column("source")
@@ -65,7 +70,8 @@ def main():
         t2 = suffix_copy(texts, c)
         batch = pa.table(
             {
-                "doc_id": pa.array([i + c * n for i in ids], pa.int64()),
+                "doc_id": pa.array([i + c * stride for i in ids],
+                                   pa.int64()),
                 "text": pa.array(t2, pa.string()),
                 "lang": lang,
                 "source": source,
